@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local pre-driver oracle harness (SURVEY.md §5.2).
+
+Usage: python3 dev/check.py [sfDir] [verifyOutDir]
+Reads oracle_sql.json written by graft.Verify, registers DuckDB views over
+the bare table names, runs each oracle, and compares values against the
+Spark parquet output with columns sorted by name (mimicking the driver's
+order- and value-sensitive hash compare).
+Dev-only: python/duckdb never ship in the library itself.
+"""
+import duckdb, json, sys, glob
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+ok, bad = [], []
+for name, sql in oracle.items():
+    files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
+    if not files:
+        bad.append(name); print(f"FAIL {name}: no spark output dir"); continue
+    try:
+        d = con.execute(sql)
+        dcols = [c[0] for c in d.description]
+        drows = d.fetchall()
+    except Exception as e:
+        bad.append(name); print(f"FAIL {name}: oracle error: {e}"); continue
+    s = con.execute(f"SELECT * FROM read_parquet('{files[0]}')")
+    scols = [c[0] for c in s.description]
+    srows = s.fetchall()
+    if sorted(dcols) != sorted(scols):
+        bad.append(name)
+        print(f"FAIL {name}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")
+        continue
+    sidx = [scols.index(c) for c in sorted(scols)]
+    didx = [dcols.index(c) for c in sorted(dcols)]
+    srt = [tuple(r[i] for i in sidx) for r in srows]
+    drt = [tuple(r[i] for i in didx) for r in drows]
+    if len(srt) != len(drt):
+        bad.append(name); print(f"FAIL {name}: rowcount spark={len(srt)} duck={len(drt)}"); continue
+    mismatch = None
+    for i, (a, b) in enumerate(zip(srt, drt)):
+        if a != b:
+            mismatch = (i, a, b); break
+    if mismatch:
+        bad.append(name)
+        i, a, b = mismatch
+        print(f"FAIL {name}: row {i} differs\n  spark={a}\n  duck ={b}")
+        # show the types too — decimals-vs-float etc.
+        print(f"  types spark={[type(x).__name__ for x in a]}")
+        print(f"  types duck ={[type(x).__name__ for x in b]}")
+    else:
+        ok.append(name); print(f"ok   {name} ({len(srt)} rows)")
+
+print(f"\n{len(ok)} ok, {len(bad)} fail of {len(oracle)}")
+sys.exit(1 if bad else 0)

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+
+/** Central table loader (SURVEY.md §7.1 M0).
+  *
+  * All queries read input exclusively through this object so that:
+  *  - `spark.sql.legacy.parquet.nanosAsLong` is always set before touching
+  *    `events.parquet` (its TIMESTAMP(NANOS) column kills the default
+  *    Spark 4 reader — SURVEY.md §1.2); the driver's Verify session does
+  *    not set it for us, and the conf is runtime-settable.
+  *  - every table name maps to exactly one path convention
+  *    (`<sfDir>/<name>.parquet`), matching TESTDATA.md.
+  *
+  * Scale notes (100 TB): the loader deliberately returns plain
+  * `spark.read.parquet` DataFrames — no caching, no repartitioning — so
+  * Catalyst keeps full freedom for predicate pushdown, column pruning and
+  * partition-aware planning. At cluster scale the same code reads a
+  * directory of many files; nothing here assumes a single file.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from `sfDir`. Sets the nanos conf on every call —
+    * cheap, idempotent, and guarantees any session we are handed can read
+    * `events`. */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Cast to the mandated DECIMAL(18,4) intermediate for any double that
+    * flows into a summed/averaged output (SURVEY.md §2.9 R1 — double
+    * addition is not associative across partition merge order). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+}
