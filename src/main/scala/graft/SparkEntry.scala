@@ -12,12 +12,15 @@ import scala.collection.immutable.ListMap
 object SparkEntry {
 
   private val all: Seq[Q] =
+    operators.Scans.entries ++
+    operators.Joins.entries ++
     operators.Aggregates.entries ++
     operators.Anonymize.entries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries.head._2(spark, "/root/testdata/sf0.001")
+    operators.Joins.q05(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -36,4 +36,12 @@ object Tables {
     * flows into a summed/averaged output (SURVEY.md §2.9 R1 — double
     * addition is not associative across partition merge order). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Register `name` as a temp view over `sfDir` and return it — for the
+    * operators exercised through `spark.sql` (GROUPING SETS etc.). */
+  def view(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    df.createOrReplaceTempView(name)
+    df
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import java.sql.Timestamp
@@ -32,6 +32,91 @@ object Aggregates {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q13: distinct + count distinct — distinct customers per order status. */
+  private def q13(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("distinct_cust"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q14: HLL approximate distinct (approx_count_distinct). No oracle —
+    * the estimate is implementation-specific (SURVEY §2.3); the unit test
+    * asserts relative error < 5% against the exact count instead. */
+  private def q14(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(approx_count_distinct(col("c_custkey")).as("approx_cust"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q15: rollup — revenue by (region, nation) + subtotals + grand total.
+    * Null ordering spelled explicitly on both engines (§2.9 R4). Expressed
+    * via spark.sql: the DataFrame `rollup().agg().orderBy(col(...))` form
+    * trips Spark 4's ambiguous-self-join detector on the grouping columns
+    * (the orderBy Column re-resolves against the pre-rollup join). */
+  private def q15(spark: SparkSession, sfDir: String): DataFrame = {
+    Seq("orders", "customer", "nation", "region").foreach(Tables.view(spark, sfDir, _))
+    spark.sql(
+      "SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")
+  }
+
+  /** q16: cube — counts over all combos of (status, priority). */
+  private def q16(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** q17: GROUPING SETS via spark.sql over a temp view. */
+  private def q17(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.view(spark, sfDir, "orders")
+    spark.sql(
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")
+  }
+
+  /** q18: moment statistics (stddev, corr) via manual DECIMAL sums — the
+    * partial sums are exact, so the final double arithmetic is identical on
+    * both engines regardless of partition merge order (§2.9 R1). */
+  private def q18(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = dec(col("l_extendedprice"))
+    val y = dec(col("l_quantity"))
+    val d = (c: Column) => c.cast("double")
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+          (d(col("n")) * (d(col("n")) - 1.0))), 6).as("stddev_price"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6).as("corr_price_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q19: exact interpolated percentiles (median + p90) per market segment. */
+  private def q19(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"))
+      .orderBy("c_mktsegment")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
@@ -42,5 +127,43 @@ object Aggregates {
         "COUNT(*) AS cnt " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+    Q("q13_agg_distinct", q13 _, Some(
+      "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS distinct_cust, COUNT(*) AS order_cnt " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+    Q("q14_agg_approx_distinct", q14 _, None),
+    Q("q15_agg_rollup", q15 _, Some(
+      "SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name) " +
+        "ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST")),
+    Q("q16_agg_cube", q16 _, Some(
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
+    Q("q17_agg_grouping_sets", q17 _, Some(
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
+    Q("q18_agg_stats", q18 _, Some(
+      "SELECT l_returnflag, n, " +
+        "ROUND(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS stddev_price, " +
+        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_price_qty " +
+        "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxx, " +
+        "SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sy, " +
+        "SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS syy, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag")),
+    Q("q19_agg_median", q19 _, Some(
+      "SELECT c_mktsegment, ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price, " +
+        "ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
   )
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Join operators (SURVEY.md §2.2, q04–q11).
+  *
+  * Scale strategy per join shape (100 TB notes):
+  *  - dimension tables (region/nation/customer-at-dim-size) are explicitly
+  *    `broadcast()` — no shuffle of the fact side, ever;
+  *  - fact⋈fact equi-joins (q05, q09) shuffle on the join key and rely on
+  *    AQE for skew-split; the join key is the natural partition key so the
+  *    shuffle is unavoidable and minimal;
+  *  - the as-of join (q10) is a *window*, not a join — one shuffle on
+  *    user_id, no row explosion, the standard distributed as-of plan;
+  *  - the vector cross join (q11) is bounded to 10 probe rows and the probe
+  *    side is broadcast → BroadcastNestedLoopJoin with no shuffle at all.
+  *    At full scale the LSH machinery of q50/q62 replaces brute force.
+  */
+object Joins {
+  import Tables.dec
+
+  /** q04: broadcast inner equi-join chain customer⋈nation⋈region. */
+  private def q04(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .join(broadcast(Tables(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("cnt"))
+      .orderBy("r_name")
+  }
+
+  /** q05: shuffle join lineitem⋈orders⋈customer⋈nation — flagship revenue
+    * rollup (TPC-H Q5 analog). Facts shuffle on their join keys; nation is
+    * broadcast. */
+  private[graft] def q05(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DecimalType(18, 4)).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** q06: left outer join keeping customers with zero orders. */
+  private def q06(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+  }
+
+  /** q07: left semi — customers having ≥1 'F' order. */
+  private def q07(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q08: left anti — customers with no orders at all. */
+  private def q08(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q09: non-equi interval self-join — event pairs of the same user where
+    * e2 falls within 5 minutes after e1. Event time is truncated to
+    * MICROSECONDS (`ts DIV 1000`) because DuckDB 1.0.0 truncates parquet
+    * TIMESTAMP_NS to µs at scan time — both engines must compare the same
+    * values. The user_id equi-key keeps this a shuffled equi-join with a
+    * range residual, NOT a nested-loop — essential at scale. */
+  private def q09(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val a = e.toDF("id1", "u1", "ts1")
+    val b = e.toDF("id2", "u2", "ts2")
+    a.join(b, col("u1") === col("u2") &&
+        col("ts2") > col("ts1") &&
+        col("ts2") <= col("ts1") + lit(300000000L) &&
+        col("id1") < col("id2"))
+      .select("id1", "id2")
+      .orderBy("id1", "id2")
+  }
+
+  /** q10: as-of join — each purchase ↦ most recent prior signup ts of that
+    * user, in µs (DuckDB ns truncation — see q09). Window formulation: one
+    * shuffle on user_id, no join explosion. */
+  private def q10(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("last_signup_us",
+        max(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_signup_us"))
+      .orderBy("event_id")
+  }
+
+  /** q11: bounded cross join — 10 probe vectors × all embeddings, exact
+    * dot product via zip_with/aggregate fold (fixed element order ⇒
+    * deterministic double). Probe side broadcast ⇒ no shuffle. */
+  private def q11(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")).filter(col("id_a") < 10)
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    broadcast(a).join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(
+          zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 6).as("dot"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q04_join_broadcast", q04 _, Some(
+      "SELECT r_name, COUNT(*) AS cnt FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name")),
+    Q("q05_join_shuffle", q05 _, Some(
+      "SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name")),
+    Q("q06_join_left_outer", q06 _, Some(
+      "SELECT c_custkey, COUNT(o_orderkey) AS order_cnt FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey")),
+    Q("q07_join_semi", q07 _, Some(
+      "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') " +
+        "ORDER BY c_custkey")),
+    Q("q08_join_anti", q08 _, Some(
+      "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+    Q("q09_join_range_theta", q09 _, Some(
+      "SELECT a.event_id AS id1, b.event_id AS id2 FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND epoch_us(b.ts) > epoch_us(a.ts) " +
+        "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 AND a.event_id < b.event_id " +
+        "ORDER BY id1, id2")),
+    Q("q10_join_asof", q10 _, Some(
+      "SELECT event_id, user_id, ts_us, last_signup_us FROM (" +
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, " +
+        "MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_us FROM events) " +
+        "WHERE event_type = 'purchase' ORDER BY event_id")),
+    Q("q11_join_cross_topk", q11 _, Some(
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "ROUND(list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS dot " +
+        "FROM embeddings a, embeddings b WHERE a.vec_id < 10 AND a.vec_id < b.vec_id " +
+        "ORDER BY id_a, id_b")),
+  )
+}

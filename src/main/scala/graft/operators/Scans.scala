@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Scan / source / sink operators (SURVEY.md §2.1, q01–q03).
+  *
+  * q01 exists to prove the scan path is *efficient*, not just correct: the
+  * filter and the 4-column projection must reach the parquet reader
+  * (PushedFilters / ReadSchema in `.explain`), so at 100 TB the scan reads
+  * only the touched row groups and columns. q02/q03 prove the CSV and JSON
+  * source/sink surface round-trips losslessly (the oracle reads the
+  * ORIGINAL parquet, so any loss of type or value fails the hash).
+  */
+object Scans {
+
+  /** q01: parquet scan + projection + predicate, pushdown-friendly. */
+  private def q01(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Distinct tmp dir per (table, sfDir) so concurrent runs at different
+    * scale factors never collide. */
+  private def tmp(kind: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(sfDir.hashCode)}"
+
+  /** q02: CSV sink + source round-trip of `region` (explicit schema on
+    * read-back — CSV is typeless, inference would widen int32→int). */
+  private def q02(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables(spark, sfDir, "region")
+    val path = tmp("csv_region", sfDir)
+    region.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    spark.read.schema(region.schema).option("header", "true").csv(path)
+      .orderBy("r_regionkey")
+  }
+
+  /** q03: JSON-lines sink + source round-trip of `nation` (explicit schema
+    * — JSON inference would read int32 as bigint and break type parity). */
+  private def q03(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmp("json_nation", sfDir)
+    nation.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+    spark.read.schema(nation.schema).json(path)
+      .orderBy("n_nationkey")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q01_scan_project_filter", q01 _, Some(
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "ORDER BY l_orderkey, l_linenumber")),
+    Q("q02_scan_csv_roundtrip", q02 _, Some(
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+    Q("q03_scan_json_lines", q03 _, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+  )
+}
