@@ -38,6 +38,15 @@ for name, sql in oracle.items():
         bad.append(name)
         print(f"FAIL {name}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")
         continue
+    # strict column-type parity (int32 vs int64 etc. would change the
+    # driver's value hash even when python == says values are equal)
+    dtypes = dict(zip(dcols, [c[1] for c in d.description]))
+    stypes = dict(zip(scols, [c[1] for c in s.description]))
+    tdiff = {c: (stypes[c], dtypes[c]) for c in dcols if stypes[c] != dtypes[c]}
+    if tdiff:
+        bad.append(name)
+        print(f"FAIL {name}: column types differ (spark, duck): {tdiff}")
+        continue
     sidx = [scols.index(c) for c in sorted(scols)]
     didx = [dcols.index(c) for c in sorted(dcols)]
     srt = [tuple(r[i] for i in sidx) for r in srows]

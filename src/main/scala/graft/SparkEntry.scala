@@ -15,6 +15,9 @@ object SparkEntry {
     operators.Scans.entries ++
     operators.Joins.entries ++
     operators.Aggregates.entries ++
+    operators.Windows.entries ++
+    operators.SortSet.entries ++
+    operators.Scalars.entries ++
     operators.Anonymize.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the

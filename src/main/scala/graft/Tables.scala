@@ -37,6 +37,29 @@ object Tables {
     * addition is not associative across partition merge order). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Portable 6-dp rounding for DOUBLE outputs: floor(x·1e6 + 0.5)/1e6 in
+    * pure IEEE double ops, which both Spark and DuckDB evaluate
+    * bit-identically. Spark's `round` (HALF_UP on the shortest decimal
+    * string) and DuckDB's `round` (scaled-double) disagree whenever the
+    * value sits near a .5 boundary at the target scale — verified on
+    * 68210.43/32 (q32) and a scale-4 group mean (q45). Pair every use
+    * with `r6sql` on the oracle side. */
+  def r6(c: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+
+  /** The DuckDB half of [[r6]] — same IEEE ops, same bits. */
+  def r6sql(e: String): String = s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** Portable mean at 6 dp: exact DECIMAL sum → double ÷ count → [[r6]].
+    * Avoids both engines' avg/cast paths (DuckDB AVG(DECIMAL) returns
+    * DOUBLE; DuckDB decimal downcasts truncate while Spark's round
+    * half-up). */
+  def meanD(sum: Column, cnt: Column): Column = r6(sum.cast("double") / cnt)
+  def meanDSql(sum: String, cnt: String): String =
+    r6sql(s"CAST($sum AS DOUBLE) / $cnt")
+
   /** Register `name` as a temp view over `sfDir` and return it — for the
     * operators exercised through `spark.sql` (GROUPING SETS etc.). */
   def view(spark: SparkSession, sfDir: String, name: String): DataFrame = {

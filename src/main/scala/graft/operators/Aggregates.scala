@@ -27,7 +27,7 @@ object Aggregates {
         sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 4)).as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast(DecimalType(18, 4)).as("sum_disc_price"),
-        avg(dec(col("l_quantity"))).cast(DecimalType(18, 4)).as("avg_qty"),
+        Tables.meanD(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -98,11 +98,11 @@ object Aggregates {
         sum(y).as("sy"), sum(y * y).as("syy"),
         sum(x * y).as("sxy"))
       .select(col("l_returnflag"), col("n"),
-        round(sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
-          (d(col("n")) * (d(col("n")) - 1.0))), 6).as("stddev_price"),
-        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        Tables.r6(sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+          (d(col("n")) * (d(col("n")) - 1.0)))).as("stddev_price"),
+        Tables.r6((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
           (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-            sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6).as("corr_price_qty"))
+            sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("corr_price_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -112,8 +112,8 @@ object Aggregates {
       .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
-        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"))
+        Tables.r6(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+        Tables.r6(expr("percentile(o_totalprice, 0.9)")).as("p90_price"))
       .orderBy("c_mktsegment")
   }
 
@@ -123,7 +123,7 @@ object Aggregates {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price, " +
-        "CAST(AVG(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_qty, " +
+        Tables.meanDSql("SUM(CAST(l_quantity AS DECIMAL(18,4)))", "COUNT(*)") + " AS avg_qty, " +
         "COUNT(*) AS cnt " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
@@ -148,11 +148,11 @@ object Aggregates {
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
     Q("q18_agg_stats", q18 _, Some(
       "SELECT l_returnflag, n, " +
-        "ROUND(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
-        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS stddev_price, " +
-        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        Tables.r6sql("SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))") + " AS stddev_price, " +
+        Tables.r6sql("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
         "(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-        "SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_price_qty " +
+        "SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))") + " AS corr_price_qty " +
         "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sx, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxx, " +
@@ -161,8 +161,8 @@ object Aggregates {
         "SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxy " +
         "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag")),
     Q("q19_agg_median", q19 _, Some(
-      "SELECT c_mktsegment, ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price, " +
-        "ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price " +
+      "SELECT c_mktsegment, " + Tables.r6sql("quantile_cont(o_totalprice, 0.5)") + " AS median_price, " +
+        Tables.r6sql("quantile_cont(o_totalprice, 0.9)") + " AS p90_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
   )

@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Anonymization suite (SURVEY.md §2.7, q35–q48) — the reference's own
   * operator family (k-anonymity, l-diversity, generalization, masking,
@@ -13,9 +15,25 @@ import org.apache.spark.sql.functions._
   * functions so Catalyst can push scans down beneath them; no per-row
   * driver logic. k-anonymity-style audits are global groupBys — the one
   * correct distributed formulation (the guarantee is a global property,
-  * §7.5) — and shuffle only QI-cardinality-bounded aggregates.
+  * SURVEY.md §7.5) — and shuffle only QI-cardinality-bounded aggregates.
+  * The suppression/microaggregation transforms (q42/q45) are windows over
+  * the QI partition key: one shuffle, linear scaling, AQE skew-split
+  * handles hot QI groups.
   */
 object Anonymize {
+  import Tables.dec
+
+  /** The quasi-identifier bin used throughout: acctbal in width-1000 bins
+    * (floor division — DuckDB 1.0.0 lacks width_bucket). */
+  private val acctBin = (floor(col("c_acctbal") / 1000) * 1000).cast("bigint")
+  private val acctBinSql = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT) * 1000"
+
+  /** q35: identifier suppression — project away the direct identifier. */
+  private def q35(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .drop("c_name")
+      .orderBy("c_custkey")
+  }
 
   /** q36: salted-hash pseudonymization — replace the direct identifier with
     * a keyed surrogate (sha2 parity with DuckDB verified, FIXTURES.md). */
@@ -27,9 +45,206 @@ object Anonymize {
       .orderBy("c_custkey")
   }
 
+  /** q37: partial masking — keep a prefix, star the rest; digits → '#'. */
+  private def q37(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        concat(substring(col("c_name"), 1, 4), lit("***")).as("masked_name"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("digit_masked"))
+      .orderBy("c_custkey")
+  }
+
+  /** q38: numeric generalization — width-1000 binning of the sensitive
+    * account balance. */
+  private def q38(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), acctBin.as("acct_bin"))
+      .orderBy("c_custkey")
+  }
+
+  /** q39: temporal generalization — order date → month (DATE both sides,
+    * §2.9 R3). */
+  private def q39(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        trunc(col("o_orderdate").cast("date"), "MM").as("order_month"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q40: categorical generalization via hierarchy — nation rolls up to
+    * region through the dim-table join (VGH as broadcast lookup). */
+  private def q40(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .join(broadcast(Tables(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("generalized_nation"))
+      .orderBy("c_custkey")
+  }
+
+  /** q41: k-anonymity audit — group sizes over the QI and a k=5 violation
+    * flag; the global groupBy is the correct distributed formulation. */
+  private def q41(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .withColumn("acct_bin", acctBin)
+      .groupBy("c_nationkey", "c_mktsegment", "acct_bin")
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("violates_k5", col("group_size") < 5)
+      .orderBy("c_nationkey", "c_mktsegment", "acct_bin")
+  }
+
+  /** q42: cell suppression to reach k — null out QI cells in groups whose
+    * size < k, via a window count (one shuffle on the QI). */
+  private def q42(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment", "acct_bin")
+    Tables(spark, sfDir, "customer")
+      .withColumn("acct_bin", acctBin)
+      .withColumn("gs", count(lit(1)).over(w))
+      .select(col("c_custkey"),
+        when(col("gs") >= 5, col("c_nationkey")).as("nationkey_k"),
+        when(col("gs") >= 5, col("c_mktsegment")).as("mktsegment_k"),
+        when(col("gs") >= 5, col("acct_bin")).as("acct_bin_k"))
+      .orderBy("c_custkey")
+  }
+
+  /** q43: l-diversity audit — distinct sensitive values per QI group,
+    * flag l < 2. */
+  private def q43(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .withColumn("acct_bin", acctBin)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(countDistinct(col("acct_bin")).as("l"),
+        count(lit(1)).as("group_size"))
+      .withColumn("violates_l2", col("l") < 2)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** q44: entropy l-diversity — Shannon entropy (log2) of the sensitive
+    * distribution per QI group via the custom typed Aggregator
+    * (graft.functions.EntropyLog2), DuckDB oracle: built-in entropy(). */
+  private def q44(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.udf.register("entropy_log2", udaf(graft.functions.EntropyLog2))
+    Tables(spark, sfDir, "customer")
+      .withColumn("sens", acctBin.cast("string"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(Tables.r6(expr("entropy_log2(sens)")).as("entropy"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** q45: microaggregation — replace the sensitive value by its QI-group
+    * DECIMAL mean (Domingo-Ferrer 2002's aggregation step, fixed groups). */
+  private def q45(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        Tables.meanD(sum(dec(col("c_acctbal"))).over(w), count(lit(1)).over(w)).as("acctbal_micro"))
+      .orderBy("c_custkey")
+  }
+
+  /** q46: deterministic keyed perturbation — Knuth-hash pseudo-noise in
+    * [−0.4995, 0.4995], pure int64 arithmetic, implemented as a Scala UDF
+    * deliberately to exercise the UDF path (SURVEY.md §2 UDF surface).
+    * NOT crypto-grade; documented disclosure-control noise. */
+  private def q46(spark: SparkSession, sfDir: String): DataFrame = {
+    val noise = udf { (id: Long, v: Double) =>
+      v + ((id * 2654435761L) % 1000L) / 1000.0 - 0.4995
+    }
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"),
+        Tables.r6(noise(col("event_id"), col("value"))).as("value_noised"))
+      .orderBy("event_id")
+  }
+
+  /** q47: rank swapping — within nation, swap acctbal between rank i and
+    * rank n+1−i (two row_numbers + an equi-self-join on the mirrored rank —
+    * shuffles only on (nation, rank), no row explosion). */
+  private def q47(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val ranked = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_nationkey")))
+    val donor = ranked.select(
+      col("c_nationkey").as("d_nat"), col("rn").as("d_rn"),
+      col("c_acctbal").as("acctbal_swapped"))
+    ranked
+      .join(donor, col("c_nationkey") === col("d_nat") &&
+        (col("n") + 1 - col("rn")) === col("d_rn"))
+      .select("c_custkey", "c_nationkey", "acctbal_swapped")
+      .orderBy("c_custkey")
+  }
+
+  /** q48: surrogate tokens — dense_rank over the distinct-name order gives
+    * a stable int token per identity. Global window is fine because it runs
+    * over the DISTINCT names (bounded identity domain), not the fact rows. */
+  private def q48(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = Tables(spark, sfDir, "customer")
+      .select("c_name").distinct()
+      .withColumn("token", dense_rank().over(Window.orderBy("c_name")).cast("bigint"))
+    Tables(spark, sfDir, "customer")
+      .join(tokens, "c_name")
+      .select("c_custkey", "token")
+      .orderBy("c_custkey")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q35_anon_drop_identifiers", q35 _, Some(
+      "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment " +
+        "FROM customer ORDER BY c_custkey")),
     Q("q36_anon_pseudonymize", q36 _, Some(
       "SELECT c_custkey, sha256('salt42' || c_name) AS pseudonym " +
         "FROM customer ORDER BY c_custkey")),
+    Q("q37_anon_mask", q37 _, Some(
+      "SELECT c_custkey, SUBSTRING(c_name, 1, 4) || '***' AS masked_name, " +
+        "REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS digit_masked " +
+        "FROM customer ORDER BY c_custkey")),
+    Q("q38_anon_generalize_num", q38 _, Some(
+      s"SELECT c_custkey, $acctBinSql AS acct_bin FROM customer ORDER BY c_custkey")),
+    Q("q39_anon_generalize_date", q39 _, Some(
+      "SELECT o_orderkey, CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) " +
+        "AS order_month FROM orders ORDER BY o_orderkey")),
+    Q("q40_anon_generalize_cat", q40 _, Some(
+      "SELECT c_custkey, r_name AS generalized_nation FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "ORDER BY c_custkey")),
+    Q("q41_anon_kanon_audit", q41 _, Some(
+      s"SELECT c_nationkey, c_mktsegment, $acctBinSql AS acct_bin, " +
+        "COUNT(*) AS group_size, COUNT(*) < 5 AS violates_k5 " +
+        "FROM customer GROUP BY 1, 2, 3 ORDER BY c_nationkey, c_mktsegment, acct_bin")),
+    Q("q42_anon_suppress_k", q42 _, Some(
+      "SELECT c_custkey, CASE WHEN gs >= 5 THEN c_nationkey END AS nationkey_k, " +
+        "CASE WHEN gs >= 5 THEN c_mktsegment END AS mktsegment_k, " +
+        "CASE WHEN gs >= 5 THEN acct_bin END AS acct_bin_k FROM (" +
+        s"SELECT c_custkey, c_nationkey, c_mktsegment, $acctBinSql AS acct_bin, " +
+        s"COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, $acctBinSql) AS gs " +
+        "FROM customer) ORDER BY c_custkey")),
+    Q("q43_anon_ldiversity", q43 _, Some(
+      s"SELECT c_nationkey, c_mktsegment, COUNT(DISTINCT $acctBinSql) AS l, " +
+        "COUNT(*) AS group_size, COUNT(DISTINCT " + acctBinSql + ") < 2 AS violates_l2 " +
+        "FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment")),
+    Q("q44_anon_entropy_ldiv", q44 _, Some(
+      s"SELECT c_nationkey, c_mktsegment, " + Tables.r6sql(s"entropy(CAST($acctBinSql AS VARCHAR))") + " " +
+        "AS entropy FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment")),
+    Q("q45_anon_microagg", q45 _, Some(
+      "SELECT c_custkey, c_nationkey, c_mktsegment, " +
+        Tables.meanDSql("SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER w", "COUNT(*) OVER w") +
+        " AS acctbal_micro FROM customer " +
+        "WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment) ORDER BY c_custkey")),
+    Q("q46_anon_perturb", q46 _, Some(
+      "SELECT event_id, " + Tables.r6sql("value + ((event_id * 2654435761) % 1000) / 1000.0 - 0.4995") + " " +
+        "AS value_noised FROM events ORDER BY event_id")),
+    Q("q47_anon_swap", q47 _, Some(
+      "SELECT a.c_custkey, a.c_nationkey, b.c_acctbal AS acctbal_swapped FROM (" +
+        "SELECT c_custkey, c_nationkey, c_acctbal, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY c_nationkey) AS n FROM customer) a JOIN (" +
+        "SELECT c_nationkey, c_acctbal, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn " +
+        "FROM customer) b ON a.c_nationkey = b.c_nationkey AND a.n + 1 - a.rn = b.rn " +
+        "ORDER BY a.c_custkey")),
+    Q("q48_anon_tokenize", q48 _, Some(
+      "SELECT c_custkey, token FROM customer JOIN (" +
+        "SELECT c_name, DENSE_RANK() OVER (ORDER BY c_name) AS token FROM (" +
+        "SELECT DISTINCT c_name FROM customer)) USING (c_name) ORDER BY c_custkey")),
   )
 }

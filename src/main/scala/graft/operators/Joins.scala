@@ -115,9 +115,9 @@ object Joins {
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     broadcast(a).join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(aggregate(
+        Tables.r6(aggregate(
           zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 6).as("dot"))
+          lit(0.0), (acc, x) => acc + x)).as("dot"))
       .orderBy("id_a", "id_b")
   }
 
@@ -155,7 +155,7 @@ object Joins {
         "WHERE event_type = 'purchase' ORDER BY event_id")),
     Q("q11_join_cross_topk", q11 _, Some(
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "ROUND(list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 6) AS dot " +
+        Tables.r6sql("list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))") + " AS dot " +
         "FROM embeddings a, embeddings b WHERE a.vec_id < 10 AND a.vec_id < b.vec_id " +
         "ORDER BY id_a, id_b")),
   )

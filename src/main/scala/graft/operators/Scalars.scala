@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function operators (SURVEY.md §2.6, q29–q34).
+  *
+  * All pure per-row column expressions — fully codegen'd inside
+  * WholeStageCodegen, no shuffle except the final presentation sort.
+  * Cross-engine notes baked in:
+  *  - Spark `dayofweek` is 1-based (Sun=1), DuckDB 0-based → emit
+  *    `dayofweek−1`;
+  *  - `datediff(end,start)` (Spark) = `date_diff('day',start,end)` (DuckDB);
+  *  - regex kept to the shared Java/RE2 subset (char classes, anchors);
+  *  - ANSI mode: division guarded by NULLIF on both engines (§7.3).
+  */
+object Scalars {
+
+  /** q29: string suite over customer names. */
+  private def q29(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        trim(lit(" pad ")).as("trimmed"),
+        substring(col("c_name"), 1, 8).as("sub8"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).cast("bigint").as("lev_rev"),
+        length(col("c_name")).cast("bigint").as("name_len"))
+      .orderBy("c_custkey")
+  }
+
+  /** q30: regex masking + extraction (shared Java/RE2 subset). */
+  private def q30(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("masked"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("id_str"))
+      .orderBy("c_custkey")
+  }
+
+  /** q31: date part extraction + arithmetic on o_orderdate. */
+  private def q31(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        year(d).cast("bigint").as("y"), month(d).cast("bigint").as("m"),
+        (dayofweek(d) - 1).cast("bigint").as("dow"),
+        date_add(d, 30).as("due_date"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), d).cast("bigint").as("age_days"),
+        trunc(d, "MM").as("order_month"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q32: math suite with ANSI-safe guarded division. */
+  private def q32(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25.0).as("absd"),
+        floor(col("l_extendedprice")).as("flr"),
+        ceil(col("l_discount") * 100).as("disc_pct"),
+        graft.Tables.r6(sqrt(col("l_extendedprice"))).as("sq"),
+        graft.Tables.r6(log(col("l_extendedprice"))).as("lg"),
+        graft.Tables.r6(pow(col("l_quantity"), lit(2))).as("qty2"),
+        pmod(col("l_orderkey"), lit(7)).as("pm7"),
+        graft.Tables.r6(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0))).as("unit_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q33: JSON extraction from the events props column, aggregated by
+    * k-bucket. */
+  private def q33(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("k_bucket", col("k") - pmod(col("k"), lit(10)))
+      .groupBy("k_bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("k_bucket")
+  }
+
+  /** q34: array ops over document tokens — scalar outputs only (§2.9 R2). */
+  private def q34(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        array_contains(split(col("text"), " "), "data").as("has_data"),
+        element_at(split(col("text"), " "), 1).as("first_token"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q29_scalar_string", q29 _, Some(
+      "SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo, " +
+        "TRIM(' pad ') AS trimmed, SUBSTRING(c_name, 1, 8) AS sub8, " +
+        "CONCAT_WS('|', c_mktsegment, c_name) AS joined, " +
+        "LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded, " +
+        "LEVENSHTEIN(c_name, REVERSE(c_name)) AS lev_rev, " +
+        "LENGTH(c_name) AS name_len FROM customer ORDER BY c_custkey")),
+    Q("q30_scalar_regexp", q30 _, Some(
+      "SELECT c_custkey, REGEXP_REPLACE(c_name, '[0-9]', '*', 'g') AS masked, " +
+        "COALESCE(REGEXP_EXTRACT(c_name, '([0-9]+)', 1), '') AS id_str " +
+        "FROM customer ORDER BY c_custkey")),
+    Q("q31_scalar_date", q31 _, Some(
+      "SELECT o_orderkey, YEAR(CAST(o_orderdate AS DATE)) AS y, " +
+        "MONTH(CAST(o_orderdate AS DATE)) AS m, " +
+        "DAYOFWEEK(CAST(o_orderdate AS DATE)) AS dow, " +
+        "CAST(o_orderdate AS DATE) + 30 AS due_date, " +
+        "DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days, " +
+        "CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month " +
+        "FROM orders ORDER BY o_orderkey")),
+    Q("q32_scalar_math", q32 _, Some(
+      "SELECT l_orderkey, l_linenumber, ABS(l_quantity - 25.0) AS absd, " +
+        "CAST(FLOOR(l_extendedprice) AS BIGINT) AS flr, CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct, " +
+        graft.Tables.r6sql("SQRT(l_extendedprice)") + " AS sq, " + graft.Tables.r6sql("LN(l_extendedprice)") + " AS lg, " +
+        graft.Tables.r6sql("POW(l_quantity, 2)") + " AS qty2, " +
+        "CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS pm7, " +
+        graft.Tables.r6sql("l_extendedprice / NULLIF(l_quantity, 0.0)") + " AS unit_price " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+    Q("q33_scalar_json", q33 _, Some(
+      "SELECT k_bucket, COUNT(*) AS cnt FROM (" +
+        "SELECT k - (((k % 10) + 10) % 10) AS k_bucket FROM (" +
+        "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)) " +
+        "GROUP BY k_bucket ORDER BY k_bucket")),
+    Q("q34_scalar_array_map", q34 _, Some(
+      "SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens, " +
+        "LIST_CONTAINS(STR_SPLIT(text, ' '), 'data') AS has_data, " +
+        "STR_SPLIT(text, ' ')[1] AS first_token FROM documents ORDER BY doc_id")),
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sort / limit / set operators (SURVEY.md §2.5, q25–q28).
+  *
+  * q25's orderBy+limit fuses into TakeOrderedAndProject — each partition
+  * keeps only its local top-k, the driver merges k·p rows; no global sort
+  * at any scale. Set ops are shuffle-dedup (HashAggregate on all columns)
+  * — the one correct distributed formulation.
+  */
+object SortSet {
+
+  /** q25: global top-100 most expensive lineitems with full tiebreak. */
+  private def q25(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** q26: UNION ALL with provenance tag, then per-key counts — exercises
+    * both bag-union and the dedup that follows in the agg. */
+  private def q26(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+      .select(col("c_nationkey").as("nationkey")).withColumn("src", lit("cust"))
+    val s = Tables(spark, sfDir, "supplier")
+      .select(col("s_nationkey").as("nationkey")).withColumn("src", lit("supp"))
+    c.unionByName(s)
+      .groupBy("nationkey", "src").agg(count(lit(1)).as("cnt"))
+      .orderBy("nationkey", "src")
+  }
+
+  /** q27: INTERSECT (distinct semantics in both engines). */
+  private def q27(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(
+        Tables(spark, sfDir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  /** q28: EXCEPT — customer nations with no supplier. */
+  private def q28(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(
+        Tables(spark, sfDir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q25_sort_limit_topk", q25 _, Some(
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100")),
+    Q("q26_set_union", q26 _, Some(
+      "SELECT nationkey, src, COUNT(*) AS cnt FROM (" +
+        "SELECT c_nationkey AS nationkey, 'cust' AS src FROM customer " +
+        "UNION ALL SELECT s_nationkey AS nationkey, 'supp' AS src FROM supplier) " +
+        "GROUP BY nationkey, src ORDER BY nationkey, src")),
+    Q("q27_set_intersect", q27 _, Some(
+      "SELECT c_nationkey AS nationkey FROM customer " +
+        "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey")),
+    Q("q28_set_except", q28 _, Some(
+      "SELECT c_nationkey AS nationkey FROM customer " +
+        "EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey")),
+  )
+}

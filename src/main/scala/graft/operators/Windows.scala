@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function operators (SURVEY.md §2.4, q20–q24).
+  *
+  * Every OVER carries a unique tiebreak column and uses ROWS frames
+  * (§2.9 R5) — RANGE frames differ between engines on ties, and a
+  * non-total sort order breaks the driver's hash compare.
+  *
+  * Scale notes: a window = one shuffle on its partition key, then a local
+  * sort per partition. All windows here partition on natural keys
+  * (customer, brand, user) whose cardinality grows with the data — no
+  * global-ordering window except q23's daily series (bounded at
+  * #days ≈ 2.2k rows after pre-aggregation, safe at any SF).
+  */
+object Windows {
+  import Tables.dec
+
+  /** q20: top-3 orders per customer by price (row_number + filter). */
+  private def q20(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q21: rank / dense_rank / ntile / percent_rank within brand. */
+  private def q21(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables(spark, sfDir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).cast("bigint").as("rnk"),
+        dense_rank().over(w).cast("bigint").as("drnk"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        Tables.r6(percent_rank().over(w)).as("prank"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** q22: lag/lead — per-user Δt to previous event in µs (DuckDB ns
+    * truncation — see Joins.q09). */
+  private def q22(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("delta_us"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** q23: 7-row moving average of daily order totals (DECIMAL sums, ROWS
+    * frame). Day series is pre-aggregated, so the global window sorts only
+    * #days rows. */
+  private def q23(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 4)).as("day_total"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .select(col("day"), col("day_total"),
+        Tables.meanD(sum(col("day_total")).over(w), count(lit(1)).over(w)).as("ma7"))
+      .orderBy("day")
+  }
+
+  /** q24: running (cumulative) revenue per customer over order date —
+    * ROWS frame with order-key tiebreak, not RANGE (§2.9 R5). */
+  private def q24(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_day"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DecimalType(18, 4)).as("cum_rev"))
+      .orderBy("o_custkey", "o_day", "o_orderkey")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q20_win_topk_per_group", q20 _, Some(
+      "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn")),
+    Q("q21_win_rank_dense_ntile", q21 _, Some(
+      "SELECT p_brand, p_partkey, p_retailprice, " +
+        "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, " +
+        "NTILE(4) OVER w AS quartile, " + Tables.r6sql("PERCENT_RANK() OVER w") + " AS prank " +
+        "FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) " +
+        "ORDER BY p_brand, p_partkey")),
+    Q("q22_win_lag_lead", q22 _, Some(
+      "SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS delta_us, " +
+        "LEAD(event_id, 1) OVER w AS next_event_id " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+        "ORDER BY user_id, ts_us, event_id")),
+    Q("q23_win_moving_avg", q23 _, Some(
+      "SELECT day, day_total, " + Tables.meanDSql("SUM(day_total) OVER w", "COUNT(*) OVER w") + " AS ma7 FROM (" +
+        "SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS day_total " +
+        "FROM orders GROUP BY 1) WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day")),
+    Q("q24_win_cumulative", q24 _, Some(
+      "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_day, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS DECIMAL(18,4)) AS cum_rev FROM orders ORDER BY o_custkey, o_day, o_orderkey")),
+  )
+}
