@@ -18,7 +18,9 @@ object SparkEntry {
     operators.Windows.entries ++
     operators.SortSet.entries ++
     operators.Scalars.entries ++
-    operators.Anonymize.entries
+    operators.Anonymize.entries ++
+    operators.LLMPipeline.entries ++
+    operators.TimeSeries.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
     * driver smoke-checks rows>0. */

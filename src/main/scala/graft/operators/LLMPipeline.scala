@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** LLM-data-pipeline operators (SURVEY.md §2.8, q49–q55): dedup, near-dup
+  * candidates, similarity search, text analysis over `documents` and
+  * `embeddings`.
+  *
+  * Scale design: every operator is a pure shuffle-bounded dataflow —
+  * content-hash dedup is a groupBy on the hash (combiner-reduced);
+  * MinHash banding turns O(n²) near-dup into an equi-join on band
+  * signatures (the standard LSH plan, linear in candidates); the
+  * brute-force cosine top-k bounds its probe side (10 ids, broadcast) so
+  * the big side streams once with no shuffle. At 100 TB the banding join
+  * IS the scale path — brute force exists as the correctness baseline.
+  */
+object LLMPipeline {
+  import Tables.dec
+
+  /** q49: exact dedup via sha2 content hash — keep min doc_id per hash,
+    * count members. groupBy(hash) = map-side combine + one shuffle. */
+  private def q49(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .orderBy("keep_id")
+  }
+
+  /** q50: MinHash near-dup candidates — k=8 signatures over distinct word
+    * tokens (min(md5(i‖token))), 4 bands × 2 rows; docs sharing a band are
+    * candidate pairs. The band equi-join replaces the O(n²) cross join. */
+  private def q50(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sigCols = (0 until 8).map(i => min(md5(concat(lit(i.toString), col("token")))).as(s"s$i"))
+    val sigs = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      concat_ws("|", col("s0"), col("s1")).as("b0"),
+      concat_ws("|", col("s2"), col("s3")).as("b1"),
+      concat_ws("|", col("s4"), col("s5")).as("b2"),
+      concat_ws("|", col("s6"), col("s7")).as("b3"))
+    val pairs = (0 until 4).map { b =>
+      val l = bands.select(col("doc_id").as("id_a"), col(s"b$b").as("band"))
+      val r = bands.select(col("doc_id").as("id_b"), col(s"b$b").as("band"))
+      l.join(r, "band").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    }.reduce(_ unionByName _)
+    pairs.distinct().orderBy("id_a", "id_b")
+  }
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+
+  private def dotCol(a: String, b: String) =
+    aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** q51: brute-force cosine top-5 per probe (vec_id < 10). Rank on the
+    * 6-dp-rounded cosine with vec_id tiebreak so both engines pick
+    * identical neighbors even when raw doubles differ in the last ulp. */
+  private def q51(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .filter(col("id_a") < 10)
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    broadcast(a).join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Tables.r6(dotCol("ea", "eb") /
+          (sqrt(dotCol("ea", "ea")) * sqrt(dotCol("eb", "eb")))).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 5)
+      .orderBy("id_a", "rn")
+  }
+
+  /** q52: vector column ops — per-vector dimensionality and L2 norm via an
+    * in-order fold (deterministic double) over the float array. */
+  private def q52(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        Tables.r6(sqrt(dotCol("embedding", "embedding"))).as("l2"))
+      .orderBy("vec_id")
+  }
+
+  /** q53: tokenize + term frequency — global top-20 tokens (Generator
+    * path: explode over split). */
+  private def q53(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+  }
+
+  /** q54: stopword filter + bigram counts — posexplode then a self-join on
+    * (doc, pos+1); top-10 bigrams. */
+  private def q54(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a")
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "token")
+      .filter(!col("token").isInCollection(stop))
+    val l = toks.toDF("d1", "p1", "t1")
+    val r = toks.toDF("d2", "p2", "t2")
+    l.join(r, col("d1") === col("d2") && (col("p1") + 1) === col("p2"))
+      .select(concat_ws(" ", col("t1"), col("t2")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(10)
+  }
+
+  /** q55: corpus stats per language — doc count, mean char length,
+    * distinct sources. */
+  private def q55(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        Tables.meanD(sum(col("n_chars")), count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q49_dedup_exact", q49 _, Some(
+      "SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt " +
+        "FROM documents GROUP BY 1 ORDER BY keep_id")),
+    Q("q50_dedup_minhash", q50 _, Some(
+      "WITH toks AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
+        "sigs AS (SELECT doc_id, " +
+        (0 until 8).map(i => s"MIN(md5('$i' || token)) AS s$i").mkString(", ") +
+        " FROM toks GROUP BY doc_id), " +
+        "bands AS (SELECT doc_id, s0 || '|' || s1 AS b0, s2 || '|' || s3 AS b1, " +
+        "s4 || '|' || s5 AS b2, s6 || '|' || s7 AS b3 FROM sigs) " +
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON " +
+        "(a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3) AND a.doc_id < b.doc_id " +
+        "ORDER BY id_a, id_b")),
+    Q("q51_sim_cosine_topk", q51 _, Some(
+      "SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos, " +
+        "ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM (" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        Tables.r6sql(s"${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))") +
+        " AS cos FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id)) WHERE rn <= 5 ORDER BY id_a, rn")),
+    Q("q52_vec_ops", q52 _, Some(
+      "SELECT vec_id, label, LEN(embedding) AS dim, " +
+        Tables.r6sql("sqrt(list_sum(list_transform(range(1,65), i -> " +
+          "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))") +
+        " AS l2 FROM embeddings ORDER BY vec_id")),
+    Q("q53_text_tokens", q53 _, Some(
+      "SELECT token, COUNT(*) AS cnt FROM (" +
+        "SELECT unnest(str_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 20")),
+    Q("q54_text_stopwords_ngram", q54 _, Some(
+      "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents), " +
+        "toks AS (SELECT * FROM (SELECT doc_id, unnest(ts) AS token, " +
+        "unnest(range(1, len(ts) + 1)) AS pos FROM split) " +
+        "WHERE token NOT IN ('the', 'a')) " +
+        "SELECT a.token || ' ' || b.token AS bigram, COUNT(*) AS cnt " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos " +
+        "GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 10")),
+    Q("q55_text_stats", q55 _, Some(
+      "SELECT lang, COUNT(*) AS n_docs, " +
+        Tables.meanDSql("SUM(n_chars)", "COUNT(*)") + " AS avg_chars, " +
+        "COUNT(DISTINCT source) AS n_sources FROM documents GROUP BY lang ORDER BY lang")),
+  )
+}

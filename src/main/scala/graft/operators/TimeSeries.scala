@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming/time-series semantics in batch form (SURVEY.md §2.8,
+  * q56–q59). Event time is µs since epoch (`ts DIV 1000` — see
+  * Joins.q09 on DuckDB's ns truncation); all bucketing is pure int64
+  * arithmetic.
+  *
+  * These four queries prove tumbling/sliding/session/dedup semantics
+  * against the DuckDB oracle; the SAME semantics run on the real
+  * Structured Streaming engine (MemoryStream + watermark) in
+  * StreamingSuite — a streaming DataFrame can't be returned through
+  * Verify's batch writer.
+  *
+  * Scale notes: tumbling/sliding aggs are groupBys keyed on
+  * (bucket, type) — map-side combined, shuffle bounded by bucket
+  * cardinality; sessionization is one window shuffle on user_id. The
+  * sliding window explodes each event into exactly windows/slide = 4
+  * rows BEFORE the partial agg, which is the standard overlap plan.
+  */
+object TimeSeries {
+  import Tables.dec
+
+  private val usPerHour   = 3600000000L
+  private val usPer15Min  = 900000000L
+  private val usPerMinute = 60000000L
+
+  /** q56: tumbling 1-hour window — count + DECIMAL sum per (hour, type). */
+  private def q56(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events")
+      .withColumn("hour_bucket", expr(s"(ts DIV 1000) DIV $usPerHour"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast(DecimalType(18, 4)).as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  /** q57: sliding window 1 h / 15 min — each event lands in 4 windows
+    * (explode(sequence) = the Generator path), then a tumbling-style agg
+    * on the window index. */
+  private def q57(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events")
+      .withColumn("w15", expr(s"(ts DIV 1000) DIV $usPer15Min"))
+      .withColumn("i", explode(sequence(lit(0), lit(3))))
+      .withColumn("win_id", col("w15") - col("i"))
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast(DecimalType(18, 4)).as("sum_value"))
+      .orderBy("win_id")
+  }
+
+  /** q58: sessionization — a new session starts when the gap to the
+    * previous event of the same user exceeds 30 min; session_id is the
+    * running count of session starts (lag + cumulative sum, one shuffle). */
+  private def q58(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > usPer15Min * 2, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("user_id", "event_id", "ts_us", "session_id")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** q59: stateful-dedup shape — latest event per (user, minute bucket);
+    * what `withWatermark().dropDuplicates` computes within the watermark,
+    * expressed as a row_number window in batch. */
+  private def q59(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "minute_bucket")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("minute_bucket", expr(s"(ts DIV 1000) DIV $usPerMinute"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "minute_bucket", "event_id", "ts_us")
+      .orderBy("user_id", "minute_bucket")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q56_stream_tumbling", q56 _, Some(
+      s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type")),
+    Q("q57_stream_sliding", q57 _, Some(
+      s"SELECT (epoch_us(ts) // $usPer15Min) - i AS win_id, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value " +
+        "FROM events CROSS JOIN range(0, 4) r(i) GROUP BY 1 ORDER BY win_id")),
+    Q("q58_stream_session", q58 _, Some(
+      "SELECT user_id, event_id, ts_us, CAST(SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS session_id FROM (" +
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL " +
+        s"OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > ${usPer15Min * 2} " +
+        "THEN 1 ELSE 0 END AS new_sess FROM events) " +
+        "ORDER BY user_id, ts_us, event_id")),
+    Q("q59_stream_dedup_late", q59 _, Some(
+      s"SELECT user_id, minute_bucket, event_id, ts_us FROM (" +
+        s"SELECT user_id, epoch_us(ts) // $usPerMinute AS minute_bucket, event_id, " +
+        "epoch_us(ts) AS ts_us, ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // " +
+        s"$usPerMinute ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY user_id, minute_bucket")),
+  )
+}
