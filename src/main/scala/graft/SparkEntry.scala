@@ -20,6 +20,8 @@ object SparkEntry {
     operators.Scalars.entries ++
     operators.Anonymize.entries ++
     operators.LLMPipeline.entries ++
+    operators.NearDup.entries ++
+    operators.TextAnalysis.entries ++
     operators.TimeSeries.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Extended deduplication + similarity search (q60–q63) — the
+  * training-data-pipeline operators beyond the base inventory: SimHash,
+  * n-gram Jaccard, embedding-cosine near-dup, and an IVF-style
+  * partition-pruned ANN. (Broder 1997; Charikar 2002 SimHash; MMDS ch.3;
+  * IVF coarse quantization à la Jégou et al.)
+  *
+  * Scale design:
+  *  - SimHash is one token explode + one groupBy(doc) — shuffle bounded
+  *    by doc count; the 32 bit-counters ride in a single aggregation row.
+  *  - n-gram Jaccard is the inverted-index join (shingle equi-join),
+  *    never the doc×doc cross join; candidate volume is bounded by
+  *    shingle-frequency, the standard scalable formulation.
+  *  - q62 brute-force cosine is the correctness baseline, threshold-gated;
+  *    at fleet scale its plan is replaced by q63's pruned search.
+  *  - q63 IVF: coarse centroids (tiny, broadcast) assign each probe to
+  *    nprobe=2 cells; the exact search runs only inside those cells —
+  *    the candidate join is an equi-join on the cell id (label), so the
+  *    big side never cross-joins.
+  */
+object NearDup {
+  import Tables.dec
+
+  /** In-order double fold of Σ f(a_i, b_i) — deterministic per row. */
+  private def zipFold(a: Column, b: Column, f: (Column, Column) => Column): Column =
+    aggregate(zip_with(a, b, f), lit(0.0), (acc, x) => acc + x)
+
+  private def dotCol(a: String, b: String): Column =
+    zipFold(col(a), col(b), (x, y) => x.cast("double") * y.cast("double"))
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+
+  /** q60: SimHash (32-bit) per document. Each token hashes to 32 bits
+    * (md5-prefix); per-bit signed counts over all token occurrences;
+    * the sign vector re-packs into one int64 fingerprint. */
+  private def q60(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)"))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"w$i"))
+    val packed = (0 until 32)
+      .map(i => when(col(s"w$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** q61: word-trigram Jaccard near-dup via the inverted-index join —
+    * pairs sharing ≥3 shingles, scored inter/(|A|+|B|−inter). */
+  private def q61(spark: SparkSession, sfDir: String): DataFrame = {
+    val tg = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("g"))
+      .distinct()
+    val sizes = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tg.toDF("ia", "g").join(tg.toDF("ib", "g"), "g")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= 3)
+    inter
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+      .select(col("ia"), col("ib"), col("inter"),
+        Tables.r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
+  /** q62: embedding-cosine near-dup — all pairs with cos ≥ 0.3 (exact
+    * baseline; the scale path is q63's pruned variant). */
+  private def q62(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Tables.r6(dotCol("ea", "eb") /
+          (sqrt(dotCol("ea", "ea")) * sqrt(dotCol("eb", "eb")))).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q63: IVF-style ANN — label-cell centroids as the coarse quantizer
+    * (exact DECIMAL mean per position → r6 double), probes scan only
+    * their nprobe=2 nearest cells, exact cosine top-3 inside. */
+  private def q63(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // per-(label, position) centroid from exact decimal sums
+    val pe = emb.select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        col("col").cast("double").cast(DecimalType(18, 9)).as("v"))
+    val cent = pe.groupBy("label", "pos")
+      .agg(Tables.r6(sum(col("v")).cast("double") / count(lit(1))).as("c"))
+    val centArr = cent.groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("ca"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id_p"), col("embedding").as("ep"))
+    // nprobe=2 nearest cells by squared L2 (in-order fold, r6)
+    val wCell = Window.partitionBy("id_p").orderBy(col("d2"), col("label"))
+    val cells = broadcast(probes).crossJoin(broadcast(centArr))
+      .select(col("id_p"), col("ep"), col("label"),
+        Tables.r6(zipFold(col("ep"), col("ca"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y))).as("d2"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= 2)
+      .select("id_p", "ep", "label")
+    // exact cosine only inside the selected cells (equi-join on label)
+    val cand = emb.select(col("vec_id").as("id_c"), col("label"), col("embedding").as("ec"))
+    val wTop = Window.partitionBy("id_p").orderBy(col("cos").desc, col("id_c"))
+    cells.join(cand, "label")
+      .filter(col("id_p") =!= col("id_c"))
+      .select(col("id_p"), col("id_c"),
+        Tables.r6(dotCol("ep", "ec") /
+          (sqrt(dotCol("ep", "ep")) * sqrt(dotCol("ec", "ec")))).as("cos"))
+      .withColumn("rn", row_number().over(wTop).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("id_p", "rn")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q60_dedup_simhash", q60 _, Some {
+      val bitSums = (0 until 32).map(i =>
+        s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS w$i").mkString(", ")
+      val packed = (0 until 32).map(i =>
+        s"CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      "WITH raw AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
+        "toks AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM raw), " +
+        s"bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id) " +
+        s"SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits ORDER BY doc_id"
+    }),
+    Q("q61_dedup_ngram_jaccard", q61 _, Some(
+      "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
+        "tg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(ts) - 1), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS g FROM split)), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
+        "FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT ia, ib, inter, " +
+        Tables.r6sql("inter / (sa.n + sb.n - inter)") + " AS jaccard " +
+        "FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
+        "WHERE inter >= 3 ORDER BY ia, ib")),
+    Q("q62_dedup_embedding", q62 _, Some(
+      "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        Tables.r6sql(s"${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))") +
+        " AS cos FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) " +
+        "WHERE cos >= 0.3 ORDER BY id_a, id_b")),
+    Q("q63_ann_ivf", q63 _, Some {
+      val dotPC = "list_sum(list_transform(range(1,65), i -> CAST(p.ep[i] AS DOUBLE) * c.ca[CAST(i AS INT)]))"
+      val d2 = "list_sum(list_transform(range(1,65), i -> (CAST(p.ep[i] AS DOUBLE) - c.ca[CAST(i AS INT)]) * (CAST(p.ep[i] AS DOUBLE) - c.ca[CAST(i AS INT)])))"
+      val dotPE = "list_sum(list_transform(range(1,65), i -> CAST(s.ep[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+      val nP = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(s.ep[i] AS DOUBLE) * CAST(s.ep[i] AS DOUBLE))))"
+      val nE = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+      "WITH pe0 AS (SELECT label, unnest(range(1, 65)) AS pos, unnest(embedding) AS v0 FROM embeddings), " +
+        "pe AS (SELECT label, pos, CAST(CAST(v0 AS DOUBLE) AS DECIMAL(18,9)) AS v FROM pe0), " +
+        "cent AS (SELECT label, pos, " + Tables.r6sql("CAST(SUM(v) AS DOUBLE) / COUNT(*)") + " AS c " +
+        "FROM pe GROUP BY label, pos), " +
+        "centarr AS (SELECT label, list(c ORDER BY pos) AS ca FROM cent GROUP BY label), " +
+        "probes AS (SELECT vec_id AS id_p, embedding AS ep FROM embeddings WHERE vec_id < 10), " +
+        "cells AS (SELECT id_p, ep, label FROM (SELECT p.id_p, p.ep, c.label, " +
+        "ROW_NUMBER() OVER (PARTITION BY p.id_p ORDER BY " + Tables.r6sql(d2) + ", c.label) AS cr " +
+        "FROM probes p CROSS JOIN centarr c) WHERE cr <= 2) " +
+        "SELECT id_p, id_c, cos, rn FROM (SELECT s.id_p, e.vec_id AS id_c, " +
+        Tables.r6sql(s"$dotPE / ($nP * $nE)") + " AS cos, " +
+        "ROW_NUMBER() OVER (PARTITION BY s.id_p ORDER BY " +
+        Tables.r6sql(s"$dotPE / ($nP * $nE)") + " DESC, e.vec_id) AS rn " +
+        "FROM cells s JOIN embeddings e ON s.label = e.label AND s.id_p <> e.vec_id) " +
+        "WHERE rn <= 3 ORDER BY id_p, rn"
+    }),
+  )
+}

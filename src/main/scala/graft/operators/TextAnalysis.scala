@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extended text analysis + multimodal plumbing (q64–q68): language-ID,
+  * quality scoring, token counting, document fingerprinting, and the
+  * opaque-binary-column pipeline a multimodal training-data flow needs.
+  *
+  * All per-document column expressions — no shuffle except the final
+  * sort; fully codegen-friendly, scan-pruned to (doc_id, text[, lang]).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a")
+
+  /** Marker-token profiles for the n-gram/lexicon language-ID heuristic.
+    * Deterministic scoring: count profile hits per language, argmax with
+    * language-code tiebreak. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "los", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2"))
+
+  /** q64: language identification — lexicon-hit scoring over tokens;
+    * predicted = argmax score (ties → first language code). */
+  private def q64(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = profiles.foldLeft(
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))) {
+      case (df, (code, words)) =>
+        df.withColumn(s"s_$code",
+          expr(s"size(filter(ts, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))")
+            .cast("bigint"))
+    }
+    val best = profiles.map { case (code, _) => col(s"s_$code") }
+      .reduce((a, b) => greatest(a, b))
+    val predOrdered = profiles.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (code, _)) => Some(when(col(s"s_$code") === best && best > 0, lit(code)))
+      case (Some(c), (code, _)) => Some(c.when(col(s"s_$code") === best && best > 0, lit(code)))
+    }.get.otherwise(lit("und"))
+    scored
+      .select(col("doc_id"), col("lang"), predOrdered.as("pred_lang"),
+        (predOrdered === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** q65: quality scoring — length/stopword/uniqueness features combined
+    * into a deterministic linear score (no transcendental ops → exact
+    * cross-engine parity). */
+  private def q65(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopList = stopwords.map("'" + _ + "'").mkString(",")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("bigint"))
+      .withColumn("n_stop", expr(s"size(filter(ts, t -> t IN ($stopList)))").cast("bigint"))
+      .withColumn("n_uniq", size(array_distinct(col("ts"))).cast("bigint"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_uniq"),
+        Tables.r6(col("n_chars").cast("double") / col("n_tokens")).as("avg_tok_len"),
+        Tables.r6(col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        Tables.r6(col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+        Tables.r6(lit(0.001) * col("n_chars") +
+          lit(0.5) * (col("n_uniq").cast("double") / col("n_tokens")) -
+          (col("n_stop").cast("double") / col("n_tokens"))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q66: token counting — whitespace tokens vs a BPE-ish regex
+    * segmentation ([a-z]+ | digit runs | single non-alnum). */
+  private def q66(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .cast("bigint").as("bpe_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_tok",
+        Tables.r6(col("n_chars").cast("double") / col("bpe_tokens")))
+      .orderBy("doc_id")
+  }
+
+  /** q67: document fingerprinting — min-hash over all 8-char rolling
+    * shingles (winnowing-style selection with window = whole doc) plus the
+    * whole-content hash. */
+  private def q67(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+          "i -> md5(substring(text, i, 8))))").as("shingle_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** q68: multimodal binary-column pipeline — the Spark-side plumbing for
+    * opaque media payloads: binary column + typed metadata + deterministic
+    * feature extraction. The payload here is the document text re-encoded
+    * as bytes (no media libs in this container); the real decoder hook is
+    * [[graft.streaming.Multimodal]], which stubs decode behind the same
+    * schema. Fake "decode" = arithmetic on byte length, clearly marked. */
+  private def q68(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("bigint").as("byte_len"),
+        substring(lower(hex(col("payload"))), 1, 32).as("hex_head"),
+        md5(lower(hex(col("payload")))).as("payload_md5"),
+        // deterministic FAKE decode (no media libs offline): stands in for
+        // width/height extraction; see graft.streaming.Multimodal
+        (lit(1) + pmod(length(col("payload")).cast("bigint"), lit(64L))).as("fake_w"),
+        (lit(1) + pmod(length(col("payload")).cast("bigint") * 7, lit(64L))).as("fake_h"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q64_text_langid", q64 _, Some {
+      val scoreCols = profiles.map { case (code, words) =>
+        s"len(list_filter(str_split(text, ' '), t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$code"
+      }.mkString(", ")
+      val best = "greatest(" + profiles.map { case (c, _) => s"s_$c" }.mkString(", ") + ")"
+      val pred = "CASE " + profiles.map { case (c, _) =>
+        s"WHEN s_$c = $best AND $best > 0 THEN '$c'"
+      }.mkString(" ") + " ELSE 'und' END"
+      s"SELECT doc_id, lang, $pred AS pred_lang, ($pred = lang) AS correct FROM " +
+        s"(SELECT doc_id, lang, text, $scoreCols FROM documents) ORDER BY doc_id"
+    }),
+    Q("q65_text_quality", q65 _, Some {
+      val stopList = stopwords.map("'" + _ + "'").mkString(",")
+      "SELECT doc_id, n_tokens, n_stop, n_uniq, " +
+        Tables.r6sql("CAST(n_chars AS DOUBLE) / n_tokens") + " AS avg_tok_len, " +
+        Tables.r6sql("CAST(n_stop AS DOUBLE) / n_tokens") + " AS stop_ratio, " +
+        Tables.r6sql("CAST(n_uniq AS DOUBLE) / n_tokens") + " AS uniq_ratio, " +
+        Tables.r6sql("0.001 * n_chars + 0.5 * (CAST(n_uniq AS DOUBLE) / n_tokens) - (CAST(n_stop AS DOUBLE) / n_tokens)") +
+        " AS quality FROM (SELECT doc_id, n_chars, " +
+        "CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(str_split(text, ' '), t -> t IN ($stopList))) AS BIGINT) AS n_stop, " +
+        "CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_uniq " +
+        "FROM documents) ORDER BY doc_id"
+    }),
+    Q("q66_text_token_count", q66 _, Some(
+      "SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens, " +
+        "n_chars, " +
+        Tables.r6sql("CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))") +
+        " AS chars_per_tok FROM documents ORDER BY doc_id")),
+    Q("q67_text_fingerprint", q67 _, Some(
+      "SELECT doc_id, md5(text) AS content_fp, " +
+        "list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), " +
+        "i -> md5(substr(text, CAST(i AS INT), 8)))) AS shingle_fp " +
+        "FROM documents ORDER BY doc_id")),
+    Q("q68_multimodal_binary", q68 _, Some(
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+        "substr(lower(hex(encode(text))), 1, 32) AS hex_head, " +
+        "md5(lower(hex(encode(text)))) AS payload_md5, " +
+        "1 + (CAST(octet_length(encode(text)) AS BIGINT) % 64) AS fake_w, " +
+        "1 + ((CAST(octet_length(encode(text)) AS BIGINT) * 7) % 64) AS fake_h " +
+        "FROM documents ORDER BY doc_id")),
+  )
+}
