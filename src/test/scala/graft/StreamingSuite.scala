@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.{Event, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** True Structured Streaming semantics (SURVEY.md §2.8/§5.5): watermarked
+  * tumbling windows, late-row dropping, stateful dedup, and custom
+  * sessionization — on the incremental engine via MemoryStream. */
+class StreamingSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runBatches[T](stream: MemoryStream[Event], df: org.apache.spark.sql.DataFrame,
+      sink: String, batches: Seq[Seq[Event]]): Array[org.apache.spark.sql.Row] = {
+    val q = df.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(sink).collect()
+  }
+
+  test("tumbling window counts match the batch equivalent; late rows drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = StreamOps.tumblingHourly(stream.toDF())
+    // batch 1: events in hour 0 and hour 1; batch 2: watermark-advancer in
+    // hour 3 plus a LATE row back in hour 0 that must be dropped
+    val b1 = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0))
+    val b2 = Seq(Event(4, ts(200), 1, "click", 4.0))
+    val late = Seq(Event(5, ts(6), 1, "click", 99.0))
+    val q = out.writeStream.format("memory").queryName("tumb")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable() // watermark → 200min−10min
+      stream.addData(late); q.processAllAvailable() // dropped
+      stream.addData(Seq(Event(6, ts(400), 9, "view", 0.0))) // close hour 3
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("tumb").collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    // hour-0 click window: exactly the 2 on-time events; late row absent
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)), rows.mkString(", "))
+    assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L)))
+  }
+
+  test("stateful dedup keeps first occurrence within watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val rows = runBatches(stream, StreamOps.dedupWithinWatermark(stream.toDF()), "dedup",
+      Seq(
+        Seq(Event(1, ts(1), 1, "click", 1.0), Event(1, ts(1), 1, "click", 1.0)),
+        Seq(Event(1, ts(2), 1, "click", 7.0), Event(2, ts(3), 1, "view", 2.0))))
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("custom sessionize assigns ids on 30-minute gaps across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = StreamOps.sessionize(stream.toDS())
+    val rows = runBatches(stream, out.toDF(), "sess",
+      Seq(
+        Seq(Event(1, ts(0), 1, "click", 0), Event(2, ts(10), 1, "click", 0)),
+        Seq(Event(3, ts(60), 1, "click", 0)), // 50-min gap → new session
+        Seq(Event(4, ts(65), 1, "click", 0), Event(5, ts(0), 2, "view", 0))))
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id")).toMap
+    assert(byId(1) == 1 && byId(2) == 1, s"$byId")
+    assert(byId(3) == 2 && byId(4) == 2, s"$byId")
+    assert(byId(5) == 1)
+  }
+
+  test("session_window groups match the q58 batch semantics on same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0),
+      Event(3, ts(60), 1, "a", 0),
+      Event(4, ts(5), 2, "a", 0))
+    val rows = runBatches(stream, StreamOps.sessionWindows(stream.toDF()), "sw",
+      Seq(events, Seq(Event(9, ts(600), 3, "z", 0)))) // advance watermark
+    val perUser = rows.groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> rs.length }
+    assert(perUser(1L) == 2, s"user 1 sessions: $perUser") // {0,10} and {60}
+    assert(perUser(2L) == 1)
+  }
+}
