@@ -31,11 +31,18 @@ object LLMPipeline {
   }
 
   /** q50: MinHash near-dup candidates — k=8 signatures over distinct word
-    * tokens (min(md5(i‖token))), 4 bands × 2 rows; docs sharing a band are
-    * candidate pairs. The band equi-join replaces the O(n²) cross join. */
+    * TRIGRAM shingles (min(md5(i‖shingle))), 4 bands × 2 rows; docs
+    * sharing a band are candidate pairs. Trigram shingles (MMDS ch.3) keep
+    * signatures distinctive on a small vocabulary — unigram tokens over a
+    * ~40-word vocabulary collapse most docs into identical signatures and
+    * the band join degenerates toward the n² cross join it exists to
+    * avoid. The band equi-join replaces the O(n²) cross join. */
   private def q50(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("token"))
       .distinct()
     val sigCols = (0 until 8).map(i => min(md5(concat(lit(i.toString), col("token")))).as(s"s$i"))
     val sigs = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -55,23 +62,25 @@ object LLMPipeline {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
 
-  private def dotCol(a: String, b: String) =
-    aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Native codegen dot product (graft.functions.FloatDot) — see
+    * NearDup.dotCol. */
+  private def dotCol(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
   /** q51: brute-force cosine top-5 per probe (vec_id < 10). Rank on the
     * 6-dp-rounded cosine with vec_id tiebreak so both engines pick
     * identical neighbors even when raw doubles differ in the last ulp. */
   private def q51(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      sqrt(dotCol("embedding", "embedding")).as("na"))
       .filter(col("id_a") < 10)
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      sqrt(dotCol("embedding", "embedding")).as("nb"))
     val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
     broadcast(a).join(b, col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Tables.r6(dotCol("ea", "eb") /
-          (sqrt(dotCol("ea", "ea")) * sqrt(dotCol("eb", "eb")))).as("cos"))
+        Tables.r6(dotCol("ea", "eb") / (col("na") * col("nb"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 5)
       .orderBy("id_a", "rn")
@@ -80,6 +89,7 @@ object LLMPipeline {
   /** q52: vector column ops — per-vector dimensionality and L2 norm via an
     * in-order fold (deterministic double) over the float array. */
   private def q52(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         size(col("embedding")).cast("bigint").as("dim"),
@@ -130,7 +140,10 @@ object LLMPipeline {
       "SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt " +
         "FROM documents GROUP BY 1 ORDER BY keep_id")),
     Q("q50_dedup_minhash", q50 _, Some(
-      "WITH toks AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
+      "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
+        "toks AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(ts) - 1), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS token FROM split)), " +
         "sigs AS (SELECT doc_id, " +
         (0 until 8).map(i => s"MIN(md5('$i' || token)) AS s$i").mkString(", ") +
         " FROM toks GROUP BY doc_id), " +

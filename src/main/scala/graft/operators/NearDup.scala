@@ -32,8 +32,10 @@ object NearDup {
   private def zipFold(a: Column, b: Column, f: (Column, Column) => Column): Column =
     aggregate(zip_with(a, b, f), lit(0.0), (acc, x) => acc + x)
 
-  private def dotCol(a: String, b: String): Column =
-    zipFold(col(a), col(b), (x, y) => x.cast("double") * y.cast("double"))
+  /** Native codegen dot product (graft.functions.FloatDot) — identical
+    * left-to-right summation to `list_sum(list_transform(...))`, primitive
+    * float[] loop inside WholeStageCodegen. */
+  private def dotCol(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
@@ -80,13 +82,16 @@ object NearDup {
   /** q62: embedding-cosine near-dup — all pairs with cos ≥ 0.3 (exact
     * baseline; the scale path is q63's pruned variant). */
   private def q62(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // norms are computed ONCE per vector (n rows), not once per pair (n²)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      sqrt(dotCol("embedding", "embedding")).as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      sqrt(dotCol("embedding", "embedding")).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Tables.r6(dotCol("ea", "eb") /
-          (sqrt(dotCol("ea", "ea")) * sqrt(dotCol("eb", "eb")))).as("cos"))
+        Tables.r6(dotCol("ea", "eb") / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.3)
       .orderBy("id_a", "id_b")
   }
@@ -95,6 +100,7 @@ object NearDup {
     * (exact DECIMAL mean per position → r6 double), probes scan only
     * their nprobe=2 nearest cells, exact cosine top-3 inside. */
   private def q63(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
     // per-(label, position) centroid from exact decimal sums
     val pe = emb.select(col("label"), posexplode(col("embedding")))
@@ -105,24 +111,25 @@ object NearDup {
     val centArr = cent.groupBy("label")
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("ca"))
     val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("id_p"), col("embedding").as("ep"))
+      .select(col("vec_id").as("id_p"), col("embedding").as("ep"),
+        sqrt(dotCol("embedding", "embedding")).as("np"))
     // nprobe=2 nearest cells by squared L2 (in-order fold, r6)
     val wCell = Window.partitionBy("id_p").orderBy(col("d2"), col("label"))
     val cells = broadcast(probes).crossJoin(broadcast(centArr))
-      .select(col("id_p"), col("ep"), col("label"),
+      .select(col("id_p"), col("ep"), col("np"), col("label"),
         Tables.r6(zipFold(col("ep"), col("ca"),
           (x, y) => (x.cast("double") - y) * (x.cast("double") - y))).as("d2"))
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= 2)
-      .select("id_p", "ep", "label")
+      .select("id_p", "ep", "np", "label")
     // exact cosine only inside the selected cells (equi-join on label)
-    val cand = emb.select(col("vec_id").as("id_c"), col("label"), col("embedding").as("ec"))
+    val cand = emb.select(col("vec_id").as("id_c"), col("label"), col("embedding").as("ec"),
+      sqrt(dotCol("embedding", "embedding")).as("nc"))
     val wTop = Window.partitionBy("id_p").orderBy(col("cos").desc, col("id_c"))
     cells.join(cand, "label")
       .filter(col("id_p") =!= col("id_c"))
       .select(col("id_p"), col("id_c"),
-        Tables.r6(dotCol("ep", "ec") /
-          (sqrt(dotCol("ep", "ep")) * sqrt(dotCol("ec", "ec")))).as("cos"))
+        Tables.r6(dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos"))
       .withColumn("rn", row_number().over(wTop).cast("bigint"))
       .filter(col("rn") <= 3)
       .orderBy("id_p", "rn")
