@@ -50,6 +50,36 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** q69: ORC sink + source round-trip of `supplier` (the third columnar
+    * format Spark ships besides parquet; oracle reads the original
+    * parquet — the round-trip must be lossless). */
+  private def q69(spark: SparkSession, sfDir: String): DataFrame = {
+    val supplier = Tables(spark, sfDir, "supplier")
+    val path = tmp("orc_supplier", sfDir)
+    supplier.coalesce(1).write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.schema(supplier.schema).orc(path)
+      .orderBy("s_suppkey")
+  }
+
+  /** q70: partitioned parquet layout + partition pruning — write orders
+    * hive-partitioned by year, read back with a partition filter. The
+    * year filter prunes at the DIRECTORY level (PartitionFilters, no
+    * row-group IO for other years) — the layout strategy that carries a
+    * 100 TB fact table. */
+  private def q70(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val path = tmp("part_orders", sfDir)
+    orders
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("o_year").isin(1996, 1997))
+      .groupBy("o_year", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("o_year", col("o_year").cast("bigint"))
+      .orderBy("o_year", "o_orderstatus")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q01_scan_project_filter", q01 _, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
@@ -59,5 +89,11 @@ object Scans {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
     Q("q03_scan_json_lines", q03 _, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+    Q("q69_scan_orc_roundtrip", q69 _, Some(
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey")),
+    Q("q70_scan_partitioned_prune", q70 _, Some(
+      "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderstatus, COUNT(*) AS cnt " +
+        "FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997) " +
+        "GROUP BY 1, 2 ORDER BY o_year, o_orderstatus")),
   )
 }
