@@ -1,0 +1,29 @@
+package graft.plans
+
+import graft.functions.FloatDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark extensions entry point — the idiomatic installation path for the
+  * engine's native expressions:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions()(_))
+  * }}}
+  *
+  * Query code that cannot assume the extension is installed (the driver
+  * hands us an unconfigured session) calls
+  * [[graft.functions.VectorExpressions.register]] directly — same
+  * expression, session-scoped registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+  }
+}
