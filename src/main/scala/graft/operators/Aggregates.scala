@@ -117,6 +117,41 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  /** q71: pivot — event counts per user across a FIXED column list
+    * (explicit pivot values keep the output schema deterministic and, at
+    * scale, skip the extra distinct-values job). */
+  private def q71(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  /** q72: ordered collect — per nation, the sorted distinct market
+    * segments as one string (portable list output per §2.9 R2). */
+  private def q72(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .groupBy("c_nationkey")
+      .agg(concat_ws(",", array_sort(collect_set(col("c_mktsegment")))).as("segments"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q73: argmax — the order key of each customer's highest-priced order,
+    * tie-broken by orderkey via struct ordering (max_by alone is
+    * nondeterministic on ties in both engines). */
+  private def q73(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("best_order"),
+        col("m.o_totalprice").as("best_price"), col("n_orders"))
+      .orderBy("o_custkey")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
@@ -165,5 +200,19 @@ object Aggregates {
         Tables.r6sql("quantile_cont(o_totalprice, 0.9)") + " AS p90_price " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+    Q("q71_agg_pivot", q71 _, Some(
+      "SELECT user_id, " +
+        Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id")),
+    Q("q72_agg_collect", q72 _, Some(
+      "SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) " +
+        "AS segments, COUNT(*) AS n FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")),
+    Q("q73_agg_argmax", q73 _, Some(
+      "SELECT o_custkey, best_order, best_price, n_orders FROM (" +
+        "SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price, " +
+        "COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn " +
+        "FROM orders) WHERE rn = 1 ORDER BY o_custkey")),
   )
 }
