@@ -39,6 +39,17 @@ class ScaleJoinsSuite extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // the in-memory catalog is fresh each JVM but the warehouse dir
+    // persists — drop and clear stale locations from earlier runs
+    for (t <- Seq("orders_bkt", "customer_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_warehouse"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Tables(spark, sf, "orders").write.mode("overwrite")
       .bucketBy(4, "o_custkey").sortBy("o_custkey")
       .saveAsTable("orders_bkt")
