@@ -46,19 +46,18 @@ case class FloatDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
+      // read ArrayData elements in place — no float[] copy per evaluation
+      // (the O(n²) joins evaluate this tens of millions of times per task)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
       s"""
-         |float[] $x = $a.toFloatArray();
-         |float[] $y = $b.toFloatArray();
-         |int $n = java.lang.Math.min($x.length, $y.length);
-         |double ${ev.value}Acc = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}Acc += (double) $x[$i] * (double) $y[$i];
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = ${ev.value}Acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

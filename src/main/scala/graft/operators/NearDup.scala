@@ -67,7 +67,12 @@ object NearDup {
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("g"))
       .distinct()
     val sizes = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tg.toDF("ia", "g").join(tg.toDF("ib", "g"), "g")
+    // join on the 64-bit shingle hash, not the ~30-char string: smaller
+    // shuffle rows and cheaper key compares (engine-internal key only —
+    // the oracle joins on the exact strings, so a collision would surface
+    // as a verify mismatch; P(collision) ≈ n²/2⁶⁵ ≈ 1e-9 here)
+    val hashed = tg.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val inter = hashed.toDF("ia", "gh").join(hashed.toDF("ib", "gh"), "gh")
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= 3)
@@ -89,10 +94,13 @@ object NearDup {
       sqrt(dotCol("embedding", "embedding")).as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
       sqrt(dotCol("embedding", "embedding")).as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Tables.r6(dotCol("ea", "eb") / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= 0.3)
+    val cos = Tables.r6(dotCol("ea", "eb") / (col("na") * col("nb")))
+    // threshold folded into the join condition BEHIND the cheap id
+    // conjunct: && short-circuits in codegen, so the dot product runs for
+    // the 12.5M ordered pairs, not all 25M (a .filter after the join gets
+    // pushed in FRONT of the id conjunct by PushDownPredicates)
+    a.join(b, col("id_a") < col("id_b") && cos >= 0.3)
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
       .orderBy("id_a", "id_b")
   }
 
