@@ -90,6 +90,29 @@ object Scalars {
       .orderBy("doc_id")
   }
 
+  /** q74: schema-ful JSON parsing — from_json into a typed struct (vs
+    * q33's path extraction), then struct field access. */
+  private def q74(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).as("parsed"))
+      .select(col("event_id"), col("parsed.k").as("k"))
+      .orderBy("event_id")
+  }
+
+  /** q75: correlated scalar subquery — orders priced above their
+    * customer's mean order price; Catalyst decorrelates to an aggregate +
+    * join (RewriteCorrelatedScalarSubquery), the scalable plan. */
+  private def q75(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.view(spark, sfDir, "orders")
+    spark.sql(
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i " +
+        "WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q29_scalar_string", q29 _, Some(
       "SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo, " +
@@ -127,5 +150,12 @@ object Scalars {
       "SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens, " +
         "LIST_CONTAINS(STR_SPLIT(text, ' '), 'data') AS has_data, " +
         "STR_SPLIT(text, ' ')[1] AS first_token FROM documents ORDER BY doc_id")),
+    Q("q74_scalar_from_json", q74 _, Some(
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id")),
+    Q("q75_scalar_corr_subquery", q75 _, Some(
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i " +
+        "WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey")),
   )
 }
