@@ -80,6 +80,33 @@ class StreamingSuite extends AnyFunSuite {
     assert(byId(5) == 1)
   }
 
+  test("file sink: streaming parquet write with checkpoint, batch readback") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toFile
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val stream = MemoryStream[Event]
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .selectExpr("window.start AS win_start", "event_type", "cnt")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(3, ts(300), 2, "view", 3.0))) // closes hour 0
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)), rows.mkString(", "))
+  }
+
   test("session_window groups match the q58 batch semantics on same rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
