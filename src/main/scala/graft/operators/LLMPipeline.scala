@@ -37,7 +37,9 @@ object LLMPipeline {
     * ~40-word vocabulary collapse most docs into identical signatures and
     * the band join degenerates toward the n² cross join it exists to
     * avoid. The band equi-join replaces the O(n²) cross join. */
-  private def q50(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The MinHash candidate-pair dataflow, shared by q50 (pair listing) and
+    * q76 (component clustering). */
+  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
@@ -56,7 +58,59 @@ object LLMPipeline {
       val r = bands.select(col("doc_id").as("id_b"), col(s"b$b").as("band"))
       l.join(r, "band").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
     }.reduce(_ unionByName _)
-    pairs.distinct().orderBy("id_a", "id_b")
+    pairs.distinct()
+  }
+
+  private def q50(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir).orderBy("id_a", "id_b")
+
+  /** The shared oracle-SQL CTE prefix producing the same candidate pairs. */
+  private[operators] val minhashPairsSql: String =
+    "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
+      "toks AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, " +
+      "unnest(list_transform(range(1, len(ts) - 1), i -> " +
+      "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS token FROM split)), " +
+      "sigs AS (SELECT doc_id, " +
+      (0 until 8).map(i => s"MIN(md5('$i' || token)) AS s$i").mkString(", ") +
+      " FROM toks GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, s0 || '|' || s1 AS b0, s2 || '|' || s3 AS b1, " +
+      "s4 || '|' || s5 AS b2, s6 || '|' || s7 AS b3 FROM sigs), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON " +
+      "(a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3) AND a.doc_id < b.doc_id)"
+
+  /** q76: near-dup CLUSTERING — connected components over the MinHash
+    * candidate graph by iterative min-label propagation (the standard
+    * distributed CC algorithm: each round every vertex takes the min
+    * label in its neighborhood; converges in O(component diameter)
+    * rounds, each round = one join + one aggregation). The fixpoint is
+    * unique, so the result is deterministic regardless of round count or
+    * partitioning. Lineage is truncated per round (localCheckpoint) —
+    * on a cluster, checkpoint to durable storage instead. */
+  private def q76(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir).localCheckpoint(true)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
+        .groupBy("src").agg(min(col("comp")).as("nmin"))
+      val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.toDF("doc_id", "c2")
+        .join(labels, "doc_id")
+        .filter(col("c2") =!= col("comp")).count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "comp")
+      .select("doc_id", "comp", "comp_size")
+      .orderBy("doc_id")
   }
 
   private def dotSql(a: String, b: String): String =
@@ -140,18 +194,18 @@ object LLMPipeline {
       "SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt " +
         "FROM documents GROUP BY 1 ORDER BY keep_id")),
     Q("q50_dedup_minhash", q50 _, Some(
-      "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
-        "toks AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, " +
-        "unnest(list_transform(range(1, len(ts) - 1), i -> " +
-        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS token FROM split)), " +
-        "sigs AS (SELECT doc_id, " +
-        (0 until 8).map(i => s"MIN(md5('$i' || token)) AS s$i").mkString(", ") +
-        " FROM toks GROUP BY doc_id), " +
-        "bands AS (SELECT doc_id, s0 || '|' || s1 AS b0, s2 || '|' || s3 AS b1, " +
-        "s4 || '|' || s5 AS b2, s6 || '|' || s7 AS b3 FROM sigs) " +
-        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON " +
-        "(a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3) AND a.doc_id < b.doc_id " +
-        "ORDER BY id_a, id_b")),
+      minhashPairsSql + " SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b")),
+    Q("q76_dedup_components", q76 _, Some(
+      minhashPairsSql + ", " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src) " +
+        "SELECT a, b FROM r), " +
+        "comps AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a), " +
+        "sizes AS (SELECT comp, COUNT(*) AS comp_size FROM comps GROUP BY comp) " +
+        "SELECT doc_id, comp, comp_size FROM comps JOIN sizes USING (comp) ORDER BY doc_id")),
     Q("q51_sim_cosine_topk", q51 _, Some(
       "SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos, " +
         "ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM (" +
