@@ -97,14 +97,15 @@ object LLMPipeline {
     while (changed > 0 && rounds < 25) {
       val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
         .groupBy("src").agg(min(col("comp")).as("nmin"))
-      val next = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+      // carry the old label through the checkpoint so the convergence
+      // check is a cheap filter on materialized data, not a re-join
+      val step = labels.join(nbrMin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp_new"),
+          col("comp").as("comp_old"))
         .localCheckpoint(true)
-      changed = next.toDF("doc_id", "c2")
-        .join(labels, "doc_id")
-        .filter(col("c2") =!= col("comp")).count()
-      labels = next
+      changed = step.filter(col("comp_new") =!= col("comp_old")).count()
+      labels = step.select(col("doc_id"), col("comp_new").as("comp"))
       rounds += 1
     }
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
