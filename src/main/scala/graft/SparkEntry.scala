@@ -22,6 +22,7 @@ object SparkEntry {
     operators.LLMPipeline.entries ++
     operators.NearDup.entries ++
     operators.TextAnalysis.entries ++
+    operators.PipelineOps.entries ++
     operators.TimeSeries.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the

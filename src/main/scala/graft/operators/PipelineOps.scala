@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline staples (q77–q79): TF-IDF term weighting,
+  * embedding quantization, and deterministic dataset splitting.
+  *
+  * Scale: TF-IDF is two groupBys (term-frequency per doc, doc-frequency
+  * per token) + a broadcast-sized token-stats join — shuffle bounded by
+  * vocabulary and doc count; quantization and splitting are pure per-row
+  * expressions.
+  */
+object PipelineOps {
+  import Tables.dec
+
+  /** q77: TF-IDF — tf·ln(N/df), top-3 terms per doc (rank on the
+    * 6-dp-rounded score, token tiebreak — deterministic cross-engine). */
+  private def q77(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.count() // tiny driver-side scalar; at scale use a broadcast subquery
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    tf.join(df_, "token")
+      .select(col("doc_id"), col("token"),
+        Tables.r6(col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .orderBy("doc_id", "rank")
+  }
+
+  /** q78: int8 min-max quantization of embeddings — per-vector range,
+    * quantize/dequantize round trip, mean absolute reconstruction error.
+    * All arithmetic is per-row IEEE doubles in fixed element order. */
+  private def q78(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(array_min(embedding) AS DOUBLE)").as("mn"),
+        expr("CAST(array_max(embedding) AS DOUBLE)").as("mx"),
+        col("embedding"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .select(col("vec_id"),
+        Tables.r6(col("mn")).as("qmin"),
+        Tables.r6(col("mx")).as("qmax"),
+        Tables.r6(expr(
+          // err per element: |x − (mn + floor((x−mn)/scale + 0.5)·scale)|
+          "aggregate(transform(embedding, x -> " +
+            "abs(CAST(x AS DOUBLE) - (mn + FLOOR((CAST(x AS DOUBLE) - mn) / scale + 0.5) * scale))), " +
+            "CAST(0.0 AS DOUBLE), (a, e) -> a + e) / 64")).as("mean_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  /** q79: deterministic train/val/test split — md5-prefix bucket of the
+    * row key (portable across engines, stable across runs/partitionings;
+    * the hash-based split every reproducible pipeline needs). */
+  private def q79(spark: SparkSession, sfDir: String): DataFrame = {
+    // row key folded to one int64 (linenumber < 10), two hex chars of its
+    // md5 → 0..255 via instr math (cheaper than radix conv, same result
+    // in both engines)
+    Tables(spark, sfDir, "lineitem")
+      .withColumn("h", expr("md5(cast(l_orderkey * 10 + l_linenumber AS STRING))"))
+      .withColumn("bucket", expr(
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("l_extendedprice"))).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .as("sum_price"))
+      .orderBy("split")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q77_text_tfidf", q77 _, Some(
+      "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token), " +
+        "n AS (SELECT COUNT(*) AS n FROM documents), " +
+        "scored AS (SELECT doc_id, token, " +
+        Tables.r6sql("tf * LN(CAST(n.n AS DOUBLE) / df)") + " AS tfidf " +
+        "FROM tf JOIN df USING (token) CROSS JOIN n) " +
+        "SELECT doc_id, token, tfidf, rank FROM (SELECT doc_id, token, tfidf, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM scored) " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank")),
+    Q("q78_vec_quantize", q78 _, Some(
+      "SELECT vec_id, " +
+        Tables.r6sql("CAST(list_min(embedding) AS DOUBLE)") + " AS qmin, " +
+        Tables.r6sql("CAST(list_max(embedding) AS DOUBLE)") + " AS qmax, " +
+        Tables.r6sql(
+          "list_sum(list_transform(embedding, x -> " +
+            "abs(CAST(x AS DOUBLE) - (CAST(list_min(embedding) AS DOUBLE) + " +
+            "FLOOR((CAST(x AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / " +
+            "((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0) + 0.5) * " +
+            "((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0))))) / 64") +
+        " AS mean_abs_err FROM embeddings ORDER BY vec_id")),
+    Q("q79_split_deterministic", q79 _, Some(
+      "SELECT split, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price FROM (" +
+        "SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "l_extendedprice FROM (" +
+        "SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100 AS bucket, l_extendedprice FROM (" +
+        "SELECT md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS h, l_extendedprice FROM lineitem))) " +
+        "GROUP BY split ORDER BY split")),
+  )
+}
