@@ -187,6 +187,37 @@ object Anonymize {
       .orderBy("c_custkey")
   }
 
+  /** q80: t-closeness audit (Li, Li, Venkatasubramanian, ICDE 2007) —
+    * Earth Mover's Distance between each QI group's sensitive-value
+    * distribution and the global distribution, over the ORDERED acctbal
+    * bins: EMD = Σ|running Σ (p−q)| / (B−1). The running sum is a window
+    * in bin order (deterministic sequential adds on both engines); the
+    * final per-group sum goes through exact decimals. One shuffle per
+    * aggregation — QI-cardinality bounded, like the other audits. */
+  private def q80(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer").withColumn("bin", acctBin)
+    val n = cust.count().toDouble // tiny driver scalar (row count)
+    val global = cust.groupBy("bin").agg(count(lit(1)).as("gcnt"))
+    val groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("ng"))
+    val gb = cust.groupBy("c_nationkey", "c_mktsegment", "bin").agg(count(lit(1)).as("cnt"))
+    val grid = groups.crossJoin(global.select("bin", "gcnt"))
+      .join(gb, Seq("c_nationkey", "c_mktsegment", "bin"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bin"),
+        (col("gcnt") / n).as("p"),
+        (coalesce(col("cnt"), lit(0L)) / col("ng")).as("q"))
+    val wRun = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("bin")
+    val wAll = Window.partitionBy("c_nationkey", "c_mktsegment")
+    grid
+      .withColumn("run", sum(col("p") - col("q")).over(wRun))
+      .withColumn("b", count(lit(1)).over(wAll))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(Tables.r6(
+        sum(abs(col("run")).cast(DecimalType(18, 9))).cast("double") /
+          (max(col("b")) - lit(1))).as("emd"))
+      .withColumn("violates_t02", col("emd") > 0.2)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q35_anon_drop_identifiers", q35 _, Some(
       "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment " +
@@ -242,6 +273,25 @@ object Anonymize {
         "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn " +
         "FROM customer) b ON a.c_nationkey = b.c_nationkey AND a.n + 1 - a.rn = b.rn " +
         "ORDER BY a.c_custkey")),
+    Q("q80_anon_tcloseness", q80 _, Some(
+      s"WITH cust AS (SELECT c_nationkey, c_mktsegment, $acctBinSql AS bin FROM customer), " +
+        "n AS (SELECT COUNT(*) AS n FROM cust), " +
+        "global AS (SELECT bin, COUNT(*) AS gcnt FROM cust GROUP BY bin), " +
+        "groups AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS ng FROM cust GROUP BY 1, 2), " +
+        "gb AS (SELECT c_nationkey, c_mktsegment, bin, COUNT(*) AS cnt FROM cust GROUP BY 1, 2, 3), " +
+        "grid AS (SELECT g.c_nationkey, g.c_mktsegment, gl.bin, " +
+        "gl.gcnt / CAST(n.n AS DOUBLE) AS p, COALESCE(gb.cnt, 0) / CAST(g.ng AS DOUBLE) AS q " +
+        "FROM groups g CROSS JOIN global gl CROSS JOIN n " +
+        "LEFT JOIN gb ON gb.c_nationkey = g.c_nationkey AND gb.c_mktsegment = g.c_mktsegment AND gb.bin = gl.bin), " +
+        "runs AS (SELECT c_nationkey, c_mktsegment, " +
+        "SUM(p - q) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run, " +
+        "COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS b " +
+        "FROM grid) " +
+        "SELECT c_nationkey, c_mktsegment, emd, emd > 0.2 AS violates_t02 FROM (" +
+        "SELECT c_nationkey, c_mktsegment, " +
+        Tables.r6sql("CAST(SUM(CAST(ABS(run) AS DECIMAL(18,9))) AS DOUBLE) / (MAX(b) - 1)") +
+        " AS emd FROM runs GROUP BY 1, 2) ORDER BY c_nationkey, c_mktsegment")),
     Q("q48_anon_tokenize", q48 _, Some(
       "SELECT c_custkey, token FROM customer JOIN (" +
         "SELECT c_name, DENSE_RANK() OVER (ORDER BY c_name) AS token FROM (" +
