@@ -27,4 +27,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // tmpfs for shuffle files and the source/sink roundtrip queries —
+  // removes VM-disk fsync stalls from per-query timings (126 GB /dev/shm,
+  // scratch usage is a few hundred MB)
+  "-Dspark.local.dir=/dev/shm/graft_spark_local",
+  "-Djava.io.tmpdir=/dev/shm/graft_tmp",
+  // 80 queries of whole-stage-codegen classes overflow the default 240 MB
+  // JIT code cache; once full, late queries run interpreted (rotating
+  // multi-second slowdowns in Bench)
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+ExplicitGCInvokesConcurrent",
 )
+
+// the forked JVM needs the tmpdir to exist before JVM startup
+Global / onLoad := {
+  val prev = (Global / onLoad).value
+  new java.io.File("/dev/shm/graft_tmp").mkdirs()
+  prev
+}

