@@ -82,9 +82,33 @@ class FunctionsSuite extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).isNullAt(3))
   }
 
+  test("FloatDot: codegen and interpreted paths agree, nulls propagate") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, Some(Array(1.5f, 2.0f, -3.25f)), Some(Array(2.0f, 0.5f, 4.0f))),
+      (2L, None, Some(Array(1.0f, 1.0f, 1.0f))),
+      (3L, Some(Array(1.0f)), Some(Array(2.0f, 9.0f)))) // length mismatch → min length
+      .toDF("id", "a", "b")
+    val rows = df.selectExpr("id", "graft_dot(a, b) AS d").orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 1.5 * 2.0 + 2.0 * 0.5 + -3.25 * 4.0)
+    assert(rows(1).isNullAt(1))
+    assert(rows(2).getDouble(1) == 2.0)
+    // interpreted eval (no codegen) must agree with the codegen'd result
+    val e = graft.functions.FloatDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.5f, 2.0f, -3.25f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0f, 0.5f, 4.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) == rows(0).getDouble(1))
+  }
+
   test("determinism double-run: representative queries byte-identical") {
     for (name <- Seq("q05_join_shuffle", "q12_agg_hash", "q44_anon_entropy_ldiv",
-        "q50_dedup_minhash", "q60_dedup_simhash", "q63_ann_ivf")) {
+        "q50_dedup_minhash", "q60_dedup_simhash", "q63_ann_ivf",
+        "q76_dedup_components", "q80_anon_tcloseness")) {
       val a = SparkEntry.queries(name)(spark, TestSpark.sfDir).collect().toSeq
       val b = SparkEntry.queries(name)(spark, TestSpark.sfDir).collect().toSeq
       assert(a == b, s"$name differs between runs")
