@@ -23,25 +23,33 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// tmpfs for shuffle files and the source/sink roundtrip queries — removes
+// VM-disk fsync stalls from per-query timings (126 GB /dev/shm, scratch
+// usage is a few hundred MB). Hosts without /dev/shm fall back to the
+// default tmpdir (GRAFT_SCRATCH overrides either way).
+val graftScratch: Option[String] =
+  sys.env.get("GRAFT_SCRATCH").orElse(
+    if (new java.io.File("/dev/shm").isDirectory) Some("/dev/shm") else None)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // tmpfs for shuffle files and the source/sink roundtrip queries —
-  // removes VM-disk fsync stalls from per-query timings (126 GB /dev/shm,
-  // scratch usage is a few hundred MB)
-  "-Dspark.local.dir=/dev/shm/graft_spark_local",
-  "-Djava.io.tmpdir=/dev/shm/graft_tmp",
   // 80 queries of whole-stage-codegen classes overflow the default 240 MB
   // JIT code cache; once full, late queries run interpreted (rotating
   // multi-second slowdowns in Bench)
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+ExplicitGCInvokesConcurrent",
-)
+) ++ graftScratch.toSeq.flatMap(s => Seq(
+  s"-Dspark.local.dir=$s/graft_spark_local",
+  s"-Djava.io.tmpdir=$s/graft_tmp",
+))
 
 // the forked JVM needs the tmpdir to exist before JVM startup
 Global / onLoad := {
   val prev = (Global / onLoad).value
-  new java.io.File("/dev/shm/graft_tmp").mkdirs()
+  graftScratch.foreach { s =>
+    new java.io.File(s, "graft_tmp").mkdirs()
+    new java.io.File(s, "graft_spark_local").mkdirs()
+  }
   prev
 }

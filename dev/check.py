@@ -31,6 +31,18 @@ for name, sql in oracle.items():
         drows = d.fetchall()
     except Exception as e:
         bad.append(name); print(f"FAIL {name}: oracle error: {e}"); continue
+    # strict representation gate: the driver hashes the physical decimal
+    # encoding, which Spark (INT64-backed) and DuckDB (INT128-backed) write
+    # differently even when values match — round 1 lost 9 green queries to
+    # this. Any DECIMAL-typed column in the Spark output is therefore a
+    # local FAIL before values are even compared.
+    dec_cols = [(r[0], r[1]) for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{files[0]}')").fetchall()
+        if "DECIMAL" in r[1].upper()]
+    if dec_cols:
+        bad.append(name)
+        print(f"FAIL {name}: DECIMAL output columns (driver hash hazard): {dec_cols}")
+        continue
     s = con.execute(f"SELECT * FROM read_parquet('{files[0]}')")
     scols = [c[0] for c in s.description]
     srows = s.fetchall()

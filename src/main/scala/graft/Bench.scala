@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main — runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR` and reports per-query wall times.
+  *
+  * Output contract (driver-parseable): per-query timings stream as short
+  * one-line JSON records while running; the machine-readable summary
+  * `{"metric":"total",...}` is the FINAL stdout line, printed after
+  * `spark.stop()` with timings trimmed to 3 dp so the line stays small and
+  * nothing (not even shutdown logging) can interleave after it. The same
+  * summary is also written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_result.json` in the working dir) so a truncated stdout capture
+  * still leaves a readable artifact.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,7 +23,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: pay JVM/JIT/codegen/parquet-footer startup once so
     // per-query numbers measure the queries (BASELINE.md's reference
     // numbers are warm-pass numbers)
@@ -17,6 +31,7 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
+    def r3(v: Double): String = f"$v%.3f"
     var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       // a concurrent GC cycle every 15 queries keeps old-gen debris from
@@ -27,15 +42,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop session state a query may have left behind (localCheckpoint
-      // RDDs, temp-view caches) so heap creep doesn't distort later
-      // queries' timings
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // RDDs, temp-view caches) BEFORE the next timing starts — blocking,
+      // so freed blocks can't linger into the next query's GC pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      println(s"""{"query":"$name","sec":${r3(dt)}}""")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try Files.writeString(Paths.get(outPath), summary + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    // the summary is the LAST line on stdout — after spark.stop() so no
+    // shutdown logging can follow or interleave with it
+    println(summary)
+    System.out.flush()
   }
 }

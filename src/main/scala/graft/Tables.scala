@@ -49,8 +49,14 @@ object Tables {
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
   }
 
-  /** The DuckDB half of [[r6]] — same IEEE ops, same bits. */
-  def r6sql(e: String): String = s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
+  /** The SQL half of [[r6]] — same IEEE ops, same bits. Runs on BOTH
+    * engines (oracle SQL, and the spark.sql-expressed queries q15/q17):
+    * the outer CAST is a no-op in DuckDB (already DOUBLE) but essential in
+    * Spark SQL, where FLOOR returns BIGINT and `1000000.0` parses as
+    * DECIMAL(8,1), so the bare division would yield DECIMAL(30,9) — a
+    * decimal output the driver's hash can't match (see r6). */
+  def r6sql(e: String): String =
+    s"CAST(FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)"
 
   /** Portable mean at 6 dp: exact DECIMAL sum → double ÷ count → [[r6]].
     * Avoids both engines' avg/cast paths (DuckDB AVG(DECIMAL) returns

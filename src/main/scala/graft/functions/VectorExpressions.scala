@@ -69,10 +69,24 @@ case class FloatDot(left: Expression, right: Expression)
 object VectorExpressions {
   /** Register `graft_dot` in the session's function registry (idempotent)
     * so query code can simply `expr("graft_dot(a, b)")`. */
+  /** Arity-checked builder — a wrong-arity call must fail analysis with a
+    * message naming the expected signature, not an IndexOutOfBounds. */
+  val builder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`graft_dot`",
+          "expectedNum" -> "2 (graft_dot(array<float>, array<float>))",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    FloatDot(children.head, children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1)))
+      builder)
   }
 }

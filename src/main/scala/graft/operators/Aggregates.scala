@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import java.sql.Timestamp
 
 /** Aggregation operators (SURVEY.md §2.3, q12–q19).
@@ -23,10 +22,11 @@ object Aggregates {
     li.filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(18, 4)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 4)).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+        // DECIMAL sums internally, r6 DOUBLE on the wire (see Joins.q05)
+        Tables.r6(sum(dec(col("l_quantity"))).cast("double")).as("sum_qty"),
+        Tables.r6(sum(dec(col("l_extendedprice"))).cast("double")).as("sum_base_price"),
+        Tables.r6(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double")).as("sum_disc_price"),
         Tables.meanD(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -59,7 +59,7 @@ object Aggregates {
   private def q15(spark: SparkSession, sfDir: String): DataFrame = {
     Seq("orders", "customer", "nation", "region").foreach(Tables.view(spark, sfDir, _))
     spark.sql(
-      "SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue " +
+      "SELECT r_name, n_name, " + Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY ROLLUP (r_name, n_name) " +
@@ -79,7 +79,7 @@ object Aggregates {
     Tables.view(spark, sfDir, "orders")
     spark.sql(
       "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue " +
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS revenue " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")
   }
@@ -155,9 +155,9 @@ object Aggregates {
   val entries: Seq[Q] = Seq(
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price, " +
+        Tables.r6sql("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_qty, " +
+        Tables.r6sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_base_price, " +
+        Tables.r6sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)") + " AS sum_disc_price, " +
         Tables.meanDSql("SUM(CAST(l_quantity AS DECIMAL(18,4)))", "COUNT(*)") + " AS avg_qty, " +
         "COUNT(*) AS cnt " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
@@ -167,7 +167,7 @@ object Aggregates {
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
     Q("q14_agg_approx_distinct", q14 _, None),
     Q("q15_agg_rollup", q15 _, Some(
-      "SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue " +
+      "SELECT r_name, n_name, " + Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY ROLLUP (r_name, n_name) " +
@@ -178,7 +178,7 @@ object Aggregates {
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
     Q("q17_agg_grouping_sets", q17 _, Some(
       "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue " +
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS revenue " +
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
     Q("q18_agg_stats", q18 _, Some(

@@ -4,7 +4,6 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Join operators (SURVEY.md §2.2, q04–q11).
   *
@@ -41,8 +40,11 @@ object Joins {
       .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast(DecimalType(18, 4)).as("revenue"))
+      // DECIMAL math internally (§2.9 R1), r6 DOUBLE on the wire: decimal
+      // outputs hash differently across engines' physical encodings even
+      // when values match (round-1 q05 lesson)
+      .agg(Tables.r6(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double")).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -127,7 +129,7 @@ object Joins {
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "GROUP BY r_name ORDER BY r_name")),
     Q("q05_join_shuffle", q05 _, Some(
-      "SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS revenue " +
+      "SELECT n_name, " + Tables.r6sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)") + " AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
         "GROUP BY n_name ORDER BY n_name")),

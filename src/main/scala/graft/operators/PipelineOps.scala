@@ -73,8 +73,8 @@ object PipelineOps {
           .otherwise("test"))
       .groupBy("split")
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("l_extendedprice"))).cast(org.apache.spark.sql.types.DecimalType(18, 4))
-          .as("sum_price"))
+        // DECIMAL sum internally, r6 DOUBLE on the wire (see Joins.q05)
+        Tables.r6(sum(dec(col("l_extendedprice"))).cast("double")).as("sum_price"))
       .orderBy("split")
   }
 
@@ -103,7 +103,7 @@ object PipelineOps {
         " AS mean_abs_err FROM embeddings ORDER BY vec_id")),
     Q("q79_split_deterministic", q79 _, Some(
       "SELECT split, COUNT(*) AS cnt, " +
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price FROM (" +
+        Tables.r6sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_price FROM (" +
         "SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, " +
         "l_extendedprice FROM (" +
         "SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +

@@ -4,7 +4,6 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Streaming/time-series semantics in batch form (SURVEY.md §2.8,
   * q56–q59). Event time is µs since epoch (`ts DIV 1000` — see
@@ -36,7 +35,8 @@ object TimeSeries {
       .withColumn("hour_bucket", expr(s"(ts DIV 1000) DIV $usPerHour"))
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("value"))).cast(DecimalType(18, 4)).as("sum_value"))
+        // DECIMAL sum internally, r6 DOUBLE on the wire (see Joins.q05)
+        Tables.r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
       .orderBy("hour_bucket", "event_type")
   }
 
@@ -50,7 +50,7 @@ object TimeSeries {
       .withColumn("win_id", col("w15") - col("i"))
       .groupBy("win_id")
       .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("value"))).cast(DecimalType(18, 4)).as("sum_value"))
+        Tables.r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
       .orderBy("win_id")
   }
 
@@ -89,11 +89,11 @@ object TimeSeries {
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value " +
+        Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_value " +
         "FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type")),
     Q("q57_stream_sliding", q57 _, Some(
       s"SELECT (epoch_us(ts) // $usPer15Min) - i AS win_id, COUNT(*) AS cnt, " +
-        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value " +
+        Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_value " +
         "FROM events CROSS JOIN range(0, 4) r(i) GROUP BY 1 ORDER BY win_id")),
     Q("q58_stream_session", q58 _, Some(
       "SELECT user_id, event_id, ts_us, CAST(SUM(new_sess) OVER (PARTITION BY user_id " +

@@ -4,7 +4,6 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Window-function operators (SURVEY.md §2.4, q20–q24).
   *
@@ -61,13 +60,17 @@ object Windows {
     * frame). Day series is pre-aggregated, so the global window sorts only
     * #days rows. */
   private def q23(spark: SparkSession, sfDir: String): DataFrame = {
+    // the DECIMAL day-total stays internal (exact window sums); the output
+    // column is r6 DOUBLE — decimal outputs hash differently across
+    // engines' physical encodings (see Joins.q05)
     val daily = Tables(spark, sfDir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("day"))
-      .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 4)).as("day_total"))
+      .agg(sum(dec(col("o_totalprice"))).as("day_total_dec"))
     val w = Window.orderBy("day").rowsBetween(-6, 0)
     daily
-      .select(col("day"), col("day_total"),
-        Tables.meanD(sum(col("day_total")).over(w), count(lit(1)).over(w)).as("ma7"))
+      .select(col("day"),
+        Tables.r6(col("day_total_dec").cast("double")).as("day_total"),
+        Tables.meanD(sum(col("day_total_dec")).over(w), count(lit(1)).over(w)).as("ma7"))
       .orderBy("day")
   }
 
@@ -80,7 +83,7 @@ object Windows {
     Tables(spark, sfDir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_day"),
-        sum(dec(col("o_totalprice"))).over(w).cast(DecimalType(18, 4)).as("cum_rev"))
+        Tables.r6(sum(dec(col("o_totalprice"))).over(w).cast("double")).as("cum_rev"))
       .orderBy("o_custkey", "o_day", "o_orderkey")
   }
 
@@ -103,14 +106,15 @@ object Windows {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
         "ORDER BY user_id, ts_us, event_id")),
     Q("q23_win_moving_avg", q23 _, Some(
-      "SELECT day, day_total, " + Tables.meanDSql("SUM(day_total) OVER w", "COUNT(*) OVER w") + " AS ma7 FROM (" +
+      "SELECT day, " + Tables.r6sql("CAST(day_total_dec AS DOUBLE)") + " AS day_total, " +
+        Tables.meanDSql("SUM(day_total_dec) OVER w", "COUNT(*) OVER w") + " AS ma7 FROM (" +
         "SELECT CAST(o_orderdate AS DATE) AS day, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS day_total " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS day_total_dec " +
         "FROM orders GROUP BY 1) WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day")),
     Q("q24_win_cumulative", q24 _, Some(
       "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_day, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
-        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "AS DECIMAL(18,4)) AS cum_rev FROM orders ORDER BY o_custkey, o_day, o_orderkey")),
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)") +
+        " AS cum_rev FROM orders ORDER BY o_custkey, o_day, o_orderkey")),
   )
 }

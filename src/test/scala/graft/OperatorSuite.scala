@@ -38,7 +38,7 @@ class OperatorSuite extends AnyFunSuite {
     val rows = SparkEntry.queries("q12_agg_hash")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("sum_qty").doubleValue > 0)
+      assert(r.getAs[Double]("sum_qty") > 0)
     }
   }
 
