@@ -196,14 +196,17 @@ object Anonymize {
     * aggregation — QI-cardinality bounded, like the other audits. */
   private def q80(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables(spark, sfDir, "customer").withColumn("bin", acctBin)
-    val n = cust.count().toDouble // tiny driver scalar (row count)
+    // total row count as a broadcast 1-row aggregate, not a driver-side
+    // .count(): no extra action job, no driver sync point inside the query
+    val n = cust.agg(count(lit(1)).cast("double").as("n_total"))
     val global = cust.groupBy("bin").agg(count(lit(1)).as("gcnt"))
     val groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("ng"))
     val gb = cust.groupBy("c_nationkey", "c_mktsegment", "bin").agg(count(lit(1)).as("cnt"))
     val grid = groups.crossJoin(global.select("bin", "gcnt"))
       .join(gb, Seq("c_nationkey", "c_mktsegment", "bin"), "left")
+      .crossJoin(broadcast(n))
       .select(col("c_nationkey"), col("c_mktsegment"), col("bin"),
-        (col("gcnt") / n).as("p"),
+        (col("gcnt") / col("n_total")).as("p"),
         (coalesce(col("cnt"), lit(0L)) / col("ng")).as("q"))
     val wRun = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("bin")
     val wAll = Window.partitionBy("c_nationkey", "c_mktsegment")

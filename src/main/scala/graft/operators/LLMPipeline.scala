@@ -40,19 +40,38 @@ object LLMPipeline {
   /** The MinHash candidate-pair dataflow, shared by q50 (pair listing) and
     * q76 (component clustering). */
   private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // NO pre-distinct on shingles: min() is idempotent over duplicates, so
+    // the signature is identical without it, and dropping it removes a
+    // full shuffle of the exploded shingle rows — the groupBy(doc_id)
+    // partial-aggregates each partition down to one row per doc before any
+    // data moves. The 8 hash functions come from ONE md5 per occurrence
+    // via the Kirsch–Mitzenmacher composite h_i = (h1 + i·h2) mod p
+    // (i.i.d.-enough for LSH; standard practice), as exact BIGINT
+    // arithmetic both engines evaluate identically — integer mins beat 8
+    // full md5 string mins per row on both sides.
     val toks = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("token"))
-      .distinct()
-    val sigCols = (0 until 8).map(i => min(md5(concat(lit(i.toString), col("token")))).as(s"s$i"))
-    val sigs = toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val base = toks.select(col("doc_id"),
+      expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)").as("h1"),
+      expr("cast(conv(substring(md5(token), 9, 8), 16, 10) as bigint)").as("h2"))
+    val sigCols = (0 until 8).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % lit(1000000007L)).as(s"s$i"))
+    val sigs = base.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // materialize ONCE: the 4 band self-joins reference this frame 8 times
+    // (2 sides × 4 bands) on four DIFFERENT shuffle keys, so ReuseExchange
+    // cannot dedupe the shared signature pipeline — without the barrier it
+    // re-runs per consumer (measured ~40% slower end-to-end). One row per
+    // doc — small at any scale; on a cluster checkpoint() to durable
+    // storage instead.
     val bands = sigs.select(col("doc_id"),
       concat_ws("|", col("s0"), col("s1")).as("b0"),
       concat_ws("|", col("s2"), col("s3")).as("b1"),
       concat_ws("|", col("s4"), col("s5")).as("b2"),
       concat_ws("|", col("s6"), col("s7")).as("b3"))
+      .localCheckpoint(true)
     val pairs = (0 until 4).map { b =>
       val l = bands.select(col("doc_id").as("id_a"), col(s"b$b").as("band"))
       val r = bands.select(col("doc_id").as("id_b"), col(s"b$b").as("band"))
@@ -64,15 +83,17 @@ object LLMPipeline {
   private def q50(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir).orderBy("id_a", "id_b")
 
-  /** The shared oracle-SQL CTE prefix producing the same candidate pairs. */
+  /** The shared oracle-SQL CTE prefix producing the same candidate pairs
+    * (same Kirsch–Mitzenmacher composite hashes — exact BIGINT math). */
   private[operators] val minhashPairsSql: String =
     "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
-      "toks AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, " +
-      "unnest(list_transform(range(1, len(ts) - 1), i -> " +
-      "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS token FROM split)), " +
+      "toks AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1), i -> " +
+      "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS token FROM split), " +
+      "base AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h1, " +
+      "CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h2 FROM toks), " +
       "sigs AS (SELECT doc_id, " +
-      (0 until 8).map(i => s"MIN(md5('$i' || token)) AS s$i").mkString(", ") +
-      " FROM toks GROUP BY doc_id), " +
+      (0 until 8).map(i => s"MIN((h1 + $i * h2) % 1000000007) AS s$i").mkString(", ") +
+      " FROM base GROUP BY doc_id), " +
       "bands AS (SELECT doc_id, s0 || '|' || s1 AS b0, s2 || '|' || s3 AS b1, " +
       "s4 || '|' || s5 AS b2, s6 || '|' || s7 AS b3 FROM sigs), " +
       "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON " +
@@ -92,11 +113,17 @@ object LLMPipeline {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
+    // frontier = vertices whose label improved last round. Labels only
+    // decrease, so an improvement can only reach a vertex through a
+    // just-improved neighbor — propagating from the frontier alone is
+    // exact and shrinks each round's join from |V| to |Δ| (round 1
+    // re-joined the full label set every round).
+    var frontier = labels
     var changed = 1L
     var rounds = 0
     var prev: DataFrame = null
     while (changed > 0 && rounds < 25) {
-      val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
+      val nbrMin = sym.join(frontier, col("dst") === col("doc_id"))
         .groupBy("src").agg(min(col("comp")).as("nmin"))
       // carry the old label through the checkpoint so the convergence
       // check is a cheap filter on materialized data, not a re-join
@@ -105,7 +132,9 @@ object LLMPipeline {
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp_new"),
           col("comp").as("comp_old"))
         .localCheckpoint(true)
-      changed = step.filter(col("comp_new") =!= col("comp_old")).count()
+      frontier = step.filter(col("comp_new") =!= col("comp_old"))
+        .select(col("doc_id"), col("comp_new").as("comp"))
+      changed = frontier.count()
       // at most two materialized rounds live at a time
       if (prev != null) prev.unpersist(blocking = false)
       prev = step

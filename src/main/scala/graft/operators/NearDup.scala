@@ -65,13 +65,18 @@ object NearDup {
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("g"))
-      .distinct()
-    val sizes = tg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // join on the 64-bit shingle hash, not the ~30-char string: smaller
-    // shuffle rows and cheaper key compares (engine-internal key only —
-    // the oracle joins on the exact strings, so a collision would surface
-    // as a verify mismatch; P(collision) ≈ n²/2⁶⁵ ≈ 1e-9 here)
+    // hash BEFORE the dedup: the distinct then shuffles 16-byte
+    // (doc_id, int64) rows instead of ~30-char strings, and the self-join
+    // compares ints (engine-internal key only — the oracle joins on the
+    // exact strings, so a collision would surface as a verify mismatch;
+    // P(collision) ≈ n²/2⁶⁵ ≈ 1e-9 here).
+    // The distinct's Exchange is identical across its three consumers
+    // (sizes + both self-join sides), so ReuseExchange materializes it
+    // once — no explicit checkpoint needed (one was measured at +0.5 s of
+    // pure overhead on a single-shot run).
     val hashed = tg.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = hashed.toDF("ia", "gh").join(hashed.toDF("ib", "gh"), "gh")
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
@@ -96,9 +101,13 @@ object NearDup {
       sqrt(dotCol("embedding", "embedding")).as("nb"))
     val cos = Tables.r6(dotCol("ea", "eb") / (col("na") * col("nb")))
     // threshold folded into the join condition BEHIND the cheap id
-    // conjunct: && short-circuits in codegen, so the dot product runs for
-    // the 12.5M ordered pairs, not all 25M (a .filter after the join gets
-    // pushed in FRONT of the id conjunct by PushDownPredicates)
+    // conjunct: && short-circuits, so the dot product runs once for each
+    // of the 12.5M ordered pairs and only the ~10k surviving rows are
+    // materialized out of the join (the select's re-evaluation touches
+    // survivors only). The "project cos once after the join, then filter"
+    // formulation was measured 60% slower here: it makes the join emit
+    // all 12.5M rows before filtering, and that row materialization
+    // dominates the saved re-evaluations.
     a.join(b, col("id_a") < col("id_b") && cos >= 0.3)
       .select(col("id_a"), col("id_b"), cos.as("cos"))
       .orderBy("id_a", "id_b")
@@ -110,7 +119,12 @@ object NearDup {
   private def q63(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    // per-(label, position) centroid from exact decimal sums
+    // per-(label, position) centroid from exact decimal sums. This is the
+    // plain posexplode→groupBy→collect formulation on purpose: a
+    // flat-64-sums/arrays-of-expressions variant was measured 2× slower on
+    // a single-shot run — its wide expression tree costs more in
+    // analysis+codegen than it saves in execution at bench scale, and
+    // ReuseExchange already materializes the shared subtree once.
     val pe = emb.select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos"),
         col("col").cast("double").cast(DecimalType(18, 9)).as("v"))

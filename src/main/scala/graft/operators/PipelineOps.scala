@@ -24,11 +24,14 @@ object PipelineOps {
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df_ = toks.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.count() // tiny driver-side scalar; at scale use a broadcast subquery
+    // corpus size as a broadcast 1-row aggregate, not a driver-side
+    // .count(): no extra action job, no driver sync point inside the query
+    val n = docs.agg(count(lit(1)).cast("double").as("n_total"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
     tf.join(df_, "token")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
-        Tables.r6(col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+        Tables.r6(col("tf") * log(col("n_total") / col("df"))).as("tfidf"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 3)
       .orderBy("doc_id", "rank")
