@@ -82,6 +82,53 @@ class FunctionsSuite extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).isNullAt(3))
   }
 
+  // minimal valid-header payloads, crafted byte by byte
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val be = (v: Int) => Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be(13) ++ "IHDR".getBytes("US-ASCII") ++ be(w) ++ be(h) ++
+      Array[Byte](8, 6, 0, 0, 0)
+  }
+
+  private def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    val le4 = (v: Int) => Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val le2 = (v: Int) => Array(v.toByte, (v >> 8).toByte)
+    "RIFF".getBytes("US-ASCII") ++ le4(36) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le4(16) ++ le2(1) ++ le2(channels) ++
+      le4(sampleRate) ++ le4(sampleRate * channels * 2) ++ le2(channels * 2) ++ le2(16)
+  }
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val le4 = (v: Int) => Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    "BM".getBytes("US-ASCII") ++ le4(54) ++ le4(0) ++ le4(54) ++
+      le4(40) ++ le4(w) ++ le4(h)
+  }
+
+  test("decodeReal parses PNG IHDR, BMP header, WAV fmt from raw bytes") {
+    assert(Multimodal.decodeReal(pngBytes(640, 480), "image/png") == ((640, 480)))
+    assert(Multimodal.decodeReal(bmpBytes(33, 77), "image/bmp") == ((33, 77)))
+    assert(Multimodal.decodeReal(wavBytes(44100, 2), "audio/wav") == ((44100, 2)))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeReal("not media".getBytes("US-ASCII"), "text/plain")
+    }
+    // truncated PNG (signature only, no IHDR) must not mis-parse
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeReal(pngBytes(1, 1).take(10), "image/png")
+    }
+  }
+
+  test("decodeFeatures with the real decoder extracts true dimensions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(pngBytes(640, 480)), Some("image/png")),
+      (2L, Some(wavBytes(16000, 1)), Some("audio/wav")))
+      .toDF("media_id", "payload", "mime")
+    val rows = Multimodal.decodeFeatures(df, useRealDecoder = true)
+      .orderBy("media_id").collect()
+    assert(rows(0).getAs[Int]("width") == 640 && rows(0).getAs[Int]("height") == 480)
+    assert(rows(1).getAs[Int]("width") == 16000 && rows(1).getAs[Int]("height") == 1)
+  }
+
   test("FloatDot: codegen and interpreted paths agree, nulls propagate") {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
