@@ -40,10 +40,11 @@ object NearDup {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
 
-  /** q60: SimHash (32-bit) per document. Each token hashes to 32 bits
-    * (md5-prefix); per-bit signed counts over all token occurrences;
-    * the sign vector re-packs into one int64 fingerprint. */
-  private def q60(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (doc_id, simhash) frame shared by q60 (fingerprint listing) and
+    * q83 (banded near-dup pairing). Each token hashes to 32 bits
+    * (md5-prefix); per-bit signed counts over all token occurrences; the
+    * sign vector re-packs into one int64 fingerprint. */
+  private[operators] def simhashDF(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .withColumn("h", expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)"))
@@ -54,7 +55,48 @@ object NearDup {
       .reduce(_ + _)
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** The oracle-SQL CTE producing the same (doc_id, simhash) frame,
+    * terminated by a `sh` CTE. */
+  private[operators] val simhashSql: String = {
+    val bitSums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS w$i").mkString(", ")
+    val packed = (0 until 32).map(i =>
+      s"CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    "WITH raw AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
+      "toks AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM raw), " +
+      s"bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id), " +
+      s"sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits)"
+  }
+
+  /** q60: SimHash fingerprint per document. */
+  private def q60(spark: SparkSession, sfDir: String): DataFrame =
+    simhashDF(spark, sfDir).orderBy("doc_id")
+
+  /** q83: SimHash near-dup PAIRS at Hamming distance ≤ 3 via 4-band LSH
+    * over the 32-bit fingerprint: by pigeonhole, any two fingerprints
+    * within Hamming 3 agree exactly on ≥1 of the 4 bytes, so candidates
+    * come from an equi-join on (band, byte) — never the doc×doc cross
+    * join — and the exact bit_count(xor) filter runs on candidates only.
+    * The standard scalable fingerprint-dedup plan (Manku et al., WWW'07). */
+  private def q83(spark: SparkSession, sfDir: String): DataFrame = {
+    // one row per (doc, band): band key = byte b of the fingerprint.
+    // Materialized once — the self-join's two sides would otherwise both
+    // recompute the full simhash pipeline (band keys share no Exchange).
+    val banded = simhashDF(spark, sfDir)
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("k", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
+      .localCheckpoint(true)
+    val l = banded.select(col("doc_id").as("ia"), col("simhash").as("sa"), col("b"), col("k"))
+    val r = banded.select(col("doc_id").as("ib"), col("simhash").as("sb"), col("b"), col("k"))
+    l.join(r, Seq("b", "k"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib", "sa", "sb").distinct()
+      .select(col("ia"), col("ib"),
+        expr("cast(bit_count(sa ^ sb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("ia", "ib")
   }
 
   /** q61: word-trigram Jaccard near-dup via the inverted-index join —
@@ -158,16 +200,16 @@ object NearDup {
   }
 
   val entries: Seq[Q] = Seq(
-    Q("q60_dedup_simhash", q60 _, Some {
-      val bitSums = (0 until 32).map(i =>
-        s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS w$i").mkString(", ")
-      val packed = (0 until 32).map(i =>
-        s"CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      "WITH raw AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
-        "toks AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM raw), " +
-        s"bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id) " +
-        s"SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits ORDER BY doc_id"
-    }),
+    Q("q60_dedup_simhash", q60 _, Some(
+      simhashSql + " SELECT doc_id, simhash FROM sh ORDER BY doc_id")),
+    Q("q83_dedup_simhash_pairs", q83 _, Some(
+      simhashSql + ", " +
+        "banded AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 8 AS INT)) & 255 AS k " +
+        "FROM sh CROSS JOIN range(0, 4) r(b)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.simhash AS sa, b.simhash AS sb " +
+        "FROM banded a JOIN banded b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id) " +
+        "SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
+        "WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY ia, ib")),
     Q("q61_dedup_ngram_jaccard", q61 _, Some(
       "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
         "tg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +

@@ -81,6 +81,67 @@ object PipelineOps {
       .orderBy("split")
   }
 
+  /** PII pattern shared by the Spark and oracle sides of q81: emails,
+    * long digit runs (phone/ID-shaped), plus a name-like surrogate term —
+    * kept alternation-unambiguous so java.util.regex and RE2 agree. */
+  private val piiPat =
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}|[0-9]{7,}|customer"
+
+  /** q81: PII redaction — match count + globally-redacted text per doc.
+    * Pure per-row regexp expressions; at scale a narrow map stage with no
+    * shuffle (the orderBy exists only for the deterministic compare). */
+  private def q81(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$piiPat', 0)")).cast("bigint").as("n_hits"),
+        substring(regexp_replace(col("text"), piiPat, "<PII>"), 1, 60).as("redacted_prefix"))
+      .orderBy("doc_id")
+  }
+
+  /** q82: bigram repetition ratio (Gopher-style quality signal) —
+    * 1 − distinct/total word bigrams per doc. One explode + one groupBy,
+    * shuffle bounded by doc count. */
+  private def q82(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))")).as("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        Tables.r6(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** q84: doc-length histogram per language, bucketed by decimal digit
+    * count (an integer-exact log10 bucket — FLOOR(LOG2/LOG10(x)) is a
+    * float-boundary trap at exact powers on either engine). */
+  private def q84(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .groupBy(col("lang"),
+        length(col("n_chars").cast("string")).cast("bigint").as("len_digits"))
+      .agg(count(lit(1)).as("n_docs"),
+        Tables.meanD(sum(col("n_chars")), count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "len_digits")
+  }
+
+  /** q85: deterministic stratified sampling — per-language rates (en 50%,
+    * others 20%) over the q79 md5-bucket of the row key: reproducible
+    * across runs, partitionings, and engines; the training-data sampling
+    * primitive. Narrow filter, no shuffle. */
+  private def q85(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .withColumn("h", expr("md5(cast(doc_id AS STRING))"))
+      .withColumn("bucket", expr(
+        "cast(((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 100 as bigint)"))
+      .filter(col("bucket") < when(col("lang") === "en", 50).otherwise(20))
+      .select("doc_id", "lang", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
@@ -113,5 +174,28 @@ object PipelineOps {
         "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100 AS bucket, l_extendedprice FROM (" +
         "SELECT md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) AS h, l_extendedprice FROM lineitem))) " +
         "GROUP BY split ORDER BY split")),
+    Q("q81_pii_redact", q81 _, Some(
+      s"SELECT doc_id, len(regexp_extract_all(text, '$piiPat')) AS n_hits, " +
+        s"substr(regexp_replace(text, '$piiPat', '<PII>', 'g'), 1, 60) AS redacted_prefix " +
+        "FROM documents ORDER BY doc_id")),
+    Q("q82_text_repetition", q82 _, Some(
+      "SELECT doc_id, n_bigrams, n_distinct, " +
+        Tables.r6sql("1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams") + " AS rep_ratio FROM (" +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bg) AS n_distinct FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)])) AS bg FROM (" +
+        "SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 2)) " +
+        "GROUP BY doc_id) ORDER BY doc_id")),
+    Q("q84_length_histogram", q84 _, Some(
+      "SELECT lang, len(CAST(n_chars AS VARCHAR)) AS len_digits, COUNT(*) AS n_docs, " +
+        Tables.meanDSql("SUM(n_chars)", "COUNT(*)") + " AS avg_chars " +
+        "FROM documents GROUP BY 1, 2 ORDER BY lang, len_digits")),
+    Q("q85_sample_stratified", q85 _, Some(
+      "SELECT doc_id, lang, source, bucket FROM (" +
+        "SELECT doc_id, lang, source, " +
+        "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100 AS bucket FROM (" +
+        "SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)) " +
+        "WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END ORDER BY doc_id")),
   )
 }

@@ -121,4 +121,52 @@ class OperatorSuite extends AnyFunSuite {
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 3))
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("q81 redaction: every doc present; hits imply a rewritten prefix") {
+    val rows = SparkEntry.queries("q81_pii_redact")(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    assert(rows.exists(_.getAs[Long]("n_hits") > 0)) // corpus contains matches
+    rows.filter(_.getAs[Long]("n_hits") > 0).take(20).foreach { r =>
+      val red = r.getAs[String]("redacted_prefix")
+      assert(!red.contains("customer") || red.contains("<PII>"))
+    }
+  }
+
+  test("q82 repetition ratio is in [0, 1) and consistent with its counts") {
+    val rows = SparkEntry.queries("q82_text_repetition")(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams"); val d = r.getAs[Long]("n_distinct")
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(d >= 1 && d <= n)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (1.0 - d.toDouble / n)) < 1e-6)
+    }
+  }
+
+  test("q83 simhash pairs: all pairs within hamming 3, none missed (exact check)") {
+    val pairs = SparkEntry.queries("q83_dedup_simhash_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(pairs.forall(_._3 <= 3))
+    // exhaustive cross-check on the fingerprints: banding must lose nothing
+    val sh = SparkEntry.queries("q60_dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)
+    assert(pairs.toSet == brute.toSet)
+  }
+
+  test("q84 histogram partitions the corpus; q85 sample rates per stratum hold") {
+    val hist = SparkEntry.queries("q84_length_histogram")(spark, sf).collect()
+    val total = hist.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables(spark, sf, "documents").count())
+    val sample = SparkEntry.queries("q85_sample_stratified")(spark, sf).collect()
+    assert(sample.forall(_.getAs[Long]("bucket") < 50))
+    sample.filter(_.getString(1) != "en")
+      .foreach(r => assert(r.getAs[Long]("bucket") < 20))
+    // determinism: same rows on a second run
+    val again = SparkEntry.queries("q85_sample_stratified")(spark, sf).collect()
+    assert(sample.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
 }
