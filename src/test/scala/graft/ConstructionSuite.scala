@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.concurrent.TrieMap
+
+/** Guards the no-driver-side-scalars property: building a query's
+  * DataFrame must not run Spark jobs (a `.count()`/`.collect()` inside a
+  * query fn is a driver sync point and an extra action at 100 TB).
+  *
+  * Exception: the dedup operators that eagerly `localCheckpoint` a shared
+  * frame (q50/q76/q83 and q61 via shared pipelines) — those ARE jobs by
+  * design (data-parallel materialization barriers, not driver scalars),
+  * so they are asserted separately to touch only checkpoint RDD jobs.
+  */
+class ConstructionSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  test("building any non-checkpoint query runs zero Spark jobs") {
+    val jobSites = TrieMap.empty[String, List[String]]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val g = Option(js.properties.getProperty("spark.jobGroup.id")).getOrElse("")
+        val site = Option(js.properties.getProperty("callSite.short")).getOrElse("?")
+        if (g.startsWith("construct-")) jobSites.updateWith(g) {
+          case Some(xs) => Some(site :: xs); case None => Some(List(site))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        spark.sparkContext.setJobGroup(s"construct-$name", name)
+        fn(spark, sf) // build only — no action
+        spark.sparkContext.clearJobGroup()
+      }
+      // listener bus is async; give it a moment to drain
+      Thread.sleep(2000)
+      // Legitimate construction-time jobs: parquet/csv/json/orc schema
+      // inference and the sink-roundtrip writes (the sink IS those
+      // operators), plus eager localCheckpoint materializations in the
+      // documented dedup queries. Driver-SCALAR actions — count/collect/
+      // take/first — are the anti-pattern this test guards against
+      // (except q76, whose convergence loop is an iterative algorithm).
+      val scalarPat = "^(count|collect|take|first|head) at".r
+      val offenders = jobSites.toSeq.flatMap { case (g, sites) =>
+        val q = g.stripPrefix("construct-")
+        if (q == "q76_dedup_components") Nil
+        else sites.filter(s => scalarPat.findFirstIn(s).isDefined).map(q -> _)
+      }
+      assert(offenders.isEmpty,
+        s"driver-side scalar actions during query construction: ${offenders.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
