@@ -71,6 +71,10 @@ object Scans {
     val path = tmp("part_orders", sfDir)
     orders
       .withColumn("o_year", year(col("o_orderdate")))
+      // project to the columns the downstream read needs — the layout
+      // (partitionBy + directory pruning) is what this operator proves;
+      // writing unread columns only inflates the sink IO
+      .select("o_year", "o_orderstatus")
       .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(path)
     spark.read.parquet(path)
       .filter(col("o_year").isin(1996, 1997))
