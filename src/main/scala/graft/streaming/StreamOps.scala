@@ -61,6 +61,30 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_id")
 
+  /** Stream–stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour (click→purchase attribution). Both
+    * sides are watermarked and the join condition carries the time bound
+    * in BOTH directions the engine needs to size state: click state is
+    * evicted once no purchase can reach back to it, purchase rows wait at
+    * most the watermark delay. The canonical two-stream join shape —
+    * state is bounded by (interval + watermark) × key cardinality. */
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Custom sessionization with explicit state (mapGroupsWithState):
     * assigns growing session ids per user on a 30-minute gap — the
     * hand-rolled equivalent of q58, demonstrating the

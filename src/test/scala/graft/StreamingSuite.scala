@@ -122,4 +122,31 @@ class StreamingSuite extends AnyFunSuite {
     assert(perUser(1L) == 2, s"user 1 sessions: $perUser") // {0,10} and {60}
     assert(perUser(2L) == 1)
   }
+
+  test("stream-stream interval join attributes purchases to prior-hour clicks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamOps.clickPurchaseAttribution(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // user 1: click at :05 and :50; purchase at :55 → joins both.
+      // user 2: click at :00, purchase at 2h05 → outside the 1h window.
+      clicks.addData(Seq(
+        Event(11, ts(5), 1, "click", 0), Event(12, ts(50), 1, "click", 0),
+        Event(21, ts(0), 2, "click", 0)))
+      purchases.addData(Seq(
+        Event(101, ts(55), 1, "purchase", 9.5), Event(201, ts(125), 2, "purchase", 1.0)))
+      q.processAllAvailable()
+      // advance both watermarks so state can be evicted and output flushed
+      clicks.addData(Seq(Event(99, ts(600), 9, "click", 0)))
+      purchases.addData(Seq(Event(98, ts(600), 9, "purchase", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+    assert(rows.toSet == Set((101L, 11L), (101L, 12L)), rows.mkString(", "))
+  }
 }
