@@ -2,10 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: dump formatted physical plans for representative queries
-  * and grep the markers that matter at scale — PushedFilters reaching the
-  * parquet scan, pruned ReadSchema, broadcast joins on dim tables,
-  * WholeStageCodegen coverage. Run:
+/** Dev utility: dump physical plans for representative queries and grep
+  * the markers that matter at scale — PushedFilters reaching the parquet
+  * scan, pruned ReadSchema, broadcast joins on dim tables, WholeStageCodegen
+  * coverage. The query is EXECUTED first so the printed plan is the final
+  * AQE plan (the initial plan shows neither runtime join selections nor
+  * codegen ids). Run:
   *   sbt "runMain graft.PlanAudit /root/testdata/sf0.01 [queryName ...]"
   */
 object PlanAudit {
@@ -14,7 +16,8 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_scan_project_filter", "q04_join_broadcast", "q05_join_shuffle",
         "q12_agg_hash", "q20_win_topk_per_group", "q25_sort_limit_topk",
-        "q42_anon_suppress_k", "q50_dedup_minhash", "q62_dedup_embedding")
+        "q42_anon_suppress_k", "q50_dedup_minhash", "q61_dedup_ngram_jaccard",
+        "q62_dedup_embedding", "q63_ann_ivf", "q83_dedup_simhash_pairs")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -24,15 +27,25 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val qe = df.queryExecution
+      // drive THIS queryExecution's RDD (df.count() would plan a separate
+      // execution and leave this one's AQE un-finalized)
+      qe.toRdd.count()
+      val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
       println(plan)
+      val executed = qe.executedPlan.toString
+      // codegen'd operators render with a "*(n)" prefix in plan strings;
+      // distinct n = number of WholeStageCodegen spans
+      val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(executed)
+        .map(_.group(1)).toSeq.distinct.size
       val markers = Seq(
         "PushedFilters" -> plan.contains("PushedFilters: ["),
-        "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
-        "WholeStageCodegen" -> plan.contains("WholeStageCodegen"),
-        "TakeOrderedAndProject" -> plan.contains("TakeOrderedAndProject"))
+        "BroadcastHashJoin" -> executed.contains("BroadcastHashJoin"),
+        s"WholeStageCodegen spans=$codegenSpans" -> (codegenSpans > 0),
+        "TakeOrderedAndProject" -> executed.contains("TakeOrderedAndProject"))
       println("markers: " + markers.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     spark.stop()
   }
