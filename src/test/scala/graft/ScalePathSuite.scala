@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Demonstrates — with wall-clock evidence at a size where compute
+  * dominates fixed overheads — that the cell-pruned (IVF-style) near-dup
+  * plan beats the all-pairs brute force, i.e. that q63's shape is the
+  * scale path and q62's is the baseline. At bench scale (5k vectors) both
+  * run sub-second and per-stage overhead hides the asymptotics; here 24k
+  * synthetic vectors make the O(n²) pair space ~288M vs ~28.8M within
+  * cells (10× pruning), which must show up as wall-clock.
+  */
+class ScalePathSuite extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def synthetic(n: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    // deterministic pseudo-random unit-ish vectors: 64 floats from
+    // sin(id * k) — cheap, no shuffle, reproducible
+    spark.range(n.toLong).toDF("vec_id")
+      .withColumn("label", (col("vec_id") % 10).cast("int"))
+      .withColumn("embedding", expr(
+        // +1: vec_id 0 would give the all-zero vector (zero norm → ANSI
+        // divide-by-zero in the cosine)
+        "transform(sequence(1, 64), i -> cast(sin((vec_id + 1) * i * 0.37) as float))"))
+  }
+
+  test("cell-pruned near-dup beats all-pairs brute force at 24k vectors") {
+    val emb = synthetic(24000).localCheckpoint(true)
+    def pairsWithin(df: DataFrame, sameCell: Boolean): Long = {
+      val a = df.select(col("vec_id").as("id_a"), col("label").as("la"),
+        col("embedding").as("ea"),
+        sqrt(expr("graft_dot(embedding, embedding)")).as("na"))
+      val b = df.select(col("vec_id").as("id_b"), col("label").as("lb"),
+        col("embedding").as("eb"),
+        sqrt(expr("graft_dot(embedding, embedding)")).as("nb"))
+      val cos = expr("graft_dot(ea, eb)") / (col("na") * col("nb"))
+      val cond0 = col("id_a") < col("id_b") && cos >= 0.9
+      val cond = if (sameCell) col("la") === col("lb") && cond0 else cond0
+      a.join(b, cond).count()
+    }
+    // warm both plans once at a small size so codegen compile time is
+    // excluded from the comparison
+    val warm = synthetic(500).localCheckpoint(true)
+    pairsWithin(warm, sameCell = false); pairsWithin(warm, sameCell = true)
+
+    val t0 = System.nanoTime()
+    val brutePairs = pairsWithin(emb, sameCell = false)
+    val tBrute = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val cellPairs = pairsWithin(emb, sameCell = true)
+    val tCell = (System.nanoTime() - t1) / 1e9
+    info(f"brute: $tBrute%.2f s ($brutePairs pairs)  cell-pruned: $tCell%.2f s ($cellPairs pairs)")
+    // the pruned search returns a subset of the brute-force result...
+    assert(cellPairs <= brutePairs)
+    assert(cellPairs > 0) // ...and the synthetic data has same-cell matches
+    // ...and is decisively faster once compute dominates: 10× fewer pairs
+    // must yield at least 2× wall-clock even under heavy machine noise
+    assert(tCell * 2 < tBrute,
+      f"cell-pruned ($tCell%.2f s) not faster than brute ($tBrute%.2f s)")
+  }
+}
