@@ -86,6 +86,28 @@ object TimeSeries {
       .orderBy("user_id", "minute_bucket")
   }
 
+  /** q86: funnel analysis — per user, the strict click→view→purchase
+    * sequence: first click, first view after that click, first purchase
+    * after that view (µs). Every stage joins and aggregates on user_id,
+    * so at scale the whole funnel is ONE shuffle key — co-partitioned
+    * joins with no re-shuffle between stages; partial funnels kept via
+    * left joins. */
+  private def q86(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
+    val v = ev.filter(col("event_type") === "view")
+      .join(c, "user_id").filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
+    c.join(v, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .orderBy("user_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -110,5 +132,15 @@ object TimeSeries {
         "epoch_us(ts) AS ts_us, ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // " +
         s"$usPerMinute ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, minute_bucket")),
+    Q("q86_funnel", q86 _, Some(
+      "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "c AS (SELECT user_id, MIN(ts_us) AS t_click FROM ev WHERE event_type = 'click' GROUP BY user_id), " +
+        "v AS (SELECT ev.user_id, MIN(ts_us) AS t_view FROM ev JOIN c ON ev.user_id = c.user_id " +
+        "WHERE event_type = 'view' AND ts_us > t_click GROUP BY ev.user_id), " +
+        "p AS (SELECT ev.user_id, MIN(ts_us) AS t_purchase FROM ev JOIN v ON ev.user_id = v.user_id " +
+        "WHERE event_type = 'purchase' AND ts_us > t_view GROUP BY ev.user_id) " +
+        "SELECT c.user_id, t_click, t_view, t_purchase FROM c " +
+        "LEFT JOIN v ON c.user_id = v.user_id LEFT JOIN p ON c.user_id = p.user_id " +
+        "ORDER BY c.user_id")),
   )
 }

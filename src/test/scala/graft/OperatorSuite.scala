@@ -169,4 +169,20 @@ class OperatorSuite extends AnyFunSuite {
     val again = SparkEntry.queries("q85_sample_stratified")(spark, sf).collect()
     assert(sample.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
+
+  test("q86 funnel stages are strictly ordered and monotonically fewer") {
+    val rows = SparkEntry.queries("q86_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var (nC, nV, nP) = (0, 0, 0)
+    rows.foreach { r =>
+      nC += 1
+      if (!r.isNullAt(2)) { nV += 1; assert(r.getLong(2) > r.getLong(1)) }
+      if (!r.isNullAt(3)) {
+        nP += 1
+        assert(!r.isNullAt(2), "purchase stage requires view stage")
+        assert(r.getLong(3) > r.getLong(2))
+      }
+    }
+    assert(nC >= nV && nV >= nP && nP > 0)
+  }
 }
