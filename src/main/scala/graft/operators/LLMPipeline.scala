@@ -19,7 +19,6 @@ import org.apache.spark.sql.types.DecimalType
   * IS the scale path — brute force exists as the correctness baseline.
   */
 object LLMPipeline {
-  import Tables.dec
 
   /** q49: exact dedup via sha2 content hash — keep min doc_id per hash,
     * count members. groupBy(hash) = map-side combine + one shuffle. */
@@ -30,15 +29,16 @@ object LLMPipeline {
       .orderBy("keep_id")
   }
 
-  /** q50: MinHash near-dup candidates — k=8 signatures over distinct word
-    * TRIGRAM shingles (min(md5(i‖shingle))), 4 bands × 2 rows; docs
-    * sharing a band are candidate pairs. Trigram shingles (MMDS ch.3) keep
-    * signatures distinctive on a small vocabulary — unigram tokens over a
-    * ~40-word vocabulary collapse most docs into identical signatures and
-    * the band join degenerates toward the n² cross join it exists to
-    * avoid. The band equi-join replaces the O(n²) cross join. */
-  /** The MinHash candidate-pair dataflow, shared by q50 (pair listing) and
-    * q76 (component clustering). */
+  /** q50: MinHash near-dup candidates — k=8 signatures over word TRIGRAM
+    * shingles (Kirsch–Mitzenmacher composite hashes), 4 bands × 2 rows;
+    * docs sharing a band are candidate pairs. Trigram shingles (MMDS ch.3)
+    * keep signatures distinctive on a small vocabulary — unigram tokens
+    * over a ~40-word vocabulary collapse most docs into identical
+    * signatures and the band join degenerates toward the n² cross join it
+    * exists to avoid. The band equi-join replaces the O(n²) cross join.
+    *
+    * `minhashPairs` is the shared dataflow: q50 lists the pairs, q76
+    * clusters them. */
   private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // NO pre-distinct on shingles: min() is idempotent over duplicates, so
     // the signature is identical without it, and dropping it removes a

@@ -26,7 +26,6 @@ import org.apache.spark.sql.types.DecimalType
   *    big side never cross-joins.
   */
 object NearDup {
-  import Tables.dec
 
   /** In-order double fold of Σ f(a_i, b_i) — deterministic per row. */
   private def zipFold(a: Column, b: Column, f: (Column, Column) => Column): Column =
