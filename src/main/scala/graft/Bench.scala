@@ -33,7 +33,9 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render 1,234 and
+    // break the driver's JSON parse of the contractual summary line
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       // a concurrent GC cycle every 15 queries keeps old-gen debris from

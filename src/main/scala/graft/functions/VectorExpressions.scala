@@ -67,8 +67,6 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  /** Register `graft_dot` in the session's function registry (idempotent)
-    * so query code can simply `expr("graft_dot(a, b)")`. */
   /** Arity-checked builder — a wrong-arity call must fail analysis with a
     * message naming the expected signature, not an IndexOutOfBounds. */
   val builder: Seq[Expression] => Expression = { children =>
@@ -83,6 +81,8 @@ object VectorExpressions {
     FloatDot(children.head, children(1))
   }
 
+  /** Register `graft_dot` in the session's function registry (idempotent)
+    * so query code can simply `expr("graft_dot(a, b)")`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"),

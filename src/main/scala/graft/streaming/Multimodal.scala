@@ -66,8 +66,13 @@ object Multimodal {
     if (starts(PngSig) && payload.length >= 24 &&
         starts("IHDR".getBytes("US-ASCII"), 12))
       (beInt(payload, 16), beInt(payload, 20))
-    else if (starts("BM".getBytes("US-ASCII")) && payload.length >= 26)
-      (leInt(payload, 18), leInt(payload, 22))
+    else if (starts("BM".getBytes("US-ASCII")) && payload.length >= 26 &&
+        // accept only DIB headers that place width/height at 18/22
+        // (BITMAPINFOHEADER and the V4/V5 extensions) — an OS/2
+        // BITMAPCOREHEADER stores 16-bit dims at 18/20 and would parse
+        // as garbage; height is negative for top-down rows
+        Set(40, 52, 56, 108, 124).contains(leInt(payload, 14)))
+      (leInt(payload, 18), math.abs(leInt(payload, 22)))
     else if (starts("RIFF".getBytes("US-ASCII")) && payload.length >= 28 &&
         starts("WAVE".getBytes("US-ASCII"), 8) &&
         starts("fmt ".getBytes("US-ASCII"), 12))
@@ -97,7 +102,13 @@ object Multimodal {
         if (payload == null) Row(id, null, mime, null, null, null, null)
         else {
           val (w, h) =
-            if (useRealDecoder) decodeReal(payload, mime) else decodeFake(payload)
+            if (useRealDecoder)
+              // unrecognized/truncated payloads degrade to the
+              // deterministic fake instead of failing the task — one bad
+              // payload must not abort a 100 TB decode job
+              try decodeReal(payload, mime)
+              catch { case _: IllegalArgumentException => decodeFake(payload) }
+            else decodeFake(payload)
           val mean =
             if (payload.isEmpty) 0.0
             else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length

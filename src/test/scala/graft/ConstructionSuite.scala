@@ -35,8 +35,18 @@ class ConstructionSuite extends AnyFunSuite {
         fn(spark, sf) // build only — no action
         spark.sparkContext.clearJobGroup()
       }
-      // listener bus is async; give it a moment to drain
-      Thread.sleep(2000)
+      // the listener bus is async and FIFO: run a sentinel job AFTER all
+      // constructions and poll until its event arrives — every earlier
+      // JobStart is then guaranteed delivered (a fixed sleep would be
+      // fail-open under load)
+      spark.sparkContext.setJobGroup("construct-__sentinel__", "drain")
+      spark.range(1).count()
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!jobSites.contains("construct-__sentinel__") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(jobSites.contains("construct-__sentinel__"), "listener bus failed to drain in 30 s")
+      jobSites.remove("construct-__sentinel__")
       // Legitimate construction-time jobs: parquet/csv/json/orc schema
       // inference and the sink-roundtrip writes (the sink IS those
       // operators), plus eager localCheckpoint materializations in the
