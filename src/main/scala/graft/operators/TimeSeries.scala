@@ -108,6 +108,33 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  private val usPerDay = 86400000000L
+
+  /** q87: time-series gap-filling + forward fill — per user, a dense
+    * daily-bucket grid over that user's own [first, last] activity span:
+    * missing days get cnt=0 and carry the last seen daily total forward.
+    * The grid explodes bounded rows (#users × span-days), the fill is one
+    * window over the user-partitioned grid — the standard distributed
+    * gap-fill plan (no driver-side calendar, no cross join against a
+    * global date dimension). */
+  private def q87(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Tables(spark, sfDir, "events")
+      .withColumn("db", expr(s"(ts DIV 1000) DIV $usPerDay"))
+      .groupBy("user_id", "db")
+      .agg(count(lit(1)).as("cnt"),
+        Tables.r6(sum(dec(col("value"))).cast("double")).as("day_value"))
+    val grid = agg.groupBy("user_id")
+      .agg(min(col("db")).as("h0"), max(col("db")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("db"))
+    val wFill = Window.partitionBy("user_id").orderBy("db")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(agg, Seq("user_id", "db"), "left")
+      .select(col("user_id"), col("db"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        last(col("day_value"), ignoreNulls = true).over(wFill).as("filled_value"))
+      .orderBy("user_id", "db")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -142,5 +169,16 @@ object TimeSeries {
         "SELECT c.user_id, t_click, t_view, t_purchase FROM c " +
         "LEFT JOIN v ON c.user_id = v.user_id LEFT JOIN p ON c.user_id = p.user_id " +
         "ORDER BY c.user_id")),
+    Q("q87_gapfill", q87 _, Some(
+      s"WITH agg AS (SELECT user_id, epoch_us(ts) // $usPerDay AS db, COUNT(*) AS cnt, " +
+        Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS day_value " +
+        "FROM events GROUP BY 1, 2), " +
+        "span AS (SELECT user_id, MIN(db) AS h0, MAX(db) AS h1 FROM agg GROUP BY user_id), " +
+        "grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS db FROM span) " +
+        "SELECT g.user_id, g.db, COALESCE(a.cnt, 0) AS cnt, " +
+        "last_value(a.day_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.db " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
+        "FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.db = a.db " +
+        "ORDER BY g.user_id, g.db")),
   )
 }

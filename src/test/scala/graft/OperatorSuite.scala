@@ -185,4 +185,24 @@ class OperatorSuite extends AnyFunSuite {
     }
     assert(nC >= nV && nV >= nP && nP > 0)
   }
+
+  test("q87 gapfill: dense per-user grid, zeros on gaps, forward fill holds") {
+    val rows = SparkEntry.queries("q87_gapfill")(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      val days = rs.map(_.getLong(1)).sorted
+      assert(days.head.to(days.last) == days.toSeq.map(identity), "grid must be dense")
+      // first bucket of each span is an observed day (span starts at
+      // first activity) so filled_value is defined from row one onward
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getAs[Long]("cnt") > 0)
+      sorted.foreach(r => assert(!r.isNullAt(3)))
+      // zero-count days must repeat the previous filled value
+      sorted.sliding(2).foreach {
+        case Array(a, b) if b.getAs[Long]("cnt") == 0L =>
+          assert(b.getAs[Double]("filled_value") == a.getAs[Double]("filled_value"))
+        case _ => ()
+      }
+    }
+  }
 }
