@@ -155,7 +155,8 @@ class FunctionsSuite extends AnyFunSuite {
   test("determinism double-run: representative queries byte-identical") {
     for (name <- Seq("q05_join_shuffle", "q12_agg_hash", "q44_anon_entropy_ldiv",
         "q50_dedup_minhash", "q60_dedup_simhash", "q63_ann_ivf",
-        "q76_dedup_components", "q80_anon_tcloseness")) {
+        "q76_dedup_components", "q80_anon_tcloseness",
+        "q83_dedup_simhash_pairs", "q85_sample_stratified", "q87_gapfill")) {
       val a = SparkEntry.queries(name)(spark, TestSpark.sfDir).collect().toSeq
       val b = SparkEntry.queries(name)(spark, TestSpark.sfDir).collect().toSeq
       assert(a == b, s"$name differs between runs")
