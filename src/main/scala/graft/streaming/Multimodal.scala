@@ -118,6 +118,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema appended by [[resizeFeatures]]. */
+  val resizeSchema: StructType = StructType(featureSchema.fields ++ Seq(
+    StructField("out_width", IntegerType, nullable = true),
+    StructField("out_height", IntegerType, nullable = true),
+    StructField("thumb", BinaryType, nullable = true)))
+
+  /** Resize transform over decoded features: computes aspect-preserving
+    * output dimensions (fit inside maxW×maxH, never upscale) and emits a
+    * deterministic byte-subsampled thumbnail payload. The dimension math
+    * and the partition-batched execution shape are the real operator; a
+    * pixel-accurate scaler would replace ONLY the byte-subsampling step
+    * when an image library exists. Narrow transform — payloads never
+    * shuffle. */
+  def resizeFeatures(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(resizeSchema)
+    features.mapPartitions { rows =>
+      rows.map { r =>
+        val base = Row.fromSeq(r.toSeq)
+        if (r.isNullAt(1)) Row.fromSeq(base.toSeq ++ Seq(null, null, null))
+        else {
+          val payload = r.getAs[Array[Byte]](1)
+          // positional access — mapPartitions rows carry no schema
+          val w = r.getInt(4); val h = r.getInt(5)
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          // deterministic thumbnail: every k-th byte so thumb size tracks
+          // the area ratio — stands in for the pixel scaler offline
+          val k = math.max(1, (payload.length.toLong * ow * oh / math.max(1L, w.toLong * h)).toInt)
+          val stride = math.max(1, payload.length / math.max(1, k))
+          val thumb = payload.indices.by(stride).map(payload).toArray
+          Row.fromSeq(base.toSeq ++ Seq(ow, oh, thumb))
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for a video-like payload: treat the payload as
+    * `frameCount` equal byte chunks and emit every `every`-th chunk as
+    * (media_id, frame_idx, frame_bytes) rows — the explode shape a real
+    * container demuxer would feed. One input row → ≤ frameCount/every
+    * output rows; still a narrow transform. */
+  def sampleFrames(media: DataFrame, frameCount: Int, every: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(1)) Iterator.empty
+        else {
+          val payload = r.getAs[Array[Byte]](1)
+          val id = r.getLong(0)
+          val chunk = math.max(1, payload.length / math.max(1, frameCount))
+          (0 until frameCount by every).iterator
+            .map { i =>
+              val from = i * chunk
+              val until = math.min(payload.length, from + chunk)
+              Row(id, i, if (from >= payload.length) Array.emptyByteArray
+                else java.util.Arrays.copyOfRange(payload, from, until))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Build a media DataFrame from the documents table (text bytes stand in
     * for payloads offline). */
   def fromDocuments(docs: DataFrame): DataFrame =

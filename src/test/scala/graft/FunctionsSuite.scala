@@ -117,6 +117,35 @@ class FunctionsSuite extends AnyFunSuite {
     }
   }
 
+  test("resizeFeatures: aspect-preserving fit, no upscale, thumb tracks area") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(pngBytes(640, 480)), Some("image/png")),
+      (2L, Some(pngBytes(32, 16)), Some("image/png")))
+      .toDF("media_id", "payload", "mime")
+    val feats = Multimodal.decodeFeatures(df, useRealDecoder = true)
+    val out = Multimodal.resizeFeatures(feats, 100, 100).orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("out_width") == 100 && out(0).getAs[Int]("out_height") == 75)
+    // small image is NOT upscaled
+    assert(out(1).getAs[Int]("out_width") == 32 && out(1).getAs[Int]("out_height") == 16)
+    assert(out(0).getAs[Array[Byte]]("thumb").nonEmpty)
+  }
+
+  test("sampleFrames: every-nth chunk with stable indices; null payload drops") {
+    import spark.implicits._
+    val payload = Array.tabulate(1000)(_.toByte)
+    val df = Seq((7L, Some(payload), Some("video/raw")),
+      (8L, Option.empty[Array[Byte]], Some("video/raw")))
+      .toDF("media_id", "payload", "mime")
+    val rows = Multimodal.sampleFrames(df, frameCount = 10, every = 3)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(rows.map(_.getLong(0)).forall(_ == 7L))
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 3, 6, 9))
+    // chunks are the right slices: frame 3 starts at byte 300
+    assert(rows(1).getAs[Array[Byte]]("frame")(0) == 300.toByte)
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length == 100))
+  }
+
   test("decodeFeatures with the real decoder extracts true dimensions") {
     import spark.implicits._
     val df = Seq(
