@@ -123,6 +123,30 @@ object Joins {
       .orderBy("id_a", "id_b")
   }
 
+  /** q88: bucketed co-located join — both sides written `bucketBy` on the
+    * join key, then joined WITHOUT a join-side shuffle (the bucketed scan
+    * already satisfies the join's required distribution; ScaleJoinsSuite
+    * asserts the exchange-free plan). This is the layout that carries a
+    * fact table joined on the same key daily at 100 TB: pay the shuffle
+    * once at write time, never again. Output is layout-independent, so
+    * the oracle is the plain join on the original parquet. */
+  private def q88(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$tag"
+    Tables(spark, sfDir, "orders").write.mode("overwrite")
+      .format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders_b").saveAsTable("graft_orders_b")
+    Tables(spark, sfDir, "customer").write.mode("overwrite")
+      .format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer_b").saveAsTable("graft_customer_b")
+    spark.table("graft_orders_b")
+      .join(spark.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.r6(sum(dec(col("o_totalprice"))).cast("double")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q04_join_broadcast", q04 _, Some(
       "SELECT r_name, COUNT(*) AS cnt FROM customer " +
@@ -155,6 +179,11 @@ object Joins {
         "PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_us FROM events) " +
         "WHERE event_type = 'purchase' ORDER BY event_id")),
+    Q("q88_join_bucketed", q88 _, Some(
+      "SELECT c_mktsegment, COUNT(*) AS n_orders, " +
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
     Q("q11_join_cross_topk", q11 _, Some(
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         Tables.r6sql("list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))") + " AS dot " +

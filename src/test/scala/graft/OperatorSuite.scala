@@ -186,6 +186,18 @@ class OperatorSuite extends AnyFunSuite {
     assert(nC >= nV && nV >= nP && nP > 0)
   }
 
+  test("q88 bucketed join equals the plain join on original tables") {
+    import org.apache.spark.sql.functions._
+    val bucketed = SparkEntry.queries("q88_join_bucketed")(spark, sf).collect()
+    val plain = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.r6(sum(Tables.dec(col("o_totalprice"))).cast("double")).as("revenue"))
+      .orderBy("c_mktsegment").collect()
+    assert(bucketed.toSeq == plain.toSeq)
+  }
+
   test("q87 gapfill: dense per-user grid, zeros on gaps, forward fill holds") {
     val rows = SparkEntry.queries("q87_gapfill")(spark, sf).collect()
     val byUser = rows.groupBy(_.getLong(0))
