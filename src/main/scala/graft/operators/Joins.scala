@@ -133,10 +133,14 @@ object Joins {
   private def q88(spark: SparkSession, sfDir: String): DataFrame = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$tag"
-    Tables(spark, sfDir, "orders").write.mode("overwrite")
+    // project to the join/agg columns before the bucketed write — the
+    // layout is what this operator proves; unread columns only add sink IO
+    Tables(spark, sfDir, "orders").select("o_custkey", "o_totalprice")
+      .write.mode("overwrite")
       .format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .option("path", s"$base/orders_b").saveAsTable("graft_orders_b")
-    Tables(spark, sfDir, "customer").write.mode("overwrite")
+    Tables(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite")
       .format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
       .option("path", s"$base/customer_b").saveAsTable("graft_customer_b")
     spark.table("graft_orders_b")
