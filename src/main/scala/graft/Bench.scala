@@ -8,11 +8,18 @@ import java.nio.file.{Files, Paths}
   * Output contract (driver-parseable): per-query timings stream as short
   * one-line JSON records while running; the machine-readable summary
   * `{"metric":"total",...}` is the FINAL stdout line, printed after
-  * `spark.stop()` with timings trimmed to 3 dp so the line stays small and
-  * nothing (not even shutdown logging) can interleave after it. The same
-  * summary is also written to `SPARK_GRAFT_BENCH_OUT` (default
-  * `bench_result.json` in the working dir) so a truncated stdout capture
-  * still leaves a readable artifact.
+  * `spark.stop()` so nothing (not even shutdown logging) can interleave
+  * after it. The final line carries the total ONLY — no per-query dict:
+  * the driver captures a ~4 KB stdout tail, and an 88-entry dict pushed
+  * the line past that window two rounds running (`parsed: null`). The
+  * full summary INCLUDING the per-query dict is written to
+  * `SPARK_GRAFT_BENCH_OUT` (default `bench_result.json` in the working
+  * dir), so no information is lost to the truncation.
+  *
+  * `value` is the sum of the full-precision per-query timings rounded
+  * once at the end; the independently-trimmed per-query entries may sum
+  * to a value differing in the last digit (~0.0005 s/query) — the total
+  * is the authoritative number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,15 +65,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val summary =
+    val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
-    try Files.writeString(Paths.get(outPath), summary + "\n")
+    try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     // the summary is the LAST line on stdout — after spark.stop() so no
-    // shutdown logging can follow or interleave with it
-    println(summary)
+    // shutdown logging can follow or interleave with it; total-only so the
+    // whole line fits any tail capture (per-query detail: the streamed
+    // lines above + the full copy in bench_result.json)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -131,20 +131,31 @@ object Joins {
     * once at write time, never again. Output is layout-independent, so
     * the oracle is the plain join on the original parquet. */
   private def q88(spark: SparkSession, sfDir: String): DataFrame = {
+    // the sfDir tag is part of the CATALOG NAME, not only the path:
+    // fixed names let two scale factors (or two sessions on one
+    // metastore) clobber each other's tables mid-query. Re-invocations
+    // for the same sfDir reuse the existing layout instead of re-paying
+    // the bucketed write — which is the whole point of the operator
+    // (pay the shuffle once at write time). First invocation per sfDir
+    // still includes the write in its bench time; documented.
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed$tag"
+    val ordersT = s"graft_orders_b$tag"
+    val custT = s"graft_customer_b$tag"
     // project to the join/agg columns before the bucketed write — the
     // layout is what this operator proves; unread columns only add sink IO
-    Tables(spark, sfDir, "orders").select("o_custkey", "o_totalprice")
-      .write.mode("overwrite")
-      .format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$base/orders_b").saveAsTable("graft_orders_b")
-    Tables(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
-      .write.mode("overwrite")
-      .format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$base/customer_b").saveAsTable("graft_customer_b")
-    spark.table("graft_orders_b")
-      .join(spark.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+    if (!spark.catalog.tableExists(ordersT))
+      Tables(spark, sfDir, "orders").select("o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders_b").saveAsTable(ordersT)
+    if (!spark.catalog.tableExists(custT))
+      Tables(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer_b").saveAsTable(custT)
+    spark.table(ordersT)
+      .join(spark.table(custT), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
         Tables.r6(sum(dec(col("o_totalprice"))).cast("double")).as("revenue"))

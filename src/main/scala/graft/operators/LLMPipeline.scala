@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -54,7 +54,34 @@ object LLMPipeline {
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("token"))
-    val base = toks.select(col("doc_id"),
+    // df-cap (NearDup.MaxShingleDf): shingles in > 10% of documents are
+    // dropped BEFORE signatures — a ubiquitous shingle otherwise drags
+    // every signature toward the same minima and the band join degenerates
+    // toward n². The cap is on the token STRING, pre-hash (no collision
+    // semantics), and two scale properties keep it nearly free:
+    //  - exact document frequency needs NO distinct over the (doc,
+    //    shingle) pair space: `array_distinct` dedups per-doc INSIDE the
+    //    row (narrow), so the explode emits doc-distinct tokens and a
+    //    map-side-combined groupBy(token) counts docs directly — cheap
+    //    string ops only, no md5 on this pass;
+    //  - the hot set is tiny at any scale (≤ shingles-per-doc/MaxShingleDf
+    //    entries by a counting bound), so the cap on the main path is a
+    //    broadcast ANTI-join — the exploded signature path never shuffles.
+    // ndocs is a broadcast 1-row aggregate, not a driver count. The cap
+    // never binds on the benchmark corpus — see the constant's doc.
+    val ndocs = Tables(spark, sfDir, "documents")
+      .agg(count(lit(1)).cast("double").as("nd"))
+    val hot = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("df") > col("nd") * lit(NearDup.MaxShingleDf))
+      .select("token")
+    val capped = toks.join(broadcast(hot), Seq("token"), "left_anti")
+    val base = capped.select(col("doc_id"),
       expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)").as("h1"),
       expr("cast(conv(substring(md5(token), 9, 8), 16, 10) as bigint)").as("h2"))
     val sigCols = (0 until 8).map(i =>
@@ -89,8 +116,11 @@ object LLMPipeline {
     "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
       "toks AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1), i -> " +
       "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS token FROM split), " +
+      "hot AS (SELECT token FROM (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token) " +
+      s"WHERE df > ${NearDup.maxShingleDfSql} * (SELECT COUNT(*) FROM documents)), " +
+      "capped AS (SELECT * FROM toks WHERE token NOT IN (SELECT token FROM hot)), " +
       "base AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h1, " +
-      "CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h2 FROM toks), " +
+      "CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h2 FROM capped), " +
       "sigs AS (SELECT doc_id, " +
       (0 until 8).map(i => s"MIN((h1 + $i * h2) % 1000000007) AS s$i").mkString(", ") +
       " FROM base GROUP BY doc_id), " +
@@ -160,12 +190,19 @@ object LLMPipeline {
   /** q51: brute-force cosine top-5 per probe (vec_id < 10). Rank on the
     * 6-dp-rounded cosine with vec_id tiebreak so both engines pick
     * identical neighbors even when raw doubles differ in the last ulp. */
-  private def q51(spark: SparkSession, sfDir: String): DataFrame = {
+  private def q51(spark: SparkSession, sfDir: String): DataFrame =
+    bruteTopK(spark, Tables(spark, sfDir, "embeddings"), col("vec_id") < 10, topK = 5)
+
+  /** The q51 dataflow, parameterized — the exact brute-force baseline
+    * ScalePathSuite times NearDup.ivfTopK against. Probe side (rows
+    * matching `probePred`) is broadcast; the big side streams once with
+    * no shuffle until the top-k window. */
+  private[graft] def bruteTopK(spark: SparkSession, emb: DataFrame,
+      probePred: Column, topK: Int): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val emb = Tables(spark, sfDir, "embeddings")
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-      sqrt(dotCol("embedding", "embedding")).as("na"))
-      .filter(col("id_a") < 10)
+    val a = emb.filter(probePred)
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        sqrt(dotCol("embedding", "embedding")).as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
       sqrt(dotCol("embedding", "embedding")).as("nb"))
     val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
@@ -173,7 +210,7 @@ object LLMPipeline {
       .select(col("id_a"), col("id_b"),
         Tables.r6(dotCol("ea", "eb") / (col("na") * col("nb"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= topK)
       .orderBy("id_a", "rn")
   }
 

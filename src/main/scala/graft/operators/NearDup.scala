@@ -27,6 +27,20 @@ import org.apache.spark.sql.types.DecimalType
   */
 object NearDup {
 
+  /** Document-frequency cap for shingle-based near-dup (q50/q61): shingles
+    * present in more than this fraction of ALL documents are dropped
+    * before the inverted-index / band joins. A shingle in f·N docs alone
+    * contributes (f·N)²/2 candidate pairs — on natural-language corpora a
+    * boilerplate phrase ("all rights reserved") turns the equi-join into
+    * the n² blow-up it exists to avoid. 10% never binds on the benchmark
+    * corpus (max observed df: 1.4% at sf0.01, 0.5% at sf0.1 — results are
+    * unchanged) but bounds the candidate volume under real-world skew;
+    * ShingleCapSuite proves the bound on a synthetic hot-shingle corpus.
+    * The oracle SQL applies the identical cap, so the capped shingle
+    * universe IS the operator's semantics, verified end-to-end. */
+  private[graft] val MaxShingleDf = 0.10
+  private[graft] val maxShingleDfSql = "0.1"
+
   /** In-order double fold of Σ f(a_i, b_i) — deterministic per row. */
   private def zipFold(a: Column, b: Column, f: (Column, Column) => Column): Column =
     aggregate(zip_with(a, b, f), lit(0.0), (acc, x) => acc + x)
@@ -115,7 +129,29 @@ object NearDup {
     // (sizes + both self-join sides), so ReuseExchange materializes it
     // once — no explicit checkpoint needed (one was measured at +0.5 s of
     // pure overhead on a single-shot run).
-    val hashed = tg.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    // df-cap (MaxShingleDf): drop shingles present in > 10% of documents
+    // before the inverted-index join — the skew guard; see the constant's
+    // doc. The cap is on the shingle STRING, pre-hash (no collision
+    // semantics in the cap itself). Exact df WITHOUT a pair-space
+    // distinct: array_distinct dedups per-doc inside the row (narrow), so
+    // a map-side-combined groupBy(g) counts docs directly; the hot set is
+    // tiny by a counting bound, so the main path takes it as a broadcast
+    // ANTI-join — still narrow at that point, the shared distinct
+    // Exchange below stays the only pair-space shuffle. ndocs is a
+    // broadcast 1-row aggregate, not a driver count.
+    val ndocs = Tables(spark, sfDir, "documents")
+      .agg(count(lit(1)).cast("double").as("nd"))
+    val hot = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("df") > col("nd") * lit(MaxShingleDf))
+      .select("g")
+    val hashed = tg.join(broadcast(hot), Seq("g"), "left_anti")
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .distinct()
     val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = hashed.toDF("ia", "gh").join(hashed.toDF("ib", "gh"), "gh")
@@ -157,9 +193,18 @@ object NearDup {
   /** q63: IVF-style ANN — label-cell centroids as the coarse quantizer
     * (exact DECIMAL mean per position → r6 double), probes scan only
     * their nprobe=2 nearest cells, exact cosine top-3 inside. */
-  private def q63(spark: SparkSession, sfDir: String): DataFrame = {
+  private def q63(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopK(spark, Tables(spark, sfDir, "embeddings"), col("vec_id") < 10,
+      nProbe = 2, topK = 3)
+
+  /** The q63 dataflow, parameterized — `emb` must carry (vec_id, label,
+    * embedding); probes are the rows matching `probePred`. This exact
+    * function is both the verified q63 query AND the plan ScalePathSuite
+    * times against brute force at 24k vectors — the crossover evidence
+    * measures the production code path, not a re-implementation. */
+  private[graft] def ivfTopK(spark: SparkSession, emb: DataFrame,
+      probePred: Column, nProbe: Int, topK: Int): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val emb = Tables(spark, sfDir, "embeddings")
     // per-(label, position) centroid from exact decimal sums. This is the
     // plain posexplode→groupBy→collect formulation on purpose: a
     // flat-64-sums/arrays-of-expressions variant was measured 2× slower on
@@ -173,17 +218,17 @@ object NearDup {
       .agg(Tables.r6(sum(col("v")).cast("double") / count(lit(1))).as("c"))
     val centArr = cent.groupBy("label")
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("ca"))
-    val probes = emb.filter(col("vec_id") < 10)
+    val probes = emb.filter(probePred)
       .select(col("vec_id").as("id_p"), col("embedding").as("ep"),
         sqrt(dotCol("embedding", "embedding")).as("np"))
-    // nprobe=2 nearest cells by squared L2 (in-order fold, r6)
+    // nProbe nearest cells by squared L2 (in-order fold, r6)
     val wCell = Window.partitionBy("id_p").orderBy(col("d2"), col("label"))
-    val cells = broadcast(probes).crossJoin(broadcast(centArr))
+    val cells = probes.crossJoin(broadcast(centArr))
       .select(col("id_p"), col("ep"), col("np"), col("label"),
         Tables.r6(zipFold(col("ep"), col("ca"),
           (x, y) => (x.cast("double") - y) * (x.cast("double") - y))).as("d2"))
       .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= 2)
+      .filter(col("cr") <= nProbe)
       .select("id_p", "ep", "np", "label")
     // exact cosine only inside the selected cells (equi-join on label)
     val cand = emb.select(col("vec_id").as("id_c"), col("label"), col("embedding").as("ec"),
@@ -194,7 +239,7 @@ object NearDup {
       .select(col("id_p"), col("id_c"),
         Tables.r6(dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos"))
       .withColumn("rn", row_number().over(wTop).cast("bigint"))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= topK)
       .orderBy("id_p", "rn")
   }
 
@@ -214,9 +259,12 @@ object NearDup {
         "tg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
         "unnest(list_transform(range(1, len(ts) - 1), i -> " +
         "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS g FROM split)), " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY doc_id), " +
+        "hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM tg GROUP BY g) " +
+        s"WHERE df > $maxShingleDfSql * (SELECT COUNT(*) FROM documents)), " +
+        "kept AS (SELECT doc_id, g FROM tg WHERE g NOT IN (SELECT g FROM hot)), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id), " +
         "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
-        "FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT ia, ib, inter, " +
         Tables.r6sql("inter / (sa.n + sb.n - inter)") + " AS jaccard " +
         "FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +

@@ -61,6 +61,23 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_id")
 
+  /** EXACTLY q59's batch semantics on the incremental engine: the latest
+    * event (max by (ts, event_id)) per (user_id, minute bucket), emitted
+    * once the watermark closes the minute. `dropDuplicates` can't express
+    * "latest" (it keeps the FIRST arrival); a windowed `max_by` can — and
+    * in append mode the row that emerges per closed window is the same
+    * row q59's row_number window picks in batch, which StreamingSuite
+    * asserts on the real `events` table rows (§5.5 batch≡stream parity). */
+  def latestPerMinute(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("window.start").as("minute_start"),
+        col("last.event_id").as("event_id"), col("last.ts").as("ts"))
+
   /** Stream–stream interval join: each purchase joins the same user's
     * clicks from the preceding hour (click→purchase attribution). Both
     * sides are watermarked and the join condition carries the time bound

@@ -21,8 +21,12 @@ class ConstructionSuite extends AnyFunSuite {
     val jobSites = TrieMap.empty[String, List[String]]
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val g = Option(js.properties.getProperty("spark.jobGroup.id")).getOrElse("")
-        val site = Option(js.properties.getProperty("callSite.short")).getOrElse("?")
+        // properties itself can be null for jobs submitted without local
+        // properties; an NPE here would be swallowed by the listener bus
+        // and surface as an opaque 30 s drain timeout
+        val props = Option(js.properties)
+        val g = props.flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        val site = props.flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
         if (g.startsWith("construct-")) jobSites.updateWith(g) {
           case Some(xs) => Some(site :: xs); case None => Some(List(site))
         }

@@ -3,7 +3,7 @@ package graft
 import graft.plans.ScaleJoins
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -72,6 +72,85 @@ class ScaleJoinsSuite extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected)
+  }
+
+  test("AQE splits the skewed partition of a q05-style fact join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // SURVEY §7.5's skew recipe, executing: a fact side where 90% of rows
+    // share one key must trigger AQE's OptimizeSkewedJoin (thresholds
+    // scaled down to test size), and the salted fallback must agree
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // the skewed partition carries one highly-compressible key — shuffle
+      // bytes land far below production defaults, so scale the detection
+      // thresholds down with the data
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("k"),
+          concat(lit("x"), col("id").cast("string"), lit("padpadpadpadpadpad")).as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("rk"),
+        concat(lit("dim"), col("id").cast("string")).as("name"))
+      // payload flows THROUGH the join so the skewed partition has real
+      // row weight (an agg-only output would prune it at the scan)
+      val joined = left.join(right, col("k") === col("rk"))
+        .groupBy("name").agg(count(lit(1)).as("cnt"), max(length(col("payload"))).as("w"))
+      joined.collect() // execute so AQE finalizes the plan
+      // QueryStageExec nodes are leaves — descend into their plans
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val inner = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: inner.flatMap(allNodes)
+      }
+      val smjs = allNodes(joined.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, "expected a sort-merge join:\n" +
+        joined.queryExecution.executedPlan.toString)
+      assert(smjs.exists(_.isSkewJoin), "AQE did not mark the join skew-split:\n" +
+        joined.queryExecution.executedPlan.toString)
+      // and the explicit salted fallback computes identical rows
+      val plain = left.join(right, col("k") === col("rk"))
+        .select("k", "payload", "name").collect().toSet
+      val salted = ScaleJoins.saltedJoin(left, right, col("k"), col("rk"), 8)
+        .select("k", "payload", "name").collect().toSet
+      assert(salted == plain && plain.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q88's sfDir-tagged catalog names let two scale factors interleave") {
+    val q88 = SparkEntry.queries("q88_join_bucketed")
+    def expected(sfDir: String) = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.r6(sum(Tables.dec(col("o_totalprice"))).cast("double")).as("revenue"))
+      .orderBy("c_mktsegment").collect().toSeq
+    val sfA = TestSpark.sfDir
+    val sfB = "/root/testdata/sf0.01"
+    val expA = expected(sfA)
+    val expB = expected(sfB)
+    // interleaved invocations: A, B, then A again — with untagged catalog
+    // names the B run would clobber A's tables and the second A run would
+    // silently aggregate B's data
+    assert(q88(spark, sfA).collect().toSeq == expA)
+    assert(q88(spark, sfB).collect().toSeq == expB)
+    assert(q88(spark, sfA).collect().toSeq == expA)
+    assert(expA != expB, "test needs distinguishable scale factors")
   }
 
   test("graft_dot is installable via SparkSessionExtensions") {

@@ -1,19 +1,30 @@
 package graft
 
+import graft.operators.{LLMPipeline, NearDup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Demonstrates — with wall-clock evidence at a size where compute
-  * dominates fixed overheads — that the cell-pruned (IVF-style) near-dup
-  * plan beats the all-pairs brute force, i.e. that q63's shape is the
-  * scale path and q62's is the baseline. At bench scale (5k vectors) both
-  * run sub-second and per-stage overhead hides the asymptotics; here 24k
-  * synthetic vectors make the O(n²) pair space ~288M vs ~28.8M within
-  * cells (10× pruning), which must show up as wall-clock.
+  * dominates fixed overheads — that the cell-pruned (IVF-style) ANN plan
+  * beats all-pairs brute force, i.e. that q63's shape is the scale path
+  * and q51/q62's is the baseline. Both sides of the comparison are the
+  * PRODUCTION code paths (`NearDup.ivfTopK`, `LLMPipeline.bruteTopK`) —
+  * the same functions the verified q63/q51 queries call — not a
+  * re-implementation. At bench scale (5k vectors) both run sub-second and
+  * per-stage overhead hides the asymptotics; here 24k synthetic vectors ×
+  * 1k probes make the brute pair space 24M vs 4.8M within nprobe=2 of 10
+  * cells (5× pruning), which must show up as wall-clock.
+  *
+  * The wall-clock assertion is gated on GRAFT_BENCH_CLASS=1 rather than
+  * CPU count: a loaded many-core CI host would auto-enable it and flake
+  * under contention (BASELINE.md records ±20% noise on the bench box).
+  * The correctness assertions — pruned results exist, are ranked, and
+  * never beat the exact ranks — run unconditionally at a reduced size.
   */
 class ScalePathSuite extends AnyFunSuite {
   private val spark = TestSpark.spark
+  private val benchClass = sys.env.get("GRAFT_BENCH_CLASS").contains("1")
 
   private def synthetic(n: Int): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
@@ -27,45 +38,46 @@ class ScalePathSuite extends AnyFunSuite {
         "transform(sequence(1, 64), i -> cast(sin((vec_id + 1) * i * 0.37) as float))"))
   }
 
-  // full size only on bench-class machines: the brute-force side is
-  // ~288M 64-float dot products, sized for the 32-core bench host; on a
-  // small dev box run a reduced size and skip the wall-clock assertion
-  // (the subset relation still proves correctness of the pruning)
-  private val benchClass = Runtime.getRuntime.availableProcessors >= 16
+  test("production ivfTopK beats production bruteTopK at scale") {
+    val n = if (benchClass) 24000 else 6000
+    val nProbes = if (benchClass) 1000 else 200
+    val k = 3
+    val emb = synthetic(n).localCheckpoint(true)
+    val probePred = col("vec_id") < nProbes
 
-  test("cell-pruned near-dup beats all-pairs brute force at scale") {
-    val emb = synthetic(if (benchClass) 24000 else 6000).localCheckpoint(true)
-    def pairsWithin(df: DataFrame, sameCell: Boolean): Long = {
-      val a = df.select(col("vec_id").as("id_a"), col("label").as("la"),
-        col("embedding").as("ea"),
-        sqrt(expr("graft_dot(embedding, embedding)")).as("na"))
-      val b = df.select(col("vec_id").as("id_b"), col("label").as("lb"),
-        col("embedding").as("eb"),
-        sqrt(expr("graft_dot(embedding, embedding)")).as("nb"))
-      val cos = expr("graft_dot(ea, eb)") / (col("na") * col("nb"))
-      val cond0 = col("id_a") < col("id_b") && cos >= 0.9
-      val cond = if (sameCell) col("la") === col("lb") && cond0 else cond0
-      a.join(b, cond).count()
-    }
     // warm both plans once at a small size so codegen compile time is
     // excluded from the comparison
     val warm = synthetic(500).localCheckpoint(true)
-    pairsWithin(warm, sameCell = false); pairsWithin(warm, sameCell = true)
+    NearDup.ivfTopK(spark, warm, col("vec_id") < 20, nProbe = 2, topK = k).count()
+    LLMPipeline.bruteTopK(spark, warm, col("vec_id") < 20, topK = k).count()
 
     val t0 = System.nanoTime()
-    val brutePairs = pairsWithin(emb, sameCell = false)
+    val brute = LLMPipeline.bruteTopK(spark, emb, probePred, topK = k).collect()
     val tBrute = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val cellPairs = pairsWithin(emb, sameCell = true)
+    val ivf = NearDup.ivfTopK(spark, emb, probePred, nProbe = 2, topK = k).collect()
     val tCell = (System.nanoTime() - t1) / 1e9
-    info(f"brute: $tBrute%.2f s ($brutePairs pairs)  cell-pruned: $tCell%.2f s ($cellPairs pairs)")
-    // the pruned search returns a subset of the brute-force result...
-    assert(cellPairs <= brutePairs)
-    assert(cellPairs > 0) // ...and the synthetic data has same-cell matches
-    // ...and is decisively faster once compute dominates: 10× fewer pairs
-    // must yield at least 2× wall-clock even under heavy machine noise
+    info(f"brute: $tBrute%.2f s (${brute.length} rows)  ivf: $tCell%.2f s (${ivf.length} rows)")
+
+    // every probe answered with a full ranked top-k (each cell holds n/10
+    // vectors, far more than k)
+    val ivfByProbe = ivf.groupBy(_.getLong(0))
+    val bruteByProbe = brute.groupBy(_.getLong(0))
+    assert(ivfByProbe.size == nProbes && bruteByProbe.size == nProbes)
+    ivfByProbe.foreach { case (p, rows) =>
+      val cosines = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(cosines.length == k)
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, s"probe $p not ranked")
+      // a pruned search can never BEAT the exact search at any rank
+      val exact = bruteByProbe(p).sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      cosines.zip(exact).foreach { case (ic, bc) =>
+        assert(ic <= bc + 1e-9, s"probe $p: ivf cos $ic beats exact $bc")
+      }
+    }
+    // ...and is decisively faster once compute dominates: 5× fewer pairs
+    // must yield at least 3× wall-clock on an unloaded bench-class host
     if (benchClass)
-      assert(tCell * 2 < tBrute,
-        f"cell-pruned ($tCell%.2f s) not faster than brute ($tBrute%.2f s)")
+      assert(tCell * 3 < tBrute,
+        f"ivf ($tCell%.2f s) not ≥3× faster than brute ($tBrute%.2f s)")
   }
 }

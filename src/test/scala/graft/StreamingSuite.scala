@@ -123,6 +123,42 @@ class StreamingSuite extends AnyFunSuite {
     assert(perUser(2L) == 1)
   }
 
+  test("q59 batch result equals streaming latestPerMinute on the same rows (§5.5 parity)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sf = TestSpark.sfDir
+    val usPerMinute = 60000000L
+    // the REAL events table (10k rows at sf0.001), replayed through the
+    // incremental engine: ns-long event time → µs-precision Timestamp
+    // (Spark truncates ns→µs internally, same truncation as q59's DIV 1000)
+    val evRows = Tables(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value").collect()
+    val events = evRows.map { r =>
+      val ns = r.getLong(1)
+      val t = new Timestamp(ns / 1000000L)
+      t.setNanos((ns % 1000000000L).toInt)
+      Event(r.getLong(0), t, r.getLong(2), r.getString(3), r.getDouble(4))
+    }.toSeq
+    // sentinel a day past the data: advances the watermark beyond every
+    // real minute window so append mode emits them all; its own window
+    // stays open and never reaches the sink (second sentinel batch makes
+    // the advanced watermark take effect)
+    val maxNs = evRows.map(_.getLong(1)).max
+    val sentinel = Event(-1L, new Timestamp(maxNs / 1000000L + 86400000L), -1L, "z", 0.0)
+    val stream = MemoryStream[Event]
+    val rows = runBatches(stream, StreamOps.latestPerMinute(stream.toDF()), "q59s",
+      Seq(events, Seq(sentinel), Seq(sentinel.copy(event_id = -2))))
+    val streamed = rows.filter(_.getAs[Long]("user_id") >= 0).map { r =>
+      val startUs = r.getAs[Timestamp]("minute_start").getTime * 1000L
+      (r.getAs[Long]("user_id"), startUs / usPerMinute, r.getAs[Long]("event_id"))
+    }.toSet
+    val batch = SparkEntry.queries("q59_stream_dedup_late")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("minute_bucket"),
+        r.getAs[Long]("event_id"))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(5)}  batch-only: ${(batch -- streamed).take(5)}")
+  }
+
   test("stream-stream interval join attributes purchases to prior-hour clicks") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
