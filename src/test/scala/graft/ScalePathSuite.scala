@@ -40,7 +40,12 @@ class ScalePathSuite extends AnyFunSuite {
 
   test("production ivfTopK beats production bruteTopK at scale") {
     val n = if (benchClass) 24000 else 6000
-    val nProbes = if (benchClass) 1000 else 200
+    // the centroid stage is probe-independent, so the asymptotic win
+    // shows once the probe workload dominates it: many probes, nprobe=1
+    // (10× pair pruning). The small config keeps nprobe=2 to exercise the
+    // multi-cell path in the unconditional correctness assertions.
+    val nProbes = if (benchClass) 3000 else 200
+    val nProbe = if (benchClass) 1 else 2
     val k = 3
     val emb = synthetic(n).localCheckpoint(true)
     val probePred = col("vec_id") < nProbes
@@ -48,14 +53,14 @@ class ScalePathSuite extends AnyFunSuite {
     // warm both plans once at a small size so codegen compile time is
     // excluded from the comparison
     val warm = synthetic(500).localCheckpoint(true)
-    NearDup.ivfTopK(spark, warm, col("vec_id") < 20, nProbe = 2, topK = k).count()
+    NearDup.ivfTopK(spark, warm, col("vec_id") < 20, nProbe, topK = k).count()
     LLMPipeline.bruteTopK(spark, warm, col("vec_id") < 20, topK = k).count()
 
     val t0 = System.nanoTime()
     val brute = LLMPipeline.bruteTopK(spark, emb, probePred, topK = k).collect()
     val tBrute = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val ivf = NearDup.ivfTopK(spark, emb, probePred, nProbe = 2, topK = k).collect()
+    val ivf = NearDup.ivfTopK(spark, emb, probePred, nProbe, topK = k).collect()
     val tCell = (System.nanoTime() - t1) / 1e9
     info(f"brute: $tBrute%.2f s (${brute.length} rows)  ivf: $tCell%.2f s (${ivf.length} rows)")
 
