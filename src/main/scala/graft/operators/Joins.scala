@@ -162,6 +162,43 @@ object Joins {
       .orderBy("c_mktsegment")
   }
 
+  /** q89: salted skew join as a first-class VERIFIED operator — the
+    * explicit fallback for key skew so pathological that even AQE's
+    * split partitions of one key overwhelm a task (ScaleJoins.saltedJoin:
+    * hot keys spread over 8 salt buckets, dim side replicated per salt).
+    * Output is layout/salt-independent, so the oracle is the plain join —
+    * the same guarantee ScaleJoinsSuite asserts on a synthetic skewed
+    * key, here proven through the driver's hash gate on real tables. */
+  private def q89(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders").select("o_custkey", "o_totalprice")
+    val cust = Tables(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    graft.plans.ScaleJoins.saltedJoin(orders, cust, col("o_custkey"), col("c_custkey"), 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.r6(sum(dec(col("o_totalprice"))).cast("double")).as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q90: fuzzy string match — levenshtein top-3 most-similar names per
+    * probe (10 probes, broadcast ⇒ the big side streams once, no
+    * shuffle until the top-k window). Rank on (distance, id) so ties
+    * resolve identically on both engines; levenshtein cast to bigint
+    * (Spark INT vs DuckDB BIGINT — §2.9 type-width rule). The bounded
+    * probe side is the scale contract, exactly like q51's top-k. */
+  private def q90(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+    val probes = cust.filter(col("c_custkey") <= 10)
+      .select(col("c_custkey").as("id_p"), col("c_name").as("name_p"))
+    val cand = cust.select(col("c_custkey").as("id_c"), col("c_name").as("name_c"))
+    val w = Window.partitionBy("id_p").orderBy(col("dist"), col("id_c"))
+    broadcast(probes).join(cand, col("id_p") =!= col("id_c"))
+      .select(col("id_p"), col("id_c"),
+        levenshtein(col("name_p"), col("name_c")).cast("bigint").as("dist"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("id_p", "rn")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q04_join_broadcast", q04 _, Some(
       "SELECT r_name, COUNT(*) AS cnt FROM customer " +
@@ -194,6 +231,18 @@ object Joins {
         "PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_us FROM events) " +
         "WHERE event_type = 'purchase' ORDER BY event_id")),
+    Q("q89_join_salted", q89 _, Some(
+      "SELECT c_nationkey, COUNT(*) AS n_orders, " +
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey")),
+    Q("q90_join_fuzzy_topk", q90 _, Some(
+      "SELECT id_p, id_c, dist, rn FROM (SELECT a.c_custkey AS id_p, b.c_custkey AS id_c, " +
+        "levenshtein(a.c_name, b.c_name) AS dist, " +
+        "ROW_NUMBER() OVER (PARTITION BY a.c_custkey " +
+        "ORDER BY levenshtein(a.c_name, b.c_name), b.c_custkey) AS rn " +
+        "FROM customer a JOIN customer b ON a.c_custkey <= 10 AND a.c_custkey <> b.c_custkey) " +
+        "WHERE rn <= 3 ORDER BY id_p, rn")),
     Q("q88_join_bucketed", q88 _, Some(
       "SELECT c_mktsegment, COUNT(*) AS n_orders, " +
         Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS revenue " +

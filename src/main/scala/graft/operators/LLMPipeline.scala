@@ -138,6 +138,16 @@ object LLMPipeline {
     * partitioning. Lineage is truncated per round (localCheckpoint) —
     * on a cluster, checkpoint to durable storage instead. */
   private def q76(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = components(spark, sfDir)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "comp")
+      .select("doc_id", "comp", "comp_size")
+      .orderBy("doc_id")
+  }
+
+  /** The (doc_id, comp) component labels shared by q76 (cluster listing)
+    * and q93 (dedup resolution). */
+  private def components(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).localCheckpoint(true)
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -174,9 +184,18 @@ object LLMPipeline {
       labels = step.select(col("doc_id"), col("comp_new").as("comp"))
       rounds += 1
     }
-    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
-    labels.join(sizes, "comp")
-      .select("doc_id", "comp", "comp_size")
+    labels
+  }
+
+  /** q93: near-dup RESOLUTION — the end product of the dedup family: per
+    * document, its cluster representative (min doc_id of its connected
+    * component) and the keep/drop verdict a cleaning pipeline applies.
+    * Same dataflow as q76; the verdict is a per-row comparison on the
+    * component label, so resolution adds nothing to the shuffle plan. */
+  private def q93(spark: SparkSession, sfDir: String): DataFrame = {
+    components(spark, sfDir)
+      .select(col("doc_id"), col("comp").as("representative"),
+        (col("doc_id") === col("comp")).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -280,6 +299,17 @@ object LLMPipeline {
         "comps AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a), " +
         "sizes AS (SELECT comp, COUNT(*) AS comp_size FROM comps GROUP BY comp) " +
         "SELECT doc_id, comp, comp_size FROM comps JOIN sizes USING (comp) ORDER BY doc_id")),
+    Q("q93_dedup_resolution", q93 _, Some(
+      minhashPairsSql + ", " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src) " +
+        "SELECT a, b FROM r), " +
+        "comps AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a) " +
+        "SELECT doc_id, comp AS representative, doc_id = comp AS keep " +
+        "FROM comps ORDER BY doc_id")),
     Q("q51_sim_cosine_topk", q51 _, Some(
       "SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos, " +
         "ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM (" +

@@ -142,6 +142,36 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q91: document chunking — fixed-size token windows (30 tokens, stride
+    * 20 ⇒ 10-token overlap) per document: the standard pre-training
+    * chunker shape. Pure per-row array ops (stepped `sequence` + `slice`);
+    * ~n_tokens/stride rows per doc with NO shuffle — the orderBy exists
+    * only for the deterministic compare. */
+  private def q91(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(expr("sequence(0, size(ts) - 1, 20)")).as("start"))
+      .select(col("doc_id"),
+        expr("CAST(start DIV 20 AS BIGINT)").as("chunk_id"),
+        expr("concat_ws(' ', slice(ts, start + 1, 30))").as("chunk_text"),
+        least(lit(30), size(col("ts")) - col("start")).cast("bigint").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q92: deterministic corpus shuffle — epoch-seeded hash ordering
+    * (md5 of "seed:doc_id"): every engine, run, and partitioning produces
+    * the same permutation, which is how a reproducible training pipeline
+    * shuffles 100 TB (a global sort by the hash key — range exchange,
+    * no single-partition stage; changing the seed re-deals the epoch). */
+  private def q92(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("epoch42:"), col("doc_id").cast("string"))).as("shuffle_key"),
+        col("lang"))
+      .orderBy("shuffle_key", "doc_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
@@ -190,6 +220,17 @@ object PipelineOps {
       "SELECT lang, len(CAST(n_chars AS VARCHAR)) AS len_digits, COUNT(*) AS n_docs, " +
         Tables.meanDSql("SUM(n_chars)", "COUNT(*)") + " AS avg_chars " +
         "FROM documents GROUP BY 1, 2 ORDER BY lang, len_digits")),
+    Q("q91_doc_chunking", q91 _, Some(
+      "SELECT doc_id, chunk_id, chunk_text, n_tokens FROM (" +
+        "SELECT doc_id, CAST(start // 20 AS BIGINT) AS chunk_id, " +
+        "array_to_string(list_slice(ts, start + 1, start + 30), ' ') AS chunk_text, " +
+        "CAST(LEAST(30, len(ts) - start) AS BIGINT) AS n_tokens FROM (" +
+        "SELECT doc_id, ts, unnest(range(0, len(ts), 20)) AS start FROM (" +
+        "SELECT doc_id, str_split(text, ' ') AS ts FROM documents))) " +
+        "ORDER BY doc_id, chunk_id")),
+    Q("q92_corpus_shuffle", q92 _, Some(
+      "SELECT doc_id, md5('epoch42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key, lang " +
+        "FROM documents ORDER BY shuffle_key, doc_id")),
     Q("q85_sample_stratified", q85 _, Some(
       "SELECT doc_id, lang, source, bucket FROM (" +
         "SELECT doc_id, lang, source, " +

@@ -198,6 +198,63 @@ class OperatorSuite extends AnyFunSuite {
     assert(bucketed.toSeq == plain.toSeq)
   }
 
+  test("q89 salted join equals the plain join; q90 ranks are sane") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("q89_join_salted")(spark, sf).collect()
+    val plain = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.r6(sum(Tables.dec(col("o_totalprice"))).cast("double")).as("revenue"))
+      .orderBy("c_nationkey").collect()
+    assert(salted.toSeq == plain.toSeq)
+    val fuzzy = SparkEntry.queries("q90_join_fuzzy_topk")(spark, sf).collect()
+    fuzzy.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == Seq(1L, 2L, 3L))
+      val dists = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("dist"))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+      assert(dists.forall(_ > 0)) // self-match excluded
+    }
+  }
+
+  test("q91 chunks tile each document; stride prefixes rebuild the text") {
+    val rows = SparkEntry.queries("q91_doc_chunking")(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.map(_.getLong(0)).distinct.length == docs.size)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq == sorted.indices.map(_.toLong))
+      // rebuild: first 20 tokens of every chunk except the last, then the
+      // last chunk whole, must reproduce the original token stream
+      val rebuilt = (sorted.init.map(_.getAs[String]("chunk_text").split(" ").take(20).mkString(" ")) :+
+        sorted.last.getAs[String]("chunk_text")).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == docs(id), s"doc $id not rebuilt from chunks")
+    }
+  }
+
+  test("q92 shuffle is a deterministic permutation of the corpus") {
+    val a = SparkEntry.queries("q92_corpus_shuffle")(spark, sf).collect()
+    val b = SparkEntry.queries("q92_corpus_shuffle")(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    assert(a.map(_.getLong(0)).sorted.toSeq ==
+      Tables(spark, sf, "documents").collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    // it actually permutes (the hash order differs from id order)
+    assert(a.map(_.getLong(0)).toSeq != a.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("q93 resolution keeps exactly one representative per component") {
+    val res = SparkEntry.queries("q93_dedup_resolution")(spark, sf).collect()
+    val comps = SparkEntry.queries("q76_dedup_components")(spark, sf).collect()
+    assert(res.count(_.getAs[Boolean]("keep")) ==
+      comps.map(_.getAs[Long]("comp")).distinct.length)
+    res.foreach { r =>
+      assert(r.getAs[Long]("representative") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Long]("representative") == r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("q87 gapfill: dense per-user grid, zeros on gaps, forward fill holds") {
     val rows = SparkEntry.queries("q87_gapfill")(spark, sf).collect()
     val byUser = rows.groupBy(_.getLong(0))
