@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
       graft.functions.VectorExpressions.builder))
+    ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }
