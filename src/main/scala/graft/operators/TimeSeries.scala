@@ -86,6 +86,28 @@ object TimeSeries {
       .orderBy("user_id", "minute_bucket")
   }
 
+  /** q94: NATIVE session windows in batch — Spark's `session_window`
+    * operator (the same merging machinery Structured Streaming uses)
+    * aggregating count + value per (user, session) with a 30-minute gap.
+    * Complements q58, which derives sessions from lag/running-sum
+    * windows: here the engine's own session operator runs in the plan.
+    * Session bounds are emitted as µs bigints (portable across engines —
+    * parquet timestamp annotations are not, §2.9): start = first event,
+    * end = last event + gap, new session when gap ≥ 30 min (Spark's
+    * half-open [start, end) merge rule, mirrored in the oracle). */
+  private def q94(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events")
+      .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+      .groupBy(session_window(col("t"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        Tables.r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
+      .select(col("user_id"),
+        expr("unix_micros(w.start)").as("sess_start_us"),
+        expr("unix_micros(w.end)").as("sess_end_us"),
+        col("cnt"), col("sum_value"))
+      .orderBy("user_id", "sess_start_us")
+  }
+
   /** q86: funnel analysis — per user, the strict click→view→purchase
     * sequence: first click, first view after that click, first purchase
     * after that view (µs). Every stage joins and aggregates on user_id,
@@ -159,6 +181,17 @@ object TimeSeries {
         "epoch_us(ts) AS ts_us, ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // " +
         s"$usPerMinute ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, minute_bucket")),
+    Q("q94_session_window", q94 _, Some(
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), " +
+        "s AS (SELECT user_id, t, value, CASE WHEN LAG(t) OVER w IS NULL " +
+        s"OR t - LAG(t) OVER w >= ${usPer15Min * 2} THEN 1 ELSE 0 END AS ns " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)), " +
+        "g AS (SELECT user_id, t, value, SUM(ns) OVER (PARTITION BY user_id ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s) " +
+        s"SELECT user_id, MIN(t) AS sess_start_us, MAX(t) + ${usPer15Min * 2} AS sess_end_us, " +
+        "COUNT(*) AS cnt, " +
+        Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_value " +
+        "FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start_us")),
     Q("q86_funnel", q86 _, Some(
       "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
         "c AS (SELECT user_id, MIN(ts_us) AS t_click FROM ev WHERE event_type = 'click' GROUP BY user_id), " +

@@ -108,6 +108,24 @@ class OperatorSuite extends AnyFunSuite {
     assert(nSessions == nUsers + gaps)
   }
 
+  test("q94 native session_window agrees with q58's lag-derived sessions") {
+    import org.apache.spark.sql.functions._
+    val native = SparkEntry.queries("q94_session_window")(spark, sf).collect()
+    val derived = SparkEntry.queries("q58_stream_session")(spark, sf)
+    // same number of sessions per user...
+    val nNative = native.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val nDerived = derived.groupBy("user_id").agg(max("session_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(nNative == nDerived)
+    // ...and per-session membership counts match the derived grouping
+    val cntNative = native.map(r => (r.getLong(0), r.getAs[Long]("sess_start_us")))
+      .sorted.toSeq
+    val cntDerived = derived.groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(cntNative == cntDerived)
+  }
+
   test("q60 simhash: near-identical docs get near-identical hashes") {
     // determinism + stability: same doc → same hash across two runs
     val a = SparkEntry.queries("q60_dedup_simhash")(spark, sf).collect()
