@@ -129,32 +129,32 @@ object NearDup {
     // (sizes + both self-join sides), so ReuseExchange materializes it
     // once — no explicit checkpoint needed (one was measured at +0.5 s of
     // pure overhead on a single-shot run).
+    val hashed = tg.select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
     // df-cap (MaxShingleDf): drop shingles present in > 10% of documents
     // before the inverted-index join — the skew guard; see the constant's
-    // doc. The cap is on the shingle STRING, pre-hash (no collision
-    // semantics in the cap itself). Exact df WITHOUT a pair-space
-    // distinct: array_distinct dedups per-doc inside the row (narrow), so
-    // a map-side-combined groupBy(g) counts docs directly; the hot set is
-    // tiny by a counting bound, so the main path takes it as a broadcast
-    // ANTI-join — still narrow at that point, the shared distinct
-    // Exchange below stays the only pair-space shuffle. ndocs is a
-    // broadcast 1-row aggregate, not a driver count.
+    // doc. Exact document frequency comes FROM the distinct frame the
+    // main path already materializes (`hashed` is one row per (doc,
+    // shingle), so a map-side-combined groupBy(gh) counts docs; the
+    // distinct's Exchange is shared with the other consumers via
+    // ReuseExchange — no second corpus scan, no pair-space re-shuffle).
+    // The hot set is tiny by a counting bound, so the main path takes it
+    // as a broadcast ANTI-join. Dropping hot shingles after the distinct
+    // is equivalent to dropping them before it, which is what the oracle
+    // does on the exact strings. ndocs is a broadcast 1-row aggregate,
+    // not a driver count.
     val ndocs = Tables(spark, sfDir, "documents")
       .agg(count(lit(1)).cast("double").as("nd"))
-    val hot = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(explode(array_distinct(expr(
-        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"))
+    val hot = hashed.groupBy("gh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(ndocs))
       .filter(col("df") > col("nd") * lit(MaxShingleDf))
-      .select("g")
-    val hashed = tg.join(broadcast(hot), Seq("g"), "left_anti")
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-      .distinct()
-    val sizes = hashed.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = hashed.toDF("ia", "gh").join(hashed.toDF("ib", "gh"), "gh")
+      .select("gh")
+    // (re-select: a using-join moves the join column first, which would
+    // scramble the positional toDF renames below)
+    val kept = hashed.join(broadcast(hot), Seq("gh"), "left_anti")
+      .select("doc_id", "gh")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = kept.toDF("ia", "gh").join(kept.toDF("ib", "gh"), "gh")
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= 3)
