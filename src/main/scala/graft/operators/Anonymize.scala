@@ -175,41 +175,17 @@ object Anonymize {
   }
 
   /** q48: surrogate tokens — dense rank over the distinct-name order gives
-    * a stable int token per identity, computed as a two-phase DISTRIBUTED
-    * rank (the standard zipWithIndex plan): range-partition the distinct
-    * names (globally ordered partitions), row_number WITHIN each partition,
-    * then add broadcast per-partition-count offsets. No single-partition
-    * Exchange or global Sort anywhere on the identity domain — the round-2
-    * `dense_rank().over(Window.orderBy(...))` serialized ALL distinct
-    * identities through one task, which dies when identities grow with the
-    * data (PlanShapeSuite asserts the single-partition exchange is gone).
-    * Names are distinct before ranking, so row_number ≡ dense_rank. */
+    * a stable int token per identity, computed by the two-phase
+    * DISTRIBUTED rank in [[graft.plans.DistributedRank.denseTokens]]. No
+    * single-partition Exchange or global Sort anywhere on the identity
+    * domain — the round-2 `dense_rank().over(Window.orderBy(...))`
+    * serialized ALL distinct identities through one task, which dies when
+    * identities grow with the data (PlanShapeSuite asserts the
+    * single-partition exchange is gone; PropertySuite checks the rank
+    * semantics on random key sets). */
   private def q48(spark: SparkSession, sfDir: String): DataFrame = {
-    // eager checkpoint pins the range-partition boundaries AND the
-    // spark_partition_id values: the frame feeds both the token join and
-    // the offset aggregation, and a recompute could re-sample different
-    // range boundaries between the two consumers. One row per distinct
-    // identity — small at any scale; on a cluster checkpoint() durable.
-    val local = Tables(spark, sfDir, "customer")
-      .select("c_name").distinct()
-      .repartitionByRange(col("c_name"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrn",
-        row_number().over(Window.partitionBy("pid").orderBy("c_name")).cast("bigint"))
-      .localCheckpoint(true)
-    // per-partition counts (≤ shuffle.partitions rows) → offset of pid =
-    // Σ counts of lower pids, via a tiny broadcast theta-join — NOT a
-    // running-sum window, whose global orderBy would itself plan a
-    // single-partition exchange (over tiny data, but the plan assertion
-    // stays clean this way)
-    val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))
-    val offsets = counts
-      .join(broadcast(counts.select(col("pid").as("pid2"), col("n").as("n2"))),
-        col("pid2") < col("pid"), "left")
-      .groupBy("pid").agg(coalesce(sum(col("n2")), lit(0L)).as("off"))
-    val tokens = local
-      .join(broadcast(offsets), Seq("pid"))
-      .select(col("c_name"), (col("off") + col("lrn")).as("token"))
+    val tokens = graft.plans.DistributedRank.denseTokens(
+      Tables(spark, sfDir, "customer").select("c_name"), "c_name")
     Tables(spark, sfDir, "customer")
       .join(tokens, "c_name")
       .select("c_custkey", "token")

@@ -1,0 +1,102 @@
+package graft
+
+import graft.plans.{DistributedRank, ScaleJoins}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (ScalaCheck, driven directly — the scalatest
+  * bridge artifact is not on the offline classpath) for the algorithmic
+  * claims the operators rest on. Pure-math properties run at full
+  * volume; properties that spin Spark jobs run with a reduced case
+  * count (each case is a full distributed query). */
+class PropertySuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def check(prop: Prop, cases: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- pure math: the q83 banding pigeonhole ------------------------------
+
+  test("pigeonhole: Hamming ≤ 3 on 32 bits ⇒ some of the 4 bytes is equal") {
+    // q83's candidate generation joins on (band, byte); this property IS
+    // its no-false-negatives claim: flip up to 3 of 32 bits and at least
+    // one byte band must survive untouched
+    val gen = for {
+      a <- Gen.choose(0L, 0xFFFFFFFFL)
+      k <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(k, Gen.choose(0, 31))
+    } yield (a, bits)
+    check(Prop.forAll(gen) { case (a, bits) =>
+      val b = bits.foldLeft(a)((acc, i) => acc ^ (1L << i))
+      java.lang.Long.bitCount(a ^ b) <= 3 &&
+        (0 until 4).exists(i => ((a >> (i * 8)) & 255) == ((b >> (i * 8)) & 255))
+    }, cases = 500)
+  }
+
+  test("pigeonhole is tight: 4 spread-out flips can miss every band") {
+    val a = 0L
+    val b = (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24)
+    assert(!(0 until 4).exists(i => ((a >> (i * 8)) & 255) == ((b >> (i * 8)) & 255)))
+  }
+
+  // ---- pure math: the edit-distance length bound (LevenshteinPrefilter) --
+
+  test("levenshtein lower bound: |len(a)-len(b)| never exceeds the distance") {
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val strGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    check(Prop.forAll(strGen, strGen) { (a, b) =>
+      math.abs(a.length - b.length) <= lev(a, b)
+    }, cases = 300)
+  }
+
+  // ---- Spark-backed properties (reduced case count) -----------------------
+
+  test("DistributedRank.denseTokens equals the in-memory dense rank") {
+    import spark.implicits._
+    val keysGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
+        Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString))))
+    check(Prop.forAll(keysGen) { keys =>
+      keys.isEmpty || {
+        val got = DistributedRank.denseTokens(keys.toDF("k"), "k")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val expected = keys.distinct.sorted.zipWithIndex
+          .map { case (k, i) => k -> (i + 1L) }.toMap
+        got == expected
+      }
+    }, cases = 5)
+  }
+
+  test("saltedJoin equals the plain join for arbitrary data and salt counts") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 1000)))
+    val dimGen = Gen.listOfN(6, Gen.zip(Gen.choose(0L, 7L), Gen.alphaStr.map(_.take(4))))
+    val saltGen = Gen.choose(1, 10)
+    check(Prop.forAll(rowsGen, dimGen, saltGen) { (rows, dim, salts) =>
+      rows.isEmpty || dim.isEmpty || {
+        val left = rows.toDF("k", "payload")
+        val right = dim.distinctBy(_._1).toDF("rk", "name")
+        val plain = left.join(right, col("k") === col("rk"))
+          .select("k", "payload", "name").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+        val salted = ScaleJoins.saltedJoin(left, right, col("k"), col("rk"), salts)
+          .select("k", "payload", "name").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+        salted == plain
+      }
+    }, cases = 5)
+  }
+}
