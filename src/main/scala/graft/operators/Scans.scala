@@ -84,6 +84,61 @@ object Scans {
       .orderBy("o_year", "o_orderstatus")
   }
 
+  /** Deterministic binary fixtures for q95 — minimal VALID PNG / BMP /
+    * WAV headers built byte-by-byte (no media libs), written once to a
+    * fixed repo-local dir. Both engines read the same files: Spark via
+    * the binaryFile source, DuckDB via read_blob — which is why the path
+    * must be absolute and sfDir-independent (oracle SQL is static). */
+  private[operators] def binaryFixture(): String = {
+    val dir = new java.io.File("/root/repo/target/graft_binary_fixture")
+    dir.mkdirs()
+    def be(i: Int) = Array[Byte]((i >> 24).toByte, (i >> 16).toByte, (i >> 8).toByte, i.toByte)
+    def le(i: Int) = be(i).reverse
+    def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
+    def png(w: Int, h: Int, pad: Int) =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be(13) ++ "IHDR".getBytes("US-ASCII") ++ be(w) ++ be(h) ++ Array.fill[Byte](pad)(0)
+    def bmp(w: Int, h: Int) =
+      "BM".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++ le(40) ++
+        le(w) ++ le(h) ++ Array.fill[Byte](6)(0)
+    def wav(rate: Int, ch: Int) =
+      "RIFF".getBytes("US-ASCII") ++ le(100) ++ "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le(16) ++ le16(1) ++ le16(ch) ++
+        le(rate) ++ Array.fill[Byte](4)(0)
+    Seq[(String, Array[Byte])](
+      "png1.bin" -> png(320, 200, 5), "png2.bin" -> png(1920, 1080, 9),
+      "bmp1.bin" -> bmp(640, 480), "bmp2.bin" -> bmp(64, 64),
+      "wav1.bin" -> wav(44100, 2)
+    ).foreach { case (n, bytes) =>
+      val f = new java.io.File(dir, n)
+      if (!f.exists()) java.nio.file.Files.write(f.toPath, bytes)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** q95: binary-file ingestion — the multimodal pipeline's entry point:
+    * Spark's `binaryFile` source reads (path, length, content) per file
+    * with NO driver-side materialization, then
+    * [[graft.streaming.Multimodal.decodeReal]] parses the real headers
+    * (PNG/BMP dims, WAV rate/channels) in a narrow map — payload bytes
+    * never shuffle, the layout that ingests 100 TB of media. The oracle
+    * re-parses the SAME bytes in SQL (read_blob + hex slicing), so the
+    * decode itself is hash-verified cross-engine. */
+  private def q95(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = binaryFixture()
+    val decode = udf { bytes: Array[Byte] =>
+      val (a, b) = graft.streaming.Multimodal.decodeReal(bytes, "")
+      (a.toLong, b.toLong)
+    }
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("fname"),
+        col("length").as("n_bytes"),
+        decode(col("content")).as("d"))
+      .select(col("fname"), col("n_bytes"),
+        col("d._1").as("d1"), col("d._2").as("d2"))
+      .orderBy("fname")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q01_scan_project_filter", q01 _, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
@@ -99,5 +154,24 @@ object Scans {
       "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderstatus, COUNT(*) AS cnt " +
         "FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997) " +
         "GROUP BY 1, 2 ORDER BY o_year, o_orderstatus")),
+    // hex offsets: byte o (0-based) lives at substr(hex, o*2+1, 2).
+    // PNG: big-endian int32 at 16 (w) / 20 (h). BMP: little-endian int32
+    // at 18 / 22 (byte pairs reversed). WAV: LE int32 rate at 24, LE
+    // int16 channels at 22.
+    Q("q95_scan_binary_decode", q95 _, Some(
+      "WITH b AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, " +
+        "octet_length(content) AS n_bytes, hex(content) AS hx " +
+        "FROM read_blob('/root/repo/target/graft_binary_fixture/*.bin')) " +
+        "SELECT fname, n_bytes, " +
+        "CASE WHEN fname LIKE 'png%' THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) " +
+        "WHEN fname LIKE 'bmp%' THEN CAST(('0x' || substr(hx, 43, 2) || substr(hx, 41, 2) || " +
+        "substr(hx, 39, 2) || substr(hx, 37, 2)) AS BIGINT) " +
+        "ELSE CAST(('0x' || substr(hx, 55, 2) || substr(hx, 53, 2) || " +
+        "substr(hx, 51, 2) || substr(hx, 49, 2)) AS BIGINT) END AS d1, " +
+        "CASE WHEN fname LIKE 'png%' THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT) " +
+        "WHEN fname LIKE 'bmp%' THEN CAST(('0x' || substr(hx, 51, 2) || substr(hx, 49, 2) || " +
+        "substr(hx, 47, 2) || substr(hx, 45, 2)) AS BIGINT) " +
+        "ELSE CAST(('0x' || substr(hx, 47, 2) || substr(hx, 45, 2)) AS BIGINT) END AS d2 " +
+        "FROM b ORDER BY fname")),
   )
 }
