@@ -199,6 +199,29 @@ object Joins {
       .orderBy("id_p", "rn")
   }
 
+  /** q96: large-order pipeline (TPC-H Q18 shape) — the integration query
+    * that chains the core operators: a HAVING subquery over lineitem
+    * (big-order keys), IN-semi-joined back to the fact, joined to the
+    * customer dim, re-aggregated, global top-100. At scale: the
+    * big-order key set is small (the HAVING filter is selective) so the
+    * semi join broadcasts; the remaining shuffles are the two
+    * natural-key aggregations; the top-100 fuses to
+    * TakeOrderedAndProject — no global sort of the join output. */
+  private def q96(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val bigOrders = li.groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 150)
+      .select("l_orderkey")
+    li.join(broadcast(bigOrders), "l_orderkey")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+      .agg(Tables.r6(sum(dec(col("l_quantity"))).cast("double")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q04_join_broadcast", q04 _, Some(
       "SELECT r_name, COUNT(*) AS cnt FROM customer " +
@@ -231,6 +254,15 @@ object Joins {
         "PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_us FROM events) " +
         "WHERE event_type = 'purchase' ORDER BY event_id")),
+    Q("q96_join_bigorder_pipeline", q96 _, Some(
+      "SELECT c_custkey, o_orderkey, o_totalprice, " +
+        Tables.r6sql("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+        "HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150) " +
+        "GROUP BY c_custkey, o_orderkey, o_totalprice " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
     Q("q89_join_salted", q89 _, Some(
       "SELECT c_nationkey, COUNT(*) AS n_orders, " +
         Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") + " AS revenue " +
