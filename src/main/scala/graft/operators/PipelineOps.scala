@@ -172,6 +172,27 @@ object PipelineOps {
       .orderBy("shuffle_key", "doc_id")
   }
 
+  /** q98: upsert / MERGE — updates take precedence over the base table
+    * on the key, executed as the standard distributed merge plan:
+    * `base ANTI-JOIN updates` ∪ `updates` (one equi-join on the key —
+    * broadcast when the delta is small, which is the usual shape). The
+    * update set here is derived deterministically from the base (every
+    * 10th customer gets +1000 balance and a segment change) so the
+    * oracle can state the post-merge table as a CASE expression. */
+  private def q98(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"))
+    base.join(broadcast(updates.select("c_custkey")), Seq("c_custkey"), "left_anti")
+      .unionByName(updates)
+      .orderBy("c_custkey")
+  }
+
+  /** q99 lives in TimeSeries (SCD2 interval building over event time). */
+
   val entries: Seq[Q] = Seq(
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
@@ -220,6 +241,11 @@ object PipelineOps {
       "SELECT lang, len(CAST(n_chars AS VARCHAR)) AS len_digits, COUNT(*) AS n_docs, " +
         Tables.meanDSql("SUM(n_chars)", "COUNT(*)") + " AS avg_chars " +
         "FROM documents GROUP BY 1, 2 ORDER BY lang, len_digits")),
+    Q("q98_upsert_merge", q98 _, Some(
+      "SELECT c_custkey, " +
+        "CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal, " +
+        "CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment " +
+        "FROM customer ORDER BY c_custkey")),
     Q("q91_doc_chunking", q91 _, Some(
       "SELECT doc_id, chunk_id, chunk_text, n_tokens FROM (" +
         "SELECT doc_id, CAST(start // 20 AS BIGINT) AS chunk_id, " +

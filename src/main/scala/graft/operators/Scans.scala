@@ -139,6 +139,26 @@ object Scans {
       .orderBy("fname")
   }
 
+  /** q97: heterogeneous-source consolidation — the same logical table
+    * arriving as parquet + CSV + JSON unioned into one frame with a
+    * source tag (the landing-zone merge every ingestion layer needs).
+    * Explicit schemas on the text formats keep type parity; unionByName
+    * is a zero-shuffle concatenation, the count is one small agg. */
+  private def q97(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables(spark, sfDir, "region")
+    val path = tmp("multi_region", sfDir)
+    region.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$path/csv")
+    region.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/json")
+    val csv = spark.read.schema(region.schema).option("header", "true").csv(s"$path/csv")
+    val json = spark.read.schema(region.schema).json(s"$path/json")
+    region.withColumn("src", lit("parquet"))
+      .unionByName(csv.withColumn("src", lit("csv")))
+      .unionByName(json.withColumn("src", lit("json")))
+      .groupBy("r_regionkey", "r_name")
+      .agg(count(lit(1)).as("n_copies"), countDistinct(col("src")).as("n_sources"))
+      .orderBy("r_regionkey")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q01_scan_project_filter", q01 _, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
@@ -154,6 +174,9 @@ object Scans {
       "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderstatus, COUNT(*) AS cnt " +
         "FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997) " +
         "GROUP BY 1, 2 ORDER BY o_year, o_orderstatus")),
+    Q("q97_union_multisource", q97 _, Some(
+      "SELECT r_regionkey, r_name, CAST(3 AS BIGINT) AS n_copies, " +
+        "CAST(3 AS BIGINT) AS n_sources FROM region ORDER BY r_regionkey")),
     // hex offsets: byte o (0-based) lives at substr(hex, o*2+1, 2).
     // PNG: big-endian int32 at 16 (w) / 20 (h). BMP: little-endian int32
     // at 18 / 22 (byte pairs reversed). WAV: LE int32 rate at 24, LE

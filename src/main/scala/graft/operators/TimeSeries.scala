@@ -157,6 +157,26 @@ object TimeSeries {
       .orderBy("user_id", "db")
   }
 
+  /** q99: SCD2 interval building — collapse each user's event stream into
+    * type-change validity intervals [valid_from, valid_to): keep only
+    * rows where the event type differs from the previous row, then the
+    * next change's timestamp closes the interval (NULL = still current).
+    * The slowly-changing-dimension historization every warehouse load
+    * needs; two windows over the same user_id key = ONE shuffle, AQE
+    * handles per-user skew. */
+  private def q99(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val changes = Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_id").as("change_id"), col("event_type"),
+        col("ts_us").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "valid_from", "change_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -181,6 +201,15 @@ object TimeSeries {
         "epoch_us(ts) AS ts_us, ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // " +
         s"$usPerMinute ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, minute_bucket")),
+    Q("q99_scd2_intervals", q99 _, Some(
+      "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "c AS (SELECT user_id, event_id, event_type, ts_us FROM (" +
+        "SELECT user_id, event_id, event_type, ts_us, " +
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e) " +
+        "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, event_id AS change_id, event_type, ts_us AS valid_from, " +
+        "LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to " +
+        "FROM c ORDER BY user_id, valid_from, change_id")),
     Q("q94_session_window", q94 _, Some(
       "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events), " +
         "s AS (SELECT user_id, t, value, CASE WHEN LAG(t) OVER w IS NULL " +
