@@ -193,6 +193,34 @@ object PipelineOps {
 
   /** q99 lives in TimeSeries (SCD2 interval building over event time). */
 
+  /** q100: data-quality audit — the constraint-check report an ETL gate
+    * runs before publishing a load: row counts, null checks on key
+    * columns, primary-key duplicate count, FK orphan count
+    * (orders→customer), and a sensible-range violation count. Each
+    * metric is a 1-row aggregate; the union is a tiny frame. At scale
+    * every check is a map-side-combined count or one keyed anti-join —
+    * the audit costs one pass per table. */
+  private def q100(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    def metric(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), col("value"))
+    val rows = metric("customer_rows", c.agg(count(lit(1)).as("value")))
+    val nulls = metric("customer_null_names",
+      c.filter(col("c_name").isNull).agg(count(lit(1)).as("value")))
+    val dups = metric("customer_dup_keys",
+      c.groupBy("c_custkey").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(count(lit(1)).as("value")))
+    val orphans = metric("orders_fk_orphans",
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("value")))
+    val range = metric("customer_acctbal_out_of_range",
+      c.filter(col("c_acctbal") < -1000 || col("c_acctbal") > 10000)
+        .agg(count(lit(1)).as("value")))
+    rows.unionByName(nulls).unionByName(dups).unionByName(orphans).unionByName(range)
+      .orderBy("metric")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
@@ -241,6 +269,16 @@ object PipelineOps {
       "SELECT lang, len(CAST(n_chars AS VARCHAR)) AS len_digits, COUNT(*) AS n_docs, " +
         Tables.meanDSql("SUM(n_chars)", "COUNT(*)") + " AS avg_chars " +
         "FROM documents GROUP BY 1, 2 ORDER BY lang, len_digits")),
+    Q("q100_quality_audit", q100 _, Some(
+      "SELECT metric, value FROM (" +
+        "SELECT 'customer_rows' AS metric, COUNT(*) AS value FROM customer " +
+        "UNION ALL SELECT 'customer_null_names', COUNT(*) FROM customer WHERE c_name IS NULL " +
+        "UNION ALL SELECT 'customer_dup_keys', COUNT(*) FROM (" +
+        "SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1) " +
+        "UNION ALL SELECT 'orders_fk_orphans', COUNT(*) FROM orders " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) " +
+        "UNION ALL SELECT 'customer_acctbal_out_of_range', COUNT(*) FROM customer " +
+        "WHERE c_acctbal < -1000 OR c_acctbal > 10000) ORDER BY metric")),
     Q("q98_upsert_merge", q98 _, Some(
       "SELECT c_custkey, " +
         "CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal, " +
