@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The public library facade — the generic, reusable primitives behind
+  * the verified query suite, callable on ARBITRARY DataFrames (nothing
+  * here reads the test tables). Each primitive is exercised by at least
+  * one oracle-verified query (named in its doc) plus ApiSuite's
+  * genericity tests on synthetic frames.
+  *
+  * Column functions compose into any projection; DataFrame functions
+  * return plain frames so they chain with the full Spark API. All of
+  * them follow the repo-wide scale rules: no driver-side actions, no
+  * unbounded shuffles, broadcast where a side is provably small.
+  */
+object Graft {
+
+  // ---- anonymization column functions (q36–q39) ---------------------------
+
+  /** Salted-hash pseudonymization (q36): keyed sha-256 surrogate. */
+  def pseudonym(c: Column, salt: String): Column =
+    sha2(concat(lit(salt), c), 256)
+
+  /** Partial masking (q37): keep a prefix, star the rest. */
+  def maskKeepPrefix(c: Column, keep: Int): Column =
+    concat(substring(c, 1, keep), lit("***"))
+
+  /** Digit masking (q37): every digit → '#'. */
+  def maskDigits(c: Column): Column =
+    regexp_replace(c, "[0-9]", "#")
+
+  /** Numeric generalization (q38): fixed-width binning. */
+  def generalizeNumeric(c: Column, width: Int): Column =
+    (floor(c / width) * width).cast("bigint")
+
+  /** Temporal generalization (q39): date → first of month. */
+  def generalizeDate(c: Column): Column =
+    trunc(c.cast("date"), "MM")
+
+  // ---- anonymization frame functions (q41, q42 shape) ---------------------
+
+  /** k-anonymity audit (q41): QI-group sizes with a violation flag.
+    * Global groupBy — the correct distributed formulation of a global
+    * guarantee; shuffle bounded by QI cardinality. */
+  def kAnonymityAudit(df: DataFrame, qi: Seq[String], k: Int): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn(s"violates_k$k", col("group_size") < k)
+
+  /** Cell suppression to reach k (q42 shape): each QI column is nulled
+    * for rows in groups smaller than k, emitted as `<col>_k`. One window
+    * shuffle on the QI. */
+  def suppressBelowK(df: DataFrame, qi: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(qi.map(col): _*)
+    val withSize = df.withColumn("graft_gs", count(lit(1)).over(w))
+    qi.foldLeft(withSize)((acc, c) =>
+      acc.withColumn(s"${c}_k", when(col("graft_gs") >= k, col(c))))
+      .drop("graft_gs")
+  }
+
+  // ---- dedup / similarity (q49, q50, q60, q51, q63) -----------------------
+
+  /** Exact dedup by content hash (q49): keep min id per hash + member
+    * count. `docs` needs (doc_id, text). Map-side combine, one shuffle. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** MinHash-LSH near-dup candidate pairs (q50; clustered by q76/q93):
+    * trigram shingles with the 10% document-frequency cap, 8 composite
+    * hashes, 4-band equi-join — never doc×doc. `docs` needs
+    * (doc_id, text). */
+  def minhashPairs(docs: DataFrame): DataFrame =
+    operators.LLMPipeline.minhashPairsOf(docs)
+
+  /** SimHash fingerprint per document (q60; paired by q83). `docs`
+    * needs (doc_id, text). */
+  def simhash(docs: DataFrame): DataFrame =
+    operators.NearDup.simhashOf(docs)
+
+  /** Brute-force cosine top-k (q51): exact baseline, probe side
+    * broadcast. `emb` needs (vec_id, embedding: array<float>). */
+  def bruteTopK(spark: SparkSession, emb: DataFrame, probePred: Column, topK: Int): DataFrame =
+    operators.LLMPipeline.bruteTopK(spark, emb, probePred, topK)
+
+  /** IVF-pruned approximate top-k (q63): the scale path — broadcast
+    * centroids, nprobe cells, exact scoring inside cells only. `emb`
+    * needs (vec_id, label, embedding). */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, probePred: Column,
+      nProbe: Int, topK: Int): DataFrame =
+    operators.NearDup.ivfTopK(spark, emb, probePred, nProbe, topK)
+
+  // ---- training-data pipeline (q91, q48, scale joins) ---------------------
+
+  /** Fixed-stride token chunking with overlap (q91): the pre-training
+    * chunker. `docs` needs (doc_id, text). Narrow — no shuffle. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 30, stride: Int = 20): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, size(ts) - 1, $stride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start DIV $stride AS BIGINT)").as("chunk_id"),
+        expr(s"concat_ws(' ', slice(ts, start + 1, $chunkTokens))").as("chunk_text"),
+        least(lit(chunkTokens), size(col("ts")) - col("start")).cast("bigint").as("n_tokens"))
+
+  /** Distributed dense rank over the distinct values of `key` (q48's
+    * tokenizer): no single-partition stage on the key domain. */
+  def denseTokens(df: DataFrame, key: String): DataFrame =
+    plans.DistributedRank.denseTokens(df, key)
+
+  /** Salted skew join (q89): explicit fallback when one key dominates
+    * beyond what AQE's skew-split handles. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, saltBuckets: Int): DataFrame =
+    plans.ScaleJoins.saltedJoin(left, right, leftKey, rightKey, saltBuckets)
+}

@@ -25,7 +25,7 @@ object Anonymize {
 
   /** The quasi-identifier bin used throughout: acctbal in width-1000 bins
     * (floor division — DuckDB 1.0.0 lacks width_bucket). */
-  private val acctBin = (floor(col("c_acctbal") / 1000) * 1000).cast("bigint")
+  private val acctBin = graft.Graft.generalizeNumeric(col("c_acctbal"), 1000)
   private val acctBinSql = "CAST(FLOOR(c_acctbal / 1000) AS BIGINT) * 1000"
 
   /** q35: identifier suppression — project away the direct identifier. */
@@ -41,7 +41,7 @@ object Anonymize {
     Tables(spark, sfDir, "customer")
       .select(
         col("c_custkey"),
-        sha2(concat(lit("salt42"), col("c_name")), 256).as("pseudonym"))
+        graft.Graft.pseudonym(col("c_name"), "salt42").as("pseudonym"))
       .orderBy("c_custkey")
   }
 
@@ -49,8 +49,8 @@ object Anonymize {
   private def q37(spark: SparkSession, sfDir: String): DataFrame = {
     Tables(spark, sfDir, "customer")
       .select(col("c_custkey"),
-        concat(substring(col("c_name"), 1, 4), lit("***")).as("masked_name"),
-        regexp_replace(col("c_name"), "[0-9]", "#").as("digit_masked"))
+        graft.Graft.maskKeepPrefix(col("c_name"), 4).as("masked_name"),
+        graft.Graft.maskDigits(col("c_name")).as("digit_masked"))
       .orderBy("c_custkey")
   }
 
@@ -67,7 +67,7 @@ object Anonymize {
   private def q39(spark: SparkSession, sfDir: String): DataFrame = {
     Tables(spark, sfDir, "orders")
       .select(col("o_orderkey"),
-        trunc(col("o_orderdate").cast("date"), "MM").as("order_month"))
+        graft.Graft.generalizeDate(col("o_orderdate")).as("order_month"))
       .orderBy("o_orderkey")
   }
 
@@ -84,11 +84,9 @@ object Anonymize {
   /** q41: k-anonymity audit — group sizes over the QI and a k=5 violation
     * flag; the global groupBy is the correct distributed formulation. */
   private def q41(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "customer")
-      .withColumn("acct_bin", acctBin)
-      .groupBy("c_nationkey", "c_mktsegment", "acct_bin")
-      .agg(count(lit(1)).as("group_size"))
-      .withColumn("violates_k5", col("group_size") < 5)
+    graft.Graft.kAnonymityAudit(
+      Tables(spark, sfDir, "customer").withColumn("acct_bin", acctBin),
+      Seq("c_nationkey", "c_mktsegment", "acct_bin"), k = 5)
       .orderBy("c_nationkey", "c_mktsegment", "acct_bin")
   }
 

@@ -22,12 +22,9 @@ object LLMPipeline {
 
   /** q49: exact dedup via sha2 content hash — keep min doc_id per hash,
     * count members. groupBy(hash) = map-side combine + one shuffle. */
-  private def q49(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "documents")
-      .groupBy(sha2(col("text"), 256).as("content_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+  private def q49(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Graft.exactDedup(Tables(spark, sfDir, "documents"))
       .orderBy("keep_id")
-  }
 
   /** q50: MinHash near-dup candidates — k=8 signatures over word TRIGRAM
     * shingles (Kirsch–Mitzenmacher composite hashes), 4 bands × 2 rows;
@@ -39,7 +36,12 @@ object LLMPipeline {
     *
     * `minhashPairs` is the shared dataflow: q50 lists the pairs, q76
     * clusters them. */
-  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsOf(Tables(spark, sfDir, "documents"))
+
+  /** The generic core — `docs` is ANY frame with (doc_id, text); exposed
+    * to library users via [[graft.Graft.minhashPairs]]. */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     // NO pre-distinct on shingles: min() is idempotent over duplicates, so
     // the signature is identical without it, and dropping it removes a
     // full shuffle of the exploded shingle rows — the groupBy(doc_id)
@@ -49,7 +51,7 @@ object LLMPipeline {
     // (i.i.d.-enough for LSH; standard practice), as exact BIGINT
     // arithmetic both engines evaluate identically — integer mins beat 8
     // full md5 string mins per row on both sides.
-    val toks = Tables(spark, sfDir, "documents")
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -69,16 +71,16 @@ object LLMPipeline {
     //    broadcast ANTI-join — the exploded signature path never shuffles.
     // ndocs is a broadcast 1-row aggregate, not a driver count. The cap
     // never binds on the benchmark corpus — see the constant's doc.
-    val ndocs = Tables(spark, sfDir, "documents")
-      .agg(count(lit(1)).cast("double").as("nd"))
-    val hot = Tables(spark, sfDir, "documents")
+    val ndocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val hot = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(explode(array_distinct(expr(
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(ndocs))
-      .filter(col("df") > col("nd") * lit(NearDup.MaxShingleDf))
+      .filter(col("df") > greatest(col("nd") * lit(NearDup.MaxShingleDf),
+        lit(NearDup.MinHotDf)))
       .select("token")
     val capped = toks.join(broadcast(hot), Seq("token"), "left_anti")
     val base = capped.select(col("doc_id"),
@@ -117,7 +119,7 @@ object LLMPipeline {
       "toks AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1), i -> " +
       "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS token FROM split), " +
       "hot AS (SELECT token FROM (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token) " +
-      s"WHERE df > ${NearDup.maxShingleDfSql} * (SELECT COUNT(*) FROM documents)), " +
+      s"WHERE df > ${NearDup.hotThresholdSql}), " +
       "capped AS (SELECT * FROM toks WHERE token NOT IN (SELECT token FROM hot)), " +
       "base AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h1, " +
       "CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h2 FROM capped), " +

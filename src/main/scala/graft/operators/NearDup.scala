@@ -39,7 +39,17 @@ object NearDup {
     * The oracle SQL applies the identical cap, so the capped shingle
     * universe IS the operator's semantics, verified end-to-end. */
   private[graft] val MaxShingleDf = 0.10
-  private[graft] val maxShingleDfSql = "0.1"
+
+  /** Absolute floor under the fractional cap: a shingle shared by this
+    * few documents is never "hot" regardless of corpus size — without
+    * it, a corpus under 1/MaxShingleDf docs makes EVERY shingle exceed
+    * the fractional threshold and the near-dup join degenerates to
+    * empty (caught by ApiSuite's 3-doc corpus). */
+  private[graft] val MinHotDf = 5
+
+  /** The SQL form of the hot threshold, shared by the q50/q61 oracles. */
+  private[graft] val hotThresholdSql =
+    s"GREATEST($MaxShingleDf * (SELECT COUNT(*) FROM documents), $MinHotDf)"
 
   /** In-order double fold of Σ f(a_i, b_i) — deterministic per row. */
   private def zipFold(a: Column, b: Column, f: (Column, Column) => Column): Column =
@@ -57,8 +67,13 @@ object NearDup {
     * q83 (banded near-dup pairing). Each token hashes to 32 bits
     * (md5-prefix); per-bit signed counts over all token occurrences; the
     * sign vector re-packs into one int64 fingerprint. */
-  private[operators] def simhashDF(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables(spark, sfDir, "documents")
+  private[operators] def simhashDF(spark: SparkSession, sfDir: String): DataFrame =
+    simhashOf(Tables(spark, sfDir, "documents"))
+
+  /** The generic core — `docs` is ANY frame with (doc_id, text); exposed
+    * to library users via [[graft.Graft.simhash]]. */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .withColumn("h", expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)"))
     val bitSums = (0 until 32).map(i =>
@@ -147,7 +162,7 @@ object NearDup {
       .agg(count(lit(1)).cast("double").as("nd"))
     val hot = hashed.groupBy("gh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(ndocs))
-      .filter(col("df") > col("nd") * lit(MaxShingleDf))
+      .filter(col("df") > greatest(col("nd") * lit(MaxShingleDf), lit(MinHotDf)))
       .select("gh")
     // (re-select: a using-join moves the join column first, which would
     // scramble the positional toDF renames below)
@@ -260,7 +275,7 @@ object NearDup {
         "unnest(list_transform(range(1, len(ts) - 1), i -> " +
         "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS g FROM split)), " +
         "hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM tg GROUP BY g) " +
-        s"WHERE df > $maxShingleDfSql * (SELECT COUNT(*) FROM documents)), " +
+        s"WHERE df > $hotThresholdSql), " +
         "kept AS (SELECT doc_id, g FROM tg WHERE g NOT IN (SELECT g FROM hot)), " +
         "sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id), " +
         "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +

@@ -147,17 +147,10 @@ object PipelineOps {
     * chunker shape. Pure per-row array ops (stepped `sequence` + `slice`);
     * ~n_tokens/stride rows per doc with NO shuffle — the orderBy exists
     * only for the deterministic compare. */
-  private def q91(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), col("ts"),
-        explode(expr("sequence(0, size(ts) - 1, 20)")).as("start"))
-      .select(col("doc_id"),
-        expr("CAST(start DIV 20 AS BIGINT)").as("chunk_id"),
-        expr("concat_ws(' ', slice(ts, start + 1, 30))").as("chunk_text"),
-        least(lit(30), size(col("ts")) - col("start")).cast("bigint").as("n_tokens"))
+  private def q91(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Graft.chunkDocuments(Tables(spark, sfDir, "documents"),
+      chunkTokens = 30, stride = 20)
       .orderBy("doc_id", "chunk_id")
-  }
 
   /** q92: deterministic corpus shuffle — epoch-seeded hash ordering
     * (md5 of "seed:doc_id"): every engine, run, and partitioning produces

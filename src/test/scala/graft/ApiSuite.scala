@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public Graft facade working on ARBITRARY frames — none of these
+  * inputs come from the test tables, proving the primitives are generic
+  * library surface, not query-suite internals. (Each primitive's exact
+  * semantics are separately oracle-verified through the query that
+  * delegates to it.) */
+class ApiSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("column primitives: pseudonym, masking, generalization") {
+    import spark.implicits._
+    val df = Seq((1L, "Alice Z9", 1234.56), (2L, "Bob Q31", -87.0))
+      .toDF("id", "name", "bal")
+      .select(col("id"),
+        Graft.pseudonym(col("name"), "s3cr3t").as("p"),
+        Graft.maskKeepPrefix(col("name"), 3).as("m"),
+        Graft.maskDigits(col("name")).as("d"),
+        Graft.generalizeNumeric(col("bal"), 100).as("bin"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.forall(_.getString(1).matches("[0-9a-f]{64}")))
+    assert(rows(0).getString(2) == "Ali***" && rows(1).getString(2) == "Bob***")
+    assert(rows(0).getString(3) == "Alice Z#" && rows(1).getString(3) == "Bob Q##")
+    assert(rows(0).getLong(4) == 1200L && rows(1).getLong(4) == -100L)
+  }
+
+  test("kAnonymityAudit + suppressBelowK on a synthetic QI frame") {
+    import spark.implicits._
+    // group (a,x): 3 members (k=3 ok); (b,y): 1 member (violates)
+    val df = Seq(("a", "x", 1), ("a", "x", 2), ("a", "x", 3), ("b", "y", 4))
+      .toDF("qi1", "qi2", "v")
+    val audit = Graft.kAnonymityAudit(df, Seq("qi1", "qi2"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(audit == Set(("a", 3L, false), ("b", 1L, true)))
+    val sup = Graft.suppressBelowK(df, Seq("qi1", "qi2"), 3)
+    val byV = sup.collect().map(r => r.getAs[Int]("v") ->
+      (r.getAs[String]("qi1_k"), r.getAs[String]("qi2_k"))).toMap
+    assert(byV(1) == (("a", "x")) && byV(4) == ((null, null)))
+  }
+
+  test("exactDedup and minhashPairs on a synthetic corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "one two three four five six"),
+      (11L, "one two three four five six"), // exact dup of 10
+      (12L, "totally different words here now then")).toDF("doc_id", "text")
+    val dedup = Graft.exactDedup(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dedup == Map(10L -> 2L, 12L -> 1L))
+    val pairs = Graft.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)))
+    // simhash: identical docs → identical fingerprints
+    val sh = Graft.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(10L) == sh(11L) && sh(10L) != sh(12L))
+  }
+
+  test("chunkDocuments with non-default geometry tiles and rebuilds") {
+    import spark.implicits._
+    val text = (1 to 23).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = Graft.chunkDocuments(docs, chunkTokens = 10, stride = 5)
+      .collect().sortBy(_.getLong(1))
+    // starts at 0,5,10,15,20 → 5 chunks; last has 3 tokens
+    assert(chunks.length == 5)
+    assert(chunks.map(_.getAs[Long]("n_tokens")).toSeq == Seq(10L, 10L, 10L, 8L, 3L))
+    val rebuilt = (chunks.init.map(_.getAs[String]("chunk_text").split(" ").take(5).mkString(" ")) :+
+      chunks.last.getAs[String]("chunk_text")).mkString(" ")
+    assert(rebuilt == text)
+  }
+
+  test("denseTokens and saltedJoin delegate to the verified plans") {
+    import spark.implicits._
+    val tokens = Graft.denseTokens(Seq("m", "a", "z", "a").toDF("k"), "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tokens == Map("a" -> 1L, "m" -> 2L, "z" -> 3L))
+    val left = Seq((1L, "p"), (1L, "q"), (2L, "r")).toDF("k", "v")
+    val right = Seq((1L, "dim1"), (2L, "dim2")).toDF("rk", "name")
+    val got = Graft.saltedJoin(left, right, col("k"), col("rk"), 4)
+      .select("k", "v", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "p", "dim1"), (1L, "q", "dim1"), (2L, "r", "dim2")))
+  }
+}
