@@ -159,7 +159,10 @@ object LLMPipeline {
     // decrease, so an improvement can only reach a vertex through a
     // just-improved neighbor — propagating from the frontier alone is
     // exact and shrinks each round's join from |V| to |Δ| (round 1
-    // re-joined the full label set every round).
+    // re-joined the full label set every round). A fused two-half-steps-
+    // per-checkpoint variant was tried and measured ~20% SLOWER at bench
+    // scale: the larger per-round plan and the recomputed first half-step
+    // cost more than the saved checkpoint/count/compile.
     var frontier = labels
     var changed = 1L
     var rounds = 0
