@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * return plain frames so they chain with the full Spark API. All of
   * them follow the repo-wide scale rules: no driver-side actions, no
   * unbounded shuffles, broadcast where a side is provably small.
+  *
+  * Reserved names: helpers use `graft_`-prefixed working columns
+  * internally and `require` the input doesn't already carry them;
+  * [[denseTokens]] emits a `token` column, so the ranked key must not
+  * be named `token`.
   */
 object Graft {
 
@@ -53,6 +58,7 @@ object Graft {
     * for rows in groups smaller than k, emitted as `<col>_k`. One window
     * shuffle on the QI. */
   def suppressBelowK(df: DataFrame, qi: Seq[String], k: Int): DataFrame = {
+    require(!df.columns.contains("graft_gs"), "graft_gs is reserved by suppressBelowK")
     val w = Window.partitionBy(qi.map(col): _*)
     val withSize = df.withColumn("graft_gs", count(lit(1)).over(w))
     qi.foldLeft(withSize)((acc, c) =>

@@ -144,12 +144,16 @@ object Joins {
     val custT = s"graft_customer_b$tag"
     // project to the join/agg columns before the bucketed write — the
     // layout is what this operator proves; unread columns only add sink IO
-    if (!spark.catalog.tableExists(ordersT))
+    // skip only when the catalog entry AND its files both survive — a
+    // catalog entry can outlive a cleaned tmpdir within one session
+    def layoutReady(table: String, path: String): Boolean =
+      spark.catalog.tableExists(table) && new java.io.File(path).exists()
+    if (!layoutReady(ordersT, s"$base/orders_b"))
       Tables(spark, sfDir, "orders").select("o_custkey", "o_totalprice")
         .write.mode("overwrite")
         .format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$base/orders_b").saveAsTable(ordersT)
-    if (!spark.catalog.tableExists(custT))
+    if (!layoutReady(custT, s"$base/customer_b"))
       Tables(spark, sfDir, "customer").select("c_custkey", "c_mktsegment")
         .write.mode("overwrite")
         .format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")

@@ -187,30 +187,31 @@ object PipelineOps {
   /** q99 lives in TimeSeries (SCD2 interval building over event time). */
 
   /** q100: data-quality audit — the constraint-check report an ETL gate
-    * runs before publishing a load: row counts, null checks on key
-    * columns, primary-key duplicate count, FK orphan count
-    * (orders→customer), and a sensible-range violation count. Each
-    * metric is a 1-row aggregate; the union is a tiny frame. At scale
-    * every check is a map-side-combined count or one keyed anti-join —
-    * the audit costs one pass per table. */
+    * runs before publishing a load: row count, null check on the key
+    * column, range-violation count (all three from ONE fused scan of
+    * customer via conditional counts + `stack`), primary-key duplicate
+    * count (one keyed aggregation), and FK orphan count (one keyed
+    * anti-join). Three passes over customer total — the row-level checks
+    * never re-scan per metric. */
   private def q100(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables(spark, sfDir, "customer")
     val o = Tables(spark, sfDir, "orders")
     def metric(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("metric"), col("value"))
-    val rows = metric("customer_rows", c.agg(count(lit(1)).as("value")))
-    val nulls = metric("customer_null_names",
-      c.filter(col("c_name").isNull).agg(count(lit(1)).as("value")))
+    val rowChecks = c.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("c_name").isNull, 1)).as("n_null"),
+      count(when(col("c_acctbal") < -1000 || col("c_acctbal") > 10000, 1)).as("n_range"))
+      .selectExpr("stack(3, 'customer_rows', n_rows, " +
+        "'customer_null_names', n_null, " +
+        "'customer_acctbal_out_of_range', n_range) AS (metric, value)")
     val dups = metric("customer_dup_keys",
       c.groupBy("c_custkey").agg(count(lit(1)).as("n")).filter(col("n") > 1)
         .agg(count(lit(1)).as("value")))
     val orphans = metric("orders_fk_orphans",
       o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("value")))
-    val range = metric("customer_acctbal_out_of_range",
-      c.filter(col("c_acctbal") < -1000 || col("c_acctbal") > 10000)
-        .agg(count(lit(1)).as("value")))
-    rows.unionByName(nulls).unionByName(dups).unionByName(orphans).unionByName(range)
+    rowChecks.unionByName(dups).unionByName(orphans)
       .orderBy("metric")
   }
 

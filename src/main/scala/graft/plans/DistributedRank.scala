@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
 object DistributedRank {
 
   /** One row per DISTINCT value of `key` in `df`, with `token` = its
-    * 1-based dense rank in ascending key order. */
+    * 1-based dense rank in ascending key order. `key` must not be named
+    * `token` (the emitted rank column) or carry the reserved `graft_`
+    * prefix. */
   def denseTokens(df: DataFrame, key: String): DataFrame = {
+    require(key != "token" && !key.startsWith("graft_"),
+      "denseTokens emits `token` and uses graft_-prefixed working columns")
     // eager checkpoint pins the range-partition boundaries AND the
     // spark_partition_id values: the frame feeds both the token join and
     // the offset aggregation, and a recompute could re-sample different

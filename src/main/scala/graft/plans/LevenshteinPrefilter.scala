@@ -53,6 +53,15 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
             if fresh(lev) =>
           changed = true
           And(lenBound(LessThan, lev.left, lev.right, k), orig)
+        // reversed forms: k >= lev ≡ lev <= k, k > lev ≡ lev < k
+        case orig @ GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein)
+            if fresh(lev) =>
+          changed = true
+          And(lenBound(LessThanOrEqual, lev.left, lev.right, k), orig)
+        case orig @ GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein)
+            if fresh(lev) =>
+          changed = true
+          And(lenBound(LessThan, lev.left, lev.right, k), orig)
       }
       if (changed) Filter(newCond, child) else f
   }

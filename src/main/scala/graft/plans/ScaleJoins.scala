@@ -18,15 +18,28 @@ object ScaleJoins {
     * right side replicates once per salt (explode of a literal range —
     * cheap when right ≪ left, the usual skew shape).
     *
+    * The salt is a DETERMINISTIC function of the whole left row (hash of
+    * every column): a nondeterministic salt (e.g. one derived from
+    * `monotonically_increasing_id`) feeding a shuffle means a retried map
+    * task can re-salt a row into a different partition than the one some
+    * reducers already fetched — duplicating or dropping it (the classic
+    * repartition-nondeterminism failure). The trade-off: byte-identical
+    * duplicate rows share a salt bucket; acceptable, since skew in
+    * practice comes from many distinct rows sharing a KEY, which still
+    * spread by their non-key columns.
+    *
     * Semantically identical to `left.join(right, leftKey === rightKey)`.
+    * `left` must not already contain a `graft_salt` column.
     */
   def saltedJoin(
       left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0)
+    require(!left.columns.contains("graft_salt") && !right.columns.contains("graft_salt"),
+      "graft_salt is reserved by saltedJoin")
     val salted = left.withColumn("graft_salt",
-      pmod(hash(leftKey, monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val replicated = right.withColumn("graft_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted

@@ -36,6 +36,11 @@ class PlanRuleSuite extends AnyFunSuite {
       assert(q2.collect().map(_.getString(0)).toSeq == Seq("name5"))
       assert("abs\\(".r.findAllIn(
         q2.queryExecution.optimizedPlan.toString.toLowerCase).size == 1)
+      // reversed comparison gets the guard too
+      val q3 = corpus.filter(expr("2 >= levenshtein(a, b)"))
+      assert(q3.collect().map(_.getString(0)).toSet == baseline)
+      assert("abs\\(".r.findAllIn(
+        q3.queryExecution.optimizedPlan.toString.toLowerCase).size == 1)
     } finally spark.experimental.extraOptimizations = prev
   }
 }
