@@ -10,10 +10,30 @@ class OperatorSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sfDir
 
-  test("every registered query runs on sf0.001") {
+  test("every registered query runs; single-partition exchanges only where justified") {
+    // a SinglePartition exchange is the q48-class scale bug (everything
+    // through one task) — EXCEPT where what flows through it is bounded:
+    // global scalar aggregates merge one partial row per partition, and
+    // q23's global window sorts the pre-aggregated DAILY series, bounded
+    // by the calendar, not the data volume. Every other query must stay
+    // free of single-partition stages.
+    val justified = Set(
+      "q23_win_moving_avg",      // calendar-bounded daily-series window
+      "q61_dedup_ngram_jaccard", // ndocs 1-row aggregate (df-cap)
+      "q77_text_tfidf",          // corpus-size 1-row aggregate
+      "q80_anon_tcloseness",     // n_total 1-row aggregate
+      "q100_quality_audit")      // global metric aggregates
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
-      try { fn(spark, sf).count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      try {
+        val qe = fn(spark, sf).queryExecution
+        qe.toRdd.count() // drives THIS execution so the AQE plan finalizes
+        if (qe.executedPlan.toString.contains("Exchange SinglePartition") &&
+            !justified(name))
+          Some(s"$name: unjustified Exchange SinglePartition")
+        else None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      finally spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
