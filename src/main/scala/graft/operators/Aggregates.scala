@@ -152,6 +152,22 @@ object Aggregates {
       .orderBy("o_custkey")
   }
 
+  /** q101: unpivot / melt — the inverse of q71's pivot: the wide
+    * per-user event-count matrix back to long (user, event_type, cnt)
+    * rows via the native `Dataset.unpivot` operator. Narrow row
+    * expansion over the pivoted frame — the same one shuffle q71 pays,
+    * nothing more. */
+  private def q101(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val wide = Tables(spark, sfDir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L)
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "cnt")
+      .orderBy("user_id", "event_type")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
@@ -205,6 +221,14 @@ object Aggregates {
         Seq("click", "view", "purchase", "signup", "error").map(t =>
           s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(", ") +
         " FROM events GROUP BY user_id ORDER BY user_id")),
+    Q("q101_agg_unpivot", q101 _, Some(
+      "WITH wide AS (SELECT user_id, " +
+        Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(", ") +
+        " FROM events GROUP BY user_id) " +
+        "SELECT user_id, event_type, cnt FROM wide " +
+        "UNPIVOT (cnt FOR event_type IN (click, \"view\", purchase, signup, error)) " +
+        "ORDER BY user_id, event_type")),
     Q("q72_agg_collect", q72 _, Some(
       "SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) " +
         "AS segments, COUNT(*) AS n FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")),
