@@ -49,6 +49,25 @@ object SortSet {
       .orderBy("nationkey")
   }
 
+  /** q102: MULTISET set ops — `exceptAll` / `intersectAll` keep
+    * multiplicities (q27/q28's distinct forms collapse them): per user,
+    * click occurrences left over after each one "consumes" a purchase
+    * occurrence, and the matched count. The standard bag-semantics pair
+    * every SQL surface carries; distributed as a counted-aggregation
+    * anti/semi difference — one shuffle per side, no row explosion. */
+  private def q102(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click").select("user_id")
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id")
+    val excess = clicks.exceptAll(purchases)
+      .groupBy("user_id").agg(count(lit(1)).as("unmatched_clicks"))
+    val matched = clicks.intersectAll(purchases)
+      .groupBy("user_id").agg(count(lit(1)).as("matched_clicks"))
+    excess.join(matched, Seq("user_id"), "full_outer")
+      .na.fill(0L, Seq("unmatched_clicks", "matched_clicks"))
+      .orderBy("user_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q25_sort_limit_topk", q25 _, Some(
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
@@ -64,5 +83,16 @@ object SortSet {
     Q("q28_set_except", q28 _, Some(
       "SELECT c_nationkey AS nationkey FROM customer " +
         "EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey")),
+    Q("q102_set_multiset", q102 _, Some(
+      "WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'), " +
+        "purchases AS (SELECT user_id FROM events WHERE event_type = 'purchase'), " +
+        "excess AS (SELECT user_id, COUNT(*) AS unmatched_clicks FROM (" +
+        "SELECT user_id FROM clicks EXCEPT ALL SELECT user_id FROM purchases) GROUP BY user_id), " +
+        "matched AS (SELECT user_id, COUNT(*) AS matched_clicks FROM (" +
+        "SELECT user_id FROM clicks INTERSECT ALL SELECT user_id FROM purchases) GROUP BY user_id) " +
+        "SELECT COALESCE(e.user_id, m.user_id) AS user_id, " +
+        "COALESCE(unmatched_clicks, 0) AS unmatched_clicks, " +
+        "COALESCE(matched_clicks, 0) AS matched_clicks " +
+        "FROM excess e FULL JOIN matched m ON e.user_id = m.user_id ORDER BY user_id")),
   )
 }
