@@ -87,6 +87,26 @@ object Windows {
       .orderBy("o_custkey", "o_day", "o_orderkey")
   }
 
+  /** q103: RANGE-frame window — the value-range frame q23/q24's ROWS
+    * frames don't cover: per event, count + DECIMAL sum of the SAME
+    * user's events within the preceding 10 minutes of EVENT TIME (a
+    * trailing session-load metric; the window alternative to a range
+    * self-join like q09). RANGE frames are tie-safe by construction —
+    * all peers of the current order value share one frame, so the
+    * result is deterministic without a tiebreaker in the ORDER BY
+    * (§2.9 R5's caveat applies to ROWS, not RANGE). One shuffle on
+    * user_id. */
+  private def q103(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-600000000L, 0)
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_10min"),
+        Tables.r6(sum(dec(col("value"))).over(w).cast("double")).as("sum_10min"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q20_win_topk_per_group", q20 _, Some(
       "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
@@ -111,6 +131,13 @@ object Windows {
         "SELECT CAST(o_orderdate AS DATE) AS day, " +
         "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS day_total_dec " +
         "FROM orders GROUP BY 1) WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day")),
+    Q("q103_win_range_frame", q103 _, Some(
+      "SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "COUNT(*) OVER w AS n_10min, " +
+        Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)") + " AS sum_10min " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, ts_us, event_id")),
     Q("q24_win_cumulative", q24 _, Some(
       "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_day, " +
         Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
