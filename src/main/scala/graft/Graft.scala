@@ -121,4 +121,22 @@ object Graft {
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column, saltBuckets: Int): DataFrame =
     plans.ScaleJoins.saltedJoin(left, right, leftKey, rightKey, saltBuckets)
+
+  // ---- multimodal binary columns (q68, q95) -------------------------------
+
+  /** Decode + featurize binary media payloads (q68/q95): real pure-JVM
+    * PNG/BMP/WAV header parsing when `useRealDecoder`, deterministic
+    * fake otherwise. `media` needs (media_id, payload: binary, mime). */
+  def decodeMedia(media: DataFrame, useRealDecoder: Boolean = false): DataFrame =
+    streaming.Multimodal.decodeFeatures(media, useRealDecoder)
+
+  /** Aspect-preserving resize over decoded features (never upscales);
+    * expects [[decodeMedia]]'s output schema. */
+  def resizeMedia(features: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    streaming.Multimodal.resizeFeatures(features, maxW, maxH)
+
+  /** Every-nth frame sampling over binary payloads; expects
+    * (media_id, payload, mime). */
+  def sampleFrames(media: DataFrame, frameCount: Int, every: Int): DataFrame =
+    streaming.Multimodal.sampleFrames(media, frameCount, every)
 }
