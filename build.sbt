@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and json-parses the stdout
+// TAIL. Two things in sbt's default logging defeat that parse: (a) forked
+// process output is routed through the logger as "[info] <line>", so the
+// contractual summary line is never valid JSON, and (b) sbt appends a
+// "[success] Total time: ..." line AFTER it. StdoutOutput passes the forked
+// JVM's stdout through raw (no [info] prefix); showSuccess drops the
+// trailing [success] line, making Bench's summary the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,8 +65,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // numeric scale factor parsed from the dir name ("…/sf0.1" → 0.1) so the
+    // summary's sf field is a JSON number; the raw dir rides along separately
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("null")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
@@ -74,8 +78,10 @@ object Bench {
     // the summary is the LAST line on stdout — after spark.stop() so no
     // shutdown logging can follow or interleave with it; total-only so the
     // whole line fits any tail capture (per-query detail: the streamed
-    // lines above + the full copy in bench_result.json)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}""")
+    // lines above + the full copy in bench_result.json). build.sbt routes
+    // forked stdout raw (StdoutOutput) and suppresses sbt's [success]
+    // epilogue so this line reaches the driver unprefixed and last.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"sf_dir":"$sfDir"}""")
     System.out.flush()
   }
 }
