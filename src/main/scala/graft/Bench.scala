@@ -46,19 +46,35 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would render 1,234 and
     // break the driver's JSON parse of the contractual summary line
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // dev-iteration filter: SPARK_GRAFT_ONLY="q50,q76" times just those
+    // queries (substring match). Unset in driver runs — full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.contains) }
+      case None => SparkEntry.queries
+    }
+    // dev-iteration: SPARK_GRAFT_REPEAT=N times each query N times (prints
+    // every rep) — separates plan-compile/codegen cost (rep 1) from
+    // steady-state execution. Unset in driver runs — single timing.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     var qIdx = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       // a concurrent GC cycle every 15 queries keeps old-gen debris from
       // earlier queries out of later queries' timings
       qIdx += 1
       if (qIdx % 15 == 0) System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop session state a query may have left behind (localCheckpoint
-      // RDDs, temp-view caches) BEFORE the next timing starts — blocking,
-      // so freed blocks can't linger into the next query's GC pressure
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      var dt = 0.0
+      for (rep <- 1 to repeat) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        dt = (System.nanoTime() - t0) / 1e9
+        // drop session state a query may have left behind (localCheckpoint
+        // RDDs, temp-view caches) BEFORE the next timing starts — blocking,
+        // so freed blocks can't linger into the next query's GC pressure
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        if (repeat > 1) println(s"""{"query":"$name","rep":$rep,"sec":${r3(dt)}}""")
+      }
       println(s"""{"query":"$name","sec":${r3(dt)}}""")
       name -> dt
     }

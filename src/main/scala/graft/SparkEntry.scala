@@ -23,7 +23,8 @@ object SparkEntry {
     operators.NearDup.entries ++
     operators.TextAnalysis.entries ++
     operators.PipelineOps.entries ++
-    operators.TimeSeries.entries
+    operators.TimeSeries.entries ++
+    operators.CorpusOps.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
     * driver smoke-checks rows>0. */

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines
+  * (SURVEY.md §2.8b, q104/q105/q109): benchmark decontamination,
+  * training-sequence packing, and class-balanced corpus rebalancing.
+  *
+  * Scale notes: decontamination joins the corpus against the eval-set
+  * n-gram index — the eval side is the small curated benchmark by
+  * construction, so it broadcasts and the 100 TB side streams once with
+  * no shuffle; packing is a keyed window (hash-bucket partitions grow
+  * with data, each sorted independently — no global sort); rebalancing
+  * is a 5-row broadcast of per-class rates + a narrow hash filter.
+  */
+object CorpusOps {
+
+  /** md5-prefix bucket 0..`mod`−1 of column `h` (two hex chars via instr
+    * math — the q79/q85 portable-bucket idiom). */
+  private def hexBucket(mod: Int) = expr(
+    "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % $mod")
+
+  private def hexBucketSql(mod: Int, h: String) =
+    s"((instr('0123456789abcdef', substring($h, 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substring($h, 2, 1)) - 1)) % $mod"
+
+  /** Per-doc DISTINCT word 5-grams (distinct inside the row — narrow,
+    * no pair-space shuffle; the q50 df-cap trick). */
+  private def fiveGrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("bucket"), split(col("text"), " ").as("ts"))
+    .filter(size(col("ts")) >= 5)
+    .select(col("doc_id"), col("bucket"), explode(array_distinct(expr(
+      "transform(sequence(0, size(ts) - 5), i -> " +
+        "concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]))"))).as("g"))
+
+  /** q104: benchmark decontamination — flag training documents sharing
+    * any word 5-gram with the held-out eval split (the md5-bucket ≥ 90
+    * tail, the q79 split convention). The standard n-gram-overlap
+    * decontamination check every LLM data pipeline runs before training.
+    *
+    * Plan: the eval 5-gram index is DISTINCT n-grams of the small curated
+    * split → broadcast; the train side explodes per-doc-distinct n-grams
+    * (narrow) and equi-joins the broadcast — the corpus-sized side never
+    * shuffles on n-gram strings. At 100 TB the eval set stays benchmark-
+    * sized, so the broadcast holds; if it ever didn't, the same plan runs
+    * as a shuffled equi-join on the n-gram key. */
+  private def q104(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", hexBucket(100))
+    val grams = fiveGrams(docs)
+    val evalIdx = grams.filter(col("bucket") >= 90).select("g").distinct()
+    val hits = grams.filter(col("bucket") < 90)
+      .join(broadcast(evalIdx), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(col("bucket") < 90).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Packing capacity (tokens per training sequence) and the bucket
+    * count packing parallelizes over. */
+  private val PackLen = 512
+  private val PackBuckets = 16
+
+  /** q105: training-sequence packing — distribute documents over
+    * `PackBuckets` hash buckets, order each bucket by the deterministic
+    * md5 shuffle key, and cut the running token count into `PackLen`-token
+    * bins: bin = (cum_before DIV L). The distributed approximation of
+    * greedy next-fit packing (a bin can overflow by < 1 doc, i.e. the doc
+    * spanning the boundary stays in the bin where it started — the
+    * boundary doc is split/truncated downstream by the q91 chunker).
+    *
+    * Plan: ONE shuffle keyed by bucket; each bucket sorts independently
+    * (bucket count scales with cluster width, no global sort — this is
+    * how 100 TB packs in parallel while staying byte-reproducible). */
+  private def q105(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"))
+      .withColumn("h", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
+      .withColumn("bucket", hexBucket(PackBuckets).cast("bigint"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", expr(s"(cum - tok) div $PackLen"))
+      .groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tokens_total"),
+        Tables.r6(sum(col("tok")) / lit(PackLen.toDouble)).as("fill_ratio"))
+      .orderBy("bucket", "bin")
+  }
+
+  /** q109: class-balanced corpus rebalance — downsample every language to
+    * the smallest language's count (the balanced-mix curation step):
+    * keep-rate r = min_n / lang_n, applied as a deterministic md5-bucket
+    * filter so the sample is reproducible across runs, engines, and
+    * partitionings. Output: per-language kept counts + the applied rate.
+    *
+    * Plan: per-class counts are a 5-row aggregate → broadcast; the filter
+    * is a narrow per-row expression — the corpus never shuffles. The
+    * integer threshold compare (bucket < r·10000 floor) avoids any
+    * double-boundary ambiguity between engines. */
+  private def q109(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val minN = counts.agg(min(col("lang_n")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      // integer threshold out of 10000: floor(min_n·10000 / lang_n) in
+      // exact int64 math — no doubles anywhere near the keep boundary
+      .select(col("lang"), col("lang_n"),
+        expr("(min_n * 10000) div lang_n").as("thresh"))
+    docs
+      .withColumn("h", md5(concat(lit("bal:"), col("doc_id").cast("string"))))
+      .withColumn("bucket", expr(
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 + " +
+          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 + " +
+          "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % 10000"))
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("thresh"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept"),
+        min(col("lang_n")).as("orig"),
+        Tables.r6(min(col("thresh")) / lit(10000.0)).as("rate"))
+      .orderBy("lang")
+  }
+
+  private val bucketCte =
+    "d AS (SELECT doc_id, text, " +
+      hexBucketSql(100, "md5(CAST(doc_id AS VARCHAR))") + " AS bucket FROM documents)"
+
+  val entries: Seq[Q] = Seq(
+    Q("q104_decontamination", q104 _, Some(
+      s"WITH $bucketCte, " +
+        "s AS (SELECT doc_id, bucket, str_split(text, ' ') AS ts FROM d " +
+        "WHERE len(str_split(text, ' ')) >= 5), " +
+        "g AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(ts) - 3), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)] || ' ' || " +
+        "ts[CAST(i + 3 AS INT)] || ' ' || ts[CAST(i + 4 AS INT)]))) AS g FROM s), " +
+        "ev AS (SELECT DISTINCT g FROM g WHERE bucket >= 90), " +
+        "hits AS (SELECT t.doc_id, COUNT(*) AS n_overlap FROM g t JOIN ev USING (g) " +
+        "WHERE t.bucket < 90 GROUP BY t.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap, " +
+        "COALESCE(h.n_overlap, 0) > 0 AS contaminated " +
+        "FROM d LEFT JOIN hits h USING (doc_id) WHERE d.bucket < 90 ORDER BY doc_id")),
+    Q("q105_pack_sequences", q105 _, Some(
+      "WITH t AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS tok, " +
+        "md5('pack:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "b AS (SELECT doc_id, tok, h, CAST(" + hexBucketSql(PackBuckets, "h") + " AS BIGINT) AS bucket FROM t), " +
+        "c AS (SELECT bucket, tok, CAST(SUM(tok) OVER (PARTITION BY bucket ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM b) " +
+        s"SELECT bucket, (cum - tok) // $PackLen AS bin, COUNT(*) AS n_docs, " +
+        "CAST(SUM(tok) AS BIGINT) AS tokens_total, " +
+        Tables.r6sql(s"CAST(SUM(tok) AS DOUBLE) / $PackLen") + " AS fill_ratio " +
+        "FROM c GROUP BY bucket, bin ORDER BY bucket, bin")),
+    Q("q109_corpus_rebalance", q109 _, Some(
+      "WITH counts AS (SELECT lang, COUNT(*) AS lang_n FROM documents GROUP BY lang), " +
+        "rates AS (SELECT lang, lang_n, " +
+        "((SELECT MIN(lang_n) FROM counts) * 10000) // lang_n AS thresh FROM counts), " +
+        "b AS (SELECT doc_id, lang, " +
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 + " +
+        "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % 10000 AS bucket " +
+        "FROM (SELECT doc_id, lang, md5('bal:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)) " +
+        "SELECT b.lang, COUNT(*) AS kept, MIN(r.lang_n) AS orig, " +
+        Tables.r6sql("MIN(r.thresh) / 10000.0") + " AS rate " +
+        "FROM b JOIN rates r ON b.lang = r.lang WHERE b.bucket < r.thresh " +
+        "GROUP BY b.lang ORDER BY b.lang")),
+  )
+}

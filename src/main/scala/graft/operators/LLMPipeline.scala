@@ -89,24 +89,22 @@ object LLMPipeline {
     val sigCols = (0 until 8).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % lit(1000000007L)).as(s"s$i"))
     val sigs = base.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // materialize ONCE: the 4 band self-joins reference this frame 8 times
-    // (2 sides × 4 bands) on four DIFFERENT shuffle keys, so ReuseExchange
-    // cannot dedupe the shared signature pipeline — without the barrier it
-    // re-runs per consumer (measured ~40% slower end-to-end). One row per
-    // doc — small at any scale; on a cluster checkpoint() to durable
-    // storage instead.
-    val bands = sigs.select(col("doc_id"),
-      concat_ws("|", col("s0"), col("s1")).as("b0"),
-      concat_ws("|", col("s2"), col("s3")).as("b1"),
-      concat_ws("|", col("s4"), col("s5")).as("b2"),
-      concat_ws("|", col("s6"), col("s7")).as("b3"))
+    // materialize ONCE: the band self-join references this frame twice and
+    // its signature pipeline (two corpus scans + the anti-join) would
+    // otherwise re-run per side. One row per (doc, band) — small at any
+    // scale; on a cluster checkpoint() to durable storage instead.
+    // Long form (doc_id, band_idx, band_val) so ALL four bands resolve in
+    // ONE self-join keyed (b, band): same candidate set as four per-band
+    // joins, but one shuffle over 4n rows instead of four shuffles over n
+    // rows + a union — fewer stages, and the q83 structure.
+    val bands = sigs.select(col("doc_id"), expr(
+      "stack(4, 0, concat_ws('|', s0, s1), 1, concat_ws('|', s2, s3), " +
+        "2, concat_ws('|', s4, s5), 3, concat_ws('|', s6, s7)) AS (b, band)"))
       .localCheckpoint(true)
-    val pairs = (0 until 4).map { b =>
-      val l = bands.select(col("doc_id").as("id_a"), col(s"b$b").as("band"))
-      val r = bands.select(col("doc_id").as("id_b"), col(s"b$b").as("band"))
-      l.join(r, "band").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
-    }.reduce(_ unionByName _)
-    pairs.distinct()
+    val l = bands.select(col("doc_id").as("id_a"), col("b"), col("band"))
+    val r = bands.select(col("doc_id").as("id_b"), col("b"), col("band"))
+    l.join(r, Seq("b", "band")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   private def q50(spark: SparkSession, sfDir: String): DataFrame =
@@ -153,7 +151,14 @@ object LLMPipeline {
     val pairs = minhashPairs(spark, sfDir).localCheckpoint(true)
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = Tables(spark, sfDir, "documents")
+    // iterate over CANDIDATE-GRAPH vertices only: a doc in no candidate
+    // pair is its own singleton component and can never change, so it
+    // joins the result at the end (coalesce) instead of riding through
+    // every round's join + checkpoint. At 100 TB the candidate graph is
+    // orders of magnitude smaller than the corpus — this keeps the loop
+    // sized by |E|, not |corpus|.
+    var labels = sym.select(col("src").as("doc_id"))
+      .distinct()
       .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
     // frontier = vertices whose label improved last round. Labels only
     // decrease, so an improvement can only reach a vertex through a
@@ -189,7 +194,13 @@ object LLMPipeline {
       labels = step.select(col("doc_id"), col("comp_new").as("comp"))
       rounds += 1
     }
-    labels
+    // attach singleton components (docs in no candidate pair): comp =
+    // their own id. The converged label set is one row per candidate
+    // vertex — tiny next to the corpus — so it broadcasts.
+    Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .join(broadcast(labels.withColumnRenamed("comp", "cand_comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cand_comp"), col("doc_id")).as("comp"))
   }
 
   /** q93: near-dup RESOLUTION — the end product of the dedup family: per

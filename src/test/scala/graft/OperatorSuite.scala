@@ -22,7 +22,8 @@ class OperatorSuite extends AnyFunSuite {
       "q61_dedup_ngram_jaccard", // ndocs 1-row aggregate (df-cap)
       "q77_text_tfidf",          // corpus-size 1-row aggregate
       "q80_anon_tcloseness",     // n_total 1-row aggregate
-      "q100_quality_audit")      // global metric aggregates
+      "q100_quality_audit",      // global metric aggregates
+      "q109_corpus_rebalance")   // min-class-count 1-row aggregate
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
