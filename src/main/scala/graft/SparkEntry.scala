@@ -24,7 +24,8 @@ object SparkEntry {
     operators.TextAnalysis.entries ++
     operators.PipelineOps.entries ++
     operators.TimeSeries.entries ++
-    operators.CorpusOps.entries
+    operators.CorpusOps.entries ++
+    operators.ClusterOps.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
     * driver smoke-checks rows>0. */

@@ -159,6 +159,39 @@ object Scans {
       .orderBy("r_regionkey")
   }
 
+  /** Morton interleave of two 5-bit dims via pure integer DIV/%/× —
+    * `div` is the engine-portable floor division (`DIV` / `//`). */
+  private def zBits(div: String): String = (0 until 5).map(i =>
+    s"((x $div ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+      s"((y $div ${1 << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+
+  /** q110: Z-order (Morton) locality layout — interleave the bits of two
+    * query dimensions (nation key, 400-unit balance bucket) into one
+    * z-value and range-bucket the table by it; report per-tile extents
+    * of BOTH dims. A 1-D sort clusters only its leading column; the
+    * z-curve keeps BOTH dims bounded inside every tile, so range
+    * predicates on EITHER dim prune tiles (the Delta/Iceberg OPTIMIZE
+    * ZORDER layout idea, computed as a plain narrow expression). At
+    * scale the tile id is the `repartitionByRange` key at write time —
+    * here the z computation is per-row narrow and the audit is one
+    * groupBy(tile) with map-side combine. Integer-exact throughout:
+    * no doubles anywhere near a bucket boundary except the balance
+    * quantization, whose /400 grid is exact at the data's 2-decimal
+    * precision. */
+  private def q110(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("bigint").as("x"),
+        expr("CAST(floor((c_acctbal + 1000.0) / 400.0) AS BIGINT)").as("y"))
+      .withColumn("z", expr(zBits("DIV")))
+      .withColumn("tile", expr("z DIV 64"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy("tile")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q01_scan_project_filter", q01 _, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
@@ -196,5 +229,11 @@ object Scans {
         "substr(hx, 47, 2) || substr(hx, 45, 2)) AS BIGINT) " +
         "ELSE CAST(('0x' || substr(hx, 47, 2) || substr(hx, 45, 2)) AS BIGINT) END AS d2 " +
         "FROM b ORDER BY fname")),
+    Q("q110_zorder_locality", q110 _, Some(
+      "WITH b AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS x, " +
+        "CAST(FLOOR((c_acctbal + 1000.0) / 400.0) AS BIGINT) AS y FROM customer), " +
+        "zt AS (SELECT x, y, " + zBits("//") + " AS z FROM b) " +
+        "SELECT z // 64 AS tile, COUNT(*) AS n, MIN(x) AS x_min, MAX(x) AS x_max, " +
+        "MIN(y) AS y_min, MAX(y) AS y_max FROM zt GROUP BY 1 ORDER BY tile")),
   )
 }

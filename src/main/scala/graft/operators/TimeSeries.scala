@@ -177,6 +177,59 @@ object TimeSeries {
       .orderBy("user_id", "valid_from", "change_id")
   }
 
+  private val usPer10Min = 600000000L
+
+  /** q107: cross-key time-range join via time-bucket equi-join — for each
+    * purchase, count + sum the clicks from ANY user in the preceding
+    * 10 minutes. Unlike q09/q103 there is NO equi key (user) to shuffle
+    * on, and a naive range join is a nested-loop cross product. The
+    * scalable plan: quantize time into buckets the width of the range;
+    * each purchase's lookback interval (p−W, p] spans exactly two
+    * buckets, so the purchase side explodes ×2, the click side maps to
+    * its single bucket, and the pair space collapses to a shuffled
+    * EQUI-join on the bucket id + a residual range filter. A click's one
+    * bucket meets each purchase once, so no dedup is needed. Candidate
+    * volume is bounded by events-per-bucket (tunable via W), not n². */
+  private def q107(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("ts DIV 1000").as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("value"), col("ts_us").as("c_ts"),
+        expr(s"ts_us DIV $usPer10Min").as("bkt"))
+    val pB = purchases.withColumn("bkt",
+      explode(array(expr(s"p_ts DIV $usPer10Min - 1"), expr(s"p_ts DIV $usPer10Min"))))
+    val hits = pB.join(clicks, "bkt")
+      .filter(col("c_ts") > col("p_ts") - usPer10Min && col("c_ts") <= col("p_ts"))
+      .groupBy("p_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        Tables.r6(sum(dec(col("value"))).cast("double")).as("click_value"))
+    purchases.join(hits, Seq("p_id"), "left")
+      .select(col("p_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy("p_id")
+  }
+
+  /** q108: sliding-window distinct counting — distinct active users per
+    * 10-minute window over the trailing hour (6 buckets). Window
+    * functions can't COUNT(DISTINCT); the scalable formulation is
+    * contribute-then-count: dedup to (user, bucket) pairs, explode each
+    * pair into the 6 windows it contributes to, count distinct per
+    * window. Both shuffles are keyed (pair-distinct, then window) with
+    * partial aggregation; the explode factor is the window/slide ratio —
+    * the q57 overlap plan applied to DISTINCT aggregation. */
+  private def q108(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr(s"(ts DIV 1000) DIV $usPer10Min").as("bkt"))
+      .distinct()
+      .select(col("user_id"), explode(expr("sequence(bkt, bkt + 5)")).as("wb"))
+      .groupBy("wb")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("wb")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -242,5 +295,19 @@ object TimeSeries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
         "FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.db = a.db " +
         "ORDER BY g.user_id, g.db")),
+    Q("q107_join_time_bucket", q107 _, Some(
+      "WITH ev AS (SELECT event_id, event_type, value, epoch_us(ts) AS ts_us FROM events), " +
+        "p AS (SELECT event_id AS p_id, ts_us AS p_ts FROM ev WHERE event_type = 'purchase'), " +
+        "c AS (SELECT value, ts_us AS c_ts FROM ev WHERE event_type = 'click'), " +
+        "h AS (SELECT p_id, COUNT(*) AS n_clicks, " +
+        Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS click_value " +
+        s"FROM p JOIN c ON c.c_ts > p.p_ts - $usPer10Min AND c.c_ts <= p.p_ts GROUP BY p_id) " +
+        "SELECT p.p_id, CAST(COALESCE(h.n_clicks, 0) AS BIGINT) AS n_clicks, " +
+        "COALESCE(h.click_value, 0.0) AS click_value " +
+        "FROM p LEFT JOIN h USING (p_id) ORDER BY p_id")),
+    Q("q108_win_sliding_distinct", q108 _, Some(
+      s"WITH ub AS (SELECT DISTINCT user_id, epoch_us(ts) // $usPer10Min AS bkt FROM events), " +
+        "w AS (SELECT user_id, unnest(range(bkt, bkt + 6)) AS wb FROM ub) " +
+        "SELECT wb, COUNT(DISTINCT user_id) AS active_users FROM w GROUP BY wb ORDER BY wb")),
   )
 }

@@ -161,6 +161,28 @@ class OperatorSuite extends AnyFunSuite {
       b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
+    // tile = top 2 interleaved bits of each 5-bit dim → within any tile
+    // both x and y span at most 8 consecutive values (vs 25/28 global).
+    // This is the property that makes either-dim predicates prune tiles;
+    // the oracle checks the values, this checks the layout's point.
+    val rows = SparkEntry.queries("q110_zorder_locality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") <= 7,
+        s"tile ${r.getAs[Long]("tile")} x-range too wide")
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") <= 7,
+        s"tile ${r.getAs[Long]("tile")} y-range too wide")
+    }
+  }
+
+  test("q106 k-means: every vector assigned to a seed-derived cluster, d2 >= 0") {
+    val rows = SparkEntry.queries("q106_kmeans")(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "embeddings").count())
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+  }
+
   test("q63 IVF candidates are a subset of brute-force space and ranked") {
     val rows = SparkEntry.queries("q63_ann_ivf")(spark, sf).collect()
     assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 3))
