@@ -122,6 +122,58 @@ object Graft {
       leftKey: Column, rightKey: Column, saltBuckets: Int): DataFrame =
     plans.ScaleJoins.saltedJoin(left, right, leftKey, rightKey, saltBuckets)
 
+  // ---- corpus curation (q104–q106, q109) ----------------------------------
+
+  /** Benchmark decontamination (q104): flag every `train` document
+    * sharing any word 5-gram with `evalDocs`. Both frames need
+    * (doc_id, text); the eval n-gram index broadcasts. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame): DataFrame =
+    operators.CorpusOps.decontaminateOf(train, evalDocs)
+
+  /** Training-sequence packing (q105): per-document (bucket, bin)
+    * assignment cutting each hash bucket's deterministic order into
+    * `packLen`-token bins. `docs` needs (doc_id, text). */
+  def packSequences(docs: DataFrame, packLen: Int = 512, buckets: Int = 16): DataFrame =
+    operators.CorpusOps.packAssignments(docs, packLen, buckets)
+
+  /** Class-balanced rebalance (q109): downsample every class of
+    * `classCol` to the smallest class's count, deterministically by an
+    * md5 bucket of `idCol`. Returns the kept rows with `graft_class_n`
+    * and `graft_thresh` attached. */
+  def rebalanceClasses(df: DataFrame, classCol: String, idCol: String): DataFrame =
+    operators.CorpusOps.rebalanceOf(df, classCol, idCol)
+
+  /** Fixed-iteration Lloyd's k-means (q106): broadcast-centroid
+    * assignment, DECIMAL-exact centroid means, init = the k lowest ids.
+    * `emb` needs (vec_id, embedding: array<float>); returns
+    * (vec_id, cl, d2). */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    operators.ClusterOps.kmeansAssign(emb, k, iters)
+
+  // ---- time-series primitives (q107, q108) --------------------------------
+
+  /** Bucketized trailing-range join (q107): all (probe, point) pairs
+    * with point time in (p_ts − windowUs, p_ts], computed as an
+    * EQUI-join on the range-width time bucket — scalable with no equi
+    * key. `probes` needs (p_id, p_ts); `points` needs (c_ts, …). */
+  def trailingRangeJoin(probes: DataFrame, points: DataFrame, windowUs: Long): DataFrame =
+    operators.TimeSeries.trailingRangeJoin(probes, points, windowUs)
+
+  /** Sliding-window distinct counting (q108): distinct `key`s over the
+    * trailing `windowBuckets` buckets per window — contribute-then-count,
+    * no single-partition stage. `df` needs (key, bkt: bigint). */
+  def slidingDistinct(df: DataFrame, windowBuckets: Int): DataFrame =
+    operators.TimeSeries.slidingDistinctOf(df, windowBuckets)
+
+  /** Z-order (Morton) interleave of two non-negative integral dims
+    * (q110): the range-partition key that keeps BOTH dims clustered at
+    * write time. `bits` is the per-dimension bit width. */
+  def zValue(x: Column, y: Column, bits: Int = 5): Column =
+    (0 until bits).map(i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      .reduce(_ + _)
+
   // ---- multimodal binary columns (q68, q95) -------------------------------
 
   /** Decode + featurize binary media payloads (q68/q95): real pure-JVM

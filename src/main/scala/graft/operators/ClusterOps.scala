@@ -63,27 +63,30 @@ object ClusterOps {
       .groupBy("cl")
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("ca"))
 
-  /** q106: k-means cluster assignment — K=8, 2 Lloyd iterations, init
-    * from the K lowest vec_ids. Output: one row per vector with its
-    * final cluster and r6 squared distance to the final centroid. */
-  private def q106(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
-    var cent = emb.filter(col("vec_id") < K)
+  /** The generic k-means primitive behind q106, exposed as
+    * [[graft.Graft.kmeans]]: `emb` is ANY frame with
+    * (vec_id, embedding: array<float>); init = the k lowest vec_ids.
+    * Returns one row per vector: (vec_id, cl, d2) with the final cluster
+    * and r6 squared distance to its centroid. */
+  private[graft] def kmeansAssign(emb0: DataFrame, k: Int, iters: Int): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    var cent = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cl"),
         expr("transform(embedding, x -> cast(x as double))").as("ca"))
-    // checkpoint each centroid update (8 rows): without the barrier the
+    // checkpoint each centroid update (k rows): without the barrier the
     // final plan nests 3 assignments × 2 updates into one tree whose
     // analysis+codegen dominates wall time (measured 5.8 s cold vs 2.6 s
     // warm); with it every iteration compiles a small flat plan. On a
     // cluster this is also where a driver would persist iteration state.
-    for (_ <- 1 to Iters)
+    for (_ <- 1 to iters)
       cent = centroids(assign(emb, cent)).localCheckpoint(true)
-    assign(emb, cent)
-      .select(col("vec_id"), col("cl"), col("d2"))
-      .orderBy("vec_id")
+    assign(emb, cent).select(col("vec_id"), col("cl"), col("d2"))
   }
+
+  /** q106: k-means cluster assignment — K=8, 2 Lloyd iterations. */
+  private def q106(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssign(Tables(spark, sfDir, "embeddings"), K, Iters)
+      .orderBy("vec_id")
 
   // ---- oracle SQL (DuckDB), loop unrolled: c0 → a1 → c1 → a2 → c2 → final
 

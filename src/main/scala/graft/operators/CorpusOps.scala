@@ -29,13 +29,31 @@ object CorpusOps {
       s"(instr('0123456789abcdef', substring($h, 2, 1)) - 1)) % $mod"
 
   /** Per-doc DISTINCT word 5-grams (distinct inside the row — narrow,
-    * no pair-space shuffle; the q50 df-cap trick). */
+    * no pair-space shuffle; the q50 df-cap trick). `docs` needs
+    * (doc_id, text). */
   private def fiveGrams(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), col("bucket"), split(col("text"), " ").as("ts"))
+    .select(col("doc_id"), split(col("text"), " ").as("ts"))
     .filter(size(col("ts")) >= 5)
-    .select(col("doc_id"), col("bucket"), explode(array_distinct(expr(
+    .select(col("doc_id"), explode(array_distinct(expr(
       "transform(sequence(0, size(ts) - 5), i -> " +
         "concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]))"))).as("g"))
+
+  /** The generic decontamination primitive behind q104, exposed as
+    * [[graft.Graft.decontaminate]]: flag every `train` document sharing
+    * any word 5-gram with `evalDocs`. Both frames need (doc_id, text);
+    * the eval n-gram index is assumed benchmark-sized and broadcasts.
+    * Returns (doc_id, n_overlap, contaminated) covering ALL train docs. */
+  private[graft] def decontaminateOf(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalIdx = fiveGrams(evalDocs).select("g").distinct()
+    val hits = fiveGrams(train)
+      .join(broadcast(evalIdx), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
 
   /** q104: benchmark decontamination — flag training documents sharing
     * any word 5-gram with the held-out eval split (the md5-bucket ≥ 90
@@ -52,16 +70,9 @@ object CorpusOps {
     val docs = Tables(spark, sfDir, "documents")
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bucket", hexBucket(100))
-    val grams = fiveGrams(docs)
-    val evalIdx = grams.filter(col("bucket") >= 90).select("g").distinct()
-    val hits = grams.filter(col("bucket") < 90)
-      .join(broadcast(evalIdx), "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    docs.filter(col("bucket") < 90).select("doc_id")
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+    decontaminateOf(
+      docs.filter(col("bucket") < 90).select("doc_id", "text"),
+      docs.filter(col("bucket") >= 90).select("doc_id", "text"))
       .orderBy("doc_id")
   }
 
@@ -81,16 +92,25 @@ object CorpusOps {
     * Plan: ONE shuffle keyed by bucket; each bucket sorts independently
     * (bucket count scales with cluster width, no global sort — this is
     * how 100 TB packs in parallel while staying byte-reproducible). */
-  private def q105(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The generic packing primitive behind q105, exposed as
+    * [[graft.Graft.packSequences]]: per-document bin assignment
+    * (doc_id, tok, bucket, bin). `docs` needs (doc_id, text). */
+  private[graft] def packAssignments(docs: DataFrame, packLen: Int,
+      buckets: Int): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("tok"))
       .withColumn("h", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
-      .withColumn("bucket", hexBucket(PackBuckets).cast("bigint"))
+      .withColumn("bucket", hexBucket(buckets).cast("bigint"))
       .withColumn("cum", sum(col("tok")).over(w))
-      .withColumn("bin", expr(s"(cum - tok) div $PackLen"))
+      .withColumn("bin", expr(s"(cum - tok) div $packLen"))
+      .select("doc_id", "tok", "bucket", "bin")
+  }
+
+  private def q105(spark: SparkSession, sfDir: String): DataFrame = {
+    packAssignments(Tables(spark, sfDir, "documents"), PackLen, PackBuckets)
       .groupBy("bucket", "bin")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).as("tokens_total"),
@@ -108,28 +128,40 @@ object CorpusOps {
     * is a narrow per-row expression — the corpus never shuffles. The
     * integer threshold compare (bucket < r·10000 floor) avoids any
     * double-boundary ambiguity between engines. */
-  private def q109(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("lang_n"))
-    val minN = counts.agg(min(col("lang_n")).as("min_n"))
+  /** The generic rebalance primitive behind q109, exposed as
+    * [[graft.Graft.rebalanceClasses]]: downsample every class of
+    * `classCol` to the smallest class's count via a deterministic
+    * md5-bucket keep-filter on `idCol`. Returns the KEPT rows with
+    * `graft_class_n` (original class size) and `graft_thresh` (the
+    * integer keep-threshold out of 10000) attached. */
+  private[graft] def rebalanceOf(df: DataFrame, classCol: String,
+      idCol: String): DataFrame = {
+    require(!df.columns.contains("graft_h"), "graft_h is reserved by rebalanceClasses")
+    val counts = df.groupBy(classCol).agg(count(lit(1)).as("graft_class_n"))
+    val minN = counts.agg(min(col("graft_class_n")).as("graft_min_n"))
     val rates = counts.crossJoin(broadcast(minN))
-      // integer threshold out of 10000: floor(min_n·10000 / lang_n) in
+      // integer threshold out of 10000: floor(min_n·10000 / class_n) in
       // exact int64 math — no doubles anywhere near the keep boundary
-      .select(col("lang"), col("lang_n"),
-        expr("(min_n * 10000) div lang_n").as("thresh"))
-    docs
-      .withColumn("h", md5(concat(lit("bal:"), col("doc_id").cast("string"))))
-      .withColumn("bucket", expr(
-        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 + " +
-          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 + " +
-          "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + " +
-          "(instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % 10000"))
-      .join(broadcast(rates), "lang")
-      .filter(col("bucket") < col("thresh"))
+      .select(col(classCol), col("graft_class_n"),
+        expr("(graft_min_n * 10000) div graft_class_n").as("graft_thresh"))
+    df
+      .withColumn("graft_h", md5(concat(lit("bal:"), col(idCol).cast("string"))))
+      .withColumn("graft_bucket", expr(
+        "((instr('0123456789abcdef', substring(graft_h, 1, 1)) - 1) * 4096 + " +
+          "(instr('0123456789abcdef', substring(graft_h, 2, 1)) - 1) * 256 + " +
+          "(instr('0123456789abcdef', substring(graft_h, 3, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(graft_h, 4, 1)) - 1)) % 10000"))
+      .join(broadcast(rates), classCol)
+      .filter(col("graft_bucket") < col("graft_thresh"))
+      .drop("graft_h", "graft_bucket")
+  }
+
+  private def q109(spark: SparkSession, sfDir: String): DataFrame = {
+    rebalanceOf(Tables(spark, sfDir, "documents"), "lang", "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("kept"),
-        min(col("lang_n")).as("orig"),
-        Tables.r6(min(col("thresh")) / lit(10000.0)).as("rate"))
+        min(col("graft_class_n")).as("orig"),
+        Tables.r6(min(col("graft_thresh")) / lit(10000.0)).as("rate"))
       .orderBy("lang")
   }
 

@@ -190,6 +190,21 @@ object TimeSeries {
     * EQUI-join on the bucket id + a residual range filter. A click's one
     * bucket meets each purchase once, so no dedup is needed. Candidate
     * volume is bounded by events-per-bucket (tunable via W), not n². */
+  /** The generic bucketized trailing-range join behind q107, exposed as
+    * [[graft.Graft.trailingRangeJoin]]: all (probe, point) pairs where
+    * the point's `p_ts`… — `probes` needs (p_id, p_ts), `points` needs
+    * (c_ts, payload…); pairs satisfy c_ts ∈ (p_ts − windowUs, p_ts].
+    * Equi-join on the range-width time bucket — never a nested loop. */
+  private[graft] def trailingRangeJoin(probes: DataFrame, points: DataFrame,
+      windowUs: Long): DataFrame = {
+    val pts = points.withColumn("graft_bkt", expr(s"c_ts DIV $windowUs"))
+    val pB = probes.withColumn("graft_bkt",
+      explode(array(expr(s"p_ts DIV $windowUs - 1"), expr(s"p_ts DIV $windowUs"))))
+    pB.join(pts, "graft_bkt")
+      .filter(col("c_ts") > col("p_ts") - windowUs && col("c_ts") <= col("p_ts"))
+      .drop("graft_bkt")
+  }
+
   private def q107(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("event_type"), col("value"),
@@ -197,12 +212,8 @@ object TimeSeries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("value"), col("ts_us").as("c_ts"),
-        expr(s"ts_us DIV $usPer10Min").as("bkt"))
-    val pB = purchases.withColumn("bkt",
-      explode(array(expr(s"p_ts DIV $usPer10Min - 1"), expr(s"p_ts DIV $usPer10Min"))))
-    val hits = pB.join(clicks, "bkt")
-      .filter(col("c_ts") > col("p_ts") - usPer10Min && col("c_ts") <= col("p_ts"))
+      .select(col("value"), col("ts_us").as("c_ts"))
+    val hits = trailingRangeJoin(purchases, clicks, usPer10Min)
       .groupBy("p_id")
       .agg(count(lit(1)).as("n_clicks"),
         Tables.r6(sum(dec(col("value"))).cast("double")).as("click_value"))
@@ -220,13 +231,23 @@ object TimeSeries {
     * window. Both shuffles are keyed (pair-distinct, then window) with
     * partial aggregation; the explode factor is the window/slide ratio —
     * the q57 overlap plan applied to DISTINCT aggregation. */
-  private def q108(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "events")
-      .select(col("user_id"), expr(s"(ts DIV 1000) DIV $usPer10Min").as("bkt"))
+  /** The generic sliding-distinct primitive behind q108, exposed as
+    * [[graft.Graft.slidingDistinct]]: `df` needs (key, bkt: bigint);
+    * returns (wb, active) = distinct keys over the trailing
+    * `windowBuckets` buckets ending at each wb. */
+  private[graft] def slidingDistinctOf(df: DataFrame, windowBuckets: Int): DataFrame =
+    df.select(col("key"), col("bkt"))
       .distinct()
-      .select(col("user_id"), explode(expr("sequence(bkt, bkt + 5)")).as("wb"))
+      .select(col("key"), explode(expr(s"sequence(bkt, bkt + ${windowBuckets - 1})")).as("wb"))
       .groupBy("wb")
-      .agg(countDistinct(col("user_id")).as("active_users"))
+      .agg(countDistinct(col("key")).as("active"))
+
+  private def q108(spark: SparkSession, sfDir: String): DataFrame = {
+    slidingDistinctOf(
+      Tables(spark, sfDir, "events")
+        .select(col("user_id").as("key"), expr(s"(ts DIV 1000) DIV $usPer10Min").as("bkt")),
+      windowBuckets = 6)
+      .select(col("wb"), col("active").as("active_users"))
       .orderBy("wb")
   }
 

@@ -84,4 +84,67 @@ class ApiSuite extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set((1L, "p", "dim1"), (1L, "q", "dim1"), (2L, "r", "dim2")))
   }
+
+  test("decontaminate, packSequences, rebalanceClasses on synthetic corpora") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e f"), (2L, "z y x w v u")).toDF("doc_id", "text")
+    val heldOut = Seq((100L, "a b c d e x")).toDF("doc_id", "text")
+    val d = Graft.decontaminate(train, heldOut).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(d == Map(1L -> true, 2L -> false))
+
+    // 20 docs × 10 tokens into 25-token bins: bins overflow by < 1 doc,
+    // so every bin holds ≤ 3 docs and bins are dense from 0 per bucket
+    val docs = (1L to 20L).map(i => (i, (1 to 10).map(t => s"t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Graft.packSequences(docs, packLen = 25, buckets = 2).collect()
+    assert(packed.length == 20)
+    val perBin = packed.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("bin")))
+    assert(perBin.values.forall(_.length <= 3))
+    perBin.keys.groupBy(_._1).foreach { case (_, bins) =>
+      val bs = bins.map(_._2).toSeq.sorted
+      assert(bs == (0L until bs.length).toSeq, s"bins not dense: $bs")
+    }
+
+    val classes = (1 to 30).map(i => (i.toLong, if (i <= 20) "big" else "small"))
+      .toDF("id", "cls")
+    val kept = Graft.rebalanceClasses(classes, "cls", "id")
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 10L) // smallest class: thresh 10000 keeps all
+    assert(kept.getOrElse("big", 0L) < 20L) // downsampled toward 10
+  }
+
+  test("kmeans separates an obviously two-cluster embedding set") {
+    import spark.implicits._
+    // seeds 0 and 1 land one in each blob, so Lloyd's converges at once
+    val blobA = Seq(0L, 2L, 4L, 6L).map(i => (i, Array(10f, 0f, 0f, i * 0.01f)))
+    val blobB = Seq(1L, 3L, 5L, 7L).map(i => (i, Array(0f, 10f, 0f, i * 0.01f)))
+    val emb = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val got = Graft.kmeans(emb, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == 8)
+    assert(Seq(0L, 2L, 4L, 6L).map(got).distinct.length == 1)
+    assert(Seq(1L, 3L, 5L, 7L).map(got).distinct.length == 1)
+    assert(got(0L) != got(1L))
+  }
+
+  test("trailingRangeJoin, slidingDistinct, zValue on synthetic series") {
+    import spark.implicits._
+    val probes = Seq((1L, 1000L)).toDF("p_id", "p_ts")
+    val points = Seq(950L, 1000L, 900L, 1001L).toDF("c_ts")
+    val joined = Graft.trailingRangeJoin(probes, points, windowUs = 100L)
+      .collect().map(_.getAs[Long]("c_ts")).toSet
+    assert(joined == Set(950L, 1000L)) // (900, 1000]: 900 excluded, 1001 out
+
+    val activity = Seq(("a", 0L), ("b", 1L)).toDF("key", "bkt")
+    val sliding = Graft.slidingDistinct(activity, windowBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sliding == Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L))
+
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L)).toDF("x", "y")
+      .select(Graft.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(1L, 2L, 15L))
+  }
 }
