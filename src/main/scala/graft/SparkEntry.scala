@@ -25,7 +25,8 @@ object SparkEntry {
     operators.PipelineOps.entries ++
     operators.TimeSeries.entries ++
     operators.CorpusOps.entries ++
-    operators.ClusterOps.entries
+    operators.ClusterOps.entries ++
+    operators.SketchOps.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
     * driver smoke-checks rows>0. */

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch aggregates (SURVEY.md §2.8b, q111–q113) over the
+  * Apache DataSketches integration that ships with Spark 4.1 — the
+  * canonical 100 TB answer to distinct counting, quantiles, and set
+  * overlap:
+  *
+  *  - exact DISTINCT/percentile over 100 TB needs a full shuffle of the
+  *    key universe; a sketch is a few KB per partition, partial-
+  *    aggregates map-side, merges associatively, and can be PERSISTED
+  *    per day/shard and re-merged later without touching the raw data —
+  *    the pre-aggregated-rollup pattern (build once per partition,
+  *    answer forever);
+  *  - HLL and Theta sketches are order- and partitioning-independent
+  *    (register-max / k-min-hash structures), so estimates are stable
+  *    across cluster layouts.
+  *
+  * No DuckDB oracle exists for sketch estimates (DuckDB's approx_* uses
+  * a different HLL implementation), so like q14 these three are
+  * documented no-oracle entries: the driver records a rows-only check
+  * and SketchSuite asserts error bounds against exact answers plus the
+  * merge-equals-whole-corpus identity that makes sketches trustworthy
+  * at scale.
+  */
+object SketchOps {
+
+  private val usPerDay = 86400000000L
+
+  /** q111: mergeable distinct counting — per-day HLL sketches of
+    * user_id; the global count re-derives by UNIONING the daily
+    * sketches (hll_union_agg), never re-scanning the corpus. Output:
+    * one row per day with the daily estimate and the shared
+    * merged-global estimate. */
+  private def q111(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir, "events")
+      .withColumn("day", expr(s"(ts DIV 1000) DIV $usPerDay"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val global = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("global_users"))
+    daily
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("daily_users"))
+      .crossJoin(broadcast(global))
+      .orderBy("day")
+  }
+
+  /** q112: mergeable quantiles — per-language KLL sketches of document
+    * length; p50/p90/p99 read from the sketch. At scale the per-shard
+    * sketches persist and re-merge (kll_sketch_merge) instead of
+    * re-sorting the corpus for every percentile question. */
+  private def q112(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .groupBy("lang")
+      .agg(kll_sketch_agg_bigint(col("n_chars")).as("sk"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        kll_sketch_get_quantile_bigint(col("sk"), lit(0.5)).as("p50"),
+        kll_sketch_get_quantile_bigint(col("sk"), lit(0.9)).as("p90"),
+        kll_sketch_get_quantile_bigint(col("sk"), lit(0.99)).as("p99"))
+      .orderBy("lang")
+  }
+
+  /** q113: set-overlap without a join — Theta sketches of the click and
+    * purchase user sets; union and intersection cardinalities come from
+    * sketch algebra (theta_union_agg / theta_intersection_agg) instead
+    * of a distinct-distinct join of the two key universes. The audience-
+    * overlap question every analytics pipeline asks, answerable from
+    * per-segment sketches alone. */
+  private def q113(spark: SparkSession, sfDir: String): DataFrame = {
+    val sk = Tables(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+    sk.agg(
+      theta_sketch_estimate(theta_union_agg(col("sk"))).as("users_either"),
+      theta_sketch_estimate(theta_intersection_agg(col("sk"))).as("users_both"))
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q111_agg_sketch_distinct", q111 _, None),
+    Q("q112_agg_sketch_quantile", q112 _, None),
+    Q("q113_agg_sketch_overlap", q113 _, None),
+  )
+}

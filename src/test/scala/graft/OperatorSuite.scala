@@ -23,7 +23,9 @@ class OperatorSuite extends AnyFunSuite {
       "q77_text_tfidf",          // corpus-size 1-row aggregate
       "q80_anon_tcloseness",     // n_total 1-row aggregate
       "q100_quality_audit",      // global metric aggregates
-      "q109_corpus_rebalance")   // min-class-count 1-row aggregate
+      "q109_corpus_rebalance",   // min-class-count 1-row aggregate
+      "q111_agg_sketch_distinct", // global union of per-day KB sketches
+      "q113_agg_sketch_overlap") // global algebra over 2 sketch rows
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -40,8 +42,11 @@ class OperatorSuite extends AnyFunSuite {
   }
 
   test("every query name has oracle SQL or a documented omission") {
+    // the sketch family (q111–q113) has no DuckDB equivalent — bounds
+    // are asserted in SketchSuite instead (see SketchOps doc)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q14_agg_approx_distinct"), s"unexpected: $noOracle")
+    assert(noOracle == Set("q14_agg_approx_distinct", "q111_agg_sketch_distinct",
+      "q112_agg_sketch_quantile", "q113_agg_sketch_overlap"), s"unexpected: $noOracle")
   }
 
   test("entry() returns rows") {
