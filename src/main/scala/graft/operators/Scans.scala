@@ -192,6 +192,43 @@ object Scans {
       .orderBy("tile")
   }
 
+  /** q114: dynamic partition pruning — a year-partitioned fact joined to
+    * a broadcast dim whose filter (`d_era = 'recent'`) is NOT a literal
+    * on the fact, so no static pruning applies; at runtime the
+    * broadcast's year set becomes a partition filter
+    * (`dynamicpruningexpression` in the scan, asserted in
+    * ScaleJoinsSuite) and the fact reads ONLY the matching directories.
+    * THE mechanism that makes dim-filtered queries on a 100 TB
+    * partitioned fact table read 3 years instead of 7. The layout write
+    * is paid once per sfDir (q88 convention); the query itself is scan +
+    * broadcast join + keyed agg. */
+  private def q114(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = tmp("dpp_orders", sfDir)
+    val dimPath = tmp("dpp_years", sfDir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      Tables(spark, sfDir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_year", "o_orderkey")
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(path)
+      // the dim must be a real source relation: a literal LocalRelation
+      // gets its filter constant-folded away, and with no selective
+      // predicate left the DPP rule sees nothing to prune on
+      Seq(1992 -> "old", 1993 -> "old", 1994 -> "old", 1995 -> "old",
+        1996 -> "recent", 1997 -> "recent", 1998 -> "recent")
+        .toDF("d_year", "d_era")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dimPath)
+    }
+    val dim = spark.read.parquet(dimPath)
+    spark.read.parquet(path)
+      .join(broadcast(dim.filter(col("d_era") === "recent")),
+        col("o_year") === col("d_year"))
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("o_year", col("o_year").cast("bigint"))
+      .orderBy("o_year")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q01_scan_project_filter", q01 _, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
@@ -229,6 +266,10 @@ object Scans {
         "substr(hx, 47, 2) || substr(hx, 45, 2)) AS BIGINT) " +
         "ELSE CAST(('0x' || substr(hx, 47, 2) || substr(hx, 45, 2)) AS BIGINT) END AS d2 " +
         "FROM b ORDER BY fname")),
+    Q("q114_join_dpp", q114 _, Some(
+      "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS cnt " +
+        "FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997, 1998) " +
+        "GROUP BY 1 ORDER BY o_year")),
     Q("q110_zorder_locality", q110 _, Some(
       "WITH b AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS x, " +
         "CAST(FLOOR((c_acctbal + 1000.0) / 400.0) AS BIGINT) AS y FROM customer), " +

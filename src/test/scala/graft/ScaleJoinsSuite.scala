@@ -132,6 +132,54 @@ class ScaleJoinsSuite extends AnyFunSuite {
     }
   }
 
+  test("q114 runs with a dynamic-partition-pruning filter on the fact scan") {
+    val df = SparkEntry.queries("q114_join_dpp")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1996L, 1997L, 1998L))
+    // the year predicate exists nowhere as a literal — it must arrive at
+    // the scan as a runtime partition filter from the broadcast dim
+    assert(df.queryExecution.executedPlan.toString.toLowerCase
+      .contains("dynamicpruning"),
+      "expected dynamicpruningexpression in the fact scan:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("runtime bloom filter prunes the application side of a selective fact join") {
+    // SURVEY §7.5: Spark's runtime row-level filtering — a selective dim
+    // filter materializes as a bloom filter applied on the fact side
+    // BEFORE its shuffle. Production thresholds (10 GB application-side
+    // scan) are scaled to test data; assert the rewrite fires and the
+    // result is filter-invariant.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join: bloom's target shape
+      val fact = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val dim = Tables(spark, sf, "orders")
+        .filter(col("o_totalprice") > 300000) // selective creation side
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      assert(joined.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("might_contain"),
+        "expected a bloom-filter might_contain on the fact side:\n" +
+          joined.queryExecution.optimizedPlan.toString)
+      val n = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(n == fact.join(dim, col("l_orderkey") === col("o_orderkey")).count(),
+        "bloom filter must not change the result")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q88's sfDir-tagged catalog names let two scale factors interleave") {
     val q88 = SparkEntry.queries("q88_join_bucketed")
     def expected(sfDir: String) = Tables(spark, sfDir, "orders")
