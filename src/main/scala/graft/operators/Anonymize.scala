@@ -224,6 +224,69 @@ object Anonymize {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** q115: Mondrian-style multidimensional generalization (LeFevre,
+    * DeWitt, Ramakrishnan, ICDE 2006) — recursive median splits over the
+    * QI space, alternating dimensions, relaxed to a fixed depth of 2 so
+    * the recursion unrolls into two window passes: split 1 halves each
+    * nation stratum at the acctbal median (`ntile(2)`); split 2 halves
+    * each half at the mktsegment median (categorical dims are ordered
+    * lexically, the standard Mondrian treatment). Output is one row per
+    * resulting cell with its generalized ranges ([lo,hi] per dim), size
+    * and a k=10 audit flag.
+    *
+    * Scale: both windows are partitioned by the stratum key (nation,
+    * then nation×half) — no global sort, no single-partition exchange;
+    * each split redistributes only within its parent cell, which is how
+    * Mondrian parallelizes on a cluster (one task per cell per level).
+    * Depth is a constant, so the whole operator is 2 window shuffles +
+    * 1 aggregation regardless of data size. */
+  private def q115(spark: SparkSession, sfDir: String): DataFrame = {
+    val w1 = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    val w2 = Window.partitionBy("c_nationkey", "h1").orderBy("c_mktsegment", "c_custkey")
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("h1", ntile(2).over(w1))
+      .withColumn("h2", ntile(2).over(w2))
+      .groupBy("c_nationkey", "h1", "h2")
+      .agg(
+        min(col("c_acctbal")).as("acct_lo"),
+        max(col("c_acctbal")).as("acct_hi"),
+        min(col("c_mktsegment")).as("seg_lo"),
+        max(col("c_mktsegment")).as("seg_hi"),
+        count(lit(1)).as("cell_n"))
+      .withColumn("violates_k10", col("cell_n") < 10)
+      .orderBy("c_nationkey", "h1", "h2")
+  }
+
+  /** q116: differentially-private release of group counts via the Laplace
+    * mechanism (Dwork et al., TCC 2006): count + Lap(Δf/ε) with Δf=1
+    * (unit L1 sensitivity of a count), ε=0.5 ⇒ scale b=2. The noise draw
+    * uses inverse-CDF sampling `-b·sign(v)·ln(1−2|v|)`, v=u−½, from a
+    * deterministic per-group uniform u — a Knuth multiplicative hash of
+    * the group key mapped into (0,1) — so the release is reproducible
+    * (fixed-seed DP, the standard audit/testing mode) and the oracle can
+    * evaluate the identical closed form. All arithmetic is plain IEEE
+    * double (mul/ln/abs/case), bit-identical across engines; see
+    * Tables.r6 for why that matters. Swap `u` for a real CSPRNG draw per
+    * release in production — the mechanism is otherwise unchanged.
+    *
+    * Scale: one count shuffle (QI-cardinality bounded) and a scalar
+    * transform — the privacy layer adds zero distributed work. */
+  private def q116(spark: SparkSession, sfDir: String): DataFrame = {
+    val grouped = Tables(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("true_n"))
+    val key = col("c_nationkey") * lit(256L) + ascii(substring(col("c_mktsegment"), 1, 1))
+    val u = ((key * lit(2654435761L)) % lit(1000003L)).cast("double") / lit(1000003.0)
+    val v = u - lit(0.5)
+    val s = when(v >= 0, lit(1.0)).otherwise(lit(-1.0))
+    val noise = lit(-2.0) * s * log(lit(1.0) - lit(2.0) * abs(v))
+    grouped
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        Tables.r6(col("true_n").cast("double") + noise).as("noisy_n"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q35_anon_drop_identifiers", q35 _, Some(
       "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment " +
@@ -302,5 +365,22 @@ object Anonymize {
       "SELECT c_custkey, token FROM customer JOIN (" +
         "SELECT c_name, DENSE_RANK() OVER (ORDER BY c_name) AS token FROM (" +
         "SELECT DISTINCT c_name FROM customer)) USING (c_name) ORDER BY c_custkey")),
+    Q("q115_anon_mondrian", q115 _, Some(
+      "SELECT c_nationkey, h1, h2, MIN(c_acctbal) AS acct_lo, MAX(c_acctbal) AS acct_hi, " +
+        "MIN(c_mktsegment) AS seg_lo, MAX(c_mktsegment) AS seg_hi, " +
+        "COUNT(*) AS cell_n, COUNT(*) < 10 AS violates_k10 FROM (" +
+        "SELECT c_nationkey, c_mktsegment, c_acctbal, h1, " +
+        "NTILE(2) OVER (PARTITION BY c_nationkey, h1 ORDER BY c_mktsegment, c_custkey) AS h2 " +
+        "FROM (SELECT *, NTILE(2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS h1 " +
+        "FROM customer)) GROUP BY 1, 2, 3 ORDER BY c_nationkey, h1, h2")),
+    Q("q116_anon_dp_noise", q116 _, Some(
+      "SELECT c_nationkey, c_mktsegment, " +
+        Tables.r6sql("CAST(true_n AS DOUBLE) + " +
+          "-2.0 * (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END) * LN(1.0 - 2.0 * ABS(u - 0.5))") +
+        " AS noisy_n FROM (" +
+        "SELECT c_nationkey, c_mktsegment, COUNT(*) AS true_n, " +
+        "CAST(((c_nationkey * 256 + ASCII(SUBSTRING(c_mktsegment, 1, 1))) * 2654435761) % 1000003 AS DOUBLE) " +
+        "/ 1000003.0 AS u " +
+        "FROM customer GROUP BY 1, 2) ORDER BY c_nationkey, c_mktsegment")),
   )
 }

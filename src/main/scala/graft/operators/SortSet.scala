@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sort / limit / set operators (SURVEY.md §2.5, q25–q28).
@@ -68,6 +69,35 @@ object SortSet {
       .orderBy("user_id")
   }
 
+  /** q118: skyline / Pareto frontier (Börzsönyi, Kossmann, Stocker, ICDE
+    * 2001) — per brand, the parts not dominated on
+    * (p_retailprice ↓, p_size ↓): a part is dominated iff another part of
+    * the same mfgr is no worse on both dims and strictly better on one.
+    * Formulated as the classic sort-scan: over distinct (price, size)
+    * pairs in (price, size) ascending order, a pair is on the frontier
+    * iff its size is strictly below the running minimum size of all
+    * preceding pairs (every preceding pair is strictly better on price,
+    * or price-tied and strictly better on size — either way a dominator
+    * when its size ≤ ours).
+    *
+    * Scale: the window partitions by p_brand, so the sort-scan
+    * distributes one task per brand; within a partition the
+    * distinct step first collapses the pair domain (value-bounded, not
+    * row-bounded). For a single-group skyline at extreme cardinality the
+    * standard trick is a grid pre-pass — prune any pair whose cell is
+    * wholly dominated by another cell's min corner — then this same
+    * window over survivors; documented in SCALING.md. */
+  private def q118(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, sfDir, "part")
+      .select("p_brand", "p_retailprice", "p_size").distinct()
+      .withColumn("m", min(col("p_size")).over(w))
+      .filter(col("m").isNull || col("p_size") < col("m"))
+      .select("p_brand", "p_retailprice", "p_size")
+      .orderBy("p_brand", "p_retailprice", "p_size")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q25_sort_limit_topk", q25 _, Some(
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
@@ -94,5 +124,12 @@ object SortSet {
         "COALESCE(unmatched_clicks, 0) AS unmatched_clicks, " +
         "COALESCE(matched_clicks, 0) AS matched_clicks " +
         "FROM excess e FULL JOIN matched m ON e.user_id = m.user_id ORDER BY user_id")),
+    Q("q118_skyline", q118 _, Some(
+      "SELECT p_brand, p_retailprice, p_size FROM (" +
+        "SELECT p_brand, p_retailprice, p_size, " +
+        "MIN(p_size) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_size " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m " +
+        "FROM (SELECT DISTINCT p_brand, p_retailprice, p_size FROM part)) " +
+        "WHERE m IS NULL OR p_size < m ORDER BY p_brand, p_retailprice, p_size")),
   )
 }

@@ -251,6 +251,36 @@ object TimeSeries {
       .orderBy("wb")
   }
 
+  /** q119: OHLC bar downsampling — the time-series resampling primitive
+    * (open/high/low/close/volume per hour bucket per event_type), the
+    * finance/telemetry analog of q56's plain tumbling agg. Open/close are
+    * navigation over a deterministic (ts, event_id) order: first_value /
+    * last_value over the full partition frame, constant within the
+    * bucket, then collapsed by the groupBy (max = the constant). One
+    * shuffle — the window and the agg share the (type, bucket) key, so
+    * the agg reuses the window's partitioning (no second exchange).
+    * high/low/open/close are untouched doubles (exact, hash-safe); only
+    * the summed volume goes through DECIMAL + r6. */
+  private def q119(spark: SparkSession, sfDir: String): DataFrame = {
+    val wf = Window.partitionBy("event_type", "hour_bucket")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("hour_bucket", expr(s"(ts DIV 1000) DIV $usPerHour"))
+      .withColumn("open", first(col("value")).over(wf))
+      .withColumn("close", last(col("value")).over(wf))
+      .groupBy("event_type", "hour_bucket")
+      .agg(
+        max(col("open")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(col("close")).as("close"),
+        count(lit(1)).as("n_events"),
+        Tables.r6(sum(dec(col("value"))).cast("double")).as("volume"))
+      .orderBy("event_type", "hour_bucket")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -330,5 +360,16 @@ object TimeSeries {
       s"WITH ub AS (SELECT DISTINCT user_id, epoch_us(ts) // $usPer10Min AS bkt FROM events), " +
         "w AS (SELECT user_id, unnest(range(bkt, bkt + 6)) AS wb FROM ub) " +
         "SELECT wb, COUNT(DISTINCT user_id) AS active_users FROM w GROUP BY wb ORDER BY wb")),
+    Q("q119_ts_ohlc", q119 _, Some(
+      s"WITH e AS (SELECT event_type, event_id, value, epoch_us(ts) AS ts_us, " +
+        s"epoch_us(ts) // $usPerHour AS hour_bucket FROM events), " +
+        "w AS (SELECT event_type, hour_bucket, value, " +
+        "FIRST_VALUE(value) OVER wf AS open, LAST_VALUE(value) OVER wf AS close FROM e " +
+        "WINDOW wf AS (PARTITION BY event_type, hour_bucket ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_type, hour_bucket, MAX(open) AS open, MAX(value) AS high, " +
+        "MIN(value) AS low, MAX(close) AS close, COUNT(*) AS n_events, " +
+        Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS volume " +
+        "FROM w GROUP BY 1, 2 ORDER BY event_type, hour_bucket")),
   )
 }

@@ -107,6 +107,26 @@ object Windows {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** q117: window distribution/navigation functions — `cume_dist` plus
+    * the frame-navigation trio `first_value`/`last_value`/`nth_value`
+    * over the full partition frame; completes the window surface next to
+    * q21's rank/dense_rank/ntile/percent_rank. Order includes p_partkey
+    * so every order value is unique (deterministic navigation; §2.9 R5),
+    * and the navigation functions use an explicit UNBOUNDED..UNBOUNDED
+    * ROWS frame — last/nth over the default frame would see only the
+    * prefix. One shuffle on p_brand. */
+  private def q117(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, sfDir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        Tables.r6(cume_dist().over(w)).as("cdist"),
+        first(col("p_partkey")).over(wf).as("cheapest_key"),
+        last(col("p_partkey")).over(wf).as("priciest_key"),
+        nth_value(col("p_partkey"), 2).over(wf).as("second_cheapest_key"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q20_win_topk_per_group", q20 _, Some(
       "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
@@ -143,5 +163,16 @@ object Windows {
         Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)") +
         " AS cum_rev FROM orders ORDER BY o_custkey, o_day, o_orderkey")),
+    Q("q117_win_distribution", q117 _, Some(
+      "SELECT p_brand, p_partkey, p_retailprice, " +
+        Tables.r6sql("CUME_DIST() OVER w") + " AS cdist, " +
+        "FIRST_VALUE(p_partkey) OVER wf AS cheapest_key, " +
+        "LAST_VALUE(p_partkey) OVER wf AS priciest_key, " +
+        "NTH_VALUE(p_partkey, 2) OVER wf AS second_cheapest_key " +
+        "FROM part WINDOW " +
+        "w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), " +
+        "wf AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY p_brand, p_partkey")),
   )
 }

@@ -346,4 +346,93 @@ class OperatorSuite extends AnyFunSuite {
       }
     }
   }
+
+  test("q115 mondrian cells partition each nation; splits are median-balanced") {
+    val cells = SparkEntry.queries("q115_anon_mondrian")(spark, sf).collect()
+    val custByNation = Tables(spark, sf, "customer").collect()
+      .groupBy(_.getAs[Int]("c_nationkey")).view.mapValues(_.length.toLong).toMap
+    val byNation = cells.groupBy(_.getAs[Int]("c_nationkey"))
+    assert(byNation.keySet == custByNation.keySet)
+    byNation.foreach { case (nat, cs) =>
+      // the cells of a stratum tile it exactly
+      assert(cs.map(_.getAs[Long]("cell_n")).sum == custByNation(nat))
+      assert(cs.length <= 4) // depth 2 ⇒ ≤4 leaf cells
+      // ntile(2) balance: the two halves of any split differ by ≤1
+      val h1Sizes = cs.groupBy(_.getAs[Int]("h1")).view
+        .mapValues(_.map(_.getAs[Long]("cell_n")).sum).toMap
+      if (h1Sizes.size == 2)
+        assert(math.abs(h1Sizes(1) - h1Sizes(2)) <= 1)
+      // generalized ranges are genuine bounds
+      cs.foreach(c => assert(
+        c.getAs[Double]("acct_lo") <= c.getAs[Double]("acct_hi") &&
+          c.getAs[String]("seg_lo") <= c.getAs[String]("seg_hi")))
+    }
+  }
+
+  test("q116 dp counts: reproducible, and |noise| within the ε=0.5 tail bound") {
+    val a = SparkEntry.queries("q116_anon_dp_noise")(spark, sf).collect()
+    val b = SparkEntry.queries("q116_anon_dp_noise")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "fixed-seed DP must be reproducible")
+    val truth = Tables(spark, sf, "customer").collect()
+      .groupBy(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment")))
+      .view.mapValues(_.length.toDouble).toMap
+    a.foreach { r =>
+      val t = truth((r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment")))
+      val noise = r.getAs[Double]("noisy_n") - t
+      // Laplace(b=2) inverse-CDF from u on a 1e6 grid: |noise| ≤ b·ln(1e6/2) ≈ 26.2
+      assert(math.abs(noise) <= 2.0 * math.log(1000003.0 / 2.0) + 1e-6,
+        s"noise $noise outside the deterministic-grid tail bound")
+      assert(noise != 0.0, "noise must actually perturb")
+    }
+  }
+
+  test("q117 navigation keys agree with a direct per-brand sort") {
+    val rows = SparkEntry.queries("q117_win_distribution")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("p_brand")).values.foreach { rs =>
+      val ordered = rs.sortBy(r => (r.getAs[Double]("p_retailprice"), r.getAs[Long]("p_partkey")))
+      val cheapest = ordered.head.getAs[Long]("p_partkey")
+      val priciest = ordered.last.getAs[Long]("p_partkey")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("cheapest_key") == cheapest)
+        assert(r.getAs[Long]("priciest_key") == priciest)
+        assert(r.getAs[Long]("second_cheapest_key") == ordered(1).getAs[Long]("p_partkey"))
+        val cd = r.getAs[Double]("cdist")
+        assert(cd > 0.0 && cd <= 1.0)
+      }
+    }
+  }
+
+  test("q118 skyline: kept points undominated, dropped points dominated (exact)") {
+    val sky = SparkEntry.queries("q118_skyline")(spark, sf).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Double]("p_retailprice"), r.getAs[Int]("p_size")))
+    val all = Tables(spark, sf, "part").collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Double]("p_retailprice"), r.getAs[Int]("p_size")))
+      .distinct
+    def dominates(a: (String, Double, Int), b: (String, Double, Int)): Boolean =
+      a._1 == b._1 && a._2 <= b._2 && a._3 <= b._3 && (a._2 < b._2 || a._3 < b._3)
+    val skySet = sky.toSet
+    all.foreach { p =>
+      val dominated = all.exists(q => dominates(q, p))
+      assert(skySet.contains(p) == !dominated,
+        s"$p ${if (dominated) "dominated but kept" else "undominated but dropped"}")
+    }
+  }
+
+  test("q119 OHLC bars: o/h/l/c ordering invariants and volume consistency") {
+    val bars = SparkEntry.queries("q119_ts_ohlc")(spark, sf).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { b =>
+      val (o, h, l, c) = (b.getAs[Double]("open"), b.getAs[Double]("high"),
+        b.getAs[Double]("low"), b.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h && l <= h)
+      assert(b.getAs[Long]("n_events") > 0)
+    }
+    // volumes sum to the whole-table sum (same r6/decimal path as q56)
+    val volSum = bars.map(_.getAs[Double]("volume")).sum
+    val direct = Tables(spark, sf, "events")
+      .agg(Tables.r6(org.apache.spark.sql.functions.sum(
+        Tables.dec(org.apache.spark.sql.functions.col("value"))).cast("double")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(volSum - direct) < 1e-3)
+  }
 }
