@@ -174,6 +174,23 @@ object Graft {
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
       .reduce(_ + _)
 
+  // ---- graph & summary primitives (q120, q123) ----------------------------
+
+  /** Fixed-iteration PageRank (q120) as distributed join–agg matvecs;
+    * `edges` needs (src, dst, w: bigint). Nodes = keys appearing on
+    * either side; dangling nodes keep their teleport share and forward
+    * nothing. Deterministic: r6-rounded DECIMAL contribution sums. */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, teleport: Double = 0.15,
+      iters: Int = 3): DataFrame =
+    operators.GraphOps.pageRank(edges, damping, teleport, iters)
+
+  /** Misra–Gries heavy-hitters summary column (q123): aggregate a string
+    * column into a map<item, est> with the f − n/(k+1) ≤ est ≤ f
+    * guarantee; merge-order-independent by construction (see
+    * functions.MisraGries). Use as `df.agg(heavyHitters(k)(col))`. */
+  def heavyHitters(k: Int = 256): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new functions.MisraGries(k))
+
   // ---- multimodal binary columns (q68, q95) -------------------------------
 
   /** Decode + featurize binary media payloads (q68/q95): real pure-JVM

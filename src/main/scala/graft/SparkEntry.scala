@@ -26,7 +26,8 @@ object SparkEntry {
     operators.TimeSeries.entries ++
     operators.CorpusOps.entries ++
     operators.ClusterOps.entries ++
-    operators.SketchOps.entries
+    operators.SketchOps.entries ++
+    operators.GraphOps.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
     * driver smoke-checks rows>0. */

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra–Gries heavy-hitters summary (Misra & Gries, Sci. Comp. Prog.
+  * 1982; mergeable form Agarwal et al., PODS 2012) — the frequent-items
+  * primitive the built-in surface lacks (`df.stat.freqItems` gives no
+  * error bound and no mergeable state): a k-counter summary such that
+  * every item with true frequency f appears with estimate
+  * f − n/(k+1) ≤ est ≤ f, so any item with f > n/(k+1) is guaranteed
+  * present.
+  *
+  * Determinism under Spark's nondeterministic partial-merge ORDER is the
+  * design constraint here: classic MG merge (sum, then subtract the
+  * (k+1)-th largest) is order-SENSITIVE, so this Aggregator truncates
+  * only in `reduce` — each partition builds its own k-bounded summary
+  * over its deterministic row order — while `merge` is the EXACT
+  * commutative/associative map sum. Buffer size is bounded by
+  * k × #partials (k·32 here), the estimates are reproducible on any
+  * merge tree, and the per-partition error bounds still telescope:
+  * total undercount ≤ Σ_p n_p/(k+1) = n/(k+1).
+  *
+  * Scale: the summary map-side combines like any typed Aggregator; state
+  * is O(k·partitions) — KBs — regardless of corpus size. The decrement
+  * step is O(k) but only fires when a full summary meets a novel item
+  * (long-tail text: rarely), amortized O(1) per row.
+  */
+class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  def zero: Map[String, Long] = Map.empty
+
+  def reduce(b: Map[String, Long], v: String): Map[String, Long] = {
+    if (v == null) b
+    else b.get(v) match {
+      case Some(n) => b.updated(v, n + 1L)
+      case None if b.size < k => b.updated(v, 1L)
+      case None => // decrement-all: the arriving item cancels one of each
+        b.flatMap { case (key, n) => if (n > 1L) Some(key -> (n - 1L)) else None }
+    }
+  }
+
+  /** Exact map sum — commutative and associative, so Spark's partial
+    * merge order can't change the result (see class doc). */
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (key, n)) => acc.updated(key, acc.getOrElse(key, 0L) + n) }
+
+  def finish(b: Map[String, Long]): Map[String, Long] = b
+
+  // buffer is opaque engine state → kryo; output must be a real SQL
+  // map<string,bigint> so the query can explode it → ExpressionEncoder
+  def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+  def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}

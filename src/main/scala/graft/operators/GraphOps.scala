@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over relational data (SURVEY.md §2.8b, q120) —
+  * PageRank (Brin & Page, WWW 1998) as repeated distributed sparse
+  * matrix–vector products: each iteration is one join (ranks → edges on
+  * the source key) plus one aggregation (sum contributions on the
+  * destination key). That join–agg pair IS how PageRank runs at any
+  * scale — edges stay partitioned by key, ranks are the only iterated
+  * state — and with a rank frame this small the join side broadcasts.
+  *
+  * Complements the iterative-frontier connected components in
+  * LLMPipeline (q76): CC converges on reachability, PageRank on a
+  * stationary distribution with a fixed iteration budget.
+  *
+  * Determinism (§2.9 R1): per-edge contributions are r6-rounded doubles
+  * cast to DECIMAL(18,9) before the destination sum — exact addition in
+  * any partition merge order — and each iteration's rank is r6-rounded,
+  * so the oracle's unrolled CTEs reproduce the bits.
+  */
+object GraphOps {
+
+  /** Damping factor, teleport mass and iteration count — fixed constants
+    * so the oracle SQL can unroll the loop. Teleport is passed as its own
+    * literal rather than computed as 1−damping: the IEEE double
+    * `1.0 - 0.85` (0.15000000000000002…) is NOT the double the SQL
+    * literal `0.15` parses to, and that 1-ulp drift could flip an r6
+    * rounding boundary. */
+  private val Damping = 0.85
+  private val Teleport = 0.15
+  private val Iters = 3
+
+  /** Generic fixed-iteration PageRank primitive behind q120, exposed as
+    * [[graft.Graft.pageRank]]: `edges` is ANY (src, dst, w: bigint)
+    * frame. Nodes = every key appearing as src or dst; teleport mass is
+    * uniform over that node set; dangling nodes (in-edges only) keep
+    * their teleport share and forward nothing — the variant that needs
+    * no global dangling-mass redistribution step. */
+  private[graft] def pageRank(edges0: DataFrame, damping: Double, teleport: Double,
+      iters: Int): DataFrame = {
+    val edges = edges0.localCheckpoint(true)
+    // out-strength per source, transition weight per edge (r6 double)
+    val trans = edges
+      .join(edges.groupBy("src").agg(sum(col("w")).as("wout")), "src")
+      .select(col("src"), col("dst"),
+        Tables.r6(col("w").cast("double") / col("wout")).as("p"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    // node count rides along as a broadcast 1-row aggregate (q80 pattern:
+    // no driver-side .count() action inside query construction)
+    val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"), col("n_nodes"),
+        Tables.r6(lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = broadcast(ranks)
+        .join(trans, col("node") === col("src"))
+        .select(col("dst"),
+          Tables.r6(col("rank") * col("p")).cast(DecimalType(18, 9)).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_mass"))
+      ranks = ranks
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("n_nodes"),
+          Tables.r6(
+            lit(teleport) / col("n_nodes") +
+              lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0))
+          ).as("rank"))
+        .localCheckpoint(true) // tiny frame; keeps each iteration's plan flat (q106 pattern)
+    }
+    ranks.select("node", "rank")
+  }
+
+  /** q120: PageRank over the nation-level trade graph — edge
+    * cust_nation → supp_nation weighted by lineitem count (who buys from
+    * whom). The graph build is the genuinely heavy distributed part: the
+    * fact table joins broadcast dims and aggregates to a
+    * nation²-bounded edge list; the rank loop then runs on that compact
+    * graph. */
+  private def q120(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val supp = Tables(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    pageRank(edges, Damping, Teleport, Iters)
+      .select(col("node").as("nationkey"), col("rank"))
+      .orderBy("nationkey")
+  }
+
+  /** The q120 oracle: the same edge build + 3 unrolled iterations as
+    * CTEs, with the identical r6/DECIMAL arithmetic at every step. */
+  private val prIter: String => String = prev =>
+    s"SELECT node, n_nodes, ${Tables.r6sql(
+      s"0.15 / n_nodes + 0.85 * COALESCE(CAST(in_mass AS DOUBLE), 0.0)")} AS rank " +
+      s"FROM (SELECT r.node, r.n_nodes, m.in_mass FROM $prev r LEFT JOIN (" +
+      s"SELECT t.dst, SUM(CAST(${Tables.r6sql("r.rank * t.p")} AS DECIMAL(18,9))) AS in_mass " +
+      s"FROM $prev r JOIN trans t ON r.node = t.src GROUP BY t.dst) m ON r.node = m.dst)"
+
+  private val q120Sql: String =
+    "WITH edges AS (SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), " +
+      "trans AS (SELECT src, dst, " +
+      Tables.r6sql("CAST(w AS DOUBLE) / SUM(w) OVER (PARTITION BY src)") + " AS p FROM edges), " +
+      "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), " +
+      "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes), " +
+      "r0 AS (SELECT node, n_nodes, " + Tables.r6sql("1.0 / n_nodes") + " AS rank " +
+      "FROM nodes CROSS JOIN nn), " +
+      s"r1 AS (${prIter("r0")}), r2 AS (${prIter("r1")}), r3 AS (${prIter("r2")}) " +
+      "SELECT node AS nationkey, rank FROM r3 ORDER BY nationkey"
+
+  val entries: Seq[Q] = Seq(
+    Q("q120_graph_pagerank", q120 _, Some(q120Sql)),
+  )
+}

@@ -258,6 +258,62 @@ object NearDup {
       .orderBy("id_p", "rn")
   }
 
+  /** q124: random-hyperplane LSH ANN (Charikar, STOC 2002) — the
+    * signature-based scale path for cosine search that needs NO trained
+    * quantizer (complement of q63's IVF, which needs centroids): 16
+    * deterministic ±1 hyperplanes give every vector a 16-bit sign
+    * signature; P[bit match] = 1 − θ/π, so near vectors collide.
+    * Banded 4×4 (q83's simhash recipe, but over embedding geometry
+    * rather than token content): candidates = pairs sharing ANY 4-bit
+    * band → exact cosine rerank top-3, never all-pairs.
+    *
+    * Scale: signatures are one narrow codegen'd projection (16
+    * `graft_dot`s against literal plane arrays — no shuffle, no plane
+    * join); the band join is an equi-join on (band, 4 bits) whose
+    * candidate volume is bucket-bounded; rerank touches candidates
+    * only. Planes are Knuth-hash ±1 so the oracle regenerates them
+    * bit-identically in SQL. */
+  private val NPlanes = 16
+  private def planeSign(p: Int, j1: Int): Double =
+    if ((((p * 64L + j1) * 2654435761L) % 1000003L) % 2L == 0L) 1.0 else -1.0
+  private def q124(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val planes: Seq[Column] = (0 until NPlanes).map { p =>
+      typedLit(Array.tabulate(64)(j0 => planeSign(p, j0 + 1).toFloat))
+    }
+    val sigCol = (0 until NPlanes).map { p =>
+      when(expr("graft_dot(embedding, p" + p + ")") >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val sigs = planes.zipWithIndex.foldLeft(
+      emb.select(col("vec_id"), col("embedding"))) {
+        case (df, (pl, p)) => df.withColumn(s"p$p", pl)
+      }
+      .select(col("vec_id"), col("embedding"), sigCol.as("sig"))
+      .localCheckpoint(true) // signatures computed once, read by both join sides
+    val banded = sigs.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("vec_id"), col("b"),
+        expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+    val cand = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id_p"), col("b"), col("k"))
+      .join(banded.select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
+      .filter(col("id_p") =!= col("id_c"))
+      .select("id_p", "id_c").distinct()
+    val withVec = cand
+      .join(sigs.select(col("vec_id").as("id_p"), col("embedding").as("ep"),
+        sqrt(dotCol("embedding", "embedding")).as("np")), "id_p")
+      .join(sigs.select(col("vec_id").as("id_c"), col("embedding").as("ec"),
+        sqrt(dotCol("embedding", "embedding")).as("nc")), "id_c")
+    val wTop = Window.partitionBy("id_p").orderBy(col("cos").desc, col("id_c"))
+    withVec
+      .select(col("id_p"), col("id_c"),
+        Tables.r6(dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("id_p", "rn")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q60_dedup_simhash", q60 _, Some(
       simhashSql + " SELECT doc_id, simhash FROM sh ORDER BY doc_id")),
@@ -309,6 +365,32 @@ object NearDup {
         "ROW_NUMBER() OVER (PARTITION BY s.id_p ORDER BY " +
         Tables.r6sql(s"$dotPE / ($nP * $nE)") + " DESC, e.vec_id) AS rn " +
         "FROM cells s JOIN embeddings e ON s.label = e.label AND s.id_p <> e.vec_id) " +
+        "WHERE rn <= 3 ORDER BY id_p, rn"
+    }),
+    Q("q124_ann_hyperplane", q124 _, Some {
+      // the same Knuth-hash ±1 planes, regenerated inline: sign(p, j) for
+      // the j-th (1-based) component of plane p
+      val sgn = "(CASE WHEN (((p * 64 + j) * 2654435761) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val dotPlane =
+        s"list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * $sgn))"
+      val dotPQ = "list_sum(list_transform(range(1,65), i -> CAST(pv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))"
+      val nP = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(pv.embedding[i] AS DOUBLE) * CAST(pv.embedding[i] AS DOUBLE))))"
+      val nC = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(cv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE))))"
+      "WITH bits AS (SELECT e.vec_id, p, " +
+        s"CASE WHEN $dotPlane >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END AS bit " +
+        "FROM embeddings e CROSS JOIN range(0, 16) r(p)), " +
+        "sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id), " +
+        "banded AS (SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS k " +
+        "FROM sig CROSS JOIN range(0, 4) r(b)), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM banded a " +
+        "JOIN banded c ON a.b = c.b AND a.k = c.k " +
+        "WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id) " +
+        "SELECT id_p, id_c, cos, rn FROM (SELECT cand.id_p, cand.id_c, " +
+        Tables.r6sql(s"$dotPQ / ($nP * $nC)") + " AS cos, " +
+        "ROW_NUMBER() OVER (PARTITION BY cand.id_p ORDER BY " +
+        Tables.r6sql(s"$dotPQ / ($nP * $nC)") + " DESC, cand.id_c) AS rn " +
+        "FROM cand JOIN embeddings pv ON cand.id_p = pv.vec_id " +
+        "JOIN embeddings cv ON cand.id_c = cv.vec_id) " +
         "WHERE rn <= 3 ORDER BY id_p, rn"
     }),
   )

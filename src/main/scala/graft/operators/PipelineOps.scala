@@ -215,6 +215,41 @@ object PipelineOps {
       .orderBy("metric")
   }
 
+  /** q121: CDC snapshot diff — classify every key across two table
+    * versions as added / removed / changed via one full-outer join on the
+    * key. The change-detection primitive behind incremental loads and
+    * audit trails; v2 is derived from v1 by a deterministic transform
+    * (delete keys ≡0 mod 97, bump acctbal on keys ≡0 mod 7, insert
+    * key+1e6 clones for keys ≡0 mod 101) so the diff is verifiable
+    * end-to-end without side files. At scale the value compare should be
+    * a single fingerprint column (xxhash64 of all value columns) computed
+    * under the scan so the join carries 8-byte digests instead of whole
+    * rows; here the value set is 1 column wide so it's compared directly
+    * (DuckDB 1.0 has no xxhash64 for cross-engine parity anyway). One
+    * shuffle on the key (both sides), bounded output. */
+  private def q121(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables(spark, sfDir, "customer").select("c_custkey", "c_acctbal")
+    val kept = v1.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, Tables.r6(col("c_acctbal") + lit(100.0)))
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+    val inserted = v1.filter(col("c_custkey") % 101 === 0)
+      .select((col("c_custkey") + lit(1000000L)).as("c_custkey"), col("c_acctbal"))
+    val v2 = kept.unionByName(inserted)
+    v1.select(col("c_custkey").as("k1"), col("c_acctbal").as("bal1"))
+      .join(v2.select(col("c_custkey").as("k2"), col("c_acctbal").as("bal2")),
+        col("k1") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k1"), col("k2")).as("key"),
+        when(col("k1").isNull, lit("added"))
+          .when(col("k2").isNull, lit("removed"))
+          .when(col("bal1") =!= col("bal2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        col("bal1").as("old_val"), col("bal2").as("new_val"))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("key")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
@@ -296,5 +331,19 @@ object PipelineOps {
         "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100 AS bucket FROM (" +
         "SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)) " +
         "WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END ORDER BY doc_id")),
+    Q("q121_snapshot_diff", q121 _, Some(
+      "WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer), " +
+        "v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN " +
+        Tables.r6sql("c_acctbal + 100.0") + " ELSE c_acctbal END AS c_acctbal " +
+        "FROM v1 WHERE c_custkey % 97 <> 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_acctbal FROM v1 WHERE c_custkey % 101 = 0) " +
+        "SELECT * FROM (" +
+        "SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS key, " +
+        "CASE WHEN v1.c_custkey IS NULL THEN 'added' " +
+        "WHEN v2.c_custkey IS NULL THEN 'removed' " +
+        "WHEN v1.c_acctbal <> v2.c_acctbal THEN 'changed' ELSE 'unchanged' END AS change_type, " +
+        "v1.c_acctbal AS old_val, v2.c_acctbal AS new_val " +
+        "FROM v1 FULL JOIN v2 ON v1.c_custkey = v2.c_custkey) " +
+        "WHERE change_type <> 'unchanged' ORDER BY key")),
   )
 }

@@ -80,9 +80,39 @@ object SketchOps {
       theta_sketch_estimate(theta_intersection_agg(col("sk"))).as("users_both"))
   }
 
+  /** Summary size for q123 — any word with frequency > n/(K+1) of the
+    * word stream is guaranteed in the summary (MisraGries doc). */
+  private val MgK = 256
+
+  /** q123: Misra–Gries heavy hitters — frequent words over the document
+    * corpus from a custom typed `Aggregator` (functions.MisraGries), the
+    * one-pass bounded-state answer to "what are the common tokens"
+    * (vocabulary skew checks, stopword discovery, boilerplate tells).
+    * The full groupBy(word) alternative shuffles the whole token
+    * universe; the MG summary is O(k) state that map-side combines with
+    * an order-insensitive exact merge. Output: summary items with
+    * estimate ≥ n/(MgK+1) — the guarantee region — with their estimates;
+    * like q14/q111–q113 the estimates are implementation-defined, so no
+    * SQL oracle: SketchSuite asserts the MG bounds against exact counts.
+    * The threshold count rides along as a 1-row broadcast (q80 pattern). */
+  private def q123(spark: SparkSession, sfDir: String): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(MgK))
+    val words = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val n = words.agg(count(lit(1)).as("n_words"))
+    words.agg(mg(col("word")).as("summary"))
+      .select(explode(col("summary")).as(Seq("word", "est")))
+      .crossJoin(broadcast(n))
+      .filter(col("est") >= col("n_words") / (MgK + 1))
+      .select("word", "est")
+      .orderBy("word")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q111_agg_sketch_distinct", q111 _, None),
     Q("q112_agg_sketch_quantile", q112 _, None),
     Q("q113_agg_sketch_overlap", q113 _, None),
+    Q("q123_agg_heavy_hitters", q123 _, None),
   )
 }

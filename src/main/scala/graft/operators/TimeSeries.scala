@@ -281,6 +281,33 @@ object TimeSeries {
       .orderBy("event_type", "hour_bucket")
   }
 
+  /** q122: time-weighted average — the irregular-sampling mean every
+    * telemetry/finance pipeline needs (a plain avg over-weights bursts):
+    * each observation holds until the next one, so per user
+    * twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N − t₁) over the (ts, event_id) order;
+    * the last observation of a user carries no weight (zero-order hold,
+    * closed-open span). Weights are exact integer µs; the v·Δt products
+    * go through DECIMAL sums (value is DECIMAL(18,4)-cast, µs is bigint
+    * → exact decimal product), so partition merge order can't move a
+    * bit. One shuffle on user_id shared by the window and the agg. */
+  private def q122(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_obs"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        sum(dec(col("value")) * col("dt_us")).as("wsum"))
+      // span>0 (⇒ n≥2) BEFORE the division — a user whose events all
+      // collapse to one µs would otherwise divide by zero
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_obs"),
+        Tables.r6(col("wsum").cast("double") / col("span_us")).as("twa"))
+      .orderBy("user_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -371,5 +398,15 @@ object TimeSeries {
         "MIN(value) AS low, MAX(close) AS close, COUNT(*) AS n_events, " +
         Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS volume " +
         "FROM w GROUP BY 1, 2 ORDER BY event_type, hour_bucket")),
+    Q("q122_time_weighted_avg", q122 _, Some(
+      "WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events), " +
+        "d AS (SELECT user_id, value, " +
+        "LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt_us, " +
+        "ts_us FROM e), " +
+        "g AS (SELECT user_id, COUNT(*) AS n_obs, MAX(ts_us) - MIN(ts_us) AS span_us, " +
+        "SUM(CAST(value AS DECIMAL(18,4)) * dt_us) AS wsum FROM d GROUP BY user_id) " +
+        "SELECT user_id, n_obs, " +
+        Tables.r6sql("CAST(wsum AS DOUBLE) / span_us") + " AS twa " +
+        "FROM g WHERE span_us > 0 ORDER BY user_id")),
   )
 }

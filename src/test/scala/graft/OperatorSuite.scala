@@ -25,7 +25,8 @@ class OperatorSuite extends AnyFunSuite {
       "q100_quality_audit",      // global metric aggregates
       "q109_corpus_rebalance",   // min-class-count 1-row aggregate
       "q111_agg_sketch_distinct", // global union of per-day KB sketches
-      "q113_agg_sketch_overlap") // global algebra over 2 sketch rows
+      "q113_agg_sketch_overlap", // global algebra over 2 sketch rows
+      "q123_agg_heavy_hitters")  // global merge of k-bounded MG summaries
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -46,7 +47,8 @@ class OperatorSuite extends AnyFunSuite {
     // are asserted in SketchSuite instead (see SketchOps doc)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q14_agg_approx_distinct", "q111_agg_sketch_distinct",
-      "q112_agg_sketch_quantile", "q113_agg_sketch_overlap"), s"unexpected: $noOracle")
+      "q112_agg_sketch_quantile", "q113_agg_sketch_overlap",
+      "q123_agg_heavy_hitters"), s"unexpected: $noOracle")
   }
 
   test("entry() returns rows") {
@@ -415,6 +417,52 @@ class OperatorSuite extends AnyFunSuite {
       val dominated = all.exists(q => dominates(q, p))
       assert(skySet.contains(p) == !dominated,
         s"$p ${if (dominated) "dominated but kept" else "undominated but dropped"}")
+    }
+  }
+
+  test("q120 pagerank: a distribution up to dangling leak, teleport floor holds") {
+    val rows = SparkEntry.queries("q120_graph_pagerank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    // every node keeps at least its teleport share; nothing exceeds 1
+    ranks.foreach(r => assert(r >= 0.15 / n - 1e-9 && r < 1.0))
+    // total mass ≤ 1 up to the r6 rounding budget (each of n ranks and
+    // each source's transition row carries ≤0.5e-6 per iteration —
+    // measured drift at n=25 is ~2.3e-5) minus what dangling nodes
+    // didn't forward; and can't collapse below the teleport mass
+    val total = ranks.sum
+    assert(total <= 1.0 + n * 2e-6 && total >= 0.15 - 1e-6, s"mass $total")
+  }
+
+  test("q122 TWA sits within each user's [min,max] value envelope") {
+    val twa = SparkEntry.queries("q122_time_weighted_avg")(spark, sf).collect()
+    assert(twa.nonEmpty)
+    val env = Tables(spark, sf, "events").groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("value").as("lo"),
+        org.apache.spark.sql.functions.max("value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    twa.foreach { r =>
+      val (lo, hi) = env(r.getLong(0))
+      val v = r.getAs[Double]("twa")
+      assert(v >= lo - 1e-6 && v <= hi + 1e-6, s"user ${r.getLong(0)}: twa $v outside [$lo,$hi]")
+    }
+  }
+
+  test("q124 hyperplane ANN never beats exact search at any rank (subset property)") {
+    val ann = SparkEntry.queries("q124_ann_hyperplane")(spark, sf).collect()
+    assert(ann.nonEmpty)
+    val brute = operators.LLMPipeline.bruteTopK(
+      spark, Tables(spark, sf, "embeddings"), org.apache.spark.sql.functions.col("vec_id") < 10,
+      topK = 3).collect()
+    val bruteByProbe = brute.groupBy(_.getLong(0))
+    ann.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val cosines = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, s"probe $p not ranked")
+      val exact = bruteByProbe(p).sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      cosines.zip(exact).foreach { case (ac, bc) =>
+        assert(ac <= bc + 1e-9, s"probe $p: ann cos $ac beats exact $bc")
+      }
     }
   }
 

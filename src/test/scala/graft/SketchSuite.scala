@@ -60,4 +60,35 @@ class SketchSuite extends AnyFunSuite {
     assert(within(row.getAs[Long]("users_either").toDouble, (c union p).size.toDouble, 0.05))
     assert(within(row.getAs[Long]("users_both").toDouble, (c intersect p).size.toDouble, 0.05))
   }
+
+  test("q123 Misra–Gries: estimates honor the f−n/(k+1) ≤ est ≤ f guarantee") {
+    val out = SparkEntry.queries("q123_agg_heavy_hitters")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    val exact = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 256L
+    val err = n / (k + 1) // max total undercount across partial summaries
+    // (a) no overcount, (b) undercount bounded by n/(k+1)
+    out.foreach { case (w, est) =>
+      val f = exact.getOrElse(w, 0L)
+      assert(est <= f, s"$w: est $est overcounts exact $f")
+      assert(f - est <= err, s"$w: undercount ${f - est} > bound $err")
+    }
+    // (c) completeness: every word frequent enough that its estimate
+    // cannot fall below the output threshold must be present
+    val thresh = n.toDouble / (k + 1)
+    exact.foreach { case (w, f) =>
+      if (f - err > thresh)
+        assert(out.contains(w), s"guaranteed-heavy word '$w' (f=$f) missing")
+    }
+    // (d) reproducible across runs (merge-order independence by design)
+    val again = SparkEntry.queries("q123_agg_heavy_hitters")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
 }
