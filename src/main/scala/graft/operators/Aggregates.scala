@@ -168,6 +168,34 @@ object Aggregates {
       .orderBy("user_id", "event_type")
   }
 
+  /** q125: per-group OLS regression (price ~ quantity per returnflag) —
+    * slope/intercept/R² from the SAME exact-DECIMAL moment sums as q18
+    * (the regr_slope/regr_r2 family, re-derived from closed forms so the
+    * doubles are bit-identical cross-engine instead of trusting two
+    * engines' internal covariance accumulators, which fold in partition
+    * order). One map-side-combined shuffle on the group key; the six
+    * moments are the complete sufficient statistics, so this is also the
+    * mergeable-state pattern: shard moments re-merge exactly. */
+  private def q125(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val d = (c: Column) => c.cast("double")
+    val n = d(col("n")); val sx = d(col("sx")); val sxx = d(col("sxx"))
+    val sy = d(col("sy")); val syy = d(col("syy")); val sxy = d(col("sxy"))
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        Tables.r6((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope"),
+        Tables.r6((sy * sxx - sx * sxy) / (n * sxx - sx * sx)).as("intercept"),
+        Tables.r6((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
@@ -238,5 +266,22 @@ object Aggregates {
         "COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders, " +
         "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn " +
         "FROM orders) WHERE rn = 1 ORDER BY o_custkey")),
+    Q("q125_agg_regression", q125 _, Some {
+      val n = "CAST(n AS DOUBLE)"; val sx = "CAST(sx AS DOUBLE)"
+      val sxx = "CAST(sxx AS DOUBLE)"; val sy = "CAST(sy AS DOUBLE)"
+      val syy = "CAST(syy AS DOUBLE)"; val sxy = "CAST(sxy AS DOUBLE)"
+      "SELECT l_returnflag, n, " +
+        Tables.r6sql(s"($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx)") + " AS slope, " +
+        Tables.r6sql(s"($sy * $sxx - $sx * $sxy) / ($n * $sxx - $sx * $sx)") + " AS intercept, " +
+        Tables.r6sql(s"($n * $sxy - $sx * $sy) * ($n * $sxy - $sx * $sy) / " +
+          s"(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))") + " AS r2 " +
+        "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
+        "SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx, " +
+        "SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy, " +
+        "SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy " +
+        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"
+    }),
   )
 }

@@ -308,6 +308,29 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** q126: consecutive event-pattern detection — the MATCH_RECOGNIZE-
+    * style "A immediately followed by B then C" question (strictly
+    * consecutive per user, unlike q86's funnel which allows gaps):
+    * matches = rows where (type, lead(type,1), lead(type,2)) =
+    * (click, view, purchase) over the (ts, event_id) order. One window
+    * shuffle on user_id; the pattern evaluates as two lead columns and
+    * a filter — no self-joins, no state machine. Longer patterns
+    * compose as more leads; gap-tolerant patterns are q86's shape. */
+  private def q126(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+        lead(col("event_type"), 1).over(w).as("t1"),
+        lead(col("event_type"), 2).over(w).as("t2"),
+        lead(col("ts_us"), 2).over(w).as("end_us"))
+      .filter(col("event_type") === "click" && col("t1") === "view" && col("t2") === "purchase")
+      .select(col("user_id"), col("event_id").as("start_event"),
+        col("ts_us").as("start_us"), col("end_us"),
+        (col("end_us") - col("ts_us")).as("span_us"))
+      .orderBy("user_id", "start_us", "start_event")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -408,5 +431,13 @@ object TimeSeries {
         "SELECT user_id, n_obs, " +
         Tables.r6sql("CAST(wsum AS DOUBLE) / span_us") + " AS twa " +
         "FROM g WHERE span_us > 0 ORDER BY user_id")),
+    Q("q126_event_pattern", q126 _, Some(
+      "SELECT user_id, start_event, start_us, end_us, end_us - start_us AS span_us FROM (" +
+        "SELECT user_id, event_id AS start_event, epoch_us(ts) AS start_us, event_type, " +
+        "LEAD(event_type, 1) OVER w AS t1, LEAD(event_type, 2) OVER w AS t2, " +
+        "LEAD(epoch_us(ts), 2) OVER w AS end_us " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) " +
+        "WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase' " +
+        "ORDER BY user_id, start_us, start_event")),
   )
 }

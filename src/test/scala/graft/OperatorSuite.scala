@@ -466,6 +466,43 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q125 regression: r2 in [0,1], line passes through the group mean") {
+    val rows = SparkEntry.queries("q125_agg_regression")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val means = Tables(spark, sf, "lineitem").groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.avg("l_quantity").as("mx"),
+        org.apache.spark.sql.functions.avg("l_extendedprice").as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      val (mx, my) = means(r.getString(0))
+      // OLS identity: ŷ(mean x) = mean y (up to the 6-dp rounding of the
+      // published coefficients propagated through mx)
+      val yhat = r.getAs[Double]("intercept") + r.getAs[Double]("slope") * mx
+      assert(math.abs(yhat - my) < 1e-2, s"${r.getString(0)}: $yhat vs $my")
+    }
+  }
+
+  test("q126 pattern matches are exactly the consecutive click-view-purchase triples") {
+    val got = SparkEntry.queries("q126_event_pattern")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_event"))).toSet
+    val want = Tables(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type", "ts DIV 1000 AS t")
+      .collect()
+      .groupBy(_.getLong(0))
+      .flatMap { case (_, rs) =>
+        val seq = rs.sortBy(r => (r.getLong(3), r.getLong(1)))
+        seq.sliding(3).collect {
+          case Array(a, b, c)
+            if a.getString(2) == "click" && b.getString(2) == "view" &&
+              c.getString(2) == "purchase" =>
+            (a.getLong(0), a.getLong(1))
+        }
+      }.toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("q119 OHLC bars: o/h/l/c ordering invariants and volume consistency") {
     val bars = SparkEntry.queries("q119_ts_ohlc")(spark, sf).collect()
     assert(bars.nonEmpty)
