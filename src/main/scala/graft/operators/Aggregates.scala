@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -196,6 +197,24 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** q128: mode (most frequent value) per group with a total tie-break —
+    * the built-in `mode()` (both engines) picks an arbitrary value on
+    * ties, which can never hash-match; the count + rank formulation
+    * pins ties to the smallest value and is the one correct distributed
+    * shape anyway (two bounded shuffles: the count, then a rank over
+    * group×value cardinality — never the raw rows through one task). */
+  private def q128(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("cnt").desc, col("c_mktsegment"))
+    Tables(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"), col("cnt"))
+      .orderBy("c_nationkey")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
@@ -283,5 +302,11 @@ object Aggregates {
         "SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy " +
         "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag"
     }),
+    Q("q128_agg_mode", q128 _, Some(
+      "SELECT c_nationkey, mode_segment, cnt FROM (" +
+        "SELECT c_nationkey, c_mktsegment AS mode_segment, cnt, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn " +
+        "FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt " +
+        "FROM customer GROUP BY 1, 2)) WHERE rn = 1 ORDER BY c_nationkey")),
   )
 }

@@ -169,6 +169,32 @@ object CorpusOps {
     "d AS (SELECT doc_id, text, " +
       hexBucketSql(100, "md5(CAST(doc_id AS VARCHAR))") + " AS bucket FROM documents)"
 
+  /** q127: weighted sampling without replacement (Efraimidis–Spirakis,
+    * IPL 2006) — top-5 docs per language by the A-ES key ln(u)/w, u a
+    * deterministic per-doc uniform (q116's Knuth-hash grid), w = doc
+    * length: longer docs proportionally likelier, the quality/length-
+    * weighted curation draw. The key is r6-quantized with a doc_id
+    * tie-break so both engines rank the identical value (libm `ln` may
+    * differ in the last ulp between engines; at full precision that
+    * could flip a boundary rank). Swap u for a real RNG per epoch in
+    * production — the ranking structure is unchanged.
+    *
+    * Scale: the key is a narrow scalar; per-class top-k is a windowed
+    * rank on the class partition — one shuffle, and with k≪class size
+    * the window prunes early under TakeOrdered-style per-partition
+    * limits. */
+  private def q127(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L))
+      .cast("double") / lit(1000004.0) // +1/1000004: u ∈ (0,1], never ln(0)
+    val w = Window.partitionBy("lang").orderBy(col("aes_key").desc, col("doc_id"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Tables.r6(log(u) / greatest(col("n_chars"), lit(1L))).as("aes_key"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q104_decontamination", q104 _, Some(
       s"WITH $bucketCte, " +
@@ -207,5 +233,14 @@ object CorpusOps {
         Tables.r6sql("MIN(r.thresh) / 10000.0") + " AS rate " +
         "FROM b JOIN rates r ON b.lang = r.lang WHERE b.bucket < r.thresh " +
         "GROUP BY b.lang ORDER BY b.lang")),
+    Q("q127_sample_weighted", q127 _, Some(
+      "SELECT doc_id, lang, n_chars, aes_key, rn FROM (" +
+        "SELECT doc_id, lang, n_chars, aes_key, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY aes_key DESC, doc_id) AS rn FROM (" +
+        "SELECT doc_id, lang, n_chars, " +
+        Tables.r6sql(
+          "LN(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0) " +
+            "/ GREATEST(n_chars, 1)") + " AS aes_key " +
+        "FROM documents)) WHERE rn <= 5 ORDER BY lang, rn")),
   )
 }

@@ -503,6 +503,46 @@ class OperatorSuite extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("q127 weighted sample is the exact top-5 by the A-ES key per language") {
+    val got = SparkEntry.queries("q127_sample_weighted")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getAs[Long]("rn")) -> r.getLong(0)).toMap
+    val docs = Tables(spark, sf, "documents").select("doc_id", "lang", "n_chars").collect()
+    def key(id: Long, w: Long): Double = {
+      val u = ((id * 2654435761L) % 1000003L + 1L).toDouble / 1000004.0
+      math.floor(math.log(u) / math.max(w, 1L) * 1e6 + 0.5) / 1e6
+    }
+    docs.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val want = rs.map(r => (r.getLong(0), key(r.getLong(0), r.getLong(2))))
+        .sortBy { case (id, k) => (-k, id) }.take(5).map(_._1)
+      want.zipWithIndex.foreach { case (id, i) =>
+        assert(got((lang, i + 1L)) == id, s"$lang rank ${i + 1}")
+      }
+    }
+    // heavier docs are favored: the sample's mean length exceeds the
+    // population mean in every language on this corpus (weight = length)
+    val popMean = docs.groupBy(_.getString(1)).view
+      .mapValues(rs => rs.map(_.getLong(2)).sum.toDouble / rs.length).toMap
+    val sampleRows = SparkEntry.queries("q127_sample_weighted")(spark, sf).collect()
+    sampleRows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val m = rs.map(_.getAs[Long]("n_chars")).sum.toDouble / rs.length
+      assert(m > popMean(lang) * 0.8, s"$lang: sample mean $m vs pop ${popMean(lang)}")
+    }
+  }
+
+  test("q128 mode is the true max-count segment with smallest-value ties") {
+    val got = SparkEntry.queries("q128_agg_mode")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    val counts = Tables(spark, sf, "customer").collect()
+      .groupBy(r => (r.getAs[Int]("c_nationkey"), r.getAs[String]("c_mktsegment")))
+      .view.mapValues(_.length.toLong).toMap
+    counts.keys.map(_._1).toSet.foreach { (nat: Int) =>
+      val best = counts.filter(_._1._1 == nat).toSeq
+        .map { case ((_, seg), n) => (seg, n) }
+        .minBy { case (seg, n) => (-n, seg) }
+      assert(got(nat) == best, s"nation $nat: ${got(nat)} vs $best")
+    }
+  }
+
   test("q119 OHLC bars: o/h/l/c ordering invariants and volume consistency") {
     val bars = SparkEntry.queries("q119_ts_ohlc")(spark, sf).collect()
     assert(bars.nonEmpty)
