@@ -107,6 +107,44 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L)), rows.mkString(", "))
   }
 
+  test("foreachBatch upsert sink: versioned merges, replay is a no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val stream = MemoryStream[Event]
+    val q = StreamOps.upsertSink(
+      stream.toDF().select(col("user_id"), col("event_id"), col("value")),
+      table, "user_id", ckpt)
+    try {
+      // batch 0: users 1,2 — both inserted
+      stream.addData(Seq(Event(10, ts(1), 1, "click", 1.0), Event(11, ts(2), 2, "click", 2.0)))
+      q.processAllAvailable()
+      // batch 1: user 2 updated twice in-batch (last writer 13 wins), user 3 inserted
+      stream.addData(Seq(Event(12, ts(3), 2, "click", 9.0),
+        Event(13, ts(4), 2, "click", 5.0), Event(14, ts(5), 3, "click", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.readTable(spark, table).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .toMap
+    assert(got == Map(1L -> (10L, 1.0), 2L -> (13L, 5.0), 3L -> (14L, 3.0)), got.toString)
+    // replaying an already-applied batch id must not advance the version
+    val before = scala.io.Source.fromFile(new java.io.File(table, "_latest")).mkString.trim
+    StreamOps.mergeBatch(
+      Seq((2L, 99L, 42.0)).toDF("user_id", "event_id", "value"), table, "user_id", 1L)
+    val after = scala.io.Source.fromFile(new java.io.File(table, "_latest")).mkString.trim
+    assert(before == after, "replayed batch id must be a no-op")
+    assert(StreamOps.readTable(spark, table).filter(col("user_id") === 2L)
+      .head().getAs[Double]("value") == 5.0)
+    // a NEW batch id with the same rows does apply (at-least-once upstream)
+    StreamOps.mergeBatch(
+      Seq((2L, 99L, 42.0)).toDF("user_id", "event_id", "value"), table, "user_id", 2L)
+    assert(StreamOps.readTable(spark, table).filter(col("user_id") === 2L)
+      .head().getAs[Double]("value") == 42.0)
+  }
+
   test("session_window groups match the q58 batch semantics on same rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
