@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extended text analysis + multimodal plumbing (q64–q68): language-ID,
@@ -114,6 +115,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q129: bigram language-model statistics — per-language conditional
+    * next-word probabilities P(w2|w1) = cnt(w1,w2)/cnt(w1·) with counts
+    * kept (not distinct'd: these are frequencies, unlike q61's set
+    * shingles), reported for bigrams seen ≥3 times. The corpus-statistic
+    * that drives n-gram LM baselines, perplexity-ish quality filters and
+    * autocomplete tables.
+    *
+    * Scale: one explode + one (lang,w1,w2)-keyed count with map-side
+    * combine; the denominator is a window over the (lang,w1) prefix —
+    * shuffle volume is bigram-vocabulary-bounded, never corpus-bounded,
+    * and hot first-words split fine under AQE since the heavy lifting
+    * happened in the count. The ≥3 support filter applies AFTER the
+    * denominator so probabilities stay true to the full corpus. */
+  private def q129(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang", "w1")
+    Tables(spark, sfDir, "documents")
+      .select(col("lang"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("bg"))
+      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("lang", "w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", Tables.r6(col("cnt") / sum(col("cnt")).over(w)))
+      .filter(col("cnt") >= 3)
+      .orderBy("lang", "w1", "w2")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q64_text_langid", q64 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
@@ -157,5 +186,15 @@ object TextAnalysis {
         "1 + (CAST(octet_length(encode(text)) AS BIGINT) % 64) AS fake_w, " +
         "1 + ((CAST(octet_length(encode(text)) AS BIGINT) * 7) % 64) AS fake_h " +
         "FROM documents ORDER BY doc_id")),
+    Q("q129_text_bigram_lm", q129 _, Some(
+      "SELECT lang, w1, w2, cnt, prob FROM (" +
+        "SELECT lang, w1, w2, cnt, " +
+        Tables.r6sql("cnt / SUM(cnt) OVER (PARTITION BY lang, w1)") + " AS prob " +
+        "FROM (SELECT lang, bg['w1'] AS w1, bg['w2'] AS w2, COUNT(*) AS cnt FROM (" +
+        "SELECT lang, unnest(list_transform(range(1, len(ts)), i -> " +
+        "{'w1': ts[CAST(i AS INT)], 'w2': ts[CAST(i + 1 AS INT)]})) AS bg FROM (" +
+        "SELECT lang, str_split(text, ' ') AS ts FROM documents " +
+        "WHERE len(str_split(text, ' ')) >= 2)) GROUP BY 1, 2, 3)) " +
+        "WHERE cnt >= 3 ORDER BY lang, w1, w2")),
   )
 }

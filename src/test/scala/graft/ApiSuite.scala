@@ -147,4 +147,35 @@ class ApiSuite extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(z == Seq(1L, 2L, 15L))
   }
+
+  test("pageRank on a symmetric 2-cycle converges to the uniform fixed point") {
+    import spark.implicits._
+    // A⇄B with equal weights: uniform (0.5, 0.5) is the exact fixed
+    // point at ANY damping, and it is reached in one iteration — so 3
+    // iterations must return exactly 0.5/0.5 (r6-rounded)
+    val edges = Seq((1L, 2L, 10L), (2L, 1L, 10L)).toDF("src", "dst", "w")
+    val ranks = Graft.pageRank(edges).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rank")).toMap
+    assert(ranks == Map(1L -> 0.5, 2L -> 0.5), ranks.toString)
+    // a pure sink (dangling) keeps only teleport + inflow; source loses rank
+    val chain = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val cr = Graft.pageRank(chain).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rank")).toMap
+    assert(cr(2L) > cr(1L), s"sink must out-rank its source: $cr")
+  }
+
+  test("heavyHitters summary honors MG bounds on a known stream") {
+    import spark.implicits._
+    // 60×"a", 30×"b", 10 singletons; k=4 ⇒ error ≤ n/(k+1)=20 per partition set
+    val words = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++
+      (1 to 10).map(i => s"w$i")).toDF("w")
+    val m = words.coalesce(1) // single partition: exact bound n/(k+1)
+      .agg(Graft.heavyHitters(k = 4)(col("w")).as("s"))
+      .select(explode(col("s"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet.contains("a") && m.keySet.contains("b"))
+    assert(m("a") <= 60L && m("a") >= 60L - 20L)
+    assert(m("b") <= 30L && m("b") >= 30L - 20L)
+    assert(m.size <= 4)
+  }
 }

@@ -543,6 +543,24 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q129 bigram LM: probs in (0,1], one consistent denominator per (lang,w1)") {
+    val rows = SparkEntry.queries("q129_text_bigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (key, rs) =>
+      var sum = 0.0
+      rs.foreach { r =>
+        val p = r.getAs[Double]("prob")
+        assert(p > 0.0 && p <= 1.0, s"$key prob $p")
+        // implied denominator cnt/p must agree across the group (±r6 quantum)
+        val denom = r.getAs[Long]("cnt") / p
+        val denom0 = rs.head.getAs[Long]("cnt") / rs.head.getAs[Double]("prob")
+        assert(math.abs(denom - denom0) / denom0 < 1e-3, s"$key denom $denom vs $denom0")
+        sum += p
+      }
+      assert(sum <= 1.0 + 1e-4, s"$key probs sum $sum > 1")
+    }
+  }
+
   test("q119 OHLC bars: o/h/l/c ordering invariants and volume consistency") {
     val bars = SparkEntry.queries("q119_ts_ohlc")(spark, sf).collect()
     assert(bars.nonEmpty)
