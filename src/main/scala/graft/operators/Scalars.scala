@@ -113,6 +113,24 @@ object Scalars {
         "WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey")
   }
 
+  /** q130: VariantType ingestion (Spark 4's semi-structured binary
+    * encoding) — `parse_json` the props column into a variant, extract
+    * the typed field with `variant_get`, and assert per row that the
+    * variant path agrees with the classic JSON-string path
+    * (`get_json_object`). At scale the variant column is what lands in
+    * the lake (Parquet shredding makes `variant_get` a column read, not
+    * a JSON re-parse per row); this query is the ingestion-parity gate a
+    * migration from string-JSON to variant runs. All narrow, codegen
+    * scalar work — the one shuffle is the final sort. */
+  private def q130(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        (expr("variant_get(parse_json(props), '$.k', 'bigint')") ===
+          get_json_object(col("props"), "$.k").cast("bigint")).as("paths_agree"))
+      .orderBy("event_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q29_scalar_string", q29 _, Some(
       "SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo, " +
@@ -157,5 +175,10 @@ object Scalars {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
         "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i " +
         "WHERE i.o_custkey = o.o_custkey) ORDER BY o_orderkey")),
+    Q("q130_scalar_variant", q130 _, Some(
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, " +
+        "CAST(json_extract(props, '$.k') AS BIGINT) = " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS paths_agree " +
+        "FROM events ORDER BY event_id")),
   )
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.jdk.CollectionConverters._
 
 /** One event on the stream — mirrors the batch `events` table with event
   * time as a proper TimestampType (µs), which is what Structured
@@ -157,12 +158,13 @@ object StreamOps {
     val ledger = new java.io.File(dir, "_ledger")
     val applied: Set[Long] =
       if (ledger.exists)
-        scala.io.Source.fromFile(ledger).getLines().filter(_.nonEmpty).map(_.toLong).toSet
+        java.nio.file.Files.readAllLines(ledger.toPath).asScala
+          .filter(_.nonEmpty).map(_.toLong).toSet
       else Set.empty
     if (applied(batchId)) return // redelivered batch: already merged
     val latest = new java.io.File(dir, "_latest")
     val curVersion: Long =
-      if (latest.exists) scala.io.Source.fromFile(latest).mkString.trim.toLong else -1L
+      if (latest.exists) java.nio.file.Files.readString(latest.toPath).trim.toLong else -1L
     val deduped = {
       // last-writer-wins INSIDE the batch too (a key can repeat within
       // one micro-batch): keep the highest event_id per key
@@ -186,7 +188,8 @@ object StreamOps {
   /** Read the current version of a [[mergeBatch]] table (empty-schema
     * error if no version exists yet — call after the first batch). */
   def readTable(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame = {
-    val v = scala.io.Source.fromFile(new java.io.File(tableDir, "_latest")).mkString.trim
+    val v = java.nio.file.Files.readString(
+      new java.io.File(tableDir, "_latest").toPath).trim
     spark.read.parquet(s"$tableDir/v_$v")
   }
 

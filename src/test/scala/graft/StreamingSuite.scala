@@ -131,10 +131,10 @@ class StreamingSuite extends AnyFunSuite {
       .toMap
     assert(got == Map(1L -> (10L, 1.0), 2L -> (13L, 5.0), 3L -> (14L, 3.0)), got.toString)
     // replaying an already-applied batch id must not advance the version
-    val before = scala.io.Source.fromFile(new java.io.File(table, "_latest")).mkString.trim
+    val before = java.nio.file.Files.readString(new java.io.File(table, "_latest").toPath).trim
     StreamOps.mergeBatch(
       Seq((2L, 99L, 42.0)).toDF("user_id", "event_id", "value"), table, "user_id", 1L)
-    val after = scala.io.Source.fromFile(new java.io.File(table, "_latest")).mkString.trim
+    val after = java.nio.file.Files.readString(new java.io.File(table, "_latest").toPath).trim
     assert(before == after, "replayed batch id must be a no-op")
     assert(StreamOps.readTable(spark, table).filter(col("user_id") === 2L)
       .head().getAs[Double]("value") == 5.0)
