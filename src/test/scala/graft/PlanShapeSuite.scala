@@ -35,4 +35,45 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       naive.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
+
+  test("q119/q122: window and aggregation share ONE key exchange as documented") {
+    // the Scaladoc claims the navigation window and the groupBy reuse a
+    // single shuffle because they share the partition key — enforce it:
+    // exactly one hashpartitioning exchange on the key columns in the
+    // whole plan (plus whatever the final presentation sort plans)
+    for (name <- Seq("q119_ts_ohlc", "q122_time_weighted_avg")) {
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      qe.toRdd.count()
+      // AQE's toString prints Final AND Initial plans — count only the final
+      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+      val nKeyExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nKeyExchanges == 1,
+        s"$name: expected exactly 1 hash exchange (window+agg shared), got $nKeyExchanges:\n$plan")
+    }
+  }
+
+  test("q124: signature stage is shuffle-free (signatures computed pre-exchange)") {
+    // all exchanges in the q124 plan must sit ABOVE the localCheckpoint
+    // boundary (band join / rerank); the 16-dot signature projection
+    // itself is narrow. The checkpointed sig frame makes this directly
+    // testable: its own plan must contain no Exchange at all.
+    val emb = Tables(spark, sf, "embeddings")
+    graft.functions.VectorExpressions.register(spark)
+    val planes = (0 until 16).map { p =>
+      typedLit(Array.tabulate(64) { j0 =>
+        val j1 = j0 + 1
+        if ((((p * 64L + j1) * 2654435761L) % 1000003L) % 2L == 0L) 1.0f else -1.0f
+      })
+    }
+    val sigCol = (0 until 16).map { p =>
+      when(expr(s"graft_dot(embedding, p$p)") >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = planes.zipWithIndex.foldLeft(emb.select(col("vec_id"), col("embedding"))) {
+      case (df, (pl, p)) => df.withColumn(s"p$p", pl)
+    }.select(col("vec_id"), sigCol.as("sig"))
+    sigs.collect()
+    val plan = sigs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"signature projection must be narrow (no Exchange):\n$plan")
+  }
 }
