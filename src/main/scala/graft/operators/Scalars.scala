@@ -131,6 +131,27 @@ object Scalars {
       .orderBy("event_id")
   }
 
+  /** q131: NULL-semantics suite — the corner of the SQL surface every
+    * engine must get identically right: NULLIF-style injection (negative
+    * balances → NULL), COALESCE defaults, COUNT(col) skipping NULLs vs
+    * COUNT(*), and null-safe equality (`<=>` / IS NOT DISTINCT FROM)
+    * counting the NULLs themselves. Test data has no native NULLs, so
+    * the query manufactures them deterministically — which also makes
+    * every downstream null-path verifiable. Bounded one-shuffle agg. */
+  private def q131(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .select(col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal_n"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("bal_n")).as("n_nonnull"),
+        (count(lit(1)) - count(col("bal_n"))).as("n_null"),
+        expr("count_if(bal_n <=> null)").as("n_nullsafe_null"),
+        Tables.r6(sum(Tables.dec(coalesce(col("bal_n"), lit(0.0)))).cast("double")).as("sum_defaulted"))
+      .orderBy("c_mktsegment")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q29_scalar_string", q29 _, Some(
       "SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo, " +
@@ -180,5 +201,13 @@ object Scalars {
         "CAST(json_extract(props, '$.k') AS BIGINT) = " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS paths_agree " +
         "FROM events ORDER BY event_id")),
+    Q("q131_scalar_nulls", q131 _, Some(
+      "SELECT c_mktsegment, COUNT(*) AS n_total, COUNT(bal_n) AS n_nonnull, " +
+        "COUNT(*) - COUNT(bal_n) AS n_null, " +
+        "COUNT(*) FILTER (WHERE bal_n IS NOT DISTINCT FROM NULL) AS n_nullsafe_null, " +
+        Tables.r6sql("CAST(SUM(CAST(COALESCE(bal_n, 0.0) AS DECIMAL(18,4))) AS DOUBLE)") +
+        " AS sum_defaulted FROM (" +
+        "SELECT c_mktsegment, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_n " +
+        "FROM customer) GROUP BY c_mktsegment ORDER BY c_mktsegment")),
   )
 }
