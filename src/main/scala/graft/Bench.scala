@@ -48,12 +48,7 @@ object Bench {
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // dev-iteration filter: SPARK_GRAFT_ONLY="q50,q76" times just those
     // queries (substring match). Unset in driver runs — full suite.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.contains) }
-      case None => SparkEntry.queries
-    }
+    val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
     // dev-iteration: SPARK_GRAFT_REPEAT=N times each query N times (prints
     // every rep) — separates plan-compile/codegen cost (rep 1) from
     // steady-state execution. Unset in driver runs — single timing.

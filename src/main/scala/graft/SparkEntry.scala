@@ -42,4 +42,14 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ListMap(all.collect { case Q(n, _, Some(sql)) => n -> sql }: _*)
+
+  /** The shared SPARK_GRAFT_ONLY dev-iteration filter (substring match,
+    * comma-separated), used identically by Bench and Verify — one
+    * implementation so the two tools can't diverge. `None` (driver runs)
+    * selects everything. */
+  def selected(only: Option[String]): Map[String, (SparkSession, String) => DataFrame] =
+    only.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(names) => queries.filter { case (n, _) => names.exists(n.contains) }
+      case None => queries
+    }
 }

@@ -15,15 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-iteration filter, same contract as Bench: SPARK_GRAFT_ONLY="q115,q116"
-    // dumps just those queries (substring match). Unset in driver runs.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.contains) }
-      case None => SparkEntry.queries
-    }
-    selected.foreach { case (name, fn) =>
+    // dev-iteration filter, same contract as Bench (shared impl:
+    // SparkEntry.selected). Unset in driver runs — full suite.
+    SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY")).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

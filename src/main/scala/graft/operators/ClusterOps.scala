@@ -70,9 +70,18 @@ object ClusterOps {
     * and r6 squared distance to its centroid. */
   private[graft] def kmeansAssign(emb0: DataFrame, k: Int, iters: Int): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding")).localCheckpoint(true)
-    var cent = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cl"),
-        expr("transform(embedding, x -> cast(x as double))").as("ca"))
+    // init = the k lowest vec_ids, labelled 0..k−1 by that order — NOT
+    // filter(vec_id < k), which silently returns an empty frame when ids
+    // don't start near 0 (the facade promises ANY (vec_id, embedding)
+    // frame). orderBy+limit fuses to TakeOrdered; the ranking window then
+    // runs on k rows only (bounded — not a data-sized single partition).
+    // For inputs with ids 0..n−1 (the q106 table) the labels coincide
+    // with vec_id, so the unrolled oracle SQL is unchanged.
+    var cent = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("ca"))
+      .withColumn("cl",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select("cl", "ca")
     // checkpoint each centroid update (k rows): without the barrier the
     // final plan nests 3 assignments × 2 updates into one tree whose
     // analysis+codegen dominates wall time (measured 5.8 s cold vs 2.6 s

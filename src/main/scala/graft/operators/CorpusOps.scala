@@ -136,7 +136,8 @@ object CorpusOps {
     * integer keep-threshold out of 10000) attached. */
   private[graft] def rebalanceOf(df: DataFrame, classCol: String,
       idCol: String): DataFrame = {
-    require(!df.columns.contains("graft_h"), "graft_h is reserved by rebalanceClasses")
+    for (c <- Seq("graft_h", "graft_bucket", "graft_class_n", "graft_thresh"))
+      require(!df.columns.contains(c), s"$c is reserved by rebalanceClasses")
     val counts = df.groupBy(classCol).agg(count(lit(1)).as("graft_class_n"))
     val minN = counts.agg(min(col("graft_class_n")).as("graft_min_n"))
     val rates = counts.crossJoin(broadcast(minN))

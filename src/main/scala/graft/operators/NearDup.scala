@@ -276,20 +276,26 @@ object NearDup {
   private val NPlanes = 16
   private def planeSign(p: Int, j1: Int): Double =
     if ((((p * 64L + j1) * 2654435761L) % 1000003L) % 2L == 0L) 1.0 else -1.0
-  private def q124(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(spark)
+
+  /** The q124 signature projection — narrow (no Exchange), 16 codegen'd
+    * `graft_dot`s against literal plane arrays. Shared with
+    * PlanShapeSuite's shuffle-free assertion so the test always probes
+    * the production hashing, not a copy. */
+  private[graft] def hyperplaneSigFrame(emb: DataFrame): DataFrame = {
     val planes: Seq[Column] = (0 until NPlanes).map { p =>
       typedLit(Array.tabulate(64)(j0 => planeSign(p, j0 + 1).toFloat))
     }
     val sigCol = (0 until NPlanes).map { p =>
       when(expr("graft_dot(embedding, p" + p + ")") >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val emb = Tables(spark, sfDir, "embeddings")
-    val sigs = planes.zipWithIndex.foldLeft(
-      emb.select(col("vec_id"), col("embedding"))) {
-        case (df, (pl, p)) => df.withColumn(s"p$p", pl)
-      }
-      .select(col("vec_id"), col("embedding"), sigCol.as("sig"))
+    planes.zipWithIndex.foldLeft(emb.select(col("vec_id"), col("embedding"))) {
+      case (df, (pl, p)) => df.withColumn(s"p$p", pl)
+    }.select(col("vec_id"), col("embedding"), sigCol.as("sig"))
+  }
+
+  private def q124(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val sigs = hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
       .localCheckpoint(true) // signatures computed once, read by both join sides
     val banded = sigs.select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("b"))

@@ -220,7 +220,9 @@ object PipelineOps {
     * key. The change-detection primitive behind incremental loads and
     * audit trails; v2 is derived from v1 by a deterministic transform
     * (delete keys ≡0 mod 97, bump acctbal on keys ≡0 mod 7, insert
-    * key+1e6 clones for keys ≡0 mod 101) so the diff is verifiable
+    * negated-key clones for keys ≡0 mod 101 — negative ids can never
+    * collide with genuine positive custkeys at ANY scale factor, where a
+    * fixed +offset would) so the diff is verifiable
     * end-to-end without side files. At scale the value compare should be
     * a single fingerprint column (xxhash64 of all value columns) computed
     * under the scan so the join carries 8-byte digests instead of whole
@@ -234,7 +236,7 @@ object PipelineOps {
         when(col("c_custkey") % 7 === 0, Tables.r6(col("c_acctbal") + lit(100.0)))
           .otherwise(col("c_acctbal")).as("c_acctbal"))
     val inserted = v1.filter(col("c_custkey") % 101 === 0)
-      .select((col("c_custkey") + lit(1000000L)).as("c_custkey"), col("c_acctbal"))
+      .select((-col("c_custkey")).as("c_custkey"), col("c_acctbal"))
     val v2 = kept.unionByName(inserted)
     v1.select(col("c_custkey").as("k1"), col("c_acctbal").as("bal1"))
       .join(v2.select(col("c_custkey").as("k2"), col("c_acctbal").as("bal2")),
@@ -336,7 +338,7 @@ object PipelineOps {
         "v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN " +
         Tables.r6sql("c_acctbal + 100.0") + " ELSE c_acctbal END AS c_acctbal " +
         "FROM v1 WHERE c_custkey % 97 <> 0 " +
-        "UNION ALL SELECT c_custkey + 1000000, c_acctbal FROM v1 WHERE c_custkey % 101 = 0) " +
+        "UNION ALL SELECT -c_custkey, c_acctbal FROM v1 WHERE c_custkey % 101 = 0) " +
         "SELECT * FROM (" +
         "SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS key, " +
         "CASE WHEN v1.c_custkey IS NULL THEN 'added' " +

@@ -206,7 +206,13 @@ object Scans {
     import spark.implicits._
     val path = tmp("dpp_orders", sfDir)
     val dimPath = tmp("dpp_years", sfDir)
-    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+    // the layout is reusable only when BOTH writes committed — guarding
+    // on the fact's _SUCCESS alone left a crash between the two writes
+    // as a permanently half-built cache (fact present, dim missing,
+    // every later run failing). Checking both markers makes the
+    // bootstrap self-healing: a partial state just rewrites.
+    if (!new java.io.File(s"$path/_SUCCESS").exists ||
+        !new java.io.File(s"$dimPath/_SUCCESS").exists) {
       Tables(spark, sfDir, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .select("o_year", "o_orderkey")

@@ -100,10 +100,12 @@ object SketchOps {
     val words = Tables(spark, sfDir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
-    val n = words.agg(count(lit(1)).as("n_words"))
-    words.agg(mg(col("word")).as("summary"))
-      .select(explode(col("summary")).as(Seq("word", "est")))
-      .crossJoin(broadcast(n))
+    // summary AND stream length from ONE agg over ONE scan — a separate
+    // count aggregate would re-scan and re-explode the corpus (the
+    // dominant cost at scale) just to recompute what this pass already
+    // counts
+    words.agg(mg(col("word")).as("summary"), count(lit(1)).as("n_words"))
+      .select(col("n_words"), explode(col("summary")).as(Seq("word", "est")))
       .filter(col("est") >= col("n_words") / (MgK + 1))
       .select("word", "est")
       .orderBy("word")

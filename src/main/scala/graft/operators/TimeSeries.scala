@@ -197,6 +197,11 @@ object TimeSeries {
     * Equi-join on the range-width time bucket — never a nested loop. */
   private[graft] def trailingRangeJoin(probes: DataFrame, points: DataFrame,
       windowUs: Long): DataFrame = {
+    // facade contract (Graft.scala): graft_-prefixed working columns are
+    // reserved — an input that already carries one would be silently
+    // clobbered and then dropped from the output
+    require(!probes.columns.contains("graft_bkt") && !points.columns.contains("graft_bkt"),
+      "graft_bkt is reserved by trailingRangeJoin")
     val pts = points.withColumn("graft_bkt", expr(s"c_ts DIV $windowUs"))
     val pB = probes.withColumn("graft_bkt",
       explode(array(expr(s"p_ts DIV $windowUs - 1"), expr(s"p_ts DIV $windowUs"))))

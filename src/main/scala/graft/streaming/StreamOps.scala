@@ -151,7 +151,7 @@ object StreamOps {
     * crash window between data write and ledger append only ever causes
     * a re-merge of the same rows — upsert is idempotent by content. */
   def mergeBatch(batch: DataFrame, tableDir: String, keyCol: String,
-      batchId: Long): Unit = {
+      batchId: Long, versionCol: String = "event_id"): Unit = {
     val spark = batch.sparkSession
     val dir = new java.io.File(tableDir)
     dir.mkdirs()
@@ -167,9 +167,10 @@ object StreamOps {
       if (latest.exists) java.nio.file.Files.readString(latest.toPath).trim.toLong else -1L
     val deduped = {
       // last-writer-wins INSIDE the batch too (a key can repeat within
-      // one micro-batch): keep the highest event_id per key
+      // one micro-batch): keep the highest `versionCol` per key — the
+      // caller names the ordering column (default event_id)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCol).orderBy(col("event_id").desc)
+        .partitionBy(keyCol).orderBy(col(versionCol).desc)
       batch.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     }
     val merged =
@@ -194,14 +195,16 @@ object StreamOps {
   }
 
   /** Wire [[mergeBatch]] as a foreachBatch sink on a keyed update
-    * stream. */
+    * stream. `versionCol` orders same-key rows within a micro-batch
+    * (last writer wins) — the stream must carry it. */
   def upsertSink(stream: DataFrame, tableDir: String, keyCol: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      versionCol: String = "event_id"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch, tableDir, keyCol, id)
+        mergeBatch(batch, tableDir, keyCol, id, versionCol)
       }
       .start()
 }

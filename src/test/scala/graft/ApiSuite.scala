@@ -127,6 +127,15 @@ class ApiSuite extends AnyFunSuite {
     assert(Seq(0L, 2L, 4L, 6L).map(got).distinct.length == 1)
     assert(Seq(1L, 3L, 5L, 7L).map(got).distinct.length == 1)
     assert(got(0L) != got(1L))
+
+    // regression: ANY id domain works — seeding is "k lowest ids", not
+    // filter(id < k), which returned an empty frame for offset ids
+    val offset = (blobA ++ blobB).map { case (i, v) => (i + 1000L, v) }
+      .toDF("vec_id", "embedding")
+    val got2 = Graft.kmeans(offset, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2.size == 8, s"offset-id kmeans returned ${got2.size} rows")
+    assert(got2(1000L) != got2(1001L))
   }
 
   test("trailingRangeJoin, slidingDistinct, zValue on synthetic series") {

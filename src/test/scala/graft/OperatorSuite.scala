@@ -26,7 +26,8 @@ class OperatorSuite extends AnyFunSuite {
       "q109_corpus_rebalance",   // min-class-count 1-row aggregate
       "q111_agg_sketch_distinct", // global union of per-day KB sketches
       "q113_agg_sketch_overlap", // global algebra over 2 sketch rows
-      "q123_agg_heavy_hitters")  // global merge of k-bounded MG summaries
+      "q123_agg_heavy_hitters",  // global merge of k-bounded MG summaries
+      "q106_kmeans")             // k-row seed-labelling window (k = constant 8)
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution

@@ -55,22 +55,10 @@ class PlanShapeSuite extends AnyFunSuite {
   test("q124: signature stage is shuffle-free (signatures computed pre-exchange)") {
     // all exchanges in the q124 plan must sit ABOVE the localCheckpoint
     // boundary (band join / rerank); the 16-dot signature projection
-    // itself is narrow. The checkpointed sig frame makes this directly
-    // testable: its own plan must contain no Exchange at all.
-    val emb = Tables(spark, sf, "embeddings")
+    // itself is narrow. Probes the PRODUCTION sig builder
+    // (NearDup.hyperplaneSigFrame) — not a copy that could drift.
     graft.functions.VectorExpressions.register(spark)
-    val planes = (0 until 16).map { p =>
-      typedLit(Array.tabulate(64) { j0 =>
-        val j1 = j0 + 1
-        if ((((p * 64L + j1) * 2654435761L) % 1000003L) % 2L == 0L) 1.0f else -1.0f
-      })
-    }
-    val sigCol = (0 until 16).map { p =>
-      when(expr(s"graft_dot(embedding, p$p)") >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = planes.zipWithIndex.foldLeft(emb.select(col("vec_id"), col("embedding"))) {
-      case (df, (pl, p)) => df.withColumn(s"p$p", pl)
-    }.select(col("vec_id"), sigCol.as("sig"))
+    val sigs = operators.NearDup.hyperplaneSigFrame(Tables(spark, sf, "embeddings"))
     sigs.collect()
     val plan = sigs.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
