@@ -215,6 +215,32 @@ object Aggregates {
       .orderBy("c_nationkey")
   }
 
+  /** q132: incremental aggregate maintenance — the materialized-view
+    * refresh pattern: a "base" aggregate state (orders before the cutoff)
+    * merges with the "delta" batch's partial aggregate ALGEBRAICALLY
+    * (counts add, DECIMAL sums add) instead of rescanning history. The
+    * merged result provably equals the full recompute — which is exactly
+    * what the oracle checks (its SQL IS the full recompute over all
+    * rows). At 100 TB this is the nightly-refresh shape: the base state
+    * is a stored table, only the delta is scanned; it works because
+    * count/sum are commutative monoids — the same property behind
+    * map-side partial aggregation and the q111 sketch rollups (avg/
+    * percentiles need sum+count / sketch states, not their finals). */
+  private def q132(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "1997-01-01"
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("rev_dec"))
+    val orders = Tables(spark, sfDir, "orders")
+    val base = partial(orders.filter(col("o_orderdate") < lit(cutoff)))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(cutoff)))
+    base.unionByName(delta)
+      .groupBy("o_custkey")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        Tables.r6(sum(col("rev_dec")).cast("double")).as("revenue"))
+      .orderBy("o_custkey")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
@@ -308,5 +334,10 @@ object Aggregates {
         "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cnt DESC, c_mktsegment) AS rn " +
         "FROM (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt " +
         "FROM customer GROUP BY 1, 2)) WHERE rn = 1 ORDER BY c_nationkey")),
+    // the oracle IS the full recompute — merged base+delta must equal it
+    Q("q132_incremental_agg", q132 _, Some(
+      "SELECT o_custkey, COUNT(*) AS n_orders, " +
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") +
+        " AS revenue FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
   )
 }
