@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import java.sql.Timestamp
 
 /** Aggregation operators (SURVEY.md §2.3, q12–q19).
@@ -241,6 +242,64 @@ object Aggregates {
       .orderBy("o_custkey")
   }
 
+  /** q133: chi-square independence audit — the Pearson χ² statistic of
+    * the nation × mktsegment contingency table, reported per nation
+    * (Σ over that row's cells of (O−E)²/E, E = row·col/n). The
+    * "is this attribute independent of that one" check behind feature
+    * selection and anonymization-utility audits (a generalization that
+    * destroyed all association pushes χ² → 0). Counts are exact; each
+    * cell's double term is r6-rounded then DECIMAL-summed in any merge
+    * order (the q80 EMD recipe). All shuffles are contingency-table
+    * bounded. */
+  private def q133(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+    val cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("o"))
+    val rows_ = cust.groupBy("c_nationkey").agg(count(lit(1)).as("rn_"))
+    val cols_ = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("cn_"))
+    val n = cust.agg(count(lit(1)).cast("double").as("n_total"))
+    cells
+      .join(broadcast(rows_), "c_nationkey")
+      .join(broadcast(cols_), "c_mktsegment")
+      .crossJoin(broadcast(n))
+      .select(col("c_nationkey"),
+        Tables.r6(
+          (col("o") - col("rn_") * col("cn_") / col("n_total")) *
+            (col("o") - col("rn_") * col("cn_") / col("n_total")) /
+            (col("rn_") * col("cn_") / col("n_total"))
+        ).cast(DecimalType(18, 9)).as("term"))
+      .groupBy("c_nationkey")
+      .agg(Tables.r6(sum(col("term")).cast("double")).as("chi2_part"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q134: Gini concentration of customer revenue within each segment —
+    * G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n over ascending revenue (rank i,
+    * custkey tiebreak). The inequality/concentration metric behind
+    * "how top-heavy is this segment" questions. Revenue and the rank-
+    * weighted sum stay DECIMAL-exact (bigint rank × DECIMAL revenue);
+    * only the final ratio is a rounded double. One shuffle shared by
+    * the rank window and the per-segment aggregate. */
+  private def q134(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("rev"), col("c_custkey"))
+    rev
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("rev")).as("sum_rev"),
+        sum(col("i") * col("rev")).as("iw_rev"))
+      .select(col("c_mktsegment"), col("n_cust"),
+        Tables.r6(
+          lit(2.0) * col("iw_rev").cast("double") /
+            (col("n_cust") * col("sum_rev").cast("double")) -
+            (col("n_cust") + lit(1L)).cast("double") / col("n_cust")
+        ).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
@@ -339,5 +398,29 @@ object Aggregates {
       "SELECT o_custkey, COUNT(*) AS n_orders, " +
         Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") +
         " AS revenue FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
+    Q("q133_agg_chi_square", q133 _, Some(
+      "WITH cells AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS o FROM customer GROUP BY 1, 2), " +
+        "r AS (SELECT c_nationkey, COUNT(*) AS rn_ FROM customer GROUP BY 1), " +
+        "c AS (SELECT c_mktsegment, COUNT(*) AS cn_ FROM customer GROUP BY 1), " +
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM customer), " +
+        "terms AS (SELECT cells.c_nationkey, CAST(" +
+        Tables.r6sql("(o - rn_ * cn_ / n_total) * (o - rn_ * cn_ / n_total) / (rn_ * cn_ / n_total)") +
+        " AS DECIMAL(18,9)) AS term " +
+        "FROM cells JOIN r ON cells.c_nationkey = r.c_nationkey " +
+        "JOIN c ON cells.c_mktsegment = c.c_mktsegment CROSS JOIN n) " +
+        "SELECT c_nationkey, " + Tables.r6sql("CAST(SUM(term) AS DOUBLE)") + " AS chi2_part " +
+        "FROM terms GROUP BY c_nationkey ORDER BY c_nationkey")),
+    Q("q134_agg_gini", q134 _, Some(
+      "WITH rev AS (SELECT c_mktsegment, c_custkey, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "ranked AS (SELECT c_mktsegment, rev, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY rev, c_custkey) AS i FROM rev), " +
+        "g AS (SELECT c_mktsegment, COUNT(*) AS n_cust, SUM(rev) AS sum_rev, " +
+        "SUM(i * rev) AS iw_rev FROM ranked GROUP BY 1) " +
+        "SELECT c_mktsegment, n_cust, " +
+        Tables.r6sql("2.0 * CAST(iw_rev AS DOUBLE) / (n_cust * CAST(sum_rev AS DOUBLE)) - " +
+          "CAST(n_cust + 1 AS DOUBLE) / n_cust") + " AS gini " +
+        "FROM g ORDER BY c_mktsegment")),
   )
 }

@@ -336,6 +336,24 @@ object TimeSeries {
       .orderBy("user_id", "start_us", "start_event")
   }
 
+  /** q135: cohort retention — the product-analytics staple: users
+    * grouped by first-seen week (their cohort), then for each
+    * (cohort, week-offset) the count of cohort members still active
+    * that week. Shape: per-user first week (one agg), distinct
+    * (user, week) activity (one dedup), one join on user, one grid agg
+    * — everything keyed on user or the bounded (cohort, offset) grid;
+    * retention never touches raw-event cardinality after the dedup. */
+  private def q135(spark: SparkSession, sfDir: String): DataFrame = {
+    val weeks = Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr(s"(ts DIV 1000) DIV ${usPerDay * 7}").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -436,6 +454,13 @@ object TimeSeries {
         "SELECT user_id, n_obs, " +
         Tables.r6sql("CAST(wsum AS DOUBLE) / span_us") + " AS twa " +
         "FROM g WHERE span_us > 0 ORDER BY user_id")),
+    Q("q135_cohort_retention", q135 _, Some(
+      s"WITH weeks AS (SELECT DISTINCT user_id, epoch_us(ts) // ${usPerDay * 7} AS week FROM events), " +
+        "cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id) " +
+        "SELECT cohort_week, week - cohort_week AS offset_weeks, " +
+        "COUNT(DISTINCT w.user_id) AS active_users " +
+        "FROM weeks w JOIN cohorts c ON w.user_id = c.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks")),
     Q("q126_event_pattern", q126 _, Some(
       "SELECT user_id, start_event, start_us, end_us, end_us - start_us AS span_us FROM (" +
         "SELECT user_id, event_id AS start_event, epoch_us(ts) AS start_us, event_type, " +

@@ -562,6 +562,30 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q133 chi2 terms non-negative; q134 gini in [0,1) for positive revenue") {
+    val chi = SparkEntry.queries("q133_agg_chi_square")(spark, sf).collect()
+    assert(chi.nonEmpty)
+    chi.foreach(r => assert(r.getAs[Double]("chi2_part") >= 0.0))
+    val gini = SparkEntry.queries("q134_agg_gini")(spark, sf).collect()
+    assert(gini.nonEmpty)
+    gini.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g")
+    }
+  }
+
+  test("q135 cohort offset 0 equals the cohort size; actives never exceed it") {
+    val rows = SparkEntry.queries("q135_cohort_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("active_users")).toMap
+    assert(rows.nonEmpty)
+    val sizes = rows.collect { case ((c, 0L), n) => c -> n }
+    assert(sizes.nonEmpty, "every cohort must have an offset-0 row")
+    rows.foreach { case ((c, off), n) =>
+      assert(off >= 0L)
+      assert(n <= rows((c, 0L)), s"cohort $c offset $off: $n > cohort size")
+    }
+  }
+
   test("q119 OHLC bars: o/h/l/c ordering invariants and volume consistency") {
     val bars = SparkEntry.queries("q119_ts_ohlc")(spark, sf).collect()
     assert(bars.nonEmpty)
