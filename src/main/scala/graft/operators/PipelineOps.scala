@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -252,6 +252,79 @@ object PipelineOps {
       .orderBy("key")
   }
 
+  /** q136: A/B experiment readout — a deterministic 50/50 user split
+    * (parity of user_id; production swaps a salted-hash bucket), per-arm
+    * conversion to 'purchase', and the two-proportion pooled z statistic
+    * — the experimentation primitive behind every launch decision. All
+    * inputs to the z formula are exact integer counts, so the double
+    * arithmetic is order-free and bit-identical cross-engine (r6 on the
+    * outputs). Scale: one distinct over (user, converted?) then a 2-group
+    * agg folded to one row — nothing beyond user cardinality shuffles. */
+  private def q136(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    // conversion = purchase total above the global per-user median (the
+    // synthetic corpus is dense — EVERY user has every event type, so a
+    // has-event conversion is degenerately p=1 and the z variance is 0)
+    val totals = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(dec(col("value"))).cast("double").as("ptotal"))
+    val med = totals.agg(expr("percentile(ptotal, 0.5)").as("med"))
+    val users = ev.select("user_id").distinct()
+      .join(totals, Seq("user_id"), "left")
+      .na.fill(0.0, Seq("ptotal"))
+      .crossJoin(broadcast(med))
+      .select(col("user_id"),
+        when(col("ptotal") > col("med"), 1L).otherwise(0L).as("converted"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val d = (c: Column) => c.cast("double")
+    users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        Tables.r6(d(col("conv_a")) / col("n_a")).as("rate_a"),
+        Tables.r6(d(col("conv_b")) / col("n_b")).as("rate_b"),
+        Tables.r6(
+          (d(col("conv_b")) / col("n_b") - d(col("conv_a")) / col("n_a")) /
+            // NULLIF guard: a degenerate p∈{0,1} zeroes the pooled
+            // variance; emit NULL rather than an ANSI divide-by-zero
+            nullif(sqrt((d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))) *
+              (lit(1.0) - d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0))).as("z_stat"))
+  }
+
+  /** q137: RFM scoring — recency/frequency/monetary quintile grades per
+    * user, the marketing-analytics segmentation staple. Deliberately NOT
+    * `ntile(5)` over all users (a global single-partition sort — the
+    * q48-class scale bug): grades come from ONE 1-row exact-percentile
+    * aggregate of the three dimensions, broadcast back, and each user
+    * scores by threshold comparison — a narrow arithmetic pass at any
+    * cardinality. Quantile boundary semantics follow q19's proven
+    * percentile/quantile_cont parity; scores count strictly-exceeded
+    * thresholds so boundary values land identically on both engines. */
+  private def q137(spark: SparkSession, sfDir: String): DataFrame = {
+    val rfm = Tables(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(max(expr("ts DIV 1000")).as("last_us"),
+        count(lit(1)).as("freq"),
+        Tables.r6(sum(dec(col("value"))).cast("double")).as("monetary"))
+    val cuts = rfm.agg(
+      expr("percentile(last_us, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    def grade(v: String, cutsCol: String): Column =
+      (lit(1L) + expr(s"size(filter($cutsCol, c -> c < $v))")).cast("bigint")
+    rfm.crossJoin(broadcast(cuts))
+      .select(col("user_id"),
+        grade("last_us", "rc").as("r_score"),
+        grade("freq", "fc").as("f_score"),
+        grade("monetary", "mc").as("m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("user_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
@@ -333,6 +406,38 @@ object PipelineOps {
         "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100 AS bucket FROM (" +
         "SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)) " +
         "WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END ORDER BY doc_id")),
+    Q("q136_ab_test", q136 _, Some {
+      val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+      "WITH t AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ptotal " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id), " +
+        "m AS (SELECT quantile_cont(ptotal, 0.5) AS med FROM t), " +
+        "u AS (SELECT au.user_id, CASE WHEN COALESCE(t.ptotal, 0.0) > m.med THEN 1 ELSE 0 END AS converted " +
+        "FROM (SELECT DISTINCT user_id FROM events) au LEFT JOIN t ON au.user_id = t.user_id CROSS JOIN m), " +
+        "a AS (SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b FROM u) " +
+        "SELECT n_a, conv_a, n_b, conv_b, " +
+        graft.Tables.r6sql("CAST(conv_a AS DOUBLE) / n_a") + " AS rate_a, " +
+        graft.Tables.r6sql("CAST(conv_b AS DOUBLE) / n_b") + " AS rate_b, " +
+        graft.Tables.r6sql("(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) / " +
+          s"NULLIF(SQRT($pp * (1.0 - $pp) * (1.0 / n_a + 1.0 / n_b)), 0.0)") + " AS z_stat FROM a"
+    }),
+    Q("q137_rfm_scoring", q137 _, Some(
+      "WITH rfm AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS freq, " +
+        graft.Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS monetary " +
+        "FROM events GROUP BY user_id), " +
+        "cuts AS (SELECT quantile_cont(last_us, [0.2, 0.4, 0.6, 0.8]) AS rc, " +
+        "quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc, " +
+        "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc FROM rfm), " +
+        "scored AS (SELECT user_id, " +
+        "CAST(1 + len(list_filter(rc, c -> c < last_us)) AS BIGINT) AS r_score, " +
+        "CAST(1 + len(list_filter(fc, c -> c < freq)) AS BIGINT) AS f_score, " +
+        "CAST(1 + len(list_filter(mc, c -> c < monetary)) AS BIGINT) AS m_score " +
+        "FROM rfm CROSS JOIN cuts) " +
+        "SELECT user_id, r_score, f_score, m_score, " +
+        "r_score * 100 + f_score * 10 + m_score AS rfm_code " +
+        "FROM scored ORDER BY user_id")),
     Q("q121_snapshot_diff", q121 _, Some(
       "WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer), " +
         "v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN " +

@@ -586,6 +586,28 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q136 A/B arms partition the users; rates in [0,1]; q137 scores in 1..5") {
+    val ab = SparkEntry.queries("q136_ab_test")(spark, sf).head()
+    val nUsers = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(ab.getAs[Long]("n_a") + ab.getAs[Long]("n_b") == nUsers)
+    assert(ab.getAs[Long]("conv_a") <= ab.getAs[Long]("n_a"))
+    assert(ab.getAs[Long]("conv_b") <= ab.getAs[Long]("n_b"))
+    for (c <- Seq("rate_a", "rate_b")) {
+      val r = ab.getAs[Double](c)
+      assert(r >= 0.0 && r <= 1.0, s"$c = $r")
+    }
+    val rfm = SparkEntry.queries("q137_rfm_scoring")(spark, sf).collect()
+    assert(rfm.length == nUsers)
+    rfm.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"), r.getAs[Long]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r.getAs[Long]("rfm_code") == rs * 100 + fs * 10 + ms)
+    }
+    // quintile grading is balanced up to ties: every grade bucket ≤ ~40%
+    val byF = rfm.groupBy(_.getAs[Long]("f_score")).view.mapValues(_.length).toMap
+    assert(byF.values.forall(_ <= nUsers * 0.4 + 1), byF.toString)
+  }
+
   test("q119 OHLC bars: o/h/l/c ordering invariants and volume consistency") {
     val bars = SparkEntry.queries("q119_ts_ohlc")(spark, sf).collect()
     assert(bars.nonEmpty)
