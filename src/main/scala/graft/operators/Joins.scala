@@ -226,6 +226,37 @@ object Joins {
       .limit(100)
   }
 
+  /** q139: join-key skew diagnostics — the pre-flight report that decides
+    * between a plain shuffle join, AQE skew-split, and q89's salted join:
+    * per candidate key column (lineitem.l_orderkey, orders.o_custkey,
+    * events.user_id), the row count, distinct keys, the hottest key's
+    * share of all rows, and the p50/p99 per-key multiplicities. One
+    * count-per-key aggregate per column plus a 1-row percentile fold —
+    * shuffle bounded by key cardinality, never raw rows past the partial
+    * agg. The top1/p99-vs-p50 ratio is exactly what sizes the salt fan-out
+    * (ScaleJoins.saltedJoin's bucket count). */
+  private def q139(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(df: DataFrame, keyCol: String, tag: String): DataFrame = {
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_per_key"),
+          expr("percentile(c, 0.5)").as("p50_raw"),
+          expr("percentile(c, 0.99)").as("p99_raw"))
+        .select(lit(tag).as("key_col"),
+          col("n_rows").cast("bigint").as("n_rows"),
+          col("n_keys"), col("max_per_key"),
+          Tables.r6(col("max_per_key").cast("double") / col("n_rows")).as("top1_share"),
+          Tables.r6(col("p50_raw")).as("p50_per_key"),
+          Tables.r6(col("p99_raw")).as("p99_per_key"))
+    }
+    profile(Tables(spark, sfDir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(profile(Tables(spark, sfDir, "orders"), "o_custkey", "orders.o_custkey"))
+      .unionByName(profile(Tables(spark, sfDir, "events"), "user_id", "events.user_id"))
+      .orderBy("key_col")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q04_join_broadcast", q04 _, Some(
       "SELECT r_name, COUNT(*) AS cnt FROM customer " +
@@ -289,5 +320,17 @@ object Joins {
         Tables.r6sql("list_sum(list_transform(range(1,65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))") + " AS dot " +
         "FROM embeddings a, embeddings b WHERE a.vec_id < 10 AND a.vec_id < b.vec_id " +
         "ORDER BY id_a, id_b")),
+    Q("q139_skew_report", q139 _, Some {
+      def prof(table: String, key: String) =
+        s"SELECT '$table.$key' AS key_col, CAST(SUM(c) AS BIGINT) AS n_rows, " +
+          "COUNT(*) AS n_keys, MAX(c) AS max_per_key, " +
+          Tables.r6sql("CAST(MAX(c) AS DOUBLE) / SUM(c)") + " AS top1_share, " +
+          Tables.r6sql("quantile_cont(c, 0.5)") + " AS p50_per_key, " +
+          Tables.r6sql("quantile_cont(c, 0.99)") + " AS p99_per_key " +
+          s"FROM (SELECT $key AS k, COUNT(*) AS c FROM $table GROUP BY $key)"
+      prof("lineitem", "l_orderkey") + " UNION ALL " +
+        prof("orders", "o_custkey") + " UNION ALL " +
+        prof("events", "user_id") + " ORDER BY key_col"
+    }),
   )
 }

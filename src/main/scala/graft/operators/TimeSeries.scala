@@ -354,6 +354,36 @@ object TimeSeries {
       .orderBy("cohort_week", "offset_weeks")
   }
 
+  /** q138: rolling z-score anomaly detection — each hourly bucket's
+    * event count scored against the trailing-24-bucket mean/std of the
+    * same event type (the telemetry "is this hour weird" primitive;
+    * |z| > 2 flags). Rolling mean/std come from windowed COUNT/Σ/Σ² over
+    * exact integers (counts) — closed-form variance, no engine stddev
+    * accumulator, order-free. Requires ≥ 12 trailing buckets before
+    * scoring (cold-start rows emit NULL z). Two shuffles total: the
+    * bucket agg and the type-keyed window (bucket-cardinality bounded). */
+  private def q138(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables(spark, sfDir, "events")
+      .withColumn("hb", expr(s"(ts DIV 1000) DIV $usPerHour"))
+      .groupBy("event_type", "hb")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hb").rowsBetween(-24, -1)
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col("cnt")).over(w)
+    val s2 = sum(col("cnt") * col("cnt")).over(w)
+    hourly
+      .withColumn("n_trail", n)
+      .withColumn("mean_t", Tables.r6(s1.cast("double") / n))
+      .withColumn("var_t", Tables.r6(
+        (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / n))
+      .select(col("event_type"), col("hb"), col("cnt"), col("n_trail"),
+        col("mean_t"),
+        when(col("n_trail") >= 12 && col("var_t") > 0,
+          Tables.r6((col("cnt") - col("mean_t")) / sqrt(col("var_t")))).as("z"))
+      .withColumn("anomalous", coalesce(abs(col("z")) > 2.0, lit(false)))
+      .orderBy("event_type", "hb")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -454,6 +484,25 @@ object TimeSeries {
         "SELECT user_id, n_obs, " +
         Tables.r6sql("CAST(wsum AS DOUBLE) / span_us") + " AS twa " +
         "FROM g WHERE span_us > 0 ORDER BY user_id")),
+    Q("q138_ts_anomaly", q138 _, Some {
+      val meanT = Tables.r6sql("CAST(s1 AS DOUBLE) / n_trail")
+      val varT = Tables.r6sql(
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_trail) / n_trail")
+      s"WITH hourly AS (SELECT event_type, epoch_us(ts) // $usPerHour AS hb, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, hb, cnt, " +
+        "COUNT(*) OVER w AS n_trail, SUM(cnt) OVER w AS s1, SUM(cnt * cnt) OVER w AS s2 " +
+        "FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hb " +
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), " +
+        "scored AS (SELECT event_type, hb, cnt, n_trail, " +
+        s"$meanT AS mean_t, " +
+        s"CASE WHEN n_trail >= 12 AND $varT > 0 THEN " +
+        Tables.r6sql(s"(cnt - $meanT) / SQRT($varT)") + " END AS z " +
+        "FROM t) " +
+        "SELECT event_type, hb, cnt, n_trail, mean_t, z, " +
+        "COALESCE(ABS(z) > 2.0, false) AS anomalous " +
+        "FROM scored ORDER BY event_type, hb"
+    }),
     Q("q135_cohort_retention", q135 _, Some(
       s"WITH weeks AS (SELECT DISTINCT user_id, epoch_us(ts) // ${usPerDay * 7} AS week FROM events), " +
         "cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id) " +

@@ -27,7 +27,11 @@ class OperatorSuite extends AnyFunSuite {
       "q111_agg_sketch_distinct", // global union of per-day KB sketches
       "q113_agg_sketch_overlap", // global algebra over 2 sketch rows
       "q123_agg_heavy_hitters",  // global merge of k-bounded MG summaries
-      "q106_kmeans")             // k-row seed-labelling window (k = constant 8)
+      "q106_kmeans",             // k-row seed-labelling window (k = constant 8)
+      "q133_agg_chi_square",     // n_total 1-row aggregate
+      "q136_ab_test",            // median + final 2-arm fold: 1-row aggregates
+      "q137_rfm_scoring",        // quintile-cutpoint 1-row percentile aggregate
+      "q139_skew_report")        // per-table 1-row profile folds
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -606,6 +610,25 @@ class OperatorSuite extends AnyFunSuite {
     // quintile grading is balanced up to ties: every grade bucket ≤ ~40%
     val byF = rfm.groupBy(_.getAs[Long]("f_score")).view.mapValues(_.length).toMap
     assert(byF.values.forall(_ <= nUsers * 0.4 + 1), byF.toString)
+  }
+
+  test("q138 anomaly scores only after warmup; q139 skew stats are coherent") {
+    val an = SparkEntry.queries("q138_ts_anomaly")(spark, sf).collect()
+    assert(an.nonEmpty)
+    an.foreach { r =>
+      val warm = r.getAs[Long]("n_trail") >= 12
+      if (!warm) assert(r.isNullAt(r.fieldIndex("z")), "cold-start rows must not score")
+      if (r.getAs[Boolean]("anomalous")) assert(math.abs(r.getAs[Double]("z")) > 2.0)
+    }
+    val skew = SparkEntry.queries("q139_skew_report")(spark, sf).collect()
+    assert(skew.length == 3)
+    skew.foreach { r =>
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("max_per_key") >= 1L)
+      val share = r.getAs[Double]("top1_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("p99_per_key") >= r.getAs[Double]("p50_per_key"))
+    }
   }
 
   test("q119 OHLC bars: o/h/l/c ordering invariants and volume consistency") {
