@@ -287,6 +287,69 @@ object Anonymize {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** q140: the end-to-end anonymization ETL — the reference project's
+    * whole purpose as ONE publishable-table query: direct identifiers
+    * pseudonymized (salted sha2), QIs generalized (nation → region,
+    * acctbal → width-1000 bin), then cell suppression nulls the QIs of
+    * every row whose generalized cell still holds < k=5 members. The
+    * output IS the k-5-safe publish table (audited by construction: a
+    * non-null QI triple implies cell size ≥ 5, which q41's audit and the
+    * suite assert). Plan: one broadcast dim join, one window over the
+    * generalized-cell key, narrow scalar transforms — the same
+    * one-shuffle shape as q42 at any scale. */
+  private def q140(spark: SparkSession, sfDir: String): DataFrame = {
+    val regionOf = Tables(spark, sfDir, "nation")
+      .join(Tables(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val w = Window.partitionBy("r_name", "c_mktsegment", "acct_bin")
+    Tables(spark, sfDir, "customer")
+      .join(broadcast(regionOf), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("acct_bin", acctBin)
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .select(
+        graft.Graft.pseudonym(col("c_name"), "pub42").as("pseudonym"),
+        when(col("cell_n") >= 5, col("r_name")).as("region_k"),
+        when(col("cell_n") >= 5, col("c_mktsegment")).as("segment_k"),
+        when(col("cell_n") >= 5, col("acct_bin")).as("acct_bin_k"))
+      .orderBy("pseudonym")
+  }
+
+  /** q141: anonymization utility report — the information-loss metrics
+    * the k-anonymity literature pairs with every privacy audit (you
+    * can't judge a generalization without them): per generalized cell
+    * strategy (the q140 scheme), the suppression fraction, average
+    * surviving cell size, and the discernibility metric
+    * DM = Σ_kept |cell|² + n·(suppressed rows) (Bayardo & Agrawal,
+    * ICDE 2005). All from cell-size counts — one bounded groupBy, exact
+    * integer arithmetic. */
+  private def q141(spark: SparkSession, sfDir: String): DataFrame = {
+    val regionOf = Tables(spark, sfDir, "nation")
+      .join(Tables(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val cells = Tables(spark, sfDir, "customer")
+      .join(broadcast(regionOf), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("acct_bin", acctBin)
+      .groupBy("r_name", "c_mktsegment", "acct_bin")
+      .agg(count(lit(1)).as("cell_n"))
+    cells.agg(
+      sum(col("cell_n")).cast("bigint").as("n_rows"),
+      count(lit(1)).as("n_cells"),
+      sum(when(col("cell_n") < 5, col("cell_n")).otherwise(0L)).cast("bigint")
+        .as("suppressed_rows"),
+      sum(when(col("cell_n") >= 5, lit(1L)).otherwise(0L)).cast("bigint")
+        .as("kept_cells"),
+      sum(when(col("cell_n") >= 5, col("cell_n") * col("cell_n")).otherwise(0L))
+        .cast("bigint").as("dm_kept"))
+      .select(col("n_rows"), col("n_cells"), col("suppressed_rows"), col("kept_cells"),
+        Tables.r6(col("suppressed_rows").cast("double") / col("n_rows"))
+          .as("suppression_frac"),
+        // NULLIF: a tiny stratum can suppress EVERYTHING (kept_cells=0 at
+        // sf0.001) — emit NULL, not an ANSI divide-by-zero
+        Tables.meanD((col("n_rows") - col("suppressed_rows")).cast(DecimalType(18, 4)),
+          nullif(col("kept_cells"), lit(0L))).as("avg_kept_cell"),
+        (col("dm_kept") + col("n_rows") * col("suppressed_rows")).as("discernibility"))
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q35_anon_drop_identifiers", q35 _, Some(
       "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment " +
@@ -373,6 +436,29 @@ object Anonymize {
         "NTILE(2) OVER (PARTITION BY c_nationkey, h1 ORDER BY c_mktsegment, c_custkey) AS h2 " +
         "FROM (SELECT *, NTILE(2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS h1 " +
         "FROM customer)) GROUP BY 1, 2, 3 ORDER BY c_nationkey, h1, h2")),
+    Q("q140_anon_pipeline", q140 _, Some(
+      "SELECT sha256('pub42' || c_name) AS pseudonym, " +
+        "CASE WHEN cell_n >= 5 THEN r_name END AS region_k, " +
+        "CASE WHEN cell_n >= 5 THEN c_mktsegment END AS segment_k, " +
+        "CASE WHEN cell_n >= 5 THEN acct_bin END AS acct_bin_k FROM (" +
+        s"SELECT c_name, r_name, c_mktsegment, $acctBinSql AS acct_bin, " +
+        s"COUNT(*) OVER (PARTITION BY r_name, c_mktsegment, $acctBinSql) AS cell_n " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey) ORDER BY pseudonym")),
+    Q("q141_anon_utility", q141 _, Some(
+      s"WITH cells AS (SELECT r_name, c_mktsegment, $acctBinSql AS acct_bin, COUNT(*) AS cell_n " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2, 3), " +
+        "m AS (SELECT CAST(SUM(cell_n) AS BIGINT) AS n_rows, COUNT(*) AS n_cells, " +
+        "CAST(SUM(CASE WHEN cell_n < 5 THEN cell_n ELSE 0 END) AS BIGINT) AS suppressed_rows, " +
+        "CAST(SUM(CASE WHEN cell_n >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS kept_cells, " +
+        "CAST(SUM(CASE WHEN cell_n >= 5 THEN cell_n * cell_n ELSE 0 END) AS BIGINT) AS dm_kept " +
+        "FROM cells) " +
+        "SELECT n_rows, n_cells, suppressed_rows, kept_cells, " +
+        Tables.r6sql("CAST(suppressed_rows AS DOUBLE) / n_rows") + " AS suppression_frac, " +
+        Tables.meanDSql("CAST(n_rows - suppressed_rows AS DECIMAL(18,4))", "NULLIF(kept_cells, 0)") +
+        " AS avg_kept_cell, " +
+        "dm_kept + n_rows * suppressed_rows AS discernibility FROM m")),
     Q("q116_anon_dp_noise", q116 _, Some(
       "SELECT c_nationkey, c_mktsegment, " +
         Tables.r6sql("CAST(true_n AS DOUBLE) + " +

@@ -31,7 +31,8 @@ class OperatorSuite extends AnyFunSuite {
       "q133_agg_chi_square",     // n_total 1-row aggregate
       "q136_ab_test",            // median + final 2-arm fold: 1-row aggregates
       "q137_rfm_scoring",        // quintile-cutpoint 1-row percentile aggregate
-      "q139_skew_report")        // per-table 1-row profile folds
+      "q139_skew_report",        // per-table 1-row profile folds
+      "q141_anon_utility")       // cell-stats 1-row fold
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -629,6 +630,24 @@ class OperatorSuite extends AnyFunSuite {
       assert(share > 0.0 && share <= 1.0)
       assert(r.getAs[Double]("p99_per_key") >= r.getAs[Double]("p50_per_key"))
     }
+  }
+
+  test("q140 published table is k-5-safe; q141 metrics reconcile with it") {
+    val pub = SparkEntry.queries("q140_anon_pipeline")(spark, sf).collect()
+    // pseudonyms unique (same injectivity contract as q36)
+    assert(pub.map(_.getString(0)).distinct.length == pub.length)
+    // every surviving QI triple appears >= 5 times; suppression is all-or-nothing per row
+    val cells = pub.filter(!_.isNullAt(1))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    cells.groupBy(identity).values.foreach(g => assert(g.length >= 5, s"cell ${g.head} < k"))
+    pub.foreach(r => assert(r.isNullAt(1) == r.isNullAt(2) && r.isNullAt(2) == r.isNullAt(3)))
+    val u = SparkEntry.queries("q141_anon_utility")(spark, sf).head()
+    assert(u.getAs[Long]("n_rows") == pub.length)
+    assert(u.getAs[Long]("suppressed_rows") == pub.count(_.isNullAt(1)))
+    // discernibility recomputed directly from the published cells
+    val dm = cells.groupBy(identity).values.map(g => g.length.toLong * g.length).sum +
+      pub.length.toLong * pub.count(_.isNullAt(1))
+    assert(u.getAs[Long]("discernibility") == dm)
   }
 
   test("q119 OHLC bars: o/h/l/c ordering invariants and volume consistency") {
