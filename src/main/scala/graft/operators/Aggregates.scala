@@ -234,7 +234,12 @@ object Aggregates {
       .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("rev_dec"))
     val orders = Tables(spark, sfDir, "orders")
     val base = partial(orders.filter(col("o_orderdate") < lit(cutoff)))
-    val delta = partial(orders.filter(col("o_orderdate") >= lit(cutoff)))
+    // the delta leg must own NULL dates too — `>= cutoff` alone drops
+    // them from BOTH partitions (NULL fails both predicates) and the
+    // merged result silently diverges from the full recompute the
+    // operator exists to equal
+    val delta = partial(orders.filter(
+      col("o_orderdate") >= lit(cutoff) || col("o_orderdate").isNull))
     base.unionByName(delta)
       .groupBy("o_custkey")
       .agg(sum(col("n_orders")).as("n_orders"),
@@ -253,20 +258,23 @@ object Aggregates {
     * bounded. */
   private def q133(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables(spark, sfDir, "customer")
-    val cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("o"))
+    val cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("o0"))
     val rows_ = cust.groupBy("c_nationkey").agg(count(lit(1)).as("rn_"))
     val cols_ = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("cn_"))
     val n = cust.agg(count(lit(1)).cast("double").as("n_total"))
-    cells
-      .join(broadcast(rows_), "c_nationkey")
-      .join(broadcast(cols_), "c_mktsegment")
+    // the FULL marginal grid, not just observed cells: an empty (row,col)
+    // cell still contributes (0−E)²/E = E — omitting it understates χ²
+    // exactly when association is strongest. DECIMAL(28,9): terms grow
+    // O(n) under dependence, and 18-digit capacity would overflow (ANSI
+    // CAST error) around 10⁹ rows.
+    rows_.crossJoin(broadcast(cols_))
+      .join(cells, Seq("c_nationkey", "c_mktsegment"), "left")
       .crossJoin(broadcast(n))
+      .withColumn("o", coalesce(col("o0"), lit(0L)))
+      .withColumn("e", col("rn_") * col("cn_") / col("n_total"))
       .select(col("c_nationkey"),
-        Tables.r6(
-          (col("o") - col("rn_") * col("cn_") / col("n_total")) *
-            (col("o") - col("rn_") * col("cn_") / col("n_total")) /
-            (col("rn_") * col("cn_") / col("n_total"))
-        ).cast(DecimalType(18, 9)).as("term"))
+        Tables.r6((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .cast(DecimalType(28, 9)).as("term"))
       .groupBy("c_nationkey")
       .agg(Tables.r6(sum(col("term")).cast("double")).as("chi2_part"))
       .orderBy("c_nationkey")
@@ -399,15 +407,15 @@ object Aggregates {
         Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") +
         " AS revenue FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
     Q("q133_agg_chi_square", q133 _, Some(
-      "WITH cells AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS o FROM customer GROUP BY 1, 2), " +
+      "WITH cells AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS o0 FROM customer GROUP BY 1, 2), " +
         "r AS (SELECT c_nationkey, COUNT(*) AS rn_ FROM customer GROUP BY 1), " +
         "c AS (SELECT c_mktsegment, COUNT(*) AS cn_ FROM customer GROUP BY 1), " +
         "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM customer), " +
-        "terms AS (SELECT cells.c_nationkey, CAST(" +
-        Tables.r6sql("(o - rn_ * cn_ / n_total) * (o - rn_ * cn_ / n_total) / (rn_ * cn_ / n_total)") +
-        " AS DECIMAL(18,9)) AS term " +
-        "FROM cells JOIN r ON cells.c_nationkey = r.c_nationkey " +
-        "JOIN c ON cells.c_mktsegment = c.c_mktsegment CROSS JOIN n) " +
+        "grid AS (SELECT r.c_nationkey, COALESCE(o0, 0) AS o, rn_ * cn_ / n_total AS e " +
+        "FROM r CROSS JOIN c LEFT JOIN cells ON cells.c_nationkey = r.c_nationkey " +
+        "AND cells.c_mktsegment = c.c_mktsegment CROSS JOIN n), " +
+        "terms AS (SELECT c_nationkey, CAST(" +
+        Tables.r6sql("(o - e) * (o - e) / e") + " AS DECIMAL(28,9)) AS term FROM grid) " +
         "SELECT c_nationkey, " + Tables.r6sql("CAST(SUM(term) AS DOUBLE)") + " AS chi2_part " +
         "FROM terms GROUP BY c_nationkey ORDER BY c_nationkey")),
     Q("q134_agg_gini", q134 _, Some(

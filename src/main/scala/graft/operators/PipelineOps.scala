@@ -265,9 +265,12 @@ object PipelineOps {
     // conversion = purchase total above the global per-user median (the
     // synthetic corpus is dense — EVERY user has every event type, so a
     // has-event conversion is degenerately p=1 and the z variance is 0)
+    // totals feeds both the median aggregate and the join — materialize
+    // once (q120 barrier precedent) instead of re-scanning events twice
     val totals = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(dec(col("value"))).cast("double").as("ptotal"))
+      .localCheckpoint(true)
     val med = totals.agg(expr("percentile(ptotal, 0.5)").as("med"))
     val users = ev.select("user_id").distinct()
       .join(totals, Seq("user_id"), "left")
@@ -283,15 +286,19 @@ object PipelineOps {
       sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
       sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        Tables.r6(d(col("conv_a")) / col("n_a")).as("rate_a"),
-        Tables.r6(d(col("conv_b")) / col("n_b")).as("rate_b"),
+        // every denominator NULLIF-guarded: an empty arm (all-one-parity
+        // slice) or a degenerate p∈{0,1} emits NULL, not an ANSI
+        // divide-by-zero — and DuckDB's non-erroring double division
+        // would otherwise diverge from Spark here
+        Tables.r6(d(col("conv_a")) / nullif(col("n_a"), lit(0L))).as("rate_a"),
+        Tables.r6(d(col("conv_b")) / nullif(col("n_b"), lit(0L))).as("rate_b"),
         Tables.r6(
-          (d(col("conv_b")) / col("n_b") - d(col("conv_a")) / col("n_a")) /
-            // NULLIF guard: a degenerate p∈{0,1} zeroes the pooled
-            // variance; emit NULL rather than an ANSI divide-by-zero
+          (d(col("conv_b")) / nullif(col("n_b"), lit(0L)) -
+            d(col("conv_a")) / nullif(col("n_a"), lit(0L))) /
             nullif(sqrt((d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))) *
               (lit(1.0) - d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))) *
-              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0))).as("z_stat"))
+              (lit(1.0) / nullif(col("n_a"), lit(0L)) +
+                lit(1.0) / nullif(col("n_b"), lit(0L)))), lit(0.0))).as("z_stat"))
   }
 
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
@@ -300,15 +307,23 @@ object PipelineOps {
     * q48-class scale bug): grades come from ONE 1-row exact-percentile
     * aggregate of the three dimensions, broadcast back, and each user
     * scores by threshold comparison — a narrow arithmetic pass at any
-    * cardinality. Quantile boundary semantics follow q19's proven
+    * cardinality. The EXACT percentile fold itself buffers the distinct
+    * value set of one column in the final merge (fine to ~10⁷ users);
+    * past that, swap `percentile` for the mergeable `approx_percentile`
+    * (or q112's KLL sketch) — the plan shape is unchanged, only the
+    * oracle-checkable exactness is traded. Quantile boundary semantics
+    * follow q19's proven
     * percentile/quantile_cont parity; scores count strictly-exceeded
     * thresholds so boundary values land identically on both engines. */
   private def q137(spark: SparkSession, sfDir: String): DataFrame = {
+    // rfm feeds both the cut-point aggregate and the scoring pass —
+    // materialize once (q120 barrier precedent), halving the events scan
     val rfm = Tables(spark, sfDir, "events")
       .groupBy("user_id")
       .agg(max(expr("ts DIV 1000")).as("last_us"),
         count(lit(1)).as("freq"),
         Tables.r6(sum(dec(col("value"))).cast("double")).as("monetary"))
+      .localCheckpoint(true)
     val cuts = rfm.agg(
       expr("percentile(last_us, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
       expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
@@ -418,10 +433,12 @@ object PipelineOps {
         "CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
         "CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b FROM u) " +
         "SELECT n_a, conv_a, n_b, conv_b, " +
-        graft.Tables.r6sql("CAST(conv_a AS DOUBLE) / n_a") + " AS rate_a, " +
-        graft.Tables.r6sql("CAST(conv_b AS DOUBLE) / n_b") + " AS rate_b, " +
-        graft.Tables.r6sql("(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) / " +
-          s"NULLIF(SQRT($pp * (1.0 - $pp) * (1.0 / n_a + 1.0 / n_b)), 0.0)") + " AS z_stat FROM a"
+        graft.Tables.r6sql("CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0)") + " AS rate_a, " +
+        graft.Tables.r6sql("CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0)") + " AS rate_b, " +
+        graft.Tables.r6sql(
+          "(CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0) - CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0)) / " +
+          s"NULLIF(SQRT($pp * (1.0 - $pp) * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0.0)") +
+        " AS z_stat FROM a"
     }),
     Q("q137_rfm_scoring", q137 _, Some(
       "WITH rfm AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS freq, " +
