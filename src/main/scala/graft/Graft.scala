@@ -116,6 +116,14 @@ object Graft {
   def denseTokens(df: DataFrame, key: String): DataFrame =
     plans.DistributedRank.denseTokens(df, key)
 
+  /** Exact per-group percentiles with bounded executor state (q19/q136/
+    * q137/q139): two-pass bucketed selection, bit-identical to the
+    * builtin `percentile` but never buffering a group's distinct-value
+    * set. Empty `groupCols` ⇒ one global group. */
+  def boundedQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+      ps: Seq[Double], outNames: Seq[String]): DataFrame =
+    plans.BoundedQuantiles.groupQuantiles(df, groupCols, value, ps, outNames)
+
   /** Salted skew join (q89): explicit fallback when one key dominates
     * beyond what AQE's skew-split handles. */
   def saltedJoin(left: DataFrame, right: DataFrame,

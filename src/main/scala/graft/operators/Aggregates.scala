@@ -108,14 +108,23 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  /** q19: exact interpolated percentiles (median + p90) per market segment. */
+  /** q19: exact interpolated percentiles (median + p90) per market
+    * segment — via [[graft.plans.BoundedQuantiles]], NOT the builtin
+    * `percentile`: the builtin buffers every distinct o_totalprice of a
+    * segment in one aggregation buffer (distincts ≈ rows on a money
+    * column — an executor OOM at 100×), while the bounded two-pass
+    * selection holds at most a 4096-bin histogram per group and returns
+    * bit-identical values, so the quantile_cont oracle parity is
+    * unchanged. The join input is read twice (passes 1 and 2);
+    * ReuseExchange materializes its shuffle once. */
   private def q19(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "orders")
+    val joined = Tables(spark, sfDir, "orders")
       .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment")
-      .agg(
-        Tables.r6(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
-        Tables.r6(expr("percentile(o_totalprice, 0.9)")).as("p90_price"))
+    graft.plans.BoundedQuantiles.groupQuantiles(joined, Seq("c_mktsegment"),
+        col("o_totalprice"), Seq(0.5, 0.9), Seq("q50", "q90"))
+      .select(col("c_mktsegment"),
+        Tables.r6(col("q50")).as("median_price"),
+        Tables.r6(col("q90")).as("p90_price"))
       .orderBy("c_mktsegment")
   }
 

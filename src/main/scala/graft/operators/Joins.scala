@@ -231,29 +231,43 @@ object Joins {
     * per candidate key column (lineitem.l_orderkey, orders.o_custkey,
     * events.user_id), the row count, distinct keys, the hottest key's
     * share of all rows, and the p50/p99 per-key multiplicities. One
-    * count-per-key aggregate per column plus a 1-row percentile fold —
-    * shuffle bounded by key cardinality, never raw rows past the partial
-    * agg. The top1/p99-vs-p50 ratio is exactly what sizes the salt fan-out
+    * count-per-key aggregate per column plus a bounded two-pass quantile
+    * fold ([[graft.plans.BoundedQuantiles]]) — shuffle bounded by key
+    * cardinality, never raw rows past the partial agg, and no
+    * aggregation buffer grows with the distinct-multiplicity count. The top1/p99-vs-p50 ratio is exactly what sizes the salt fan-out
     * (ScaleJoins.saltedJoin's bucket count). */
   private def q139(spark: SparkSession, sfDir: String): DataFrame = {
-    def profile(df: DataFrame, keyCol: String, tag: String): DataFrame = {
+    // per-key multiplicities of all three tables in ONE tagged frame: the
+    // tag is the quantile fold's group key, so the whole report needs a
+    // single BoundedQuantiles invocation (not one per table — measured 2×
+    // cheaper in bench-scale stage overhead). The frame feeds the summary
+    // aggregate and both quantile passes — materialize once (bounded by
+    // key cardinality; a cluster deployment would use durable
+    // checkpoint()). BoundedQuantiles replaces the builtin percentile
+    // whose single merge buffer held every distinct multiplicity —
+    // unbounded when per-key counts are all-distinct (e.g. key i seen i
+    // times).
+    def keyCounts(df: DataFrame, keyCol: String, tag: String): DataFrame =
       df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
-        .agg(
-          sum(col("c")).as("n_rows"),
-          count(lit(1)).as("n_keys"),
-          max(col("c")).as("max_per_key"),
-          expr("percentile(c, 0.5)").as("p50_raw"),
-          expr("percentile(c, 0.99)").as("p99_raw"))
-        .select(lit(tag).as("key_col"),
-          col("n_rows").cast("bigint").as("n_rows"),
-          col("n_keys"), col("max_per_key"),
-          Tables.r6(col("max_per_key").cast("double") / col("n_rows")).as("top1_share"),
-          Tables.r6(col("p50_raw")).as("p50_per_key"),
-          Tables.r6(col("p99_raw")).as("p99_per_key"))
-    }
-    profile(Tables(spark, sfDir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
-      .unionByName(profile(Tables(spark, sfDir, "orders"), "o_custkey", "orders.o_custkey"))
-      .unionByName(profile(Tables(spark, sfDir, "events"), "user_id", "events.user_id"))
+        .select(lit(tag).as("key_col"), col("c"))
+    val counts =
+      keyCounts(Tables(spark, sfDir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(keyCounts(Tables(spark, sfDir, "orders"), "o_custkey", "orders.o_custkey"))
+        .unionByName(keyCounts(Tables(spark, sfDir, "events"), "user_id", "events.user_id"))
+        .localCheckpoint(true)
+    val summary = counts.groupBy("key_col").agg(
+      sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("c")).as("max_per_key"))
+    val qs = graft.plans.BoundedQuantiles.groupQuantiles(
+      counts, Seq("key_col"), col("c"), Seq(0.5, 0.99), Seq("p50_raw", "p99_raw"))
+    summary.join(broadcast(qs), "key_col")
+      .select(col("key_col"),
+        col("n_rows").cast("bigint").as("n_rows"),
+        col("n_keys"), col("max_per_key"),
+        Tables.r6(col("max_per_key").cast("double") / col("n_rows")).as("top1_share"),
+        Tables.r6(col("p50_raw")).as("p50_per_key"),
+        Tables.r6(col("p99_raw")).as("p99_per_key"))
       .orderBy("key_col")
   }
 

@@ -271,7 +271,11 @@ object PipelineOps {
       .groupBy("user_id")
       .agg(sum(dec(col("value"))).cast("double").as("ptotal"))
       .localCheckpoint(true)
-    val med = totals.agg(expr("percentile(ptotal, 0.5)").as("med"))
+    // bounded-state exact median (the builtin percentile would buffer
+    // every distinct per-user total in ONE global aggregation buffer);
+    // bit-identical values, so the quantile_cont oracle is untouched
+    val med = graft.plans.BoundedQuantiles.groupQuantiles(
+      totals, Nil, col("ptotal"), Seq(0.5), Seq("med"))
     val users = ev.select("user_id").distinct()
       .join(totals, Seq("user_id"), "left")
       .na.fill(0.0, Seq("ptotal"))
@@ -307,14 +311,14 @@ object PipelineOps {
     * q48-class scale bug): grades come from ONE 1-row exact-percentile
     * aggregate of the three dimensions, broadcast back, and each user
     * scores by threshold comparison — a narrow arithmetic pass at any
-    * cardinality. The EXACT percentile fold itself buffers the distinct
-    * value set of one column in the final merge (fine to ~10⁷ users);
-    * past that, swap `percentile` for the mergeable `approx_percentile`
-    * (or q112's KLL sketch) — the plan shape is unchanged, only the
-    * oracle-checkable exactness is traded. Quantile boundary semantics
-    * follow q19's proven
-    * percentile/quantile_cont parity; scores count strictly-exceeded
-    * thresholds so boundary values land identically on both engines. */
+    * cardinality. The cut points come from [[graft.plans.BoundedQuantiles]]
+    * (two-pass bucketed selection, per-pass state bounded by the 4096-bin
+    * histogram — never by user cardinality), replacing the builtin
+    * `percentile` whose single merge buffer held the full distinct value
+    * set of each dimension. Values are bit-identical to the builtin, so
+    * q19's proven percentile/quantile_cont parity carries over; scores
+    * count strictly-exceeded thresholds so boundary values land
+    * identically on both engines. */
   private def q137(spark: SparkSession, sfDir: String): DataFrame = {
     // rfm feeds both the cut-point aggregate and the scoring pass —
     // materialize once (q120 barrier precedent), halving the events scan
@@ -324,10 +328,21 @@ object PipelineOps {
         count(lit(1)).as("freq"),
         Tables.r6(sum(dec(col("value"))).cast("double")).as("monetary"))
       .localCheckpoint(true)
-    val cuts = rfm.agg(
-      expr("percentile(last_us, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
-      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
-      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    // ONE grouped bounded-selection fold over the three unpivoted
+    // dimensions (the dimension tag is the group key — 3 groups × 4
+    // cuts; one invocation, not three, keeps the pass count flat), then
+    // re-pivoted into the quintile-cut arrays the grade lambda reads.
+    // The casts to double are what the builtin percentile did internally,
+    // so cut values are unchanged.
+    val long = rfm.selectExpr(
+      "stack(3, 'r', cast(last_us as double), 'f', cast(freq as double), 'm', monetary) as (dim, v)")
+    val qd = graft.plans.BoundedQuantiles.groupQuantiles(
+      long, Seq("dim"), col("v"), Seq(0.2, 0.4, 0.6, 0.8), Seq("c1", "c2", "c3", "c4"))
+    def arr4 = array(col("c1"), col("c2"), col("c3"), col("c4"))
+    val cuts = qd.groupBy().agg(
+      max(when(col("dim") === "r", arr4)).as("rc"),
+      max(when(col("dim") === "f", arr4)).as("fc"),
+      max(when(col("dim") === "m", arr4)).as("mc"))
     def grade(v: String, cutsCol: String): Column =
       (lit(1L) + expr(s"size(filter($cutsCol, c -> c < $v))")).cast("bigint")
     rfm.crossJoin(broadcast(cuts))

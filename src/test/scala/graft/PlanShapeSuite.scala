@@ -52,6 +52,27 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("quantile family plans carry no unbounded Percentile aggregate") {
+    // q19/q136/q137/q139 moved off the builtin `percentile` (whose merge
+    // buffer holds every distinct group value) onto BoundedQuantiles'
+    // two-pass selection; the executed plans must show NO percentile
+    // aggregate anywhere — only ordinary hash aggregates and the
+    // bucket-bounded windows
+    for (name <- Seq("q19_agg_median", "q136_ab_test",
+        "q137_rfm_scoring", "q139_skew_report")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("percentile"),
+        s"$name still plans a percentile aggregate:\n$plan")
+    }
+    // positive control: a builtin-percentile plan DOES show the probe string
+    val bad = Tables(spark, sf, "orders").agg(expr("percentile(o_totalprice, 0.5)"))
+    bad.collect()
+    assert(bad.queryExecution.executedPlan.toString.toLowerCase.contains("percentile"),
+      "control failed: builtin percentile no longer visible in plan text")
+  }
+
   test("q124: signature stage is shuffle-free (signatures computed pre-exchange)") {
     // all exchanges in the q124 plan must sit ABOVE the localCheckpoint
     // boundary (band join / rerank); the 16-dot signature projection

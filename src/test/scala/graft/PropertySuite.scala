@@ -99,4 +99,47 @@ class PropertySuite extends AnyFunSuite {
       }
     }, cases = 5)
   }
+
+  test("BoundedQuantiles equals the builtin exact percentile bit-for-bit") {
+    import spark.implicits._
+    // mixed continuous + heavily-tied values, several groups including
+    // singletons; buckets forced small (16) so every multi-bin edge case
+    // (rank pair straddling a bin boundary, ties across bins, degenerate
+    // one-value groups) is exercised
+    val ps = Seq(0.0, 0.2, 0.5, 0.9, 0.99, 1.0)
+    val names = ps.indices.map(i => s"q$i")
+    val rowsGen = for {
+      n <- Gen.choose(1, 250)
+      vals <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-1000.0, 1000.0),
+        Gen.choose(0, 30).map(_.toDouble)))
+      groups <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield groups.zip(vals)
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("gk", "v")
+      val expect = df.groupBy("gk")
+        .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("qs"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+      val got = graft.plans.BoundedQuantiles
+        .groupQuantiles(df, Seq("gk"), col("v"), ps, names, buckets = 16)
+        .collect()
+        .map(r => r.getInt(0) -> names.indices.map(i => r.getDouble(i + 1)).toList.toList)
+        .toMap
+      got == expect
+    }, cases = 6)
+  }
+
+  test("BoundedQuantiles global (no group) form equals the builtin") {
+    import spark.implicits._
+    val gen = Gen.choose(1, 400).flatMap(n => Gen.listOfN(n, Gen.choose(0.0, 100.0)))
+    check(Prop.forAll(gen) { vals =>
+      val df = vals.toDF("v")
+      val expect = df.agg(expr("percentile(v, array(0.5, 0.75))").as("qs"))
+        .collect()(0).getSeq[Double](0).toList
+      val row = graft.plans.BoundedQuantiles
+        .groupQuantiles(df, Nil, col("v"), Seq(0.5, 0.75), Seq("a", "b"), buckets = 8)
+        .collect()(0)
+      List(row.getDouble(0), row.getDouble(1)) == expect
+    }, cases = 6)
+  }
 }

@@ -85,4 +85,31 @@ class ScalePathSuite extends AnyFunSuite {
       assert(tCell * 3 < tBrute,
         f"ivf ($tCell%.2f s) not ≥3× faster than brute ($tBrute%.2f s)")
   }
+
+  test("BoundedQuantiles: state stays bounded on an all-distinct corpus") {
+    // 300k ALL-DISTINCT doubles in ONE global group — exactly the shape
+    // that grows the builtin percentile's counts-map to |rows| entries
+    // (the r4 scale-killer). The bounded plan must instead see: at most
+    // `buckets` histogram bins, and a pass-2 re-read restricted to the
+    // few bins holding the target ranks — orders of magnitude below the
+    // group size.
+    val n = 300000L
+    val df = spark.range(n).toDF("id")
+      .withColumn("v", col("id").cast("double") * 1.0000001 + 0.5)
+    val ps = Seq(0.5, 0.99)
+    val (maxBins, pass2Rows) = graft.plans.BoundedQuantiles
+      .stateFootprint(df, Nil, col("v"), ps, buckets = 4096)
+    assert(maxBins <= 4096, s"histogram wider than the bucket bound: $maxBins")
+    // ≤ 4 target bins (2 ps × lo/hi) × ~n/4096 rows each on this uniform
+    // corpus; 1% of the group is a generous ceiling
+    assert(pass2Rows < n / 100,
+      s"pass 2 re-read $pass2Rows rows — not a bounded selection")
+    // and the bounded plan still returns the builtin's exact values here
+    val got = graft.plans.BoundedQuantiles
+      .groupQuantiles(df, Nil, col("v"), ps, Seq("a", "b"), buckets = 4096)
+      .collect()(0)
+    val expect = df.agg(expr("percentile(v, array(0.5, 0.99))")).collect()(0)
+      .getSeq[Double](0)
+    assert(List(got.getDouble(0), got.getDouble(1)) == expect.toList)
+  }
 }
