@@ -98,6 +98,12 @@ object Graft {
       nProbe: Int, topK: Int): DataFrame =
     operators.NearDup.ivfTopK(spark, emb, probePred, nProbe, topK)
 
+  /** EXACT threshold-cosine pair search (q62) with a cartesian-free
+    * plan: spherical triangle-inequality cell pruning, candidates via
+    * equi-joins only. `emb` needs (vec_id, embedding). */
+  def cosinePairs(spark: SparkSession, emb: DataFrame, tau: Double): DataFrame =
+    operators.NearDup.exactCosPairs(spark, emb, tau)
+
   // ---- training-data pipeline (q91, q48, scale joins) ---------------------
 
   /** Fixed-stride token chunking with overlap (q91): the pre-training

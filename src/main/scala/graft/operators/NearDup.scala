@@ -181,28 +181,111 @@ object NearDup {
       .orderBy("ia", "ib")
   }
 
-  /** q62: embedding-cosine near-dup — all pairs with cos ≥ 0.3 (exact
-    * baseline; the scale path is q63's pruned variant). */
-  private def q62(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(spark)
-    val emb = Tables(spark, sfDir, "embeddings")
-    // norms are computed ONCE per vector (n rows), not once per pair (n²)
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-      sqrt(dotCol("embedding", "embedding")).as("na"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-      sqrt(dotCol("embedding", "embedding")).as("nb"))
+  /** q62: embedding-cosine near-dup — EVERY pair with cos ≥ 0.3, exactly,
+    * but with no cartesian anywhere in the plan: [[exactCosPairs]] prunes
+    * cell pairs by a spherical triangle-inequality bound and evaluates
+    * the exact cosine only inside the surviving equi-joined cell pairs.
+    * Results are identical to brute force by construction (the bound is
+    * a no-false-negative guarantee, not a probabilistic filter), so the
+    * all-pairs oracle SQL is unchanged. */
+  private def q62(spark: SparkSession, sfDir: String): DataFrame =
+    exactCosPairs(spark, Tables(spark, sfDir, "embeddings"), tau = 0.3)
+
+  /** Exact threshold cosine self-join without a cartesian: vectors hash
+    * to direction cells (the low `cellBits` of the q124 hyperplane
+    * signature); each cell gets a centroid and an angular radius
+    * r = max∠(member, centroid); a cell pair (A,B) can contain a pair
+    * within θτ = arccos(τ) only if ∠(cA,cB) − rA − rB ≤ θτ (spherical
+    * triangle inequality, plus 1e-6 rad of slack dwarfing acos FP
+    * error) — every other cell pair is pruned WITHOUT looking at its
+    * members. Candidates then come from plain equi-joins on the cell
+    * ids, exact cosine + id ordering applied inside the join condition.
+    *
+    * Exactness does not depend on the cells or centroids being "good"
+    * (a degenerate centroid ⇒ radius π ⇒ the cell prunes nothing), only
+    * the bound — so the pair set always equals brute force. Pruning
+    * POWER grows with τ and cluster tightness: at the loose bench
+    * τ = 0.3 (θτ ≈ 72°) few 64-d cell pairs separate enough to prune,
+    * while at dedup-grade τ ≥ 0.9 most do (ScalePathSuite measures
+    * both). The plan shape is the point at 100×: bounded metadata
+    * (≤ 2^cellBits centroids) broadcasts, the corpus moves only through
+    * hash-partitioned equi-joins — never a CartesianProduct /
+    * BroadcastNestedLoop (PlanShapeSuite asserts), so AQE can split
+    * skewed cells instead of single-streaming an n² loop. */
+  private[graft] def exactCosPairs(spark: SparkSession, emb0: DataFrame,
+      tau: Double, cellBits: Int = 8): DataFrame = {
+    val sigs = cellSigs(spark, emb0, cellBits)
+    val pairs = admissibleCellPairs(sigs, tau)
+    // candidates: fan each vector out to its admissible partner cells
+    // (broadcast), equi-join on the partner cell; exact cosine and the
+    // id-ordering dedup ride IN the join condition so only survivors
+    // materialize (same short-circuit as the old formulation). A pair in
+    // cells (A,B) survives from exactly one orientation via id_a < id_b.
+    val a = sigs.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("cell").as("ca_id"))
+    val b = sigs.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("cell").as("cb_id"))
     val cos = Tables.r6(dotCol("ea", "eb") / (col("na") * col("nb")))
-    // threshold folded into the join condition BEHIND the cheap id
-    // conjunct: && short-circuits, so the dot product runs once for each
-    // of the 12.5M ordered pairs and only the ~10k surviving rows are
-    // materialized out of the join (the select's re-evaluation touches
-    // survivors only). The "project cos once after the join, then filter"
-    // formulation was measured 60% slower here: it makes the join emit
-    // all 12.5M rows before filtering, and that row materialization
-    // dominates the saved re-evaluations.
-    a.join(b, col("id_a") < col("id_b") && cos >= 0.3)
+    a.join(broadcast(pairs), "ca_id")
+      .join(b, Seq("cb_id"), "inner")
+      .filter(col("id_a") < col("id_b") && cos >= tau)
       .select(col("id_a"), col("id_b"), cos.as("cos"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** (vec_id, embedding, cell, norm): direction cell = low `cellBits` of
+    * the q124 hyperplane signature. Computed once, read by the two
+    * centroid/radius aggregates and both candidate join sides (q124
+    * checkpoint precedent; a cluster run would persist(DISK) instead). */
+  private[graft] def cellSigs(spark: SparkSession, emb0: DataFrame, cellBits: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val mask = (1 << cellBits) - 1
+    hyperplaneSigFrame(emb0)
+      .select(col("vec_id"), col("embedding"),
+        expr(s"cast(sig & $mask as int)").as("cell"),
+        sqrt(dotCol("embedding", "embedding")).as("nrm"))
+      .localCheckpoint(true)
+  }
+
+  /** The admissible (ca_id, cb_id) cell-pair frame for threshold `tau` —
+    * the triangle-inequality prune over bounded cell metadata. Exposed
+    * to ScalePathSuite, which measures the pruned fraction. */
+  private[graft] def admissibleCellPairs(sigs: DataFrame, tau: Double): DataFrame = {
+    // per-cell centroid (plain double mean — engine-internal pruning
+    // metadata only: the bound keeps every true pair for ANY centroid,
+    // so cross-partition sum order can't affect the result set)
+    val cent = sigs.select(col("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("c"))
+      .groupBy("cell")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      .withColumn("cn", sqrt(expr("aggregate(cv, 0d, (acc, x) -> acc + x * x)")))
+    // angular radius; a near-zero centroid norm degrades to r = π
+    // (prunes nothing — safe), never a wrongly-small radius
+    val rad = sigs.join(broadcast(cent), "cell")
+      .select(col("cell"),
+        when(col("cn") < 1e-9, lit(math.Pi)).otherwise(
+          acos(least(greatest(
+            zipFold(col("embedding"), col("cv"), (x, y) => x.cast("double") * y) /
+              (col("nrm") * col("cn")), lit(-1.0)), lit(1.0)))).as("ang"))
+      .groupBy("cell").agg(max("ang").as("r"))
+    val meta = cent.join(rad, "cell")
+    // admissible cell pairs: the ≤ 2^cellBits × 2^cellBits METADATA
+    // product — bounded by construction, not by data — expressed as a
+    // unit-key hash join (pmod(cell,1) = 0 on both sides) so the plan
+    // stays cartesian-free end to end
+    val thetaTau = math.acos(tau)
+    val la = meta.select(col("cell").as("ca_id"), col("cv").as("cva"),
+      col("cn").as("cna"), col("r").as("ra"), pmod(col("cell"), lit(1)).as("jk"))
+    val rb = meta.select(col("cell").as("cb_id"), col("cv").as("cvb"),
+      col("cn").as("cnb"), col("r").as("rb"), pmod(col("cell"), lit(1)).as("jk"))
+    la.join(rb, "jk")
+      .withColumn("cang",
+        when(col("cna") < 1e-9 || col("cnb") < 1e-9, lit(0.0)).otherwise(
+          acos(least(greatest(
+            zipFold(col("cva"), col("cvb"), (x, y) => x * y) /
+              (col("cna") * col("cnb")), lit(-1.0)), lit(1.0)))))
+      .filter(col("cang") - col("ra") - col("rb") <= lit(thetaTau + 1e-6))
+      .select("ca_id", "cb_id")
   }
 
   /** q63: IVF-style ANN — label-cell centroids as the coarse quantizer

@@ -73,6 +73,28 @@ class PlanShapeSuite extends AnyFunSuite {
       "control failed: builtin percentile no longer visible in plan text")
   }
 
+  test("q62 plan is cartesian-free (cell-bound pruning, equi-joins only)") {
+    // the r4 all-pairs baseline planned a BroadcastNestedLoopJoin over
+    // the full pair space; the cell-bound rewrite must never — candidates
+    // flow through broadcast/hash equi-joins on cell ids alone
+    val df = SparkEntry.queries("q62_dedup_embedding")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q62 still plans a cartesian/nested-loop join:\n$plan")
+
+    // positive control: the rejected all-pairs formulation DOES plan one
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables(spark, sf, "embeddings")
+    val bad = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") < col("ib"))
+    bad.count()
+    val badPlan = bad.queryExecution.executedPlan.toString
+    assert(badPlan.contains("CartesianProduct") || badPlan.contains("BroadcastNestedLoop"),
+      "control failed: all-pairs theta join no longer shows a cartesian node")
+  }
+
   test("q124: signature stage is shuffle-free (signatures computed pre-exchange)") {
     // all exchanges in the q124 plan must sit ABOVE the localCheckpoint
     // boundary (band join / rerank); the 16-dot signature projection

@@ -86,6 +86,48 @@ class ScalePathSuite extends AnyFunSuite {
         f"ivf ($tCell%.2f s) not ≥3× faster than brute ($tBrute%.2f s)")
   }
 
+  test("exactCosPairs equals brute force; cell bound genuinely prunes at dedup τ") {
+    graft.functions.VectorExpressions.register(spark)
+    // clustered corpus: 40 directions, members = direction + small noise
+    // (the shape of a near-dup-bearing embedding table). Exactness must
+    // hold at BOTH the loose bench τ=0.3 and dedup-grade τ=0.9; pruning
+    // power is only claimed at the latter.
+    val n = 1500
+    val emb = spark.range(n.toLong).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(1, 64), i -> cast(sin((vec_id % 40 + 1) * i * 0.37) " +
+          "+ 0.05 * sin((vec_id + 7) * i * 1.13) as float))"))
+      .localCheckpoint(true)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)), 0d, (acc, v) -> acc + v)")
+    val na = expr("sqrt(aggregate(ea, 0d, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    val nb = expr("sqrt(aggregate(eb, 0d, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    for (tau <- Seq(0.3, 0.9)) {
+      val brute = a.join(b, col("ia") < col("ib"))
+        .filter(dot / (na * nb) >= tau)
+        .select(col("ia"), col("ib")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pruned = NearDup.exactCosPairs(spark, emb, tau)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // NOTE: exactCosPairs thresholds the r6-rounded cosine while the
+      // brute control thresholds the raw double — identical sets unless a
+      // pair sits within 5e-7 of τ, which this synthetic corpus avoids
+      assert(pruned == brute,
+        s"τ=$tau: pair sets differ (missing=${(brute -- pruned).take(5)}, " +
+          s"extra=${(pruned -- brute).take(5)})")
+    }
+    // pruning power at τ=0.9: admissible cell pairs ≪ occupied²
+    val sigs = NearDup.cellSigs(spark, emb, cellBits = 8)
+    val occupied = sigs.select("cell").distinct().count()
+    val admissible = NearDup.admissibleCellPairs(sigs, 0.9).count()
+    info(s"occupied cells: $occupied, admissible pairs: $admissible of ${occupied * occupied}")
+    assert(admissible * 2 < occupied * occupied,
+      s"cell bound pruned under half the pair space at τ=0.9 " +
+        s"($admissible of ${occupied * occupied})")
+  }
+
   test("BoundedQuantiles: state stays bounded on an all-distinct corpus") {
     // 300k ALL-DISTINCT doubles in ONE global group — exactly the shape
     // that grows the builtin percentile's counts-map to |rows| entries
