@@ -205,7 +205,9 @@ object Anonymize {
     val global = cust.groupBy("bin").agg(count(lit(1)).as("gcnt"))
     val groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("ng"))
     val gb = cust.groupBy("c_nationkey", "c_mktsegment", "bin").agg(count(lit(1)).as("cnt"))
-    val grid = groups.crossJoin(global.select("bin", "gcnt"))
+    // explicit broadcast (bin-cardinality-bounded — small forever), not
+    // left to AQE's runtime demotion, matching the sibling joins' hints
+    val grid = groups.crossJoin(broadcast(global.select("bin", "gcnt")))
       .join(gb, Seq("c_nationkey", "c_mktsegment", "bin"), "left")
       .crossJoin(broadcast(n))
       .select(col("c_nationkey"), col("c_mktsegment"), col("bin"),
@@ -277,7 +279,12 @@ object Anonymize {
       .groupBy("c_nationkey", "c_mktsegment")
       .agg(count(lit(1)).as("true_n"))
     val key = col("c_nationkey") * lit(256L) + ascii(substring(col("c_mktsegment"), 1, 1))
-    val u = ((key * lit(2654435761L)) % lit(1000003L)).cast("double") / lit(1000003.0)
+    // the q127 grid form ((key·H) mod m + 1)/(m+1): u ∈ [1/(m+1), m/(m+1)]
+    // BY CONSTRUCTION, so 1−2|u−0.5| ≥ 2/(m+1) > 0 and the Laplace
+    // inverse-CDF ln can never see 0 — for ANY key domain, not just the
+    // current one (whose min numerator happens to clear the old form)
+    val u = (((key * lit(2654435761L)) % lit(1000003L)) + lit(1L))
+      .cast("double") / lit(1000004.0)
     val v = u - lit(0.5)
     val s = when(v >= 0, lit(1.0)).otherwise(lit(-1.0))
     val noise = lit(-2.0) * s * log(lit(1.0) - lit(2.0) * abs(v))
@@ -465,8 +472,8 @@ object Anonymize {
           "-2.0 * (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END) * LN(1.0 - 2.0 * ABS(u - 0.5))") +
         " AS noisy_n FROM (" +
         "SELECT c_nationkey, c_mktsegment, COUNT(*) AS true_n, " +
-        "CAST(((c_nationkey * 256 + ASCII(SUBSTRING(c_mktsegment, 1, 1))) * 2654435761) % 1000003 AS DOUBLE) " +
-        "/ 1000003.0 AS u " +
+        "CAST((((c_nationkey * 256 + ASCII(SUBSTRING(c_mktsegment, 1, 1))) * 2654435761) % 1000003) + 1 AS DOUBLE) " +
+        "/ 1000004.0 AS u " +
         "FROM customer GROUP BY 1, 2) ORDER BY c_nationkey, c_mktsegment")),
   )
 }

@@ -185,8 +185,14 @@ object CorpusOps {
     * the window prunes early under TakeOrdered-style per-partition
     * limits. */
   private def q127(spark: SparkSession, sfDir: String): DataFrame = {
-    val u = ((col("doc_id") * lit(2654435761L)) % lit(1000003L) + lit(1L))
-      .cast("double") / lit(1000004.0) // +1/1000004: u ∈ (0,1], never ln(0)
+    // doc_id reduced mod 1000003 BEFORE the multiply: same residue by
+    // modular arithmetic (so values are unchanged), but the product now
+    // stays ≤ 1000002·2654435761 ≈ 2.7e15 — no silent Long wrap at
+    // 100 TB doc_id ranges (Spark would wrap to a negative u and emit
+    // NULL keys; DuckDB would raise int64 overflow — a cross-engine
+    // divergence). +1/1000004: u ∈ (0,1), never ln(0).
+    val u = (((col("doc_id") % lit(1000003L)) * lit(2654435761L)) % lit(1000003L) + lit(1L))
+      .cast("double") / lit(1000004.0)
     val w = Window.partitionBy("lang").orderBy(col("aes_key").desc, col("doc_id"))
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -240,7 +246,7 @@ object CorpusOps {
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY aes_key DESC, doc_id) AS rn FROM (" +
         "SELECT doc_id, lang, n_chars, " +
         Tables.r6sql(
-          "LN(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0) " +
+          "LN(CAST(((doc_id % 1000003) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0) " +
             "/ GREATEST(n_chars, 1)") + " AS aes_key " +
         "FROM documents)) WHERE rn <= 5 ORDER BY lang, rn")),
   )

@@ -361,7 +361,16 @@ object TimeSeries {
     * exact integers (counts) — closed-form variance, no engine stddev
     * accumulator, order-free. Requires ≥ 12 trailing buckets before
     * scoring (cold-start rows emit NULL z). Two shuffles total: the
-    * bucket agg and the type-keyed window (bucket-cardinality bounded). */
+    * bucket agg and the type-keyed window (bucket-cardinality bounded).
+    *
+    * Baseline semantics: the trailing window is ROWS-based over the
+    * hours that HAVE events — deliberate. A zero-event hour produces no
+    * bucket row, so the 24-row baseline then spans more than 24
+    * wall-clock hours and mixes non-adjacent periods. For the
+    * "observed-activity baseline" this query defines that is the wanted
+    * behavior (and the oracle is ROWS-based too — no parity risk); a
+    * calendar-time baseline instead densifies the hourly grid first
+    * (q87's gap-fill pattern) so empty hours contribute zero counts. */
   private def q138(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = Tables(spark, sfDir, "events")
       .withColumn("hb", expr(s"(ts DIV 1000) DIV $usPerHour"))

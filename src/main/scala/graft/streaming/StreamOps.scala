@@ -149,7 +149,11 @@ object StreamOps {
     * with a transactional table format (Delta/Iceberg) replacing the
     * pointer file; the merge plan and ledger logic are unchanged. The
     * crash window between data write and ledger append only ever causes
-    * a re-merge of the same rows — upsert is idempotent by content. */
+    * a re-merge of the same rows — upsert is idempotent by content.
+    * Pointer and ledger flips are ATOMIC (temp file + rename), so a
+    * crash mid-write can't leave a truncated pointer that poisons every
+    * later read; versions older than the previous one are vacuumed
+    * after each successful flip. */
   def mergeBatch(batch: DataFrame, tableDir: String, keyCol: String,
       batchId: Long, versionCol: String = "event_id"): Unit = {
     val spark = batch.sparkSession
@@ -181,9 +185,34 @@ object StreamOps {
           .unionByName(deduped)
       }
     merged.write.mode("overwrite").parquet(s"$tableDir/v_${curVersion + 1}")
-    java.nio.file.Files.writeString(latest.toPath, (curVersion + 1).toString)
-    java.nio.file.Files.writeString(ledger.toPath,
+    // data first, then an ATOMIC pointer/ledger flip: the worst crash
+    // outcome stays "version written, pointer not flipped" (re-merged
+    // idempotently on redelivery) — never a half-written pointer whose
+    // toLong parse would fail permanently in readTable
+    atomicWrite(latest.toPath, (curVersion + 1).toString)
+    atomicWrite(ledger.toPath,
       (applied + batchId).toSeq.sorted.mkString("", "\n", "\n"))
+    // vacuum: no pointer state (current or pre-flip) can still name a
+    // version below `curVersion` — delete them so v_<n> dirs don't
+    // accumulate without bound across the table's lifetime
+    (0L until curVersion).foreach { v =>
+      val old = new java.io.File(dir, s"v_$v")
+      if (old.exists) {
+        Option(old.listFiles()).foreach(_.foreach(_.delete()))
+        old.delete()
+      }
+    }
+  }
+
+  /** Write-temp-then-rename: POSIX rename within one directory is atomic,
+    * so readers see either the old or the new full content, never a
+    * truncated file. */
+  private def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Read the current version of a [[mergeBatch]] table (empty-schema

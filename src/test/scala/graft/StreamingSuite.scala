@@ -64,6 +64,54 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("stateful pipelines green under the RocksDB state store provider") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sq = spark.sqlContext
+    // SURVEY §7.5 names the RocksDB provider for high-cardinality session
+    // state (off-heap state, incremental snapshots). Semantics must be
+    // identical to the default HDFS-backed provider: re-run the stateful
+    // dedup and custom-sessionize pipelines under it and assert the same
+    // results — plus proof from the query progress metrics that RocksDB
+    // actually engaged (not a silently ignored conf).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val s1 = MemoryStream[Event]
+      val q = StreamOps.dedupWithinWatermark(s1.toDF()).writeStream
+        .format("memory").queryName("rdb_dedup").outputMode("append").start()
+      try {
+        s1.addData(Seq(Event(1, ts(1), 1, "click", 1.0), Event(1, ts(1), 1, "click", 1.0)))
+        q.processAllAvailable()
+        s1.addData(Seq(Event(1, ts(2), 1, "click", 7.0), Event(2, ts(3), 1, "view", 2.0)))
+        q.processAllAvailable()
+        val sop = q.lastProgress.stateOperators
+        assert(sop.nonEmpty &&
+          sop(0).customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+          s"RocksDB provider did not engage: ${sop.map(_.customMetrics.keySet).mkString}")
+      } finally q.stop()
+      assert(spark.table("rdb_dedup").collect()
+        .map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+
+      val s2 = MemoryStream[Event]
+      val rows = runBatches(s2, StreamOps.sessionize(s2.toDS()).toDF(), "rdb_sess",
+        Seq(
+          Seq(Event(1, ts(0), 1, "click", 0), Event(2, ts(10), 1, "click", 0)),
+          Seq(Event(3, ts(60), 1, "click", 0)),
+          Seq(Event(4, ts(65), 1, "click", 0), Event(5, ts(0), 2, "view", 0))))
+      val byId = rows.map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id")).toMap
+      assert(byId(1) == 1 && byId(2) == 1 && byId(3) == 2 && byId(4) == 2 && byId(5) == 1,
+        s"sessionize semantics changed under RocksDB: $byId")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("custom sessionize assigns ids on 30-minute gaps across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
