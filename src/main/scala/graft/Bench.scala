@@ -16,10 +16,13 @@ import java.nio.file.{Files, Paths}
   * `SPARK_GRAFT_BENCH_OUT` (default `bench_result.json` in the working
   * dir), so no information is lost to the truncation.
   *
-  * `value` is the sum of the full-precision per-query timings rounded
-  * once at the end; the independently-trimmed per-query entries may sum
-  * to a value differing in the last digit (~0.0005 s/query) — the total
-  * is the authoritative number.
+  * Protocol: each query is timed `SPARK_GRAFT_REPS` times (default 3)
+  * and contributes its per-query MEDIAN — single-sample totals swung
+  * ±20% with machine noise across rounds (BASELINE.md). `value` is the
+  * sum of the full-precision per-query medians rounded once at the end;
+  * the independently-trimmed per-query entries may sum to a value
+  * differing in the last digit (~0.0005 s/query) — the total is the
+  * authoritative number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,29 +52,35 @@ object Bench {
     // dev-iteration filter: SPARK_GRAFT_ONLY="q50,q76" times just those
     // queries (substring match). Unset in driver runs — full suite.
     val selected = SparkEntry.selected(sys.env.get("SPARK_GRAFT_ONLY"))
-    // dev-iteration: SPARK_GRAFT_REPEAT=N times each query N times (prints
-    // every rep) — separates plan-compile/codegen cost (rep 1) from
-    // steady-state execution. Unset in driver runs — single timing.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // median-of-N protocol (VERDICT r4 item 6): each query is timed
+    // `reps` times and reports its MEDIAN — the per-round comparison no
+    // longer hangs off a single sample on a ±20%-noise box (BASELINE.md
+    // §noise). Default 3; SPARK_GRAFT_REPS=1 restores the old
+    // single-shot behavior for quick dev loops (SPARK_GRAFT_REPEAT kept
+    // as an alias). Every rep still streams its own line, so rep-1
+    // (plan+codegen) vs steady-state remains visible in the log.
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .orElse(sys.env.get("SPARK_GRAFT_REPEAT")).map(_.toInt).getOrElse(3)
     var qIdx = 0
     val results = selected.map { case (name, fn) =>
       // a concurrent GC cycle every 15 queries keeps old-gen debris from
       // earlier queries out of later queries' timings
       qIdx += 1
       if (qIdx % 15 == 0) System.gc()
-      var dt = 0.0
-      for (rep <- 1 to repeat) {
+      val times = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        dt = (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
         // drop session state a query may have left behind (localCheckpoint
         // RDDs, temp-view caches) BEFORE the next timing starts — blocking,
         // so freed blocks can't linger into the next query's GC pressure
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        if (repeat > 1) println(s"""{"query":"$name","rep":$rep,"sec":${r3(dt)}}""")
+        if (reps > 1) println(s"""{"query":"$name","rep":$rep,"sec":${r3(dt)}}""")
+        dt
       }
-      println(s"""{"query":"$name","sec":${r3(dt)}}""")
-      name -> dt
+      val med = times.sorted.apply((times.length - 1) / 2)
+      println(s"""{"query":"$name","sec":${r3(med)}}""")
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -81,7 +90,7 @@ object Bench {
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("null")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
@@ -92,7 +101,7 @@ object Bench {
     // lines above + the full copy in bench_result.json). build.sbt routes
     // forked stdout raw (StdoutOutput) and suppresses sbt's [success]
     // epilogue so this line reaches the driver unprefixed and last.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"sf_dir":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -52,6 +52,36 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("scan family: filters pushed, columns pruned, sources as declared") {
+    import org.apache.spark.sql.execution.FormattedMode
+    // one assertion loop over EVERY scan-family query (VERDICT r4 item
+    // 7): each case lists markers that must (not) appear in the final
+    // formatted plan — pushdown reaching the reader, partition/dynamic
+    // pruning firing, untouched wide columns absent from ReadSchema,
+    // and each declared source format actually scanned.
+    val cases: Seq[(String, Seq[String], Seq[String])] = Seq(
+      ("q01_scan_project_filter",
+        Seq("pushedfilters: [isnotnull(l_shipdate)"), Seq("l_comment", "l_partkey")),
+      ("q02_scan_csv_roundtrip", Seq("scan csv"), Nil),
+      ("q03_scan_json_lines", Seq("scan json"), Nil),
+      ("q69_scan_orc_roundtrip", Seq("scan orc"), Nil),
+      ("q70_scan_partitioned_prune", Seq("partitionfilters: [", "o_year"), Nil),
+      ("q95_scan_binary_decode", Seq("binaryfile"), Nil),
+      ("q97_union_multisource",
+        Seq("scan csv", "scan json", "scan parquet"), Nil),
+      ("q110_zorder_locality", Nil, Seq("c_comment", "c_phone")),
+      ("q114_join_dpp", Seq("dynamicpruning"), Nil))
+    for ((name, must, mustNot) <- cases) {
+      val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+      qe.toRdd.count() // finalize AQE so the formatted plan is the real one
+      val plan = qe.explainString(FormattedMode).toLowerCase
+      for (m <- must)
+        assert(plan.contains(m), s"$name: missing plan marker '$m'\n$plan")
+      for (m <- mustNot)
+        assert(!plan.contains(m), s"$name: '$m' present — pruning regressed\n$plan")
+    }
+  }
+
   test("quantile family plans carry no unbounded Percentile aggregate") {
     // q19/q136/q137/q139 moved off the builtin `percentile` (whose merge
     // buffer holds every distinct group value) onto BoundedQuantiles'
