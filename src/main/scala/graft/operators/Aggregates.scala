@@ -128,6 +128,33 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  /** q142: equi-depth (quantile) binning — 8 equal-population bins of
+    * order value: 7 exact cut points at k/8 from the bounded quantile
+    * fold (§2.9 R7 — this is the second production consumer of
+    * [[graft.plans.BoundedQuantiles]]), every order assigned by strict
+    * cut comparison, per-bin population + value extent reported. The
+    * discretizer behind feature binning and histogram-equalized
+    * layouts. Cut values are raw (un-rounded) doubles on both engines:
+    * money values sit on a cent grid and interpolated cuts fall
+    * strictly between grid points, so a last-ulp engine difference
+    * cannot flip any assignment. Scale: one bounded fold + a 7-double
+    * broadcast + one bin-keyed agg. */
+  private def q142(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = (1 to 7).map(i => s"c$i")
+    val orders = Tables(spark, sfDir, "orders")
+    val cuts = graft.plans.BoundedQuantiles.groupQuantiles(
+      orders, Nil, col("o_totalprice"), (1 to 7).map(_ / 8.0), names)
+      .select(array(names.map(col): _*).as("cuts"))
+    orders.crossJoin(broadcast(cuts))
+      .select(col("o_totalprice"),
+        (lit(1L) + expr("size(filter(cuts, c -> c < o_totalprice))")).cast("bigint").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        Tables.r6(min(col("o_totalprice"))).as("lo"),
+        Tables.r6(max(col("o_totalprice"))).as("hi"))
+      .orderBy("bin")
+  }
+
   /** q71: pivot — event counts per user across a FIXED column list
     * (explicit pivot values keep the output schema deterministic and, at
     * scale, skip the extra distinct-values job). */
@@ -439,5 +466,17 @@ object Aggregates {
         Tables.r6sql("2.0 * CAST(iw_rev AS DOUBLE) / (n_cust * CAST(sum_rev AS DOUBLE)) - " +
           "CAST(n_cust + 1 AS DOUBLE) / n_cust") + " AS gini " +
         "FROM g ORDER BY c_mktsegment")),
+    Q("q142_equidepth_bins", q142 _, Some {
+      val cutsSel = (1 to 7).map(i =>
+        s"quantile_cont(o_totalprice, ${i / 8.0}) AS c$i").mkString(", ")
+      val binExpr = "1 + " + (1 to 7).map(i =>
+        s"CAST(c$i < o_totalprice AS BIGINT)").mkString(" + ")
+      s"WITH cuts AS (SELECT $cutsSel FROM orders), " +
+        s"b AS (SELECT o_totalprice, $binExpr AS bin FROM orders CROSS JOIN cuts) " +
+        "SELECT bin, COUNT(*) AS n, " +
+        Tables.r6sql("MIN(o_totalprice)") + " AS lo, " +
+        Tables.r6sql("MAX(o_totalprice)") + " AS hi " +
+        "FROM b GROUP BY bin ORDER BY bin"
+    }),
   )
 }

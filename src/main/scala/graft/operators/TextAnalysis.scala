@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Extended text analysis + multimodal plumbing (q64–q68): language-ID,
   * quality scoring, token counting, document fingerprinting, and the
@@ -143,6 +144,45 @@ object TextAnalysis {
       .orderBy("lang", "w1", "w2")
   }
 
+  /** q143: per-document perplexity scoring under the corpus bigram LM
+    * (q129's model, add-one smoothed): every document's average negative
+    * log-likelihood −Σ ln((c_xy+1)/(c_x+V))/n over its bigrams — the
+    * LM-based quality filter used to score pre-training corpora against
+    * a reference model (higher avg NLL = more surprising = boilerplate/
+    * noise candidates at the tails).
+    *
+    * Determinism: p = (c_xy+1)/(c_x+V) is an int/int double division
+    * (bit-identical across engines); each ln term is r6-quantized then
+    * DECIMAL-summed (§2.9 R1) so partition merge order cannot move the
+    * sum; ln parity follows the q44/q127 precedent. Scale: the LM is the
+    * bigram-vocabulary aggregate (corpus-bounded, not row-bounded), the
+    * scoring join is an equi-join of the bigram stream against it, and
+    * the per-doc fold is one keyed agg; the bigram stream is
+    * checkpointed once and feeds both the LM build and the scoring. */
+  private def q143(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true)
+    val cxy = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cxy"))
+    // head counts derived FROM the bigram counts — no second corpus pass
+    val cx = cxy.groupBy("lang", "w1").agg(sum("cxy").as("cx"))
+    val vocab = cxy.select("lang", "w2").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("v"))
+    val term = Tables.r6(-log((col("cxy") + lit(1L)).cast("double") / (col("cx") + col("v"))))
+    bg.join(cxy, Seq("lang", "w1", "w2"))
+      .join(cx, Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .select(col("doc_id"), term.cast(DecimalType(18, 6)).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Tables.meanD(sum(col("t")), count(lit(1))).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q64_text_langid", q64 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
@@ -196,5 +236,21 @@ object TextAnalysis {
         "SELECT lang, str_split(text, ' ') AS ts FROM documents " +
         "WHERE len(str_split(text, ' ')) >= 2)) GROUP BY 1, 2, 3)) " +
         "WHERE cnt >= 3 ORDER BY lang, w1, w2")),
+    Q("q143_text_perplexity", q143 _, Some(
+      "WITH split AS (SELECT doc_id, lang, str_split(text, ' ') AS ts FROM documents " +
+        "WHERE len(str_split(text, ' ')) >= 2), " +
+        "bg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)), i -> " +
+        "{'w1': ts[CAST(i AS INT)], 'w2': ts[CAST(i + 1 AS INT)]})) AS b FROM split), " +
+        "bgf AS (SELECT doc_id, lang, b['w1'] AS w1, b['w2'] AS w2 FROM bg0), " +
+        "cxy AS (SELECT lang, w1, w2, COUNT(*) AS cxy FROM bgf GROUP BY 1, 2, 3), " +
+        "cx AS (SELECT lang, w1, CAST(SUM(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1, 2), " +
+        "vocab AS (SELECT lang, COUNT(DISTINCT w2) AS v FROM cxy GROUP BY 1), " +
+        "terms AS (SELECT doc_id, CAST(" +
+        Tables.r6sql("-LN(CAST(cxy.cxy + 1 AS DOUBLE) / (cx.cx + vocab.v))") +
+        " AS DECIMAL(18,6)) AS t FROM bgf " +
+        "JOIN cxy USING (lang, w1, w2) JOIN cx USING (lang, w1) JOIN vocab USING (lang)) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, " +
+        Tables.meanDSql("SUM(t)", "COUNT(*)") + " AS avg_nll " +
+        "FROM terms GROUP BY doc_id ORDER BY doc_id")),
   )
 }

@@ -393,6 +393,27 @@ object TimeSeries {
       .orderBy("event_type", "hb")
   }
 
+  /** q144: LOCF backfill (last observation carried forward) — per user,
+    * ordered by event time, fill each row's value with the most recent
+    * non-null observation: the imputation primitive for sparse sensor/
+    * metric streams (here: 'view' events carry no value semantics and
+    * are treated as the gaps). `last(_, ignoreNulls)` over a running
+    * ROWS frame is Spark's native LOCF — one key-partitioned window,
+    * no self-join, no gap scan; DuckDB's `LAST_VALUE(... IGNORE
+    * NULLS)` is the identical frame. Leading rows before any
+    * observation stay NULL (nullable double output; the final ORDER BY
+    * rides the non-null unique event_id — §2.9 R4 unaffected). */
+  private def q144(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        when(col("event_type") =!= "view", col("value")).as("v_sparse"))
+      .withColumn("v_filled", Tables.r6(last(col("v_sparse"), ignoreNulls = true).over(w)))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("v_filled"))
+      .orderBy("event_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -527,5 +548,11 @@ object TimeSeries {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) " +
         "WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase' " +
         "ORDER BY user_id, start_us, start_event")),
+    Q("q144_ts_backfill", q144 _, Some(
+      "SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        Tables.r6sql("LAST_VALUE(CASE WHEN event_type <> 'view' THEN value END IGNORE NULLS) " +
+          "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)") + " AS v_filled " +
+        "FROM events ORDER BY event_id")),
   )
 }
