@@ -123,12 +123,41 @@ object Graft {
     plans.DistributedRank.denseTokens(df, key)
 
   /** Exact per-group percentiles with bounded executor state (q19/q136/
-    * q137/q139): two-pass bucketed selection, bit-identical to the
+    * q137/q139/q142): two-pass bucketed selection, bit-identical to the
     * builtin `percentile` but never buffering a group's distinct-value
     * set. Empty `groupCols` ⇒ one global group. */
   def boundedQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
       ps: Seq[Double], outNames: Seq[String]): DataFrame =
     plans.BoundedQuantiles.groupQuantiles(df, groupCols, value, ps, outNames)
+
+  /** LOCF forward fill (q144): per `key`, in (`time`, `tiebreak`) order,
+    * emit `value` filled with the most recent non-null observation as
+    * `<valueName>_filled`. One running window, no self-join. */
+  def locfBackfill(df: DataFrame, key: Column, time: Column, tiebreak: Column,
+      value: Column, valueName: String = "v"): DataFrame =
+    df.withColumn(s"${valueName}_filled",
+      last(value, ignoreNulls = true).over(
+        Window.partitionBy(key).orderBy(time, tiebreak)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Last-touch attribution (q145): rows matching `conversion` gain
+    * `attributed_id`/`gap` from the most recent row matching `touch`
+    * (same `key`, within `lookback` time units; outside ⇒ NULL). The
+    * non-conversion rows are dropped. `id` must be unique per row —
+    * it is both the attribution target and the order tiebreak. */
+  def lastTouchAttribution(df: DataFrame, key: Column, time: Column, id: Column,
+      touch: Column, conversion: Column, lookback: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(time, id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withTouch = df
+      .withColumn("graft_tid", last(when(touch, id), ignoreNulls = true).over(w))
+      .withColumn("graft_tts", last(when(touch, time), ignoreNulls = true).over(w))
+    val in = time - col("graft_tts") <= lookback
+    withTouch.filter(conversion)
+      .withColumn("attributed_id", when(in, col("graft_tid")))
+      .withColumn("gap", when(in, time - col("graft_tts")))
+      .drop("graft_tid", "graft_tts")
+  }
 
   /** Salted skew join (q89): explicit fallback when one key dominates
     * beyond what AQE's skew-split handles. */

@@ -414,6 +414,35 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** q145: last-touch attribution — each purchase attributed to the
+    * user's most recent click within a 1-hour lookback (the
+    * marketing-attribution primitive; the unattributed remainder is the
+    * "organic" bucket). Same LOCF machinery as q144: two
+    * `last(_, ignoreNulls)` columns (click id + click time) over ONE
+    * user-ordered running frame — no purchases×clicks self-join, no
+    * per-user collect; the window's two measures share the single key
+    * exchange. Both engines pick the identical click because the frame
+    * order (ts, event_id) is total (§2.9 R5). */
+  private def q145(spark: SparkSession, sfDir: String): DataFrame = {
+    val lookbackUs = 3600000000L // 1 h
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributed = col("ts_us") - col("click_us") <= lookbackUs
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(attributed, col("click_id")).as("attributed_click"),
+        when(attributed, col("ts_us") - col("click_us")).as("gap_us"),
+        Tables.r6(col("value")).as("revenue"))
+      .orderBy("event_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -554,5 +583,16 @@ object TimeSeries {
           "OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)") + " AS v_filled " +
         "FROM events ORDER BY event_id")),
+    Q("q145_attribution_last_touch", q145 _, Some(
+      "SELECT event_id, user_id, ts_us, " +
+        "CASE WHEN ts_us - click_us <= 3600000000 THEN click_id END AS attributed_click, " +
+        "CASE WHEN ts_us - click_us <= 3600000000 THEN ts_us - click_us END AS gap_us, " +
+        Tables.r6sql("value") + " AS revenue FROM (" +
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value, " +
+        "LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS click_id, " +
+        "LAST_VALUE(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) OVER w AS click_us " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "WHERE event_type = 'purchase' ORDER BY event_id")),
   )
 }

@@ -187,4 +187,31 @@ class ApiSuite extends AnyFunSuite {
     assert(m("b") <= 30L && m("b") >= 30L - 20L)
     assert(m.size <= 4)
   }
+
+  test("locfBackfill and lastTouchAttribution on a synthetic event log") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 1L, "obs", 5.0), (1L, 20L, 2L, "gap", 0.0), (1L, 30L, 3L, "obs", 7.0),
+      (1L, 40L, 4L, "gap", 0.0), (2L, 10L, 5L, "gap", 0.0))
+      .toDF("k", "t", "id", "kind", "v")
+    val filled = Graft.locfBackfill(df, col("k"), col("t"), col("id"),
+      when(col("kind") === "obs", col("v")), "v")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("v_filled"))).toMap
+    assert(filled(1L).contains(5.0) && filled(3L).contains(7.0))
+    assert(filled(2L).contains(5.0) && filled(4L).contains(7.0)) // gaps carry forward
+    assert(filled(5L).isEmpty) // other key, no prior observation
+
+    val ev = Seq(
+      (1L, 10L, 1L, "touch"), (1L, 18L, 2L, "conv"), // gap 8 ≤ 10 → attributed
+      (1L, 40L, 3L, "conv"),                         // gap 30 > 10 → organic
+      (2L, 5L, 4L, "conv"))                          // no touch at all
+      .toDF("k", "t", "id", "kind")
+    val att = Graft.lastTouchAttribution(ev, col("k"), col("t"), col("id"),
+      col("kind") === "touch", col("kind") === "conv", lookback = 10L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[Any]("attributed_id")), Option(r.getAs[Any]("gap"))))).toMap
+    assert(att(2L) == ((Some(1L), Some(8L))))
+    assert(att(3L) == ((None, None)) && att(4L) == ((None, None)))
+    assert(!att.contains(1L)) // touches are dropped from the output
+  }
 }

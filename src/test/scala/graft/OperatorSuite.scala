@@ -706,6 +706,27 @@ class OperatorSuite extends AnyFunSuite {
     assert(scored.map(_.getAs[Double]("avg_nll")).distinct.length > 1)
   }
 
+  test("q145 attribution: same-user prior click, gap within lookback") {
+    val rows = SparkEntry.queries("q145_attribution_last_touch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, sf, "events")
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .selectExpr("event_id", "user_id", "ts DIV 1000 AS ts_us").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val (cu, cts) = clicks(r.getLong(3))
+        assert(cu == r.getLong(1), "attributed click belongs to another user")
+        assert(cts <= r.getLong(2), "attributed click is after the purchase")
+        assert(r.getLong(4) == r.getLong(2) - cts, "gap inconsistent")
+        assert(r.getLong(4) <= 3600000000L, "gap beyond the 1 h lookback")
+      } else assert(r.isNullAt(4), "gap set on an unattributed purchase")
+    }
+    // every purchase appears exactly once, attributed or not
+    val np = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(rows.length.toLong == np)
+  }
+
   test("q144 LOCF backfill: non-gap rows keep their value, gaps take the prior one") {
     val rows = SparkEntry.queries("q144_ts_backfill")(spark, sf).collect()
     val raw = Tables(spark, sf, "events")
