@@ -443,6 +443,31 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** q146: user-journey mining — the frequency table of each user's
+    * first-5-step event-type path (the product-analytics "top journeys"
+    * report). Scale shape: rank-limit FIRST (row_number ≤ 5 inside the
+    * user window — Spark's WindowGroupLimit prunes per partition before
+    * the full sort materializes), so the collect_list that builds the
+    * path holds ≤ 5 elements per user — never a whole heavy user's
+    * history. Path order is total ((ts, event_id) tiebreak, §2.9 R5);
+    * the final ordering ties broken by the journey string itself. */
+  private def q146(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type)")
+        .as("steps"))
+      .select(concat_ws(">", col("steps")).as("journey"))
+      .groupBy("journey")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -594,5 +619,13 @@ object TimeSeries {
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "WHERE event_type = 'purchase' ORDER BY event_id")),
+    Q("q146_user_journeys", q146 _, Some(
+      "WITH ranked AS (SELECT user_id, event_type, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn " +
+        "FROM events), " +
+        "j AS (SELECT user_id, array_to_string(list(event_type ORDER BY rn), '>') AS journey " +
+        "FROM ranked WHERE rn <= 5 GROUP BY user_id) " +
+        "SELECT journey, COUNT(*) AS n_users FROM j GROUP BY journey " +
+        "ORDER BY n_users DESC, journey")),
   )
 }

@@ -727,6 +727,26 @@ class OperatorSuite extends AnyFunSuite {
     assert(rows.length.toLong == np)
   }
 
+  test("q146 journeys: partition of users, ≤5 steps, rank-limit pushed down") {
+    val df = SparkEntry.queries("q146_user_journeys")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // journeys partition the user base
+    val nUsers = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    // at most 5 steps; every step is a real event type
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val steps = r.getAs[String]("journey").split(">")
+      assert(steps.length <= 5 && steps.forall(types))
+    }
+    // the scale claim: the rank filter runs as a WindowGroupLimit (per-
+    // partition top-k prune), not a full window over each user's history
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rn <= 5 did not plan a WindowGroupLimit:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("q144 LOCF backfill: non-gap rows keep their value, gaps take the prior one") {
     val rows = SparkEntry.queries("q144_ts_backfill")(spark, sf).collect()
     val raw = Tables(spark, sf, "events")
