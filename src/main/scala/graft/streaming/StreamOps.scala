@@ -19,6 +19,11 @@ case class Event(
 case class SessionInfo(sessionId: Long, lastTs: Long)
 case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
 
+/** Carried observation for [[StreamOps.locf]] (`has=false` until the
+  * key's first real observation arrives). */
+case class LocfCarry(lastV: Double, has: Boolean)
+case class LocfFill(user_id: Long, event_id: Long, v_filled: Option[Double])
+
 /** True Structured Streaming operators (SURVEY.md §2.8 "true streaming"):
   * the same tumbling/sliding/session/dedup semantics that q56–q59 prove
   * against the DuckDB oracle in batch, here running on the incremental
@@ -127,6 +132,33 @@ object StreamOps {
                 else cur.sessionId
               cur = SessionInfo(sid, tUs)
               SessionAssignment(user, e.event_id, sid)
+            }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** Streaming LOCF forward fill — q144's batch semantics on the
+    * incremental engine: per user, each event's value filled with the
+    * most recent non-'view' observation; events before any observation
+    * emit None. One small carry struct per user rides in group state
+    * across micro-batches (in-batch order restored by the (ts,
+    * event_id) sort, the [[sessionize]] convention); StreamingSuite
+    * asserts batch ≡ stream on the same rows. High-cardinality keys:
+    * RocksDB provider + state timeout, as for sessionize. */
+  def locf(events: Dataset[Event]): Dataset[LocfFill] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LocfCarry, LocfFill](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[LocfCarry]) =>
+          var cur = state.getOption.getOrElse(LocfCarry(0.0, has = false))
+          val out = it.toSeq
+            .sortBy(e => (e.ts.getTime * 1000, e.event_id))
+            .map { e =>
+              if (e.event_type != "view") cur = LocfCarry(e.value, has = true)
+              LocfFill(user, e.event_id, if (cur.has) Some(cur.lastV) else None)
             }
           state.update(cur)
           out.iterator

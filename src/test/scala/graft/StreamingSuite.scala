@@ -112,6 +112,31 @@ class StreamingSuite extends AnyFunSuite {
     }
   }
 
+  test("streaming LOCF equals the q144 batch semantics on the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // views are the gaps (their value is ignored); state must carry the
+    // last real observation ACROSS micro-batches and per user
+    val batches = Seq(
+      Seq(Event(1, ts(1), 1, "view", 9.0), Event(2, ts(2), 1, "click", 5.0)),
+      Seq(Event(3, ts(3), 1, "view", 9.0), Event(4, ts(4), 1, "purchase", 7.5),
+        Event(5, ts(1), 2, "view", 1.0)),
+      Seq(Event(6, ts(5), 1, "view", 0.0), Event(7, ts(2), 2, "signup", 3.25)))
+    val rows = runBatches(stream, StreamOps.locf(stream.toDS()).toDF(), "locf_par", batches)
+    val got = rows.map(r => r.getAs[Long]("event_id") ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // reference: the q144 batch rule applied in-memory over all rows
+    val expect = batches.flatten.groupBy(_.user_id).flatMap { case (_, evs) =>
+      var last: Option[Double] = None
+      evs.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        if (e.event_type != "view") last = Some(e.value)
+        e.event_id -> last
+      }
+    }.toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("custom sessionize assigns ids on 30-minute gaps across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
