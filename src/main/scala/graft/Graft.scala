@@ -227,6 +227,13 @@ object Graft {
       iters: Int = 3): DataFrame =
     operators.GraphOps.pageRank(edges, damping, teleport, iters)
 
+  /** Per-node triangle participation counts (q147): degree-ordered edge
+    * orientation, so each triangle is one directed wedge + closing edge
+    * and out-degrees stay O(√m) on skewed graphs. `edges` is ANY
+    * (src, dst, ...) frame; direction and duplicates ignored. */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    operators.GraphOps.triangleCounts(edges)
+
   /** Misra–Gries heavy-hitters summary column (q123): aggregate a string
     * column into a map<item, est> with the f − n/(k+1) ≤ est ≤ f
     * guarantee; merge-order-independent by construction (see

@@ -82,20 +82,72 @@ object GraphOps {
     * fact table joins broadcast dims and aggregates to a
     * nation²-bounded edge list; the rank loop then runs on that compact
     * graph. */
-  private def q120(spark: SparkSession, sfDir: String): DataFrame = {
+  private def q120(spark: SparkSession, sfDir: String): DataFrame =
+    pageRank(nationEdges(spark, sfDir), Damping, Teleport, Iters)
+      .select(col("node").as("nationkey"), col("rank"))
+      .orderBy("nationkey")
+
+  /** The nation-level trade edge list shared by q120 and q147: the fact
+    * table joins broadcast dims and aggregates to a nation²-bounded
+    * (src, dst, w) frame — the genuinely heavy distributed part of both
+    * graph queries. */
+  private[graft] def nationEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
     val ord = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
     val cust = Tables(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
     val supp = Tables(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
-    val edges = li
+    li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    pageRank(edges, Damping, Teleport, Iters)
-      .select(col("node").as("nationkey"), col("rank"))
+  }
+
+  /** q147: triangle participation counts on the undirected trade graph —
+    * per nation, how many closed three-way trading cliques it sits in
+    * (the clustering/cohesion primitive behind community detection and
+    * spam-graph analysis). Degree-ordered edge orientation (lower
+    * (degree, id) endpoint → higher): every triangle survives as
+    * EXACTLY ONE directed path u→v→w plus its closing edge u→w, so
+    * counting = two equi-joins on the oriented edge list with no
+    * dedup pass — and out-degrees are bounded by O(√m) under this
+    * orientation (Suri & Vassilvitskii, WWW'11: "the curse of the last
+    * reducer"), which is what keeps the wedge join from exploding on
+    * skewed (celebrity-node) graphs at 100×. */
+  private def q147(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCounts(nationEdges(spark, sfDir))
+      .select(col("node").as("nationkey"), col("n_triangles"))
       .orderBy("nationkey")
+
+  /** The generic primitive behind q147, exposed as
+    * [[graft.Graft.triangleCounts]]: `edges` is ANY (src, dst, ...)
+    * frame, direction and duplicates ignored; returns (node,
+    * n_triangles). */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds the degree agg AND the orientation join
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val firstIsLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val orient = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(when(firstIsLower, col("a")).otherwise(col("b")).as("u"),
+        when(firstIsLower, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true) // three join consumers below
+    val tri = orient
+      .join(orient.toDF("u2", "v2"), col("v") === col("u2"))
+      .join(orient.toDF("u3", "v3"), col("u3") === col("u") && col("v3") === col("v2"))
+      .select(col("u").as("x"), col("v").as("y"), col("v2").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
   /** The q120 oracle: the same edge build + 3 unrolled iterations as
@@ -123,5 +175,29 @@ object GraphOps {
 
   val entries: Seq[Q] = Seq(
     Q("q120_graph_pagerank", q120 _, Some(q120Sql)),
+    Q("q147_graph_triangles", q147 _, Some(
+      // the edge-build CTE is MATERIALIZED: DuckDB inlines plain CTEs at
+      // every reference, and orient is referenced three times in the
+      // wedge join — the inlined form re-ran the 4-table join ~9× and
+      // spilled tens of GB of hash-join temp at sf0.1
+      "WITH und AS MATERIALIZED (" +
+        "SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a, " +
+        "GREATEST(c_nationkey, s_nationkey) AS b " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE c_nationkey <> s_nationkey), " +
+        "deg AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n), " +
+        "orient AS MATERIALIZED (SELECT " +
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u, " +
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v " +
+        "FROM und JOIN deg da ON da.n = a JOIN deg db ON db.n = b), " +
+        "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z " +
+        "FROM orient e1 JOIN orient e2 ON e1.v = e2.u " +
+        "JOIN orient e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+        "SELECT n AS nationkey, COUNT(*) AS n_triangles FROM " +
+        "(SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) " +
+        "GROUP BY n ORDER BY nationkey")),
   )
 }

@@ -188,6 +188,19 @@ class ApiSuite extends AnyFunSuite {
     assert(m.size <= 4)
   }
 
+  test("triangleCounts on known graphs: K4 and a triangle-free path") {
+    import spark.implicits._
+    // K4 fed as a noisy DIRECTED multigraph (both directions) — the
+    // primitive must canonicalize; every node sits in C(3,2)=3 triangles
+    val k4 = (for (a <- 0 to 3; b <- 0 to 3 if a != b) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val got = Graft.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graft.triangleCounts(path).collect().isEmpty)
+  }
+
   test("locfBackfill and lastTouchAttribution on a synthetic event log") {
     import spark.implicits._
     val df = Seq(

@@ -747,6 +747,26 @@ class OperatorSuite extends AnyFunSuite {
         df.queryExecution.executedPlan.toString)
   }
 
+  test("q147 triangles: matches in-memory enumeration on the nation graph") {
+    val got = SparkEntry.queries("q147_graph_triangles")(spark, sf).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Long]("n_triangles")).toMap
+    // reference: enumerate triangles naively from the same edge set
+    val und = operators.GraphOps.nationEdges(spark, sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expect = nodes.map { n =>
+      n -> (for {
+        Seq(a, b) <- nodes.filter(_ != n).combinations(2).toSeq
+        if und(math.min(n, a) -> math.max(n, a)) &&
+          und(math.min(n, b) -> math.max(n, b)) &&
+          und(math.min(a, b) -> math.max(a, b))
+      } yield 1).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("q144 LOCF backfill: non-gap rows keep their value, gaps take the prior one") {
     val rows = SparkEntry.queries("q144_ts_backfill")(spark, sf).collect()
     val raw = Tables(spark, sf, "events")
