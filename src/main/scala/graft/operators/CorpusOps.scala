@@ -202,7 +202,31 @@ object CorpusOps {
       .orderBy("lang", "rn")
   }
 
+  /** q148: exact-k per-class sample — EXACTLY 10 documents per language,
+    * chosen by md5 hash rank (deterministic "uniform" draw, epoch-
+    * reseedable via the salt). Completes the sampling family: q85 draws
+    * a FRACTION per stratum, q127 draws weighted, q148 draws an exact
+    * count. Scale shape: the rank filter is a per-class window that
+    * Spark executes as a WindowGroupLimit (per-partition top-k prune) —
+    * no class's full member list ever sorts in one task beyond the
+    * pruned k rows per partition. */
+  private def q148(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("gk:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 10)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q148_sample_group_k", q148 _, Some(
+      "SELECT lang, rn, doc_id FROM (" +
+        "SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5('gk:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn " +
+        "FROM documents) WHERE rn <= 10 ORDER BY lang, rn")),
     Q("q104_decontamination", q104 _, Some(
       s"WITH $bucketCte, " +
         "s AS (SELECT doc_id, bucket, str_split(text, ' ') AS ts FROM d " +

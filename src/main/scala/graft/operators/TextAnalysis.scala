@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -183,6 +183,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q149: PMI collocation mining — pointwise mutual information
+    * ln(c_xy·N / (c_x·c_y)) for every word bigram seen ≥ 5 times (the
+    * classic collocation extractor, Church & Hanks 1990; the positive
+    * tail is multi-word expressions, the negative tail is tokenizer
+    * noise). Unlike q143 there is NO sum over ln terms — PMI is a
+    * per-row scalar from exact integer counts, so determinism needs
+    * only the int→double casts (bit-identical cross-engine) and r6.
+    * All factors are cast to double BEFORE multiplying: c_x·c_y as
+    * integers would overflow int64 once counts pass ~3e9 at corpus
+    * scale. Scale: three vocabulary-bounded aggs off one bigram frame
+    * + a 1-row total broadcast. */
+  private def q149(spark: SparkSession, sfDir: String): DataFrame = {
+    val cxy = Tables(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the margin aggs AND the scoring join
+    val c1 = cxy.groupBy("w1").agg(sum("cnt").as("c1"))
+    val c2 = cxy.groupBy("w2").agg(sum("cnt").as("c2"))
+    val nb = cxy.agg(sum("cnt").as("nb"))
+    val d = (c: Column) => c.cast("double")
+    cxy.filter(col("cnt") >= 5)
+      .join(c1, "w1")
+      .join(c2, "w2")
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("cnt"),
+        Tables.r6(log(d(col("cnt")) * d(col("nb")) / (d(col("c1")) * d(col("c2")))))
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q64_text_langid", q64 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
@@ -252,5 +286,23 @@ object TextAnalysis {
         "SELECT doc_id, COUNT(*) AS n_bigrams, " +
         Tables.meanDSql("SUM(t)", "COUNT(*)") + " AS avg_nll " +
         "FROM terms GROUP BY doc_id ORDER BY doc_id")),
+    Q("q149_token_pmi", q149 _, Some(
+      // cxy MATERIALIZED: it feeds both margins, the total, and the
+      // scoring join — plain-CTE inlining would re-run the bigram
+      // explode four times (the q147 DuckDB lesson)
+      "WITH cxy AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cnt FROM (" +
+        "SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (" +
+        "SELECT unnest(list_transform(range(1, len(ts)), i -> " +
+        "{'w1': ts[CAST(i AS INT)], 'w2': ts[CAST(i + 1 AS INT)]})) AS b FROM (" +
+        "SELECT str_split(text, ' ') AS ts FROM documents " +
+        "WHERE len(str_split(text, ' ')) >= 2))) GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM cxy GROUP BY 1), " +
+        "c2 AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM cxy GROUP BY 1), " +
+        "nb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nb FROM cxy) " +
+        "SELECT w1, w2, cnt, " +
+        Tables.r6sql("LN(CAST(cnt AS DOUBLE) * CAST(nb AS DOUBLE) / " +
+          "(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))") + " AS pmi " +
+        "FROM cxy JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nb " +
+        "WHERE cnt >= 5 ORDER BY pmi DESC, w1, w2")),
   )
 }

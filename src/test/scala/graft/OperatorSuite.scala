@@ -33,8 +33,9 @@ class OperatorSuite extends AnyFunSuite {
       "q137_rfm_scoring",        // quintile-cutpoint 1-row percentile aggregate
       "q139_skew_report",        // per-table 1-row profile folds
       "q141_anon_utility",       // cell-stats 1-row fold
-      "q142_equidepth_bins")     // global BoundedQuantiles fold: histogram
+      "q142_equidepth_bins",     // global BoundedQuantiles fold: histogram
                                  // window ≤ 4096 rows + 7-cut 1-row result
+      "q149_token_pmi")          // total-bigram-count 1-row aggregate
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -765,6 +766,41 @@ class OperatorSuite extends AnyFunSuite {
       } yield 1).size.toLong
     }.filter(_._2 > 0).toMap
     assert(got == expect, s"got $got want $expect")
+  }
+
+  test("q148 exact-k sample: 10 per language, rank-limit pushed down") {
+    val df = SparkEntry.queries("q148_sample_group_k")(spark, sf)
+    val rows = df.collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val nLangs = Tables(spark, sf, "documents").select("lang").distinct().count()
+    assert(byLang.size.toLong == nLangs)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 10L), s"$lang ranks off")
+    }
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("q149 PMI: independent recomputation for the top collocation") {
+    val rows = SparkEntry.queries("q149_token_pmi")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("cnt") >= 5L))
+    // recompute the top row's PMI from raw bigram counts
+    val top = rows.head
+    val (w1, w2) = (top.getAs[String]("w1"), top.getAs[String]("w2"))
+    val bigrams = Tables(spark, sf, "documents").collect()
+      .map(_.getAs[String]("text").split(" "))
+      .filter(_.length >= 2)
+      .flatMap(ts => ts.zip(ts.tail))
+    val cxy = bigrams.count(p => p._1 == w1 && p._2 == w2).toDouble
+    val c1 = bigrams.count(_._1 == w1).toDouble
+    val c2 = bigrams.count(_._2 == w2).toDouble
+    val pmi = math.floor(math.log(cxy * bigrams.length / (c1 * c2)) * 1e6 + 0.5) / 1e6
+    assert(top.getAs[Long]("cnt").toDouble == cxy)
+    assert(math.abs(top.getAs[Double]("pmi") - pmi) < 1e-9,
+      s"pmi ${top.getAs[Double]("pmi")} vs recomputed $pmi")
+    // PMI is sorted descending with a (w1, w2) tiebreak
+    val ps = rows.map(_.getAs[Double]("pmi"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
   }
 
   test("q144 LOCF backfill: non-gap rows keep their value, gaps take the prior one") {
