@@ -221,7 +221,88 @@ object CorpusOps {
       .orderBy("lang", "rn")
   }
 
+  /** q150: the end-to-end corpus curation pipeline — the LLM-side
+    * counterpart of q140's anonymization ETL, the library's whole
+    * training-data purpose as ONE per-language report. Three gates in
+    * the canonical order, each charged only with documents the earlier
+    * gates let through:
+    *   1. exact dedup  — keep the min doc_id per md5(text);
+    *   2. near dedup   — SimHash banding over the survivors (q83's
+    *      4×8-bit pigeonhole recipe): any Hamming-≤3 pair drops the
+    *      HIGHER id — pairwise, deterministic, SQL-expressible (the
+    *      full CC resolution is q76/q93's iterative job);
+    *   3. quality gate — r6(0.001·n_chars + 0.5·uniq_ratio) < 0.47
+    *      drops the repetitive/short tail (~10% on this corpus).
+    * Output: per language, total/kept/dropped-by-stage counts and the
+    * surviving token volume — the numbers a curation run reports.
+    * Scale: one hash-keyed dedup window, the banded equi-join (never
+    * doc×doc), narrow quality scalars, one keyed agg. */
+  private def q150(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    val wDup = Window.partitionBy("h").orderBy("doc_id")
+    val flagged = docs.withColumn("h", md5(col("text")))
+      .withColumn("drop_exact", row_number().over(wDup) > 1)
+      .localCheckpoint(true) // feeds the simhash build AND the final agg
+    val keepers = flagged.filter(!col("drop_exact"))
+    val banded = NearDup.simhashOf(keepers.select("doc_id", "text"))
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("k", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
+      .localCheckpoint(true) // both sides of the band self-join
+    val nearDropped = banded
+      .select(col("doc_id").as("ia"), col("simhash").as("sa"), col("b"), col("k"))
+      .join(banded.select(col("doc_id").as("ib"), col("simhash").as("sb"), col("b"), col("k")),
+        Seq("b", "k"))
+      .filter(col("ia") < col("ib") && expr("bit_count(sa ^ sb)") <= 3)
+      .select(col("ib").as("doc_id")).distinct()
+      .withColumn("drop_near", lit(true))
+    val quality = Tables.r6(
+      lit(0.001) * col("n_chars") +
+        lit(0.5) * (size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " "))))
+    flagged
+      .join(nearDropped, Seq("doc_id"), "left")
+      .na.fill(false, Seq("drop_near"))
+      .withColumn("drop_quality",
+        !col("drop_exact") && !col("drop_near") && quality < 0.47)
+      .withColumn("kept", !col("drop_exact") && !col("drop_near") && !col("drop_quality"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("drop_exact"), 1L).otherwise(0L)).as("n_drop_exact"),
+        sum(when(col("drop_near"), 1L).otherwise(0L)).as("n_drop_near"),
+        sum(when(col("drop_quality"), 1L).otherwise(0L)).as("n_drop_quality"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), size(split(col("text"), " ")).cast("bigint"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q150_curation_pipeline", q150 _, Some(
+      "WITH flagged AS MATERIALIZED (SELECT doc_id, lang, text, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS drop_exact " +
+        "FROM documents), " +
+        "keepers AS MATERIALIZED (SELECT doc_id, text FROM flagged WHERE NOT drop_exact), " +
+        NearDup.simhashCtes("keepers") + ", " +
+        "banded AS MATERIALIZED (SELECT doc_id, simhash, b, " +
+        "(simhash >> CAST(b * 8 AS INT)) & 255 AS k " +
+        "FROM sh CROSS JOIN range(0, 4) r(b)), " +
+        "near AS (SELECT DISTINCT b2.doc_id FROM banded b1 " +
+        "JOIN banded b2 ON b1.b = b2.b AND b1.k = b2.k AND b1.doc_id < b2.doc_id " +
+        "WHERE bit_count(xor(b1.simhash, b2.simhash)) <= 3), " +
+        "scored AS (SELECT f.lang, f.doc_id, f.drop_exact, " +
+        "(near.doc_id IS NOT NULL) AS drop_near, " +
+        "len(str_split(f.text, ' ')) AS n_tokens, " +
+        Tables.r6sql("0.001 * n_chars + 0.5 * (CAST(len(list_distinct(str_split(f.text, ' '))) AS DOUBLE) " +
+          "/ len(str_split(f.text, ' ')))") + " AS q " +
+        "FROM flagged f LEFT JOIN near ON f.doc_id = near.doc_id) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN drop_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_exact, " +
+        "CAST(SUM(CASE WHEN drop_near THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_near, " +
+        "CAST(SUM(CASE WHEN NOT drop_exact AND NOT drop_near AND q < 0.47 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality, " +
+        "CAST(SUM(CASE WHEN NOT drop_exact AND NOT drop_near AND q >= 0.47 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(CASE WHEN NOT drop_exact AND NOT drop_near AND q >= 0.47 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens " +
+        "FROM scored GROUP BY lang ORDER BY lang")),
     Q("q148_sample_group_k", q148 _, Some(
       "SELECT lang, rn, doc_id FROM (" +
         "SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +

@@ -85,18 +85,23 @@ object NearDup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** The oracle-SQL CTE producing the same (doc_id, simhash) frame,
-    * terminated by a `sh` CTE. */
-  private[operators] val simhashSql: String = {
+  /** The oracle-SQL CTE list (no leading WITH) producing the same
+    * (doc_id, simhash) frame from any `src` relation carrying
+    * (doc_id, text), terminated by a `sh` CTE — embeddable inside a
+    * larger WITH chain (q150 runs it over its dedup survivors). */
+  private[operators] def simhashCtes(src: String): String = {
     val bitSums = (0 until 32).map(i =>
       s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS w$i").mkString(", ")
     val packed = (0 until 32).map(i =>
       s"CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    "WITH raw AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
+    s"raw AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM $src), " +
       "toks AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM raw), " +
       s"bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id), " +
       s"sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits)"
   }
+
+  /** The q60/q83 form: the CTE chain over the full `documents` table. */
+  private[operators] val simhashSql: String = "WITH " + simhashCtes("documents")
 
   /** q60: SimHash fingerprint per document. */
   private def q60(spark: SparkSession, sfDir: String): DataFrame =

@@ -803,6 +803,27 @@ class OperatorSuite extends AnyFunSuite {
     assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q150 curation: stage counts reconcile; near stage agrees with q83") {
+    val rows = SparkEntry.queries("q150_curation_pipeline")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every document lands in exactly one bucket
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_drop_exact") + r.getAs[Long]("n_drop_near") +
+        r.getAs[Long]("n_drop_quality") + r.getAs[Long]("n_kept"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+    assert(rows.map(_.getAs[Long]("kept_tokens")).sum > 0)
+    // with no exact dups in this corpus, the near stage must drop exactly
+    // the distinct HIGHER ids of q83's Hamming-≤3 pair set
+    if (rows.map(_.getAs[Long]("n_drop_exact")).sum == 0) {
+      val pairsHi = SparkEntry.queries("q83_dedup_simhash_pairs")(spark, sf)
+        .select("ib").distinct().count()
+      assert(rows.map(_.getAs[Long]("n_drop_near")).sum == pairsHi)
+    }
+  }
+
   test("q144 LOCF backfill: non-gap rows keep their value, gaps take the prior one") {
     val rows = SparkEntry.queries("q144_ts_backfill")(spark, sf).collect()
     val raw = Tables(spark, sf, "events")
