@@ -78,7 +78,12 @@ object Bench {
         if (reps > 1) println(s"""{"query":"$name","rep":$rep,"sec":${r3(dt)}}""")
         dt
       }
-      val med = times.sorted.apply((times.length - 1) / 2)
+      // true median for even rep counts too (mean of the two middles) —
+      // the lower-middle sample alone would bias the protocol fast
+      val sortedT = times.sorted
+      val med =
+        if (sortedT.length % 2 == 1) sortedT(sortedT.length / 2)
+        else (sortedT(sortedT.length / 2 - 1) + sortedT(sortedT.length / 2)) / 2.0
       println(s"""{"query":"$name","sec":${r3(med)}}""")
       name -> med
     }

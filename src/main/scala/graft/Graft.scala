@@ -134,11 +134,14 @@ object Graft {
     * emit `value` filled with the most recent non-null observation as
     * `<valueName>_filled`. One running window, no self-join. */
   def locfBackfill(df: DataFrame, key: Column, time: Column, tiebreak: Column,
-      value: Column, valueName: String = "v"): DataFrame =
+      value: Column, valueName: String = "v"): DataFrame = {
+    require(!df.columns.contains(s"${valueName}_filled"),
+      s"locfBackfill emits `${valueName}_filled`, which the input already carries")
     df.withColumn(s"${valueName}_filled",
       last(value, ignoreNulls = true).over(
         Window.partitionBy(key).orderBy(time, tiebreak)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 
   /** Last-touch attribution (q145): rows matching `conversion` gain
     * `attributed_id`/`gap` from the most recent row matching `touch`
@@ -147,6 +150,10 @@ object Graft {
     * it is both the attribution target and the order tiebreak. */
   def lastTouchAttribution(df: DataFrame, key: Column, time: Column, id: Column,
       touch: Column, conversion: Column, lookback: Long): DataFrame = {
+    require(df.columns.forall(c => !c.startsWith("graft_")) &&
+      !df.columns.contains("attributed_id") && !df.columns.contains("gap"),
+      "lastTouchAttribution emits `attributed_id`/`gap` and uses graft_-prefixed " +
+        "working columns — the input must not already carry them")
     val w = Window.partitionBy(key).orderBy(time, id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withTouch = df

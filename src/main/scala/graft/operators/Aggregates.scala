@@ -134,17 +134,19 @@ object Aggregates {
     * [[graft.plans.BoundedQuantiles]]), every order assigned by strict
     * cut comparison, per-bin population + value extent reported. The
     * discretizer behind feature binning and histogram-equalized
-    * layouts. Cut values are raw (un-rounded) doubles on both engines:
-    * money values sit on a cent grid and interpolated cuts fall
-    * strictly between grid points, so a last-ulp engine difference
-    * cannot flip any assignment. Scale: one bounded fold + a 7-double
-    * broadcast + one bin-keyed agg. */
+    * layouts. Cut values are r6-ROUNDED before any comparison on BOTH
+    * engines: an interpolated cut CAN land on the cent grid (a k/8
+    * fraction of a multiple-of-8-cents gap), where the engines'
+    * algebraically-equal-but-FP-different interpolations could differ
+    * by an ulp and flip an assignment — r6 pins both to the identical
+    * double (the proven q19 percentile/quantile_cont parity). Scale:
+    * one bounded fold + a 7-double broadcast + one bin-keyed agg. */
   private def q142(spark: SparkSession, sfDir: String): DataFrame = {
     val names = (1 to 7).map(i => s"c$i")
     val orders = Tables(spark, sfDir, "orders")
     val cuts = graft.plans.BoundedQuantiles.groupQuantiles(
       orders, Nil, col("o_totalprice"), (1 to 7).map(_ / 8.0), names)
-      .select(array(names.map(col): _*).as("cuts"))
+      .select(array(names.map(n => Tables.r6(col(n))): _*).as("cuts"))
     orders.crossJoin(broadcast(cuts))
       .select(col("o_totalprice"),
         (lit(1L) + expr("size(filter(cuts, c -> c < o_totalprice))")).cast("bigint").as("bin"))
@@ -468,7 +470,7 @@ object Aggregates {
         "FROM g ORDER BY c_mktsegment")),
     Q("q142_equidepth_bins", q142 _, Some {
       val cutsSel = (1 to 7).map(i =>
-        s"quantile_cont(o_totalprice, ${i / 8.0}) AS c$i").mkString(", ")
+        Tables.r6sql(s"quantile_cont(o_totalprice, ${i / 8.0})") + s" AS c$i").mkString(", ")
       val binExpr = "1 + " + (1 to 7).map(i =>
         s"CAST(c$i < o_totalprice AS BIGINT)").mkString(" + ")
       s"WITH cuts AS (SELECT $cutsSel FROM orders), " +

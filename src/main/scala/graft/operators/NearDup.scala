@@ -277,8 +277,14 @@ object NearDup {
     // admissible cell pairs: the ≤ 2^cellBits × 2^cellBits METADATA
     // product — bounded by construction, not by data — expressed as a
     // unit-key hash join (pmod(cell,1) = 0 on both sides) so the plan
-    // stays cartesian-free end to end
-    val thetaTau = math.acos(tau)
+    // stays cartesian-free end to end.
+    // The prune radius derives from τ−1e-6, NOT τ: the final filter
+    // thresholds the r6-ROUNDED cosine, which admits raw cosines down
+    // to τ−5e-7 — at high τ (small sin θτ) that widens the admissible
+    // angle by 5e-7/sin θτ, more than a flat angular slack covers. A
+    // cosine-side margin of 1e-6 dominates the r6 gap at every τ; the
+    // extra additive 1e-6 rad below still absorbs acos FP error.
+    val thetaTau = math.acos(math.max(-1.0, tau - 1e-6))
     val la = meta.select(col("cell").as("ca_id"), col("cv").as("cva"),
       col("cn").as("cna"), col("r").as("ra"), pmod(col("cell"), lit(1)).as("jk"))
     val rb = meta.select(col("cell").as("cb_id"), col("cv").as("cvb"),

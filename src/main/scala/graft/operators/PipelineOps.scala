@@ -273,13 +273,22 @@ object PipelineOps {
       .localCheckpoint(true)
     // bounded-state exact median (the builtin percentile would buffer
     // every distinct per-user total in ONE global aggregation buffer);
-    // bit-identical values, so the quantile_cont oracle is untouched
+    // bit-identical values, so the quantile_cont oracle is untouched.
+    // Attached via a constant-key LEFT join, not crossJoin: on a slice
+    // with zero purchases BoundedQuantiles returns an EMPTY frame
+    // (where the builtin returned one NULL row) and a crossJoin would
+    // annihilate every user — the left join yields NULL med, so
+    // `ptotal > med` is NULL ⇒ converted = 0, matching the oracle's
+    // quantile_cont-over-empty ⇒ NULL ⇒ CASE ⇒ 0 path.
     val med = graft.plans.BoundedQuantiles.groupQuantiles(
       totals, Nil, col("ptotal"), Seq(0.5), Seq("med"))
+      .withColumn("graft_jk", lit(0))
     val users = ev.select("user_id").distinct()
       .join(totals, Seq("user_id"), "left")
       .na.fill(0.0, Seq("ptotal"))
-      .crossJoin(broadcast(med))
+      .withColumn("graft_jk", lit(0))
+      .join(broadcast(med), Seq("graft_jk"), "left")
+      .drop("graft_jk")
       .select(col("user_id"),
         when(col("ptotal") > col("med"), 1L).otherwise(0L).as("converted"))
       .withColumn("arm", (col("user_id") % 2).cast("int"))

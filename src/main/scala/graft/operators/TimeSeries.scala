@@ -404,13 +404,15 @@ object TimeSeries {
     * observation stay NULL (nullable double output; the final ORDER BY
     * rides the non-null unique event_id — §2.9 R4 unaffected). */
   private def q144(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, sfDir, "events")
+    // delegates to the facade primitive (q120→pageRank convention): ONE
+    // copy of the running-frame semantics, oracle-verified through here
+    val ev = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
         when(col("event_type") =!= "view", col("value")).as("v_sparse"))
-      .withColumn("v_filled", Tables.r6(last(col("v_sparse"), ignoreNulls = true).over(w)))
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("v_filled"))
+    graft.Graft.locfBackfill(ev, col("user_id"), col("ts_us"), col("event_id"),
+        col("v_sparse"), "v")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        Tables.r6(col("v_filled")).as("v_filled"))
       .orderBy("event_id")
   }
 
@@ -424,21 +426,18 @@ object TimeSeries {
     * exchange. Both engines pick the identical click because the frame
     * order (ts, event_id) is total (§2.9 R5). */
   private def q145(spark: SparkSession, sfDir: String): DataFrame = {
-    val lookbackUs = 3600000000L // 1 h
-    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attributed = col("ts_us") - col("click_us") <= lookbackUs
-    Tables(spark, sfDir, "events")
+    // delegates to the facade primitive (q120→pageRank convention): ONE
+    // copy of the lookback-gated LOCF pick, oracle-verified through here
+    val ev = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
         col("event_type"), col("value"))
-      .withColumn("click_id",
-        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("click_us",
-        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    graft.Graft.lastTouchAttribution(ev, col("user_id"), col("ts_us"), col("event_id"),
+        touch = col("event_type") === "click",
+        conversion = col("event_type") === "purchase",
+        lookback = 3600000000L /* 1 h in µs */)
       .select(col("event_id"), col("user_id"), col("ts_us"),
-        when(attributed, col("click_id")).as("attributed_click"),
-        when(attributed, col("ts_us") - col("click_us")).as("gap_us"),
+        col("attributed_id").as("attributed_click"),
+        col("gap").as("gap_us"),
         Tables.r6(col("value")).as("revenue"))
       .orderBy("event_id")
   }

@@ -224,11 +224,13 @@ object StreamOps {
     atomicWrite(latest.toPath, (curVersion + 1).toString)
     atomicWrite(ledger.toPath,
       (applied + batchId).toSeq.sorted.mkString("", "\n", "\n"))
-    // vacuum: no pointer state (current or pre-flip) can still name a
-    // version below `curVersion` — delete them so v_<n> dirs don't
-    // accumulate without bound across the table's lifetime
-    (0L until curVersion).foreach { v =>
-      val old = new java.io.File(dir, s"v_$v")
+    // vacuum: after the flip, v_{curVersion-1} is the single version
+    // newly out of reach of any pointer state (earlier ones were
+    // deleted by earlier batches — O(1) per merge, not an O(N) sweep;
+    // a crash between flip and vacuum leaves at most one straggler
+    // directory, which no pointer state can name and no reader touches)
+    if (curVersion > 0) {
+      val old = new java.io.File(dir, s"v_${curVersion - 1}")
       if (old.exists) {
         Option(old.listFiles()).foreach(_.foreach(_.delete()))
         old.delete()
