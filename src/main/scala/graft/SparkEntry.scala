@@ -27,7 +27,10 @@ object SparkEntry {
     operators.CorpusOps.entries ++
     operators.ClusterOps.entries ++
     operators.SketchOps.entries ++
-    operators.GraphOps.entries
+    operators.GraphOps.entries ++
+    operators.PrivacyOps.entries ++
+    operators.TrainingOps.entries ++
+    operators.StatsOps.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
     * driver smoke-checks rows>0. */

@@ -58,9 +58,9 @@ object NearDup {
   /** Native codegen dot product (graft.functions.FloatDot) — identical
     * left-to-right summation to `list_sum(list_transform(...))`, primitive
     * float[] loop inside WholeStageCodegen. */
-  private def dotCol(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+  private[operators] def dotCol(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  private def dotSql(a: String, b: String): String =
+  private[operators] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
 
   /** The (doc_id, simhash) frame shared by q60 (fingerprint listing) and

@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Privacy-engineering depth beyond the q35–q48 transform family
+  * (SURVEY.md §2.7/§2.8b): the generalization-LATTICE search that picks
+  * the q140 pipeline's levels (Samarati, PODS 1998 / Sweeney 2002 —
+  * the core algorithm of the anonymization-ETL domain), user-level
+  * differential privacy with contribution bounding (Dwork et al. 2006;
+  * the histogram mechanism real systems deploy when one user has
+  * unbounded activity), and the linkage-attack re-identification audit
+  * (Sweeney's Weld re-identification — the attack model k-anonymity
+  * exists to defeat).
+  *
+  * Scale notes: the lattice search pre-aggregates the corpus ONCE to
+  * finest-granularity cells (QI-cardinality bounded), then evaluates
+  * every lattice node by rolling up the bounded cell frame — the 100 TB
+  * table never rescans per node. The DP histogram shuffles one distinct
+  * projection; the linkage audit is an explode-≤2× equi-join, never a
+  * range join over the corpus.
+  */
+object PrivacyOps {
+
+  /** Generalization hierarchies over the customer QIs (FIXTURES.md §
+    * anonymization-fixture roles):
+    *   nation:  0 = nationkey, 1 = region name, 2 = '*'   (3 levels)
+    *   acctbal: 0 = width-500 bin, 1 = width-2000 bin, 2 = '*' (3 levels)
+    *   segment: 0 = mktsegment, 1 = '*'                   (2 levels)
+    * Levels nest (2000 = 4·500; nested floor-div is exact for negatives
+    * too), so every node of the 3×3×2 lattice is a rollup of the finest
+    * cells. */
+  private val LatticeK = 5
+
+  /** q151: Samarati full-domain generalization lattice search — for every
+    * node of the QI generalization lattice, the equivalence-class profile
+    * (cell count, min cell size) and whether k=5 anonymity holds; the
+    * minimal-height satisfying node(s) are flagged `optimal`. This is the
+    * search that DECIDES the generalization levels q140 publishes with —
+    * the reference domain's central algorithm, not just its transforms.
+    *
+    * Plan shape (the 100 TB point): ONE corpus shuffle builds the finest
+    * cell frame (bounded by QI-domain cardinality, ~10³ rows — it
+    * broadcasts from then on); all 18 lattice nodes roll up from those
+    * cells via an 18× explode of bounded metadata. A naive implementation
+    * rescans the table per node; this one's table-side cost is constant
+    * in lattice size. The final optimal-height comparison is a 1-row
+    * aggregate over 18 node rows. */
+  private def q151(spark: SparkSession, sfDir: String): DataFrame = {
+    val natReg = Tables(spark, sfDir, "nation")
+      .join(Tables(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    // finest cells: the only pass over the (at scale, huge) fact table
+    val cells = Tables(spark, sfDir, "customer")
+      .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(
+        col("c_nationkey").as("natk"), col("r_name"),
+        (floor(col("c_acctbal") / 500) * 500).as("bin500"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+    val nodes = cells.select(col("natk"), col("r_name"), col("bin500"), col("seg"), col("n"),
+        explode(expr(
+          "flatten(transform(sequence(0, 2), i -> " +
+            "flatten(transform(sequence(0, 2), j -> " +
+            "transform(sequence(0, 1), k -> struct(cast(i as int) as i, cast(j as int) as j, cast(k as int) as k))))))"
+        )).as("lv"))
+      .select(col("lv.i").as("i"), col("lv.j").as("j"), col("lv.k").as("k"),
+        when(col("lv.i") === 0, col("natk").cast("string"))
+          .when(col("lv.i") === 1, col("r_name")).otherwise(lit("*")).as("g_nat"),
+        when(col("lv.j") === 0, col("bin500").cast("string"))
+          .when(col("lv.j") === 1, (floor(col("bin500") / 2000) * 2000).cast("string"))
+          .otherwise(lit("*")).as("g_bal"),
+        when(col("lv.k") === 0, col("seg")).otherwise(lit("*")).as("g_seg"),
+        col("n"))
+    val classes = nodes.groupBy("i", "j", "k", "g_nat", "g_bal", "g_seg")
+      .agg(sum("n").as("cn"))
+    val agg = classes.groupBy("i", "j", "k")
+      .agg(count(lit(1)).as("n_cells"), min("cn").as("min_cell"))
+    // minimal satisfying height: a 1-row aggregate over the 18 node rows
+    val best = agg.filter(col("min_cell") >= LatticeK)
+      .agg(min(col("i") + col("j") + col("k")).as("best_h"))
+    agg.crossJoin(broadcast(best))
+      .select(
+        col("i").as("lvl_nation"), col("j").as("lvl_bal"), col("k").as("lvl_seg"),
+        (col("i") + col("j") + col("k")).as("height"),
+        col("n_cells"), col("min_cell"),
+        (col("min_cell") >= LatticeK).as("meets_k"),
+        (col("min_cell") >= LatticeK &&
+          (col("i") + col("j") + col("k")) === col("best_h")).as("optimal"))
+      .orderBy("height", "lvl_nation", "lvl_bal", "lvl_seg")
+  }
+
+  /** q152: user-level differentially-private histogram with contribution
+    * bounding — the release mechanism for "how many users did X" when one
+    * user can have unbounded activity. Per user, activity collapses to
+    * DISTINCT event types, then is CLAMPED to the C=2 types with smallest
+    * md5(user:type) (a deterministic uniform choice — the standard
+    * contribution-bounding step that caps user-level L1 sensitivity at
+    * C); Laplace(b = C/ε), ε=0.5 ⇒ b=4, is added via the q116/q127
+    * deterministic grid (u ∈ (0,1) by construction, reproducible
+    * fixed-seed DP so the oracle evaluates the identical closed form —
+    * swap u for a CSPRNG per production release).
+    *
+    * Scale: one distinct projection (user,type), one per-user window over
+    * ≤5 rows, one type-cardinality-bounded count — the privacy layer adds
+    * zero distributed work beyond the distinct. */
+  private def q152(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val wu = Window.partitionBy("user_id")
+      .orderBy(md5(concat(col("user_id").cast("string"), lit(":"), col("event_type"))),
+        col("event_type"))
+    val clamped = pairs.withColumn("rn", row_number().over(wu)).filter(col("rn") <= 2)
+    val key = ascii(substring(col("event_type"), 1, 1))
+    val u = (((key * lit(2654435761L)) % lit(1000003L)) + lit(1L))
+      .cast("double") / lit(1000004.0)
+    val v = u - lit(0.5)
+    val s = when(v >= 0, lit(1.0)).otherwise(lit(-1.0))
+    val noise = lit(-4.0) * s * log(lit(1.0) - lit(2.0) * abs(v))
+    clamped.groupBy("event_type").agg(count(lit(1)).as("true_n"))
+      .select(col("event_type"),
+        Tables.r6(col("true_n").cast("double") + noise).as("noisy_users"))
+      .orderBy("event_type")
+  }
+
+  /** q159: linkage-attack re-identification audit — simulate the Sweeney
+    * attack against the published (pseudonymized + generalized, NOT
+    * suppressed) customer table: an attacker holding an external
+    * directory with exact region/segment and account balance known to
+    * ±500 links each directory record to the published rows whose
+    * width-1000 balance bin overlaps the ±500 window (≤2 bins) and whose
+    * region+segment match. A candidate set of size 1 IS a
+    * re-identification. Reports, per region: records, re-identified
+    * count, at-risk (<5 candidates) count, and mean linkage risk
+    * Σ(1/|candidates|)/n — the prosecutor-model risk metric the
+    * anonymization literature publishes next to every k-audit. Risk is
+    * quantized to exact integer ppm (1000000 div n_cand) before the mean:
+    * integer division is bit-identical cross-engine, where a
+    * double→DECIMAL cast would hit half-up-vs-half-even divergence at
+    * quantization boundaries (1/32 at 4 dp).
+    *
+    * Scale: attacker side explodes to its ≤2 overlapping bins (bounded
+    * fan-out), then ONE hash equi-join on (region, segment, bin) — the
+    * range predicate never reaches the join, so no range-join/cartesian;
+    * AQE splits hot demographic cells. */
+  private def q159(spark: SparkSession, sfDir: String): DataFrame = {
+    val natReg = Tables(spark, sfDir, "nation")
+      .join(Tables(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val cust = Tables(spark, sfDir, "customer")
+      .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
+    val published = cust.select(
+      sha2(concat(col("c_name"), lit("salt42")), 256).as("pseudonym"),
+      col("r_name").as("p_region"), col("c_mktsegment").as("p_seg"),
+      (floor(col("c_acctbal") / 1000) * 1000).as("p_bin"))
+    val attacker = cust.select(
+      col("c_custkey"), col("r_name").as("a_region"),
+      col("c_mktsegment").as("a_seg"), col("c_acctbal"),
+      explode(sequence(
+        floor((col("c_acctbal") - 500) / 1000) * 1000,
+        floor((col("c_acctbal") + 500) / 1000) * 1000,
+        lit(1000L))).as("a_bin"))
+    val cand = attacker.join(published,
+        col("a_region") === col("p_region") && col("a_seg") === col("p_seg") &&
+          col("a_bin") === col("p_bin"))
+      .groupBy("c_custkey", "a_region").agg(count(lit(1)).as("n_cand"))
+    cand.groupBy(col("a_region").as("region"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("n_cand") === 1, 1L).otherwise(0L)).as("n_reidentified"),
+        sum(when(col("n_cand") < 5, 1L).otherwise(0L)).as("n_at_risk"),
+        Tables.r6(sum(expr("1000000 div n_cand")).cast("double") /
+          (count(lit(1)) * lit(1000000.0))).as("avg_risk"))
+      .orderBy("region")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q151_anon_lattice", q151 _, Some(
+      "WITH cells AS (SELECT c_nationkey AS natk, r_name, " +
+        "CAST(FLOOR(c_acctbal / 500) AS BIGINT) * 500 AS bin500, " +
+        "c_mktsegment AS seg, COUNT(*) AS n " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2, 3, 4), " +
+        "lattice AS (SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j, CAST(c.k AS INT) AS k " +
+        "FROM range(0, 3) a(i), range(0, 3) b(j), range(0, 2) c(k)), " +
+        "classes AS (SELECT i, j, k, " +
+        "CASE WHEN i = 0 THEN CAST(natk AS VARCHAR) WHEN i = 1 THEN r_name ELSE '*' END AS g_nat, " +
+        "CASE WHEN j = 0 THEN CAST(bin500 AS VARCHAR) " +
+        "WHEN j = 1 THEN CAST(CAST(FLOOR(CAST(bin500 AS DOUBLE) / 2000) AS BIGINT) * 2000 AS VARCHAR) " +
+        "ELSE '*' END AS g_bal, " +
+        "CASE WHEN k = 0 THEN seg ELSE '*' END AS g_seg, SUM(n) AS cn " +
+        "FROM cells CROSS JOIN lattice GROUP BY 1, 2, 3, 4, 5, 6), " +
+        "agg AS (SELECT i, j, k, COUNT(*) AS n_cells, MIN(cn) AS min_cell " +
+        "FROM classes GROUP BY 1, 2, 3), " +
+        "best AS (SELECT MIN(i + j + k) AS best_h FROM agg WHERE min_cell >= 5) " +
+        "SELECT i AS lvl_nation, j AS lvl_bal, k AS lvl_seg, i + j + k AS height, " +
+        "n_cells, min_cell, min_cell >= 5 AS meets_k, " +
+        "(min_cell >= 5 AND i + j + k = (SELECT best_h FROM best)) AS optimal " +
+        "FROM agg ORDER BY height, lvl_nation, lvl_bal, lvl_seg")),
+    Q("q152_dp_user_histogram", q152 _, Some(
+      "WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "clamped AS (SELECT user_id, event_type FROM (SELECT user_id, event_type, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY md5(CAST(user_id AS VARCHAR) || ':' || event_type), event_type) AS rn " +
+        "FROM pairs) WHERE rn <= 2), " +
+        "hist AS (SELECT event_type, COUNT(*) AS true_n FROM clamped GROUP BY event_type) " +
+        "SELECT event_type, " +
+        Tables.r6sql(
+          "CAST(true_n AS DOUBLE) + (-4.0) * " +
+            "(CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END) * " +
+            "LN(1.0 - 2.0 * ABS(u - 0.5))") + " AS noisy_users " +
+        "FROM (SELECT event_type, true_n, " +
+        "CAST((ascii(substring(event_type, 1, 1)) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0 AS u " +
+        "FROM hist) ORDER BY event_type")),
+    Q("q159_linkage_attack", q159 _, Some(
+      "WITH cust AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment, r_name " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey), " +
+        "published AS (SELECT r_name AS p_region, c_mktsegment AS p_seg, " +
+        "CAST(FLOOR(c_acctbal / 1000) AS BIGINT) * 1000 AS p_bin FROM cust), " +
+        "attacker AS (SELECT c_custkey, r_name AS a_region, c_mktsegment AS a_seg, " +
+        "unnest(range(CAST(FLOOR((c_acctbal - 500) / 1000) AS BIGINT) * 1000, " +
+        "CAST(FLOOR((c_acctbal + 500) / 1000) AS BIGINT) * 1000 + 1, 1000)) AS a_bin FROM cust), " +
+        "cand AS (SELECT c_custkey, a_region, COUNT(*) AS n_cand FROM attacker " +
+        "JOIN published ON a_region = p_region AND a_seg = p_seg AND a_bin = p_bin " +
+        "GROUP BY 1, 2) " +
+        "SELECT a_region AS region, COUNT(*) AS n_records, " +
+        "CAST(SUM(CASE WHEN n_cand = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reidentified, " +
+        "CAST(SUM(CASE WHEN n_cand < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk, " +
+        Tables.r6sql("CAST(SUM(1000000 // n_cand) AS DOUBLE) / (COUNT(*) * 1000000.0)") + " AS avg_risk " +
+        "FROM cand GROUP BY a_region ORDER BY region")),
+  )
+}

@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data construction operators (SURVEY.md §2.8b continuation):
+  * the steps between a curated corpus (q150) and a training run —
+  * label propagation by embedding neighborhood (kNN classification),
+  * contrastive pair mining for embedding-model training, LM example
+  * construction (context→target windows), and the first merge round of
+  * a BPE tokenizer learned from the corpus itself.
+  *
+  * Scale notes: kNN rides the q124 hyperplane-band candidate join
+  * (equi-join, never probe×corpus); contrastive negatives pair hash-
+  * ranked docs (one window, no pair blow-up); context windows are a
+  * narrow per-row explode; BPE pair counts shuffle a vocabulary-bounded
+  * frame, never the corpus.
+  */
+object TrainingOps {
+
+  /** q153: kNN label classification over the hyperplane-LSH candidate
+    * graph — the standard "propagate labels to unlabeled points by
+    * embedding neighborhood" step (quality tiers, topic tags). Probes =
+    * vec_id < 20 with labels masked; their 5 nearest banded candidates
+    * (exact cosine rerank, q124 recipe) vote; majority label wins, ties
+    * break to the smaller label. Votes ride along so the confidence is
+    * auditable.
+    *
+    * Scale: signatures are a narrow codegen'd projection; candidates
+    * come from the 4×4-bit band equi-join (bucket-bounded, never
+    * probe×corpus); the vote is a per-probe window over ≤5 rows. */
+  private def q153(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val sigs = NearDup.hyperplaneSigFrame(emb)
+      .localCheckpoint(true) // computed once, read by both band-join sides
+    val banded = sigs.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("vec_id"), col("b"),
+        expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+    val cand = banded.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("id_p"), col("b"), col("k"))
+      .join(banded.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
+      .select("id_p", "id_c").distinct()
+    val scored = cand
+      .join(sigs.select(col("vec_id").as("id_p"), col("embedding").as("ep"),
+        sqrt(NearDup.dotCol("embedding", "embedding")).as("np")), "id_p")
+      .join(emb.select(col("vec_id").as("id_c"), col("embedding").as("ec"),
+        col("label").as("c_label"),
+        sqrt(NearDup.dotCol("embedding", "embedding")).as("nc")), "id_c")
+      .select(col("id_p"), col("id_c"), col("c_label"),
+        Tables.r6(NearDup.dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos"))
+    val wTop = Window.partitionBy("id_p").orderBy(col("cos").desc, col("id_c"))
+    val top5 = scored.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+    val wVote = Window.partitionBy("id_p")
+      .orderBy(col("votes").desc, col("c_label"))
+    top5.groupBy("id_p", "c_label").agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+      .join(emb.select(col("vec_id").as("id_p"), col("label").as("true_label")), "id_p")
+      .select(col("id_p"), col("true_label"), col("c_label").as("pred_label"), col("votes"))
+      .orderBy("id_p")
+  }
+
+  /** q157: contrastive-pair mining for embedding training — positives =
+    * the q83 SimHash Hamming-≤3 near-dup pairs (guaranteed-recall banded
+    * set), negatives = an equal count of hash-deranged pairs (rank r ×
+    * rank r+⌊n/2⌋ under a salted-md5 ordering — deterministic "random"
+    * non-neighbors). Both carry their SimHash Hamming distance as the
+    * auditable feature; a training run reads (id_a, id_b, label).
+    *
+    * Scale: positives come from the band equi-join (never doc×doc);
+    * negatives from one hash-rank window + a rank self-equi-join. The
+    * n/2 offset and the positive-count cap are 1-row broadcast
+    * aggregates. */
+  private def q157(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = NearDup.simhashOf(Tables(spark, sfDir, "documents"))
+      .localCheckpoint(true) // read by the band join, both pair sides, and negatives
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("k", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
+    val pos = banded.select(col("doc_id").as("id_a"), col("simhash").as("sa"), col("b"), col("k"))
+      .join(banded.select(col("doc_id").as("id_b"), col("simhash").as("sb"), col("b"), col("k")),
+        Seq("b", "k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(sa ^ sb) as bigint)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+    // global hash rank WITHOUT a global-window single-partition sort:
+    // the q48 two-phase zipWithIndex plan (md5 keys are unique per doc,
+    // so dense rank == row number under the oracle's ORDER BY hk)
+    val hashed = sh.select(col("doc_id"), col("simhash"),
+      md5(concat(lit("neg:"), col("doc_id").cast("string"))).as("hk"))
+    val ranked = hashed
+      .join(graft.plans.DistributedRank.denseTokens(hashed, "hk"), "hk")
+      .select(col("doc_id"), col("simhash"), col("token").as("r"))
+    val meta = ranked.agg(count(lit(1)).as("n_docs")) // 1 row, broadcasts
+      .crossJoin(broadcast(pos.agg(count(lit(1)).as("n_pos"))))
+    val neg = ranked.select(col("doc_id").as("id_x"), col("simhash").as("sa"), col("r"))
+      .crossJoin(broadcast(meta))
+      .filter(col("r") <= col("n_pos") && col("r") + floor(col("n_docs") / 2) <= col("n_docs"))
+      .withColumn("r2", col("r") + floor(col("n_docs") / 2))
+      .join(ranked.select(col("doc_id").as("id_y"), col("simhash").as("sb"),
+        col("r").as("r2")), "r2")
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        expr("cast(bit_count(sa ^ sb) as bigint)").as("hamming"))
+    pos.withColumn("label", lit(1))
+      .unionByName(neg.withColumn("label", lit(0)))
+      .select("label", "id_a", "id_b", "hamming")
+      .orderBy(col("label").desc, col("id_a"), col("id_b"))
+  }
+
+  private val CtxLen = 8
+  private val CtxStride = 4
+
+  /** q158: LM training-example construction — sliding context→target
+    * windows over each document's token stream (context = 8 tokens,
+    * stride 4, target = the next token), the classic next-token example
+    * layout. Completes the corpus→tensors chain: q105 packs documents
+    * into sequences, q158 cuts sequences into supervised examples.
+    *
+    * Scale: pure per-row explode (window count is per-doc bounded), no
+    * shuffle at all until the output sort — at 100 TB this is a map-only
+    * stage that pipelines into the training-shard writer. */
+  private def q158(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= CtxLen + 1)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L),
+          floor((size(col("ts")) - (CtxLen + 1)) / CtxStride))).as("w"))
+      .select(col("doc_id"), (col("w").cast("int")).as("win_id"),
+        concat_ws(" ", slice(col("ts"),
+          (col("w") * CtxStride + 1).cast("int"), lit(CtxLen))).as("context"),
+        element_at(col("ts"), (col("w") * CtxStride + CtxLen + 1).cast("int")).as("target"))
+      .orderBy("doc_id", "win_id")
+  }
+
+  /** q160: BPE merge mining — the first iteration of byte-pair-encoding
+    * tokenizer training (Sennrich et al., ACL 2016): count adjacent
+    * character pairs across the corpus weighted by word frequency and
+    * rank the top-10 merge candidates per language. q53/q66 COUNT tokens
+    * under a fixed tokenizer; this LEARNS the tokenizer from the corpus.
+    *
+    * Scale: the corpus collapses to (lang, word, freq) first — a
+    * vocabulary-bounded shuffle — and the pair explode runs over the
+    * bounded vocabulary, never the raw corpus; the rank is a per-lang
+    * window under WindowGroupLimit pruning. */
+  private def q160(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    val pairs = vocab
+      .select(col("lang"), col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("lang", "pair").agg(sum("freq").as("cnt"))
+    val wTop = Window.partitionBy("lang").orderBy(col("cnt").desc, col("pair"))
+    pairs.withColumn("rank", row_number().over(wTop).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select("lang", "rank", "pair", "cnt")
+      .orderBy("lang", "rank")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q153_knn_classify", q153 _, Some {
+      val sgn = "(CASE WHEN (((p * 64 + j) * 2654435761) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val dotPlane =
+        s"list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * $sgn))"
+      val dotPC = NearDup.dotSql("pv", "cv")
+      val nP = s"sqrt(${NearDup.dotSql("pv", "pv")})"
+      val nC = s"sqrt(${NearDup.dotSql("cv", "cv")})"
+      "WITH bits AS (SELECT e.vec_id, p, " +
+        s"CASE WHEN $dotPlane >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END AS bit " +
+        "FROM embeddings e CROSS JOIN range(0, 16) r(p)), " +
+        "sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id), " +
+        "banded AS (SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS k " +
+        "FROM sig CROSS JOIN range(0, 4) r(b)), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM banded a " +
+        "JOIN banded c ON a.b = c.b AND a.k = c.k " +
+        "WHERE a.vec_id < 20 AND c.vec_id >= 20), " +
+        "top5 AS (SELECT id_p, id_c, c_label FROM (SELECT cand.id_p, cand.id_c, cv.label AS c_label, " +
+        "ROW_NUMBER() OVER (PARTITION BY cand.id_p ORDER BY " +
+        Tables.r6sql(s"$dotPC / ($nP * $nC)") + " DESC, cand.id_c) AS rn " +
+        "FROM cand JOIN embeddings pv ON cand.id_p = pv.vec_id " +
+        "JOIN embeddings cv ON cand.id_c = cv.vec_id) WHERE rn <= 5), " +
+        "votes AS (SELECT id_p, c_label, COUNT(*) AS votes, " +
+        "ROW_NUMBER() OVER (PARTITION BY id_p ORDER BY COUNT(*) DESC, c_label) AS vr " +
+        "FROM top5 GROUP BY id_p, c_label) " +
+        "SELECT v.id_p, e.label AS true_label, v.c_label AS pred_label, v.votes " +
+        "FROM votes v JOIN embeddings e ON v.id_p = e.vec_id " +
+        "WHERE v.vr = 1 ORDER BY v.id_p"
+    }),
+    Q("q157_contrastive_pairs", q157 _, Some(
+      "WITH " + NearDup.simhashCtes("documents") + ", " +
+        "banded AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 8 AS INT)) & 255 AS k " +
+        "FROM sh CROSS JOIN range(0, 4) r(b)), " +
+        "pos AS (SELECT ia AS id_a, ib AS id_b, hamming FROM (" +
+        "SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM banded a JOIN banded b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id) " +
+        "WHERE hamming <= 3), " +
+        "ranked AS (SELECT doc_id, simhash, ROW_NUMBER() OVER (ORDER BY " +
+        "md5('neg:' || CAST(doc_id AS VARCHAR)), doc_id) AS r FROM sh), " +
+        "meta AS (SELECT (SELECT COUNT(*) FROM ranked) AS n_docs, " +
+        "(SELECT COUNT(*) FROM pos) AS n_pos), " +
+        "neg AS (SELECT LEAST(x.doc_id, y.doc_id) AS id_a, " +
+        "GREATEST(x.doc_id, y.doc_id) AS id_b, " +
+        "CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming " +
+        "FROM ranked x CROSS JOIN meta m JOIN ranked y " +
+        "ON y.r = x.r + m.n_docs // 2 " +
+        "WHERE x.r <= m.n_pos AND x.r + m.n_docs // 2 <= m.n_docs) " +
+        "SELECT 1 AS label, id_a, id_b, hamming FROM pos " +
+        "UNION ALL SELECT 0 AS label, id_a, id_b, hamming FROM neg " +
+        "ORDER BY label DESC, id_a, id_b")),
+    Q("q158_context_windows", q158 _, Some(
+      s"SELECT doc_id, CAST(w AS INT) AS win_id, " +
+        s"array_to_string(ts[CAST(w * $CtxStride + 1 AS INT):CAST(w * $CtxStride + $CtxLen AS INT)], ' ') AS context, " +
+        s"ts[CAST(w * $CtxStride + ${CtxLen + 1} AS INT)] AS target " +
+        "FROM (SELECT doc_id, str_split(text, ' ') AS ts FROM documents) s " +
+        "CROSS JOIN range(0, 256) r(w) " +
+        s"WHERE w * $CtxStride + ${CtxLen + 1} <= len(ts) " +
+        "ORDER BY doc_id, win_id")),
+    Q("q160_bpe_merges", q160 _, Some(
+      "WITH vocab AS (SELECT lang, w, COUNT(*) AS freq FROM (" +
+        "SELECT lang, unnest(str_split(text, ' ')) AS w FROM documents) " +
+        "WHERE len(w) >= 2 GROUP BY lang, w), " +
+        "pairs AS (SELECT lang, pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (" +
+        "SELECT lang, freq, unnest(list_transform(range(1, len(w)), i -> " +
+        "substr(w, CAST(i AS INT), 2))) AS pair FROM vocab) GROUP BY lang, pair) " +
+        "SELECT lang, rank, pair, cnt FROM (SELECT lang, pair, cnt, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS BIGINT) AS rank " +
+        "FROM pairs) WHERE rank <= 10 ORDER BY lang, rank")),
+  )
+}

@@ -35,7 +35,11 @@ class OperatorSuite extends AnyFunSuite {
       "q141_anon_utility",       // cell-stats 1-row fold
       "q142_equidepth_bins",     // global BoundedQuantiles fold: histogram
                                  // window ≤ 4096 rows + 7-cut 1-row result
-      "q149_token_pmi")          // total-bigram-count 1-row aggregate
+      "q149_token_pmi",          // total-bigram-count 1-row aggregate
+      "q151_anon_lattice",       // best-height 1-row aggregate over 18 node rows
+      "q154_benford_audit",      // global total over the 9 digit rows
+      "q156_mutual_info",        // global total over the ≤25 cell rows
+      "q157_contrastive_pairs")  // n_docs/n_pos 1-row count aggregates
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -842,6 +846,166 @@ class OperatorSuite extends AnyFunSuite {
         assert(filled(id) == last.map(r6),
           s"event $id: got ${filled(id)}, want ${last.map(r6)}")
       }
+    }
+  }
+
+  test("q151 lattice: top node holds everyone; optimal = minimal satisfying height") {
+    val rows = SparkEntry.queries("q151_anon_lattice")(spark, sf).collect()
+    assert(rows.length == 18) // 3 × 3 × 2 lattice
+    val top = rows.find(r => r.getAs[Int]("lvl_nation") == 2 &&
+      r.getAs[Int]("lvl_bal") == 2 && r.getAs[Int]("lvl_seg") == 1).get
+    assert(top.getAs[Long]("n_cells") == 1L)
+    assert(top.getAs[Long]("min_cell") == Tables(spark, sf, "customer").count())
+    assert(top.getAs[Boolean]("meets_k"))
+    val meetHeights = rows.filter(_.getAs[Boolean]("meets_k"))
+      .map(_.getAs[Int]("height"))
+    assert(meetHeights.nonEmpty)
+    val bestH = meetHeights.min
+    rows.foreach { r =>
+      val expect = r.getAs[Boolean]("meets_k") && r.getAs[Int]("height") == bestH
+      assert(r.getAs[Boolean]("optimal") == expect, s"optimal flag off at $r")
+    }
+  }
+
+  test("q152 DP histogram: matches the in-memory contribution-bounded mechanism") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val pairs = Tables(spark, sf, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clamped = pairs.groupBy(_._1).values.flatMap { ps =>
+      ps.sortBy { case (u, t) => (md5hex(s"$u:$t"), t) }.take(2)
+    }
+    val want = clamped.groupBy(_._2).map { case (t, xs) =>
+      val key = t.head.toInt.toLong
+      val u = ((key * 2654435761L) % 1000003L + 1L).toDouble / 1000004.0
+      val v = u - 0.5
+      val s = if (v >= 0) 1.0 else -1.0
+      t -> r6(xs.size.toDouble + (-4.0) * s * math.log(1.0 - 2.0 * math.abs(v)))
+    }
+    val got = SparkEntry.queries("q152_dp_user_histogram")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("q153 kNN: probes only, bounded votes, labels from the label domain") {
+    val rows = SparkEntry.queries("q153_knn_classify")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val labels = Tables(spark, sf, "embeddings").select("label").distinct()
+      .collect().map(_.getInt(0)).toSet
+    rows.foreach { r =>
+      assert(r.getLong(0) < 20L)
+      assert(labels.contains(r.getAs[Int]("pred_label")))
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1L && v <= 5L)
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("q154 Benford: counts reconcile with orders; expected shares sum to 1") {
+    val rows = SparkEntry.queries("q154_benford_audit")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).sorted.toSeq == (1L to 9L))
+    assert(rows.map(_.getAs[Long]("n_obs")).sum ==
+      Tables(spark, sf, "orders").count())
+    assert(math.abs(rows.map(_.getAs[Double]("exp_p")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("obs_p")).sum - 1.0) < 1e-4)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_part") >= 0.0))
+  }
+
+  test("q155 EWMA: first row per type equals its value; taps recompute") {
+    val rows = SparkEntry.queries("q155_ewma_trend")(spark, sf).collect()
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val decay = Seq(1.0, 0.8, 0.64, 0.512, 0.4096, 0.32768, 0.262144,
+      0.2097152, 0.16777216, 0.134217728, 0.1073741824, 0.08589934592)
+    rows.groupBy(_.getString(0)).values.foreach { series =>
+      val s = series.sortBy(_.getLong(1))
+      assert(s.head.getAs[Double]("ewma") == s.head.getAs[Double]("v"))
+      // recompute the FIR at the last point of each series
+      val i = s.length - 1
+      val taps = (0 until math.min(12, i + 1)).map(k => (decay(k), s(i - k).getAs[Double]("v")))
+      val want = r6(taps.map { case (w, v) => w * v }.sum / taps.map(_._1).sum)
+      assert(math.abs(s(i).getAs[Double]("ewma") - want) < 2e-6,
+        s"${s.head.getString(0)} last ewma ${s(i).getAs[Double]("ewma")} want $want")
+    }
+  }
+
+  test("q156 MI: cells reconcile with customers; MI nonnegative; PMI recomputes") {
+    val rows = SparkEntry.queries("q156_mutual_info")(spark, sf).collect()
+    val nTotal = rows.map(_.getAs[Long]("n")).sum
+    assert(nTotal == Tables(spark, sf, "customer").count())
+    assert(rows.map(_.getAs[Double]("mi_part")).sum >= -1e-6)
+    // recompute one cell's PMI from the collected cell frame
+    val nx = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    val ny = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    val r = rows.head
+    val want = math.floor(math.log(r.getAs[Long]("n").toDouble * nTotal /
+      (nx(r.getString(0)).toDouble * ny(r.getString(1)))) * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-9)
+  }
+
+  test("q157 contrastive pairs: positives are q83's pair set; negatives disjoint") {
+    val rows = SparkEntry.queries("q157_contrastive_pairs")(spark, sf).collect()
+    val (pos, neg) = rows.partition(_.getAs[Int]("label") == 1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    pos.foreach(r => assert(r.getAs[Long]("hamming") <= 3L))
+    rows.foreach(r => assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    val posSet = pos.map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(posSet.size == pos.length)
+    val q83 = SparkEntry.queries("q83_dedup_simhash_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    assert(posSet == q83)
+    assert(neg.length <= pos.length) // capped at n_pos (and by the derangement span)
+  }
+
+  test("q158 context windows: stride/length law holds; windows recompute for one doc") {
+    val rows = SparkEntry.queries("q158_context_windows")(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    docs.foreach { case (id, ts) =>
+      val expect = if (ts.length >= 9) (ts.length - 9) / 4 + 1 else 0
+      assert(byDoc.get(id).map(_.length).getOrElse(0) == expect, s"doc $id window count")
+    }
+    // recompute the densest doc's windows
+    val (id, ts) = docs.maxBy(_._2.length)
+    byDoc(id).sortBy(_.getInt(1)).zipWithIndex.foreach { case (r, w) =>
+      assert(r.getString(2) == ts.slice(w * 4, w * 4 + 8).mkString(" "))
+      assert(r.getString(3) == ts(w * 4 + 8))
+    }
+  }
+
+  test("q160 BPE merges: top pair per language recomputes from the raw corpus") {
+    val rows = SparkEntry.queries("q160_bpe_merges")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length.toLong))
+      assert(rs.length <= 10)
+    }
+    val corpus = Tables(spark, sf, "documents").select("lang", "text").collect()
+    val counts = corpus.flatMap { r =>
+      r.getString(1).split(" ").filter(_.length >= 2)
+        .flatMap(w => w.sliding(2).map(p => (r.getString(0), p)))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+    rows.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      val lang = r.getString(0)
+      val maxCnt = counts.collect { case ((l, _), c) if l == lang => c }.max
+      assert(r.getAs[Long]("cnt") == counts((lang, r.getString(2))),
+        s"$lang top pair count mismatch")
+      assert(r.getAs[Long]("cnt") == maxCnt, s"$lang rank-1 is not the max count")
+    }
+  }
+
+  test("q159 linkage audit: every customer links at least to itself; risk bounded") {
+    val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_records")).sum ==
+      Tables(spark, sf, "customer").count())
+    rows.foreach { r =>
+      val (nr, reid, risk) = (r.getAs[Long]("n_records"),
+        r.getAs[Long]("n_reidentified"), r.getAs[Double]("avg_risk"))
+      assert(reid <= r.getAs[Long]("n_at_risk"))
+      assert(r.getAs[Long]("n_at_risk") <= nr)
+      assert(risk > 0.0 && risk <= 1.0)
     }
   }
 }
