@@ -175,6 +175,46 @@ object PrivacyOps {
       .orderBy("region")
   }
 
+  /** q161: Anatomy-style l-diverse bucketization (Xiao & Tao, VLDB 2006)
+    * — instead of generalizing QIs, publish QI and sensitive tables
+    * linked only by a group id, where each group holds AT MOST ONE
+    * record per sensitive value (here: market segment). Groups form by
+    * round-robin over the per-segment hash rank: group g = the g-th
+    * member (by salted-md5 order) of every segment that still has one.
+    * By construction l(group) = |group|; tail groups where fewer
+    * segments survive fall below l=3 and are flagged for suppression.
+    * The report: per group, size, l, QI spread (distinct nations), and
+    * the l≥3 verdict.
+    *
+    * Scale: the per-segment rank does NOT window over a raw segment
+    * partition (one task per segment = the q48 scale bug); it rides
+    * DistributedRank's two-phase global rank on the composite
+    * (segment|md5|key) key — ascending order is contiguous per segment,
+    * so per-segment rank = global token − the segment's min token + 1,
+    * a 5-row broadcast offset join. */
+  private def q161(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        concat(col("c_mktsegment"), lit("|"),
+          md5(concat(lit("anat:"), col("c_custkey").cast("string"))), lit("|"),
+          lpad(col("c_custkey").cast("string"), 12, "0")).as("rk"))
+    val ranked = keyed
+      .join(graft.plans.DistributedRank.denseTokens(keyed, "rk"), "rk")
+    val offsets = ranked.groupBy(col("c_mktsegment").as("seg"))
+      .agg(min("token").as("off")) // 5 rows — broadcasts
+    val grouped = ranked
+      .join(broadcast(offsets), col("c_mktsegment") === col("seg"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        (col("token") - col("off") + 1L).as("group_id"))
+    grouped.groupBy("group_id")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct("c_mktsegment").as("l_div"),
+        countDistinct("c_nationkey").as("n_nations"))
+      .select(col("group_id"), col("n_records"), col("l_div"),
+        col("n_nations"), (col("l_div") >= 3).as("meets_l3"))
+      .orderBy("group_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q151_anon_lattice", q151 _, Some(
       "WITH cells AS (SELECT c_nationkey AS natk, r_name, " +
@@ -230,5 +270,15 @@ object PrivacyOps {
         "CAST(SUM(CASE WHEN n_cand < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk, " +
         Tables.r6sql("CAST(SUM(1000000 // n_cand) AS DOUBLE) / (COUNT(*) * 1000000.0)") + " AS avg_risk " +
         "FROM cand GROUP BY a_region ORDER BY region")),
+    Q("q161_anon_anatomy", q161 _, Some(
+      "WITH ranked AS (SELECT c_nationkey, c_mktsegment, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_mktsegment " +
+        "ORDER BY md5('anat:' || CAST(c_custkey AS VARCHAR)), c_custkey) AS group_id " +
+        "FROM customer) " +
+        "SELECT group_id, COUNT(*) AS n_records, " +
+        "COUNT(DISTINCT c_mktsegment) AS l_div, " +
+        "COUNT(DISTINCT c_nationkey) AS n_nations, " +
+        "COUNT(DISTINCT c_mktsegment) >= 3 AS meets_l3 " +
+        "FROM ranked GROUP BY group_id ORDER BY group_id")),
   )
 }

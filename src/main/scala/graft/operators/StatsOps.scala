@@ -70,7 +70,8 @@ object StatsOps {
   private def q155(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = Tables(spark, sfDir, "events")
       .groupBy(col("event_type"),
-        (col("ts") / lit(3600000000000L)).cast("bigint").as("hr"))
+        expr("ts DIV 3600000000000").as("hr")) // exact int div (ns → hr);
+        // the double-division form loses exactness past 2^53 ns
       .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
     val w = Window.partitionBy("event_type").orderBy("hr")
     val num = EwmaDecay.zipWithIndex.map { case (wt, k) =>
@@ -118,6 +119,97 @@ object StatsOps {
       .orderBy("region", "segment")
   }
 
+  /** The q162 candidate functional dependencies: (name, table, lhs, rhs).
+    * o_orderkey→o_orderpriority holds by construction (key LHS — the
+    * positive control); the other three are expected to fail — the audit
+    * MEASURES, not assumes. */
+  private val FdCandidates: Seq[(String, String, String, String)] = Seq(
+    ("o_orderkey->o_orderpriority", "orders", "o_orderkey", "o_orderpriority"),
+    ("c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("p_brand->p_type", "part", "p_brand", "p_type"),
+    ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"))
+
+  /** q162: functional-dependency audit — for each candidate FD X→Y,
+    * the number of X groups, the groups holding >1 distinct Y
+    * (violations), and the violation rate. The schema-inference /
+    * data-quality primitive (Papenbrock & Naumann SIGMOD'16 measure,
+    * restricted to declared candidates).
+    *
+    * Scale: per FD, ONE distinct projection of (X, Y) shuffled on X
+    * (map-side combined), then a 1-row fold; the four audits union
+    * bounded rows. Never a self-join. */
+  private def q162(spark: SparkSession, sfDir: String): DataFrame = {
+    FdCandidates.map { case (name, table, lhs, rhs) =>
+      Tables(spark, sfDir, table)
+        .groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("d"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          Tables.r6(col("n_violating").cast("double") / col("n_groups"))
+            .as("violation_rate"))
+    }.reduce(_ unionByName _).orderBy("fd")
+  }
+
+  /** q163: hour-of-day seasonal profile — per event type, the 24-slot
+    * seasonal mean of event value and each slot's share of the type's
+    * overall mean (the multiplicative seasonal index, the first stage of
+    * a classical decomposition). Means via [[Tables.meanD]] (exact
+    * DECIMAL sum → one double divide → r6) for cross-engine parity.
+    *
+    * Scale: ONE (type × 24)-bounded cell shuffle; the per-type totals
+    * derive from the SAME cell frame — the corpus never moves twice. */
+  private def q163(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts DIV 3600000000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("n"), Tables.dec(sum(Tables.dec(col("value")))).as("sv"))
+      .localCheckpoint(true) // cells and the per-type rollup both read it
+    val totals = cells.groupBy("event_type")
+      .agg(sum("n").as("nt"), Tables.dec(sum("sv")).as("svt"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("hod"), col("n"),
+        Tables.meanD(col("sv"), col("n")).as("mean_v"),
+        Tables.meanD(col("svt"), col("nt")).as("type_mean"),
+        Tables.r6((col("sv").cast("double") / col("n")) /
+          (col("svt").cast("double") / col("nt"))).as("seasonal_index"))
+      .orderBy("event_type", "hod")
+  }
+
+  /** The q166 profile targets: (column, numeric?). One entry per customer
+    * column; numeric min/max surface as r6 doubles, string min/max as
+    * raw strings (ASCII-only values — binary vs locale collation moot). */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    ("c_custkey", true), ("c_name", false), ("c_nationkey", true),
+    ("c_acctbal", true), ("c_mktsegment", false))
+
+  /** q166: column-profile audit (the Deequ/profiler staple) — per
+    * column: non-null count, null count, exact distinct count, and
+    * type-appropriate min/max. Doubles never cast to string (Spark's
+    * shortest-repr vs DuckDB's %g formatting diverge); numerics go
+    * through r6, strings stay strings.
+    *
+    * Scale: one scan PER COLUMN, each pruned to that single column
+    * (ReadSchema shows one field), distinct partially aggregated
+    * map-side; results are five 1-row folds unioned. */
+  private def q166(spark: SparkSession, sfDir: String): DataFrame = {
+    ProfileCols.map { case (c, isNum) =>
+      val base = Tables(spark, sfDir, "customer").select(col(c))
+      base.agg(
+        count(col(c)).as("n_nonnull"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        (if (isNum) Tables.r6(min(col(c)).cast("double"))
+         else lit(null).cast("double")).as("min_num"),
+        (if (isNum) Tables.r6(max(col(c)).cast("double"))
+         else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else min(col(c))).as("min_str"),
+        (if (isNum) lit(null).cast("string") else max(col(c))).as("max_str"))
+        .select(lit(c).as("column_name"), col("n_nonnull"), col("n_null"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _).orderBy("column_name")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q154_benford_audit", q154 _, Some(
       "WITH digits AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
@@ -159,5 +251,39 @@ object StatsOps {
         Tables.r6sql("(CAST(c.n AS DOUBLE) / nt) * LN(CAST(c.n * nt AS DOUBLE) / (nx * ny))") + " AS mi_part " +
         "FROM cells c JOIN mx ON c.region = mx.region JOIN my ON c.segment = my.segment " +
         "CROSS JOIN total ORDER BY c.region, c.segment")),
+    Q("q162_fd_audit", q162 _, Some(
+      FdCandidates.map { case (name, table, lhs, rhs) =>
+        s"SELECT '$name' AS fd, n_groups, n_violating, " +
+          Tables.r6sql("CAST(n_violating AS DOUBLE) / n_groups") + " AS violation_rate " +
+          "FROM (SELECT COUNT(*) AS n_groups, " +
+          "CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating " +
+          s"FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS d FROM $table GROUP BY $lhs))"
+      }.mkString("", " UNION ALL ", " ORDER BY fd"))),
+    Q("q163_ts_seasonal", q163 _, Some(
+      "WITH cells AS (SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hod, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sv " +
+        "FROM events GROUP BY 1, 2), " +
+        "totals AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt, " +
+        "CAST(SUM(sv) AS DECIMAL(18,4)) AS svt FROM cells GROUP BY event_type) " +
+        "SELECT c.event_type, hod, n, " +
+        Tables.meanDSql("sv", "n") + " AS mean_v, " +
+        Tables.meanDSql("svt", "nt") + " AS type_mean, " +
+        Tables.r6sql("(CAST(sv AS DOUBLE) / n) / (CAST(svt AS DOUBLE) / nt)") +
+        " AS seasonal_index " +
+        "FROM cells c JOIN totals t ON c.event_type = t.event_type " +
+        "ORDER BY c.event_type, hod")),
+    Q("q166_column_profile", q166 _, Some(
+      ProfileCols.map { case (c, isNum) =>
+        val minNum = if (isNum) Tables.r6sql(s"CAST(MIN($c) AS DOUBLE)")
+          else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (isNum) Tables.r6sql(s"CAST(MAX($c) AS DOUBLE)")
+          else "CAST(NULL AS DOUBLE)"
+        val minStr = if (isNum) "CAST(NULL AS VARCHAR)" else s"MIN($c)"
+        val maxStr = if (isNum) "CAST(NULL AS VARCHAR)" else s"MAX($c)"
+        s"SELECT '$c' AS column_name, COUNT($c) AS n_nonnull, " +
+          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+          s"COUNT(DISTINCT $c) AS n_distinct, $minNum AS min_num, $maxNum AS max_num, " +
+          s"$minStr AS min_str, $maxStr AS max_str FROM customer"
+      }.mkString("", " UNION ALL ", " ORDER BY column_name"))),
   )
 }

@@ -27,9 +27,10 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "une"),
     "zh" -> Seq("de5", "shi4", "le5", "he2"))
 
-  /** q64: language identification — lexicon-hit scoring over tokens;
-    * predicted = argmax score (ties → first language code). */
-  private def q64(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, lang, pred_lang) under the lexicon-hit argmax — the shared
+    * scoring frame behind q64 (per-doc report) and q165 (agreement
+    * statistic). Narrow per-row expressions, no shuffle. */
+  private def langidFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = profiles.foldLeft(
       Tables(spark, sfDir, "documents")
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))) {
@@ -44,11 +45,16 @@ object TextAnalysis {
       case (None, (code, _)) => Some(when(col(s"s_$code") === best && best > 0, lit(code)))
       case (Some(c), (code, _)) => Some(c.when(col(s"s_$code") === best && best > 0, lit(code)))
     }.get.otherwise(lit("und"))
-    scored
-      .select(col("doc_id"), col("lang"), predOrdered.as("pred_lang"),
-        (predOrdered === col("lang")).as("correct"))
-      .orderBy("doc_id")
+    scored.select(col("doc_id"), col("lang"), predOrdered.as("pred_lang"))
   }
+
+  /** q64: language identification — lexicon-hit scoring over tokens;
+    * predicted = argmax score (ties → first language code). */
+  private def q64(spark: SparkSession, sfDir: String): DataFrame =
+    langidFrame(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("correct"))
+      .orderBy("doc_id")
 
   /** q65: quality scoring — length/stopword/uniqueness features combined
     * into a deterministic linear score (no transcendental ops → exact
@@ -217,6 +223,72 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  private val SegLen = 8
+  private val BoilerDf = 3
+
+  /** q164: boilerplate-segment removal audit — the C4/CCNet-style
+    * paragraph-hash cleanup: each doc splits into disjoint 8-token
+    * segments (stride = length, NOT sliding — the blow-up is ≤ n/8 rows,
+    * unlike shingling), segments recurring in ≥3 DISTINCT docs are
+    * boilerplate, and each doc reports how many tokens survive removal.
+    * The trailing <8-token remainder is never removable by construction.
+    *
+    * Scale: one explode bounded at n/8 rows per doc, one seg-keyed
+    * distinct-doc count (map-side combined), one equi-join back — the
+    * same inverted-index shape as q61, an order of magnitude sparser. */
+  private def q164(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val segs = toks.filter(size(col("ts")) >= SegLen)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0, size(ts) DIV $SegLen - 1)")).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("ts"), col("i") * SegLen + 1, lit(SegLen))).as("seg"))
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct("doc_id").as("dfc"))
+      .filter(col("dfc") >= BoilerDf)
+      .select(col("seg"), lit(1L).as("is_boiler"))
+    val perDoc = segs.join(boiler, Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+    toks.select(col("doc_id"), size(col("ts")).cast("bigint").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (col("n_tokens") - lit(SegLen.toLong) * coalesce(col("n_boiler"), lit(0L)))
+          .as("cleaned_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q165: Cohen's kappa between the lexicon language-ID (q64) and the
+    * recorded lang label — the chance-corrected agreement statistic an
+    * annotation pipeline reports next to raw accuracy (Cohen 1960).
+    * po/pe/kappa derive from ONE confusion-matrix aggregation; marginal
+    * products go through double BEFORE multiplying (exact ≤2⁵³; int64
+    * would overflow at corpus scale).
+    *
+    * Scale: the corpus collapses to the ≤6×6 confusion frame in one
+    * shuffle; everything after is arithmetic on bounded rows. */
+  private def q165(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = langidFrame(spark, sfDir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // total, diagonal, and both marginals read it
+    val n = cm.agg(sum("cnt").as("n_docs"))
+    val diag = cm.filter(col("lang") === col("pred_lang"))
+      .agg(coalesce(sum("cnt"), lit(0L)).as("nd"))
+    val pe = cm.groupBy("lang").agg(sum("cnt").as("nt"))
+      .join(cm.groupBy("pred_lang").agg(sum("cnt").as("np")),
+        col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("nt").cast("double") * col("np")), lit(0.0)).as("s"))
+    val po = col("nd").cast("double") / col("n_docs")
+    val peF = col("s") / (col("n_docs") * col("n_docs"))
+    n.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
+      .select(col("n_docs"), Tables.r6(po).as("po"), Tables.r6(peF).as("pe"),
+        Tables.r6((po - peF) / (lit(1.0) - peF)).as("kappa"))
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q64_text_langid", q64 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
@@ -304,5 +376,44 @@ object TextAnalysis {
           "(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))") + " AS pmi " +
         "FROM cxy JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nb " +
         "WHERE cnt >= 5 ORDER BY pmi DESC, w1, w2")),
+    Q("q164_boilerplate_segments", q164 _, Some(
+      // segs MATERIALIZED: feeds the df count and the flag join
+      "WITH toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS ts FROM documents), " +
+        s"segs AS MATERIALIZED (SELECT doc_id, array_to_string(" +
+        s"ts[CAST(i * $SegLen + 1 AS INT):CAST(i * $SegLen + $SegLen AS INT)], ' ') AS seg " +
+        s"FROM toks CROSS JOIN range(0, 4096) r(i) WHERE i * $SegLen + $SegLen <= len(ts)), " +
+        s"boiler AS (SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS dfc " +
+        s"FROM segs GROUP BY seg) WHERE dfc >= $BoilerDf), " +
+        "perdoc AS (SELECT s.doc_id, COUNT(*) AS n_segments, " +
+        "CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler " +
+        "FROM segs s LEFT JOIN boiler b ON s.seg = b.seg GROUP BY s.doc_id) " +
+        "SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+        "COALESCE(n_segments, 0) AS n_segments, COALESCE(n_boiler, 0) AS n_boiler, " +
+        s"CAST(len(ts) AS BIGINT) - $SegLen * COALESCE(n_boiler, 0) AS cleaned_tokens " +
+        "FROM toks t LEFT JOIN perdoc p ON t.doc_id = p.doc_id ORDER BY t.doc_id")),
+    Q("q165_langid_kappa", q165 _, Some {
+      val scoreCols = profiles.map { case (code, words) =>
+        s"len(list_filter(str_split(text, ' '), t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$code"
+      }.mkString(", ")
+      val best = "greatest(" + profiles.map { case (c, _) => s"s_$c" }.mkString(", ") + ")"
+      val pred = "CASE " + profiles.map { case (c, _) =>
+        s"WHEN s_$c = $best AND $best > 0 THEN '$c'"
+      }.mkString(" ") + " ELSE 'und' END"
+      s"WITH cm AS MATERIALIZED (SELECT lang, pred_lang, COUNT(*) AS cnt FROM (" +
+        s"SELECT lang, $pred AS pred_lang FROM " +
+        s"(SELECT lang, text, $scoreCols FROM documents)) GROUP BY 1, 2), " +
+        "n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM cm), " +
+        "diag AS (SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS nd FROM cm WHERE lang = pred_lang), " +
+        "pe AS (SELECT COALESCE(SUM(CAST(nt AS DOUBLE) * np), 0.0) AS s FROM " +
+        "(SELECT lang AS cls, CAST(SUM(cnt) AS BIGINT) AS nt FROM cm GROUP BY 1) mt JOIN " +
+        "(SELECT pred_lang AS cls, CAST(SUM(cnt) AS BIGINT) AS np FROM cm GROUP BY 1) mp " +
+        "USING (cls)) " +
+        "SELECT n_docs, " +
+        Tables.r6sql("CAST(nd AS DOUBLE) / n_docs") + " AS po, " +
+        Tables.r6sql("s / (n_docs * n_docs)") + " AS pe, " +
+        Tables.r6sql("(CAST(nd AS DOUBLE) / n_docs - s / (n_docs * n_docs)) / " +
+          "(1.0 - s / (n_docs * n_docs))") + " AS kappa " +
+        "FROM n CROSS JOIN diag CROSS JOIN pe"
+    }),
   )
 }

@@ -39,7 +39,10 @@ class OperatorSuite extends AnyFunSuite {
       "q151_anon_lattice",       // best-height 1-row aggregate over 18 node rows
       "q154_benford_audit",      // global total over the 9 digit rows
       "q156_mutual_info",        // global total over the ≤25 cell rows
-      "q157_contrastive_pairs")  // n_docs/n_pos 1-row count aggregates
+      "q157_contrastive_pairs",  // n_docs/n_pos 1-row count aggregates
+      "q162_fd_audit",           // four per-FD 1-row folds over grouped frames
+      "q165_langid_kappa",       // confusion-matrix (≤36 rows) 1-row folds
+      "q166_column_profile")     // five per-column 1-row profile folds
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -994,6 +997,98 @@ class OperatorSuite extends AnyFunSuite {
         s"$lang top pair count mismatch")
       assert(r.getAs[Long]("cnt") == maxCnt, s"$lang rank-1 is not the max count")
     }
+  }
+
+  test("q161 anatomy: groups partition customers; ≤1 record per segment per group") {
+    val rows = SparkEntry.queries("q161_anon_anatomy")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_records")).sum ==
+      Tables(spark, sf, "customer").count())
+    rows.foreach { r =>
+      // anatomy invariant: every group holds at most one record per
+      // sensitive value, so l == |group|
+      assert(r.getAs[Long]("l_div") == r.getAs[Long]("n_records"))
+      assert(r.getAs[Boolean]("meets_l3") == (r.getAs[Long]("l_div") >= 3))
+      assert(r.getAs[Long]("n_nations") <= r.getAs[Long]("n_records"))
+    }
+    // group ids are the dense 1..maxRank range
+    val ids = rows.map(_.getAs[Long]("group_id")).sorted
+    assert(ids.toSeq == (1L to ids.length.toLong))
+  }
+
+  test("q162 FD audit: key FD has zero violations; rates recompute") {
+    val rows = SparkEntry.queries("q162_fd_audit")(spark, sf).collect()
+    assert(rows.length == 4)
+    val byFd = rows.map(r => r.getString(0) -> r).toMap
+    val keyFd = byFd("o_orderkey->o_orderpriority")
+    assert(keyFd.getAs[Long]("n_violating") == 0L)
+    assert(keyFd.getAs[Long]("n_groups") == Tables(spark, sf, "orders").count())
+    rows.foreach { r =>
+      val want = math.floor(r.getAs[Long]("n_violating").toDouble /
+        r.getAs[Long]("n_groups") * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("violation_rate") == want)
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_groups"))
+    }
+  }
+
+  test("q163 seasonal profile: cells reconcile with events; index recomputes") {
+    val rows = SparkEntry.queries("q163_ts_seasonal")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables(spark, sf, "events").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hod") >= 0L && r.getAs[Long]("hod") < 24L)
+      // seasonal index ≈ mean_v / type_mean (both r6-quantized separately,
+      // so allow the quantization slack)
+      val approx = r.getAs[Double]("mean_v") / r.getAs[Double]("type_mean")
+      assert(math.abs(r.getAs[Double]("seasonal_index") - approx) < 1e-4)
+    }
+  }
+
+  test("q164 boilerplate: every doc reported; token arithmetic holds") {
+    val rows = SparkEntry.queries("q164_boilerplate_segments")(spark, sf).collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { r =>
+      val (nt, ns, nb) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_segments"), r.getAs[Long]("n_boiler"))
+      assert(ns == nt / 8, s"doc ${r.getLong(0)}: $ns segments for $nt tokens")
+      assert(nb <= ns)
+      assert(r.getAs[Long]("cleaned_tokens") == nt - 8 * nb)
+    }
+  }
+
+  test("q165 kappa: agrees with a direct recompute from q64's per-doc output") {
+    val pred = SparkEntry.queries("q64_text_langid")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val n = pred.length.toDouble
+    val po = pred.count(p => p._1 == p._2) / n
+    val nt = pred.groupBy(_._1).view.mapValues(_.size)
+    val np = pred.groupBy(_._2).view.mapValues(_.size)
+    val pe = nt.map { case (c, t) => t.toDouble * np.getOrElse(c, 0) }.sum / (n * n)
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val row = SparkEntry.queries("q165_langid_kappa")(spark, sf).head()
+    assert(row.getAs[Long]("n_docs").toDouble == n)
+    assert(row.getAs[Double]("po") == r6(po))
+    assert(row.getAs[Double]("pe") == r6(pe))
+    assert(row.getAs[Double]("kappa") == r6((po - pe) / (1.0 - pe)))
+  }
+
+  test("q166 profile: counts match the table; scans prune to one column each") {
+    val df = SparkEntry.queries("q166_column_profile")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    val cust = Tables(spark, sf, "customer")
+    val n = cust.count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nonnull") + r.getAs[Long]("n_null") == n)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_nonnull"))
+    }
+    val segs = rows.find(_.getString(0) == "c_mktsegment").get
+    assert(segs.getAs[Long]("n_distinct") ==
+      cust.select("c_mktsegment").distinct().count())
+    // every scan in the plan reads exactly one column (profiler pruning)
+    val scans = "ReadSchema: struct<[^>]*>".r
+      .findAllIn(df.queryExecution.executedPlan.toString).toList
+    assert(scans.nonEmpty && scans.forall(s => !s.contains(",")),
+      s"multi-column profile scan: $scans")
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
