@@ -173,6 +173,41 @@ object GraphOps {
       s"r1 AS (${prIter("r0")}), r2 AS (${prIter("r1")}), r3 AS (${prIter("r2")}) " +
       "SELECT node AS nationkey, rank FROM r3 ORDER BY nationkey"
 
+  private val MaxPartDegree = 50
+
+  /** q170: Jaccard node similarity on the supplier–part bipartite graph
+    * — for supplier pairs sharing ≥1 part, |parts(a)∩parts(b)| /
+    * |parts(a)∪parts(b)|, top-20 — the collaborative-filtering /
+    * entity-similarity primitive (SimRank's 1-hop special case).
+    *
+    * Scale: the wedge join on parts is quadratic in a part's supplier
+    * degree, so parts above `MaxPartDegree` suppliers are excluded from
+    * pair GENERATION (the q61 df-cap recipe — a hot commodity part says
+    * nothing about similarity anyway) while degrees/union sizes still
+    * count ALL parts; pair fan-out is then ≤ cap²/2 per part. Top-20 via
+    * sort+limit (TakeOrderedAndProject — no global sort materializes). */
+  private def q170(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables(spark, sfDir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true) // feeds degrees, the cap filter, and both join sides
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("d"))
+    val cold = edges.groupBy("p").agg(count(lit(1)).as("pd"))
+      .filter(col("pd") <= MaxPartDegree).select("p")
+    val capped = edges.join(cold, "p")
+    val pairs = capped.select(col("p"), col("s").as("sa"))
+      .join(capped.select(col("p"), col("s").as("sb")), "p")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(deg.select(col("s").as("sa"), col("d").as("da")), "sa")
+      .join(deg.select(col("s").as("sb"), col("d").as("db")), "sb")
+      .select(col("sa"), col("sb"), col("shared"), col("da"), col("db"),
+        Tables.r6(col("shared").cast("double") /
+          (col("da") + col("db") - col("shared"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("sa"), col("sb"))
+      .limit(20)
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q120_graph_pagerank", q120 _, Some(q120Sql)),
     Q("q147_graph_triangles", q147 _, Some(
@@ -199,5 +234,17 @@ object GraphOps {
         "SELECT n AS nationkey, COUNT(*) AS n_triangles FROM " +
         "(SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) " +
         "GROUP BY n ORDER BY nationkey")),
+    Q("q170_graph_jaccard", q170 _, Some(
+      "WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem), " +
+        "deg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s), " +
+        s"cold AS (SELECT p FROM (SELECT p, COUNT(*) AS pd FROM e GROUP BY p) " +
+        s"WHERE pd <= $MaxPartDegree), " +
+        "capped AS MATERIALIZED (SELECT e.s, e.p FROM e JOIN cold ON e.p = cold.p), " +
+        "pairs AS (SELECT a.s AS sa, b.s AS sb, COUNT(*) AS shared " +
+        "FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2) " +
+        "SELECT sa, sb, shared, da.d AS da, db.d AS db, " +
+        Tables.r6sql("CAST(shared AS DOUBLE) / (da.d + db.d - shared)") + " AS jaccard " +
+        "FROM pairs JOIN deg da ON sa = da.s JOIN deg db ON sb = db.s " +
+        "ORDER BY jaccard DESC, sa, sb LIMIT 20")),
   )
 }

@@ -151,10 +151,7 @@ object TrainingOps {
     * bounded vocabulary, never the raw corpus; the rank is a per-lang
     * window under WindowGroupLimit pruning. */
   private def q160(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = Tables(spark, sfDir, "documents")
-      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    val vocab = vocabOf(spark, sfDir)
     val pairs = vocab
       .select(col("lang"), col("freq"),
         explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
@@ -164,6 +161,116 @@ object TrainingOps {
       .filter(col("rank") <= 10)
       .select("lang", "rank", "pair", "cnt")
       .orderBy("lang", "rank")
+  }
+
+  /** Shared q160/q167 oracle CTEs: the (lang, word, freq) vocabulary and
+    * its weighted adjacent-char-pair counts. */
+  private val VocabPairsCtes: String =
+    "vocab AS MATERIALIZED (SELECT lang, w, COUNT(*) AS freq FROM (" +
+      "SELECT lang, unnest(str_split(text, ' ')) AS w FROM documents) " +
+      "WHERE len(w) >= 2 GROUP BY lang, w), " +
+      "pairs AS (SELECT lang, pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (" +
+      "SELECT lang, freq, unnest(list_transform(range(1, len(w)), i -> " +
+      "substr(w, CAST(i AS INT), 2))) AS pair FROM vocab) GROUP BY lang, pair)"
+
+  /** The shared (lang, word, freq) vocabulary frame (q160 learns merges
+    * from it; q167 applies them back to it). */
+  private def vocabOf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+
+  /** q167: BPE merge application — take each language's rank-1 merge
+    * candidate from q160 and apply ONE greedy merge round to the
+    * vocabulary (left-to-right non-overlapping, exactly `replace`'s
+    * contract on both engines), reporting the freq-weighted char-token
+    * counts before/after and the compression ratio. Completes the
+    * learn→apply tokenizer loop: q160 learns, q167 applies, q53/q66
+    * count under a fixed tokenizer.
+    *
+    * Scale: the merge table is one row per language (broadcast); the
+    * apply is a narrow per-row expression over the vocabulary-bounded
+    * frame — the corpus is touched once, by the vocab build. */
+  private def q167(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = vocabOf(spark, sfDir)
+      .localCheckpoint(true) // read by the pair counts AND the apply join
+    val pairs = vocab
+      .select(col("lang"), col("freq"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("lang", "pair").agg(sum("freq").as("cnt"))
+    val wTop = Window.partitionBy("lang").orderBy(col("cnt").desc, col("pair"))
+    val merge = pairs.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1).select("lang", "pair")
+    val applied = vocab.join(broadcast(merge), "lang")
+      .select(col("lang"), col("pair"), col("freq"),
+        length(col("w")).cast("bigint").as("lw"),
+        expr("cast((length(w) - length(replace(w, pair, ''))) div 2 as bigint)").as("occ"))
+    applied.groupBy("lang", "pair")
+      .agg(sum(when(col("occ") > 0, col("freq")).otherwise(0L)).as("words_affected"),
+        sum(col("freq") * col("lw")).as("tokens_before"),
+        sum(col("freq") * (col("lw") - col("occ"))).as("tokens_after"))
+      .select(col("lang"), col("pair"), col("words_affected"),
+        col("tokens_before"), col("tokens_after"),
+        Tables.r6(col("tokens_after").cast("double") / col("tokens_before"))
+          .as("compression"))
+      .orderBy("lang")
+  }
+
+  /** q168: per-language dataset card — the datasheet a corpus release
+    * ships with (Gebru et al., CACM 2021): document/token volume, corpus
+    * share, mean document length, and mean quality score (q65's exact
+    * linear formula, r6-quantized per doc then DECIMAL-summed so the
+    * group mean is order-independent — the R1 parity rule).
+    *
+    * Scale: one lang-keyed aggregation (map-side combined) + a 1-row
+    * total broadcast; all arithmetic on ≤#langs rows. */
+  private def q168(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars"), split(col("text"), " ").as("ts"))
+      .select(col("lang"),
+        size(col("ts")).cast("bigint").as("n_tokens"),
+        Tables.r6(lit(0.001) * col("n_chars") +
+          lit(0.5) * (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))) -
+          (expr("size(filter(ts, t -> t IN ('the', 'a')))").cast("double") / size(col("ts"))))
+          .cast("decimal(18,6)").as("q"))
+    val cards = perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        sum("q").cast("decimal(28,6)").as("qs"))
+    val tot = cards.agg(sum("n_docs").as("nd"), sum("total_tokens").as("nt"))
+    cards.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        Tables.meanD(col("total_tokens"), col("n_docs")).as("avg_tokens"),
+        Tables.r6(col("n_docs").cast("double") / col("nd")).as("share_docs"),
+        Tables.r6(col("total_tokens").cast("double") / col("nt")).as("share_tokens"),
+        Tables.meanD(col("qs"), col("n_docs")).as("avg_quality"))
+      .orderBy("lang")
+  }
+
+  /** q169: stratified k-fold assignment — EXACTLY balanced 5-fold split
+    * within each language stratum: fold = (per-lang hash rank − 1) mod 5,
+    * so fold sizes within a stratum differ by at most 1 (hash-mod-k
+    * splits only balance in expectation). The cross-validation /
+    * eval-shard primitive completing the split family (q79 fraction
+    * split, q148 exact-k sample, q85 stratified fraction).
+    *
+    * Scale: the per-stratum rank rides DistributedRank's two-phase
+    * global rank on (lang|md5|id) + a #langs-row broadcast offset join —
+    * never a per-stratum window task (q161's recipe). */
+  private def q169(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(col("lang"), lit("|"),
+          md5(concat(lit("fold:"), col("doc_id").cast("string"))), lit("|"),
+          lpad(col("doc_id").cast("string"), 12, "0")).as("rk"))
+    val ranked = keyed
+      .join(graft.plans.DistributedRank.denseTokens(keyed, "rk"), "rk")
+    val offsets = ranked.groupBy(col("lang").as("lg"))
+      .agg(min("token").as("off")) // #langs rows — broadcasts
+    ranked.join(broadcast(offsets), col("lang") === col("lg"))
+      .select(col("lang"), ((col("token") - col("off")) % 5).as("fold"))
+      .groupBy("lang", "fold").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "fold")
   }
 
   val entries: Seq[Q] = Seq(
@@ -226,14 +333,50 @@ object TrainingOps {
         s"WHERE w * $CtxStride + ${CtxLen + 1} <= len(ts) " +
         "ORDER BY doc_id, win_id")),
     Q("q160_bpe_merges", q160 _, Some(
-      "WITH vocab AS (SELECT lang, w, COUNT(*) AS freq FROM (" +
-        "SELECT lang, unnest(str_split(text, ' ')) AS w FROM documents) " +
-        "WHERE len(w) >= 2 GROUP BY lang, w), " +
-        "pairs AS (SELECT lang, pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (" +
-        "SELECT lang, freq, unnest(list_transform(range(1, len(w)), i -> " +
-        "substr(w, CAST(i AS INT), 2))) AS pair FROM vocab) GROUP BY lang, pair) " +
+      s"WITH $VocabPairsCtes " +
         "SELECT lang, rank, pair, cnt FROM (SELECT lang, pair, cnt, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS BIGINT) AS rank " +
         "FROM pairs) WHERE rank <= 10 ORDER BY lang, rank")),
+    Q("q167_bpe_apply", q167 _, Some(
+      s"WITH $VocabPairsCtes, " +
+        "merge AS (SELECT lang, pair FROM (SELECT lang, pair, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, pair) AS rn " +
+        "FROM pairs) WHERE rn = 1), " +
+        "applied AS (SELECT v.lang, m.pair, v.freq, CAST(len(v.w) AS BIGINT) AS lw, " +
+        "CAST((len(v.w) - len(replace(v.w, m.pair, ''))) // 2 AS BIGINT) AS occ " +
+        "FROM vocab v JOIN merge m ON v.lang = m.lang) " +
+        "SELECT lang, pair, " +
+        "CAST(SUM(CASE WHEN occ > 0 THEN freq ELSE 0 END) AS BIGINT) AS words_affected, " +
+        "CAST(SUM(freq * lw) AS BIGINT) AS tokens_before, " +
+        "CAST(SUM(freq * (lw - occ)) AS BIGINT) AS tokens_after, " +
+        Tables.r6sql("CAST(SUM(freq * (lw - occ)) AS DOUBLE) / SUM(freq * lw)") +
+        " AS compression " +
+        "FROM applied GROUP BY lang, pair ORDER BY lang")),
+    Q("q168_dataset_card", q168 _, Some {
+      val quality = "0.001 * n_chars + " +
+        "0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) - " +
+        "(CAST(len(list_filter(ts, t -> t IN ('the', 'a'))) AS DOUBLE) / len(ts))"
+      "WITH perdoc AS (SELECT lang, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+        s"CAST(${Tables.r6sql(quality)} AS DECIMAL(18,6)) AS q " +
+        "FROM (SELECT lang, n_chars, str_split(text, ' ') AS ts FROM documents)), " +
+        "cards AS (SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
+        "CAST(SUM(q) AS DECIMAL(28,6)) AS qs FROM perdoc GROUP BY lang), " +
+        "tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nd, " +
+        "CAST(SUM(total_tokens) AS BIGINT) AS nt FROM cards) " +
+        "SELECT lang, n_docs, total_tokens, " +
+        Tables.meanDSql("total_tokens", "n_docs") + " AS avg_tokens, " +
+        Tables.r6sql("CAST(n_docs AS DOUBLE) / nd") + " AS share_docs, " +
+        Tables.r6sql("CAST(total_tokens AS DOUBLE) / nt") + " AS share_tokens, " +
+        Tables.meanDSql("qs", "n_docs") + " AS avg_quality " +
+        "FROM cards CROSS JOIN tot ORDER BY lang"
+    }),
+    Q("q169_stratified_kfold", q169 _, Some(
+      "WITH ranked AS (SELECT lang, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang " +
+        "ORDER BY md5('fold:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT lang, (rn - 1) % 5 AS fold, COUNT(*) AS n_docs " +
+        "FROM ranked GROUP BY lang, fold ORDER BY lang, fold")),
   )
 }

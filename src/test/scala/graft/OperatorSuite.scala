@@ -42,7 +42,8 @@ class OperatorSuite extends AnyFunSuite {
       "q157_contrastive_pairs",  // n_docs/n_pos 1-row count aggregates
       "q162_fd_audit",           // four per-FD 1-row folds over grouped frames
       "q165_langid_kappa",       // confusion-matrix (≤36 rows) 1-row folds
-      "q166_column_profile")     // five per-column 1-row profile folds
+      "q166_column_profile",     // five per-column 1-row profile folds
+      "q168_dataset_card")       // corpus-total 1-row fold over ≤#langs rows
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -1089,6 +1090,76 @@ class OperatorSuite extends AnyFunSuite {
       .findAllIn(df.queryExecution.executedPlan.toString).toList
     assert(scans.nonEmpty && scans.forall(s => !s.contains(",")),
       s"multi-column profile scan: $scans")
+  }
+
+  test("q167 BPE apply: rank-1 merge from q160; token arithmetic recomputes") {
+    val rows = SparkEntry.queries("q167_bpe_apply")(spark, sf).collect()
+    val top = SparkEntry.queries("q160_bpe_merges")(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(rows.length == top.size)
+    val vocab = Tables(spark, sf, "documents").select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.length >= 2).map((r.getString(0), _)))
+    rows.foreach { r =>
+      val (lang, pair) = (r.getString(0), r.getString(1))
+      assert(top(lang) == pair)
+      val words = vocab.filter(_._1 == lang).map(_._2)
+      def occ(w: String) = (w.length - w.replace(pair, "").length) / 2
+      assert(r.getAs[Long]("tokens_before") == words.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("tokens_after") ==
+        words.map(w => (w.length - occ(w)).toLong).sum)
+      assert(r.getAs[Long]("words_affected") == words.count(occ(_) > 0).toLong)
+      assert(r.getAs[Double]("compression") <= 1.0)
+    }
+  }
+
+  test("q168 dataset card: volumes reconcile; shares sum to 1") {
+    val rows = SparkEntry.queries("q168_dataset_card")(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(math.abs(rows.map(_.getAs[Double]("share_docs")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("share_tokens")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_tokens") > 0)
+      // quality is bounded by its formula: 0.001·chars + 0.5·uniq − stop
+      assert(r.getAs[Double]("avg_quality") > -1.0 &&
+        r.getAs[Double]("avg_quality") < 2.0)
+    }
+  }
+
+  test("q169 k-fold: exact balance within every stratum; totals reconcile") {
+    val rows = SparkEntry.queries("q169_stratified_kfold")(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    val langTotals = Tables(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == langTotals.keySet)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == langTotals(lang))
+      assert(rs.map(_.getAs[Long]("fold")).sorted.toSeq == (0L until math.min(5, langTotals(lang))))
+      val sizes = rs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang folds unbalanced: ${sizes.toSeq}")
+    }
+  }
+
+  test("q170 graph jaccard: top pair recomputes from raw part sets") {
+    val rows = SparkEntry.queries("q170_graph_jaccard")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val parts = Tables(spark, sf, "lineitem").select("l_suppkey", "l_partkey")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (sa, sb) = (r.getAs[Long]("sa"), r.getAs[Long]("sb"))
+      assert(sa < sb)
+      val (pa, pb) = (parts(sa), parts(sb))
+      assert(r.getAs[Long]("da") == pa.size.toLong)
+      assert(r.getAs[Long]("db") == pb.size.toLong)
+      // shared counts only cap-surviving parts, so it's ≤ the raw overlap
+      assert(r.getAs[Long]("shared") <= (pa & pb).size.toLong)
+      assert(r.getAs[Double]("jaccard") > 0.0 && r.getAs[Double]("jaccard") <= 1.0)
+    }
+    // descending by jaccard with (sa, sb) tiebreak
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
