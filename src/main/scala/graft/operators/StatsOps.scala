@@ -210,6 +210,43 @@ object StatsOps {
     }.reduce(_ unionByName _).orderBy("column_name")
   }
 
+  /** q172: CUSUM changepoint detection — per event type, the day whose
+    * cumulative deviation from the series mean |Σ(v−μ)| peaks: the
+    * classic level-shift locator (Page 1954). Order-independence trick:
+    * the running sum accumulates EXACT DECIMAL daily values (S_d), and
+    * cusum_d = S_d − d·μ in double only at the end — no sequential
+    * double accumulation whose merge order could diverge cross-engine.
+    *
+    * Scale: one calendar-bounded daily aggregation, one keyed running
+    * window over the daily frame, one rank over the same frame —
+    * nothing rescans raw events. */
+  private def q172(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
+    val tot = daily.groupBy(col("event_type").as("et"))
+      .agg(Tables.dec(sum("v")).as("sv"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mu = col("sv").cast("double") / col("nd")
+    val cusum = col("s").cast("double") - col("d") * mu
+    val scored = daily
+      .join(broadcast(tot), col("event_type") === col("et"))
+      .select(col("event_type"), col("day"),
+        sum("v").over(w).as("s"),
+        row_number().over(Window.partitionBy("event_type").orderBy("day"))
+          .cast("bigint").as("d"),
+        col("sv"), col("nd"))
+      .select(col("event_type"), col("day"), col("nd"), cusum.as("cu"))
+    val wTop = Window.partitionBy("event_type")
+      .orderBy(abs(col("cu")).desc, col("day"))
+    scored.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("nd").as("n_days"), Tables.r6(col("cu")).as("cusum"),
+        when(col("cu") >= 0, lit("up")).otherwise(lit("down")).as("direction"))
+      .orderBy("event_type")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q154_benford_audit", q154 _, Some(
       "WITH digits AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
@@ -285,5 +322,22 @@ object StatsOps {
           s"COUNT(DISTINCT $c) AS n_distinct, $minNum AS min_num, $maxNum AS max_num, " +
           s"$minStr AS min_str, $maxStr AS max_str FROM customer"
       }.mkString("", " UNION ALL ", " ORDER BY column_name"))),
+    Q("q172_changepoint_cusum", q172 _, Some(
+      "WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, CAST(SUM(v) AS DECIMAL(18,4)) AS sv, " +
+        "COUNT(*) AS nd FROM daily GROUP BY event_type), " +
+        "scored AS (SELECT d.event_type, day, nd, " +
+        "CAST(SUM(v) OVER (PARTITION BY d.event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY day) AS BIGINT) * " +
+        "(CAST(sv AS DOUBLE) / nd) AS cu " +
+        "FROM daily d JOIN tot t ON d.event_type = t.event_type) " +
+        "SELECT event_type, change_day, n_days, " + Tables.r6sql("cu") + " AS cusum, " +
+        "CASE WHEN cu >= 0 THEN 'up' ELSE 'down' END AS direction FROM (" +
+        "SELECT event_type, day AS change_day, nd AS n_days, cu, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(cu) DESC, day) AS rn " +
+        "FROM scored) WHERE rn = 1 ORDER BY event_type")),
   )
 }

@@ -289,6 +289,41 @@ object TextAnalysis {
         Tables.r6((po - peF) / (lit(1.0) - peF)).as("kappa"))
   }
 
+  private val ZipfHead = 1000
+
+  /** q173: Zipf's-law fit over the corpus frequency head — log-log OLS
+    * of ln(freq) on ln(rank) for the top-1000 tokens (the standard
+    * corpus-statistics diagnostic; slope ≈ −1 is Zipfian). Parity: the
+    * ln terms are r6-quantized then DECIMAL-multiplied/summed (§2.9 R1,
+    * the q143 recipe) so Σxy/Σxx are exact and merge-order-free; the
+    * q125 closed form runs on those exact sums.
+    *
+    * Scale: the head extraction is sort+limit (TakeOrderedAndProject —
+    * no global sort materializes); the rank window then runs over the
+    * 1000-row bounded frame (justified single partition), and the fit
+    * is a 1-row fold. */
+  private def q173(spark: SparkSession, sfDir: String): DataFrame = {
+    val head = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(ZipfHead)
+    val ranked = head.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast("bigint"))
+    val q6 = (c: Column) => Tables.r6(c).cast(DecimalType(18, 6))
+    val sums = ranked
+      .select(q6(log(col("rank").cast("double"))).as("x"),
+        q6(log(col("freq").cast("double"))).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val d = (c: Column) => c.cast("double")
+    val n = d(col("n")); val sx = d(col("sx")); val sxx = d(col("sxx"))
+    val sy = d(col("sy")); val sxy = d(col("sxy"))
+    sums.select(col("n").as("n_tokens_fit"),
+      Tables.r6((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("zipf_slope"),
+      Tables.r6((sy * sxx - sx * sxy) / (n * sxx - sx * sx)).as("intercept"))
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q64_text_langid", q64 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
@@ -414,6 +449,26 @@ object TextAnalysis {
         Tables.r6sql("(CAST(nd AS DOUBLE) / n_docs - s / (n_docs * n_docs)) / " +
           "(1.0 - s / (n_docs * n_docs))") + " AS kappa " +
         "FROM n CROSS JOIN diag CROSS JOIN pe"
+    }),
+    Q("q173_zipf_fit", q173 _, Some {
+      val dn = "CAST(n AS DOUBLE)"; val dsx = "CAST(sx AS DOUBLE)"
+      val dsxx = "CAST(sxx AS DOUBLE)"; val dsy = "CAST(sy AS DOUBLE)"
+      val dsxy = "CAST(sxy AS DOUBLE)"
+      s"WITH head AS (SELECT w, COUNT(*) AS freq FROM (" +
+        "SELECT unnest(str_split(text, ' ')) AS w FROM documents) " +
+        s"GROUP BY w ORDER BY freq DESC, w LIMIT $ZipfHead), " +
+        "ranked AS (SELECT freq, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank FROM head), " +
+        "terms AS (SELECT " +
+        s"CAST(${Tables.r6sql("LN(CAST(rank AS DOUBLE))")} AS DECIMAL(18,6)) AS x, " +
+        s"CAST(${Tables.r6sql("LN(CAST(freq AS DOUBLE))")} AS DECIMAL(18,6)) AS y " +
+        "FROM ranked), " +
+        "sums AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx, " +
+        "SUM(y) AS sy, SUM(x * y) AS sxy FROM terms) " +
+        "SELECT n AS n_tokens_fit, " +
+        Tables.r6sql(s"($dn * $dsxy - $dsx * $dsy) / ($dn * $dsxx - $dsx * $dsx)") +
+        " AS zipf_slope, " +
+        Tables.r6sql(s"($dsy * $dsxx - $dsx * $dsxy) / ($dn * $dsxx - $dsx * $dsx)") +
+        " AS intercept FROM sums"
     }),
   )
 }

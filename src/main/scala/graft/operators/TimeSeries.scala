@@ -467,6 +467,30 @@ object TimeSeries {
       .orderBy(col("n_users").desc, col("journey"))
   }
 
+  /** q171: sequential-pattern support mining — the support count of
+    * every consecutive event-type transition a→b across user sequences
+    * (the 2-step PrefixSpan/SPADE core): n_users = distinct users whose
+    * stream contains the transition (the support measure), n_occ = total
+    * occurrences. Distinct from q126 (ONE fixed 3-step pattern) and q146
+    * (whole-path frequency): q171 mines ALL transitions with their
+    * support.
+    *
+    * Scale: one per-user LEAD window (state = 1 row), one
+    * (a,b)-cardinality-bounded aggregation; support ≥ 2 prunes the
+    * long tail before the output sort. */
+  private def q171(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("user_id"), col("event_type").as("step_a"),
+        lead(col("event_type"), 1).over(w).as("step_b"))
+      .filter(col("step_b").isNotNull)
+      .groupBy("step_a", "step_b")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_occ"))
+      .filter(col("n_users") >= 2)
+      .orderBy(col("n_users").desc, col("step_a"), col("step_b"))
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -626,5 +650,13 @@ object TimeSeries {
         "FROM ranked WHERE rn <= 5 GROUP BY user_id) " +
         "SELECT journey, COUNT(*) AS n_users FROM j GROUP BY journey " +
         "ORDER BY n_users DESC, journey")),
+    Q("q171_seq_mining", q171 _, Some(
+      "SELECT step_a, step_b, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_occ " +
+        "FROM (SELECT user_id, event_type AS step_a, " +
+        "LEAD(event_type, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(ts), event_id) AS step_b FROM events) " +
+        "WHERE step_b IS NOT NULL GROUP BY step_a, step_b " +
+        "HAVING COUNT(DISTINCT user_id) >= 2 " +
+        "ORDER BY n_users DESC, step_a, step_b")),
   )
 }

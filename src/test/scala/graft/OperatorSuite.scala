@@ -1162,6 +1162,61 @@ class OperatorSuite extends AnyFunSuite {
     assert(js.zip(js.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q171 sequence mining: transitions recompute from in-memory sequences") {
+    val rows = SparkEntry.queries("q171_seq_mining")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val seqs = Tables(spark, sf, "events")
+      .selectExpr("user_id", "ts DIV 1000 AS ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._4).toSeq)
+    val trans = seqs.toSeq.flatMap { case (u, s) => s.zip(s.tail).map((u, _)) }
+    val byPair = trans.groupBy(_._2)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_users") == byPair(key).map(_._1).distinct.size.toLong)
+      assert(r.getAs[Long]("n_occ") == byPair(key).size.toLong)
+      assert(r.getAs[Long]("n_users") >= 2L)
+    }
+    // support-pruned pairs really are below threshold
+    val reported = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    byPair.foreach { case (k, v) =>
+      if (!reported(k)) assert(v.map(_._1).distinct.size < 2)
+    }
+  }
+
+  test("q172 CUSUM: changepoint is the argmax of the recomputed deviation series") {
+    val rows = SparkEntry.queries("q172_changepoint_cusum")(spark, sf).collect()
+    // recompute per type from raw events via exact BigDecimal arithmetic
+    val raw = Tables(spark, sf, "events")
+      .selectExpr("event_type", "ts DIV 86400000000000 AS day", "CAST(value AS DECIMAL(18,4)) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    raw.groupBy(_._1).foreach { case (et, evs) =>
+      val byDay = evs.groupBy(_._2).view.mapValues(_.map(e => BigDecimal(e._3)).sum)
+        .toSeq.sortBy(_._1)
+      val mu = byDay.map(_._2).sum.toDouble / byDay.length
+      var s = BigDecimal(0)
+      val cus = byDay.zipWithIndex.map { case ((day, v), i) =>
+        s += v; (day, s.toDouble - (i + 1) * mu)
+      }
+      val best = cus.minBy { case (day, cu) => (-math.abs(cu), day) }
+      val got = rows.find(_.getString(0) == et).get
+      assert(got.getAs[Long]("change_day") == best._1, s"$et day")
+      assert(got.getAs[Long]("n_days") == byDay.length.toLong)
+      assert(math.abs(got.getAs[Double]("cusum") -
+        math.floor(best._2 * 1e6 + 0.5) / 1e6) < 1e-9, s"$et cusum")
+      assert(got.getString(4) == (if (best._2 >= 0) "up" else "down"))
+    }
+  }
+
+  test("q173 Zipf fit: slope negative; head extraction is TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("q173_zipf_fit")(spark, sf)
+    val row = df.head()
+    assert(row.getAs[Long]("n_tokens_fit") > 0)
+    assert(row.getAs[Double]("zipf_slope") < 0.0) // frequency decays with rank
+    assert(row.getAs[Double]("intercept") > 0.0)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
