@@ -24,6 +24,11 @@ case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
 case class LocfCarry(lastV: Double, has: Boolean)
 case class LocfFill(user_id: Long, event_id: Long, v_filled: Option[Double])
 
+/** Last-seen event type for [[StreamOps.transitions]] (empty `lastType`
+  * until the key's first event arrives). */
+case class TransCarry(lastType: String, has: Boolean)
+case class Transition(user_id: Long, step_a: String, step_b: String)
+
 /** True Structured Streaming operators (SURVEY.md §2.8 "true streaming"):
   * the same tumbling/sliding/session/dedup semantics that q56–q59 prove
   * against the DuckDB oracle in batch, here running on the incremental
@@ -159,6 +164,35 @@ object StreamOps {
             .map { e =>
               if (e.event_type != "view") cur = LocfCarry(e.value, has = true)
               LocfFill(user, e.event_id, if (cur.has) Some(cur.lastV) else None)
+            }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
+  /** Streaming transition mining — q171's per-user consecutive
+    * event-type pairs on the incremental engine: one tiny carry struct
+    * (the last event type) per user rides in group state, so a
+    * transition whose two events straddle a micro-batch boundary is
+    * still emitted (in-batch order restored by the (ts, event_id) sort,
+    * the [[sessionize]] convention). Downstream, the support aggregation
+    * is an ordinary streaming groupBy over the emitted pairs.
+    * StreamingSuite asserts batch ≡ stream on the same rows. */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransCarry, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[TransCarry]) =>
+          var cur = state.getOption.getOrElse(TransCarry("", has = false))
+          val out = it.toSeq
+            .sortBy(e => (e.ts.getTime * 1000, e.event_id))
+            .flatMap { e =>
+              val t = if (cur.has) Some(Transition(user, cur.lastType, e.event_type))
+                else None
+              cur = TransCarry(e.event_type, has = true)
+              t
             }
           state.update(cur)
           out.iterator

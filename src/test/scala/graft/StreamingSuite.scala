@@ -137,6 +137,29 @@ class StreamingSuite extends AnyFunSuite {
     assert(got == expect, s"got $got want $expect")
   }
 
+  test("streaming transitions equal the q171 batch semantics on the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // the user-1 click→view transition straddles batches 1→2: its first
+    // half is batch-1 state, its second half arrives in batch 2
+    val batches = Seq(
+      Seq(Event(1, ts(1), 1, "click", 0.0), Event(2, ts(2), 1, "click", 0.0)),
+      Seq(Event(3, ts(3), 1, "view", 0.0), Event(4, ts(1), 2, "view", 0.0)),
+      Seq(Event(5, ts(4), 1, "purchase", 0.0), Event(6, ts(2), 2, "view", 0.0)))
+    val rows = runBatches(stream,
+      StreamOps.transitions(stream.toDS()).toDF(), "trans_par", batches)
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // reference: q171's LEAD rule applied in-memory over all rows
+    val expect = batches.flatten.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+      val s = evs.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_type)
+      s.zip(s.tail).map { case (a, b) => (u, a, b) }
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == expect, s"got $got want $expect")
+    assert(got.contains((1L, "click", "view"))) // the cross-batch transition
+  }
+
   test("custom sessionize assigns ids on 30-minute gaps across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
