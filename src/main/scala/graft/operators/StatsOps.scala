@@ -247,6 +247,72 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** q174: IQR (Tukey-fence) outlier audit — per market segment,
+    * exact quartiles of account balance via the bounded two-pass
+    * selection ([[graft.plans.BoundedQuantiles]] — the §2.9-R7 fold; the
+    * builtin exact `percentile` buffers every distinct value), fences at
+    * 1.5·IQR, and the outlier count/rate. Complements q138's z-score
+    * anomalies (distribution-free vs parametric). Quartiles are
+    * r6-ROUNDED before fence arithmetic on both engines (q142's
+    * cut-rounding rule), so fence comparisons are bit-identical.
+    *
+    * Scale: quartiles = two bounded passes; the flagging join broadcasts
+    * the segment-bounded fence frame; one keyed count after. */
+  private def q174(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+    val fences = graft.plans.BoundedQuantiles.groupQuantiles(cust,
+        Seq("c_mktsegment"), col("c_acctbal"), Seq(0.25, 0.75), Seq("q1r", "q3r"))
+      .select(col("c_mktsegment").as("seg"),
+        Tables.r6(col("q1r")).as("q1"), Tables.r6(col("q3r")).as("q3"))
+      .select(col("seg"), col("q1"), col("q3"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    cust.join(broadcast(fences), col("c_mktsegment") === col("seg"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(col("c_acctbal") < col("lo") || col("c_acctbal") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("c_mktsegment"), col("n"), col("q1"), col("q3"),
+        Tables.r6(col("q3") - col("q1")).as("iqr"), col("n_outliers"),
+        Tables.r6(col("n_outliers").cast("double") / col("n")).as("outlier_rate"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q175: decile lift table — customers ranked into 10 score bands by
+    * account balance (cuts = exact global deciles, q142's recipe),
+    * outcome = placed ≥1 order; per decile the conversion rate and lift
+    * vs the base rate — the gains-chart / campaign-targeting evaluation
+    * staple. Rates divide exact integers, lift divides two r6-quantized
+    * rates (identical text both engines).
+    *
+    * Scale: cuts = two bounded passes + a 9-double broadcast; the
+    * outcome flag is a left semi-style join on the order projection
+    * (shuffle on custkey, AQE-splittable); one 10-row agg after. */
+  private def q175(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+    val names = (1 to 9).map(i => s"c$i")
+    val cuts = graft.plans.BoundedQuantiles.groupQuantiles(
+        cust, Nil, col("c_acctbal"), (1 to 9).map(_ / 10.0), names)
+      .select(array(names.map(n => Tables.r6(col(n))): _*).as("cuts"))
+    val conv = Tables(spark, sfDir, "orders").select(col("o_custkey")).distinct()
+    val flagged = cust.join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .crossJoin(broadcast(cuts))
+      .select(
+        (lit(1L) + expr("size(filter(cuts, c -> c < c_acctbal))")).cast("bigint")
+          .as("decile"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("converted"))
+    val deciles = flagged.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("converted").as("n_converted"))
+    val base = deciles.agg(sum("n").as("nt"), sum("n_converted").as("nc"))
+    val rate = Tables.r6(col("n_converted").cast("double") / col("n"))
+    val baseRate = Tables.r6(col("nc").cast("double") / col("nt"))
+    deciles.crossJoin(broadcast(base))
+      .select(col("decile"), col("n"), col("n_converted"), rate.as("conv_rate"),
+        baseRate.as("base_rate"), Tables.r6(rate / baseRate).as("lift"))
+      .orderBy("decile")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q154_benford_audit", q154 _, Some(
       "WITH digits AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
@@ -339,5 +405,41 @@ object StatsOps {
         "SELECT event_type, day AS change_day, nd AS n_days, cu, " +
         "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(cu) DESC, day) AS rn " +
         "FROM scored) WHERE rn = 1 ORDER BY event_type")),
+    Q("q174_iqr_outliers", q174 _, Some(
+      "WITH fences AS (SELECT c_mktsegment AS seg, q1, q3, " +
+        "q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM (" +
+        "SELECT c_mktsegment, " +
+        Tables.r6sql("quantile_cont(c_acctbal, 0.25)") + " AS q1, " +
+        Tables.r6sql("quantile_cont(c_acctbal, 0.75)") + " AS q3 " +
+        "FROM customer GROUP BY c_mktsegment)) " +
+        "SELECT c_mktsegment, COUNT(*) AS n, MAX(q1) AS q1, MAX(q3) AS q3, " +
+        Tables.r6sql("MAX(q3) - MAX(q1)") + " AS iqr, " +
+        "CAST(SUM(CASE WHEN c_acctbal < lo OR c_acctbal > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        Tables.r6sql(
+          "CAST(SUM(CASE WHEN c_acctbal < lo OR c_acctbal > hi THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)") +
+        " AS outlier_rate " +
+        "FROM customer JOIN fences ON c_mktsegment = seg " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+    Q("q175_decile_lift", q175 _, Some {
+      val cutsSel = (1 to 9).map(i =>
+        Tables.r6sql(s"quantile_cont(c_acctbal, ${i / 10.0})") + s" AS c$i").mkString(", ")
+      val decExpr = "1 + " + (1 to 9).map(i =>
+        s"CAST(c$i < c_acctbal AS BIGINT)").mkString(" + ")
+      val rate = Tables.r6sql("CAST(n_converted AS DOUBLE) / n")
+      val baseRate = Tables.r6sql("CAST(nc AS DOUBLE) / nt")
+      s"WITH cuts AS (SELECT $cutsSel FROM customer), " +
+        "conv AS (SELECT DISTINCT o_custkey FROM orders), " +
+        s"flagged AS (SELECT $decExpr AS decile, " +
+        "CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS converted " +
+        "FROM customer LEFT JOIN conv ON c_custkey = o_custkey CROSS JOIN cuts), " +
+        "deciles AS (SELECT decile, COUNT(*) AS n, " +
+        "CAST(SUM(converted) AS BIGINT) AS n_converted FROM flagged GROUP BY decile), " +
+        "base AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, " +
+        "CAST(SUM(n_converted) AS BIGINT) AS nc FROM deciles) " +
+        "SELECT decile, n, n_converted, " +
+        s"$rate AS conv_rate, $baseRate AS base_rate, " +
+        Tables.r6sql(s"$rate / $baseRate") + " AS lift " +
+        "FROM deciles CROSS JOIN base ORDER BY decile"
+    }),
   )
 }

@@ -43,7 +43,8 @@ class OperatorSuite extends AnyFunSuite {
       "q162_fd_audit",           // four per-FD 1-row folds over grouped frames
       "q165_langid_kappa",       // confusion-matrix (≤36 rows) 1-row folds
       "q166_column_profile",     // five per-column 1-row profile folds
-      "q168_dataset_card")       // corpus-total 1-row fold over ≤#langs rows
+      "q168_dataset_card",       // corpus-total 1-row fold over ≤#langs rows
+      "q175_decile_lift")        // base-rate 1-row fold over the 10 decile rows
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -1215,6 +1216,48 @@ class OperatorSuite extends AnyFunSuite {
     assert(row.getAs[Double]("zipf_slope") < 0.0) // frequency decays with rank
     assert(row.getAs[Double]("intercept") > 0.0)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("q174 IQR outliers: quartiles and fences recompute from collected balances") {
+    val rows = SparkEntry.queries("q174_iqr_outliers")(spark, sf).collect()
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val bySeg = Tables(spark, sf, "customer").select("c_mktsegment", "c_acctbal")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    assert(rows.length == bySeg.size)
+    rows.foreach { r =>
+      val vals = bySeg(r.getString(0)).map(_._2).sorted
+      // Spark percentile semantics: pos = p·(n−1), linear interpolation
+      def pct(p: Double): Double = {
+        val pos = p * (vals.length - 1)
+        val (l, h) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+        if (l == h) vals(l) else vals(l) + (pos - l) * (vals(h) - vals(l))
+      }
+      val (q1, q3) = (r6(pct(0.25)), r6(pct(0.75)))
+      assert(r.getAs[Double]("q1") == q1 && r.getAs[Double]("q3") == q3,
+        s"${r.getString(0)} quartiles")
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      assert(r.getAs[Long]("n_outliers") ==
+        vals.count(v => v < lo || v > hi).toLong, s"${r.getString(0)} outliers")
+      assert(r.getAs[Long]("n") == vals.length.toLong)
+    }
+  }
+
+  test("q175 decile lift: populations near-equal; rates reconcile with base") {
+    val rows = SparkEntry.queries("q175_decile_lift")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).sorted.toSeq == (1L to 10L))
+    val n = Tables(spark, sf, "customer").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    // equi-depth up to ties: no decile more than 2× the ideal population
+    rows.foreach(r => assert(r.getAs[Long]("n") <= 2 * n / 10 + 1))
+    val conv = rows.map(_.getAs[Long]("n_converted")).sum
+    val base = rows.head.getAs[Double]("base_rate")
+    assert(base == math.floor(conv.toDouble / n * 1e6 + 0.5) / 1e6)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("conv_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Double]("lift") ==
+        math.floor(rate / base * 1e6 + 0.5) / 1e6)
+    }
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
