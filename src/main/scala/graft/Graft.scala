@@ -265,4 +265,140 @@ object Graft {
     * (media_id, payload, mime). */
   def sampleFrames(media: DataFrame, frameCount: Int, every: Int): DataFrame =
     streaming.Multimodal.sampleFrames(media, frameCount, every)
+
+  // ---- round-6 primitives (q165, q169–q172, q174) -------------------------
+
+  /** Exactly-balanced k-fold assignment stratified by `stratum` (q169):
+    * fold = per-stratum hash rank mod k, so stratum fold sizes differ by
+    * ≤1 (hash-mod-k only balances in expectation). Returns the input
+    * plus a `fold` column. Scales via DistributedRank's two-phase global
+    * rank + a #strata-row broadcast offset join — no per-stratum window
+    * task (`id` must be unique; `salt` reseeds the assignment). */
+  def stratifiedKFold(df: DataFrame, stratum: String, id: Column, k: Int,
+      salt: String = "fold"): DataFrame = {
+    // NB: not graft_-prefixed — denseTokens reserves that prefix for its
+    // own working columns and rejects such key names
+    val keyed = df.withColumn("kfold_rk",
+      concat(col(stratum), lit("|"),
+        md5(concat(lit(s"$salt:"), id.cast("string"))), lit("|"),
+        lpad(id.cast("string"), 20, "0")))
+    val ranked = keyed.join(plans.DistributedRank.denseTokens(keyed, "kfold_rk"), "kfold_rk")
+    val offsets = ranked.groupBy(col(stratum).as("kfold_sg"))
+      .agg(min("token").as("kfold_off"))
+    ranked.join(broadcast(offsets), col(stratum) === col("kfold_sg"))
+      .withColumn("fold", (col("token") - col("kfold_off")) % k)
+      .drop("kfold_rk", "token", "kfold_sg", "kfold_off")
+  }
+
+  /** Support mining of consecutive step transitions per key (q171):
+    * one LEAD window over (`time`, `tiebreak`), then the
+    * (step_a, step_b)-bounded support/occurrence aggregation. */
+  def transitionSupport(df: DataFrame, key: Column, time: Column,
+      tiebreak: Column, step: Column, minSupport: Long = 1L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(time, tiebreak)
+    df.select(key.as("graft_k"), step.as("step_a"),
+        lead(step, 1).over(w).as("step_b"))
+      .filter(col("step_b").isNotNull)
+      .groupBy("step_a", "step_b")
+      .agg(countDistinct("graft_k").as("n_keys"), count(lit(1)).as("n_occ"))
+      .filter(col("n_keys") >= minSupport)
+  }
+
+  /** CUSUM changepoint per key (q172): the `time` bucket where the
+    * cumulative deviation from the key's mean peaks. Order-independent:
+    * the running sum is exact DECIMAL; doubles appear only in the final
+    * cusum = S_d − d·μ. Returns (key, change_point, n_points, cusum,
+    * direction). */
+  def cusumChangepoint(df: DataFrame, key: Column, time: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(key.as("graft_k"), time.as("graft_t"))
+      .agg(Tables.dec(sum(Tables.dec(value))).as("graft_v"))
+    val tot = per.groupBy(col("graft_k").as("graft_k2"))
+      .agg(Tables.dec(sum("graft_v")).as("graft_sv"), count(lit(1)).as("graft_n"))
+    val w = Window.partitionBy("graft_k").orderBy("graft_t")
+    val cusum = sum("graft_v").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast("double") -
+      row_number().over(w).cast("bigint") *
+        (col("graft_sv").cast("double") / col("graft_n"))
+    val scored = per.join(broadcast(tot), col("graft_k") === col("graft_k2"))
+      .select(col("graft_k"), col("graft_t"), col("graft_n"), cusum.as("graft_cu"))
+    val wTop = Window.partitionBy("graft_k")
+      .orderBy(abs(col("graft_cu")).desc, col("graft_t"))
+    scored.withColumn("graft_rn", row_number().over(wTop))
+      .filter(col("graft_rn") === 1)
+      .select(col("graft_k").as("key"), col("graft_t").as("change_point"),
+        col("graft_n").as("n_points"), Tables.r6(col("graft_cu")).as("cusum"),
+        when(col("graft_cu") >= 0, lit("up")).otherwise(lit("down")).as("direction"))
+  }
+
+  /** Cohen's kappa between two label columns (q165): chance-corrected
+    * agreement from ONE confusion-matrix aggregation; marginal products
+    * go double before multiplying. Returns one row (n, po, pe, kappa). */
+  def cohensKappa(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val cm = df.groupBy(truth.as("graft_a"), pred.as("graft_b"))
+      .agg(count(lit(1)).as("graft_c"))
+    val n = cm.agg(sum("graft_c").as("n"))
+    val diag = cm.filter(col("graft_a") === col("graft_b"))
+      .agg(coalesce(sum("graft_c"), lit(0L)).as("graft_nd"))
+    val pe = cm.groupBy("graft_a").agg(sum("graft_c").as("graft_nt"))
+      .join(cm.groupBy("graft_b").agg(sum("graft_c").as("graft_np")),
+        col("graft_a") === col("graft_b"))
+      .agg(coalesce(sum(col("graft_nt").cast("double") * col("graft_np")),
+        lit(0.0)).as("graft_s"))
+    val po = col("graft_nd").cast("double") / col("n")
+    val peF = col("graft_s") / (col("n") * col("n"))
+    n.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
+      .select(col("n"), Tables.r6(po).as("po"), Tables.r6(peF).as("pe"),
+        Tables.r6((po - peF) / (lit(1.0) - peF)).as("kappa"))
+  }
+
+  /** Per-group IQR (Tukey-fence) outlier report (q174) on the bounded
+    * two-pass quantile fold — never the builtin unbounded `percentile`
+    * buffer. Quartiles are r6-rounded before fence arithmetic. */
+  def iqrOutliers(df: DataFrame, group: String, value: Column): DataFrame = {
+    val fences = plans.BoundedQuantiles.groupQuantiles(df, Seq(group),
+        value, Seq(0.25, 0.75), Seq("graft_q1", "graft_q3"))
+      .select(col(group).as("graft_g"),
+        Tables.r6(col("graft_q1")).as("q1"), Tables.r6(col("graft_q3")).as("q3"))
+      .select(col("graft_g"), col("q1"), col("q3"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("graft_lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("graft_hi"))
+    df.join(broadcast(fences), col(group) === col("graft_g"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"), max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(value < col("graft_lo") || value > col("graft_hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(group), col("n"), col("q1"), col("q3"),
+        Tables.r6(col("q3") - col("q1")).as("iqr"), col("n_outliers"),
+        Tables.r6(col("n_outliers").cast("double") / col("n")).as("outlier_rate"))
+  }
+
+  /** Top-k Jaccard similarity between left-side nodes of a bipartite
+    * edge list (q170): wedge join on the right key with pair GENERATION
+    * capped at right-degree ≤ `maxDegree` (GraphCapSuite proves the
+    * bound) while degrees count all edges. `edges` needs (`a`, `b`)
+    * columns; duplicates ignored. */
+  def bipartiteJaccard(edges: DataFrame, a: String, b: String,
+      maxDegree: Int = 50, topK: Int = 20): DataFrame = {
+    val e = edges.select(col(a).as("graft_s"), col(b).as("graft_p")).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("graft_s").agg(count(lit(1)).as("graft_d"))
+    val cold = e.groupBy("graft_p").agg(count(lit(1)).as("graft_pd"))
+      .filter(col("graft_pd") <= maxDegree).select("graft_p")
+    val capped = e.join(cold, "graft_p")
+    val pairs = capped.select(col("graft_p"), col("graft_s").as("sa"))
+      .join(capped.select(col("graft_p"), col("graft_s").as("sb")), "graft_p")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(deg.select(col("graft_s").as("sa"), col("graft_d").as("da")), "sa")
+      .join(deg.select(col("graft_s").as("sb"), col("graft_d").as("db")), "sb")
+      .select(col("sa"), col("sb"), col("shared"), col("da"), col("db"),
+        Tables.r6(col("shared").cast("double") /
+          (col("da") + col("db") - col("shared"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("sa"), col("sb"))
+      .limit(topK)
+  }
 }

@@ -227,4 +227,85 @@ class ApiSuite extends AnyFunSuite {
     assert(att(3L) == ((None, None)) && att(4L) == ((None, None)))
     assert(!att.contains(1L)) // touches are dropped from the output
   }
+
+  test("stratifiedKFold balances every stratum exactly") {
+    import spark.implicits._
+    // strata of size 7 and 3: folds must split 3/2/2 and 1/1/1
+    val df = ((1 to 7).map(i => ("s1", i.toLong)) ++
+      (8 to 10).map(i => ("s2", i.toLong))).toDF("grp", "id")
+    val folded = Graft.stratifiedKFold(df, "grp", col("id"), 3).collect()
+    assert(folded.length == 10)
+    val sizes = folded.groupBy(r => (r.getString(0), r.getAs[Long]("fold")))
+      .view.mapValues(_.length)
+    val s1 = (0L until 3L).map(f => sizes.getOrElse(("s1", f), 0))
+    assert(s1.sorted == Seq(2, 2, 3) && s1.sum == 7)
+    assert((0L until 3L).forall(f => sizes.getOrElse(("s2", f), 0) == 1))
+  }
+
+  test("transitionSupport counts distinct keys per transition") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "b"), (3L, 2L, "a")).toDF("k", "t", "s")
+    val got = Graft.transitionSupport(df, col("k"), col("t"), col("t"), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("n_occ")))).toMap
+    assert(got(("a", "b")) == ((2L, 3L))) // keys 1 (twice) and 2
+    assert(got(("b", "a")) == ((2L, 2L))) // keys 1 and 3
+  }
+
+  test("cusumChangepoint finds the injected level shift") {
+    import spark.implicits._
+    // flat at 10 for t=1..5, then flat at 20 for t=6..10: |cusum| peaks at t=5
+    val df = (1 to 10).map(t => ("k", t.toLong, if (t <= 5) 10.0 else 20.0))
+      .toDF("k", "t", "v")
+    val row = Graft.cusumChangepoint(df, col("k"), col("t"), col("v")).head()
+    assert(row.getAs[Long]("change_point") == 5L)
+    assert(row.getAs[Long]("n_points") == 10L)
+    assert(row.getAs[Double]("cusum") == -25.0) // 5·10 − 5·15
+    assert(row.getString(4) == "down")
+  }
+
+  test("cohensKappa matches the hand-computed 2-class case") {
+    import spark.implicits._
+    // 2×2 confusion: tp=4, fn=1, fp=1, tn=4 → po=0.8, pe=0.5, κ=0.6
+    val df = (Seq.fill(4)(("y", "y")) ++ Seq(("y", "n")) ++
+      Seq(("n", "y")) ++ Seq.fill(4)(("n", "n"))).toDF("truth", "pred")
+    val row = Graft.cohensKappa(df, col("truth"), col("pred")).head()
+    assert(row.getAs[Long]("n") == 10L)
+    assert(row.getAs[Double]("po") == 0.8)
+    assert(row.getAs[Double]("pe") == 0.5)
+    assert(row.getAs[Double]("kappa") == 0.6)
+  }
+
+  test("iqrOutliers flags exactly the planted extremes") {
+    import spark.implicits._
+    // group g: 1..9 (q1=3, q3=7, fences [-3, 13]) plus outliers -50 and 50
+    val df = (((1 to 9).map(_.toDouble) ++ Seq(-50.0, 50.0)).map(("g", _)))
+      .toDF("grp", "v")
+    val row = Graft.iqrOutliers(df, "grp", col("v")).head()
+    assert(row.getAs[Long]("n") == 11L)
+    assert(row.getAs[Double]("iqr") == row.getAs[Double]("q3") - row.getAs[Double]("q1"))
+    assert(row.getAs[Long]("n_outliers") == 2L)
+  }
+
+  test("bipartiteJaccard ranks full-overlap pairs first under the cap") {
+    import spark.implicits._
+    // a/b share both parts (J=1); c shares one with a (J=1/3); hot part
+    // 99 touches everyone but exceeds maxDegree=3 → generates no pairs
+    val edges = Seq(
+      ("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L), ("c", 1L), ("c", 3L),
+      ("d", 99L), ("e", 99L), ("a", 99L), ("b", 99L)).toDF("s", "p")
+    val rows = Graft.bipartiteJaccard(edges, "s", "p", maxDegree = 3, topK = 10)
+      .collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("jaccard")).toMap
+    assert(!got.keySet.exists { case (x, y) => x == "d" || y == "d" }) // hot-only node
+    assert(rows.head.getString(0) == "a" && rows.head.getString(1) == "b")
+    // a/b: degrees 3 (hot part counted), shared capped = 2 → J = 2/(3+3−2)
+    assert(got(("a", "b")) == 0.5)
+    // a/c: degrees 3 and 2, shared capped = 1 → J = 1/(3+2−1)
+    assert(got(("a", "c")) == 0.25)
+  }
 }
