@@ -78,6 +78,11 @@ object PrivacyOps {
       .agg(sum("n").as("cn"))
     val agg = classes.groupBy("i", "j", "k")
       .agg(count(lit(1)).as("n_cells"), min("cn").as("min_cell"))
+      // 18 rows; checkpointed so the best-height branch and the final
+      // projection share ONE corpus scan (without it the physical plan
+      // re-scans customer for the subquery branch — verified in
+      // PlanShapeSuite)
+      .localCheckpoint(true)
     // minimal satisfying height: a 1-row aggregate over the 18 node rows
     val best = agg.filter(col("min_cell") >= LatticeK)
       .agg(min(col("i") + col("j") + col("k")).as("best_h"))

@@ -125,6 +125,29 @@ class PlanShapeSuite extends AnyFunSuite {
       "control failed: all-pairs theta join no longer shows a cartesian node")
   }
 
+  test("q151: lattice scoring never rescans the corpus (bounded checkpoint boundary)") {
+    // the finest-cell frame is built in ONE eager corpus pass and
+    // checkpointed at 18 node rows; the lattice scoring plan must read
+    // ONLY that RDD — any parquet scan here would be a second 100 TB pass
+    val df = SparkEntry.queries("q151_anon_lattice")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"q151 lattice scoring rescans the corpus:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), "expected the checkpointed cell frame")
+  }
+
+  test("q159: linkage attack plans hash equi-joins only (range folded into bins)") {
+    // the ±500 balance window is pre-exploded into ≤2 overlapping bins so
+    // the attacker×published match is a pure equi-join; a range predicate
+    // reaching the join would plan BNLJ/cartesian — the 100× killer
+    val df = SparkEntry.queries("q159_linkage_attack")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q159 plans a non-equi join:\n$plan")
+  }
+
   test("q124: signature stage is shuffle-free (signatures computed pre-exchange)") {
     // all exchanges in the q124 plan must sit ABOVE the localCheckpoint
     // boundary (band join / rerank); the 16-dot signature projection
