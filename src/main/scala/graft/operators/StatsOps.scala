@@ -36,6 +36,7 @@ object StatsOps {
       .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
         .cast("bigint").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint(true) // 9 rows; total + final both read it (one corpus pass)
     val total = digits.agg(sum("n_obs").as("n_total")) // 1 row, broadcasts
     val expP = Tables.r6(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
     val expN = col("n_total") * (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
@@ -224,6 +225,7 @@ object StatsOps {
     val daily = Tables(spark, sfDir, "events")
       .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
       .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
+      .localCheckpoint(true) // calendar-bounded; totals + scoring share one pass
     val tot = daily.groupBy(col("event_type").as("et"))
       .agg(Tables.dec(sum("v")).as("sv"), count(lit(1)).as("nd"))
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -304,6 +306,7 @@ object StatsOps {
         when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("converted"))
     val deciles = flagged.groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("converted").as("n_converted"))
+      .localCheckpoint(true) // 10 rows; base fold + final both read it
     val base = deciles.agg(sum("n").as("nt"), sum("n_converted").as("nc"))
     val rate = Tables.r6(col("n_converted").cast("double") / col("n"))
     val baseRate = Tables.r6(col("nc").cast("double") / col("nt"))

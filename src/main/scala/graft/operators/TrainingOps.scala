@@ -237,6 +237,7 @@ object TrainingOps {
     val cards = perDoc.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
         sum("q").cast("decimal(28,6)").as("qs"))
+      .localCheckpoint(true) // ≤#langs rows; total fold + final share one pass
     val tot = cards.agg(sum("n_docs").as("nd"), sum("total_tokens").as("nt"))
     cards.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("total_tokens"),

@@ -84,9 +84,14 @@ object BoundedQuantiles {
     val aggs = outNames.zipWithIndex.map { case (nm, i) =>
       max(when(col("graft_pi") === i, col("graft_q"))).as(nm)
     }
+    // the result is #groups × |ps| — bounded. Checkpointed so callers
+    // that fan the cuts into a downstream corpus pass (q142 binning,
+    // q174 fences, q175 deciles) read a pinned RDD instead of replanning
+    // the whole two-pass dag inside their own plan.
     val out = perP.withColumn("graft_q", q)
       .groupBy(gc: _*)
       .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
     if (groupCols.nonEmpty) out else out.drop("graft_g")
   }
 
@@ -137,10 +142,17 @@ object BoundedQuantiles {
       .filter(col("graft_v").isNotNull)
     val base = if (groupCols.nonEmpty) base0 else base0.withColumn("graft_g", lit(0))
 
-    // pass 0: per-group stats (tiny, broadcast back onto the rows)
+    // pass 0: per-group stats (tiny, broadcast back onto the rows).
+    // Checkpointed: stats feeds the bin expression AND the rank targets —
+    // un-checkpointed, each reference replans a full corpus scan (the
+    // q151 lesson; measured: q19's plan carried 10 scans, 3 after the
+    // stats/hist checkpoints). `bucketed` deliberately stays
+    // re-derivable: it is corpus-sized, and at 100 TB re-scanning the
+    // source twice beats materializing the whole frame.
     val stats = base.groupBy(gc: _*)
       .agg(count(lit(1)).as("graft_n"),
         min("graft_v").as("graft_mn"), max("graft_v").as("graft_mx"))
+      .localCheckpoint(true)
     // equi-width bin, monotone in v (so bin-cumulative counts compose
     // with in-bin ranks into global order statistics); clamped against
     // FP edge effects at the range ends, degenerate range ⇒ bin 0
@@ -151,9 +163,13 @@ object BoundedQuantiles {
         lit(0L)), lit((buckets - 1).toLong)))
     val bucketed = base.join(broadcast(stats), g).withColumn("graft_b", bin)
 
-    // pass 1: histogram + running ends (window spans ≤ `buckets` rows/group)
+    // pass 1: histogram + running ends (window spans ≤ `buckets` rows/
+    // group). Checkpointed for the same reason as stats: cum/located/
+    // targetBins all reference it, and each un-checkpointed reference
+    // would replan the corpus-side aggregation.
     val hist = bucketed.groupBy((gc :+ col("graft_b")): _*)
       .agg(count(lit(1)).as("graft_bc"))
+      .localCheckpoint(true)
     val wb = Window.partitionBy(gc: _*).orderBy("graft_b")
     val cum = hist
       .withColumn("graft_cend", sum("graft_bc").over(wb))
