@@ -491,6 +491,30 @@ object TimeSeries {
       .orderBy(col("n_users").desc, col("step_a"), col("step_b"))
   }
 
+  /** q176: linear multi-touch attribution — each purchase splits credit
+    * equally (1/k) across the user's clicks in the trailing 1-hour
+    * window (t−1h, t]; zero touches ⇒ organic. Completes the
+    * attribution family: q145 last-touch picks ONE winner, q176 linear
+    * spreads the credit (the two standard marketing models).
+    *
+    * Scale: one user-keyed RANGE-frame window (state bounded by the 1 h
+    * span) — no purchases×clicks self-join; the frame count is the only
+    * aggregation. */
+  private def q176(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-usPerHour, 0)
+    Tables(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+        count(when(col("event_type") === "click", 1)).over(w).as("n_touches"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_touches"),
+        when(col("n_touches") > 0,
+          Tables.r6(lit(1.0) / col("n_touches"))).as("credit_each"),
+        (col("n_touches") === 0).as("organic"))
+      .orderBy("event_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -658,5 +682,15 @@ object TimeSeries {
         "WHERE step_b IS NOT NULL GROUP BY step_a, step_b " +
         "HAVING COUNT(DISTINCT user_id) >= 2 " +
         "ORDER BY n_users DESC, step_a, step_b")),
+    Q("q176_attribution_linear", q176 _, Some(
+      "SELECT event_id, user_id, ts_us, n_touches, " +
+        "CASE WHEN n_touches > 0 THEN " +
+        Tables.r6sql("1.0 / n_touches") + " END AS credit_each, " +
+        "n_touches = 0 AS organic FROM (" +
+        "SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, " +
+        "CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_touches " +
+        "FROM events) WHERE event_type = 'purchase' ORDER BY event_id")),
   )
 }

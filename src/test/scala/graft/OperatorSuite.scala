@@ -1260,6 +1260,37 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q176 linear attribution: touch counts recompute; consistent with q145") {
+    val rows = SparkEntry.queries("q176_attribution_linear")(spark, sf).collect()
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("event_id", "user_id", "ts DIV 1000 AS ts_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchases = evs.filter(_._4 == "purchase")
+    assert(rows.length == purchases.length)
+    val clicksByUser = evs.filter(_._4 == "click").groupBy(_._2)
+    rows.foreach { r =>
+      val (id, u, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want = clicksByUser.getOrElse(u, Array.empty)
+        .count(c => c._3 > t - 3600000000L && c._3 <= t).toLong
+      assert(r.getAs[Long]("n_touches") == want, s"purchase $id touches")
+      assert(r.getAs[Boolean]("organic") == (want == 0))
+      if (want > 0)
+        assert(r.getAs[Double]("credit_each") ==
+          math.floor(1.0 / want * 1e6 + 0.5) / 1e6)
+      else assert(r.isNullAt(4))
+    }
+    // cross-model consistency: a purchase q145 attributes (a click within
+    // the hour) must have ≥1 touch here, and an organic one must have 0
+    val lastTouch = SparkEntry.queries("q145_attribution_last_touch")(spark, sf)
+      .collect().map(r => r.getLong(0) -> !r.isNullAt(3)).toMap
+    val touches = rows.map(r => r.getLong(0) -> r.getAs[Long]("n_touches")).toMap
+    lastTouch.foreach { case (id, attributed) =>
+      // q145's frame is [start, t] ROWS-based vs q176's (t−1h, t] RANGE —
+      // attribution implies at least one in-window click in both models
+      if (attributed) assert(touches(id) >= 1L, s"purchase $id: q145 attributed, q176 organic")
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
