@@ -515,6 +515,47 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** q177: funnel time-to-convert — the latency distribution between
+    * funnel stages (q86 counts WHO converts; q177 measures HOW FAST):
+    * per step pair (click→view, view→purchase, click→purchase), the
+    * completing-user count plus exact median and p90 gap via the bounded
+    * two-pass quantile fold — never the builtin unbounded `percentile`.
+    *
+    * Scale: the per-user funnel frame (q86's three keyed min-joins) is
+    * users-sized — far below event cardinality — and is checkpointed
+    * once for the three step projections; the quantile passes run over
+    * the bounded (step, gap) frame. */
+  private def q177(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
+    val v = ev.filter(col("event_type") === "view")
+      .join(c, "user_id").filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
+    val funnel = c.join(v, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .localCheckpoint(true) // users-sized; three step projections read it
+    val gaps = Seq(
+      ("click->view", col("t_view") - col("t_click")),
+      ("view->purchase", col("t_purchase") - col("t_view")),
+      ("click->purchase", col("t_purchase") - col("t_click")))
+      .map { case (name, gap) =>
+        funnel.filter(gap.isNotNull)
+          .select(lit(name).as("step"), gap.cast("double").as("gap_us"))
+      }.reduce(_ unionByName _)
+    val qs = graft.plans.BoundedQuantiles.groupQuantiles(gaps, Seq("step"),
+      col("gap_us"), Seq(0.5, 0.9), Seq("m", "p9"))
+    gaps.groupBy("step").agg(count(lit(1)).as("n_users"))
+      .join(qs, "step")
+      .select(col("step"), col("n_users"),
+        Tables.r6(col("m")).as("median_us"), Tables.r6(col("p9")).as("p90_us"))
+      .orderBy("step")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
@@ -692,5 +733,27 @@ object TimeSeries {
         "PARTITION BY user_id ORDER BY epoch_us(ts) " +
         "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_touches " +
         "FROM events) WHERE event_type = 'purchase' ORDER BY event_id")),
+    Q("q177_funnel_time", q177 _, Some(
+      "WITH c AS MATERIALIZED (SELECT user_id, MIN(epoch_us(ts)) AS t_click " +
+        "FROM events WHERE event_type = 'click' GROUP BY user_id), " +
+        "v AS MATERIALIZED (SELECT e.user_id, MIN(epoch_us(ts)) AS t_view " +
+        "FROM events e JOIN c ON e.user_id = c.user_id " +
+        "WHERE event_type = 'view' AND epoch_us(ts) > t_click GROUP BY e.user_id), " +
+        "p AS MATERIALIZED (SELECT e.user_id, MIN(epoch_us(ts)) AS t_purchase " +
+        "FROM events e JOIN v ON e.user_id = v.user_id " +
+        "WHERE event_type = 'purchase' AND epoch_us(ts) > t_view GROUP BY e.user_id), " +
+        "funnel AS MATERIALIZED (SELECT c.user_id, t_click, t_view, t_purchase " +
+        "FROM c LEFT JOIN v ON c.user_id = v.user_id " +
+        "LEFT JOIN p ON c.user_id = p.user_id), " +
+        "gaps AS (SELECT 'click->view' AS step, CAST(t_view - t_click AS DOUBLE) AS gap_us " +
+        "FROM funnel WHERE t_view IS NOT NULL " +
+        "UNION ALL SELECT 'view->purchase', CAST(t_purchase - t_view AS DOUBLE) " +
+        "FROM funnel WHERE t_purchase IS NOT NULL " +
+        "UNION ALL SELECT 'click->purchase', CAST(t_purchase - t_click AS DOUBLE) " +
+        "FROM funnel WHERE t_purchase IS NOT NULL AND t_click IS NOT NULL) " +
+        "SELECT step, COUNT(*) AS n_users, " +
+        Tables.r6sql("quantile_cont(gap_us, 0.5)") + " AS median_us, " +
+        Tables.r6sql("quantile_cont(gap_us, 0.9)") + " AS p90_us " +
+        "FROM gaps GROUP BY step ORDER BY step")),
   )
 }

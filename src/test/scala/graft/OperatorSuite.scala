@@ -1291,6 +1291,38 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q177 funnel time: user counts match q86's funnel; medians recompute") {
+    val rows = SparkEntry.queries("q177_funnel_time")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ==
+      Set("click->view", "view->purchase", "click->purchase"))
+    val funnel = SparkEntry.queries("q86_funnel")(spark, sf).collect()
+    def gaps(f: org.apache.spark.sql.Row => Option[Long]): Seq[Long] =
+      funnel.flatMap(r => f(r)).toSeq
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    // columns: user_id, t_click, t_view, t_purchase
+    val cv = gaps(r => opt(r, 2).map(_ - r.getLong(1)))
+    val vp = gaps(r => for (p <- opt(r, 3); v <- opt(r, 2)) yield p - v)
+    val cp = gaps(r => opt(r, 3).map(_ - r.getLong(1)))
+    def pct(vals: Seq[Long], p: Double): Double = {
+      val s = vals.sorted.map(_.toDouble)
+      val pos = p * (s.length - 1)
+      val (l, h) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      val raw = if (l == h || s(l) == s(h)) s(l)
+        else (h - pos) * s(l) + (pos - l) * s(h)
+      math.floor(raw * 1e6 + 0.5) / 1e6
+    }
+    for ((step, vals) <- Seq("click->view" -> cv, "view->purchase" -> vp,
+        "click->purchase" -> cp)) {
+      val r = rows(step)
+      assert(r.getAs[Long]("n_users") == vals.length.toLong, s"$step count")
+      assert(r.getAs[Double]("median_us") == pct(vals, 0.5), s"$step median")
+      assert(r.getAs[Double]("p90_us") == pct(vals, 0.9), s"$step p90")
+      assert(vals.forall(_ > 0))
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==

@@ -142,4 +142,48 @@ class PropertySuite extends AnyFunSuite {
       List(row.getDouble(0), row.getDouble(1)) == expect
     }, cases = 6)
   }
+
+  test("stratifiedKFold: exact ≤1 balance and full assignment for arbitrary strata") {
+    import spark.implicits._
+    val gen = for {
+      nStrata <- Gen.choose(1, 4)
+      sizes <- Gen.listOfN(nStrata, Gen.choose(1, 25))
+      k <- Gen.choose(2, 6)
+    } yield (sizes, k)
+    check(Prop.forAll(gen) { case (sizes, k) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s"s$s", (s * 1000 + i).toLong))
+      }
+      val folded = Graft.stratifiedKFold(rows.toDF("grp", "id"), "grp", col("id"), k)
+        .collect().map(r => (r.getString(0), r.getAs[Long]("fold")))
+      folded.length == rows.length && {
+        folded.groupBy(_._1).forall { case (_, fs) =>
+          val counts = fs.groupBy(_._2).values.map(_.length)
+          counts.max - counts.min <= 1 &&
+            fs.forall { case (_, f) => f >= 0 && f < k }
+        }
+      }
+    }, cases = 5)
+  }
+
+  test("cohensKappa matches the in-memory closed form on arbitrary label pairs") {
+    import spark.implicits._
+    val gen = Gen.chooseNum(2, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf("x", "y", "z"), Gen.oneOf("x", "y", "z"))))
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    check(Prop.forAll(gen) { pairs =>
+      val n = pairs.length.toDouble
+      val po = pairs.count(p => p._1 == p._2) / n
+      val nt = pairs.groupBy(_._1).view.mapValues(_.size)
+      val np = pairs.groupBy(_._2).view.mapValues(_.size)
+      val pe = nt.map { case (c, t) => t.toDouble * np.getOrElse(c, 0) }.sum / (n * n)
+      pe >= 1.0 - 1e-12 || { // degenerate all-one-class: kappa undefined
+        val row = Graft.cohensKappa(pairs.toDF("t", "p"), col("t"), col("p")).head()
+        row.getAs[Long]("n") == pairs.length.toLong &&
+          row.getAs[Double]("po") == r6(po) &&
+          row.getAs[Double]("pe") == r6(pe) &&
+          row.getAs[Double]("kappa") == r6((po - pe) / (1.0 - pe))
+      }
+    }, cases = 5)
+  }
 }
