@@ -50,10 +50,15 @@ for name, sql in oracle.items():
         bad.append(name)
         print(f"FAIL {name}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")
         continue
-    # strict column-type parity (int32 vs int64 etc. would change the
-    # driver's value hash even when python == says values are equal)
-    dtypes = dict(zip(dcols, [c[1] for c in d.description]))
-    stypes = dict(zip(scols, [c[1] for c in s.description]))
+    # strict column-type parity at DESCRIBE level (exact DuckDB logical
+    # types). DBAPI cursor description collapses type families — BIGINT and
+    # HUGEINT are both NUMBER — which let a HUGEINT-typed oracle column
+    # (uncast SUM → INT128) sail through locally while the driver's
+    # representation-sensitive hash failed (round-6 q151). DESCRIBE gives
+    # the exact logical type on both sides.
+    dtypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    stypes = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{files[0]}')").fetchall()}
     tdiff = {c: (stypes[c], dtypes[c]) for c in dcols if stypes[c] != dtypes[c]}
     if tdiff:
         bad.append(name)

@@ -277,9 +277,14 @@ object Graft {
   def stratifiedKFold(df: DataFrame, stratum: String, id: Column, k: Int,
       salt: String = "fold"): DataFrame = {
     // NB: not graft_-prefixed — denseTokens reserves that prefix for its
-    // own working columns and rejects such key names
+    // own working columns and rejects such key names.
+    // The stratum is hashed to a FIXED-WIDTH prefix: raw values containing
+    // the '|' separator (e.g. strata "a" and "a|b") would interleave in the
+    // global rank and silently unbalance folds. md5 keeps per-stratum
+    // contiguity for any value while preserving within-stratum order (and
+    // hence fold assignments) for separator-free strata.
     val keyed = df.withColumn("kfold_rk",
-      concat(col(stratum), lit("|"),
+      concat(md5(concat(lit("stratum:"), col(stratum).cast("string"))), lit("|"),
         md5(concat(lit(s"$salt:"), id.cast("string"))), lit("|"),
         lpad(id.cast("string"), 20, "0")))
     val ranked = keyed.join(plans.DistributedRank.denseTokens(keyed, "kfold_rk"), "kfold_rk")
@@ -348,7 +353,9 @@ object Graft {
       .agg(coalesce(sum(col("graft_nt").cast("double") * col("graft_np")),
         lit(0.0)).as("graft_s"))
     val po = col("graft_nd").cast("double") / col("n")
-    val peF = col("graft_s") / (col("n") * col("n"))
+    // n goes double BEFORE squaring: an int64 n*n overflows past ~3.04e9
+    // rows (same care the marginal products above already take)
+    val peF = col("graft_s") / (col("n").cast("double") * col("n").cast("double"))
     n.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
       .select(col("n"), Tables.r6(po).as("po"), Tables.r6(peF).as("pe"),
         Tables.r6((po - peF) / (lit(1.0) - peF)).as("kappa"))

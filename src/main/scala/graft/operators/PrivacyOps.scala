@@ -234,7 +234,7 @@ object PrivacyOps {
         "CASE WHEN j = 0 THEN CAST(bin500 AS VARCHAR) " +
         "WHEN j = 1 THEN CAST(CAST(FLOOR(CAST(bin500 AS DOUBLE) / 2000) AS BIGINT) * 2000 AS VARCHAR) " +
         "ELSE '*' END AS g_bal, " +
-        "CASE WHEN k = 0 THEN seg ELSE '*' END AS g_seg, SUM(n) AS cn " +
+        "CASE WHEN k = 0 THEN seg ELSE '*' END AS g_seg, CAST(SUM(n) AS BIGINT) AS cn " +
         "FROM cells CROSS JOIN lattice GROUP BY 1, 2, 3, 4, 5, 6), " +
         "agg AS (SELECT i, j, k, COUNT(*) AS n_cells, MIN(cn) AS min_cell " +
         "FROM classes GROUP BY 1, 2, 3), " +

@@ -283,7 +283,9 @@ object TextAnalysis {
         col("lang") === col("pred_lang"))
       .agg(coalesce(sum(col("nt").cast("double") * col("np")), lit(0.0)).as("s"))
     val po = col("nd").cast("double") / col("n_docs")
-    val peF = col("s") / (col("n_docs") * col("n_docs"))
+    // n_docs goes double BEFORE squaring — int64 n*n overflows past ~3.04e9
+    val peF = col("s") /
+      (col("n_docs").cast("double") * col("n_docs").cast("double"))
     n.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
       .select(col("n_docs"), Tables.r6(po).as("po"), Tables.r6(peF).as("pe"),
         Tables.r6((po - peF) / (lit(1.0) - peF)).as("kappa"))
@@ -416,7 +418,9 @@ object TextAnalysis {
       "WITH toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS ts FROM documents), " +
         s"segs AS MATERIALIZED (SELECT doc_id, array_to_string(" +
         s"ts[CAST(i * $SegLen + 1 AS INT):CAST(i * $SegLen + $SegLen AS INT)], ' ') AS seg " +
-        s"FROM toks CROSS JOIN range(0, 4096) r(i) WHERE i * $SegLen + $SegLen <= len(ts)), " +
+        // length-derived bound mirroring the Spark sequence(0, size DIV SegLen - 1)
+        // exactly — a fixed range() cap would silently diverge on longer docs
+        s"FROM (SELECT doc_id, ts, unnest(range(0, len(ts) // $SegLen)) AS i FROM toks)), " +
         s"boiler AS (SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS dfc " +
         s"FROM segs GROUP BY seg) WHERE dfc >= $BoilerDf), " +
         "perdoc AS (SELECT s.doc_id, COUNT(*) AS n_segments, " +
@@ -445,9 +449,9 @@ object TextAnalysis {
         "USING (cls)) " +
         "SELECT n_docs, " +
         Tables.r6sql("CAST(nd AS DOUBLE) / n_docs") + " AS po, " +
-        Tables.r6sql("s / (n_docs * n_docs)") + " AS pe, " +
-        Tables.r6sql("(CAST(nd AS DOUBLE) / n_docs - s / (n_docs * n_docs)) / " +
-          "(1.0 - s / (n_docs * n_docs))") + " AS kappa " +
+        Tables.r6sql("s / (CAST(n_docs AS DOUBLE) * n_docs)") + " AS pe, " +
+        Tables.r6sql("(CAST(nd AS DOUBLE) / n_docs - s / (CAST(n_docs AS DOUBLE) * n_docs)) / " +
+          "(1.0 - s / (CAST(n_docs AS DOUBLE) * n_docs))") + " AS kappa " +
         "FROM n CROSS JOIN diag CROSS JOIN pe"
     }),
     Q("q173_zipf_fit", q173 _, Some {

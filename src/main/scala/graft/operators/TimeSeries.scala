@@ -493,7 +493,9 @@ object TimeSeries {
 
   /** q176: linear multi-touch attribution — each purchase splits credit
     * equally (1/k) across the user's clicks in the trailing 1-hour
-    * window (t−1h, t]; zero touches ⇒ organic. Completes the
+    * window [t−1h, t] (closed on BOTH ends: Spark's RANGE PRECEDING is
+    * inclusive, and so is DuckDB's — a click exactly 1 h before the
+    * purchase counts); zero touches ⇒ organic. Completes the
     * attribution family: q145 last-touch picks ONE winner, q176 linear
     * spreads the credit (the two standard marketing models).
     *

@@ -329,9 +329,11 @@ object TrainingOps {
       s"SELECT doc_id, CAST(w AS INT) AS win_id, " +
         s"array_to_string(ts[CAST(w * $CtxStride + 1 AS INT):CAST(w * $CtxStride + $CtxLen AS INT)], ' ') AS context, " +
         s"ts[CAST(w * $CtxStride + ${CtxLen + 1} AS INT)] AS target " +
-        "FROM (SELECT doc_id, str_split(text, ' ') AS ts FROM documents) s " +
-        "CROSS JOIN range(0, 256) r(w) " +
-        s"WHERE w * $CtxStride + ${CtxLen + 1} <= len(ts) " +
+        // length-derived bound mirroring the Spark sequence(0, (size-(C+1)) DIV S)
+        // exactly — a fixed range() cap would silently diverge on longer docs
+        s"FROM (SELECT doc_id, ts, unnest(range(0, CASE WHEN len(ts) >= ${CtxLen + 1} " +
+        s"THEN (len(ts) - ${CtxLen + 1}) // $CtxStride + 1 ELSE 0 END)) AS w " +
+        "FROM (SELECT doc_id, str_split(text, ' ') AS ts FROM documents)) s " +
         "ORDER BY doc_id, win_id")),
     Q("q160_bpe_merges", q160 _, Some(
       s"WITH $VocabPairsCtes " +

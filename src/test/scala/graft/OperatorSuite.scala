@@ -1271,7 +1271,7 @@ class OperatorSuite extends AnyFunSuite {
     rows.foreach { r =>
       val (id, u, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
       val want = clicksByUser.getOrElse(u, Array.empty)
-        .count(c => c._3 > t - 3600000000L && c._3 <= t).toLong
+        .count(c => c._3 >= t - 3600000000L && c._3 <= t).toLong // closed [t-1h, t]: RANGE PRECEDING is inclusive
       assert(r.getAs[Long]("n_touches") == want, s"purchase $id touches")
       assert(r.getAs[Boolean]("organic") == (want == 0))
       if (want > 0)
