@@ -25,6 +25,11 @@ for name, sql in oracle.items():
     files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
     if not files:
         bad.append(name); print(f"FAIL {name}: no spark output dir"); continue
+    # read the WHOLE part-file list (sorted, so Spark's part-00000.. output
+    # order is preserved for the ordered row compare). Inspecting only
+    # files[0] let a type/encoding divergence in a later part file pass
+    # locally while the driver's representation hash failed (ADVICE r7).
+    flist = "[" + ", ".join(f"'{f}'" for f in files) + "]"
     try:
         d = con.execute(sql)
         dcols = [c[0] for c in d.description]
@@ -37,13 +42,13 @@ for name, sql in oracle.items():
     # this. Any DECIMAL-typed column in the Spark output is therefore a
     # local FAIL before values are even compared.
     dec_cols = [(r[0], r[1]) for r in con.execute(
-        f"DESCRIBE SELECT * FROM read_parquet('{files[0]}')").fetchall()
+        f"DESCRIBE SELECT * FROM read_parquet({flist})").fetchall()
         if "DECIMAL" in r[1].upper()]
     if dec_cols:
         bad.append(name)
         print(f"FAIL {name}: DECIMAL output columns (driver hash hazard): {dec_cols}")
         continue
-    s = con.execute(f"SELECT * FROM read_parquet('{files[0]}')")
+    s = con.execute(f"SELECT * FROM read_parquet({flist})")
     scols = [c[0] for c in s.description]
     srows = s.fetchall()
     if sorted(dcols) != sorted(scols):
@@ -58,7 +63,7 @@ for name, sql in oracle.items():
     # the exact logical type on both sides.
     dtypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
     stypes = {r[0]: r[1] for r in con.execute(
-        f"DESCRIBE SELECT * FROM read_parquet('{files[0]}')").fetchall()}
+        f"DESCRIBE SELECT * FROM read_parquet({flist})").fetchall()}
     tdiff = {c: (stypes[c], dtypes[c]) for c in dcols if stypes[c] != dtypes[c]}
     if tdiff:
         bad.append(name)

@@ -94,8 +94,19 @@ object Bench {
     // summary's sf field is a JSON number; the raw dir rides along separately
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("null")
+    // box-load telemetry (VERDICT r7 item 1): three rounds of bench deltas
+    // (58.6–82.7 s spread on one build, two phantom per-query regressions)
+    // were all colocated-load noise, each costing a manual re-measurement
+    // session. `load` = 1-min system load average sampled when the summary
+    // is written (-1.0 where the JVM can't provide one), `cpus` = host
+    // hardware threads — load/cpus ≫ the bench's own parallelism means
+    // the numbers are suspect.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    val telemetry = s""""load":${r3(loadAvg)},"cpus":$hostCpus"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,$telemetry,"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
@@ -106,7 +117,7 @@ object Bench {
     // lines above + the full copy in bench_result.json). build.sbt routes
     // forked stdout raw (StdoutOutput) and suppresses sbt's [success]
     // epilogue so this line reaches the driver unprefixed and last.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,$telemetry,"sf":$sfNum,"sf_dir":"$sfDir"}""")
     System.out.flush()
   }
 }

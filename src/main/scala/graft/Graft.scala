@@ -273,7 +273,15 @@ object Graft {
     * ≤1 (hash-mod-k only balances in expectation). Returns the input
     * plus a `fold` column. Scales via DistributedRank's two-phase global
     * rank + a #strata-row broadcast offset join — no per-stratum window
-    * task (`id` must be unique; `salt` reseeds the assignment). */
+    * task (`id` must be unique; `salt` reseeds the assignment).
+    *
+    * Changelog note (r8, ADVICE r7): the r7 switch to md5 stratum
+    * prefixes changed CONCRETE fold assignments relative to r6's raw
+    * `stratum|id` keying — strata now order by md5 digest, so
+    * cross-stratum token offsets shift even for separator-free strata.
+    * Fold BALANCE and determinism are unchanged, but any pipeline that
+    * persisted r6-era fold columns should re-materialize rather than mix
+    * the two assignments. */
   def stratifiedKFold(df: DataFrame, stratum: String, id: Column, k: Int,
       salt: String = "fold"): DataFrame = {
     // NB: not graft_-prefixed — denseTokens reserves that prefix for its

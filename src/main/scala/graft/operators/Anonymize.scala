@@ -436,7 +436,10 @@ object Anonymize {
         "SELECT c_name, DENSE_RANK() OVER (ORDER BY c_name) AS token FROM (" +
         "SELECT DISTINCT c_name FROM customer)) USING (c_name) ORDER BY c_custkey")),
     Q("q115_anon_mondrian", q115 _, Some(
-      "SELECT c_nationkey, h1, h2, MIN(c_acctbal) AS acct_lo, MAX(c_acctbal) AS acct_hi, " +
+      // CAST on h1/h2: DuckDB's NTILE returns BIGINT, Spark's ntile()
+      // IntegerType (q151 precedent: align the oracle's type to Spark's)
+      "SELECT c_nationkey, CAST(h1 AS INTEGER) AS h1, CAST(h2 AS INTEGER) AS h2, " +
+        "MIN(c_acctbal) AS acct_lo, MAX(c_acctbal) AS acct_hi, " +
         "MIN(c_mktsegment) AS seg_lo, MAX(c_mktsegment) AS seg_hi, " +
         "COUNT(*) AS cell_n, COUNT(*) < 10 AS violates_k10 FROM (" +
         "SELECT c_nationkey, c_mktsegment, c_acctbal, h1, " +

@@ -231,7 +231,10 @@ object GraphOps {
         "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z " +
         "FROM orient e1 JOIN orient e2 ON e1.v = e2.u " +
         "JOIN orient e3 ON e3.u = e1.u AND e3.v = e2.v) " +
-        "SELECT n AS nationkey, COUNT(*) AS n_triangles FROM " +
+        // CAST: DuckDB's LEAST/GREATEST overload widens INTEGER→BIGINT,
+        // Spark's least() keeps the input type (q151 precedent: align the
+        // oracle's type to Spark's, values identical)
+        "SELECT CAST(n AS INTEGER) AS nationkey, COUNT(*) AS n_triangles FROM " +
         "(SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) " +
         "GROUP BY n ORDER BY nationkey")),
     Q("q170_graph_jaccard", q170 _, Some(

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * shape in the suite that did not survive scale review (VERDICT r4 §1).
   *
   * Plan (all bounded state, all ordinary hash aggregates):
-  *   pass 0  per-group (count, min, max)              — tiny, broadcast
-  *   pass 1  histogram over `buckets` equi-width bins — ≤ groups×buckets
-  *           rows; a ≤`buckets`-row running sum per group locates the
-  *           bin holding each target order statistic
-  *   pass 2  re-scan restricted to the target bins (a `1/buckets`
+  *   locate  per-group (count, min, max), histogram over `buckets`
+  *           equi-width bins (≤ groups×buckets rows), and a
+  *           ≤`buckets`-row running sum per group that locates the bin
+  *           holding each target order statistic — ONE job whose pinned
+  *           result (`located`) is groups×|ps|×2 rows and carries the
+  *           group range stats along as columns
+  *   select  re-scan restricted to the target bins (a `1/buckets`
   *           fraction of rows), exact rank selection among the bin's
   *           distinct values
   * The widest aggregate state anywhere is one histogram / one bin's
@@ -30,6 +32,20 @@ import org.apache.spark.sql.functions._
   * ReuseExchange to materialize its join shuffles once — the
   * scan-count-for-bounded-memory trade is exactly what a 100 TB
   * deployment wants, since a re-scan is cheap and an OOM is not.
+  *
+  * Barrier budget (r8, VERDICT r7 item 2): the r7 layout eagerly
+  * checkpointed `stats`, `hist`, and the result — three blocking driver
+  * round-trips per call, ≈13 s of fixed overhead across the family's 8
+  * consumers at sf0.1. Now only TWO frames pin: `located` (whose one job
+  * computes stats→hist→cum→targets; the stats shuffle inside it is
+  * deduped by ReuseExchange between the bin expression's broadcast and
+  * the rank targets) and the final result. Pass 2 reads `located` twice
+  * from the pinned RDD instead of replanning the cum-window dag, and its
+  * two back-to-back aggregations are fused into one conditional
+  * aggregate. Fully-lazy variants (persist instead of checkpoint) were
+  * measured WORSE — plan-tree duplication makes concurrent cold-cache
+  * stages recompute the corpus scan — so the eager boundary stays, just
+  * at the cheapest cut point.
   *
   * Exactness: the final interpolation replicates Spark's
   * `Percentile.getPercentile` IEEE-op-for-IEEE-op — position =
@@ -58,47 +74,62 @@ object BoundedQuantiles {
     val parts = build(df, groupCols, value, ps, buckets)
     val gc = parts.g.map(col)
 
-    // pass 2: exact selection among the target bins' distinct values,
-    // folded to one row per (group, percentile) carrying vlo/vhi
+    // pass 2: exact selection among the target bins' distinct values.
+    // `located` and `targetBins` read the ONE pinned locate result; the
+    // only corpus-sized work here is the re-scan joined to the broadcast
+    // bin list. Ties group by value BEFORE the window so the in-bin sort
+    // state is distinct-values-per-bin, not rows-per-bin (money columns
+    // are tie-heavy).
     val wv = Window.partitionBy((gc :+ col("graft_b")): _*).orderBy("graft_v")
     val vcum = parts.bucketed.join(broadcast(parts.targetBins), parts.g :+ "graft_b")
       .groupBy((gc :+ col("graft_b") :+ col("graft_v")): _*)
       .agg(count(lit(1)).as("graft_vc"))
       .withColumn("graft_vend", sum("graft_vc").over(wv))
       .withColumn("graft_vstart", col("graft_vend") - col("graft_vc"))
-    val perP = parts.located.join(vcum, parts.g :+ "graft_b")
+
+    // one fused conditional aggregate replaces r7's groupBy(g, pi) →
+    // groupBy(g) pair: each percentile i contributes three slots (pos,
+    // vlo, vhi); the interpolation arithmetic then runs per-slot in the
+    // projection below. max() over the when()-gated slots is exact: every
+    // matching row carries the same pos, and vlo/vhi are single-valued
+    // per (group, pi, side) by construction.
+    val sel = vcum.join(broadcast(parts.located), parts.g :+ "graft_b")
       .filter(col("graft_k") > col("graft_vstart") && col("graft_k") <= col("graft_vend"))
-      .groupBy((gc :+ col("graft_pi")): _*)
-      .agg(max(col("graft_pos")).as("graft_pos"),
-        max(when(col("graft_side") === 0, col("graft_v"))).as("graft_vlo"),
-        max(when(col("graft_side") === 1, col("graft_v"))).as("graft_vhi"))
+    def slot(i: Int, side: Int): Column =
+      max(when(col("graft_pi") === i && col("graft_side") === side, col("graft_v")))
+    val slotAggs = outNames.indices.flatMap { i =>
+      Seq(max(when(col("graft_pi") === i, col("graft_pos"))).as(s"graft_pos$i"),
+        slot(i, 0).as(s"graft_vlo$i"),
+        slot(i, 1).as(s"graft_vhi$i"))
+    }
+    val folded = sel.groupBy(gc: _*).agg(slotAggs.head, slotAggs.tail: _*)
 
     // Spark's Percentile.getPercentile, as Column arithmetic: the two
     // short-circuit cases return the lower key directly (the interpolated
     // form is NOT bit-equal to it — (h−pos)+(pos−l) need not be 1.0).
-    val q = when(ceil(col("graft_pos")) === floor(col("graft_pos")), col("graft_vlo"))
-      .when(col("graft_vhi") === col("graft_vlo"), col("graft_vlo"))
-      .otherwise(
-        (ceil(col("graft_pos")).cast("double") - col("graft_pos")) * col("graft_vlo") +
-          (col("graft_pos") - floor(col("graft_pos")).cast("double")) * col("graft_vhi"))
-    val aggs = outNames.zipWithIndex.map { case (nm, i) =>
-      max(when(col("graft_pi") === i, col("graft_q"))).as(nm)
+    def qOf(i: Int): Column = {
+      val pos = col(s"graft_pos$i")
+      val vlo = col(s"graft_vlo$i"); val vhi = col(s"graft_vhi$i")
+      when(ceil(pos) === floor(pos), vlo)
+        .when(vhi === vlo, vlo)
+        .otherwise(
+          (ceil(pos).cast("double") - pos) * vlo +
+            (pos - floor(pos).cast("double")) * vhi)
     }
     // the result is #groups × |ps| — bounded. Checkpointed so callers
     // that fan the cuts into a downstream corpus pass (q142 binning,
     // q174 fences, q175 deciles) read a pinned RDD instead of replanning
     // the whole two-pass dag inside their own plan.
-    val out = perP.withColumn("graft_q", q)
-      .groupBy(gc: _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val out = folded
+      .select((gc ++ outNames.zipWithIndex.map { case (nm, i) => qOf(i).as(nm) }): _*)
       .localCheckpoint(true)
     if (groupCols.nonEmpty) out else out.drop("graft_g")
   }
 
   /** Boundedness instrumentation for tests: (max histogram bins held by
     * any group, rows re-read by pass 2). The first is the widest
-    * aggregate/window state pass 1 can see; the second bounds pass 2's
-    * selection input — both must stay ≪ group cardinality on a
+    * aggregate/window state the locate pass can see; the second bounds
+    * pass 2's selection input — both must stay ≪ group cardinality on a
     * high-distinct corpus (ScalePathSuite asserts it). */
   private[graft] def stateFootprint(
       df: DataFrame,
@@ -115,7 +146,7 @@ object BoundedQuantiles {
     (maxBins, pass2Rows)
   }
 
-  /** The shared passes 0–1: bin-assigned rows, histogram, and the located
+  /** The shared locate pass: bin-assigned rows, histogram, and the pinned
     * (group, bin, rank) targets for every requested percentile. */
   private final case class Parts(
       g: Seq[String],
@@ -142,34 +173,26 @@ object BoundedQuantiles {
       .filter(col("graft_v").isNotNull)
     val base = if (groupCols.nonEmpty) base0 else base0.withColumn("graft_g", lit(0))
 
-    // pass 0: per-group stats (tiny, broadcast back onto the rows).
-    // Checkpointed: stats feeds the bin expression AND the rank targets —
-    // un-checkpointed, each reference replans a full corpus scan (the
-    // q151 lesson; measured: q19's plan carried 10 scans, 3 after the
-    // stats/hist checkpoints). `bucketed` deliberately stays
-    // re-derivable: it is corpus-sized, and at 100 TB re-scanning the
-    // source twice beats materializing the whole frame.
+    // per-group stats (tiny). NOT individually checkpointed (r8): both of
+    // its consumers — the bin expression's broadcast and the rank-target
+    // explode — live inside the ONE locate job below, where ReuseExchange
+    // dedupes the stats shuffle, so the map-side corpus scan runs once.
+    // Pass 2 never touches this plan again: the range stats ride along as
+    // columns on the pinned `located` frame.
     val stats = base.groupBy(gc: _*)
       .agg(count(lit(1)).as("graft_n"),
         min("graft_v").as("graft_mn"), max("graft_v").as("graft_mx"))
-      .localCheckpoint(true)
     // equi-width bin, monotone in v (so bin-cumulative counts compose
     // with in-bin ranks into global order statistics); clamped against
     // FP edge effects at the range ends, degenerate range ⇒ bin 0
-    val bin = when(col("graft_mx") === col("graft_mn"), lit(0L))
+    def binExpr: Column = when(col("graft_mx") === col("graft_mn"), lit(0L))
       .otherwise(least(greatest(floor(
         (col("graft_v") - col("graft_mn")) /
           ((col("graft_mx") - col("graft_mn")) / lit(buckets.toDouble))),
         lit(0L)), lit((buckets - 1).toLong)))
-    val bucketed = base.join(broadcast(stats), g).withColumn("graft_b", bin)
-
-    // pass 1: histogram + running ends (window spans ≤ `buckets` rows/
-    // group). Checkpointed for the same reason as stats: cum/located/
-    // targetBins all reference it, and each un-checkpointed reference
-    // would replan the corpus-side aggregation.
-    val hist = bucketed.groupBy((gc :+ col("graft_b")): _*)
+    val hist = base.join(broadcast(stats), g).withColumn("graft_b", binExpr)
+      .groupBy((gc :+ col("graft_b")): _*)
       .agg(count(lit(1)).as("graft_bc"))
-      .localCheckpoint(true)
     val wb = Window.partitionBy(gc: _*).orderBy("graft_b")
     val cum = hist
       .withColumn("graft_cend", sum("graft_bc").over(wb))
@@ -180,24 +203,32 @@ object BoundedQuantiles {
       struct(lit(i).as("graft_pi"),
         ((col("graft_n") - lit(1L)).cast("double") * lit(p)).as("graft_pos"))
     }
+    val statCols = Seq(col("graft_mn"), col("graft_mx"))
     val ranks = stats
-      .select((gc :+ explode(array(pstructs: _*)).as("graft_s")): _*)
-      .select((gc :+ col("graft_s.graft_pi").as("graft_pi")
+      .select((gc ++ statCols :+ explode(array(pstructs: _*)).as("graft_s")): _*)
+      .select((gc ++ statCols :+ col("graft_s.graft_pi").as("graft_pi")
         :+ col("graft_s.graft_pos").as("graft_pos")): _*)
-      .select((gc :+ col("graft_pi") :+ col("graft_pos") :+ explode(array(
+      .select((gc ++ statCols :+ col("graft_pi") :+ col("graft_pos") :+ explode(array(
         struct(lit(0).as("graft_side"), (floor(col("graft_pos")) + lit(1L)).as("graft_rank")),
         struct(lit(1).as("graft_side"), (ceil(col("graft_pos")) + lit(1L)).as("graft_rank"))))
         .as("graft_t")): _*)
-      .select((gc :+ col("graft_pi") :+ col("graft_pos")
+      .select((gc ++ statCols :+ col("graft_pi") :+ col("graft_pos")
         :+ col("graft_t.graft_side").as("graft_side")
         :+ col("graft_t.graft_rank").as("graft_rank")): _*)
 
-    // locate the bin holding each rank; residual rank inside the bin
+    // locate the bin holding each rank; residual rank inside the bin.
+    // THE one eager checkpoint of the locate pass: groups×|ps|×2 rows,
+    // carrying (mn, mx) so pass 2 can rebuild the bin expression without
+    // replanning (or re-running) anything upstream.
     val located = ranks.join(cum, g)
       .filter(col("graft_rank") > col("graft_cstart") &&
         col("graft_rank") <= col("graft_cend"))
       .withColumn("graft_k", col("graft_rank") - col("graft_cstart"))
+      .localCheckpoint(true)
+    val gstats = located.select((gc ++ statCols): _*).dropDuplicates(g)
+    val bucketed = base.join(broadcast(gstats), g).withColumn("graft_b", binExpr)
+      .drop("graft_mn", "graft_mx")
     val targetBins = located.select((gc :+ col("graft_b")): _*).distinct()
-    Parts(g, bucketed, hist, located, targetBins)
+    Parts(g, bucketed, hist, located.drop("graft_mn", "graft_mx"), targetBins)
   }
 }

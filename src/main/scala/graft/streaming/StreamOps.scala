@@ -29,6 +29,17 @@ case class LocfFill(user_id: Long, event_id: Long, v_filled: Option[Double])
 case class TransCarry(lastType: String, has: Boolean)
 case class Transition(user_id: Long, step_a: String, step_b: String)
 
+/** Trailing click buffer for [[StreamOps.linearAttribution]]: the click
+  * event times (µs) still inside the 1-hour credit window. */
+case class ClickWindow(clicksUs: List[Long])
+case class LinearCredit(
+    user_id: Long,
+    event_id: Long,
+    ts_us: Long,
+    n_touches: Long,
+    credit_each: Option[Double],
+    organic: Boolean)
+
 /** True Structured Streaming operators (SURVEY.md §2.8 "true streaming"):
   * the same tumbling/sliding/session/dedup semantics that q56–q59 prove
   * against the DuckDB oracle in batch, here running on the incremental
@@ -196,6 +207,60 @@ object StreamOps {
             }
           state.update(cur)
           out.iterator
+      }
+  }
+
+  /** Streaming linear multi-touch attribution — q176's batch semantics
+    * on the incremental engine: each purchase splits credit 1/k across
+    * the user's clicks in the closed trailing window [t−1h, t]; zero
+    * touches ⇒ organic. State = the per-user trailing-1h click buffer
+    * (the q171-transitions cross-batch recipe with a list instead of a
+    * scalar carry), so a purchase whose credited clicks arrived in
+    * EARLIER micro-batches still counts them.
+    *
+    * Two semantics details mirror the batch RANGE frame exactly:
+    * events are processed in runs of equal event time, clicks first —
+    * the frame is closed at the purchase instant, so a same-µs click
+    * counts regardless of event_id order; and the window test is
+    * value-based (ts ≥ t−1h), so a click exactly one hour before the
+    * purchase counts (closed lower end). credit_each carries the same
+    * r6 rounding as the batch query.
+    *
+    * Scale: state per user is bounded by 1 hour of clicks (evicted as
+    * event time advances) — the same bound the stream-stream interval
+    * join above carries; high-cardinality keys take the RocksDB
+    * provider as for sessionize. */
+  def linearAttribution(events: Dataset[Event]): Dataset[LinearCredit] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickWindow, LinearCredit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[ClickWindow]) =>
+          var buf = state.getOption.map(_.clicksUs).getOrElse(Nil)
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+          val out = Seq.newBuilder[LinearCredit]
+          var i = 0
+          while (i < sorted.length) {
+            val tUs = sorted(i).ts.getTime * 1000
+            var j = i
+            while (j < sorted.length && sorted(j).ts.getTime * 1000 == tUs) j += 1
+            val run = sorted.slice(i, j)
+            // clicks of this instant enter the buffer BEFORE the instant's
+            // purchases are credited (closed upper frame end)
+            buf = run.filter(_.event_type == "click").map(_ => tUs).toList ::: buf
+            buf = buf.filter(_ >= tUs - hourUs)
+            run.filter(_.event_type == "purchase").foreach { e =>
+              val n = buf.length.toLong
+              out += LinearCredit(user, e.event_id, tUs, n,
+                if (n > 0) Some(math.floor(1.0 / n * 1e6 + 0.5) / 1e6) else None,
+                organic = n == 0)
+            }
+            i = j
+          }
+          state.update(ClickWindow(buf))
+          out.result().iterator
       }
   }
 

@@ -1323,6 +1323,68 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q158/q164: long documents (beyond any fixed oracle explode cap) " +
+      "match the length-derived in-memory expectation") {
+    // Regression pin for the r7 oracle fix: the pre-fix oracle SQL capped
+    // the window/segment explode at range(0, 256) (q158) and
+    // range(0, 4096) (q164), silently truncating docs past 1032 / 32768
+    // tokens. The fixture's 33k-token document exceeds BOTH old caps, so
+    // this test fails on the pre-fix bounds and pins the length-derived
+    // ones. The expectation is computed independently in memory with the
+    // same stride arithmetic the oracle SQL now encodes.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_longdoc_").toString
+    try {
+      // shared 8-token prefix => segment 0 is boilerplate (df = 3 >= 3)
+      val prefix = (1 to 8).map(i => s"pre$i")
+      val docs = Seq(
+        (1L, prefix ++ (9 to 33000).map(i => s"t$i")), // 33000 tokens
+        (2L, prefix),                                  // exactly one segment
+        (3L, prefix ++ (9 to 20).map(i => s"u$i")))    // 20 tokens
+      spark.createDataFrame(docs.map { case (id, ts) =>
+        (id, ts.mkString(" "), "en", "synthetic", ts.mkString(" ").length.toLong)
+      }).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+
+      // q158: context windows, CtxLen 8 / stride 4 / target = next token
+      val winRows = SparkEntry.queries("q158_context_windows")(spark, tmp)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("win_id"),
+          r.getAs[String]("context"), r.getAs[String]("target")))
+      val winExpect = docs.flatMap { case (id, ts) =>
+        val n = ts.length
+        if (n < 9) Seq.empty
+        else (0 to (n - 9) / 4).map { w =>
+          (id, w, ts.slice(w * 4, w * 4 + 8).mkString(" "), ts(w * 4 + 8))
+        }
+      }
+      assert(winExpect.exists(_._2 > 4096), "fixture must out-run the old caps")
+      assert(winRows.toSeq == winExpect.sortBy(r => (r._1, r._2)),
+        s"q158 windows diverge (got ${winRows.length}, want ${winExpect.length})")
+
+      // q164: disjoint 8-token segments, boiler = segment text in >= 3 docs
+      val segOf = (ts: Seq[String]) =>
+        (0 until ts.length / 8).map(i => ts.slice(i * 8, i * 8 + 8).mkString(" "))
+      val segDf = docs.flatMap { case (id, ts) => segOf(ts).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val boilRows = SparkEntry.queries("q164_boilerplate_segments")(spark, tmp)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_segments"), r.getAs[Long]("n_boiler"),
+          r.getAs[Long]("cleaned_tokens")))
+      val boilExpect = docs.map { case (id, ts) =>
+        val segs = segOf(ts)
+        val nb = segs.count(s => segDf(s) >= 3).toLong
+        (id, ts.length.toLong, segs.length.toLong, nb, ts.length - 8L * nb)
+      }
+      assert(boilExpect.exists(_._3 > 4096), "fixture must out-run the old caps")
+      assert(boilRows.toSeq == boilExpect.sortBy(_._1),
+        s"q164 segment audit diverges: got ${boilRows.toSeq.take(3)}...")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==

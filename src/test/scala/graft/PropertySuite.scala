@@ -166,6 +166,34 @@ class PropertySuite extends AnyFunSuite {
     }, cases = 5)
   }
 
+  test("stratifiedKFold: strata containing the '|' separator keep exact balance") {
+    // Regression pin for the r7 md5-prefix fix: raw `stratum|id` rank keys
+    // let strata like {"a", "a|b"} interleave in the global token order
+    // ("a|b|..." sorts between "a|..." keys), silently breaking the
+    // ≤1-difference fold balance. The md5 fixed-width stratum prefix keeps
+    // every stratum contiguous for ANY value. Adversarial strata chosen so the
+    // raw keying demonstrably interleaves; sizes not divisible by k so
+    // balance is the strict ±1 kind.
+    import spark.implicits._
+    val strata = Seq("a" -> 11, "a|b" -> 7, "a|b|c" -> 9, "|" -> 5, "" -> 4)
+    val rows = strata.zipWithIndex.flatMap { case ((s, n), si) =>
+      (0 until n).map(i => (s, (si * 1000 + i).toLong))
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val folded = Graft.stratifiedKFold(rows.toDF("grp", "id"), "grp", col("id"), k)
+        .collect().map(r => (r.getString(0), r.getAs[Long]("fold")))
+      assert(folded.length == rows.length, s"k=$k: rows lost")
+      for ((s, n) <- strata) {
+        val fs = folded.filter(_._1 == s).map(_._2)
+        assert(fs.length == n, s"k=$k stratum '$s': wrong row count")
+        assert(fs.forall(f => f >= 0 && f < k), s"k=$k stratum '$s': fold range")
+        val counts = (0L until k).map(f => fs.count(_ == f))
+        assert(counts.max - counts.min <= 1,
+          s"k=$k stratum '$s' unbalanced: $counts (the pre-r7 raw '|' keying fails here)")
+      }
+    }
+  }
+
   test("cohensKappa matches the in-memory closed form on arbitrary label pairs") {
     import spark.implicits._
     val gen = Gen.chooseNum(2, 40).flatMap(n => Gen.listOfN(n,

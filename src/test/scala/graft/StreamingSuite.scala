@@ -160,6 +160,42 @@ class StreamingSuite extends AnyFunSuite {
     assert(got.contains((1L, "click", "view"))) // the cross-batch transition
   }
 
+  test("streaming linear attribution equals the q176 batch semantics on the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // user 1: purchase at minute 65 credits the batch-1 clicks at minutes
+    // 5 (exactly 1 h before — closed lower end) and 20, but NOT minute 4
+    // (61 min); the minute-70 purchase shares its instant with a click
+    // (closed upper end — the same-µs click counts). user 2 is organic.
+    val batches = Seq(
+      Seq(Event(1, ts(4), 1, "click", 0.0), Event(2, ts(5), 1, "click", 0.0),
+        Event(3, ts(20), 1, "click", 0.0)),
+      Seq(Event(4, ts(65), 1, "purchase", 10.0), Event(5, ts(10), 2, "purchase", 3.0)),
+      Seq(Event(6, ts(70), 1, "click", 0.0), Event(7, ts(70), 1, "purchase", 5.0),
+        Event(8, ts(75), 2, "view", 0.0)))
+    val rows = runBatches(stream,
+      StreamOps.linearAttribution(stream.toDS()).toDF(), "linattr_par", batches)
+    val got = rows.map(r => r.getAs[Long]("event_id") ->
+      (r.getAs[Long]("n_touches"),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getAs[Boolean]("organic"))).toMap
+    // reference: the q176 batch RANGE-frame rule applied in-memory
+    val all = batches.flatten
+    val expect = all.filter(_.event_type == "purchase").map { p =>
+      val t = p.ts.getTime * 1000
+      val n = all.count(e => e.user_id == p.user_id && e.event_type == "click" &&
+        e.ts.getTime * 1000 >= t - 3600L * 1000000L && e.ts.getTime * 1000 <= t).toLong
+      p.event_id -> (n,
+        if (n > 0) Some(math.floor(1.0 / n * 1e6 + 0.5) / 1e6) else None,
+        n == 0)
+    }.toMap
+    assert(got == expect, s"got $got want $expect")
+    assert(got(4L)._1 == 2L, "cross-batch credit (batch-1 clicks, batch-2 purchase)")
+    assert(got(7L)._1 == 2L, "same-instant click must count (closed upper end)")
+    assert(got(5L)._3, "user 2 purchase is organic")
+  }
+
   test("custom sessionize assigns ids on 30-minute gaps across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
