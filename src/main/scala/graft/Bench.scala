@@ -62,6 +62,14 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .orElse(sys.env.get("SPARK_GRAFT_REPEAT")).map(_.toInt).getOrElse(3)
     var qIdx = 0
+    // queries with ≥1 failed rep — a failure MUST be loud (VERDICT r8
+    // item 2: the old `catch => -1L` recorded 30 analysis-failure
+    // latencies as timings and a whole-family breakage sailed through
+    // invisibly). Failed queries still contribute their (meaningless)
+    // elapsed time so the line format stays stable, but every failed rep
+    // streams an "err" field and the summary carries "failed": N — the
+    // driver-read line — so a nonzero count can't be missed.
+    val failedQueries = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.map { case (name, fn) =>
       // a concurrent GC cycle every 15 queries keeps old-gen debris from
       // earlier queries out of later queries' timings
@@ -69,13 +77,20 @@ object Bench {
       if (qIdx % 15 == 0) System.gc()
       val times = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
+        err.foreach { _ => failedQueries += name }
         // drop session state a query may have left behind (localCheckpoint
         // RDDs, temp-view caches) BEFORE the next timing starts — blocking,
         // so freed blocks can't linger into the next query's GC pressure
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        if (reps > 1) println(s"""{"query":"$name","rep":$rep,"sec":${r3(dt)}}""")
+        val errField = err.map(m => s""","err":"$m"""").getOrElse("")
+        if (reps > 1 || err.isDefined)
+          println(s"""{"query":"$name","rep":$rep,"sec":${r3(dt)}$errField}""")
         dt
       }
       // true median for even rep counts too (mean of the two middles) —
@@ -104,7 +119,16 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val hostCpus = Runtime.getRuntime.availableProcessors
-    val telemetry = s""""load":${r3(loadAvg)},"cpus":$hostCpus"""
+    // "failed" makes a broken query IMPOSSIBLE to mistake for a fast one:
+    // the summary total is only comparable round-over-round when
+    // failed == 0 (a failed query's "timing" is its time-to-throw). The
+    // name list is capped at 5 so the contractual final line stays inside
+    // the driver's ~4 KB stdout-tail window even under mass breakage;
+    // the full set is visible in the per-rep "err" lines above.
+    val failedField =
+      s""""failed":${failedQueries.size},"failed_queries":${
+        failedQueries.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val telemetry = s""""load":${r3(loadAvg)},"cpus":$hostCpus,$failedField"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,$telemetry,"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

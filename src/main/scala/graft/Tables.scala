@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Central table loader (SURVEY.md §7.1 M0).
   *
@@ -26,10 +26,48 @@ object Tables {
 
   /** Read one table from `sfDir`. Sets the nanos conf on every call —
     * cheap, idempotent, and guarantees any session we are handed can read
-    * `events`. */
+    * a legacy TIMESTAMP(NANOS) `events` file. Session timezone is pinned
+    * to UTC so the TIMESTAMP_NTZ → epoch-µs canonicalization in [[events]]
+    * is deterministic on any box (the oracle's `epoch_ns` on a naive
+    * TIMESTAMP is naive-as-UTC; both sides must agree). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Canonical events accessor — the ONLY way event-time consumers read
+    * the table. The driver has shipped `ts` under two different physical
+    * encodings so far (round 1–7: `timestamp[ns]`, surfacing as BIGINT
+    * nanos via `nanosAsLong`; round 8+: `timestamp[us]`, surfacing as
+    * TIMESTAMP_NTZ, on which `nanosAsLong` no-ops). Rather than hard-code
+    * either, this inspects the loaded dtype and exposes ONE canonical
+    * column `ts_us: BIGINT` = microseconds since epoch — identical values
+    * under both encodings — replacing raw `ts` so no query can
+    * accidentally depend on the physical type again. Oracle SQL is
+    * unaffected: DuckDB's `epoch_ns(ts)` accepts a plain TIMESTAMP.
+    *
+    * Scale notes: the projection is narrow and codegen'd (a cast/div on
+    * the scan output); pushdown and pruning on the remaining columns are
+    * untouched.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = apply(spark, sfDir, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-bigint: ns → µs
+        expr("ts DIV 1000")
+      case TimestampNTZType | TimestampType =>
+        // UTC session tz (set in apply) makes the NTZ→TIMESTAMP cast the
+        // identity attachment, so unix_micros yields naive-as-UTC µs —
+        // the same value DuckDB's epoch_ns(ts)//1000 computes.
+        expr("unix_micros(CAST(ts AS TIMESTAMP))")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other — " +
+            "extend Tables.events for the new physical encoding")
+    }
+    raw.withColumn("ts_us", tsUs.cast(LongType)).drop("ts")
   }
 
   /** Cast to the mandated DECIMAL(18,4) intermediate for any double that
@@ -65,6 +103,69 @@ object Tables {
   def meanD(sum: Column, cnt: Column): Column = r6(sum.cast("double") / cnt)
   def meanDSql(sum: String, cnt: String): String =
     r6sql(s"CAST($sum AS DOUBLE) / $cnt")
+
+  /** Schema-drift tripwire (VERDICT r8 item 3): the round-8 testdata
+    * regeneration silently flipped `events.ts` from timestamp[ns] to
+    * timestamp[us] and broke 30 queries, detectable only by cross-artifact
+    * forensics. This is the cheap guard: the expected LOGICAL schema of
+    * every table as Spark loads it (`dataType.simpleString`), with the
+    * known-legitimate variants for `events.ts` (bigint = legacy ns under
+    * `nanosAsLong`; timestamp_ntz/timestamp = µs encodings, both
+    * canonicalized by [[events]]). SchemaSuite asserts [[verifySchemas]]
+    * returns empty on every run, so the NEXT regeneration fails with one
+    * readable message naming the drifted column instead of 30 analysis
+    * errors. */
+  private val expectedSchemas: Map[String, Seq[(String, Set[String])]] = {
+    def one(pairs: (String, String)*): Seq[(String, Set[String])] =
+      pairs.map { case (n, t) => n -> Set(t) }
+    Map(
+      "region" -> one("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> one("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> one("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      "supplier" -> one("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> one("p_partkey" -> "bigint", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> one("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+      "lineitem" -> one("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+        "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp_ntz"),
+      "events" -> Seq(
+        "event_id" -> Set("bigint"),
+        "ts" -> Set("bigint", "timestamp_ntz", "timestamp"),
+        "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+        "value" -> Set("double"), "props" -> Set("string")),
+      "documents" -> one("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> one("vec_id" -> "bigint", "embedding" -> "array<float>",
+        "label" -> "int"))
+  }
+
+  /** Check every table under `sfDir` against [[expectedSchemas]]; returns
+    * one human-readable message per drifted/missing/extra column (empty =
+    * no drift). Metadata-only — reads parquet footers, never data. */
+  def verifySchemas(spark: SparkSession, sfDir: String): Seq[String] =
+    names.flatMap { name =>
+      val actual = apply(spark, sfDir, name).schema
+        .map(f => f.name -> f.dataType.simpleString)
+      val expected = expectedSchemas(name)
+      val actualM = actual.toMap
+      val missing = expected.collect { case (n, _) if !actualM.contains(n) =>
+        s"$name.$n: MISSING (driver dropped or renamed the column)" }
+      val extra = actual.collect { case (n, t) if !expected.exists(_._1 == n) =>
+        s"$name.$n: UNEXPECTED new column of type $t" }
+      val drifted = expected.collect {
+        case (n, ok) if actualM.contains(n) && !ok(actualM(n)) =>
+          s"$name.$n: type drifted to ${actualM(n)} (expected one of ${ok.mkString("/")})" }
+      missing ++ extra ++ drifted
+    }
 
   /** Register `name` as a temp view over `sfDir` and return it — for the
     * operators exercised through `spark.sql` (GROUPING SETS etc.). */

@@ -74,14 +74,14 @@ object Joins {
   }
 
   /** q09: non-equi interval self-join — event pairs of the same user where
-    * e2 falls within 5 minutes after e1. Event time is truncated to
-    * MICROSECONDS (`ts DIV 1000`) because DuckDB 1.0.0 truncates parquet
-    * TIMESTAMP_NS to µs at scan time — both engines must compare the same
-    * values. The user_id equi-key keeps this a shuffled equi-join with a
-    * range residual, NOT a nested-loop — essential at scale. */
+    * e2 falls within 5 minutes after e1. Event time is the canonical µs
+    * `ts_us` (Tables.events) — both engines compare the same values
+    * whatever the parquet physical encoding. The user_id equi-key keeps
+    * this a shuffled equi-join with a range residual, NOT a nested-loop —
+    * essential at scale. */
   private def q09(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
     val a = e.toDF("id1", "u1", "ts1")
     val b = e.toDF("id2", "u2", "ts2")
     a.join(b, col("u1") === col("u2") &&
@@ -93,14 +93,13 @@ object Joins {
   }
 
   /** q10: as-of join — each purchase ↦ most recent prior signup ts of that
-    * user, in µs (DuckDB ns truncation — see q09). Window formulation: one
-    * shuffle on user_id, no join explosion. */
+    * user, in canonical µs (see q09). Window formulation: one shuffle on
+    * user_id, no join explosion. */
   private def q10(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.events(spark, sfDir)
       .withColumn("last_signup_us",
         max(when(col("event_type") === "signup", col("ts_us"))).over(w))
       .filter(col("event_type") === "purchase")

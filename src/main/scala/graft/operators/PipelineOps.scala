@@ -331,9 +331,9 @@ object PipelineOps {
   private def q137(spark: SparkSession, sfDir: String): DataFrame = {
     // rfm feeds both the cut-point aggregate and the scoring pass —
     // materialize once (q120 barrier precedent), halving the events scan
-    val rfm = Tables(spark, sfDir, "events")
+    val rfm = Tables.events(spark, sfDir)
       .groupBy("user_id")
-      .agg(max(expr("ts DIV 1000")).as("last_us"),
+      .agg(max(col("ts_us")).as("last_us"),
         count(lit(1)).as("freq"),
         Tables.r6(sum(dec(col("value"))).cast("double")).as("monetary"))
       .localCheckpoint(true)

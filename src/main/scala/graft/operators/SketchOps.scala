@@ -36,8 +36,8 @@ object SketchOps {
     * one row per day with the daily estimate and the shared
     * merged-global estimate. */
   private def q111(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables(spark, sfDir, "events")
-      .withColumn("day", expr(s"(ts DIV 1000) DIV $usPerDay"))
+    val daily = Tables.events(spark, sfDir)
+      .withColumn("day", expr(s"ts_us DIV $usPerDay"))
       .groupBy("day")
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     val global = daily.agg(

@@ -69,10 +69,10 @@ object StatsOps {
     * Scale: one hour×type aggregation (calendar-bounded), then a keyed
     * window whose frame is 12 rows — constant state per partition. */
   private def q155(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables(spark, sfDir, "events")
+    val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"),
-        expr("ts DIV 3600000000000").as("hr")) // exact int div (ns → hr);
-        // the double-division form loses exactness past 2^53 ns
+        expr("ts_us DIV 3600000000").as("hr")) // exact int div (µs → hr);
+        // the double-division form loses exactness past 2^53
       .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
     val w = Window.partitionBy("event_type").orderBy("hr")
     val num = EwmaDecay.zipWithIndex.map { case (wt, k) =>
@@ -160,9 +160,9 @@ object StatsOps {
     * Scale: ONE (type × 24)-bounded cell shuffle; the per-type totals
     * derive from the SAME cell frame — the corpus never moves twice. */
   private def q163(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = Tables(spark, sfDir, "events")
+    val cells = Tables.events(spark, sfDir)
       .groupBy(col("event_type"),
-        expr("(ts DIV 3600000000000) % 24").as("hod"))
+        expr("(ts_us DIV 3600000000) % 24").as("hod"))
       .agg(count(lit(1)).as("n"), Tables.dec(sum(Tables.dec(col("value")))).as("sv"))
       .localCheckpoint(true) // cells and the per-type rollup both read it
     val totals = cells.groupBy("event_type")
@@ -222,8 +222,8 @@ object StatsOps {
     * window over the daily frame, one rank over the same frame —
     * nothing rescans raw events. */
   private def q172(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables(spark, sfDir, "events")
-      .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
       .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
       .localCheckpoint(true) // calendar-bounded; totals + scoring share one pass
     val tot = daily.groupBy(col("event_type").as("et"))

@@ -6,9 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming/time-series semantics in batch form (SURVEY.md §2.8,
-  * q56–q59). Event time is µs since epoch (`ts DIV 1000` — see
-  * Joins.q09 on DuckDB's ns truncation); all bucketing is pure int64
-  * arithmetic.
+  * q56–q59). Event time is the canonical `ts_us` column — µs since epoch
+  * regardless of the parquet physical encoding (Tables.events); all
+  * bucketing is pure int64 arithmetic.
   *
   * These four queries prove tumbling/sliding/session/dedup semantics
   * against the DuckDB oracle; the SAME semantics run on the real
@@ -31,8 +31,8 @@ object TimeSeries {
 
   /** q56: tumbling 1-hour window — count + DECIMAL sum per (hour, type). */
   private def q56(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "events")
-      .withColumn("hour_bucket", expr(s"(ts DIV 1000) DIV $usPerHour"))
+    Tables.events(spark, sfDir)
+      .withColumn("hour_bucket", expr(s"ts_us DIV $usPerHour"))
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("cnt"),
         // DECIMAL sum internally, r6 DOUBLE on the wire (see Joins.q05)
@@ -44,8 +44,8 @@ object TimeSeries {
     * (explode(sequence) = the Generator path), then a tumbling-style agg
     * on the window index. */
   private def q57(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "events")
-      .withColumn("w15", expr(s"(ts DIV 1000) DIV $usPer15Min"))
+    Tables.events(spark, sfDir)
+      .withColumn("w15", expr(s"ts_us DIV $usPer15Min"))
       .withColumn("i", explode(sequence(lit(0), lit(3))))
       .withColumn("win_id", col("w15") - col("i"))
       .groupBy("win_id")
@@ -59,8 +59,7 @@ object TimeSeries {
     * running count of session starts (lag + cumulative sum, one shuffle). */
   private def q58(spark: SparkSession, sfDir: String): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.events(spark, sfDir)
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(wOrd))
       .withColumn("new_sess",
         when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > usPer15Min * 2, 1L)
@@ -77,9 +76,8 @@ object TimeSeries {
   private def q59(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "minute_bucket")
       .orderBy(col("ts_us").desc, col("event_id").desc)
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("minute_bucket", expr(s"(ts DIV 1000) DIV $usPerMinute"))
+    Tables.events(spark, sfDir)
+      .withColumn("minute_bucket", expr(s"ts_us DIV $usPerMinute"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "minute_bucket", "event_id", "ts_us")
@@ -96,8 +94,8 @@ object TimeSeries {
     * end = last event + gap, new session when gap ≥ 30 min (Spark's
     * half-open [start, end) merge rule, mirrored in the oracle). */
   private def q94(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "events")
-      .withColumn("t", expr("timestamp_micros(ts DIV 1000)"))
+    Tables.events(spark, sfDir)
+      .withColumn("t", expr("timestamp_micros(ts_us)"))
       .groupBy(session_window(col("t"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("cnt"),
         Tables.r6(sum(dec(col("value"))).cast("double")).as("sum_value"))
@@ -115,8 +113,8 @@ object TimeSeries {
     * joins with no re-shuffle between stages; partial funnels kept via
     * left joins. */
   private def q86(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables(spark, sfDir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
     val c = ev.filter(col("event_type") === "click")
       .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
     val v = ev.filter(col("event_type") === "view")
@@ -140,8 +138,8 @@ object TimeSeries {
     * gap-fill plan (no driver-side calendar, no cross join against a
     * global date dimension). */
   private def q87(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = Tables(spark, sfDir, "events")
-      .withColumn("db", expr(s"(ts DIV 1000) DIV $usPerDay"))
+    val agg = Tables.events(spark, sfDir)
+      .withColumn("db", expr(s"ts_us DIV $usPerDay"))
       .groupBy("user_id", "db")
       .agg(count(lit(1)).as("cnt"),
         Tables.r6(sum(dec(col("value"))).cast("double")).as("day_value"))
@@ -166,8 +164,7 @@ object TimeSeries {
     * handles per-user skew. */
   private def q99(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    val changes = Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val changes = Tables.events(spark, sfDir)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
     changes
@@ -211,9 +208,9 @@ object TimeSeries {
   }
 
   private def q107(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables(spark, sfDir, "events")
+    val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"),
-        expr("ts DIV 1000").as("ts_us"))
+        col("ts_us"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -249,8 +246,8 @@ object TimeSeries {
 
   private def q108(spark: SparkSession, sfDir: String): DataFrame = {
     slidingDistinctOf(
-      Tables(spark, sfDir, "events")
-        .select(col("user_id").as("key"), expr(s"(ts DIV 1000) DIV $usPer10Min").as("bkt")),
+      Tables.events(spark, sfDir)
+        .select(col("user_id").as("key"), expr(s"ts_us DIV $usPer10Min").as("bkt")),
       windowBuckets = 6)
       .select(col("wb"), col("active").as("active_users"))
       .orderBy("wb")
@@ -270,9 +267,8 @@ object TimeSeries {
     val wf = Window.partitionBy("event_type", "hour_bucket")
       .orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("hour_bucket", expr(s"(ts DIV 1000) DIV $usPerHour"))
+    Tables.events(spark, sfDir)
+      .withColumn("hour_bucket", expr(s"ts_us DIV $usPerHour"))
       .withColumn("open", first(col("value")).over(wf))
       .withColumn("close", last(col("value")).over(wf))
       .groupBy("event_type", "hour_bucket")
@@ -297,8 +293,7 @@ object TimeSeries {
     * bit. One shuffle on user_id shared by the window and the agg. */
   private def q122(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.events(spark, sfDir)
       .withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
       .groupBy("user_id")
       .agg(
@@ -323,8 +318,7 @@ object TimeSeries {
     * compose as more leads; gap-tolerant patterns are q86's shape. */
   private def q126(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
         lead(col("event_type"), 1).over(w).as("t1"),
         lead(col("event_type"), 2).over(w).as("t2"),
@@ -344,8 +338,8 @@ object TimeSeries {
     * — everything keyed on user or the bounded (cohort, offset) grid;
     * retention never touches raw-event cardinality after the dedup. */
   private def q135(spark: SparkSession, sfDir: String): DataFrame = {
-    val weeks = Tables(spark, sfDir, "events")
-      .select(col("user_id"), expr(s"(ts DIV 1000) DIV ${usPerDay * 7}").as("week"))
+    val weeks = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_us DIV ${usPerDay * 7}").as("week"))
       .distinct()
     val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     weeks.join(cohorts, "user_id")
@@ -372,8 +366,8 @@ object TimeSeries {
     * calendar-time baseline instead densifies the hourly grid first
     * (q87's gap-fill pattern) so empty hours contribute zero counts. */
   private def q138(spark: SparkSession, sfDir: String): DataFrame = {
-    val hourly = Tables(spark, sfDir, "events")
-      .withColumn("hb", expr(s"(ts DIV 1000) DIV $usPerHour"))
+    val hourly = Tables.events(spark, sfDir)
+      .withColumn("hb", expr(s"ts_us DIV $usPerHour"))
       .groupBy("event_type", "hb")
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("event_type").orderBy("hb").rowsBetween(-24, -1)
@@ -406,8 +400,8 @@ object TimeSeries {
   private def q144(spark: SparkSession, sfDir: String): DataFrame = {
     // delegates to the facade primitive (q120→pageRank convention): ONE
     // copy of the running-frame semantics, oracle-verified through here
-    val ev = Tables(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
         when(col("event_type") =!= "view", col("value")).as("v_sparse"))
     graft.Graft.locfBackfill(ev, col("user_id"), col("ts_us"), col("event_id"),
         col("v_sparse"), "v")
@@ -428,8 +422,8 @@ object TimeSeries {
   private def q145(spark: SparkSession, sfDir: String): DataFrame = {
     // delegates to the facade primitive (q120→pageRank convention): ONE
     // copy of the lookback-gated LOCF pick, oracle-verified through here
-    val ev = Tables(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"),
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
         col("event_type"), col("value"))
     graft.Graft.lastTouchAttribution(ev, col("user_id"), col("ts_us"), col("event_id"),
         touch = col("event_type") === "click",
@@ -452,8 +446,8 @@ object TimeSeries {
     * the final ordering ties broken by the journey string itself. */
   private def q146(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    Tables(spark, sfDir, "events")
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"),
         col("event_id"), col("event_type"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -480,8 +474,7 @@ object TimeSeries {
     * long tail before the output sort. */
   private def q171(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type").as("step_a"),
         lead(col("event_type"), 1).over(w).as("step_b"))
       .filter(col("step_b").isNotNull)
@@ -505,8 +498,7 @@ object TimeSeries {
   private def q176(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us")
       .rangeBetween(-usPerHour, 0)
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
         count(when(col("event_type") === "click", 1)).over(w).as("n_touches"))
       .filter(col("event_type") === "purchase")
@@ -528,8 +520,8 @@ object TimeSeries {
     * once for the three step projections; the quantile passes run over
     * the bounded (step, gap) frame. */
   private def q177(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables(spark, sfDir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
     val c = ev.filter(col("event_type") === "click")
       .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
     val v = ev.filter(col("event_type") === "view")

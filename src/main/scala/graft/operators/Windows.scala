@@ -44,12 +44,11 @@ object Windows {
       .orderBy("p_brand", "p_partkey")
   }
 
-  /** q22: lag/lead — per-user Δt to previous event in µs (DuckDB ns
-    * truncation — see Joins.q09). */
+  /** q22: lag/lead — per-user Δt to previous event in canonical µs
+    * (Tables.events — see Joins.q09). */
   private def q22(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts_us"),
         (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("delta_us"),
         lead(col("event_id"), 1).over(w).as("next_event_id"))
@@ -99,8 +98,7 @@ object Windows {
   private def q103(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us")
       .rangeBetween(-600000000L, 0)
-    Tables(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts_us"),
         count(lit(1)).over(w).as("n_10min"),
         Tables.r6(sum(dec(col("value"))).over(w).cast("double")).as("sum_10min"))

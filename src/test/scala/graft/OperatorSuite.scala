@@ -144,9 +144,9 @@ class OperatorSuite extends AnyFunSuite {
     val sess = SparkEntry.queries("q58_stream_session")(spark, sf)
     val nSessions = sess.groupBy("user_id")
       .agg(max("session_id").as("m")).agg(sum("m")).collect()(0).getLong(0)
-    val ev = Tables(spark, sf, "events")
+    val ev = Tables.events(spark, sf)
     val nUsers = ev.select("user_id").distinct().count()
-    val gaps = ev.selectExpr("user_id", "ts DIV 1000 AS t")
+    val gaps = ev.selectExpr("user_id", "ts_us AS t")
       .withColumn("prev", expr(
         "lag(t, 1) over (partition by user_id order by t, user_id)"))
       .filter(col("prev").isNotNull && col("t") - col("prev") > 1800000000L)
@@ -163,8 +163,7 @@ class OperatorSuite extends AnyFunSuite {
     // false invariant on any corpus with an exact 30-minute gap.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    val derived = Tables(spark, sf, "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val derived = Tables.events(spark, sf)
       .withColumn("prev", lag(col("ts_us"), 1).over(w))
       .withColumn("ns", when(col("prev").isNull ||
         col("ts_us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
@@ -456,7 +455,7 @@ class OperatorSuite extends AnyFunSuite {
   test("q122 TWA sits within each user's [min,max] value envelope") {
     val twa = SparkEntry.queries("q122_time_weighted_avg")(spark, sf).collect()
     assert(twa.nonEmpty)
-    val env = Tables(spark, sf, "events").groupBy("user_id")
+    val env = Tables.events(spark, sf).groupBy("user_id")
       .agg(org.apache.spark.sql.functions.min("value").as("lo"),
         org.apache.spark.sql.functions.max("value").as("hi"))
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
@@ -505,8 +504,8 @@ class OperatorSuite extends AnyFunSuite {
   test("q126 pattern matches are exactly the consecutive click-view-purchase triples") {
     val got = SparkEntry.queries("q126_event_pattern")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getAs[Long]("start_event"))).toSet
-    val want = Tables(spark, sf, "events")
-      .selectExpr("user_id", "event_id", "event_type", "ts DIV 1000 AS t")
+    val want = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts_us AS t")
       .collect()
       .groupBy(_.getLong(0))
       .flatMap { case (_, rs) =>
@@ -605,7 +604,7 @@ class OperatorSuite extends AnyFunSuite {
 
   test("q136 A/B arms partition the users; rates in [0,1]; q137 scores in 1..5") {
     val ab = SparkEntry.queries("q136_ab_test")(spark, sf).head()
-    val nUsers = Tables(spark, sf, "events").select("user_id").distinct().count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(ab.getAs[Long]("n_a") + ab.getAs[Long]("n_b") == nUsers)
     assert(ab.getAs[Long]("conv_a") <= ab.getAs[Long]("n_a"))
     assert(ab.getAs[Long]("conv_b") <= ab.getAs[Long]("n_b"))
@@ -673,7 +672,7 @@ class OperatorSuite extends AnyFunSuite {
     }
     // volumes sum to the whole-table sum (same r6/decimal path as q56)
     val volSum = bars.map(_.getAs[Double]("volume")).sum
-    val direct = Tables(spark, sf, "events")
+    val direct = Tables.events(spark, sf)
       .agg(Tables.r6(org.apache.spark.sql.functions.sum(
         Tables.dec(org.apache.spark.sql.functions.col("value"))).cast("double")))
       .collect()(0).getDouble(0)
@@ -719,9 +718,9 @@ class OperatorSuite extends AnyFunSuite {
   test("q145 attribution: same-user prior click, gap within lookback") {
     val rows = SparkEntry.queries("q145_attribution_last_touch")(spark, sf).collect()
     assert(rows.nonEmpty)
-    val ev = Tables(spark, sf, "events")
+    val ev = Tables.events(spark, sf)
     val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
-      .selectExpr("event_id", "user_id", "ts DIV 1000 AS ts_us").collect()
+      .selectExpr("event_id", "user_id", "ts_us").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     rows.foreach { r =>
       if (!r.isNullAt(3)) {
@@ -742,7 +741,7 @@ class OperatorSuite extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.nonEmpty)
     // journeys partition the user base
-    val nUsers = Tables(spark, sf, "events").select("user_id").distinct().count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
     // at most 5 steps; every step is a real event type
     val types = Set("click", "view", "purchase", "signup", "error")
@@ -835,8 +834,8 @@ class OperatorSuite extends AnyFunSuite {
 
   test("q144 LOCF backfill: non-gap rows keep their value, gaps take the prior one") {
     val rows = SparkEntry.queries("q144_ts_backfill")(spark, sf).collect()
-    val raw = Tables(spark, sf, "events")
-      .selectExpr("event_id", "user_id", "ts DIV 1000 AS ts_us", "event_type", "value")
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "ts_us", "event_type", "value")
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
       .toMap
@@ -877,7 +876,7 @@ class OperatorSuite extends AnyFunSuite {
     def md5hex(s: String) = MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
-    val pairs = Tables(spark, sf, "events")
+    val pairs = Tables.events(spark, sf)
       .select("user_id", "event_type").distinct().collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val clamped = pairs.groupBy(_._1).values.flatMap { ps =>
@@ -1034,7 +1033,7 @@ class OperatorSuite extends AnyFunSuite {
 
   test("q163 seasonal profile: cells reconcile with events; index recomputes") {
     val rows = SparkEntry.queries("q163_ts_seasonal")(spark, sf).collect()
-    assert(rows.map(_.getAs[Long]("n")).sum == Tables(spark, sf, "events").count())
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
     rows.foreach { r =>
       assert(r.getAs[Long]("hod") >= 0L && r.getAs[Long]("hod") < 24L)
       // seasonal index ≈ mean_v / type_mean (both r6-quantized separately,
@@ -1166,8 +1165,8 @@ class OperatorSuite extends AnyFunSuite {
   test("q171 sequence mining: transitions recompute from in-memory sequences") {
     val rows = SparkEntry.queries("q171_seq_mining")(spark, sf).collect()
     assert(rows.nonEmpty)
-    val seqs = Tables(spark, sf, "events")
-      .selectExpr("user_id", "ts DIV 1000 AS ts_us", "event_id", "event_type").collect()
+    val seqs = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts_us", "event_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._4).toSeq)
     val trans = seqs.toSeq.flatMap { case (u, s) => s.zip(s.tail).map((u, _)) }
@@ -1188,8 +1187,8 @@ class OperatorSuite extends AnyFunSuite {
   test("q172 CUSUM: changepoint is the argmax of the recomputed deviation series") {
     val rows = SparkEntry.queries("q172_changepoint_cusum")(spark, sf).collect()
     // recompute per type from raw events via exact BigDecimal arithmetic
-    val raw = Tables(spark, sf, "events")
-      .selectExpr("event_type", "ts DIV 86400000000000 AS day", "CAST(value AS DECIMAL(18,4)) AS v")
+    val raw = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts_us DIV 86400000000 AS day", "CAST(value AS DECIMAL(18,4)) AS v")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
     raw.groupBy(_._1).foreach { case (et, evs) =>
       val byDay = evs.groupBy(_._2).view.mapValues(_.map(e => BigDecimal(e._3)).sum)
@@ -1262,8 +1261,8 @@ class OperatorSuite extends AnyFunSuite {
 
   test("q176 linear attribution: touch counts recompute; consistent with q145") {
     val rows = SparkEntry.queries("q176_attribution_linear")(spark, sf).collect()
-    val evs = Tables(spark, sf, "events")
-      .selectExpr("event_id", "user_id", "ts DIV 1000 AS ts_us", "event_type")
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "ts_us", "event_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val purchases = evs.filter(_._4 == "purchase")
     assert(rows.length == purchases.length)

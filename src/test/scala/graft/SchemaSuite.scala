@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-drift tripwire (VERDICT r8 item 3). The driver regenerates
+  * `/root/testdata` between rounds and has already changed a physical
+  * type once (events.ts: timestamp[ns] → timestamp[us]), which surfaced
+  * as 30 opaque analysis failures. This suite turns the next drift into
+  * ONE readable failure naming the exact table.column and the type it
+  * moved to, before any query runs.
+  */
+class SchemaSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sfDir
+
+  test("all 10 tables match the expected logical schema (drift tripwire)") {
+    val drift = Tables.verifySchemas(spark, sf)
+    assert(drift.isEmpty,
+      "TESTDATA SCHEMA DRIFT — the driver regenerated parquet with a new " +
+        "shape; adapt Tables (and FIXTURES.md) before trusting any result:\n  " +
+        drift.mkString("\n  "))
+  }
+
+  test("events canonicalization yields bigint µs under the current encoding") {
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts_us").dataType.simpleString == "bigint")
+    assert(!ev.columns.contains("ts"), "raw ts must not leak past Tables.events")
+    // sanity: values are plausibly µs-since-epoch for the 2024+ corpus
+    // (a ns/ms mix-up would be off by 1000× in one direction or the other)
+    val r = ev.selectExpr("min(ts_us) AS lo", "max(ts_us) AS hi").collect()(0)
+    val us2020 = 1577836800000000L // 2020-01-01 in µs
+    val us2100 = 4102444800000000L // 2100-01-01 in µs
+    assert(r.getLong(0) >= us2020 && r.getLong(1) <= us2100,
+      s"ts_us out of plausible µs range: [${r.getLong(0)}, ${r.getLong(1)}]")
+  }
+}

@@ -16,8 +16,8 @@ class SketchSuite extends AnyFunSuite {
   test("q111 HLL: daily + merged-global estimates within 5% of exact") {
     val rows = SparkEntry.queries("q111_agg_sketch_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
-    val ev = Tables(spark, sf, "events")
-      .withColumn("day", expr("(ts DIV 1000) DIV 86400000000"))
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
     val exactGlobal = ev.select("user_id").distinct().count().toDouble
     val exactDaily = ev.groupBy("day").agg(countDistinct("user_id").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
@@ -53,7 +53,7 @@ class SketchSuite extends AnyFunSuite {
 
   test("q113 Theta: union/intersection estimates match exact set algebra") {
     val row = SparkEntry.queries("q113_agg_sketch_overlap")(spark, sf).head()
-    val ev = Tables(spark, sf, "events")
+    val ev = Tables.events(spark, sf)
     def users(t: String) = ev.filter(col("event_type") === t)
       .select("user_id").distinct().collect().map(_.getLong(0)).toSet
     val (c, p) = (users("click"), users("purchase"))

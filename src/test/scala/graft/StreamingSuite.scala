@@ -299,22 +299,24 @@ class StreamingSuite extends AnyFunSuite {
     val sf = TestSpark.sfDir
     val usPerMinute = 60000000L
     // the REAL events table (10k rows at sf0.001), replayed through the
-    // incremental engine: ns-long event time → µs-precision Timestamp
-    // (Spark truncates ns→µs internally, same truncation as q59's DIV 1000)
-    val evRows = Tables(spark, sf, "events")
-      .selectExpr("event_id", "ts", "user_id", "event_type", "value").collect()
+    // incremental engine: canonical µs event time (Tables.events) →
+    // µs-precision Timestamp — same values q59 buckets in batch
+    val evRows = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value").collect()
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     val events = evRows.map { r =>
-      val ns = r.getLong(1)
-      val t = new Timestamp(ns / 1000000L)
-      t.setNanos((ns % 1000000000L).toInt)
-      Event(r.getLong(0), t, r.getLong(2), r.getString(3), r.getDouble(4))
+      Event(r.getLong(0), usToTs(r.getLong(1)), r.getLong(2), r.getString(3), r.getDouble(4))
     }.toSeq
     // sentinel a day past the data: advances the watermark beyond every
     // real minute window so append mode emits them all; its own window
     // stays open and never reaches the sink (second sentinel batch makes
     // the advanced watermark take effect)
-    val maxNs = evRows.map(_.getLong(1)).max
-    val sentinel = Event(-1L, new Timestamp(maxNs / 1000000L + 86400000L), -1L, "z", 0.0)
+    val maxUs = evRows.map(_.getLong(1)).max
+    val sentinel = Event(-1L, usToTs(maxUs + 86400000000L), -1L, "z", 0.0)
     val stream = MemoryStream[Event]
     val rows = runBatches(stream, StreamOps.latestPerMinute(stream.toDF()), "q59s",
       Seq(events, Seq(sentinel), Seq(sentinel.copy(event_id = -2))))
