@@ -21,6 +21,31 @@ class SchemaSuite extends AnyFunSuite {
         drift.mkString("\n  "))
   }
 
+  test("ts_us is IDENTICAL under the ns and µs physical encodings (driver flip-back safety)") {
+    // two committed fixtures hold the SAME 200 logical rows, one written
+    // timestamp[ns] (rounds 1–7 encoding), one timestamp[us] (round 8+);
+    // Tables.events must canonicalize both to the same bigint µs values —
+    // the property that makes the engine independent of the driver's
+    // parquet writer settings.
+    def dirOf(sub: String): String = {
+      val url = getClass.getResource(s"/$sub/events.parquet")
+      assert(url != null, s"missing test fixture $sub/events.parquet")
+      new java.io.File(url.toURI).getParentFile.getParent + s"/$sub"
+    }
+    val ns = Tables.events(spark, dirOf("events-ns"))
+      .select("event_id", "ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val us = Tables.events(spark, dirOf("events-us"))
+      .select("event_id", "ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ns.size == 200 && us.size == 200)
+    assert(ns == us, {
+      val diff = ns.collect { case (k, v) if us.get(k) != Some(v) =>
+        s"event $k: ns-encoding → $v, µs-encoding → ${us.get(k)}" }
+      s"canonicalization diverges between encodings:\n  ${diff.take(5).mkString("\n  ")}"
+    })
+  }
+
   test("events canonicalization yields bigint µs under the current encoding") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts_us").dataType.simpleString == "bigint")
