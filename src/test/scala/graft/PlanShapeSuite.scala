@@ -82,6 +82,27 @@ class PlanShapeSuite extends AnyFunSuite {
     }
   }
 
+  test("Tables.events keeps column pruning and filter pushdown through ts_us") {
+    // the r9 canonicalization inserts a Project (unix_micros cast / DIV)
+    // between every events consumer and the scan; Catalyst must still
+    // collapse it so a type-filtered, narrow consumer reads ONLY its
+    // columns and the predicate reaches the parquet reader — at 100 TB
+    // this is the difference between scanning 3 columns of the hot set
+    // and scanning the whole table
+    val q = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts_us")
+      .filter(col("event_type") === "click")
+    q.collect()
+    val scanLine = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan parquet"))
+      .getOrElse(fail("no FileScan in events plan"))
+    assert(scanLine.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      s"event_type predicate not pushed through the ts_us projection:\n$scanLine")
+    for (dropped <- Seq("props", "value", "event_id"))
+      assert(!scanLine.toLowerCase.contains(s"$dropped:"),
+        s"untouched column '$dropped' still read by the scan:\n$scanLine")
+  }
+
   test("quantile family plans carry no unbounded Percentile aggregate") {
     // q19/q136/q137/q139 moved off the builtin `percentile` (whose merge
     // buffer holds every distinct group value) onto BoundedQuantiles'
