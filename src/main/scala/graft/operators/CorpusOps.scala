@@ -277,6 +277,45 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** q178: dataset mixture weights — the multilingual-sampling standard
+    * (temperature-scaled source weights, α = 0.5): per source,
+    * w_s = √n_s / Σ√n_j, plus the raw share, the implied up/down-sampling
+    * rate w_s·N/n_s, and the expected document count in a 1000-doc draw.
+    * The knob every mixed-corpus training run turns — α = 1 reproduces raw
+    * proportions, α → 0 approaches uniform; √ keeps head sources from
+    * drowning tail sources without inverting the order.
+    *
+    * Parity: α = 0.5 is computed as `sqrt` (correctly-rounded IEEE on
+    * both engines, unlike a general `pow`), each √n is pinned to
+    * DECIMAL(18,4) before the cross-source Σ (exact, order-free — the
+    * established dec() pattern), and every ratio is one double division
+    * under r6.
+    *
+    * Scale: ONE corpus pass (the source groupBy, map-side combined,
+    * shuffle bounded by source cardinality); the totals fold and the
+    * final projection run on the bounded per-source frame (checkpointed
+    * once, sources × 1 rows). */
+  private def q178(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = Tables(spark, sfDir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // sources-sized; feeds the totals AND the output
+    val tot = bySrc.agg(
+      sum(col("n_docs")).as("n_total"),
+      sum(Tables.dec(sqrt(col("n_docs").cast("double")))).as("sq_sum"))
+    // the unrounded weight feeds three outputs; r6 applies per output
+    val w = Tables.dec(sqrt(col("n_docs").cast("double"))).cast("double") /
+      col("sq_sum").cast("double")
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        Tables.r6(col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("raw_share"),
+        Tables.r6(w).as("weight"),
+        Tables.r6((w * col("n_total").cast("double")) / col("n_docs").cast("double"))
+          .as("sample_rate"),
+        Tables.r6(w * lit(1000.0)).as("exp_docs_1k"))
+      .orderBy("source")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q150_curation_pipeline", q150 _, Some(
       "WITH flagged AS MATERIALIZED (SELECT doc_id, lang, text, n_chars, " +
@@ -354,5 +393,19 @@ object CorpusOps {
           "LN(CAST(((doc_id % 1000003) * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0) " +
             "/ GREATEST(n_chars, 1)") + " AS aes_key " +
         "FROM documents)) WHERE rn <= 5 ORDER BY lang, rn")),
+    Q("q178_dataset_mixture", q178 _, Some {
+      val w = "CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,4)) AS DOUBLE) " +
+        "/ CAST(sq_sum AS DOUBLE)"
+      "WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source), " +
+        "t AS (SELECT SUM(n_docs) AS n_total, " +
+        "SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,4))) AS sq_sum FROM s) " +
+        "SELECT source, n_docs, " +
+        Tables.r6sql("CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)") + " AS raw_share, " +
+        Tables.r6sql(w) + " AS weight, " +
+        Tables.r6sql(s"($w * CAST(n_total AS DOUBLE)) / CAST(n_docs AS DOUBLE)") +
+        " AS sample_rate, " +
+        Tables.r6sql(s"$w * CAST(1000 AS DOUBLE)") + " AS exp_docs_1k " +
+        "FROM s CROSS JOIN t ORDER BY source"
+    }),
   )
 }

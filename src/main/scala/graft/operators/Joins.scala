@@ -270,6 +270,28 @@ object Joins {
       .orderBy("key_col")
   }
 
+  /** q180: dimension-enrichment aggregate — the batch proof of the
+    * stream–static join (StreamOps.enrichStatic runs the SAME shape on
+    * the incremental engine): the events fact stream joined to the
+    * broadcast customer dimension on user_id, aggregated per
+    * (segment, type). The canonical "enrich the stream with a slowly-
+    * changing dim, then aggregate" pipeline stage.
+    *
+    * Scale: the dimension broadcasts (dims are orders of magnitude below
+    * fact volume by construction); the fact side streams through ONE
+    * map-side-combined aggregation whose shuffle is bounded by
+    * segments × types — raw events never shuffle. */
+  private def q180(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Tables(spark, sfDir, "events")
+      .join(broadcast(seg), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+        Tables.r6(sum(Tables.dec(col("value"))).cast("double")).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q04_join_broadcast", q04 _, Some(
       "SELECT r_name, COUNT(*) AS cnt FROM customer " +
@@ -345,5 +367,10 @@ object Joins {
         prof("orders", "o_custkey") + " UNION ALL " +
         prof("events", "user_id") + " ORDER BY key_col"
     }),
+    Q("q180_stream_enrich", q180 _, Some(
+      "SELECT c_mktsegment, event_type, COUNT(*) AS cnt, " +
+        Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_value " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 }

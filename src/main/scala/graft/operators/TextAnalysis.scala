@@ -326,6 +326,39 @@ object TextAnalysis {
       Tables.r6((sy * sxx - sx * sxy) / (n * sxx - sx * sx)).as("intercept"))
   }
 
+  /** q179: vocabulary coverage curve — at each probe size k, the fraction
+    * of ALL token occurrences covered by the k most frequent tokens (the
+    * number a tokenizer/vocab-sizing decision reads off: "how much of the
+    * stream do the top-k types explain"). Probes at k ∈ {5, 10, 20, 40};
+    * a probe beyond the corpus vocabulary emits no row (identically on
+    * both engines).
+    *
+    * Scale: the token count is the standard vocabulary-bounded groupBy;
+    * the head selection is a distributed TakeOrdered (orderBy + LIMIT
+    * under a TOTAL (count desc, token) order — never a full sort), and
+    * the rank/cumsum window runs over the CONSTANT-size head frame
+    * (≤ 40 rows), not the vocabulary — the q48 single-partition-window
+    * concern does not apply to a constant-bounded frame. */
+  private def q179(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocabulary-bounded; feeds the total AND the head
+    val tot = cnt.agg(sum(col("c")).as("n_tok"))
+    val byFreq = Window.orderBy(col("c").desc, col("t"))
+    cnt.orderBy(col("c").desc, col("t")).limit(40)
+      .withColumn("k", row_number().over(byFreq).cast("bigint"))
+      .withColumn("cum_tokens",
+        sum(col("c")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("k").isin(5L, 10L, 20L, 40L))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("cum_tokens"),
+        Tables.r6(col("cum_tokens").cast("double") / col("n_tok").cast("double"))
+          .as("coverage"))
+      .orderBy("k")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q64_text_langid", q64 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
@@ -474,5 +507,16 @@ object TextAnalysis {
         Tables.r6sql(s"($dsy * $dsxx - $dsx * $dsxy) / ($dn * $dsxx - $dsx * $dsx)") +
         " AS intercept FROM sums"
     }),
+    Q("q179_vocab_coverage", q179 _, Some(
+      "WITH cnt AS (SELECT t, COUNT(*) AS c FROM (" +
+        "SELECT unnest(str_split(text, ' ')) AS t FROM documents) " +
+        "WHERE len(t) > 0 GROUP BY t), " +
+        "tot AS (SELECT SUM(c) AS n_tok FROM cnt), " +
+        "r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t) AS BIGINT) AS k, " +
+        "SUM(c) OVER (ORDER BY c DESC, t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+        "FROM cnt) " +
+        "SELECT k, CAST(cum AS BIGINT) AS cum_tokens, " +
+        Tables.r6sql("CAST(cum AS DOUBLE) / CAST(n_tok AS DOUBLE)") + " AS coverage " +
+        "FROM r CROSS JOIN tot WHERE k IN (5, 10, 20, 40) ORDER BY k")),
   )
 }

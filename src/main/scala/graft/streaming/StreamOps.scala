@@ -100,6 +100,21 @@ object StreamOps {
       .select(col("user_id"), col("window.start").as("minute_start"),
         col("last.event_id").as("event_id"), col("last.ts").as("ts"))
 
+  /** Stream–static join (q180's incremental form): enrich the event
+    * stream with the broadcast customer dimension, then a watermarked
+    * tumbling count per (hour, segment, type). The static side is
+    * re-resolvable per micro-batch — the standard slowly-changing-dim
+    * enrichment; state is the windowed aggregate only (the join itself
+    * keeps none). `dim` needs (c_custkey, c_mktsegment). */
+  def enrichStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour_start"), col("c_mktsegment"),
+        col("event_type"), col("cnt"))
+
   /** Stream–stream interval join: each purchase joins the same user's
     * clicks from the preceding hour (click→purchase attribution). Both
     * sides are watermarked and the join condition carries the time bound

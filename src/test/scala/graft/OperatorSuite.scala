@@ -44,7 +44,10 @@ class OperatorSuite extends AnyFunSuite {
       "q165_langid_kappa",       // confusion-matrix (≤36 rows) 1-row folds
       "q166_column_profile",     // five per-column 1-row profile folds
       "q168_dataset_card",       // corpus-total 1-row fold over ≤#langs rows
-      "q175_decile_lift")        // base-rate 1-row fold over the 10 decile rows
+      "q175_decile_lift",        // base-rate 1-row fold over the 10 decile rows
+      "q178_dataset_mixture",    // totals 1-row fold over the ≤#sources rows
+      "q179_vocab_coverage")     // corpus-total 1-row fold + rank window over
+                                 // the constant ≤40-row TakeOrdered head
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution

@@ -53,6 +53,28 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L)))
   }
 
+  test("stream-static enrichment joins the dim and aggregates per closed window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // tiny static dimension: users 1,2 → segments A,B; user 3 unmatched
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val rows = runBatches(stream, StreamOps.enrichStatic(stream.toDF(), dim), "enrich",
+      Seq(
+        Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0),
+          Event(3, ts(30), 2, "view", 3.0), Event(4, ts(40), 3, "view", 4.0)),
+        // watermark-advancers: close hour 0, then the advancer's own hour
+        Seq(Event(5, ts(200), 1, "click", 0.0)),
+        Seq(Event(6, ts(400), 2, "view", 0.0))))
+    val got = rows.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // hour-0 enriched counts: user 1 (SEG_A) 2 clicks, user 2 (SEG_B) 1
+    // view; user 3 has no dim row — inner join drops it
+    assert(got.contains(("SEG_A", "click", 2L)), rows.mkString(", "))
+    assert(got.contains(("SEG_B", "view", 1L)))
+    assert(!got.exists(_._3 == 4L), "unmatched user leaked through the inner join")
+  }
+
   test("stateful dedup keeps first occurrence within watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
