@@ -132,6 +132,49 @@ object NearDup {
       .orderBy("ia", "ib")
   }
 
+  /** q181: incremental ingest dedup — the DAILY shape every standing
+    * corpus runs, distinct from the corpus-internal q49/q50/q150: a new
+    * batch (odd doc_ids) deduplicated AGAINST the standing index (even
+    * doc_ids), never against itself. Exact = content-hash semi-join into
+    * the index; near = the q83 banded SimHash join restricted to
+    * batch×index pairs (by pigeonhole any Hamming-≤3 pair agrees on ≥1
+    * of the 4 bands). Per batch doc: both drop flags + the kept verdict.
+    *
+    * Scale: at 100 TB the index side's (band, key) frame is precomputed
+    * and persisted by the standing pipeline — the daily cost is the
+    * batch-sized fingerprint pass plus two bounded equi-joins (band
+    * buckets cap candidates exactly as in q83); the content-hash
+    * semi-join is index-partitioned and touches no text bytes beyond
+    * hashing. The fingerprint frame is computed ONCE over all docs and
+    * split by parity — mirroring the oracle CTE — so the pipeline stays
+    * one pass. */
+  private def q181(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val exactHit = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(docs.filter(col("doc_id") % 2 === 0)
+        .select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    val banded = simhashDF(spark, sfDir)
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("k", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
+      .localCheckpoint(true) // both join sides read it (the q83 convention)
+    val bat = banded.filter(col("doc_id") % 2 === 1)
+    val idx = banded.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("idx_id"), col("simhash").as("sb"), col("b"), col("k"))
+    val nearHit = bat.join(idx, Seq("b", "k"))
+      .filter(expr("bit_count(simhash ^ sb) <= 3"))
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(exactHit.withColumn("de", lit(true)), Seq("doc_id"), "left")
+      .join(nearHit.withColumn("dn", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("de"), lit(false)).as("dropped_exact"),
+        coalesce(col("dn"), lit(false)).as("dropped_near"),
+        (!coalesce(col("de"), lit(false)) && !coalesce(col("dn"), lit(false))).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** q61: word-trigram Jaccard near-dup via the inverted-index join —
     * pairs sharing ≥3 shingles, scored inter/(|A|+|B|−inter). */
   private def q61(spark: SparkSession, sfDir: String): DataFrame = {
@@ -493,5 +536,20 @@ object NearDup {
         "JOIN embeddings cv ON cand.id_c = cv.vec_id) " +
         "WHERE rn <= 3 ORDER BY id_p, rn"
     }),
+    Q("q181_ingest_dedup", q181 _, Some(
+      simhashSql + ", " +
+        "banded AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 8 AS INT)) & 255 AS k " +
+        "FROM sh CROSS JOIN range(0, 4) r(b)), " +
+        "eh AS (SELECT DISTINCT b.doc_id FROM documents b JOIN documents i " +
+        "ON b.doc_id % 2 = 1 AND i.doc_id % 2 = 0 AND md5(b.text) = md5(i.text)), " +
+        "nh AS (SELECT DISTINCT b1.doc_id FROM banded b1 JOIN banded b2 " +
+        "ON b1.b = b2.b AND b1.k = b2.k AND b1.doc_id % 2 = 1 AND b2.doc_id % 2 = 0 " +
+        "WHERE bit_count(xor(b1.simhash, b2.simhash)) <= 3) " +
+        "SELECT d.doc_id, eh.doc_id IS NOT NULL AS dropped_exact, " +
+        "nh.doc_id IS NOT NULL AS dropped_near, " +
+        "(eh.doc_id IS NULL AND nh.doc_id IS NULL) AS kept " +
+        "FROM documents d LEFT JOIN eh ON d.doc_id = eh.doc_id " +
+        "LEFT JOIN nh ON d.doc_id = nh.doc_id " +
+        "WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id")),
   )
 }

@@ -251,6 +251,26 @@ class OperatorSuite extends AnyFunSuite {
     assert(pairs.toSet == brute.toSet)
   }
 
+  test("q181 ingest dedup: flags consistent; near drops truly have an index twin") {
+    val rows = SparkEntry.queries("q181_ingest_dedup")(spark, sf).collect()
+    assert(rows.length.toLong ==
+      Tables(spark, sf, "documents").filter("doc_id % 2 = 1").count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("kept") ==
+        (!r.getAs[Boolean]("dropped_exact") && !r.getAs[Boolean]("dropped_near")))
+    }
+    // every near-drop must have an EVEN-id fingerprint within Hamming 3
+    // (brute-force over the q60 fingerprints — the q83 cross-check recipe,
+    // restricted to batch×index pairs)
+    val sh = SparkEntry.queries("q60_dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val idx = sh.filter(_._1 % 2 == 0)
+    val nearTrue = sh.filter(_._1 % 2 == 1).filter { case (_, sa) =>
+      idx.exists { case (_, sb) => java.lang.Long.bitCount(sa ^ sb) <= 3 }
+    }.map(_._1).toSet
+    assert(rows.filter(_.getAs[Boolean]("dropped_near")).map(_.getLong(0)).toSet == nearTrue)
+  }
+
   test("q84 histogram partitions the corpus; q85 sample rates per stratum hold") {
     val hist = SparkEntry.queries("q84_length_histogram")(spark, sf).collect()
     val total = hist.map(_.getAs[Long]("n_docs")).sum
