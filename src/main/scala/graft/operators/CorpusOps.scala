@@ -277,6 +277,48 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** q182: split-leakage audit — the reversed direction of q104's
+    * decontamination, run on the pipeline's OWN deterministic 3-way split
+    * (q79's md5-bucket convention: 80/10/10 train/val/test): for each
+    * held-out split, how many of its documents share ≥1 word 5-gram with
+    * the train split, plus the distinct-gram containment fraction. The
+    * audit that catches a bad split BEFORE eval numbers go wrong — a
+    * held-out doc whose n-grams live in train is measuring memorization.
+    * Docs shorter than one 5-gram carry no grams and are outside the
+    * audit (identically on both engines).
+    *
+    * Plan: the train 5-gram index is distinct + broadcast (train is the
+    * 80% side locally, but at 100 TB this flips to a shuffled equi-join
+    * on the gram key — same plan, Spark picks by stats); the held-out
+    * side explodes per-doc-distinct grams (narrow) and aggregates twice
+    * (doc-level then the 2-row split report). */
+  private def q182(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", hexBucket(100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+    val grams = fiveGrams(docs.select("doc_id", "text"))
+      .join(docs.select("doc_id", "split"), "doc_id")
+    val trainIdx = grams.filter(col("split") === "train")
+      .select(col("g"), lit(1L).as("hit")).distinct()
+    val perDoc = grams.filter(col("split") =!= "train")
+      .join(broadcast(trainIdx), Seq("g"), "left")
+      .groupBy("split", "doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    perDoc.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_leaky"),
+        Tables.r6(sum(when(col("n_hit") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("leak_rate"),
+        Tables.r6(sum(col("n_hit")).cast("double") /
+          sum(col("n_grams")).cast("double")).as("gram_containment"))
+      .orderBy("split")
+  }
+
   /** q178: dataset mixture weights — the multilingual-sampling standard
     * (temperature-scaled source weights, α = 0.5): per source,
     * w_s = √n_s / Σ√n_j, plus the raw share, the implied up/down-sampling
@@ -407,5 +449,26 @@ object CorpusOps {
         Tables.r6sql(s"$w * CAST(1000 AS DOUBLE)") + " AS exp_docs_1k " +
         "FROM s CROSS JOIN t ORDER BY source"
     }),
+    Q("q182_split_leakage", q182 _, Some(
+      s"WITH $bucketCte, " +
+        "s AS (SELECT doc_id, bucket, str_split(text, ' ') AS ts FROM d " +
+        "WHERE len(str_split(text, ' ')) >= 5), " +
+        "g AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(ts) - 3), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)] || ' ' || " +
+        "ts[CAST(i + 3 AS INT)] || ' ' || ts[CAST(i + 4 AS INT)]))) AS g FROM s), " +
+        "sp AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' " +
+        "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, g FROM g), " +
+        "tr AS (SELECT DISTINCT g FROM sp WHERE split = 'train'), " +
+        "pd AS (SELECT split, sp.doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit " +
+        "FROM sp LEFT JOIN tr ON sp.g = tr.g " +
+        "WHERE split <> 'train' GROUP BY split, sp.doc_id) " +
+        "SELECT split, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky, " +
+        Tables.r6sql("CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(COUNT(*) AS DOUBLE)") + " AS leak_rate, " +
+        Tables.r6sql("CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)") +
+        " AS gram_containment " +
+        "FROM pd GROUP BY split ORDER BY split")),
   )
 }

@@ -61,6 +61,32 @@ object Scans {
       .orderBy("s_suppkey")
   }
 
+  /** q183: schema-evolution scan — a long-lived dataset whose writer
+    * added a column mid-stream (the 100 TB reality: parquet directories
+    * accumulate files under EVOLVING schemas for years). Two generations
+    * are written under one root — src=a with (key, name), src=b with the
+    * later (key, name, regionkey) — and read back through
+    * `mergeSchema=true`: Spark reconciles the footers into the union
+    * schema, old-generation rows surface NULL for the added column, and
+    * the partition directory (`src`) identifies the generation. The
+    * oracle reproduces the same union from the base table.
+    *
+    * Scale note: mergeSchema reads every file footer at planning time —
+    * on a huge directory prefer a user-supplied schema or the table
+    * format's metadata (the per-file reconciliation logic is the same);
+    * pruning/pushdown are unaffected either way. */
+  private def q183(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmp("evo_nation", sfDir)
+    nation.select("n_nationkey", "n_name")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/src=a")
+    nation.select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/src=b")
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("src"), col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("src", "n_nationkey")
+  }
+
   /** q70: partitioned parquet layout + partition pruning — write orders
     * hive-partitioned by year, read back with a partition filter. The
     * year filter prunes at the DIRECTORY level (PartitionFilters, no
@@ -246,6 +272,11 @@ object Scans {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     Q("q69_scan_orc_roundtrip", q69 _, Some(
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey")),
+    Q("q183_scan_schema_merge", q183 _, Some(
+      "SELECT * FROM (" +
+        "SELECT 'a' AS src, n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation " +
+        "UNION ALL SELECT 'b', n_nationkey, n_name, n_regionkey FROM nation) " +
+        "ORDER BY src, n_nationkey")),
     Q("q70_scan_partitioned_prune", q70 _, Some(
       "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderstatus, COUNT(*) AS cnt " +
         "FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997) " +
