@@ -416,4 +416,30 @@ object Graft {
       .orderBy(col("jaccard").desc, col("sa"), col("sb"))
       .limit(topK)
   }
+
+  /** Temperature-scaled (α = 0.5) mixture sampling weights per value of
+    * `srcCol`: w = √n/Σ√n plus raw share, up/down-sampling rate, and
+    * expected docs per 1000-draw. Verified as q178. */
+  def mixtureWeights(df: DataFrame, srcCol: String): DataFrame =
+    operators.CorpusOps.mixtureWeightsOf(df, srcCol)
+
+  /** Top-k vocabulary coverage curve over a (text) frame, probed at the
+    * given k values (fraction of all token occurrences the k most
+    * frequent types cover). Verified as q179. */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Long] = Seq(5L, 10L, 20L, 40L)): DataFrame =
+    operators.TextAnalysis.vocabCoverageOf(docs, ks)
+
+  /** Incremental ingest dedup: `batch` docs (doc_id, text) deduplicated
+    * against the standing `index` — exact content-hash semi-join + banded
+    * SimHash near-dup (Hamming ≤ 3) restricted to batch×index pairs.
+    * Verified as q181. */
+  def ingestDedup(batch: DataFrame, index: DataFrame): DataFrame =
+    operators.NearDup.ingestDedupOf(batch, index)
+
+  /** Split-leakage audit: for each value of `splitCol` other than
+    * `trainValue`, the count/fraction of docs sharing a word 5-gram with
+    * the train split and the distinct-gram containment. `docs` needs
+    * (doc_id, text, splitCol). Verified as q182. */
+  def splitLeakage(docs: DataFrame, splitCol: String, trainValue: String): DataFrame =
+    operators.CorpusOps.splitLeakageOf(docs, splitCol, trainValue)
 }

@@ -292,31 +292,44 @@ object CorpusOps {
     * on the gram key — same plan, Spark picks by stats); the held-out
     * side explodes per-doc-distinct grams (narrow) and aggregates twice
     * (doc-level then the 2-row split report). */
-  private def q182(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
-      .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("bucket", hexBucket(100))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+  /** The generic split-leakage primitive behind q182, exposed as
+    * [[graft.Graft.splitLeakage]]: `docs` needs (doc_id, text, <splitCol>);
+    * every split value other than `trainValue` is audited against the
+    * train gram index. */
+  private[graft] def splitLeakageOf(docs: DataFrame, splitCol: String,
+      trainValue: String): DataFrame = {
     val grams = fiveGrams(docs.select("doc_id", "text"))
-      .join(docs.select("doc_id", "split"), "doc_id")
-    val trainIdx = grams.filter(col("split") === "train")
+      .join(docs.select(col("doc_id"), col(splitCol).as("graft_split")), "doc_id")
+    val trainIdx = grams.filter(col("graft_split") === trainValue)
       .select(col("g"), lit(1L).as("hit")).distinct()
-    val perDoc = grams.filter(col("split") =!= "train")
+    val perDoc = grams.filter(col("graft_split") =!= trainValue)
       .join(broadcast(trainIdx), Seq("g"), "left")
-      .groupBy("split", "doc_id")
+      .groupBy("graft_split", "doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-    perDoc.groupBy("split")
+    perDoc.groupBy("graft_split")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_leaky"),
         Tables.r6(sum(when(col("n_hit") > 0, 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double")).as("leak_rate"),
         Tables.r6(sum(col("n_hit")).cast("double") /
           sum(col("n_grams")).cast("double")).as("gram_containment"))
-      .orderBy("split")
+      .withColumnRenamed("graft_split", splitCol)
+      .orderBy(splitCol)
+  }
+
+  private def q182(spark: SparkSession, sfDir: String): DataFrame = {
+    // delegates to the facade primitive (q120→pageRank convention): ONE
+    // copy of the leakage semantics, oracle-verified through here
+    splitLeakageOf(
+      Tables(spark, sfDir, "documents")
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("bucket", hexBucket(100))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test")),
+      "split", "train")
   }
 
   /** q178: dataset mixture weights — the multilingual-sampling standard
@@ -337,9 +350,10 @@ object CorpusOps {
     * shuffle bounded by source cardinality); the totals fold and the
     * final projection run on the bounded per-source frame (checkpointed
     * once, sources × 1 rows). */
-  private def q178(spark: SparkSession, sfDir: String): DataFrame = {
-    val bySrc = Tables(spark, sfDir, "documents")
-      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+  /** The generic mixture-weight primitive behind q178, exposed as
+    * [[graft.Graft.mixtureWeights]]: any frame, any categorical column. */
+  private[graft] def mixtureWeightsOf(df: DataFrame, srcCol: String): DataFrame = {
+    val bySrc = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
       .localCheckpoint(true) // sources-sized; feeds the totals AND the output
     val tot = bySrc.agg(
       sum(col("n_docs")).as("n_total"),
@@ -348,15 +362,20 @@ object CorpusOps {
     val w = Tables.dec(sqrt(col("n_docs").cast("double"))).cast("double") /
       col("sq_sum").cast("double")
     bySrc.crossJoin(broadcast(tot))
-      .select(col("source"), col("n_docs"),
+      .select(col(srcCol), col("n_docs"),
         Tables.r6(col("n_docs").cast("double") / col("n_total").cast("double"))
           .as("raw_share"),
         Tables.r6(w).as("weight"),
         Tables.r6((w * col("n_total").cast("double")) / col("n_docs").cast("double"))
           .as("sample_rate"),
         Tables.r6(w * lit(1000.0)).as("exp_docs_1k"))
-      .orderBy("source")
+      .orderBy(srcCol)
   }
+
+  private def q178(spark: SparkSession, sfDir: String): DataFrame =
+    // delegates to the facade primitive (q120→pageRank convention): ONE
+    // copy of the weighting semantics, oracle-verified through here
+    mixtureWeightsOf(Tables(spark, sfDir, "documents"), "source")
 
   val entries: Seq[Q] = Seq(
     Q("q150_curation_pipeline", q150 _, Some(

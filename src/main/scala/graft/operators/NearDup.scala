@@ -148,24 +148,23 @@ object NearDup {
     * hashing. The fingerprint frame is computed ONCE over all docs and
     * split by parity — mirroring the oracle CTE — so the pipeline stays
     * one pass. */
-  private def q181(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
-    val exactHit = docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .join(docs.filter(col("doc_id") % 2 === 0)
-        .select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
+  /** The generic ingest-dedup primitive behind q181, exposed as
+    * [[graft.Graft.ingestDedup]]: `batch` and `index` each need
+    * (doc_id, text); returns per batch doc the exact/near drop flags and
+    * the kept verdict. */
+  private[graft] def ingestDedupOf(batch: DataFrame, index: DataFrame): DataFrame = {
+    val exactHit = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(index.select(md5(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
       .select(col("doc_id"))
-    val banded = simhashDF(spark, sfDir)
+    def banded(docs: DataFrame): DataFrame = simhashOf(docs)
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("k", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
-      .localCheckpoint(true) // both join sides read it (the q83 convention)
-    val bat = banded.filter(col("doc_id") % 2 === 1)
-    val idx = banded.filter(col("doc_id") % 2 === 0)
+    val idx = banded(index)
       .select(col("doc_id").as("idx_id"), col("simhash").as("sb"), col("b"), col("k"))
-    val nearHit = bat.join(idx, Seq("b", "k"))
+    val nearHit = banded(batch).join(idx, Seq("b", "k"))
       .filter(expr("bit_count(simhash ^ sb) <= 3"))
       .select(col("doc_id")).distinct()
-    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+    batch.select(col("doc_id"))
       .join(exactHit.withColumn("de", lit(true)), Seq("doc_id"), "left")
       .join(nearHit.withColumn("dn", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -173,6 +172,15 @@ object NearDup {
         coalesce(col("dn"), lit(false)).as("dropped_near"),
         (!coalesce(col("de"), lit(false)) && !coalesce(col("dn"), lit(false))).as("kept"))
       .orderBy("doc_id")
+  }
+
+  private def q181(spark: SparkSession, sfDir: String): DataFrame = {
+    // delegates to the facade primitive (q120→pageRank convention): ONE
+    // copy of the batch-vs-index semantics, oracle-verified through here
+    val docs = Tables(spark, sfDir, "documents")
+    ingestDedupOf(
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"))
   }
 
   /** q61: word-trigram Jaccard near-dup via the inverted-index join —

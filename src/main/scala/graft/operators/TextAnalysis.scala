@@ -339,25 +339,33 @@ object TextAnalysis {
     * the rank/cumsum window runs over the CONSTANT-size head frame
     * (≤ 40 rows), not the vocabulary — the q48 single-partition-window
     * concern does not apply to a constant-bounded frame. */
-  private def q179(spark: SparkSession, sfDir: String): DataFrame = {
-    val cnt = Tables(spark, sfDir, "documents")
+  /** The generic coverage-curve primitive behind q179, exposed as
+    * [[graft.Graft.vocabCoverage]]: any frame with a `text` column;
+    * probes at the given k values. */
+  private[graft] def vocabCoverageOf(docs: DataFrame, ks: Seq[Long]): DataFrame = {
+    val cnt = docs
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy("t").agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // vocabulary-bounded; feeds the total AND the head
     val tot = cnt.agg(sum(col("c")).as("n_tok"))
     val byFreq = Window.orderBy(col("c").desc, col("t"))
-    cnt.orderBy(col("c").desc, col("t")).limit(40)
+    cnt.orderBy(col("c").desc, col("t")).limit(ks.max.toInt)
       .withColumn("k", row_number().over(byFreq).cast("bigint"))
       .withColumn("cum_tokens",
         sum(col("c")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("k").isin(5L, 10L, 20L, 40L))
+      .filter(col("k").isin(ks: _*))
       .crossJoin(broadcast(tot))
       .select(col("k"), col("cum_tokens"),
         Tables.r6(col("cum_tokens").cast("double") / col("n_tok").cast("double"))
           .as("coverage"))
       .orderBy("k")
   }
+
+  private def q179(spark: SparkSession, sfDir: String): DataFrame =
+    // delegates to the facade primitive (q120→pageRank convention): ONE
+    // copy of the coverage semantics, oracle-verified through here
+    vocabCoverageOf(Tables(spark, sfDir, "documents"), Seq(5L, 10L, 20L, 40L))
 
   val entries: Seq[Q] = Seq(
     Q("q64_text_langid", q64 _, Some {

@@ -308,4 +308,57 @@ class ApiSuite extends AnyFunSuite {
     // a/c: degrees 3 and 2, shared capped = 1 → J = 1/(3+2−1)
     assert(got(("a", "c")) == 0.25)
   }
+
+  test("mixtureWeights: sqrt scaling compresses a 4:1 imbalance to 2:1") {
+    import spark.implicits._
+    val df = (Seq.fill(16)("big") ++ Seq.fill(4)("small")).toDF("src")
+    val rows = Graft.mixtureWeights(df, "src").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // √16 : √4 = 2 : 1 → weights 2/3 and 1/3 (raw shares were 0.8 / 0.2)
+    assert(math.abs(rows("big").getAs[Double]("weight") - 2.0 / 3) < 1e-6)
+    assert(math.abs(rows("small").getAs[Double]("weight") - 1.0 / 3) < 1e-6)
+    assert(rows("big").getAs[Double]("sample_rate") < 1.0)   // downsample head
+    assert(rows("small").getAs[Double]("sample_rate") > 1.0) // upsample tail
+  }
+
+  test("vocabCoverage is monotone and hits 1.0 once k spans the vocabulary") {
+    import spark.implicits._
+    val docs = Seq("a a a a b b c", "a b b d").toDF("text")
+    val rows = Graft.vocabCoverage(docs, Seq(1L, 2L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("coverage")).toMap
+    assert(rows(1L) == math.floor(5.0 / 11 * 1e6 + 0.5) / 1e6) // 'a' ×5 of 11
+    assert(rows(1L) < rows(2L) && rows(2L) < rows(4L))
+    assert(rows(4L) == 1.0) // 4 types total
+  }
+
+  test("ingestDedup flags exact and near dups against the index only") {
+    import spark.implicits._
+    val index = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "one two three four five six seven"),   // exact dup of 1
+      (11L, "unrelated completely different words entirely")).toDF("doc_id", "text")
+    val got = Graft.ingestDedup(batch, index).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(10L)._1, "exact dup not flagged")
+    assert(got(10L)._2, "identical text must also be a near dup (Hamming 0)")
+    assert(!got(10L)._3 && got(11L)._3)
+    assert(!got(11L)._1)
+  }
+
+  test("splitLeakage reports the planted 5-gram leak and nothing else") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six", "train"),
+      (2L, "one two three four five leaked", "test"), // shares a 5-gram w/ 1
+      (3L, "alpha beta gamma delta epsilon zeta", "test"),
+      (4L, "red green blue cyan magenta yellow", "val")).toDF("doc_id", "text", "sp")
+    val rows = Graft.splitLeakage(docs, "sp", "train").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("test").getAs[Long]("n_docs") == 2L)
+    assert(rows("test").getAs[Long]("n_leaky") == 1L)   // doc 2 only
+    assert(rows("val").getAs[Long]("n_leaky") == 0L)
+    assert(rows("val").getAs[Double]("leak_rate") == 0.0)
+  }
 }
