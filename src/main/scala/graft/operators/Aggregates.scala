@@ -121,7 +121,7 @@ object Aggregates {
     val joined = Tables(spark, sfDir, "orders")
       .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
     graft.plans.BoundedQuantiles.groupQuantiles(joined, Seq("c_mktsegment"),
-        col("o_totalprice"), Seq(0.5, 0.9), Seq("q50", "q90"))
+        col("o_totalprice"), Seq(0.5, 0.9), Seq("q50", "q90"), pin = false)
       .select(col("c_mktsegment"),
         Tables.r6(col("q50")).as("median_price"),
         Tables.r6(col("q90")).as("p90_price"))

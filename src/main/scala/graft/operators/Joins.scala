@@ -259,7 +259,7 @@ object Joins {
       count(lit(1)).as("n_keys"),
       max(col("c")).as("max_per_key"))
     val qs = graft.plans.BoundedQuantiles.groupQuantiles(
-      counts, Seq("key_col"), col("c"), Seq(0.5, 0.99), Seq("p50_raw", "p99_raw"))
+      counts, Seq("key_col"), col("c"), Seq(0.5, 0.99), Seq("p50_raw", "p99_raw"), pin = false)
     summary.join(broadcast(qs), "key_col")
       .select(col("key_col"),
         col("n_rows").cast("bigint").as("n_rows"),

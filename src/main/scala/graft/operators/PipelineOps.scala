@@ -281,7 +281,7 @@ object PipelineOps {
     // `ptotal > med` is NULL ⇒ converted = 0, matching the oracle's
     // quantile_cont-over-empty ⇒ NULL ⇒ CASE ⇒ 0 path.
     val med = graft.plans.BoundedQuantiles.groupQuantiles(
-      totals, Nil, col("ptotal"), Seq(0.5), Seq("med"))
+      totals, Nil, col("ptotal"), Seq(0.5), Seq("med"), pin = false)
       .withColumn("graft_jk", lit(0))
     val users = ev.select("user_id").distinct()
       .join(totals, Seq("user_id"), "left")

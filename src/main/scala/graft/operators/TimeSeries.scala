@@ -542,7 +542,7 @@ object TimeSeries {
           .select(lit(name).as("step"), gap.cast("double").as("gap_us"))
       }.reduce(_ unionByName _)
     val qs = graft.plans.BoundedQuantiles.groupQuantiles(gaps, Seq("step"),
-      col("gap_us"), Seq(0.5, 0.9), Seq("m", "p9"))
+      col("gap_us"), Seq(0.5, 0.9), Seq("m", "p9"), pin = false)
     gaps.groupBy("step").agg(count(lit(1)).as("n_users"))
       .join(qs, "step")
       .select(col("step"), col("n_users"),

@@ -69,7 +69,8 @@ object BoundedQuantiles {
       value: Column,
       ps: Seq[Double],
       outNames: Seq[String],
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096,
+      pin: Boolean = true): DataFrame = {
     require(ps.length == outNames.length, "one output name per percentile")
     val parts = build(df, groupCols, value, ps, buckets)
     val gc = parts.g.map(col)
@@ -116,14 +117,19 @@ object BoundedQuantiles {
           (ceil(pos).cast("double") - pos) * vlo +
             (pos - floor(pos).cast("double")) * vhi)
     }
-    // the result is #groups × |ps| — bounded. Checkpointed so callers
-    // that fan the cuts into a downstream corpus pass (q142 binning,
-    // q174 fences, q175 deciles) read a pinned RDD instead of replanning
-    // the whole two-pass dag inside their own plan.
+    // the result is #groups × |ps| — bounded. Checkpointed (pin=true, the
+    // default) so callers that fan the cuts into a downstream corpus pass
+    // (q142 binning, q174 fences, q175 deciles, q137 scoring) read a
+    // pinned RDD instead of replanning the whole two-pass dag inside
+    // their own plan. Callers that consume the result EXACTLY ONCE
+    // (q19's direct output, q139/q177's single broadcast join, q136's
+    // single 1-row broadcast) pass pin=false and skip the second
+    // blocking barrier — the r9 measurement: ~0.2–0.3 s of fixed driver
+    // round-trip per call, with no replanning risk at one reference.
     val out = folded
       .select((gc ++ outNames.zipWithIndex.map { case (nm, i) => qOf(i).as(nm) }): _*)
-      .localCheckpoint(true)
-    if (groupCols.nonEmpty) out else out.drop("graft_g")
+    val pinned = if (pin) out.localCheckpoint(true) else out
+    if (groupCols.nonEmpty) pinned else pinned.drop("graft_g")
   }
 
   /** Boundedness instrumentation for tests: (max histogram bins held by
