@@ -80,7 +80,7 @@ object Bench {
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
             Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160))
         }
         val dt = (System.nanoTime() - t0) / 1e9
         err.foreach { _ => failedQueries += name }

@@ -26,13 +26,15 @@ object Tables {
 
   /** Read one table from `sfDir`. Sets the nanos conf on every call —
     * cheap, idempotent, and guarantees any session we are handed can read
-    * a legacy TIMESTAMP(NANOS) `events` file. Session timezone is pinned
-    * to UTC so the TIMESTAMP_NTZ → epoch-µs canonicalization in [[events]]
-    * is deterministic on any box (the oracle's `epoch_ns` on a naive
-    * TIMESTAMP is naive-as-UTC; both sides must agree). */
+    * a legacy TIMESTAMP(NANOS) `events` file. Deliberately does NOT touch
+    * any other session conf: the TIMESTAMP_NTZ → epoch-µs canonicalization
+    * in [[events]] is written timezone-independently (wall-clock
+    * arithmetic on the naive value), so no global state such as
+    * `spark.sql.session.timeZone` needs mutating here (ADVICE r9 — a
+    * loader that resets session confs on every read silently changes
+    * behavior for host code sharing the session). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -57,11 +59,20 @@ object Tables {
     val tsUs = raw.schema("ts").dataType match {
       case LongType => // legacy nanos-as-bigint: ns → µs
         expr("ts DIV 1000")
-      case TimestampNTZType | TimestampType =>
-        // UTC session tz (set in apply) makes the NTZ→TIMESTAMP cast the
-        // identity attachment, so unix_micros yields naive-as-UTC µs —
-        // the same value DuckDB's epoch_ns(ts)//1000 computes.
-        expr("unix_micros(CAST(ts AS TIMESTAMP))")
+      case TimestampNTZType =>
+        // Naive-as-UTC µs via pure wall-clock arithmetic on the NTZ value
+        // (date→unix_date, hour/minute, and extract-SECOND's exact
+        // DECIMAL(8,6) fraction) — every piece is timezone-independent on
+        // TIMESTAMP_NTZ, so the result matches DuckDB's epoch_ns(ts)//1000
+        // regardless of the session timezone. (The previous CAST(ts AS
+        // TIMESTAMP) route needed session.timeZone=UTC pinned globally.)
+        expr("unix_date(CAST(ts AS DATE)) * 86400000000L" +
+          " + hour(ts) * 3600000000L + minute(ts) * 60000000L" +
+          " + CAST(date_part('SECOND', ts) * 1000000 AS BIGINT)")
+      case TimestampType =>
+        // LTZ is physically epoch-µs; unix_micros reads it back directly
+        // (no timezone involved).
+        expr("unix_micros(ts)")
       case other =>
         throw new IllegalStateException(
           s"events.ts arrived as unsupported type $other — " +

@@ -287,11 +287,15 @@ object CorpusOps {
     * Docs shorter than one 5-gram carry no grams and are outside the
     * audit (identically on both engines).
     *
-    * Plan: the train 5-gram index is distinct + broadcast (train is the
-    * 80% side locally, but at 100 TB this flips to a shuffled equi-join
-    * on the gram key — same plan, Spark picks by stats); the held-out
-    * side explodes per-doc-distinct grams (narrow) and aggregates twice
-    * (doc-level then the 2-row split report). */
+    * Plan: the train 5-gram index is distinct and joined on the gram key
+    * with NO broadcast hint — train is the 80%-majority side, so the
+    * index is corpus-scale and a forced broadcast would OOM / hit the
+    * 8 GB broadcast ceiling at any realistic scale (ADVICE r9; unlike
+    * q104's decontamination, whose hinted side is the provably-small
+    * EVAL index). AQE/stats pick the strategy: a shuffled equi-join at
+    * scale, broadcast only if the index measures small at runtime. The
+    * held-out side explodes per-doc-distinct grams (narrow) and
+    * aggregates twice (doc-level then the 2-row split report). */
   /** The generic split-leakage primitive behind q182, exposed as
     * [[graft.Graft.splitLeakage]]: `docs` needs (doc_id, text, <splitCol>);
     * every split value other than `trainValue` is audited against the
@@ -303,7 +307,7 @@ object CorpusOps {
     val trainIdx = grams.filter(col("graft_split") === trainValue)
       .select(col("g"), lit(1L).as("hit")).distinct()
     val perDoc = grams.filter(col("graft_split") =!= trainValue)
-      .join(broadcast(trainIdx), Seq("g"), "left")
+      .join(trainIdx, Seq("g"), "left")
       .groupBy("graft_split", "doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

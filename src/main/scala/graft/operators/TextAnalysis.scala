@@ -343,6 +343,13 @@ object TextAnalysis {
     * [[graft.Graft.vocabCoverage]]: any frame with a `text` column;
     * probes at the given k values. */
   private[graft] def vocabCoverageOf(docs: DataFrame, ks: Seq[Long]): DataFrame = {
+    // Degenerate-argument guards (ADVICE r9): an empty ks would throw an
+    // opaque UnsupportedOperationException from ks.max deep in the plan
+    // build, and a k above Int.MaxValue would silently truncate the head
+    // LIMIT and return wrong coverage. Fail at the facade with the cause.
+    require(ks.nonEmpty, "vocabCoverage: ks must be non-empty")
+    require(ks.forall(k => k > 0L && k <= Int.MaxValue.toLong),
+      s"vocabCoverage: every probe k must be in [1, ${Int.MaxValue}], got $ks")
     val cnt = docs
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)

@@ -331,6 +331,20 @@ class ApiSuite extends AnyFunSuite {
     assert(rows(4L) == 1.0) // 4 types total
   }
 
+  test("vocabCoverage rejects degenerate probe lists at the facade (ADVICE r9)") {
+    import spark.implicits._
+    val docs = Seq("a b c").toDF("text")
+    // empty ks used to surface as an opaque UnsupportedOperationException
+    // from ks.max; k > Int.MaxValue silently truncated the head LIMIT
+    intercept[IllegalArgumentException](Graft.vocabCoverage(docs, Seq.empty))
+    intercept[IllegalArgumentException](Graft.vocabCoverage(docs, Seq(0L)))
+    intercept[IllegalArgumentException](Graft.vocabCoverage(docs, Seq(-3L)))
+    intercept[IllegalArgumentException](
+      Graft.vocabCoverage(docs, Seq(5L, Int.MaxValue.toLong + 1L)))
+    // the boundary itself is legal
+    assert(Graft.vocabCoverage(docs, Seq(Int.MaxValue.toLong)).columns.nonEmpty)
+  }
+
   test("ingestDedup flags exact and near dups against the index only") {
     import spark.implicits._
     val index = Seq(

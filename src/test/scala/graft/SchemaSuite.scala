@@ -46,6 +46,35 @@ class SchemaSuite extends AnyFunSuite {
     })
   }
 
+  test("events canonicalization is session-timezone independent (ADVICE r9)") {
+    // Tables no longer pins spark.sql.session.timeZone (mutating a shared
+    // session's global conf on every read was an ADVICE r9 finding); the
+    // NTZ branch instead uses wall-clock arithmetic that must yield the
+    // SAME naive-as-UTC µs whatever timezone the host session runs in.
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    def tsOf(): Map[Long, Long] = Tables.events(spark, sf)
+      .select("event_id", "ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = tsOf()
+      for (tz <- Seq("America/New_York", "Asia/Kathmandu", "Pacific/Chatham")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        assert(tsOf() == utc, s"ts_us canonicalization drifts under session tz $tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
+  test("Tables.apply leaves the session timezone untouched (ADVICE r9)") {
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      Tables(spark, sf, "events").schema // force the read path
+      assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo",
+        "Tables.apply must not mutate spark.sql.session.timeZone")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("events canonicalization yields bigint µs under the current encoding") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts_us").dataType.simpleString == "bigint")
