@@ -169,6 +169,103 @@ class PlanShapeSuite extends AnyFunSuite {
       s"q159 plans a non-equi join:\n$plan")
   }
 
+  test("no query plans an unbounded cartesian / nested-loop join (VERDICT r9)") {
+    // Sweep EVERY registered query's physical plan (AQE off so the static
+    // plan is inspectable without executing) and demand that each
+    // CartesianProduct / BroadcastNestedLoopJoin node builds on a
+    // PROVABLY BOUNDED side: a grand aggregate (keys=[] ⇒ ≤1 row), an
+    // explicit limit / TakeOrdered, or a literal LocalTableScan. The few
+    // probe-driven exceptions must appear in the allowlist below WITH a
+    // runtime or literal bound — anything else is an O(n²) plan waiting
+    // for corpus-scale input.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec, LocalTableScanExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // name → why its non-equi join side is bounded anyway
+    val allowlisted: Map[String, String] = Map(
+      "q11_join_cross_topk" ->
+        "probe side runtime-gated at Joins.MaxCrossProbe rows (require())",
+      "q90_join_fuzzy_topk" ->
+        "probe side literal-bounded (c_custkey <= 10) before the theta join")
+    // Structural proof of a bounded build side. Many legitimately-bounded
+    // frames in this codebase are localCheckpoint'd (centroids, grand
+    // totals, per-class rates), which erases the plan into Scan
+    // ExistingRDD — for those, fall back to EXECUTING the build subplan
+    // and demanding a constant-small row count at test scale: a corpus
+    // frame at sf0.001 is already thousands of rows, so an accidental
+    // data-sized BNLJ build still trips the probe.
+    def structurallyBounded(side: SparkPlan): Boolean = side.collectFirst {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => ()
+      case _: CollectLimitExec => ()
+      case _: GlobalLimitExec => ()
+      case _: TakeOrderedAndProjectExec => ()
+      case _: LocalTableScanExec => ()
+    }.isDefined
+    def bounded(side: SparkPlan): Boolean = structurallyBounded(side) || {
+      val n = try side.execute().count() catch { case _: Throwable => Long.MaxValue }
+      n <= 1000L
+    }
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if !allowlisted.contains(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        plan.foreach {
+          case c: CartesianProductExec =>
+            if (!bounded(c.left) && !bounded(c.right))
+              offenders += s"$name: CartesianProduct with no bounded side"
+          case j: BroadcastNestedLoopJoinExec =>
+            val build = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+            }
+            // strip the codegen/exchange shell: BroadcastExchange in
+            // particular only supports executeBroadcast(), so the runtime
+            // row-count fallback must run on its child
+            def strip(p: SparkPlan): SparkPlan = p match {
+              case i: org.apache.spark.sql.execution.InputAdapter => strip(i.child)
+              case w: org.apache.spark.sql.execution.WholeStageCodegenExec => strip(w.child)
+              case b: BroadcastExchangeExec => strip(b.child)
+              case other => other
+            }
+            val inner = strip(build)
+            if (!bounded(inner))
+              offenders += s"$name: BNLJ builds on [" +
+                inner.collect { case n => n.nodeName }.mkString(" > ") + "]"
+          case _ => ()
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+    assert(offenders.isEmpty,
+      s"unbounded non-equi joins planned:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("crossDotProducts rejects a corpus-sized probe side (VERDICT r9)") {
+    // the q11 gate that earns its allowlist entry above: handing the
+    // brute-force path more than MaxCrossProbe probe rows must fail fast
+    // with a pointer at the index paths, BEFORE any join is planned
+    // (embeddings.parquet is a fixed 500 rows at every sf, so a
+    // corpus-sized probe is synthesized at 2× the gate)
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val big = spark.range(operators.Joins.MaxCrossProbe * 2)
+      .select(col("id").as("id_a"), typedLit(Array.fill(4)(0.5f)).as("ea"))
+    val e = intercept[IllegalArgumentException](
+      operators.Joins.crossDotProducts(big, corpus))
+    assert(e.getMessage.contains("q124_ann_hyperplane") &&
+      e.getMessage.contains("q63_ann_ivf"),
+      s"gate message must point at the index paths, got: ${e.getMessage}")
+    // and the bounded probe still works (q11's own shape)
+    val ok = operators.Joins.crossDotProducts(
+      emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .filter(col("id_a") < 3), corpus)
+    assert(ok.count() > 0)
+  }
+
   test("q124: signature stage is shuffle-free (signatures computed pre-exchange)") {
     // all exchanges in the q124 plan must sit ABOVE the localCheckpoint
     // boundary (band join / rerank); the 16-dot signature projection
