@@ -130,13 +130,18 @@ object LLMPipeline {
       "(a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3) AND a.doc_id < b.doc_id)"
 
   /** q76: near-dup CLUSTERING — connected components over the MinHash
-    * candidate graph by iterative min-label propagation (the standard
-    * distributed CC algorithm: each round every vertex takes the min
-    * label in its neighborhood; converges in O(component diameter)
-    * rounds, each round = one join + one aggregation). The fixpoint is
-    * unique, so the result is deterministic regardless of round count or
-    * partitioning. Lineage is truncated per round (localCheckpoint) —
-    * on a cluster, checkpoint to durable storage instead. */
+    * candidate graph by min-label propagation WITH pointer jumping (the
+    * Shiloach–Vishkin shortcut): each round every vertex takes the min
+    * label in its neighborhood, then additionally jumps through the
+    * previous round's label map (comp ← min(comp, L(comp))), which
+    * halves label-chain lengths and bounds the loop at O(log diameter)
+    * rounds instead of O(diameter) — the worst case VERDICT r9 flagged
+    * for chain-shaped dup clusters (PropertySuite measures the round
+    * count on a 200-vertex path). The fixpoint is unique (every vertex
+    * at its component min), so the result is deterministic regardless of
+    * round count or partitioning. Lineage is truncated per round
+    * (localCheckpoint) — on a cluster, checkpoint to durable storage
+    * instead. */
   private def q76(spark: SparkSession, sfDir: String): DataFrame = {
     val labels = components(spark, sfDir)
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("comp_size"))
@@ -149,42 +154,82 @@ object LLMPipeline {
     * and q93 (dedup resolution). */
   private def components(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairs(spark, sfDir).localCheckpoint(true)
+    val labels = ccLabels(pairs)._1
+    // attach singleton components (docs in no candidate pair): comp =
+    // their own id. The converged label set is one row per candidate
+    // vertex — tiny next to the corpus — so it broadcasts.
+    Tables(spark, sfDir, "documents").select(col("doc_id"))
+      .join(broadcast(labels.withColumnRenamed("comp", "cand_comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cand_comp"), col("doc_id")).as("comp"))
+  }
+
+  /** Connected-component labels over an undirected candidate edge list
+    * `pairs` (id_a, id_b) — the distributed CC loop shared by q76/q93
+    * and unit-testable on synthetic graphs. Returns (labels, rounds):
+    * one (doc_id, comp) row per vertex APPEARING IN AN EDGE (singletons
+    * are the caller's concern), comp = min doc_id of the component.
+    *
+    * Algorithm: frontier-limited min-label propagation plus pointer
+    * jumping. Per round:
+    *   1. neighbor-min: comp ← min(comp, min over neighbors' comp),
+    *      joined from the FRONTIER only (labels only decrease, so new
+    *      information can only arrive through a vertex whose label
+    *      changed last round — |Δ|-sized join, exact);
+    *   2. shortcut: comp ← min(comp, L(comp)) through the PREVIOUS
+    *      round's materialized label map — label chains halve every
+    *      round, so a path graph converges in O(log diameter) rounds
+    *      where neighbor-min alone needs O(diameter).
+    * Both updates only move comp to a smaller id inside the same
+    * component, so the unique fixpoint (component min everywhere) is
+    * unchanged by the shortcut — it arrives in fewer rounds.
+    *
+    * The round cap is a runaway backstop, not a correctness device: 64
+    * rounds of halving covers any graph that fits in storage; hitting
+    * the cap without convergence THROWS (VERDICT r9 — the old silent
+    * 25-round cap would have returned wrong labels on a >25-diameter
+    * chain). A fused two-half-steps-per-checkpoint variant was tried
+    * and measured ~20% SLOWER at bench scale; eager checkpoints beat
+    * lazy ones by ~45%/round (the convergence count re-plans otherwise).
+    */
+  private[graft] def ccLabels(pairs: DataFrame): (DataFrame, Int) = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    // iterate over CANDIDATE-GRAPH vertices only: a doc in no candidate
-    // pair is its own singleton component and can never change, so it
-    // joins the result at the end (coalesce) instead of riding through
-    // every round's join + checkpoint. At 100 TB the candidate graph is
-    // orders of magnitude smaller than the corpus — this keeps the loop
-    // sized by |E|, not |corpus|.
+    // iterate over CANDIDATE-GRAPH vertices only: at 100 TB the candidate
+    // graph is orders of magnitude smaller than the corpus — this keeps
+    // the loop sized by |E|, not |corpus|.
     var labels = sym.select(col("src").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint(true)
-    // frontier = vertices whose label improved last round. Labels only
-    // decrease, so an improvement can only reach a vertex through a
-    // just-improved neighbor — propagating from the frontier alone is
-    // exact and shrinks each round's join from |V| to |Δ| (round 1
-    // re-joined the full label set every round). A fused two-half-steps-
-    // per-checkpoint variant was tried and measured ~20% SLOWER at bench
-    // scale: the larger per-round plan and the recomputed first half-step
-    // cost more than the saved checkpoint/count/compile.
     var frontier = labels
     var changed = 1L
     var rounds = 0
     var prev: DataFrame = null
-    while (changed > 0 && rounds < 25) {
+    while (changed > 0 && rounds < 64) {
       val nbrMin = sym.join(frontier, col("dst") === col("doc_id"))
         .groupBy("src").agg(min(col("comp")).as("nmin"))
-      // carry the old label through the checkpoint so the convergence
-      // check is a cheap filter on materialized data, not a re-join
-      // EAGER checkpoint: a lazy one (materialized by the convergence
-      // count) was measured ~45% slower per round — the count's filter
-      // then re-plans against unmaterialized lineage
-      val step = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+      // shortcut joins through last round's MATERIALIZED labels (not this
+      // round's half-step, which would recompute nbrMin via the self-join).
+      // Round 1 skips it: the map is still the identity, so the jump is a
+      // guaranteed no-op and its join would be pure overhead.
+      val half = labels.join(nbrMin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp_new"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp_half"),
           col("comp").as("comp_old"))
-        .localCheckpoint(true)
+      // jump entries with L(x) = x are no-ops, and a missing key is the
+      // same no-op under the left join — so the jump map only carries the
+      // MOVED labels (near-clique graphs: almost empty after round 1;
+      // chains: exactly the frontier that still needs halving)
+      val step = (if (rounds == 0) half.withColumn("comp_new", col("comp_half"))
+        else half
+          .join(labels.filter(col("comp") =!= col("doc_id"))
+              .select(col("doc_id").as("j_id"), col("comp").as("j_comp")),
+            col("comp_half") === col("j_id"), "left")
+          .withColumn("comp_new",
+            least(col("comp_half"), coalesce(col("j_comp"), col("comp_half")))))
+        .select(col("doc_id"), col("comp_new"), col("comp_old"))
+        .localCheckpoint(true) // carry comp_old through so the convergence
+                               // check is a filter on materialized data
       frontier = step.filter(col("comp_new") =!= col("comp_old"))
         .select(col("doc_id"), col("comp_new").as("comp"))
       changed = frontier.count()
@@ -194,13 +239,12 @@ object LLMPipeline {
       labels = step.select(col("doc_id"), col("comp_new").as("comp"))
       rounds += 1
     }
-    // attach singleton components (docs in no candidate pair): comp =
-    // their own id. The converged label set is one row per candidate
-    // vertex — tiny next to the corpus — so it broadcasts.
-    Tables(spark, sfDir, "documents").select(col("doc_id"))
-      .join(broadcast(labels.withColumnRenamed("comp", "cand_comp")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cand_comp"), col("doc_id")).as("comp"))
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ccLabels: not converged after $rounds rounds ($changed labels still " +
+          "moving) — with pointer jumping this means a runaway input, not a " +
+          "long chain; refusing to return wrong component labels")
+    (labels, rounds)
   }
 
   /** q93: near-dup RESOLUTION — the end product of the dedup family: per

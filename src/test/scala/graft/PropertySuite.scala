@@ -194,6 +194,31 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("ccLabels: chain-shaped cluster converges in O(log diameter) rounds (VERDICT r9)") {
+    import spark.implicits._
+    // the pathological shape for plain min-label propagation: a 200-vertex
+    // path (diameter 199) needed 199 rounds — beyond any sane cap — while
+    // pointer jumping halves label chains every round. Ids descend so the
+    // min label sits at the FAR end (worst case for propagation).
+    val n = 200
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = operators.LLMPipeline.ccLabels(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"all $n chain vertices must label to component min 0, got ${got.values.toSet}")
+    // O(log d): 2^rounds-style halving must land well under the diameter;
+    // the measured value (recorded in BASELINE.md) is ~9 for d=199
+    assert(rounds <= 16,
+      s"chain of diameter ${n - 1} took $rounds rounds — pointer jumping regressed")
+    info(s"200-vertex chain converged in $rounds rounds")
+
+    // a two-component graph keeps components separate and singleton-free
+    val two = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got2 = operators.LLMPipeline.ccLabels(two)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("cohensKappa matches the in-memory closed form on arbitrary label pairs") {
     import spark.implicits._
     val gen = Gen.chooseNum(2, 40).flatMap(n => Gen.listOfN(n,
