@@ -39,6 +39,12 @@ object Bench {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // schema tripwire at the DRIVER's own entry point (VERDICT r9 item 7):
+    // SchemaSuite catches drift in `sbt test`, but the bench artifact is
+    // what the driver reads — a regenerated table must name itself HERE,
+    // in this run's stderr, not one suite run later.
+    Tables.verifySchemas(spark, sfDir)
+      .foreach(m => System.err.println(s"[bench] SCHEMA DRIFT: $m"))
     // untimed warmup: pay JVM/JIT/codegen/parquet-footer startup once so
     // per-query numbers measure the queries (BASELINE.md's reference
     // numbers are warm-pass numbers)
@@ -119,6 +125,25 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val hostCpus = Runtime.getRuntime.availableProcessors
+    // freshness stamps (VERDICT r9 item 6): `run_epoch` dates the run;
+    // `data_digest` fingerprints the input tables (name:bytes:mtime per
+    // table, md5-folded) so the NEXT silent testdata regeneration is
+    // visible as a digest flip between rounds' bench artifacts instead
+    // of an unexplained timing shift. Metadata-only — no data read.
+    val runEpoch = System.currentTimeMillis() / 1000L
+    val dataDigest = {
+      def sig(f: java.io.File): String =
+        if (f.isDirectory) {
+          val kids = f.listFiles().sortBy(_.getName)
+          s"${kids.map(_.length).sum}:${kids.map(_.lastModified).max}"
+        } else s"${f.length}:${f.lastModified}"
+      val parts = Tables.names.sorted
+        .map { n => val f = new java.io.File(s"$sfDir/$n.parquet")
+          s"$n:${if (f.exists) sig(f) else "ABSENT"}" }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(parts.mkString(";").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    }
     // "failed" makes a broken query IMPOSSIBLE to mistake for a fast one:
     // the summary total is only comparable round-over-round when
     // failed == 0 (a failed query's "timing" is its time-to-throw). The
@@ -128,7 +153,8 @@ object Bench {
     val failedField =
       s""""failed":${failedQueries.size},"failed_queries":${
         failedQueries.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val telemetry = s""""load":${r3(loadAvg)},"cpus":$hostCpus,$failedField"""
+    val telemetry = s""""load":${r3(loadAvg)},"cpus":$hostCpus,""" +
+      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$failedField"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,$telemetry,"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same tripwire as Bench (VERDICT r9 item 7): a regenerated table
+    // names itself in the correctness run's own stderr
+    Tables.verifySchemas(spark, sfDir)
+      .foreach(m => System.err.println(s"[verify] SCHEMA DRIFT: $m"))
     new java.io.File(outDir).mkdirs()
     // dev-iteration filter, same contract as Bench (shared impl:
     // SparkEntry.selected). Unset in driver runs — full suite.

@@ -61,6 +61,26 @@ object Scans {
       .orderBy("s_suppkey")
   }
 
+  /** q184: Avro sink + source round-trip of `nation` — the row-oriented
+    * interchange format that carries streaming/CDC feeds into a lake
+    * (Kafka payloads land as Avro far more often than as parquet). This
+    * build of Spark 4.1.2 bundles the Avro implementation inside
+    * spark-sql itself but does NOT register the `avro` short name in
+    * DataSourceRegister (probed round 10: the classes are present, no
+    * service entry in any jar under /opt/spark/jars) — so the format is
+    * addressed by its implementation class, which resolves through the
+    * same DataSource lookup path. Explicit schema on read-back: Avro
+    * carries its own writer schema, but pinning the reader schema keeps
+    * int32 columns from surfacing under Avro's wider default mappings. */
+  private def q184(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmp("avro_nation", sfDir)
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    nation.coalesce(1).write.mode(SaveMode.Overwrite).format(avroFmt).save(path)
+    spark.read.schema(nation.schema).format(avroFmt).load(path)
+      .orderBy("n_nationkey")
+  }
+
   /** q183: schema-evolution scan — a long-lived dataset whose writer
     * added a column mid-stream (the 100 TB reality: parquet directories
     * accumulate files under EVOLVING schemas for years). Two generations
@@ -272,6 +292,8 @@ object Scans {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     Q("q69_scan_orc_roundtrip", q69 _, Some(
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey")),
+    Q("q184_scan_avro_roundtrip", q184 _, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     Q("q183_scan_schema_merge", q183 _, Some(
       "SELECT * FROM (" +
         "SELECT 'a' AS src, n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation " +
