@@ -381,7 +381,51 @@ object CorpusOps {
     // copy of the weighting semantics, oracle-verified through here
     mixtureWeightsOf(Tables(spark, sfDir, "documents"), "source")
 
+  /** q190: first-occurrence n-gram NOVELTY scoring — for every document
+    * (in doc_id ingest order), the fraction of its distinct word 5-grams
+    * whose FIRST occurrence in the corpus is this document. The standard
+    * incremental-corpus diagnostic between exact dedup and near-dedup:
+    * a doc with novelty ≈ 0 is assembled entirely from already-ingested
+    * text (template/boilerplate/recombination) even when no single
+    * earlier doc is similar enough for q61/q83 to pair with it, and
+    * novelty-vs-ingest-order curves show when a crawl stops adding
+    * information. Complements q104 (overlap vs a FIXED eval set) and
+    * q181 (batch vs standing index): here the reference corpus is every
+    * EARLIER document, defined per-gram by min(doc_id).
+    *
+    * Determinism: pure integer counts + one int/int double division,
+    * r6'd. Scale: one gram-keyed aggregation builds the first-occurrence
+    * index from the SAME distinct (doc, gram-hash) frame the scoring
+    * join reads (q61's hash-before-shuffle trick — 16-byte rows, string
+    * grams never shuffle; collision risk ≈ n²/2⁶⁵, surfaced by the
+    * oracle's exact-string mirror); the scoring join is gram-keyed
+    * equi, the fold doc-keyed — never doc×doc, no driver state. */
+  private def q190(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = fiveGrams(Tables(spark, sfDir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .localCheckpoint(true) // feeds the first-occurrence index AND the scoring side
+    val first = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
+    g.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        Tables.r6(col("n_novel") / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q190_text_novelty", q190 _, Some(
+      "WITH s AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents " +
+        "WHERE len(str_split(text, ' ')) >= 5), " +
+        "gr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)] || ' ' || " +
+        "ts[CAST(i + 3 AS INT)] || ' ' || ts[CAST(i + 4 AS INT)]))) AS g FROM s), " +
+        "f AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY g) " +
+        "SELECT gr.doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        Tables.r6sql("CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)") +
+        " AS novelty FROM gr JOIN f USING (g) GROUP BY gr.doc_id ORDER BY gr.doc_id")),
     Q("q150_curation_pipeline", q150 _, Some(
       "WITH flagged AS MATERIALIZED (SELECT doc_id, lang, text, n_chars, " +
         "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS drop_exact " +

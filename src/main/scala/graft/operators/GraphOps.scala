@@ -208,8 +208,74 @@ object GraphOps {
       .limit(20)
   }
 
+  /** q187: bounded k-hop reach (multi-source BFS, k = 3) over the
+    * customer–supplier bipartite graph — for each seed supplier: its
+    * direct customers (hop 1), the peer suppliers sharing ≥1 customer
+    * (hop 2), and the NEW customers first reachable through those peers
+    * (hop 3, hop-1 frontier subtracted) — the supply-chain blast-radius /
+    * influence-reach read-off. Completes the graph family: q76/q93
+    * converge reachability to a fixpoint, q120 iterates to a stationary
+    * distribution, q147/q170 score closed structures; q187 measures
+    * bounded-depth reach with exact frontier semantics.
+    *
+    * Scale: the textbook frontier-BFS plan — the edge list is built once
+    * (distinct (customer, supplier) pairs; the 100 TB lineitem collapses
+    * in that one distinct), every hop is a seed-keyed equi-join against
+    * it, and each frontier is deduped per level BEFORE the next join so
+    * fan-out never compounds. The seed set rides through as a key (one
+    * multi-source pass, not a per-seed loop); hot suppliers split under
+    * AQE. All counts are per-(seed, node) distinct aggregations — no
+    * collect, no cartesian. */
+  private def q187(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      .localCheckpoint(true) // one edge build feeds all three hop joins
+    val seeds = Tables(spark, sfDir, "supplier")
+      .filter(col("s_suppkey") % 100 === 0)
+      .select(col("s_suppkey").as("seed"))
+    val h1 = seeds.join(edges, col("seed") === col("s"))
+      .select("seed", "c").distinct()
+      .localCheckpoint(true) // frontier read by hop 2 AND the hop-3 subtraction
+    val h2 = h1.join(edges, "c")
+      .filter(col("s") =!= col("seed"))
+      .select("seed", "s").distinct()
+      .localCheckpoint(true)
+    val h3 = h2.join(edges.toDF("c2", "s"), "s")
+      .select(col("seed"), col("c2").as("c")).distinct()
+      .join(h1, Seq("seed", "c"), "left_anti")
+    seeds
+      .join(h1.groupBy("seed").agg(count(lit(1)).as("n1")), Seq("seed"), "left")
+      .join(h2.groupBy("seed").agg(count(lit(1)).as("n2")), Seq("seed"), "left")
+      .join(h3.groupBy("seed").agg(count(lit(1)).as("n3")), Seq("seed"), "left")
+      .select(col("seed"),
+        coalesce(col("n1"), lit(0L)).as("n_cust_h1"),
+        coalesce(col("n2"), lit(0L)).as("n_supp_h2"),
+        coalesce(col("n3"), lit(0L)).as("n_cust_h3_new"))
+      .orderBy("seed")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q120_graph_pagerank", q120 _, Some(q120Sql)),
+    Q("q187_graph_khop", q187 _, Some(
+      // edge CTE MATERIALIZED for the same reason as q147's: three hop
+      // joins reference it, and DuckDB inlines plain CTEs per reference
+      "WITH edges AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "seeds AS (SELECT s_suppkey AS seed FROM supplier WHERE s_suppkey % 100 = 0), " +
+        "h1 AS MATERIALIZED (SELECT DISTINCT seed, c FROM seeds JOIN edges ON s = seed), " +
+        "h2 AS MATERIALIZED (SELECT DISTINCT seed, s FROM h1 JOIN edges USING (c) " +
+        "WHERE s <> seed), " +
+        "h3c AS (SELECT DISTINCT h2.seed AS seed, e.c AS c FROM h2 JOIN edges e ON e.s = h2.s), " +
+        "h3 AS (SELECT h3c.seed, h3c.c FROM h3c LEFT JOIN h1 " +
+        "ON h1.seed = h3c.seed AND h1.c = h3c.c WHERE h1.c IS NULL) " +
+        "SELECT s.seed, COALESCE(n1.n, 0) AS n_cust_h1, COALESCE(n2.n, 0) AS n_supp_h2, " +
+        "COALESCE(n3.n, 0) AS n_cust_h3_new FROM seeds s " +
+        "LEFT JOIN (SELECT seed, COUNT(*) AS n FROM h1 GROUP BY seed) n1 ON s.seed = n1.seed " +
+        "LEFT JOIN (SELECT seed, COUNT(*) AS n FROM h2 GROUP BY seed) n2 ON s.seed = n2.seed " +
+        "LEFT JOIN (SELECT seed, COUNT(*) AS n FROM h3 GROUP BY seed) n3 ON s.seed = n3.seed " +
+        "ORDER BY s.seed")),
     Q("q147_graph_triangles", q147 _, Some(
       // the edge-build CTE is MATERIALIZED: DuckDB inlines plain CTEs at
       // every reference, and orient is referenced three times in the

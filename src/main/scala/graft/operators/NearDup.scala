@@ -183,9 +183,13 @@ object NearDup {
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"))
   }
 
-  /** q61: word-trigram Jaccard near-dup via the inverted-index join —
-    * pairs sharing ≥3 shingles, scored inter/(|A|+|B|−inter). */
-  private def q61(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared candidate machinery for q61/q185: the df-capped distinct
+    * (doc, shingle-hash) frame folded to per-doc sizes and pair
+    * intersections (pairs sharing ≥3 shingles). Both scorers — Jaccard
+    * (q61) and Broder containment (q185) — are ratios over exactly
+    * (inter, |A|, |B|), so the expensive inverted-index join lives here
+    * once. Returns (inter: (ia, ib, inter), sizes: (doc_id, n)). */
+  private def cappedPairFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val tg = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
@@ -229,11 +233,45 @@ object NearDup {
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= 3)
+    (inter, sizes)
+  }
+
+  /** q61: word-trigram Jaccard near-dup via the inverted-index join —
+    * pairs sharing ≥3 shingles, scored inter/(|A|+|B|−inter). */
+  private def q61(spark: SparkSession, sfDir: String): DataFrame = {
+    val (inter, sizes) = cappedPairFrames(spark, sfDir)
     inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
       .select(col("ia"), col("ib"), col("inter"),
         Tables.r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
+  /** q185: Broder CONTAINMENT near-dup (Broder, SEQUENCES '97 §2) — the
+    * asymmetric companion to q61's resemblance/Jaccard. Containment
+    * C(A,B) = |A∩B|/|A| detects SUB-document duplication (a short doc
+    * quoted wholesale inside a long one): such a pair has high C in one
+    * direction but a low Jaccard, because the long doc's size dominates
+    * the union. Emits both directions for every candidate pair sharing
+    * ≥3 shingles and keeps pairs where either direction ≥ 0.5 — the
+    * "one side is mostly inside the other" report the symmetric q61
+    * threshold misses.
+    *
+    * Determinism: ratios are int/int double divisions r6'd on emission;
+    * the ≥0.5 filter compares the ALREADY-r6'd value on both engines.
+    * Scale: identical to q61 — the df-capped inverted-index equi-join,
+    * never doc×doc; the scoring join adds two broadcast-size frames
+    * ((doc_id, n) per side). */
+  private def q185(spark: SparkSession, sfDir: String): DataFrame = {
+    val (inter, sizes) = cappedPairFrames(spark, sfDir)
+    inter
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+      .select(col("ia"), col("ib"), col("inter"),
+        Tables.r6(col("inter") / col("na")).as("cont_a"),
+        Tables.r6(col("inter") / col("nb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
       .orderBy("ia", "ib")
   }
 
@@ -465,6 +503,21 @@ object NearDup {
       .orderBy("id_p", "rn")
   }
 
+  /** Oracle CTE prefix shared by q61/q185 — the exact-string mirror of
+    * [[cappedPairFrames]] (split → distinct trigrams → df-cap → kept →
+    * sizes → pair intersections). */
+  private val pairCtesSql: String =
+    "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
+      "tg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
+      "unnest(list_transform(range(1, len(ts) - 1), i -> " +
+      "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS g FROM split)), " +
+      "hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM tg GROUP BY g) " +
+      s"WHERE df > $hotThresholdSql), " +
+      "kept AS (SELECT doc_id, g FROM tg WHERE g NOT IN (SELECT g FROM hot)), " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
+      "FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+
   val entries: Seq[Q] = Seq(
     Q("q60_dedup_simhash", q60 _, Some(
       simhashSql + " SELECT doc_id, simhash FROM sh ORDER BY doc_id")),
@@ -477,20 +530,19 @@ object NearDup {
         "SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
         "WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY ia, ib")),
     Q("q61_dedup_ngram_jaccard", q61 _, Some(
-      "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
-        "tg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
-        "unnest(list_transform(range(1, len(ts) - 1), i -> " +
-        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS g FROM split)), " +
-        "hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM tg GROUP BY g) " +
-        s"WHERE df > $hotThresholdSql), " +
-        "kept AS (SELECT doc_id, g FROM tg WHERE g NOT IN (SELECT g FROM hot)), " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id), " +
-        "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
-        "FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      pairCtesSql +
         "SELECT ia, ib, inter, " +
         Tables.r6sql("inter / (sa.n + sb.n - inter)") + " AS jaccard " +
         "FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
         "WHERE inter >= 3 ORDER BY ia, ib")),
+    Q("q185_dedup_containment", q185 _, Some(
+      pairCtesSql +
+        "SELECT ia, ib, inter, cont_a, cont_b FROM (" +
+        "SELECT ia, ib, inter, " +
+        Tables.r6sql("inter / sa.n") + " AS cont_a, " +
+        Tables.r6sql("inter / sb.n") + " AS cont_b " +
+        "FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
+        "WHERE inter >= 3) WHERE greatest(cont_a, cont_b) >= 0.5 ORDER BY ia, ib")),
     Q("q62_dedup_embedding", q62 _, Some(
       "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         Tables.r6sql(s"${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))") +

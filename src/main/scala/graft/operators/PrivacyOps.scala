@@ -220,7 +220,49 @@ object PrivacyOps {
       .orderBy("group_id")
   }
 
+  /** q188: kᵐ-anonymity audit for SET-VALUED data (Terrovitis et al.,
+    * VLDB 2008) — the q41 k-anonymity question asked of transaction
+    * data, where the quasi-identifier is not a fixed column tuple but
+    * ANY subset of a user's item set an adversary may know. With
+    * adversary knowledge bounded at m = 2 items, kᵐ-anonymity requires
+    * every itemset of size ≤ 2 to be shared by ≥ k users; the audit
+    * enumerates every size-1 and size-2 itemset actually present in the
+    * per-user distinct event-type sets with its supporting-user count
+    * and flags the violators (support < k = 5, the file's k).
+    *
+    * Scale: the corpus collapses ONCE to the distinct (user, item)
+    * frame; singles are a map-side-combined count on it; pairs come
+    * from the user-keyed self-join whose per-user fan-out is C(d,2)
+    * with d = that user's distinct-item count — bounded by the item
+    * DOMAIN (5 event types ⇒ ≤ 10 pairs/user), never by event volume.
+    * For wide item domains the q61 df-cap recipe applies upstream;
+    * here the domain is catalog-bounded. */
+  private def q188(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // read by singles AND both pair-join sides
+    val singles = ut.groupBy(col("event_type").as("itemset"))
+      .agg(count(lit(1)).as("support")).withColumn("m", lit(1L))
+    val pairs = ut.toDF("user_id", "t1").join(ut.toDF("user_id", "t2"), "user_id")
+      .filter(col("t1") < col("t2"))
+      .select(concat_ws("|", col("t1"), col("t2")).as("itemset"))
+      .groupBy("itemset").agg(count(lit(1)).as("support")).withColumn("m", lit(2L))
+    singles.unionByName(pairs)
+      .select(col("itemset"), col("m"), col("support"),
+        (col("support") < LatticeK).as("risky"))
+      .orderBy("m", "itemset")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q188_anon_km_audit", q188 _, Some(
+      "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "singles AS (SELECT event_type AS itemset, CAST(1 AS BIGINT) AS m, " +
+        "COUNT(*) AS support FROM ut GROUP BY 1), " +
+        "pairs AS (SELECT a.event_type || '|' || b.event_type AS itemset, " +
+        "CAST(2 AS BIGINT) AS m, COUNT(*) AS support FROM ut a " +
+        "JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1) " +
+        s"SELECT itemset, m, support, support < $LatticeK AS risky FROM " +
+        "(SELECT * FROM singles UNION ALL SELECT * FROM pairs) ORDER BY m, itemset")),
     Q("q151_anon_lattice", q151 _, Some(
       "WITH cells AS (SELECT c_nationkey AS natk, r_name, " +
         "CAST(FLOOR(c_acctbal / 500) AS BIGINT) * 500 AS bin500, " +

@@ -249,6 +249,50 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** q186: lag-k autocorrelation (ACF, lags 1–3) of the daily value
+    * series per event type — the Box–Jenkins diagnostic that tells a
+    * pipeline whether yesterday predicts today (q155 SMOOTHS the series,
+    * q163 profiles its SEASONAL shape, q172 locates its LEVEL SHIFT;
+    * q186 measures its MEMORY). acf_k = Σ dev_t·dev_{t+k} / Σ dev_t²
+    * over the mean-centered daily sums, non-circular (the last k days
+    * simply contribute no product — LEAD is NULL and SUM skips it,
+    * identically on both engines).
+    *
+    * Determinism: daily sums are exact DECIMAL; μ = decimal-double/n;
+    * dev and each lag product are per-row double ops; every summed term
+    * is r6-quantized then DECIMAL-summed (§2.9 R1, q143's ln recipe
+    * applied to products); the final ratio is one double division, r6'd.
+    * Scale: raw events collapse in ONE calendar-bounded daily shuffle;
+    * the LEAD window, the per-type fold, and the 3-row unpivot all run
+    * on the ≤ types×days frame. */
+  private def q186(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+      .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
+      .localCheckpoint(true) // calendar-bounded; totals + deviations share one pass
+    val tot = daily.groupBy(col("event_type").as("et"))
+      .agg(Tables.dec(sum("v")).as("sv"), count(lit(1)).as("nd"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val dev = daily.join(broadcast(tot), col("event_type") === col("et"))
+      .select(col("event_type"), col("day"), col("nd"),
+        (col("v").cast("double") - col("sv").cast("double") / col("nd")).as("dev"))
+    def term(c: Column): Column = Tables.r6(col("dev") * c).cast(DecimalType(18, 6))
+    val sums = dev
+      .withColumn("dev1", lead(col("dev"), 1).over(wOrd))
+      .withColumn("dev2", lead(col("dev"), 2).over(wOrd))
+      .withColumn("dev3", lead(col("dev"), 3).over(wOrd))
+      .groupBy("event_type")
+      .agg(max("nd").as("n_days"), sum(term(col("dev"))).as("sxx"),
+        sum(term(col("dev1"))).as("s1"), sum(term(col("dev2"))).as("s2"),
+        sum(term(col("dev3"))).as("s3"))
+    sums.select(col("event_type"), col("n_days"), col("sxx"),
+        expr("stack(3, 1L, s1, 2L, s2, 3L, s3) AS (lag, sxy)"))
+      .select(col("event_type"), col("lag"), col("n_days"),
+        Tables.r6(col("sxy").cast("double") / col("sxx").cast("double")).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
   /** The shared account-balance quantile pass behind q174 and q175
     * (VERDICT r9 item 5): both queries select order statistics of the
     * SAME column (customer.c_acctbal) — q174 per-segment quartiles, q175
@@ -451,6 +495,31 @@ object StatsOps {
         "SELECT event_type, day AS change_day, nd AS n_days, cu, " +
         "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(cu) DESC, day) AS rn " +
         "FROM scored) WHERE rn = 1 ORDER BY event_type")),
+    Q("q186_ts_autocorrelation", q186 _, Some {
+      def branch(k: Int, s: String): String =
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, n_days, " +
+          Tables.r6sql(s"CAST($s AS DOUBLE) / CAST(sxx AS DOUBLE)") + " AS acf FROM sums"
+      "WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, CAST(SUM(v) AS DECIMAL(18,4)) AS sv, " +
+        "COUNT(*) AS nd FROM daily GROUP BY event_type), " +
+        "dev AS (SELECT d.event_type, day, nd, " +
+        "CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / nd AS dev " +
+        "FROM daily d JOIN tot t ON d.event_type = t.event_type), " +
+        "led AS (SELECT event_type, nd, dev, " +
+        "LEAD(dev, 1) OVER w AS dev1, LEAD(dev, 2) OVER w AS dev2, " +
+        "LEAD(dev, 3) OVER w AS dev3 FROM dev " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
+        "sums AS (SELECT event_type, MAX(nd) AS n_days, " +
+        "SUM(CAST(" + Tables.r6sql("dev * dev") + " AS DECIMAL(18,6))) AS sxx, " +
+        "SUM(CAST(" + Tables.r6sql("dev * dev1") + " AS DECIMAL(18,6))) AS s1, " +
+        "SUM(CAST(" + Tables.r6sql("dev * dev2") + " AS DECIMAL(18,6))) AS s2, " +
+        "SUM(CAST(" + Tables.r6sql("dev * dev3") + " AS DECIMAL(18,6))) AS s3 " +
+        "FROM led GROUP BY event_type) " +
+        branch(1, "s1") + " UNION ALL " + branch(2, "s2") + " UNION ALL " + branch(3, "s3") +
+        " ORDER BY event_type, lag"
+    }),
     Q("q174_iqr_outliers", q174 _, Some(
       "WITH fences AS (SELECT c_mktsegment AS seg, q1, q3, " +
         "q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM (" +

@@ -550,7 +550,90 @@ object TimeSeries {
       .orderBy("step")
   }
 
+  /** q189: Kaplan–Meier survival over time-to-conversion (Kaplan &
+    * Meier, JASA 1958) — the right-censoring-aware answer to "how long
+    * until a clicker purchases", which q177's naive gap quantiles get
+    * WRONG whenever users haven't converted yet: dropping them biases
+    * fast, counting them as converted biases slow; KM keeps them in the
+    * risk set until their last observed day. Cohort = users with a
+    * click; event = first purchase strictly after the first click;
+    * censor time = the user's last observed event day. Emits the
+    * classic risk table per duration day t — at-risk n, events d,
+    * censored c — plus the log survival curve ln S(t) = Σ ln((n−d)/n),
+    * NULL from the day the risk set dies out (S = 0, ln = −∞).
+    *
+    * Determinism: each factor ln((n−d)/n) is an int/int double division
+    * through ln (q143's verified-parity recipe), r6-quantized, DECIMAL-
+    * summed in day order (§2.9 R1); the d=n row and everything after is
+    * masked via an integer running-max flag, identically on both
+    * engines. Scale: the corpus collapses in THREE user-keyed aggs
+    * (first click, first qualifying purchase, last event) joined
+    * user-keyed; everything after lives on the calendar-bounded
+    * duration frame (≤ #days rows — its global windows are the q23
+    * bounded-frame exception). */
+  private def q189(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .localCheckpoint(true) // three cohort aggs ride one read
+    val ck = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(ck, "user_id").filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_pur"))
+    val la = ev.join(ck.select("user_id"), "user_id")
+      .groupBy("user_id").agg(max("ts_us").as("t_last"))
+    val dur = ck.join(pu, Seq("user_id"), "left").join(la, "user_id")
+      .select(col("user_id"),
+        when(col("t_pur").isNotNull, 1L).otherwise(0L).as("ev"),
+        when(col("t_pur").isNotNull,
+          expr(s"t_pur DIV $usPerDay - t_click DIV $usPerDay"))
+          .otherwise(expr(s"t_last DIV $usPerDay - t_click DIV $usPerDay")).as("t"))
+    val tbl = dur.groupBy("t")
+      .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c_cens"),
+        count(lit(1)).as("leaving"))
+    val wTail = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fac = tbl.withColumn("n_risk", sum("leaving").over(wTail))
+      .withColumn("f", when(col("d") < col("n_risk"),
+        Tables.r6(log((col("n_risk") - col("d")) / col("n_risk")))
+          .cast(DecimalType(18, 6))))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(wCum))
+    fac.select(col("t"), col("n_risk"), col("d").as("d_events"),
+        col("c_cens").as("c_censored"),
+        when(col("dead") === 1L, lit(null).cast("double"))
+          .otherwise(Tables.r6(sum("f").over(wCum).cast("double"))).as("ln_surv"))
+      .orderBy("t")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q189_survival_km", q189 _, Some(
+      "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "ck AS (SELECT user_id, MIN(ts_us) AS t_click FROM ev WHERE event_type = 'click' GROUP BY user_id), " +
+        "pu AS (SELECT ev.user_id, MIN(ts_us) AS t_pur FROM ev JOIN ck ON ev.user_id = ck.user_id " +
+        "WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY ev.user_id), " +
+        "la AS (SELECT ev.user_id, MAX(ts_us) AS t_last FROM ev JOIN ck ON ev.user_id = ck.user_id " +
+        "GROUP BY ev.user_id), " +
+        "dur AS (SELECT ck.user_id, CASE WHEN t_pur IS NOT NULL THEN 1 ELSE 0 END AS ev, " +
+        s"CASE WHEN t_pur IS NOT NULL THEN t_pur // $usPerDay - t_click // $usPerDay " +
+        s"ELSE t_last // $usPerDay - t_click // $usPerDay END AS t " +
+        "FROM ck LEFT JOIN pu ON ck.user_id = pu.user_id JOIN la ON ck.user_id = la.user_id), " +
+        "tbl AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(SUM(1 - ev) AS BIGINT) AS c_cens, " +
+        "COUNT(*) AS leaving FROM dur GROUP BY t), " +
+        "risk AS (SELECT t, d, c_cens, CAST(SUM(leaving) OVER " +
+        "(ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk FROM tbl), " +
+        "fac AS (SELECT t, d, c_cens, n_risk, " +
+        "CASE WHEN d < n_risk THEN CAST(" + Tables.r6sql("ln((n_risk - d) / n_risk)") +
+        " AS DECIMAL(18,6)) END AS f, " +
+        "MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER " +
+        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead FROM risk) " +
+        "SELECT t, n_risk, d AS d_events, c_cens AS c_censored, " +
+        "CASE WHEN dead = 1 THEN NULL ELSE " +
+        Tables.r6sql("CAST(SUM(f) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)") +
+        " END AS ln_surv FROM fac ORDER BY t")),
     Q("q56_stream_tumbling", q56 _, Some(
       s"SELECT epoch_us(ts) // $usPerHour AS hour_bucket, event_type, COUNT(*) AS cnt, " +
         Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_value " +

@@ -46,8 +46,16 @@ class OperatorSuite extends AnyFunSuite {
       "q168_dataset_card",       // corpus-total 1-row fold over ≤#langs rows
       "q175_decile_lift",        // base-rate 1-row fold over the 10 decile rows
       "q178_dataset_mixture",    // totals 1-row fold over the ≤#sources rows
-      "q179_vocab_coverage")     // corpus-total 1-row fold + rank window over
+      "q179_vocab_coverage",     // corpus-total 1-row fold + rank window over
                                  // the constant ≤40-row TakeOrdered head
+      "q185_dedup_containment",  // ndocs 1-row aggregate (q61's shared df-cap)
+      "q187_graph_khop",         // optimizer-INJECTED bloom runtime filter on
+                                 // the seed key (InjectRuntimeFilter): a
+                                 // grand aggregate merging one bloom buffer
+                                 // per partition — bounded, and a scale WIN
+                                 // (pre-filters the edge scan by seed)
+      "q189_survival_km")        // calendar-bounded duration-frame windows
+                                 // (≤ #days rows — the q23 exception)
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
