@@ -442,4 +442,94 @@ object Graft {
     * (doc_id, text, splitCol). Verified as q182. */
   def splitLeakage(docs: DataFrame, splitCol: String, trainValue: String): DataFrame =
     operators.CorpusOps.splitLeakageOf(docs, splitCol, trainValue)
+
+  /** Broder containment near-dup pairs (q185): asymmetric C(A,B) =
+    * |A∩B|/|A| both ways per candidate pair from the df-capped trigram
+    * inverted index, kept where either direction ≥ `tau` — flags
+    * sub-document duplication symmetric Jaccard misses. `docs` needs
+    * (doc_id, text). */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.5): DataFrame =
+    operators.NearDup.containmentPairsOf(docs, tau)
+
+  /** Lag-k autocorrelation of a keyed, bucketed series (q186): buckets
+    * `df` per (key, time), sums `value` exactly, and returns acf at lags
+    * 1..`maxLag` per key — deviation products r6-quantized then
+    * DECIMAL-summed so partition merge order can't move the result.
+    * `time` must be a BOUNDED bucket (day index, hour index), not a raw
+    * timestamp: the post-aggregation frame is key×buckets-sized. */
+  def autocorrelation(df: DataFrame, key: Column, time: Column, value: Column,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12, s"autocorrelation: maxLag $maxLag outside [1, 12]")
+    import org.apache.spark.sql.types.DecimalType
+    val per = df.groupBy(key.as("graft_k"), time.as("graft_t"))
+      .agg(Tables.dec(sum(Tables.dec(value))).as("graft_v"))
+      .localCheckpoint(true)
+    val tot = per.groupBy(col("graft_k").as("graft_k2"))
+      .agg(Tables.dec(sum("graft_v")).as("graft_sv"), count(lit(1)).as("graft_n"))
+    val wOrd = Window.partitionBy("graft_k").orderBy("graft_t")
+    val dev = per.join(broadcast(tot), col("graft_k") === col("graft_k2"))
+      .select(col("graft_k"), col("graft_t"), col("graft_n"),
+        (col("graft_v").cast("double") -
+          col("graft_sv").cast("double") / col("graft_n")).as("graft_dev"))
+    def term(c: Column): Column =
+      Tables.r6(col("graft_dev") * c).cast(DecimalType(18, 6))
+    val led = (1 to maxLag).foldLeft(dev) { (d, k) =>
+      d.withColumn(s"graft_dev$k", lead(col("graft_dev"), k).over(wOrd))
+    }
+    // one r6→DECIMAL sum per lag + the variance term, built as a list so
+    // maxLag stays a parameter
+    val aggExprs =
+      max("graft_n").as("n_buckets") +:
+      sum(term(col("graft_dev"))).as("graft_sxx") +:
+      (1 to maxLag).map(k => sum(term(col(s"graft_dev$k"))).as(s"graft_s$k"))
+    val folded = led.groupBy("graft_k").agg(aggExprs.head, aggExprs.tail: _*)
+    val stackExpr = (1 to maxLag)
+      .map(k => s"${k}L, graft_s$k").mkString(s"stack($maxLag, ", ", ", ") AS (lag, graft_sxy)")
+    folded.select(col("graft_k").as("key"), col("n_buckets"), col("graft_sxx"),
+        expr(stackExpr))
+      .select(col("key"), col("lag"), col("n_buckets"),
+        Tables.r6(col("graft_sxy").cast("double") / col("graft_sxx").cast("double")).as("acf"))
+  }
+
+  /** Bounded 3-hop reach / multi-source BFS (q187) over a bipartite
+    * edge frame: per seed (an `s`-side key), distinct `c`-side
+    * neighbors (hop 1), distinct `s`-side peers sharing a neighbor
+    * (hop 2), and NEW `c`-side nodes first reachable via peers (hop 3).
+    * `edges` needs (`c`, `s`); `seeds` a single column named `seed`. */
+  def kHopReach(edges: DataFrame, seeds: DataFrame): DataFrame =
+    operators.GraphOps.khopReachOf(edges, seeds)
+
+  /** kᵐ-anonymity audit for set-valued data (q188, Terrovitis VLDB'08):
+    * every size-1/size-2 itemset over per-`user` distinct `item`s with
+    * its supporting-user count, flagged where support < `k`. */
+  def kmAnonymityAudit(df: DataFrame, user: Column, item: Column,
+      k: Int = 5): DataFrame = {
+    val ut = df.select(user.as("graft_u"), item.as("graft_i")).distinct()
+      .localCheckpoint(true)
+    val singles = ut.groupBy(col("graft_i").cast("string").as("itemset"))
+      .agg(count(lit(1)).as("support")).withColumn("m", lit(1L))
+    val pairs = ut.toDF("graft_u", "graft_a")
+      .join(ut.toDF("graft_u", "graft_b"), "graft_u")
+      .filter(col("graft_a") < col("graft_b"))
+      .select(concat_ws("|", col("graft_a"), col("graft_b")).as("itemset"))
+      .groupBy("itemset").agg(count(lit(1)).as("support")).withColumn("m", lit(2L))
+    singles.unionByName(pairs)
+      .select(col("itemset"), col("m"), col("support"),
+        (col("support") < k).as("risky"))
+  }
+
+  /** Kaplan–Meier risk table + log survival curve (q189): `df` is one
+    * row per subject; `event` = 1 observed / 0 right-censored,
+    * `duration` an integer time bucket (the frame after bucketing must
+    * be calendar-bounded). Returns (t, n_risk, d_events, c_censored,
+    * ln_surv), ln_surv NULL once the risk set dies out (S = 0). */
+  def kaplanMeier(df: DataFrame, event: Column, duration: Column): DataFrame =
+    operators.TimeSeries.kaplanMeierOf(
+      df.select(event.cast("long").as("ev"), duration.cast("long").as("t")))
+
+  /** First-occurrence 5-gram novelty per document (q190): the fraction
+    * of each doc's distinct word 5-grams whose first corpus occurrence
+    * (min doc_id) is that doc. `docs` needs (doc_id, text). */
+  def noveltyScores(docs: DataFrame): DataFrame =
+    operators.CorpusOps.noveltyOf(docs)
 }

@@ -400,8 +400,10 @@ object CorpusOps {
     * grams never shuffle; collision risk ≈ n²/2⁶⁵, surfaced by the
     * oracle's exact-string mirror); the scoring join is gram-keyed
     * equi, the fold doc-keyed — never doc×doc, no driver state. */
-  private def q190(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = fiveGrams(Tables(spark, sfDir, "documents").select("doc_id", "text"))
+  /** The generic novelty primitive behind q190, exposed as
+    * [[graft.Graft.noveltyScores]]: `docs` needs (doc_id, text). */
+  private[graft] def noveltyOf(docs: DataFrame): DataFrame = {
+    val g = fiveGrams(docs.select("doc_id", "text"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .localCheckpoint(true) // feeds the first-occurrence index AND the scoring side
     val first = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
@@ -413,6 +415,9 @@ object CorpusOps {
         Tables.r6(col("n_novel") / col("n_grams")).as("novelty"))
       .orderBy("doc_id")
   }
+
+  private def q190(spark: SparkSession, sfDir: String): DataFrame =
+    noveltyOf(Tables(spark, sfDir, "documents"))
 
   val entries: Seq[Q] = Seq(
     Q("q190_text_novelty", q190 _, Some(

@@ -226,15 +226,12 @@ object GraphOps {
     * multi-source pass, not a per-seed loop); hot suppliers split under
     * AQE. All counts are per-(seed, node) distinct aggregations — no
     * collect, no cartesian. */
-  private def q187(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables(spark, sfDir, "lineitem")
-      .join(Tables(spark, sfDir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+  /** The generic bounded-BFS primitive behind q187, exposed as
+    * [[graft.Graft.kHopReach]]: `edges` is ANY bipartite (c, s) frame
+    * (deduped here), `seeds` a frame of s-side keys named `seed`. */
+  private[graft] def khopReachOf(edges0: DataFrame, seeds: DataFrame): DataFrame = {
+    val edges = edges0.select(col("c"), col("s")).distinct()
       .localCheckpoint(true) // one edge build feeds all three hop joins
-    val seeds = Tables(spark, sfDir, "supplier")
-      .filter(col("s_suppkey") % 100 === 0)
-      .select(col("s_suppkey").as("seed"))
     val h1 = seeds.join(edges, col("seed") === col("s"))
       .select("seed", "c").distinct()
       .localCheckpoint(true) // frontier read by hop 2 AND the hop-3 subtraction
@@ -255,6 +252,16 @@ object GraphOps {
         coalesce(col("n3"), lit(0L)).as("n_cust_h3_new"))
       .orderBy("seed")
   }
+
+  private def q187(spark: SparkSession, sfDir: String): DataFrame =
+    khopReachOf(
+      Tables(spark, sfDir, "lineitem")
+        .join(Tables(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")),
+      Tables(spark, sfDir, "supplier")
+        .filter(col("s_suppkey") % 100 === 0)
+        .select(col("s_suppkey").as("seed")))
 
   val entries: Seq[Q] = Seq(
     Q("q120_graph_pagerank", q120 _, Some(q120Sql)),

@@ -189,8 +189,8 @@ object NearDup {
     * (q61) and Broder containment (q185) — are ratios over exactly
     * (inter, |A|, |B|), so the expensive inverted-index join lives here
     * once. Returns (inter: (ia, ib, inter), sizes: (doc_id, n)). */
-  private def cappedPairFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val tg = Tables(spark, sfDir, "documents")
+  private[graft] def cappedPairFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tg = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -218,8 +218,7 @@ object NearDup {
     // is equivalent to dropping them before it, which is what the oracle
     // does on the exact strings. ndocs is a broadcast 1-row aggregate,
     // not a driver count.
-    val ndocs = Tables(spark, sfDir, "documents")
-      .agg(count(lit(1)).cast("double").as("nd"))
+    val ndocs = docs.agg(count(lit(1)).cast("double").as("nd"))
     val hot = hashed.groupBy("gh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(ndocs))
       .filter(col("df") > greatest(col("nd") * lit(MaxShingleDf), lit(MinHotDf)))
@@ -239,7 +238,7 @@ object NearDup {
   /** q61: word-trigram Jaccard near-dup via the inverted-index join —
     * pairs sharing ≥3 shingles, scored inter/(|A|+|B|−inter). */
   private def q61(spark: SparkSession, sfDir: String): DataFrame = {
-    val (inter, sizes) = cappedPairFrames(spark, sfDir)
+    val (inter, sizes) = cappedPairFrames(Tables(spark, sfDir, "documents"))
     inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
@@ -263,17 +262,22 @@ object NearDup {
     * Scale: identical to q61 — the df-capped inverted-index equi-join,
     * never doc×doc; the scoring join adds two broadcast-size frames
     * ((doc_id, n) per side). */
-  private def q185(spark: SparkSession, sfDir: String): DataFrame = {
-    val (inter, sizes) = cappedPairFrames(spark, sfDir)
+  /** The generic containment primitive behind q185, exposed as
+    * [[graft.Graft.containmentPairs]]: `docs` needs (doc_id, text). */
+  private[graft] def containmentPairsOf(docs: DataFrame, tau: Double): DataFrame = {
+    val (inter, sizes) = cappedPairFrames(docs)
     inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
       .select(col("ia"), col("ib"), col("inter"),
         Tables.r6(col("inter") / col("na")).as("cont_a"),
         Tables.r6(col("inter") / col("nb")).as("cont_b"))
-      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= tau)
       .orderBy("ia", "ib")
   }
+
+  private def q185(spark: SparkSession, sfDir: String): DataFrame =
+    containmentPairsOf(Tables(spark, sfDir, "documents"), tau = 0.5)
 
   /** q62: embedding-cosine near-dup — EVERY pair with cos ≥ 0.3, exactly,
     * but with no cartesian anywhere in the plan: [[exactCosPairs]] prunes

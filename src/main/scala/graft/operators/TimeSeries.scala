@@ -589,6 +589,16 @@ object TimeSeries {
         when(col("t_pur").isNotNull,
           expr(s"t_pur DIV $usPerDay - t_click DIV $usPerDay"))
           .otherwise(expr(s"t_last DIV $usPerDay - t_click DIV $usPerDay")).as("t"))
+    kaplanMeierOf(dur)
+  }
+
+  /** The generic KM risk-table primitive behind q189, exposed as
+    * [[graft.Graft.kaplanMeier]]: `dur` is one row per subject with
+    * `ev` (1 = event observed, 0 = right-censored) and an integer
+    * duration `t`. The duration frame is assumed bounded (time buckets,
+    * not raw timestamps) — its global windows run on ≤ #buckets rows. */
+  private[graft] def kaplanMeierOf(dur: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val tbl = dur.groupBy("t")
       .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c_cens"),
         count(lit(1)).as("leaving"))

@@ -375,4 +375,88 @@ class ApiSuite extends AnyFunSuite {
     assert(rows("val").getAs[Long]("n_leaky") == 0L)
     assert(rows("val").getAs[Double]("leak_rate") == 0.0)
   }
+
+  test("containmentPairs flags the quoted sub-document both ways") {
+    import spark.implicits._
+    // doc 2 (3 trigrams) is a prefix quote of doc 1 (6 trigrams):
+    // inter = 3 → cont_a = 0.5, cont_b = 1.0; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5"),
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val rows = Graft.containmentPairs(docs, tau = 0.5).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getAs[Long]("inter") == 3L)
+    assert(r.getAs[Double]("cont_a") == 0.5 && r.getAs[Double]("cont_b") == 1.0)
+  }
+
+  test("autocorrelation of an alternating series: negative lag-1, positive lag-2") {
+    import spark.implicits._
+    // 10,20 alternating over 8 buckets: dev = ±5, sxx = 200,
+    // s1 = 7·(−25) = −175, s2 = 6·25 = 150, s3 = 5·(−25) = −125
+    val df = (1 to 8).map(t => ("k", t.toLong, if (t % 2 == 0) 20.0 else 10.0))
+      .toDF("k", "t", "v")
+    val got = Graft.autocorrelation(df, col("k"), col("t"), col("v"), maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Double]("acf")))).toMap
+    assert(got(1L) == ((8L, -0.875)))
+    assert(got(2L) == ((8L, 0.75)))
+    assert(got(3L) == ((8L, -0.625)))
+  }
+
+  test("kHopReach counts exact frontier sizes per hop") {
+    import spark.implicits._
+    // s0—{c1,c2}, s1—{c2,c3}, s2—{c3}: from s0, h1 = {c1,c2},
+    // h2 = {s1} (shared c2), h3-new = {c3} (via s1, c2 already in h1)
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L))
+      .toDF("c", "s")
+    val seeds = Seq(10L).toDF("seed")
+    val r = Graft.kHopReach(edges, seeds).head()
+    assert(r.getAs[Long]("n_cust_h1") == 2L)
+    assert(r.getAs[Long]("n_supp_h2") == 1L)
+    assert(r.getAs[Long]("n_cust_h3_new") == 1L)
+  }
+
+  test("kmAnonymityAudit flags itemsets below k") {
+    import spark.implicits._
+    // items: a→{u1,u2,u3}, b→{u1,u2}, pair a|b→{u1,u2}; k=3
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "a"))
+      .toDF("u", "i")
+    val got = Graft.kmAnonymityAudit(df, col("u"), col("i"), k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("m"), r.getAs[Long]("support"), r.getAs[Boolean]("risky")))).toMap
+    assert(got("a") == ((1L, 3L, false)))
+    assert(got("b") == ((1L, 2L, true)))
+    assert(got("a|b") == ((2L, 2L, true)))
+  }
+
+  test("kaplanMeier risk table: censoring held at risk, NULL after S hits 0") {
+    import spark.implicits._
+    // t=1: 2 events + 1 censored of 4 at risk → ln S = ln(2/4);
+    // t=2: the last subject converts (d = n) → S = 0 → ln_surv NULL
+    val df = Seq((1L, 1L), (1L, 1L), (0L, 1L), (1L, 2L)).toDF("ev", "t")
+    val rows = Graft.kaplanMeier(df, col("ev"), col("t")).collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("n_risk") == 4L && r1.getAs[Long]("d_events") == 2L &&
+      r1.getAs[Long]("c_censored") == 1L)
+    assert(math.abs(r1.getAs[Double]("ln_surv") - math.log(0.5)) < 1e-5)
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("n_risk") == 1L && r2.getAs[Long]("d_events") == 1L)
+    assert(r2.isNullAt(r2.fieldIndex("ln_surv")), "ln_surv must be NULL once S = 0")
+  }
+
+  test("noveltyScores: dup doc scores 0, half-recombined doc scores 0.5") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),  // grams abcde, bcdef — both first here
+      (2L, "a b c d e f"),  // exact dup → 0 novel
+      (3L, "a b c d e x")). // abcde seen, bcdex new → 0.5
+      toDF("doc_id", "text")
+    val got = Graft.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0 && got(3L) == 0.5)
+  }
 }

@@ -296,6 +296,46 @@ class PlanShapeSuite extends AnyFunSuite {
       s"got $joins equi-joins:\n$plan")
   }
 
+  test("r10 additions: scoring never rescans the corpus past the checkpoint boundary") {
+    // q186/q188/q189/q190 each collapse the corpus ONCE into an eagerly
+    // checkpointed bounded/keyed frame (daily cells, distinct user-item,
+    // cohort events, distinct doc-grams); everything downstream must read
+    // ONLY that RDD — a parquet scan in the final plan would be a second
+    // 100 TB pass (q151's probe, applied to the round-10 family)
+    for (q <- Seq("q186_ts_autocorrelation", "q188_anon_km_audit",
+        "q189_survival_km", "q190_text_novelty")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet"),
+        s"$q rescans the corpus after its checkpoint boundary:\n$plan")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q: expected the checkpointed frame in the plan:\n$plan")
+    }
+  }
+
+  test("q185: df-cap rides a broadcast anti-join; q187 scans parquet only for seeds") {
+    // q185 shares q61's inverted-index plan: the hot-shingle cap must be
+    // a broadcast LeftAnti (hot set is tiny by the counting bound), never
+    // a shuffled pair-space filter
+    val d185 = SparkEntry.queries("q185_dedup_containment")(spark, sf)
+    d185.collect()
+    val p185 = d185.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p185).isDefined,
+      s"q185 df-cap is not a broadcast anti-join:\n$p185")
+    // q187's edge list is built once (checkpointed): no lineitem/orders
+    // scan may survive into the final plan — that would repeat the fact
+    // join per hop. (The pruned single-column supplier SEED scan being
+    // replicated across its consumers is fine: it's a filtered dim
+    // projection, not the 100 TB side.)
+    val d187 = SparkEntry.queries("q187_graph_khop")(spark, sf)
+    d187.collect()
+    val p187 = d187.queryExecution.executedPlan.toString
+    assert(!p187.contains("lineitem") && !p187.contains("orders"),
+      s"q187 rescans the fact side past the edge checkpoint:\n$p187")
+    assert(p187.contains("supplier"), s"q187's seed scan went missing:\n$p187")
+  }
+
   test("q183: pruning and pushdown survive a mergeSchema read (VERDICT r9)") {
     import org.apache.spark.sql.execution.FormattedMode
     // run q183 once so both schema generations exist on disk…
