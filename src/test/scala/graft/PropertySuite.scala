@@ -239,4 +239,161 @@ class PropertySuite extends AnyFunSuite {
       }
     }, cases = 5)
   }
+
+  // ---- round-10 facade primitives vs in-memory mirrors --------------------
+
+  private def r6d(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+  /** The engine's r6 → DECIMAL(18,6) quantization, mirrored: the double is
+    * re-read through its shortest decimal repr (BigDecimal.valueOf), which
+    * is exactly what Spark's double→decimal cast does. */
+  private def dec6(v: Double): BigDecimal =
+    BigDecimal(java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP))
+
+  test("kaplanMeier equals the in-memory risk table on arbitrary cohorts") {
+    import spark.implicits._
+    val gen = Gen.choose(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 1L), Gen.choose(0L, 6L))))
+    check(Prop.forAll(gen) { subs =>
+      val got = Graft.kaplanMeier(subs.toDF("ev", "t"), col("ev"), col("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toList
+      var atRisk = subs.size.toLong
+      var acc = BigDecimal(0)
+      var dead = false
+      val expect = subs.groupBy(_._2).toList.sortBy(_._1).map { case (t, xs) =>
+        val d = xs.count(_._1 == 1L).toLong
+        val c = xs.size - d
+        val n = atRisk
+        atRisk -= d + c
+        val ln = if (d == n) { dead = true; None }
+          else { acc += dec6(r6d(math.log((n - d).toDouble / n))); Some(r6d(acc.toDouble)) }
+        (t, n, d, c, if (dead) None else ln)
+      }
+      got == expect
+    }, cases = 8)
+  }
+
+  test("autocorrelation equals the in-memory ACF; Cauchy–Schwarz bounds |acf| by 1") {
+    import spark.implicits._
+    def dec4(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP))
+    val gen = Gen.choose(4, 16).flatMap(n => Gen.listOfN(n, Gen.choose(-50.0, 50.0)))
+    check(Prop.forAll(gen) { vs0 =>
+      val vs = vs0.map(dec4) // per-bucket DECIMAL(18,4) exact sums, mirrored
+      val sxxRaw = {
+        val mu = vs.sum.toDouble / vs.size
+        vs.map(v => { val d = v.toDouble - mu; dec6(r6d(d * d)) }).sum
+      }
+      sxxRaw.toDouble == 0.0 || {
+        val df = vs0.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }.toDF("k", "t", "v")
+        val got = Graft.autocorrelation(df, col("k"), col("t"), col("v"), maxLag = 2)
+          .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+        val mu = vs.sum.toDouble / vs.size
+        val dev = vs.map(_.toDouble - mu)
+        val expect = (1 to 2).map { k =>
+          val s = dev.dropRight(k).zip(dev.drop(k)).map { case (a, b) => dec6(r6d(a * b)) }.sum
+          k.toLong -> r6d(s.toDouble / sxxRaw.toDouble)
+        }.toMap
+        got == expect && got.values.forall(a => math.abs(a) <= 1.0 + 1e-6)
+      }
+    }, cases = 8)
+  }
+
+  test("kHopReach equals the in-memory frontier BFS on arbitrary bipartite graphs") {
+    import spark.implicits._
+    val gen = Gen.choose(3, 40).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 5L))))
+    check(Prop.forAll(gen) { edges0 =>
+      val e = edges0.toSet
+      val seeds = Seq(0L, 3L)
+      val got = Graft.kHopReach(edges0.toDF("c", "s"), seeds.toDF("seed"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      seeds.forall { sd =>
+        val h1 = e.filter(_._2 == sd).map(_._1)
+        val h2 = e.filter(p => h1(p._1) && p._2 != sd).map(_._2)
+        val h3 = e.filter(p => h2(p._2)).map(_._1) -- h1
+        got(sd) == ((h1.size.toLong, h2.size.toLong, h3.size.toLong))
+      }
+    }, cases = 8)
+  }
+
+  test("kmAnonymityAudit equals in-memory itemset supports for any k") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 6L), Gen.oneOf("a", "b", "c", "d")))
+      k <- Gen.choose(1, 6)
+    } yield (rows, k)
+    check(Prop.forAll(gen) { case (rows, k) =>
+      val sets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val singles = sets.values.flatten.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val pairs = sets.values.toSeq
+        .flatMap(s => s.toSeq.sorted.combinations(2).map(p => s"${p(0)}|${p(1)}"))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = Graft.kmAnonymityAudit(rows.toDF("u", "i"), col("u"), col("i"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getBoolean(3)))).toMap
+      val expect = singles.map { case (i, s) => (i, 1L) -> ((s, s < k)) } ++
+        pairs.map { case (p, s) => (p, 2L) -> ((s, s < k)) }
+      got == expect
+    }, cases = 8)
+  }
+
+  test("noveltyScores equals the in-memory first-occurrence fractions") {
+    import spark.implicits._
+    val word = Gen.oneOf("u", "v", "w", "x", "y")
+    val gen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, 9).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))))
+    check(Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val gramsOf = docs.map { case (id, t) =>
+        val ts = t.split(" ", -1)
+        id -> (if (ts.length >= 5) ts.sliding(5).map(_.mkString(" ")).toSet
+               else Set.empty[String])
+      }.toMap
+      val firstOf = gramsOf.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val expect = gramsOf.collect { case (id, gs) if gs.nonEmpty =>
+        val novel = gs.count(g => firstOf(g) == id).toLong
+        id -> ((gs.size.toLong, novel, r6d(novel.toDouble / gs.size)))
+      }.toMap
+      val got = Graft.noveltyScores(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      got == expect
+    }, cases = 8)
+  }
+
+  test("containmentPairs equals the in-memory df-capped containment report") {
+    import spark.implicits._
+    val word = Gen.oneOf("p", "q", "r", "s")
+    val gen = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, 8).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))))
+    check(Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val nd = docs.size.toDouble
+      val sets0 = docs.map { case (id, t) =>
+        val ts = t.split(" ", -1)
+        id -> (if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+               else Set.empty[String])
+      }
+      val df = sets0.flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val hotCut = math.max(nd * operators.NearDup.MaxShingleDf, operators.NearDup.MinHotDf)
+      val sets = sets0.map { case (id, gs) => id -> gs.filterNot(g => df(g) > hotCut) }.toMap
+      val expect = (for {
+        Seq(a, b) <- sets.keys.toSeq.sorted.combinations(2)
+        inter = (sets(a) & sets(b)).size
+        if inter >= 3
+        ca = r6d(inter.toDouble / sets(a).size)
+        cb = r6d(inter.toDouble / sets(b).size)
+        if math.max(ca, cb) >= 0.5
+      } yield (a, b, inter.toLong, ca, cb)).toList
+      val got = Graft.containmentPairs(docs.toDF("doc_id", "text"), tau = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toList
+      got == expect
+    }, cases = 8)
+  }
 }
