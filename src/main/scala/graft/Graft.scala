@@ -532,4 +532,23 @@ object Graft {
     * (min doc_id) is that doc. `docs` needs (doc_id, text). */
   def noveltyScores(docs: DataFrame): DataFrame =
     operators.CorpusOps.noveltyOf(docs)
+
+  /** Fixed-round Bellman–Ford single-source shortest paths (q191):
+    * `edges` is ANY directed (src, dst, cost ≥ 0) frame, `seeds` a
+    * column `node` of sources. Exactly `rounds` min-plus relaxations —
+    * distances exact for paths of ≤ `rounds` hops, NULL beyond reach. */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"shortestPaths: rounds $rounds outside [1, 64]")
+    operators.GraphOps.shortestPathsOf(edges, seeds, rounds)
+  }
+
+  /** Differentially-private median via the exponential mechanism with
+    * the Gumbel-max draw (q192): candidates = width-`binWidth` bins of
+    * `value`, utility = −|rank distance to the true median|. Returns
+    * one row (selected_bin, true_bin, n, utility_gap). The per-bin
+    * uniform is the deterministic Knuth-hash grid — swap for a CSPRNG
+    * draw per release in production. */
+  def dpMedian(df: DataFrame, value: Column, binWidth: Double,
+      epsilon: Double = 1.0): DataFrame =
+    operators.PrivacyOps.dpMedianOf(df, value, binWidth, epsilon)
 }

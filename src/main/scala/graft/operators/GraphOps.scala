@@ -253,6 +253,63 @@ object GraphOps {
       .orderBy("seed")
   }
 
+  /** The generic fixed-round Bellman–Ford primitive behind q191, exposed
+    * as [[graft.Graft.shortestPaths]]: `edges` is ANY directed
+    * (src, dst, cost: double ≥ 0) frame, `seeds` a single column `node`
+    * of sources (distance 0). Runs exactly `rounds` min-plus relaxations
+    * — the distances are exact for all paths of ≤ `rounds` hops, the
+    * standard bounded-depth form (full convergence = diameter rounds;
+    * compose with the q76 pointer-jumping recipe if ever needed).
+    *
+    * Each relaxation is ONE hash equi-join of the current distance
+    * frame against the edge list plus a dst-keyed min — the min-plus
+    * matvec, exactly q120's plan shape with (min, +) in place of
+    * (sum, ×). Distances stay keyed by node; the 100 TB edge list never
+    * moves, only the node-sized frame iterates. Determinism: every
+    * candidate is r6(d + cost) (per-row double ops), MIN is
+    * order-free, and the null-handling CASE is spelled identically on
+    * both engines (never bare LEAST: engines differ on NULL
+    * semantics). */
+  private[graft] def shortestPathsOf(edges0: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val edges = edges0.filter(col("src") =!= col("dst")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var dist = nodes
+      .join(seeds.withColumn("graft_z", lit(0.0)), Seq("node"), "left")
+      .select(col("node"), col("graft_z").as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = dist.filter(col("d").isNotNull)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), Tables.r6(col("d") + col("cost")).as("cand"))
+        .groupBy("node").agg(min("cand").as("cand"))
+      dist = dist.join(relax, Seq("node"), "left")
+        .select(col("node"),
+          when(col("d").isNull, col("cand"))
+            .when(col("cand").isNull, col("d"))
+            .otherwise(least(col("d"), col("cand"))).as("d"))
+        .localCheckpoint(true) // node-sized; keeps the iterated lineage flat
+    }
+    dist
+  }
+
+  /** q191: single-source shortest paths over the directed nation trade
+    * graph (Bellman–Ford, 3 relaxation rounds) — edge cost 1/weight, so
+    * heavy trade = short distance; the min-plus completion of the graph
+    * family (q120 sums mass, q187 counts hops, q191 minimizes weighted
+    * length). Nations unreachable in ≤3 hops stay NULL. */
+  private def q191(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    shortestPathsOf(
+      nationEdges(spark, sfDir)
+        .select(col("src"), col("dst"), Tables.r6(lit(1.0) / col("w")).as("cost")),
+      Seq(0).toDF("node"), rounds = 3)
+      .select(col("node").as("nationkey"), Tables.r6(col("d")).as("dist3"))
+      .orderBy("nationkey")
+  }
+
   private def q187(spark: SparkSession, sfDir: String): DataFrame =
     khopReachOf(
       Tables(spark, sfDir, "lineitem")
@@ -263,8 +320,32 @@ object GraphOps {
         .filter(col("s_suppkey") % 100 === 0)
         .select(col("s_suppkey").as("seed")))
 
+  /** q191 oracle: the same 3 Bellman–Ford rounds unrolled as CTEs (q120's
+    * unrolling convention — fixed rounds so SQL can replay the loop). */
+  private val q191Sql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"c$k AS (SELECT ed.dst AS node, MIN(" + Tables.r6sql("x.d + ed.cost") + ") AS cand " +
+        s"FROM d${k - 1} x JOIN ed ON x.node = ed.src WHERE x.d IS NOT NULL GROUP BY ed.dst), " +
+        s"d$k AS (SELECT n.node, CASE WHEN n.d IS NULL THEN c.cand " +
+        "WHEN c.cand IS NULL THEN n.d ELSE LEAST(n.d, c.cand) END AS d " +
+        s"FROM d${k - 1} n LEFT JOIN c$k c ON n.node = c.node)"
+    }.mkString(", ")
+    "WITH e AS (SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), " +
+      "ed AS MATERIALIZED (SELECT src, dst, " +
+      Tables.r6sql("CAST(1 AS DOUBLE) / w") + " AS cost FROM e WHERE src <> dst), " +
+      "nodes AS (SELECT DISTINCT node FROM " +
+      "(SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)), " +
+      "d0 AS (SELECT node, CASE WHEN node = 0 THEN CAST(0.0 AS DOUBLE) END AS d FROM nodes), " +
+      rounds +
+      " SELECT node AS nationkey, " + Tables.r6sql("d") + " AS dist3 FROM d3 ORDER BY nationkey"
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q120_graph_pagerank", q120 _, Some(q120Sql)),
+    Q("q191_graph_shortest_path", q191 _, Some(q191Sql)),
     Q("q187_graph_khop", q187 _, Some(
       // edge CTE MATERIALIZED for the same reason as q147's: three hop
       // joins reference it, and DuckDB inlines plain CTEs per reference

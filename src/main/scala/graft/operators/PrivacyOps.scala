@@ -253,7 +253,80 @@ object PrivacyOps {
       .orderBy("m", "itemset")
   }
 
+  /** q192: differentially-private MEDIAN via the exponential mechanism
+    * (McSherry & Talwar, FOCS 2007) — the SELECTION mechanism the DP
+    * family still lacked: q116/q152 perturb COUNTS with Laplace noise,
+    * but a median is an argmax over candidates, where additive noise on
+    * the value itself is meaningless. Candidates = width-1000 balance
+    * bins; utility u(b) = −|cumrank(b) − n/2| (sensitivity 1); the
+    * draw uses the Gumbel-max trick — argmax(ε·u/2 + Gumbel) is
+    * EXACTLY exponential-mechanism sampling — with the q116/q127
+    * Knuth-hash grid uniform per bin standing in for the CSPRNG draw
+    * (swap in production; u ∈ (0,1) by construction so neither ln can
+    * see 0). Reports the chosen bin vs the true-argmax bin and the
+    * utility sacrificed (the accuracy-for-privacy trade, ε = 1).
+    *
+    * Determinism: counts are exact; util is |int − int/2.0| double;
+    * Gumbel is the verified-parity ln chain (q44/q116); the argmax
+    * orders by r6'd doubles with the bin as tiebreak. Scale: ONE
+    * value-domain-bounded bin shuffle; the window, both TakeOrdered
+    * argmaxes, and the final 1×1 join live on the ≤ #bins frame (its
+    * global window is the q23 bounded-frame exception). */
+  /** The generic mechanism behind q192, exposed as
+    * [[graft.Graft.dpMedian]]: `value` is any numeric column of `df`;
+    * candidates are width-`binWidth` bins of it. */
+  private[graft] def dpMedianOf(df: DataFrame, value: Column, binWidth: Double,
+      epsilon: Double): DataFrame = {
+    require(binWidth > 0, s"dpMedian: binWidth $binWidth must be positive")
+    require(epsilon > 0, s"dpMedian: epsilon $epsilon must be positive")
+    val bins = df
+      .groupBy(floor(value / lit(binWidth)).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val key = (((col("bin") * lit(2654435761L)) % lit(1000003L)) +
+      lit(1000003L)) % lit(1000003L)
+    val u = (key + lit(1L)).cast("double") / lit(1000004.0)
+    val gumbel = -log(-log(u))
+    val scored = bins
+      .withColumn("cum", sum("cnt").over(wCum))
+      .crossJoin(broadcast(n))
+      .select(col("bin"), col("n"),
+        (-abs(col("cum").cast("double") - col("n") / lit(2.0))).as("util"))
+      .withColumn("noisy", Tables.r6(col("util") * lit(epsilon / 2.0) + gumbel))
+    val sel = scored.orderBy(col("noisy").desc, col("bin")).limit(1)
+      .select(col("bin").as("selected_bin"), Tables.r6(col("util")).as("sel_util"),
+        col("n"))
+    val best = scored.orderBy(col("util").desc, col("bin")).limit(1)
+      .select(col("bin").as("true_bin"), Tables.r6(col("util")).as("true_util"))
+    sel.crossJoin(broadcast(best))
+      .select(col("selected_bin"), col("true_bin"), col("n"),
+        Tables.r6(col("true_util") - col("sel_util")).as("utility_gap"))
+  }
+
+  private def q192(spark: SparkSession, sfDir: String): DataFrame =
+    dpMedianOf(Tables(spark, sfDir, "customer"), col("c_acctbal"),
+      binWidth = 1000.0, epsilon = 1.0)
+
   val entries: Seq[Q] = Seq(
+    Q("q192_dp_median_expmech", q192 _, Some {
+      val key = "(((bin * 2654435761) % 1000003 + 1000003) % 1000003)"
+      val gumbel = s"-ln(-ln(CAST($key + 1 AS DOUBLE) / 1000004))"
+      val util = "-ABS(CAST(SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS DOUBLE) - CAST(n AS DOUBLE) / 2)"
+      "WITH bins AS (SELECT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bin, " +
+        "COUNT(*) AS cnt FROM customer GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS n FROM customer), " +
+        s"scored AS (SELECT bin, n, $util AS util, " +
+        Tables.r6sql(s"($util) * 0.5 + $gumbel") + " AS noisy FROM bins, tot), " +
+        "sel AS (SELECT bin AS selected_bin, " + Tables.r6sql("util") + " AS sel_util, n " +
+        "FROM scored ORDER BY noisy DESC, bin LIMIT 1), " +
+        "best AS (SELECT bin AS true_bin, " + Tables.r6sql("util") + " AS true_util " +
+        "FROM scored ORDER BY util DESC, bin LIMIT 1) " +
+        "SELECT selected_bin, true_bin, n, " +
+        Tables.r6sql("true_util - sel_util") + " AS utility_gap FROM sel, best"
+    }),
     Q("q188_anon_km_audit", q188 _, Some(
       "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
         "singles AS (SELECT event_type AS itemset, CAST(1 AS BIGINT) AS m, " +

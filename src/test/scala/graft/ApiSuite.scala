@@ -448,6 +448,31 @@ class ApiSuite extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("ln_surv")), "ln_surv must be NULL once S = 0")
   }
 
+  test("shortestPaths relaxes the diamond and leaves unreachable nodes NULL") {
+    import spark.implicits._
+    // 0→1 (1), 0→2 (5), 1→2 (1), 2→3 (1): d = [0, 1, 2, 3];
+    // node 4 only has an OUT-edge → unreachable from 0 → NULL
+    val edges = Seq((0L, 1L, 1.0), (0L, 2L, 5.0), (1L, 2L, 1.0),
+      (2L, 3L, 1.0), (4L, 0L, 1.0)).toDF("src", "dst", "cost")
+    val got = Graft.shortestPaths(edges, Seq(0L).toDF("node"), rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(0L -> Some(0.0), 1L -> Some(1.0), 2L -> Some(2.0),
+      3L -> Some(3.0), 4L -> None))
+  }
+
+  test("dpMedian selects near the true median bin and reports the utility gap") {
+    import spark.implicits._
+    // values 0..9, binWidth 2 → bins 0..4 of 2 each; cum = 2,4,6,8,10 →
+    // util = −3,−1,−1,−3,−5; true argmax (tie → lowest bin) = bin 1
+    val df = (0 until 10).map(_.toDouble).toDF("v")
+    val r = Graft.dpMedian(df, col("v"), binWidth = 2.0).head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("true_bin") == 1L)
+    assert(r.getAs[Long]("selected_bin") >= 0L && r.getAs[Long]("selected_bin") <= 4L)
+    assert(r.getAs[Double]("utility_gap") >= 0.0)
+  }
+
   test("noveltyScores: dup doc scores 0, half-recombined doc scores 0.5") {
     import spark.implicits._
     val docs = Seq(

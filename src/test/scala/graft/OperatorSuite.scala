@@ -54,8 +54,10 @@ class OperatorSuite extends AnyFunSuite {
                                  // grand aggregate merging one bloom buffer
                                  // per partition — bounded, and a scale WIN
                                  // (pre-filters the edge scan by seed)
-      "q189_survival_km")        // calendar-bounded duration-frame windows
+      "q189_survival_km",        // calendar-bounded duration-frame windows
                                  // (≤ #days rows — the q23 exception)
+      "q192_dp_median_expmech")  // n 1-row aggregate + value-domain-bounded
+                                 // bin window (≤ #bins rows)
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution

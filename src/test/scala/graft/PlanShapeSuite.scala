@@ -231,6 +231,11 @@ class PlanShapeSuite extends AnyFunSuite {
               case i: org.apache.spark.sql.execution.InputAdapter => strip(i.child)
               case w: org.apache.spark.sql.execution.WholeStageCodegenExec => strip(w.child)
               case b: BroadcastExchangeExec => strip(b.child)
+              // a reused exchange is as bounded as the exchange it reuses
+              // (q192: the broadcast of one LIMIT 1 argmax reuses the
+              // other's sort exchange) — judge the referenced subtree
+              case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+                strip(r.child)
               case other => other
             }
             val inner = strip(build)
