@@ -40,6 +40,44 @@ case class LinearCredit(
     credit_each: Option[Double],
     organic: Boolean)
 
+/** Running per-user spend for [[StreamOps.runningSpend]]. */
+case class SpendState(total: Double, n: Long)
+case class SpendUpdate(user_id: Long, event_id: Long, total_spend: Double,
+    n_purchases: Long)
+
+/** The Spark-4 `transformWithState` form of keyed running state — the
+  * modern replacement for [[StreamOps.sessionize]]'s
+  * flatMapGroupsWithState: explicit named state handles
+  * (ValueState/ListState/MapState), per-state TTL, and event-time
+  * timers, all backed by the RocksDB provider. This processor keeps ONE
+  * ValueState[SpendState] per user and emits the cumulative purchase
+  * total/count after every purchase event — the canonical running
+  * aggregate with per-key state.
+  *
+  * Determinism: micro-batch input order is not guaranteed, so rows are
+  * sorted by (event-time, event_id) before folding (the sessionize
+  * convention). Scale: state is one 16-byte struct per user in the
+  * RocksDB store; pass a TTLConfig to expire idle users instead of
+  * growing forever (NONE here so the suite's totals are exact). */
+class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Event, SpendUpdate] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[SpendState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SpendState]("spend",
+      org.apache.spark.sql.Encoders.product[SpendState], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      tv: TimerValues): Iterator[SpendUpdate] = {
+    var cur = if (st.exists()) st.get() else SpendState(0.0, 0L)
+    val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      cur = SpendState(cur.total + e.value, cur.n + 1)
+      SpendUpdate(key, e.event_id, cur.total, cur.n)
+    }
+    st.update(cur)
+    out.iterator
+  }
+}
+
 /** True Structured Streaming operators (SURVEY.md §2.8 "true streaming"):
   * the same tumbling/sliding/session/dedup semantics that q56–q59 prove
   * against the DuckDB oracle in batch, here running on the incremental
@@ -122,7 +160,8 @@ object StreamOps {
     * evicted once no purchase can reach back to it, purchase rows wait at
     * most the watermark delay. The canonical two-stream join shape —
     * state is bounded by (interval + watermark) × key cardinality. */
-  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withWatermark("ts", "10 minutes")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
@@ -131,10 +170,13 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"), col("value"))
+    // joinType "leftOuter" emits organic purchases (no click in the
+    // window) with NULL click columns once the watermark proves no match
+    // can still arrive — same state bound as the inner form
     p.join(c,
       col("p_user") === col("c_user") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
-        col("click_ts") < col("purchase_ts"))
+        col("click_ts") < col("purchase_ts"), joinType)
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
   }
@@ -167,6 +209,18 @@ object StreamOps {
           state.update(cur)
           out.iterator
       }
+  }
+
+  /** Per-user running purchase totals on the Spark-4 `transformWithState`
+    * API (see [[SpendProcessor]]). Requires the RocksDB state store
+    * provider — the only provider the new operator supports. */
+  def runningSpend(events: Dataset[Event]): Dataset[SpendUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming LOCF forward fill — q144's batch semantics on the

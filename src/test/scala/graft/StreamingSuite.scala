@@ -460,4 +460,76 @@ class StreamingSuite extends AnyFunSuite {
       .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
     assert(rows.toSet == Set((101L, 11L), (101L, 12L)), rows.mkString(", "))
   }
+
+  test("LEFT OUTER stream-stream join emits organic purchases with NULL click") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamOps.clickPurchaseAttribution(
+      clicks.toDF(), purchases.toDF(), joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      // user 1's purchase has a click inside the hour; user 2's click is
+      // 2h05 earlier → organic. The NULL row may only flush once the
+      // watermark proves no matching click can still arrive.
+      clicks.addData(Seq(Event(11, ts(50), 1, "click", 0), Event(21, ts(0), 2, "click", 0)))
+      purchases.addData(Seq(
+        Event(101, ts(55), 1, "purchase", 9.5), Event(201, ts(125), 2, "purchase", 1.0)))
+      q.processAllAvailable()
+      clicks.addData(Seq(Event(99, ts(600), 9, "click", 0)))
+      purchases.addData(Seq(Event(98, ts(600), 9, "purchase", 0)))
+      q.processAllAvailable()
+      clicks.addData(Seq(Event(97, ts(1200), 9, "click", 0)))
+      purchases.addData(Seq(Event(96, ts(1200), 9, "purchase", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_outer").collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        if (r.isNullAt(r.fieldIndex("click_id"))) None else Some(r.getLong(1))))
+    assert(rows.contains((101L, Some(11L))), rows.mkString(", "))
+    assert(rows.contains((201L, None)),
+      s"organic purchase missing its NULL-click outer row: ${rows.mkString(", ")}")
+  }
+
+  test("transformWithState running spend keeps per-user state across batches (RocksDB)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val sq = spark.sqlContext
+    // the new-API operator ONLY supports the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val s = MemoryStream[Event]
+      val q = StreamOps.runningSpend(s.toDS()).toDF().writeStream
+        .format("memory").queryName("spend").outputMode("append").start()
+      try {
+        s.addData(Seq(
+          Event(1, ts(1), 1, "purchase", 10.0), Event(2, ts(2), 1, "purchase", 5.0),
+          Event(3, ts(1), 2, "purchase", 7.0), Event(4, ts(3), 2, "view", 99.0)))
+        q.processAllAvailable()
+        // batch 2 must RESUME user 1's total from state (15 → 16.5)
+        s.addData(Seq(Event(5, ts(9), 1, "purchase", 1.5)))
+        q.processAllAvailable()
+        val sop = q.lastProgress.stateOperators
+        assert(sop.nonEmpty && sop.exists(o =>
+          o.operatorName.toLowerCase.contains("transformwithstate")),
+          s"transformWithState operator missing: ${sop.map(_.operatorName).mkString}")
+      } finally q.stop()
+      val got = spark.table("spend").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Double]("total_spend"), r.getAs[Long]("n_purchases")))).toMap
+      assert(got == Map(
+        1L -> ((10.0, 1L)), 2L -> ((15.0, 2L)),
+        3L -> ((7.0, 1L)), 5L -> ((16.5, 3L))), got.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
