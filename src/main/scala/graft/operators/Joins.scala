@@ -317,7 +317,76 @@ object Joins {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** q194: point-in-time VALIDITY-WINDOW join — each lineitem shipment
+    * is assigned the customer's order-priority regime valid at its ship
+    * date, where a regime (set by each order) EXPIRES after 30 days.
+    * This is the temporal join q10's as-of cannot express: as-of always
+    * matches the latest earlier version, but with bounded validity a
+    * shipment landing in a coverage GAP (last regime older than the
+    * TTL) must get NO match — the point-in-time-correctness shape of
+    * feature stores and TTL'd dimension caches.
+    *
+    * Plan: the standard single-shuffle formulation — regimes and facts
+    * UNION into one stream, ONE customer-keyed window carries the last
+    * regime's (priority, day) forward (IGNORE NULLS last_value), and
+    * the TTL gate is a per-row comparison. No range join, no
+    * per-interval explode; the shuffle is the same one any per-customer
+    * window pays. Day arithmetic is pure integer (epoch days from the
+    * naive DATE cast — timezone-independent, R3). Total order inside a
+    * customer: (day, kind, orderkey, linenumber) with regimes sorted
+    * BEFORE same-day shipments so a same-day order covers its own
+    * shipment. */
+  private def q194(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val orders = Tables(spark, sfDir, "orders")
+    val regimes = orders
+      .select(col("o_custkey").as("cust"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("bigint").as("t"),
+        lit(0L).as("kind"), col("o_orderkey").as("id"), lit(0).as("line"),
+        col("o_orderpriority").as("prio"))
+    val facts = Tables(spark, sfDir, "lineitem")
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        datediff(col("l_shipdate").cast("date"), epoch).cast("bigint").as("t"),
+        lit(1L).as("kind"), col("l_orderkey").as("id"),
+        col("l_linenumber").as("line"), lit(null).cast("string").as("prio"))
+    val w = Window.partitionBy("cust")
+      .orderBy(col("t"), col("kind"), col("id"), col("line"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    regimes.unionByName(facts)
+      .withColumn("p_carr", last(col("prio"), ignoreNulls = true).over(w))
+      .withColumn("t_carr",
+        last(when(col("kind") === 0L, col("t")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1L)
+      .select(col("cust"), col("id").as("l_orderkey"), col("line").as("l_linenumber"),
+        col("t").as("ship_day"),
+        when(col("t") - col("t_carr") <= 30L, col("p_carr")).as("prio_at_ship"))
+      .withColumn("covered", col("prio_at_ship").isNotNull)
+      .orderBy("cust", "ship_day", "l_orderkey", "l_linenumber")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q194_join_point_in_time", q194 _, Some(
+      "WITH reg AS (SELECT o_custkey AS cust, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t, " +
+        "CAST(0 AS BIGINT) AS kind, o_orderkey AS id, 0 AS line, " +
+        "o_orderpriority AS prio FROM orders), " +
+        "fct AS (SELECT o_custkey AS cust, " +
+        "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t, " +
+        "CAST(1 AS BIGINT) AS kind, l_orderkey AS id, l_linenumber AS line, " +
+        "CAST(NULL AS VARCHAR) AS prio " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "u AS (SELECT * FROM reg UNION ALL SELECT * FROM fct), " +
+        "c AS (SELECT cust, t, kind, id, line, " +
+        "LAST_VALUE(prio IGNORE NULLS) OVER w AS p_carr, " +
+        "LAST_VALUE(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER w AS t_carr " +
+        "FROM u WINDOW w AS (PARTITION BY cust ORDER BY t, kind, id, line " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT cust, id AS l_orderkey, line AS l_linenumber, t AS ship_day, " +
+        "CASE WHEN t - t_carr <= 30 THEN p_carr END AS prio_at_ship, " +
+        "(CASE WHEN t - t_carr <= 30 THEN p_carr END) IS NOT NULL AS covered " +
+        "FROM c WHERE kind = 1 ORDER BY cust, ship_day, l_orderkey, l_linenumber")),
     Q("q04_join_broadcast", q04 _, Some(
       "SELECT r_name, COUNT(*) AS cnt FROM customer " +
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +

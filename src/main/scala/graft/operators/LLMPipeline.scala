@@ -41,7 +41,9 @@ object LLMPipeline {
 
   /** The generic core — `docs` is ANY frame with (doc_id, text); exposed
     * to library users via [[graft.Graft.minhashPairs]]. */
-  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+  /** The 8-component signature frame (doc_id, s0..s7) behind
+    * [[minhashPairsOf]] — shared with q193's estimator-accuracy audit. */
+  private[operators] def minhashSigsOf(docs: DataFrame): DataFrame = {
     // NO pre-distinct on shingles: min() is idempotent over duplicates, so
     // the signature is identical without it, and dropping it removes a
     // full shuffle of the exploded shingle rows — the groupBy(doc_id)
@@ -88,7 +90,11 @@ object LLMPipeline {
       expr("cast(conv(substring(md5(token), 9, 8), 16, 10) as bigint)").as("h2"))
     val sigCols = (0 until 8).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % lit(1000000007L)).as(s"s$i"))
-    val sigs = base.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    base.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigsOf(docs)
     // materialize ONCE: the band self-join references this frame twice and
     // its signature pipeline (two corpus scans + the anti-join) would
     // otherwise re-run per side. One row per (doc, band) — small at any
@@ -342,7 +348,74 @@ object LLMPipeline {
       .orderBy("lang")
   }
 
+  /** q193: MinHash estimator-accuracy audit — for every q50 candidate
+    * pair, the signature-based Jaccard ESTIMATE (matching components / 8)
+    * against the EXACT df-capped shingle Jaccard, with the absolute
+    * error. This is the calibration run a platform does before trusting
+    * LSH at scale: E[est] = J by the MinHash theorem (Broder '97), and
+    * with only 8 components the per-pair spread is large (σ = √(J(1−J)/8)
+    * ≈ 0.17 at J = 0.5) — the audit SHOWS that spread instead of assuming
+    * it, and catches implementation drift (wrong banding, broken hash
+    * mixing) as a systematic bias no unit test sees.
+    *
+    * Plan: signatures built once ([[minhashSigsOf]], checkpointed) feed
+    * BOTH the band join and the per-pair match count; the exact side is
+    * q61's shared inverted-index machinery at minInter = 1 (same df cap,
+    * so both sides score the SAME shingle sets). Candidates without a
+    * shared shingle (possible only via hash-min coincidence) score
+    * exact = 0 through the left join. At 100 TB, semi-join the kept
+    * frame to the candidate doc set first — the exact side then costs
+    * only the near-dup neighborhoods, not the full pair space. */
+  private def q193(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val sigs = minhashSigsOf(docs).localCheckpoint(true)
+    val bands = sigs.select(col("doc_id"), expr(
+      "stack(4, 0, concat_ws('|', s0, s1), 1, concat_ws('|', s2, s3), " +
+        "2, concat_ws('|', s4, s5), 3, concat_ws('|', s6, s7)) AS (b, band)"))
+    val cand = bands.select(col("doc_id").as("id_a"), col("b"), col("band"))
+      .join(bands.select(col("doc_id").as("id_b"), col("b"), col("band")), Seq("b", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val (inter, sizes) = NearDup.cappedPairFrames(docs, minInter = 1)
+    val sa = sigs.toDF("id_a" +: (0 until 8).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("id_b" +: (0 until 8).map(i => s"b$i"): _*)
+    val m = (0 until 8).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val iv = coalesce(col("inter"), lit(0L))
+    cand
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), m.as("n_match"))
+      .join(inter.toDF("id_a", "id_b", "inter"), Seq("id_a", "id_b"), "left")
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        Tables.r6(col("n_match") / lit(8.0)).as("est"),
+        Tables.r6(iv / (col("na") + col("nb") - iv)).as("exact"))
+      .select(col("id_a"), col("id_b"), col("n_match"), col("est"), col("exact"),
+        Tables.r6(abs(col("est") - col("exact"))).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q193_dedup_minhash_accuracy", q193 _, Some {
+      val mSum = (0 until 8).map(i =>
+        s"CASE WHEN s.s$i = t.s$i THEN 1 ELSE 0 END").mkString(" + ")
+      minhashPairsSql + ", " +
+        "kept2 AS (SELECT DISTINCT doc_id, token FROM capped), " +
+        "sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM kept2 GROUP BY doc_id), " +
+        "inter2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
+        "FROM kept2 a JOIN kept2 b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, n_match, est, exact, " +
+        Tables.r6sql("ABS(est - exact)") + " AS abs_err FROM (" +
+        s"SELECT p.id_a, p.id_b, CAST($mSum AS BIGINT) AS n_match, " +
+        Tables.r6sql(s"CAST($mSum AS DOUBLE) / 8") + " AS est, " +
+        Tables.r6sql("COALESCE(i.inter, 0) / (sa.n + sb.n - COALESCE(i.inter, 0))") +
+        " AS exact " +
+        "FROM pairs p JOIN sigs s ON p.id_a = s.doc_id JOIN sigs t ON p.id_b = t.doc_id " +
+        "LEFT JOIN inter2 i ON p.id_a = i.ia AND p.id_b = i.ib " +
+        "JOIN sizes2 sa ON p.id_a = sa.doc_id JOIN sizes2 sb ON p.id_b = sb.doc_id) " +
+        "ORDER BY id_a, id_b"
+    }),
     Q("q49_dedup_exact", q49 _, Some(
       "SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt " +
         "FROM documents GROUP BY 1 ORDER BY keep_id")),

@@ -189,7 +189,8 @@ object NearDup {
     * (q61) and Broder containment (q185) — are ratios over exactly
     * (inter, |A|, |B|), so the expensive inverted-index join lives here
     * once. Returns (inter: (ia, ib, inter), sizes: (doc_id, n)). */
-  private[graft] def cappedPairFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def cappedPairFrames(docs: DataFrame,
+      minInter: Int = 3): (DataFrame, DataFrame) = {
     val tg = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
@@ -231,7 +232,7 @@ object NearDup {
     val inter = kept.toDF("ia", "gh").join(kept.toDF("ib", "gh"), "gh")
       .filter(col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-      .filter(col("inter") >= 3)
+      .filter(col("inter") >= minInter)
     (inter, sizes)
   }
 

@@ -56,8 +56,10 @@ class OperatorSuite extends AnyFunSuite {
                                  // (pre-filters the edge scan by seed)
       "q189_survival_km",        // calendar-bounded duration-frame windows
                                  // (≤ #days rows — the q23 exception)
-      "q192_dp_median_expmech")  // n 1-row aggregate + value-domain-bounded
+      "q192_dp_median_expmech",  // n 1-row aggregate + value-domain-bounded
                                  // bin window (≤ #bins rows)
+      "q193_dedup_minhash_accuracy") // ndocs 1-row aggregates (the q50 AND
+                                 // q61 df-cap paths both run here)
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
