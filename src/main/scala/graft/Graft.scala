@@ -551,4 +551,31 @@ object Graft {
   def dpMedian(df: DataFrame, value: Column, binWidth: Double,
       epsilon: Double = 1.0): DataFrame =
     operators.PrivacyOps.dpMedianOf(df, value, binWidth, epsilon)
+
+  /** Point-in-time join with bounded validity (q194): every fact row
+    * gets the version value set by the latest `versions` row for its
+    * key at or before its time — but only if that version is younger
+    * than `ttl` time units; facts in a coverage gap get NULL. The
+    * single-shuffle union + IGNORE-NULLS carry-window formulation (no
+    * range join, no interval explode). `facts` needs (key, t, fact_id);
+    * `versions` needs (key, t, version_id, v). Returns the fact rows
+    * plus `v_at_t` (nullable). Times and ttl are plain integers
+    * (bucket/epoch units — caller picks the resolution). */
+  def pointInTimeJoin(facts: DataFrame, versions: DataFrame, ttl: Long): DataFrame = {
+    require(ttl >= 0, s"pointInTimeJoin: ttl $ttl must be non-negative")
+    val reg = versions.select(col("key"), col("t"), lit(0L).as("graft_kind"),
+      col("version_id").as("graft_id"), col("v").cast("string").as("graft_v"))
+    val fct = facts.select(col("key"), col("t"), lit(1L).as("graft_kind"),
+      col("fact_id").as("graft_id"), lit(null).cast("string").as("graft_v"))
+    val w = Window.partitionBy("key")
+      .orderBy(col("t"), col("graft_kind"), col("graft_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    reg.unionByName(fct)
+      .withColumn("graft_vc", last(col("graft_v"), ignoreNulls = true).over(w))
+      .withColumn("graft_tc",
+        last(when(col("graft_kind") === 0L, col("t")), ignoreNulls = true).over(w))
+      .filter(col("graft_kind") === 1L)
+      .select(col("key"), col("graft_id").as("fact_id"), col("t"),
+        when(col("t") - col("graft_tc") <= ttl, col("graft_vc")).as("v_at_t"))
+  }
 }

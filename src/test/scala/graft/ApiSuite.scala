@@ -473,6 +473,21 @@ class ApiSuite extends AnyFunSuite {
     assert(r.getAs[Double]("utility_gap") >= 0.0)
   }
 
+  test("pointInTimeJoin honors the TTL: stale versions leave a coverage gap") {
+    import spark.implicits._
+    // key k: version A at t=0, B at t=10. Facts at t=5 (→A), t=12 (→B),
+    // t=25 (B is 15 units old > ttl=10 → NULL), and a same-t fact at
+    // t=10 (version sorts first → B applies).
+    val versions = Seq(("k", 0L, 100L, "A"), ("k", 10L, 101L, "B"))
+      .toDF("key", "t", "version_id", "v")
+    val facts = Seq(("k", 5L, 1L), ("k", 10L, 2L), ("k", 12L, 3L), ("k", 25L, 4L))
+      .toDF("key", "t", "fact_id")
+    val got = Graft.pointInTimeJoin(facts, versions, ttl = 10L)
+      .collect().map(r => r.getAs[Long]("fact_id") ->
+        (if (r.isNullAt(3)) None else Some(r.getString(3)))).toMap
+    assert(got == Map(1L -> Some("A"), 2L -> Some("B"), 3L -> Some("B"), 4L -> None))
+  }
+
   test("noveltyScores: dup doc scores 0, half-recombined doc scores 0.5") {
     import spark.implicits._
     val docs = Seq(
