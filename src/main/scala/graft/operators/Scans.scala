@@ -30,6 +30,39 @@ object Scans {
   private def tmp(kind: String, sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(sfDir.hashCode)}"
 
+  /** q195: malformed-row ingestion policy — the data-quality gate every
+    * real CSV feed needs: the file mixes valid `nation` rows with
+    * planted corrupt lines (a non-numeric key, and an over-long row),
+    * read back under PERMISSIVE mode with a corrupt-record column.
+    * Spark's contract (mirrored literally by the oracle): fields that
+    * parse keep their values, fields that fail go NULL, and the raw
+    * line lands in the corrupt column — the quarantine-table shape
+    * (good rows flow on, `bad` rows route to a reject sink with their
+    * original text intact for replay).
+    *
+    * Scale: the corrupt handling is per-row inside the scan (no extra
+    * pass, no shuffle); at 100 TB the same read splits across files
+    * and the reject fraction is a cheap aggregate over `bad`. The
+    * fixture is authored by two small Spark writes (good CSV + bad
+    * text lines), never a driver-side collect. */
+  private def q195(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val nation = Tables(spark, sfDir, "nation")
+    val goodPath = tmp("csvmal_good", sfDir)
+    val badPath = tmp("csvmal_bad", sfDir)
+    nation.coalesce(1).write.mode(SaveMode.Overwrite).csv(goodPath)
+    Seq("abc,CORRUPTIA,7", "5,OVERLONGIA,9,extra,fields").toDF("line")
+      .coalesce(1).write.mode(SaveMode.Overwrite).text(badPath)
+    val schema = nation.schema.add("_bad", org.apache.spark.sql.types.StringType)
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .csv(goodPath, badPath)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("_bad").isNotNull.as("bad"), col("_bad").as("raw"))
+      .orderBy(col("bad"), col("n_nationkey").asc_nulls_last, col("raw").asc_nulls_last)
+  }
+
   /** q02: CSV sink + source round-trip of `region` (explicit schema on
     * read-back — CSV is typeless, inference would widen int32→int). */
   private def q02(spark: SparkSession, sfDir: String): DataFrame = {
@@ -286,6 +319,15 @@ object Scans {
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "ORDER BY l_orderkey, l_linenumber")),
+    Q("q195_scan_csv_malformed", q195 _, Some(
+      // the oracle mirrors Spark's documented PERMISSIVE semantics on the
+      // two planted lines (verified empirically): parsed fields keep
+      // their values, failed fields are NULL, raw text in the corrupt col
+      "SELECT n_nationkey, n_name, n_regionkey, false AS bad, CAST(NULL AS VARCHAR) AS raw " +
+        "FROM nation UNION ALL " +
+        "SELECT * FROM (VALUES (5, 'OVERLONGIA', 9, true, '5,OVERLONGIA,9,extra,fields'), " +
+        "(NULL, 'CORRUPTIA', 7, true, 'abc,CORRUPTIA,7')) " +
+        "ORDER BY bad, n_nationkey NULLS LAST, raw NULLS LAST")),
     Q("q02_scan_csv_roundtrip", q02 _, Some(
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
     Q("q03_scan_json_lines", q03 _, Some(
