@@ -78,6 +78,46 @@ class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
   }
 }
 
+/** Idle-user alert for [[StreamOps.idleAlerts]]. */
+case class IdleAlert(user_id: Long, last_seen_ms: Long, idle_at_ms: Long)
+
+/** Event-time TIMERS on the transformWithState API: one ValueState
+  * (last-seen event time) per user plus one registered timer at
+  * last-seen + idle window. New activity slides the timer forward
+  * (delete + re-register); when the WATERMARK passes an un-slid timer,
+  * [[handleExpiredTimer]] fires exactly once, emits the alert, and
+  * clears the state — the inactivity-detection shape (cart
+  * abandonment, session close, heartbeat loss) that pure
+  * watermarked aggregation cannot express because the OUTPUT row
+  * corresponds to the ABSENCE of input.
+  *
+  * Scale: state = 8 bytes + one timer per active user, both evicted on
+  * expiry; the timer queue is watermark-driven, so cost scales with
+  * the ACTIVE key set, not history. */
+class IdleAlertProcessor(idleMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Event, IdleAlert] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+  @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Long]("seen",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      tv: TimerValues): Iterator[IdleAlert] = {
+    val maxTs = rows.map(_.ts.getTime).max
+    val last = if (seen.exists()) math.max(seen.get(), maxTs) else maxTs
+    seen.update(last)
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(last + idleMs)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[IdleAlert] = {
+    val last = seen.get()
+    seen.clear()
+    Iterator.single(IdleAlert(key, last, info.getExpiryTimeInMs))
+  }
+}
+
 /** True Structured Streaming operators (SURVEY.md §2.8 "true streaming"):
   * the same tumbling/sliding/session/dedup semantics that q56–q59 prove
   * against the DuckDB oracle in batch, here running on the incremental
@@ -221,6 +261,20 @@ object StreamOps {
       .filter(_.event_type == "purchase")
       .groupByKey(_.user_id)
       .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Idle-user detection via event-time timers (see
+    * [[IdleAlertProcessor]]): emits one alert per user once the
+    * watermark proves no event arrived for `idleMinutes` after their
+    * last one. RocksDB provider required (transformWithState API). */
+  def idleAlerts(events: Dataset[Event], idleMinutes: Int = 30): Dataset[IdleAlert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleAlertProcessor(idleMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming LOCF forward fill — q144's batch semantics on the

@@ -493,6 +493,48 @@ class StreamingSuite extends AnyFunSuite {
       s"organic purchase missing its NULL-click outer row: ${rows.mkString(", ")}")
   }
 
+  test("event-time timers: idle alert fires once the watermark passes, slides on activity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val s = MemoryStream[Event]
+      val q = StreamOps.idleAlerts(s.toDS(), idleMinutes = 30).toDF().writeStream
+        .format("memory").queryName("idle").outputMode("append").start()
+      try {
+        // user 1 active at :00 and :20 (timer slides to :50); user 2 only
+        // at :00 (timer at :30)
+        s.addData(Seq(Event(1, ts(0), 1, "click", 0), Event(2, ts(0), 2, "click", 0)))
+        q.processAllAvailable()
+        s.addData(Seq(Event(3, ts(20), 1, "click", 0)))
+        q.processAllAvailable()
+        // watermark to :35 (45 − 10 delay): only user 2's :30 timer fires
+        s.addData(Seq(Event(90, ts(45), 9, "view", 0)))
+        q.processAllAvailable()
+        val afterFirst = spark.table("idle").collect().map(_.getLong(0)).toSet
+        assert(afterFirst == Set(2L, 9L) || afterFirst == Set(2L),
+          s"only user 2 (and possibly 9) may be idle yet: $afterFirst")
+        assert(afterFirst.contains(2L), "user 2's un-slid timer must have fired")
+        // watermark far forward: user 1's slid timer (:50) now fires too
+        s.addData(Seq(Event(91, ts(300), 8, "view", 0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("idle").collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("last_seen_ms")).toMap
+      assert(got(2L) == ts(0).getTime, s"user 2 last seen at :00, got $got")
+      assert(got(1L) == ts(20).getTime,
+        s"user 1's alert must reflect the SLID last-seen (:20), got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState running spend keeps per-user state across batches (RocksDB)") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
