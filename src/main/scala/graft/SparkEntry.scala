@@ -30,7 +30,9 @@ object SparkEntry {
     operators.GraphOps.entries ++
     operators.PrivacyOps.entries ++
     operators.TrainingOps.entries ++
-    operators.StatsOps.entries
+    operators.StatsOps.entries ++
+    operators.EvalOps.entries ++
+    operators.IntervalOps.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
     * driver smoke-checks rows>0. */

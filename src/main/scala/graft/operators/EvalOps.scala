@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators (SURVEY.md §2.8b continuation): the
+  * metrics a training-data pipeline computes AFTER a model scores a
+  * corpus — ROC/AUC, calibration (reliability) bins, and thresholded
+  * confusion matrices. The "model" here is a deterministic heuristic
+  * score over `documents` (distinct-token ratio, the q65 quality-family
+  * signal) against the binary label lang='en', so both engines derive
+  * the identical score from raw data and no model artifact is needed.
+  *
+  * Determinism: the score is quantized to an INTEGER bin
+  * `(1000·distinct_tokens) div tokens` ∈ [0,1000] — pure integer math,
+  * bit-identical cross-engine (no float ranks, §2.9 R6). Binned AUC is
+  * what production eval at corpus scale computes anyway (a total order
+  * over 10^11 raw floats is neither needed nor stable).
+  *
+  * Scale notes: every query is ONE corpus-collapsing groupBy(bin) — map-
+  * side combinable, ≤1001-row result — and all curve/threshold math runs
+  * on that bounded frame (global windows on it are the q23/q189 bounded-
+  * frame exception). The corpus never moves twice.
+  */
+object EvalOps {
+
+  /** Per-document (bin, pos): integer score bin + binary label. */
+  private def scored(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        expr("(1000 * size(array_distinct(split(text, ' ')))) DIV size(split(text, ' '))")
+          .as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+
+  private val scoredSql: String =
+    "SELECT (1000 * len(list_distinct(string_split(text, ' ')))) // " +
+      "len(string_split(text, ' ')) AS bin, " +
+      "CAST(lang = 'en' AS BIGINT) AS pos FROM documents"
+
+  /** Shared per-bin frame: npos/nneg counts per score bin. */
+  private def binned(spark: SparkSession, sfDir: String): DataFrame =
+    scored(spark, sfDir).groupBy("bin")
+      .agg(sum(col("pos")).as("npos"),
+        (count(lit(1)) - sum(col("pos"))).as("nneg"))
+
+  private val binnedSql: String =
+    s"SELECT bin, CAST(SUM(pos) AS BIGINT) AS npos, " +
+      s"CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nneg FROM ($scoredSql) GROUP BY bin"
+
+  /** q196: ROC curve + AUC — descending-score sweep over the bin frame:
+    * tpr/fpr after admitting each bin, plus the Mann-Whitney AUC with
+    * the standard tie (trapezoid) correction, carried on every row. The
+    * AUC numerator is kept EXACT: Σ nneg·(2·cumpos_prev + npos) over
+    * bins is pure int64 (tie term ×2 instead of ÷2), divided once at the
+    * end by 2·P·N.
+    *
+    * Scale: one groupBy(bin) shuffle; windows + the AUC fold run on the
+    * ≤1001-row frame; P/N/auc attach as broadcast 1-row aggregates. */
+  private def q196(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = binned(spark, sfDir).localCheckpoint(true) // ≤1001 rows; 3 consumers
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = b.agg(sum("npos").as("p_tot"), sum("nneg").as("n_tot"))
+    val aucNum = b
+      .withColumn("cumpos_prev", coalesce(sum("npos").over(wPrev), lit(0L)))
+      .agg(sum(col("nneg") * (lit(2L) * col("cumpos_prev") + col("npos"))).as("auc_num2"))
+    b.withColumn("cumpos", sum("npos").over(w))
+      .withColumn("cumneg", sum("nneg").over(w))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(aucNum))
+      .select(col("bin"), col("npos"), col("nneg"),
+        Tables.r6(col("cumpos").cast("double") / col("p_tot")).as("tpr"),
+        Tables.r6(col("cumneg").cast("double") / col("n_tot")).as("fpr"),
+        Tables.r6(col("auc_num2").cast("double") /
+          (lit(2.0) * col("p_tot") * col("n_tot"))).as("auc"))
+      .orderBy("bin")
+  }
+
+  /** q197: calibration / reliability bins — score deciles vs observed
+    * positive rate. A well-calibrated scorer has mean_pred ≈ pos_rate
+    * per decile; the gap column is the per-decile calibration error
+    * (its n-weighted sum = ECE). Decile = bin div 100 capped at 9 (bin
+    * 1000 folds into the top decile) — integer math end-to-end; means
+    * divide exact integer sums once at emission. */
+  private def q197(spark: SparkSession, sfDir: String): DataFrame =
+    scored(spark, sfDir)
+      .groupBy(least(expr("bin DIV 100"), lit(9L)).as("decile"))
+      .agg(count(lit(1)).as("n"), sum("pos").as("npos"), sum("bin").as("sbin"))
+      .select(col("decile"), col("n"),
+        Tables.r6(col("sbin").cast("double") / (col("n") * lit(1000.0))).as("mean_pred"),
+        Tables.r6(col("npos").cast("double") / col("n")).as("pos_rate"),
+        Tables.r6(col("sbin").cast("double") / (col("n") * lit(1000.0)) -
+          col("npos").cast("double") / col("n")).as("gap"))
+      .orderBy("decile")
+
+  /** q198: thresholded confusion matrices — precision/recall/F1 at three
+    * operating points (bin ≥ 300/500/700). The threshold sweep rides the
+    * SAME single bin-frame pass: thresholds explode against the bounded
+    * frame (≤1001×3 rows), never against the corpus. F1 uses the
+    * division-free form 2·tp/(2·tp+fp+fn) (exact integer denominator;
+    * precision/recall guard empty predictions with NULL). */
+  private def q198(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = binned(spark, sfDir)
+    b.select(col("bin"), col("npos"), col("nneg"),
+        explode(array(lit(300L), lit(500L), lit(700L))).as("tau"))
+      .groupBy("tau")
+      .agg(
+        sum(when(col("bin") >= col("tau"), col("npos")).otherwise(0L)).as("tp"),
+        sum(when(col("bin") >= col("tau"), col("nneg")).otherwise(0L)).as("fp"),
+        sum(when(col("bin") < col("tau"), col("npos")).otherwise(0L)).as("fn"),
+        sum(when(col("bin") < col("tau"), col("nneg")).otherwise(0L)).as("tn"))
+      .select(col("tau"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          Tables.r6(col("tp").cast("double") / (col("tp") + col("fp")))).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          Tables.r6(col("tp").cast("double") / (col("tp") + col("fn")))).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          Tables.r6(lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")))).as("f1"))
+      .orderBy("tau")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q("q196_eval_roc_auc", q196 _, Some(
+      s"WITH b AS ($binnedSql), " +
+        "c AS (SELECT bin, npos, nneg, " +
+        "CAST(SUM(npos) OVER w AS BIGINT) AS cumpos, " +
+        "CAST(SUM(nneg) OVER w AS BIGINT) AS cumneg, " +
+        "CAST(COALESCE(SUM(npos) OVER wp, 0) AS BIGINT) AS cumpos_prev " +
+        "FROM b WINDOW " +
+        "w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wp AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "t AS (SELECT CAST(SUM(npos) AS BIGINT) AS p_tot, " +
+        "CAST(SUM(nneg) AS BIGINT) AS n_tot FROM b), " +
+        "a AS (SELECT CAST(SUM(nneg * (2 * cumpos_prev + npos)) AS BIGINT) " +
+        "AS auc_num2 FROM c) " +
+        "SELECT bin, npos, nneg, " +
+        Tables.r6sql("CAST(cumpos AS DOUBLE) / p_tot") + " AS tpr, " +
+        Tables.r6sql("CAST(cumneg AS DOUBLE) / n_tot") + " AS fpr, " +
+        Tables.r6sql("CAST(auc_num2 AS DOUBLE) / (2.0 * p_tot * n_tot)") + " AS auc " +
+        "FROM c CROSS JOIN t CROSS JOIN a ORDER BY bin")),
+    Q("q197_eval_calibration", q197 _, Some(
+      s"WITH s AS ($scoredSql) " +
+        "SELECT LEAST(bin // 100, 9) AS decile, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        Tables.r6sql("CAST(SUM(bin) AS DOUBLE) / (COUNT(*) * 1000.0)") + " AS mean_pred, " +
+        Tables.r6sql("CAST(SUM(pos) AS DOUBLE) / COUNT(*)") + " AS pos_rate, " +
+        Tables.r6sql("CAST(SUM(bin) AS DOUBLE) / (COUNT(*) * 1000.0) - " +
+          "CAST(SUM(pos) AS DOUBLE) / COUNT(*)") + " AS gap " +
+        "FROM s GROUP BY 1 ORDER BY decile")),
+    Q("q198_eval_confusion", q198 _, Some(
+      s"WITH b AS ($binnedSql), " +
+        "m AS (SELECT tau, " +
+        "CAST(SUM(CASE WHEN bin >= tau THEN npos ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN bin >= tau THEN nneg ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN bin < tau THEN npos ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(SUM(CASE WHEN bin < tau THEN nneg ELSE 0 END) AS BIGINT) AS tn " +
+        "FROM b CROSS JOIN (VALUES (CAST(300 AS BIGINT)), (CAST(500 AS BIGINT)), " +
+        "(CAST(700 AS BIGINT))) t(tau) GROUP BY tau) " +
+        "SELECT tau, tp, fp, fn, tn, " +
+        "CASE WHEN tp + fp > 0 THEN " +
+        Tables.r6sql("CAST(tp AS DOUBLE) / (tp + fp)") + " END AS precision, " +
+        "CASE WHEN tp + fn > 0 THEN " +
+        Tables.r6sql("CAST(tp AS DOUBLE) / (tp + fn)") + " END AS recall, " +
+        "CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+        Tables.r6sql("2.0 * tp / (2 * tp + fp + fn)") + " END AS f1 " +
+        "FROM m ORDER BY tau")))
+}

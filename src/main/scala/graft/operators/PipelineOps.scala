@@ -364,6 +364,40 @@ object PipelineOps {
       .orderBy("user_id")
   }
 
+  /** q201: CDC changelog compaction — apply an insert/update/delete
+    * changelog to produce the current snapshot, the Debezium-feed /
+    * table-format merge shape q98's two-frame upsert can't express
+    * (q98 has no sequence numbers and no deletes). The changelog is
+    * derived deterministically from `orders` so both engines build the
+    * identical feed: every order INSERTs at seq 1, fulfilled ('F')
+    * orders UPDATE price +100 at seq 2, pending ('P') orders DELETE at
+    * seq 3. Compaction keeps the highest-seq op per key and drops keys
+    * whose last op is a delete; n_ops audits feed depth per key.
+    *
+    * Plan: ONE key-shuffle aggregation — the argmax is q73's
+    * max(struct(seq, ...)) (map-side combinable, constant state), NOT a
+    * row_number window (which would buffer per-key partitions); seq is
+    * unique per key so later struct fields never tie-break. */
+  private def q201(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val ins = o.select(col("o_orderkey"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_totalprice").as("price"))
+    val upd = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + 100.0).as("price"))
+    val del = o.filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("price"))
+    ins.unionByName(upd).unionByName(del)
+      .groupBy("o_orderkey")
+      .agg(max(struct(col("seq"), col("op"), col("price"))).as("last"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("last.op") =!= "D")
+      .select(col("o_orderkey"), col("n_ops"), col("last.seq").as("last_seq"),
+        Tables.r6(col("last.price")).as("final_price"))
+      .orderBy("o_orderkey")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
@@ -493,5 +527,19 @@ object PipelineOps {
         "v1.c_acctbal AS old_val, v2.c_acctbal AS new_val " +
         "FROM v1 FULL JOIN v2 ON v1.c_custkey = v2.c_custkey) " +
         "WHERE change_type <> 'unchanged' ORDER BY key")),
+    Q("q201_cdc_apply", q201 _, Some(
+      "WITH chg AS (" +
+        "SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'I' AS op, " +
+        "o_totalprice AS price FROM orders " +
+        "UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice + 100.0 " +
+        "FROM orders WHERE o_orderstatus = 'F' " +
+        "UNION ALL SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE) " +
+        "FROM orders WHERE o_orderstatus = 'P'), " +
+        "r AS (SELECT o_orderkey, seq, op, price, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY o_orderkey) AS n_ops FROM chg) " +
+        "SELECT o_orderkey, CAST(n_ops AS BIGINT) AS n_ops, seq AS last_seq, " +
+        Tables.r6sql("price") + " AS final_price " +
+        "FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey")),
   )
 }

@@ -58,8 +58,13 @@ class OperatorSuite extends AnyFunSuite {
                                  // (≤ #days rows — the q23 exception)
       "q192_dp_median_expmech",  // n 1-row aggregate + value-domain-bounded
                                  // bin window (≤ #bins rows)
-      "q193_dedup_minhash_accuracy") // ndocs 1-row aggregates (the q50 AND
+      "q193_dedup_minhash_accuracy", // ndocs 1-row aggregates (the q50 AND
                                  // q61 df-cap paths both run here)
+      "q196_eval_roc_auc")       // ROC sweep windows + AUC fold over the
+                                 // ≤1001-row score-bin frame (score is
+                                 // integer-quantized, so the domain is
+                                 // bounded by construction) + P/N 1-row
+                                 // totals
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -1416,6 +1421,138 @@ class OperatorSuite extends AnyFunSuite {
         s"q164 segment audit diverges: got ${boilRows.toSeq.take(3)}...")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("q196–q198 eval family agrees with an in-memory scorer") {
+    // independent mirror: score every document in memory with the same
+    // integer-bin formula, then recompute AUC (tie-corrected rank-sum),
+    // calibration deciles, and the tau=500 confusion row.
+    val docs = Tables(spark, sf, "documents")
+      .select("text", "lang").collect()
+      .map { r =>
+        val ts = r.getString(0).split(" ", -1)
+        val bin = 1000L * ts.distinct.length / ts.length
+        (bin, r.getString(1) == "en")
+      }
+    val p = docs.count(_._2).toLong
+    val n = docs.size - p
+    // exact tie-corrected AUC: Σ over pos/neg pairs of (score_p > score_n) + ½(=)
+    var num2 = 0L // doubled numerator (exact)
+    for ((bp, lp) <- docs if lp; (bn, ln) <- docs if !ln)
+      num2 += (if (bp > bn) 2L else if (bp == bn) 1L else 0L)
+    val aucExpect = num2.toDouble / (2.0 * p * n)
+    val roc = SparkEntry.queries("q196_eval_roc_auc")(spark, sf).collect()
+    val aucGot = roc.head.getAs[Double]("auc")
+    assert(math.abs(aucGot - aucExpect) < 2e-6, s"AUC $aucGot vs $aucExpect")
+    // curve sanity: cumulative rates are monotone in descending bin order
+    // and end at (1, 1)
+    val desc = roc.sortBy(-_.getAs[Long]("bin"))
+    val tprs = desc.map(_.getAs[Double]("tpr"))
+    val fprs = desc.map(_.getAs[Double]("fpr"))
+    assert(tprs.zip(tprs.tail).forall { case (a, b) => a <= b })
+    assert(fprs.zip(fprs.tail).forall { case (a, b) => a <= b })
+    assert(tprs.last == 1.0 && fprs.last == 1.0)
+    // calibration: decile counts partition the corpus; gap is consistent
+    val cal = SparkEntry.queries("q197_eval_calibration")(spark, sf).collect()
+    assert(cal.map(_.getAs[Long]("n")).sum == docs.size)
+    cal.foreach { r =>
+      assert(math.abs(r.getAs[Double]("gap") -
+        (r.getAs[Double]("mean_pred") - r.getAs[Double]("pos_rate"))) < 3e-6)
+    }
+    // confusion at tau=500 against the direct count
+    val conf = SparkEntry.queries("q198_eval_confusion")(spark, sf)
+      .collect().find(_.getAs[Long]("tau") == 500L).get
+    val tp = docs.count { case (b, l) => l && b >= 500 }.toLong
+    val fp = docs.count { case (b, l) => !l && b >= 500 }.toLong
+    assert(conf.getAs[Long]("tp") == tp && conf.getAs[Long]("fp") == fp)
+    assert(conf.getAs[Long]("tp") + conf.getAs[Long]("fn") == p)
+    assert(conf.getAs[Long]("fp") + conf.getAs[Long]("tn") == n)
+  }
+
+  test("q199/q200/q202 interval family agrees with an in-memory sweep") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("ts_us"), r.getAs[String]("event_type")))
+    val usHour = 3600000000L
+    val usDay = 86400000000L
+    // q199: per (user, day) interval → covered hour buckets
+    val covExpect = ev.groupBy(e => (e._1, e._3 / usDay)).toSeq
+      .flatMap { case (_, es) =>
+        (es.map(_._3).min / usHour) to (es.map(_._3).max / usHour)
+      }
+      .groupBy(identity).map { case (h, hs) => (h, hs.size.toLong) }
+    val covGot = SparkEntry.queries("q199_interval_coverage")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("hour_bucket"), r.getAs[Long]("n_active")))
+    assert(covGot.toMap == covExpect, "q199 hourly concurrency diverges")
+    assert(covGot.map(_._1).toSeq == covGot.map(_._1).toSeq.sorted)
+    // q200: interval union per user
+    val uniExpect = ev.groupBy(_._1).map { case (u, es) =>
+      val iv = es.groupBy(_._4).values
+        .map(g => (g.map(_._3).min, g.map(_._3).max)).toSeq.sorted
+      // classic merge sweep
+      var blocks = List.empty[(Long, Long)]
+      for ((s, e) <- iv) blocks match {
+        case (bs, be) :: rest if s <= be => blocks = (bs, math.max(be, e)) :: rest
+        case _ => blocks = (s, e) :: blocks
+      }
+      (u, blocks.size.toLong, blocks.map(b => b._2 - b._1).sum)
+    }
+    val uniGot = SparkEntry.queries("q200_interval_union")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_blocks"), r.getAs[Long]("covered_us")))
+    assert(uniGot.toSet == uniExpect.toSet, "q200 interval union diverges")
+    // q202: nearest purchase within ±1 h, tie → earlier
+    val nearGot = SparkEntry.queries("q202_join_nearest")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong)))
+    val purchases = ev.filter(_._4 == "purchase").groupBy(_._1)
+    val errors = ev.filter(_._4 == "error")
+    assert(nearGot.length == errors.length)
+    val errById = errors.map(e => e._2 -> e).toMap
+    nearGot.foreach { case (id, m, g) =>
+      val (u, _, ts, _) = errById(id)
+      val gaps = purchases.getOrElse(u, Array.empty).map(_._3 - ts)
+        .filter(d => math.abs(d) <= usHour)
+      (m, g) match {
+        case (None, None) =>
+          assert(gaps.isEmpty, s"error $id unmatched but purchases in range")
+        case (Some(mid), Some(gap)) =>
+          // the match is a real same-user purchase at exactly that gap,
+          // and the gap magnitude is minimal (ID choice among exact-gap
+          // ties follows window order — not re-modelled here)
+          val pu = purchases(u).find(_._2 == mid).get
+          assert(pu._3 - ts == gap)
+          assert(math.abs(gap) == gaps.map(math.abs).min,
+            s"error $id matched gap $gap, nearer purchase exists")
+        case other => fail(s"error $id half-null match $other")
+      }
+    }
+  }
+
+  test("q201 CDC apply: deletes gone, updates applied, inserts untouched") {
+    val orders = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[String](1), r.getAs[Double](2)))
+    val got = SparkEntry.queries("q201_cdc_apply")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"),
+        (r.getAs[Long]("n_ops"), r.getAs[Long]("last_seq"),
+          r.getAs[Double]("final_price")))).toMap
+    assert(got.size == orders.count(_._2 != "P"))
+    orders.foreach { case (k, st, price) =>
+      st match {
+        case "P" => assert(!got.contains(k), s"deleted key $k survived")
+        case "F" =>
+          val (nOps, lastSeq, fp) = got(k)
+          assert(nOps == 2L && lastSeq == 2L)
+          assert(math.abs(fp - (price + 100.0)) < 1e-6)
+        case _ =>
+          val (nOps, lastSeq, fp) = got(k)
+          assert(nOps == 1L && lastSeq == 1L)
+          assert(math.abs(fp - price) < 1e-6)
+      }
     }
   }
 
