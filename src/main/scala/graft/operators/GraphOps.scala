@@ -120,20 +120,41 @@ object GraphOps {
       .select(col("node").as("nationkey"), col("n_triangles"))
       .orderBy("nationkey")
 
-  /** The generic primitive behind q147, exposed as
-    * [[graft.Graft.triangleCounts]]: `edges` is ANY (src, dst, ...)
-    * frame, direction and duplicates ignored; returns (node,
-    * n_triangles). */
-  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .localCheckpoint(true) // feeds the degree agg AND the orientation join
-    val deg = und.select(col("a").as("n"))
-      .unionAll(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+  /** q203: local clustering coefficient per nation over the undirected
+    * trade graph — see [[clusteringCoef]]. */
+  private def q203(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringCoef(nationEdges(spark, sfDir))
+      .select(col("node").as("nationkey"), col("degree"),
+        col("n_triangles"), col("cc"))
+      .orderBy("nationkey")
+
+  /** q204: HITS hubs/authorities over the DIRECTED nation trade graph
+    * (buyer → supplier, 3 iterations) — see [[hits]]. */
+  private def q204(spark: SparkSession, sfDir: String): DataFrame =
+    hits(nationEdges(spark, sfDir), 3)
+      .select(col("node").as("nationkey"), col("hub"), col("auth"))
+      .orderBy("nationkey")
+
+  /** Canonical undirected simple graph from ANY (src, dst, ...) frame:
+    * loops dropped, direction and duplicates collapsed to one (a < b)
+    * row. Checkpointed — every caller feeds it to ≥2 consumers. */
+  private def undirectedOf(edges: DataFrame): DataFrame = edges
+    .filter(col("src") =!= col("dst"))
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .distinct()
+    .localCheckpoint(true)
+
+  /** Undirected degree per node of an [[undirectedOf]] frame. */
+  private def degreesOf(und: DataFrame): DataFrame = und
+    .select(col("a").as("n"))
+    .unionAll(und.select(col("b").as("n")))
+    .groupBy("n").agg(count(lit(1)).as("d"))
+
+  /** Per-node triangle counts over an [[undirectedOf]] frame (nodes in
+    * no triangle are absent — callers left-join). */
+  private def triangleCountsOfUnd(und: DataFrame): DataFrame = {
+    val deg = degreesOf(und)
     val firstIsLower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val orient = und
@@ -148,6 +169,83 @@ object GraphOps {
       .select(col("u").as("x"), col("v").as("y"), col("v2").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** The generic primitive behind q147, exposed as
+    * [[graft.Graft.triangleCounts]]: `edges` is ANY (src, dst, ...)
+    * frame, direction and duplicates ignored; returns (node,
+    * n_triangles). */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsOfUnd(undirectedOf(edges))
+
+  /** The generic primitive behind q203, exposed as
+    * [[graft.Graft.clusteringCoef]]: local clustering coefficient
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) per node (Watts–Strogatz),
+    * NULL where deg < 2 (undefined). The "how clique-like is each
+    * node's neighbourhood" score q147's raw triangle counts don't
+    * normalize for — a hub with many triangles can still be sparsely
+    * interconnected.
+    *
+    * Scale: degree agg + triangle wedge join both run on the SAME
+    * checkpointed undirected frame (one build of the distinct edge
+    * list); the wedge join is the q147 degree-oriented one, so fan-out
+    * is bounded by min-degree orientation. */
+  private[graft] def clusteringCoef(edges: DataFrame): DataFrame = {
+    val und = undirectedOf(edges)
+    degreesOf(und).select(col("n").as("node"), col("d").as("degree"))
+      .join(triangleCountsOfUnd(und), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          Tables.r6(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1L))))).as("cc"))
+  }
+
+  /** The generic primitive behind q204, exposed as
+    * [[graft.Graft.hits]]: Kleinberg's HITS (JACM 1999) — mutually
+    * recursive hub/authority scores over a DIRECTED simple graph,
+    * `iters` rounds of a ← Lᵀh, h ← L·a with L1 normalization after
+    * each half-step. The link-analysis complement of q120's PageRank:
+    * PageRank ranks by stationary visit mass, HITS separates "points at
+    * good sources" (hub) from "is a good source" (authority) — on a
+    * trade graph, who-buys-broadly vs who-supplies-broadly.
+    *
+    * Scale: identical plan shape to [[pageRank]] — each half-step is
+    * one broadcast-scores ⋈ edges + dst-keyed sum; edges stay put, only
+    * the node-frame iterates. Determinism (§2.9 R1): contributions are
+    * r6 doubles cast DECIMAL(18,9) before the keyed sum, the L1 total
+    * is an exact DECIMAL sum, one double division at each emission. */
+  private[graft] def hits(edges0: DataFrame, iters: Int): DataFrame = {
+    val e = edges0.filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    def normalized(raw: DataFrame, key: String, outCol: String): DataFrame = {
+      // raw: (key, s DECIMAL) — nodes absent contribute 0 and, matching
+      // the total (summed over raw only), don't change the L1 mass
+      val tot = raw.agg(sum(col("s")).as("tot"))
+      nodes.join(raw.select(col(key).as("node"), col("s")), Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          Tables.r6(coalesce(col("s").cast("double"), lit(0.0)) /
+            col("tot").cast("double")).as(outCol))
+    }
+    var hub = nodes.crossJoin(broadcast(n))
+      .select(col("node"), Tables.r6(lit(1.0) / col("n_nodes")).as("hub"))
+    var auth = hub.select(col("node"), col("hub").as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = broadcast(hub).join(e, col("node") === col("src"))
+        .select(col("dst"), col("hub").cast(DecimalType(18, 9)).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      auth = normalized(aRaw, "dst", "auth").localCheckpoint(true)
+      val hRaw = broadcast(auth).join(e, col("node") === col("dst"))
+        .select(col("src"), col("auth").cast(DecimalType(18, 9)).as("c"))
+        .groupBy("src").agg(sum(col("c")).as("s"))
+      hub = normalized(hRaw, "src", "hub").localCheckpoint(true)
+    }
+    hub.join(auth, "node")
   }
 
   /** The q120 oracle: the same edge build + 3 unrolled iterations as
@@ -343,8 +441,73 @@ object GraphOps {
       " SELECT node AS nationkey, " + Tables.r6sql("d") + " AS dist3 FROM d3 ORDER BY nationkey"
   }
 
+  /** The q204 oracle: same directed-edge build + 3 unrolled HITS
+    * iterations, each half-step mirroring [[hits]]'s arithmetic
+    * (DECIMAL(18,9) contribution sums, exact DECIMAL L1 total, one
+    * double division inside r6). */
+  private val q204Sql: String = {
+    def authIter(i: Int, prevHub: String): String =
+      s"ar$i AS (SELECT dst, SUM(CAST(h.hub AS DECIMAL(18,9))) AS s " +
+        s"FROM $prevHub h JOIN ed ON h.node = ed.src GROUP BY dst), " +
+        s"at$i AS (SELECT SUM(s) AS tot FROM ar$i), " +
+        s"a$i AS (SELECT n.node, ${Tables.r6sql(
+          "COALESCE(CAST(m.s AS DOUBLE), 0.0) / CAST(t.tot AS DOUBLE)")} AS auth " +
+        s"FROM nodes n LEFT JOIN ar$i m ON n.node = m.dst CROSS JOIN at$i t)"
+    def hubIter(i: Int): String =
+      s"hr$i AS (SELECT src, SUM(CAST(a.auth AS DECIMAL(18,9))) AS s " +
+        s"FROM a$i a JOIN ed ON a.node = ed.dst GROUP BY src), " +
+        s"ht$i AS (SELECT SUM(s) AS tot FROM hr$i), " +
+        s"h$i AS (SELECT n.node, ${Tables.r6sql(
+          "COALESCE(CAST(m.s AS DOUBLE), 0.0) / CAST(t.tot AS DOUBLE)")} AS hub " +
+        s"FROM nodes n LEFT JOIN hr$i m ON n.node = m.src CROSS JOIN ht$i t)"
+    "WITH ed AS MATERIALIZED (SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "WHERE c_nationkey <> s_nationkey), " +
+      "nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed), " +
+      "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes), " +
+      s"h0 AS (SELECT node, ${Tables.r6sql("1.0 / n_nodes")} AS hub " +
+      "FROM nodes CROSS JOIN nn), " +
+      s"${authIter(1, "h0")}, ${hubIter(1)}, " +
+      s"${authIter(2, "h1")}, ${hubIter(2)}, " +
+      s"${authIter(3, "h2")}, ${hubIter(3)} " +
+      "SELECT h3.node AS nationkey, h3.hub, a3.auth " +
+      "FROM h3 JOIN a3 ON h3.node = a3.node ORDER BY nationkey"
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q120_graph_pagerank", q120 _, Some(q120Sql)),
+    Q("q203_graph_clustering", q203 _, Some(
+      // same MATERIALIZED edge/orient CTEs as q147 (see that comment),
+      // plus the degree frame every node appears in (left join: nodes in
+      // no triangle keep count 0; deg < 2 ⇒ cc undefined ⇒ NULL)
+      "WITH und AS MATERIALIZED (" +
+        "SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a, " +
+        "GREATEST(c_nationkey, s_nationkey) AS b " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE c_nationkey <> s_nationkey), " +
+        "deg AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n), " +
+        "orient AS MATERIALIZED (SELECT " +
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u, " +
+        "CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v " +
+        "FROM und JOIN deg da ON da.n = a JOIN deg db ON db.n = b), " +
+        "tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z " +
+        "FROM orient e1 JOIN orient e2 ON e1.v = e2.u " +
+        "JOIN orient e3 ON e3.u = e1.u AND e3.v = e2.v), " +
+        "tc AS (SELECT n, COUNT(*) AS n_triangles FROM " +
+        "(SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) " +
+        "GROUP BY n) " +
+        "SELECT CAST(deg.n AS INTEGER) AS nationkey, deg.d AS degree, " +
+        "COALESCE(tc.n_triangles, 0) AS n_triangles, " +
+        "CASE WHEN deg.d >= 2 THEN " +
+        Tables.r6sql("2.0 * COALESCE(tc.n_triangles, 0) / (deg.d * (deg.d - 1))") +
+        " END AS cc " +
+        "FROM deg LEFT JOIN tc ON tc.n = deg.n ORDER BY nationkey")),
+    Q("q204_graph_hits", q204 _, Some(q204Sql)),
     Q("q191_graph_shortest_path", q191 _, Some(q191Sql)),
     Q("q187_graph_khop", q187 _, Some(
       // edge CTE MATERIALIZED for the same reason as q147's: three hop

@@ -400,5 +400,52 @@ object PrivacyOps {
         "COUNT(DISTINCT c_nationkey) AS n_nations, " +
         "COUNT(DISTINCT c_mktsegment) >= 3 AS meets_l3 " +
         "FROM ranked GROUP BY group_id ORDER BY group_id")),
+    Q("q205_anon_delta_presence", q205 _, Some(
+      "WITH sample AS (SELECT DISTINCT o_custkey FROM orders), " +
+        "marked AS (SELECT c_nationkey, c_mktsegment, " +
+        "CASE WHEN s.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS in_sample " +
+        "FROM customer c LEFT JOIN sample s ON c.c_custkey = s.o_custkey) " +
+        "SELECT c_nationkey AS nationkey, c_mktsegment AS segment, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_public, " +
+        "CAST(SUM(in_sample) AS BIGINT) AS n_sample, " +
+        Tables.r6sql("CAST(SUM(in_sample) AS DOUBLE) / COUNT(*)") + " AS delta, " +
+        "CAST(SUM(in_sample) AS DOUBLE) / COUNT(*) BETWEEN 0.1 AND 0.9 " +
+        "AS within_bounds " +
+        "FROM marked GROUP BY 1, 2 ORDER BY nationkey, segment")),
   )
+
+  /** q205: δ-presence audit (Nergiz, Atzori & Clifton, SIGMOD 2007) —
+    * the disclosure model k-anonymity misses: even a well-generalized
+    * release leaks MEMBERSHIP if, within a QI group, (almost) everyone
+    * from the public table is in the published research sample. For
+    * each (nation, segment) QI group over the public `customer` table,
+    * δ = |sample ∩ group| / |group| where the sample is the customers
+    * with ≥1 order (a deterministic stand-in for "records in the
+    * release"); groups outside [δmin=0.1, δmax=0.9] are flagged —
+    * δ ≈ 1 discloses presence, δ ≈ 0 discloses ABSENCE (Nergiz's
+    * symmetric case), both of which an adversary who knows the QIs can
+    * exploit.
+    *
+    * Scale: the sample key set is one distinct projection of orders;
+    * the membership mark is an equi-join on the customer key (broadcast
+    * at benchmark scale, shuffled hash at 100 TB — no hint, stats
+    * decide); then ONE aggregation to the ≤125-row QI-domain frame.
+    * Boundary semantics live in exact integer/boolean space (the δ
+    * double only feeds a BETWEEN on round values, computed identically
+    * on both engines from exact integer counts). */
+  private def q205(spark: SparkSession, sfDir: String): DataFrame = {
+    val sample = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct()
+    Tables(spark, sfDir, "customer")
+      .join(sample, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("in_sample"))
+      .groupBy(col("c_nationkey").as("nationkey"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_public"), sum("in_sample").as("n_sample"))
+      .select(col("nationkey"), col("segment"), col("n_public"), col("n_sample"),
+        Tables.r6(col("n_sample").cast("double") / col("n_public")).as("delta"),
+        (col("n_sample").cast("double") / col("n_public")).between(0.1, 0.9)
+          .as("within_bounds"))
+      .orderBy("nationkey", "segment")
+  }
 }

@@ -556,5 +556,60 @@ object StatsOps {
         Tables.r6sql(s"$rate / $baseRate") + " AS lift " +
         "FROM deciles CROSS JOIN base ORDER BY decile"
     }),
+    Q("q206_weighted_median", q206 _, Some(
+      "WITH ow AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1), " +
+        "cw AS (SELECT c_nationkey, c_custkey, c_acctbal, " +
+        "1 + COALESCE(n, 0) AS w FROM customer LEFT JOIN ow ON c_custkey = o_custkey), " +
+        "s AS (SELECT c_nationkey, c_custkey, c_acctbal, w, " +
+        "SUM(w) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "SUM(w) OVER (PARTITION BY c_nationkey) AS tot, " +
+        "COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust FROM cw), " +
+        "cand AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey " +
+        "ORDER BY c_acctbal, c_custkey) AS rn FROM s WHERE 2 * cum >= tot) " +
+        "SELECT c_nationkey AS nationkey, CAST(n_cust AS BIGINT) AS n_cust, " +
+        "CAST(tot AS BIGINT) AS w_total, c_acctbal AS median_bal, " +
+        "CAST(cum AS BIGINT) AS cum_at_median " +
+        "FROM cand WHERE rn = 1 ORDER BY nationkey")),
   )
+
+  /** q206: weighted median — per nation, the account balance at which
+    * the ORDER-COUNT-weighted cumulative mass first reaches half: the
+    * "median customer dollar" rather than the median customer, the
+    * importance-weighted quantile every revenue report wants (and the
+    * member the quantile family lacks: q19/BoundedQuantiles are
+    * unweighted, q112's KLL is approximate). Weight = 1 + #orders so
+    * zero-order customers still carry mass; the selected value is an
+    * actual data value (no interpolation — Type-1 weighted quantile).
+    *
+    * Determinism: cumulative weights are exact integers; the picked row
+    * is unique by the (acctbal, custkey) total order (R5); the output
+    * balance is a raw value, never aggregated FP.
+    *
+    * Scale: one key-shuffle for the order counts, one broadcast-or-hash
+    * membership join, then nation-keyed sort windows (constant state —
+    * running sums, not buffered percentile lists, per R7); the argmin
+    * is a struct-min aggregation, no second sort. */
+  private def q206(spark: SparkSession, sfDir: String): DataFrame = {
+    val ow = Tables(spark, sfDir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    val cw = Tables(spark, sfDir, "customer")
+      .join(ow, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        (lit(1L) + coalesce(col("n"), lit(0L))).as("w"))
+    val part = Window.partitionBy("c_nationkey")
+    val ord = part.orderBy(col("c_acctbal"), col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cw.withColumn("cum", sum("w").over(ord))
+      .withColumn("tot", sum("w").over(part))
+      .withColumn("n_cust", count(lit(1)).over(part))
+      .filter(lit(2L) * col("cum") >= col("tot"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(min(struct(col("c_acctbal"), col("c_custkey"), col("cum"),
+        col("tot"), col("n_cust"))).as("m"))
+      .select(col("nationkey"), col("m.n_cust").as("n_cust"),
+        col("m.tot").as("w_total"), col("m.c_acctbal").as("median_bal"),
+        col("m.cum").as("cum_at_median"))
+      .orderBy("nationkey")
+  }
 }

@@ -1556,6 +1556,82 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q203 clustering coefficient consistent with q147 triangles and degrees") {
+    val cc = SparkEntry.queries("q203_graph_clustering")(spark, sf).collect()
+    val tri = SparkEntry.queries("q147_graph_triangles")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_triangles")).toMap
+    cc.foreach { r =>
+      val (node, deg, nt) = (r.getInt(0), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"))
+      assert(nt == tri.getOrElse(node, 0L), s"node $node triangle mismatch")
+      // a triangle needs two incident edges at the node
+      assert(nt <= deg * (deg - 1) / 2)
+      if (deg >= 2) {
+        val v = r.getAs[Double]("cc")
+        assert(v >= 0.0 && v <= 1.0)
+        assert(math.abs(v - 2.0 * nt / (deg * (deg - 1.0))) < 2e-6)
+      } else assert(r.isNullAt(r.fieldIndex("cc")))
+    }
+  }
+
+  test("q204 HITS: L1-normalized nonnegative scores; authorities follow in-degree") {
+    val rows = SparkEntry.queries("q204_graph_hits")(spark, sf).collect()
+    val hubs = rows.map(_.getAs[Double]("hub"))
+    val auths = rows.map(_.getAs[Double]("auth"))
+    assert(hubs.forall(_ >= 0.0) && auths.forall(_ >= 0.0))
+    // each half-step L1-normalizes; r6 rounding leaves ≤ nodes·1e-6 slack
+    assert(math.abs(hubs.sum - 1.0) < rows.length * 1e-6)
+    assert(math.abs(auths.sum - 1.0) < rows.length * 1e-6)
+    // a node with no in-edges must carry zero authority mass
+    val ed = operators.GraphOps.nationEdges(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("src") =!=
+        org.apache.spark.sql.functions.col("dst"))
+      .select("src", "dst").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val hasIn = ed.map(_._2).toSet
+    rows.foreach { r =>
+      if (!hasIn.contains(r.getInt(0)))
+        assert(r.getAs[Double]("auth") == 0.0)
+    }
+  }
+
+  test("q205 delta-presence: counts partition the public table; bounds honored") {
+    val rows = SparkEntry.queries("q205_anon_delta_presence")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_public")).sum ==
+      Tables(spark, sf, "customer").count())
+    rows.foreach { r =>
+      val (np, ns, d) = (r.getAs[Long]("n_public"), r.getAs[Long]("n_sample"),
+        r.getAs[Double]("delta"))
+      assert(ns <= np)
+      assert(d >= 0.0 && d <= 1.0)
+      val exact = ns.toDouble / np
+      assert(r.getAs[Boolean]("within_bounds") == (exact >= 0.1 && exact <= 0.9))
+    }
+  }
+
+  test("q206 weighted median matches an in-memory weighted scan") {
+    val ow = Tables(spark, sf, "orders").groupBy("o_custkey")
+      .count().collect().map(r => r.getAs[Long](0) -> r.getAs[Long](1)).toMap
+    val byNation = Tables(spark, sf, "customer")
+      .select("c_nationkey", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getAs[Long](1), r.getAs[Double](2)))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("q206_weighted_median")(spark, sf).collect()
+    assert(got.length == byNation.size)
+    got.foreach { r =>
+      val nk = r.getInt(0)
+      val members = byNation(nk).sortBy(c => (c._3, c._2))
+        .map(c => (c, 1L + ow.getOrElse(c._2, 0L)))
+      val tot = members.map(_._2).sum
+      var cum = 0L
+      val first = members.find { case (_, w) => cum += w; 2 * cum >= tot }.get
+      assert(r.getAs[Long]("w_total") == tot)
+      assert(r.getAs[Long]("n_cust") == members.length.toLong)
+      assert(r.getAs[Double]("median_bal") == first._1._3,
+        s"nation $nk weighted median diverges")
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
