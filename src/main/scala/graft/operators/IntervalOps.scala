@@ -106,6 +106,38 @@ object IntervalOps {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** q207: interval-overlap JOIN — every (user, day) activity interval
+    * paired with every overlapping (user, event_type) interval of the
+    * same user, with the overlap length. The two-sided completion of the
+    * family: q199 counts intervals against a fixed grid, q200 merges one
+    * set, q207 joins two sets — the shape of "which maintenance windows
+    * intersected which user sessions".
+    *
+    * Scale: the classic bucketed interval join — NO inequality/range
+    * join ever reaches the planner. The day-bounded side (A ⊆ one day by
+    * construction) keys directly by (user, day); the spanning side
+    * explodes to its covered day buckets (bounded ≤31 in the events
+    * month, and generally by span/bucket); overlap then implies sharing
+    * A's day bucket, so an EQUI-join on (user, day) finds exactly the
+    * candidate pairs and a per-row filter keeps true overlaps. A is
+    * unique per (user, day) and B's explode emits distinct days, so no
+    * dedup pass is needed. */
+  private def q207(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val a = ev.groupBy(col("user_id"), expr(s"ts_us DIV $UsPerDay").as("day"))
+      .agg(min("ts_us").as("a_s"), max("ts_us").as("a_e"))
+    val b = ev.groupBy(col("user_id").as("ub"), col("event_type"))
+      .agg(min("ts_us").as("b_s"), max("ts_us").as("b_e"))
+      .select(col("ub"), col("event_type"), col("b_s"), col("b_e"),
+        explode(expr(s"sequence(b_s DIV $UsPerDay, b_e DIV $UsPerDay)")).as("day"))
+    a.join(b, col("user_id") === col("ub") && a("day") === b("day"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("user_id"), a("day").as("day"), col("event_type"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_us"))
+      .orderBy("user_id", "day", "event_type")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q199_interval_coverage", q199 _, Some(
       s"WITH iv AS (SELECT user_id, epoch_us(ts) // $UsPerDay AS day, " +
@@ -131,6 +163,19 @@ object IntervalOps {
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_blocks, " +
         "CAST(SUM(be - bs) AS BIGINT) AS covered_us " +
         "FROM merged GROUP BY user_id ORDER BY user_id")),
+    Q("q207_join_interval_overlap", q207 _, Some(
+      // the oracle states the SEMANTICS directly as an inequality join;
+      // the Spark plan reaches the same pairs via the bucketed equi-join
+      s"WITH a AS (SELECT user_id, epoch_us(ts) // $UsPerDay AS day, " +
+        "MIN(epoch_us(ts)) AS a_s, MAX(epoch_us(ts)) AS a_e " +
+        "FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, event_type, MIN(epoch_us(ts)) AS b_s, " +
+        "MAX(epoch_us(ts)) AS b_e FROM events GROUP BY 1, 2) " +
+        "SELECT a.user_id, a.day, b.event_type, " +
+        "LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_us " +
+        "FROM a JOIN b ON a.user_id = b.user_id " +
+        "WHERE a_s <= b_e AND b_s <= a_e " +
+        "ORDER BY a.user_id, a.day, b.event_type")),
     Q("q202_join_nearest", q202 _, Some(
       "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type " +
         "FROM events), " +

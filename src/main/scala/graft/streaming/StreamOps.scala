@@ -161,6 +161,20 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_id")
 
+  /** TTL'd dedup via the Spark 4 `dropDuplicatesWithinWatermark` API:
+    * duplicates of a key are dropped only while the key's state is
+    * younger than the watermark delay, after which the state is EVICTED
+    * and a re-emission of the same key passes through. This is the
+    * production-ingest dedup for UNBOUNDED key domains: plain
+    * `dropDuplicates` on non-event-time keys accumulates state forever
+    * (every key ever seen), while this variant bounds state to the keys
+    * active inside one watermark horizon — the at-least-once-source
+    * dedup window a 100 TB/day feed actually needs. */
+  def dedupTtl(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+
   /** EXACTLY q59's batch semantics on the incremental engine: the latest
     * event (max by (ts, event_id)) per (user_id, minute bucket), emitted
     * once the watermark closes the minute. `dropDuplicates` can't express

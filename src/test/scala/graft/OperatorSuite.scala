@@ -1532,6 +1532,26 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q207 bucketed interval join equals the direct all-pairs overlap") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts_us", "event_type").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1), r.getAs[String](2)))
+    val usDay = 86400000000L
+    val a = ev.groupBy(e => (e._1, e._2 / usDay))
+      .map { case ((u, d), es) => (u, d, es.map(_._2).min, es.map(_._2).max) }
+    val b = ev.groupBy(e => (e._1, e._3))
+      .map { case ((u, t), es) => (u, t, es.map(_._2).min, es.map(_._2).max) }
+    val expect = (for {
+      (ua, d, as_, ae) <- a
+      (ub, t, bs, be) <- b
+      if ua == ub && as_ <= be && bs <= ae
+    } yield ((ua, d, t), math.min(ae, be) - math.max(as_, bs))).toMap
+    val got = SparkEntry.queries("q207_join_interval_overlap")(spark, sf)
+      .collect().map(r => ((r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[String]("event_type")), r.getAs[Long]("overlap_us"))).toMap
+    assert(got == expect, s"bucketed join diverges: ${got.size} vs ${expect.size} pairs")
+  }
+
   test("q201 CDC apply: deletes gone, updates applied, inserts untouched") {
     val orders = Tables(spark, sf, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()

@@ -361,6 +361,65 @@ class PlanShapeSuite extends AnyFunSuite {
       s"q183 mergeSchema read fails to prune the evolved column: $readSchema")
   }
 
+  test("q201 CDC compaction is one aggregation — no window, no join (r10)") {
+    // the compaction claim: max(struct) argmax + count in ONE key-shuffle
+    // aggregation. A row_number formulation would plan a Window (full
+    // per-key buffering); a two-frame formulation would plan a join.
+    val qe = SparkEntry.queries("q201_cdc_apply")(spark, sf).queryExecution
+    qe.toRdd.count()
+    // AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan" —
+    // inspect only the final section or every node double-counts
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"q201 planned a Window:\n$plan")
+    assert(!plan.contains("Join"), s"q201 planned a join:\n$plan")
+    val keyExchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(keyExchanges == 1,
+      s"q201: expected exactly 1 key shuffle, got $keyExchanges:\n$plan")
+  }
+
+  test("q196/q197/q198 eval family: one corpus aggregation each, windows only on the bin frame (r10)") {
+    // the score-bin groupBy is the single corpus-collapsing shuffle; any
+    // Sort/Window in the plan must sit above the ≤1001-row bin frame.
+    // Proxy probe: exactly ONE aggregate pair keyed on the corpus (the
+    // bin groupBy); no join back to documents (no second scan of the
+    // corpus parquet beyond the checkpoint build).
+    for (q <- Seq("q197_eval_calibration", "q198_eval_confusion")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      qe.toRdd.count()
+      // final-plan section only (see q201 probe comment)
+      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+      val scans = plan.split("\n").count(l => l.contains("documents.parquet"))
+      assert(scans == 1, s"$q scans the corpus $scans times:\n$plan")
+    }
+    // q196 checkpoints the bin frame then fans out: the corpus scan sits
+    // BEFORE the checkpoint, so the executed plan shows no parquet scan
+    val qe196 = SparkEntry.queries("q196_eval_roc_auc")(spark, sf).queryExecution
+    qe196.toRdd.count()
+    assert(!qe196.executedPlan.toString.contains("documents.parquet"),
+      "q196 must read the corpus only inside the checkpointed bin build")
+  }
+
+  test("q206 weighted median: sort windows, never a percentile buffer (r10)") {
+    // R7: the builtin exact percentile's unbounded buffer is banned; the
+    // weighted median must be running-sum windows over the keyed sort.
+    val qe = SparkEntry.queries("q206_weighted_median")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"q206 planned a percentile aggregate:\n$plan")
+    assert(plan.contains("Window"), s"q206 lost its window formulation:\n$plan")
+  }
+
+  test("q207 interval-overlap join stays equi-keyed (bucketed, no range join) (r10)") {
+    val qe = SparkEntry.queries("q207_join_interval_overlap")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q207 planned a non-equi join:\n$plan")
+    assert(plan.contains("Join"), s"q207 lost its join:\n$plan")
+  }
+
   test("q124: signature stage is shuffle-free (signatures computed pre-exchange)") {
     // all exchanges in the q124 plan must sit ABOVE the localCheckpoint
     // boundary (band join / rerank); the 16-dot signature projection

@@ -86,6 +86,29 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("dropDuplicatesWithinWatermark: dup inside horizon drops, re-emission after eviction passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val rows = runBatches(stream, StreamOps.dedupTtl(stream.toDF()), "dedup_ttl",
+      Seq(
+        // key (1,1) first seen at minute 1
+        Seq(Event(1, ts(1), 1, "click", 1.0)),
+        // duplicate inside the 10-minute horizon → dropped
+        Seq(Event(1, ts(2), 1, "click", 2.0)),
+        // unrelated event advances the watermark to 200−10=190, which
+        // passes key (1,1)'s expiry (ts 1 + 10) → its state is evicted
+        Seq(Event(100, ts(200), 2, "view", 3.0)),
+        // re-emission of the SAME key after eviction → KEPT; this is the
+        // TTL semantics plain dropDuplicates cannot express (it would
+        // still hold the key and drop this row)
+        Seq(Event(1, ts(210), 1, "click", 4.0))))
+    val got = rows.map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .sortBy(_._2)
+    assert(got.toSeq == Seq((1L, 1.0), (100L, 3.0), (1L, 4.0)),
+      s"TTL dedup semantics diverged: ${got.toSeq}")
+  }
+
   test("stateful pipelines green under the RocksDB state store provider") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
