@@ -561,6 +561,142 @@ object Graft {
     * `versions` needs (key, t, version_id, v). Returns the fact rows
     * plus `v_at_t` (nullable). Times and ttl are plain integers
     * (bucket/epoch units — caller picks the resolution). */
+  /** Local clustering coefficient per node — see
+    * `operators.GraphOps.clusteringCoef` (q203). `edges`: any (src, dst,
+    * ...) frame; direction, loops and duplicates ignored. Returns (node,
+    * degree, n_triangles, cc), cc NULL where degree < 2. */
+  def clusteringCoef(edges: DataFrame): DataFrame =
+    operators.GraphOps.clusteringCoef(edges)
+
+  /** Bounded-round bipartite k-core peel — see
+    * `operators.GraphOps.kCore` (q208). `edges`: (s, p) frame (deduped
+    * internally). Returns surviving (side ∈ {s, p}, node, deg). The
+    * true k-core is the fixpoint; raise `rounds` until two consecutive
+    * values agree (PropertySuite does exactly that for the benchmark
+    * graph). */
+  def kCore(edges: DataFrame, k: Long, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"kCore: k $k must be >= 1")
+    require(rounds >= 1, s"kCore: rounds $rounds must be >= 1")
+    operators.GraphOps.kCore(edges, k, rounds)
+  }
+
+  /** HITS hubs/authorities — see `operators.GraphOps.hits` (q204).
+    * `edges`: any directed (src, dst, ...) frame (loops/dups dropped).
+    * Returns (node, hub, auth), both L1-normalized. */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"hits: iters $iters must be >= 1")
+    operators.GraphOps.hits(edges, iters)
+  }
+
+  /** Interval union per key (q200's sweep as a primitive): `iv` carries
+    * (key, s, e, tie) closed intervals; returns (key, n_blocks,
+    * covered) where blocks are the maximal disjoint merged intervals
+    * and covered = Σ block lengths. `tie` breaks equal starts (R5). */
+  def intervalUnion(iv: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("key").orderBy(col("s"), col("tie"))
+    val prevMaxE = max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("graft_new",
+        when(prevMaxE.isNull || col("s") > prevMaxE, 1L).otherwise(0L))
+      .withColumn("graft_blk", sum("graft_new")
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("key", "graft_blk")
+      .agg(min("s").as("graft_bs"), max("e").as("graft_be"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("graft_be") - col("graft_bs")).as("covered"))
+  }
+
+  /** Nearest-neighbour temporal match (q202's shape as a primitive):
+    * for each row of `probes` (key, t, id), the id of the nearest row
+    * of `cands` (key, t, id) with the same key within ±`tolerance`
+    * (tie → the earlier candidate), else NULL. One keyed window
+    * shuffle — no self or range join. */
+  def nearestMatch(probes: DataFrame, cands: DataFrame, tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"nearestMatch: tolerance $tolerance must be non-negative")
+    val p = probes.select(col("key"), col("t"), col("id"), lit(1L).as("graft_probe"))
+    val c = cands.select(col("key"), col("t"), col("id"), lit(0L).as("graft_probe"))
+    val ord = Window.partitionBy("key").orderBy(col("t"), col("graft_probe"), col("id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isC = col("graft_probe") === 0L
+    val withN = p.unionByName(c)
+      .withColumn("graft_pts", last(when(isC, col("t")), ignoreNulls = true).over(back))
+      .withColumn("graft_pid", last(when(isC, col("id")), ignoreNulls = true).over(back))
+      .withColumn("graft_nts", first(when(isC, col("t")), ignoreNulls = true).over(fwd))
+      .withColumn("graft_nid", first(when(isC, col("id")), ignoreNulls = true).over(fwd))
+      .filter(col("graft_probe") === 1L)
+    val dPrev = when(col("graft_pts").isNotNull, col("t") - col("graft_pts"))
+    val dNext = when(col("graft_nts").isNotNull, col("graft_nts") - col("t"))
+    val inPrev = dPrev.isNotNull && dPrev <= tolerance
+    val inNext = dNext.isNotNull && dNext <= tolerance
+    val takePrev = inPrev && (!inNext || dPrev <= dNext)
+    withN.select(col("key"), col("id"), col("t"),
+      when(takePrev, col("graft_pid")).otherwise(when(inNext, col("graft_nid")))
+        .as("match_id"),
+      when(takePrev, -dPrev).otherwise(when(inNext, dNext)).as("gap"))
+  }
+
+  /** Weighted Type-1 median per key (q206's shape as a primitive):
+    * `df` carries (key, v, w, tie); returns (key, n, w_total,
+    * median_v) — the v at which cumulative weight first reaches half,
+    * an actual data value. Integer weights keep the sweep exact. */
+  def weightedMedian(df: DataFrame): DataFrame = {
+    val part = Window.partitionBy("key")
+    val ord = part.orderBy(col("v"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("graft_cum", sum("w").over(ord))
+      .withColumn("graft_tot", sum("w").over(part))
+      .withColumn("graft_n", count(lit(1)).over(part))
+      .filter(lit(2L) * col("graft_cum") >= col("graft_tot"))
+      .groupBy("key")
+      .agg(min(struct(col("v"), col("tie"), col("graft_tot"), col("graft_n"))).as("m"))
+      .select(col("key"), col("m.graft_n").as("n"),
+        col("m.graft_tot").as("w_total"), col("m.v").as("median_v"))
+  }
+
+  /** CDC changelog compaction (q201's shape as a primitive): `changelog`
+    * carries (key, seq, op, v) with `deleteOp` marking deletes; returns
+    * the surviving keys' (key, n_ops, last_seq, v) — highest-seq op per
+    * key, delete-terminated keys dropped. ONE map-side-combinable
+    * aggregation (max-struct argmax), never a window. */
+  def cdcCompact(changelog: DataFrame, deleteOp: String = "D"): DataFrame =
+    changelog
+      .groupBy("key")
+      .agg(max(struct(col("seq"), col("op"), col("v"))).as("m"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("m.op") =!= deleteOp)
+      .select(col("key"), col("n_ops"), col("m.seq").as("last_seq"),
+        col("m.v").as("v"))
+
+  /** ROC curve + tie-corrected AUC from a pre-binned scored frame
+    * (q196's shape as a primitive): `scored` carries (bin: integer
+    * score, pos: 0/1 label). Returns one row per bin with cumulative
+    * tpr/fpr in descending-score order and the exact-numerator AUC on
+    * every row. Bin the score yourself — integer bins are what keep
+    * the curve deterministic and the frame bounded. */
+  def rocCurve(scored: DataFrame): DataFrame = {
+    val b = scored.groupBy("bin")
+      .agg(sum(col("pos")).as("npos"),
+        (count(lit(1)) - sum(col("pos"))).as("nneg"))
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = b.agg(sum("npos").as("graft_p"), sum("nneg").as("graft_n"))
+    val aucNum = b
+      .withColumn("graft_cp", coalesce(sum("npos").over(wPrev), lit(0L)))
+      .agg(sum(col("nneg") * (lit(2L) * col("graft_cp") + col("npos"))).as("graft_a2"))
+    b.withColumn("graft_cum_p", sum("npos").over(w))
+      .withColumn("graft_cum_n", sum("nneg").over(w))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(aucNum))
+      .select(col("bin"), col("npos"), col("nneg"),
+        Tables.r6(col("graft_cum_p").cast("double") / col("graft_p")).as("tpr"),
+        Tables.r6(col("graft_cum_n").cast("double") / col("graft_n")).as("fpr"),
+        Tables.r6(col("graft_a2").cast("double") /
+          (lit(2.0) * col("graft_p") * col("graft_n"))).as("auc"))
+  }
+
   def pointInTimeJoin(facts: DataFrame, versions: DataFrame, ttl: Long): DataFrame = {
     require(ttl >= 0, s"pointInTimeJoin: ttl $ttl must be non-negative")
     val reg = versions.select(col("key"), col("t"), lit(0L).as("graft_kind"),

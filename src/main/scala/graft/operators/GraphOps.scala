@@ -441,6 +441,64 @@ object GraphOps {
       " SELECT node AS nationkey, " + Tables.r6sql("d") + " AS dist3 FROM d3 ORDER BY nationkey"
   }
 
+  /** The generic primitive behind q208, exposed as
+    * [[graft.Graft.kCore]]: bounded-round k-core peeling of a bipartite
+    * (s, p) edge frame — each round recomputes both sides' degrees and
+    * keeps only edges whose BOTH endpoints still have degree ≥ k
+    * (simultaneous removal — deterministic, no peel-order dependence).
+    * `rounds` bounds the iteration: the true k-core is the fixpoint,
+    * which dense real graphs reach in a few cascades (PropertySuite
+    * asserts rounds=3 ≡ rounds=4 on the benchmark graph); at 100 TB the
+    * bound is the same safety valve the q76 CC loop carries.
+    *
+    * Scale: each round is two keyed degree aggregations + two semi-
+    * shaped equi-joins on the CURRENT edge frame (shrinking
+    * monotonically); the edge frame is checkpointed per round so plans
+    * stay flat. Never a cross join, never a collect. */
+  private[graft] def kCore(edges0: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var e = edges0.select("s", "p").distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val ds = e.groupBy("s").agg(count(lit(1)).as("d")).filter(col("d") >= k)
+      val dp = e.groupBy("p").agg(count(lit(1)).as("d")).filter(col("d") >= k)
+      e = e.join(ds.select("s"), "s").join(dp.select("p"), "p")
+        .select("s", "p").localCheckpoint(true)
+    }
+    e.groupBy("s").agg(count(lit(1)).as("deg"))
+      .select(lit("s").as("side"), col("s").as("node"), col("deg"))
+      .unionByName(
+        e.groupBy("p").agg(count(lit(1)).as("deg"))
+          .select(lit("p").as("side"), col("p").as("node"), col("deg")))
+  }
+
+  /** q208: 20-core of the supplier–part bipartite graph (3 peel rounds
+    * — the fixpoint on this graph, see [[kCore]]): which suppliers and
+    * parts survive when everything with fewer than 20 distinct
+    * counterparts is iteratively stripped. The density-decomposition
+    * member of the graph family (q147/q170 score local structure, q208
+    * extracts the globally dense backbone — the standard prefilter
+    * before expensive pairwise analytics). */
+  private def q208(spark: SparkSession, sfDir: String): DataFrame =
+    kCore(Tables(spark, sfDir, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")),
+      k = 20L, rounds = 3)
+      .orderBy("side", "node")
+
+  private val q208Sql: String = {
+    def peel(prev: String, cur: String): String =
+      s"$cur AS MATERIALIZED (SELECT e.s, e.p FROM $prev e " +
+        s"JOIN (SELECT s, COUNT(*) AS d FROM $prev GROUP BY s) a " +
+        "ON a.s = e.s AND a.d >= 20 " +
+        s"JOIN (SELECT p, COUNT(*) AS d FROM $prev GROUP BY p) b " +
+        "ON b.p = e.p AND b.d >= 20)"
+    "WITH e0 AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p " +
+      "FROM lineitem), " +
+      s"${peel("e0", "e1")}, ${peel("e1", "e2")}, ${peel("e2", "e3")} " +
+      "SELECT 's' AS side, s AS node, CAST(COUNT(*) AS BIGINT) AS deg " +
+      "FROM e3 GROUP BY s " +
+      "UNION ALL SELECT 'p', p, CAST(COUNT(*) AS BIGINT) FROM e3 GROUP BY p " +
+      "ORDER BY side, node"
+  }
+
   /** The q204 oracle: same directed-edge build + 3 unrolled HITS
     * iterations, each half-step mirroring [[hits]]'s arithmetic
     * (DECIMAL(18,9) contribution sums, exact DECIMAL L1 total, one
@@ -508,6 +566,7 @@ object GraphOps {
         " END AS cc " +
         "FROM deg LEFT JOIN tc ON tc.n = deg.n ORDER BY nationkey")),
     Q("q204_graph_hits", q204 _, Some(q204Sql)),
+    Q("q208_graph_kcore", q208 _, Some(q208Sql)),
     Q("q191_graph_shortest_path", q191 _, Some(q191Sql)),
     Q("q187_graph_khop", q187 _, Some(
       // edge CTE MATERIALIZED for the same reason as q147's: three hop

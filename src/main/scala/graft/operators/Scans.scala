@@ -377,5 +377,41 @@ object Scans {
         "zt AS (SELECT x, y, " + zBits("//") + " AS z FROM b) " +
         "SELECT z // 64 AS tile, COUNT(*) AS n, MIN(x) AS x_min, MAX(x) AS x_max, " +
         "MIN(y) AS y_min, MAX(y) AS y_max FROM zt GROUP BY 1 ORDER BY tile")),
+    Q("q209_scan_text_lines", q209 _, Some(
+      // the roundtrip is lossless, so the oracle states the semantics on
+      // the original table directly (q69/q184 precedent)
+      "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_ids " +
+        "FROM documents GROUP BY lang ORDER BY lang")),
   )
+
+  /** q209: raw text-lines sink + source round-trip — the LAST first-class
+    * Spark batch file format the scan family lacked (q02 CSV, q03 JSON,
+    * q69 ORC, q184 Avro, parquet everywhere): documents serialized as
+    * TSV-ish lines (`doc_id\tlang\ttext` — the corpus text is
+    * whitespace-tokenized, so the tab delimiter cannot collide), written
+    * with `write.text`, read back with `read.text`, re-parsed, and
+    * checksummed per language. The "plain .txt corpus dump" ingest shape
+    * of every web-crawl pipeline.
+    *
+    * Scale: text read/write is splittable and narrow (no shuffle until
+    * the final bounded per-lang agg); parsing is per-row split()
+    * expressions inside codegen. */
+  private def q209(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val path = tmp("text_docs", sfDir)
+    docs.select(concat_ws("\t",
+        col("doc_id").cast("string"), col("lang"), col("text")).as("value"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+    spark.read.text(path)
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(col("f").getItem(0).cast("bigint").as("doc_id"),
+        col("f").getItem(1).as("lang"), col("f").getItem(2).as("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang")
+  }
 }

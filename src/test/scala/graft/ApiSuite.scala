@@ -488,6 +488,93 @@ class ApiSuite extends AnyFunSuite {
     assert(got == Map(1L -> Some("A"), 2L -> Some("B"), 3L -> Some("B"), 4L -> None))
   }
 
+  test("clusteringCoef: triangle nodes score 1, pendant NULL, junction 1/3") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4: nodes 1,2 have cc 1;
+    // node 3 (deg 3, 1 triangle of 3 possible) → 1/3; node 4 (deg 1) → NULL
+    val edges = Seq((1, 2), (2, 3), (3, 1), (3, 4)).toDF("src", "dst")
+    val got = Graft.clusteringCoef(edges).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"),
+        if (r.isNullAt(3)) None else Some(r.getAs[Double]("cc")))).toMap
+    assert(got(1) == ((2L, 1L, Some(1.0))))
+    assert(got(2) == ((2L, 1L, Some(1.0))))
+    assert(got(3)._1 == 3L && got(3)._2 == 1L)
+    assert(math.abs(got(3)._3.get - 1.0 / 3.0) < 2e-6)
+    assert(got(4) == ((1L, 0L, None)))
+  }
+
+  test("hits: star authority concentrates on the centre, hubs on the spokes") {
+    import spark.implicits._
+    // 1,2,3 all point at 4; 4 points nowhere
+    val edges = Seq((1, 4), (2, 4), (3, 4)).toDF("src", "dst")
+    val got = Graft.hits(edges).collect()
+      .map(r => r.getInt(0) -> (r.getAs[Double]("hub"), r.getAs[Double]("auth"))).toMap
+    assert(got(4)._2 > 0.999, s"centre authority ${got(4)._2}")
+    assert(got(4)._1 == 0.0, "centre has no out-edges, hub must be 0")
+    Seq(1, 2, 3).foreach { n =>
+      assert(got(n)._2 == 0.0, s"spoke $n has no in-edges")
+      assert(math.abs(got(n)._1 - 1.0 / 3.0) < 2e-6)
+    }
+  }
+
+  test("intervalUnion merges overlaps and keeps gaps apart") {
+    import spark.implicits._
+    // [0,10] ∪ [5,20] merge (covered 20); [30,35] separate (covered 5)
+    val iv = Seq(("k", 0L, 10L, 1L), ("k", 5L, 20L, 2L), ("k", 30L, 35L, 3L))
+      .toDF("key", "s", "e", "tie")
+    val r = Graft.intervalUnion(iv).head()
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Long]("covered") == 25L)
+  }
+
+  test("nearestMatch picks the nearer side, earlier on ties, NULL out of tolerance") {
+    import spark.implicits._
+    val probes = Seq(("k", 10L, 1L), ("k", 50L, 2L), ("k", 100L, 3L))
+      .toDF("key", "t", "id")
+    val cands = Seq(("k", 7L, 90L), ("k", 12L, 91L), ("k", 45L, 92L), ("k", 55L, 93L))
+      .toDF("key", "t", "id")
+    val got = Graft.nearestMatch(probes, cands, tolerance = 5L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(3)) None else Some(r.getAs[Long]("match_id")))).toMap
+    // probe 1 at t=10: cands at 7 (gap 3) and 12 (gap 2) → 91
+    // probe 2 at t=50: gaps 5 both sides → tie → earlier (92)
+    // probe 3 at t=100: nothing within 5 → NULL
+    assert(got == Map(1L -> Some(91L), 2L -> Some(92L), 3L -> None))
+  }
+
+  test("weightedMedian lands where cumulative weight crosses half") {
+    import spark.implicits._
+    // weights: v=1 w=1, v=2 w=1, v=3 w=10 → total 12, half at v=3
+    val df = Seq(("k", 1.0, 1L, 1L), ("k", 2.0, 1L, 2L), ("k", 3.0, 10L, 3L))
+      .toDF("key", "v", "w", "tie")
+    val r = Graft.weightedMedian(df).head()
+    assert(r.getAs[Long]("w_total") == 12L && r.getAs[Double]("median_v") == 3.0)
+  }
+
+  test("cdcCompact: last op wins, deletes drop the key") {
+    import spark.implicits._
+    val chg = Seq(
+      ("a", 1L, "I", 10.0), ("a", 2L, "U", 11.0),
+      ("b", 1L, "I", 20.0), ("b", 2L, "D", 0.0),
+      ("c", 1L, "I", 30.0)).toDF("key", "seq", "op", "v")
+    val got = Graft.cdcCompact(chg).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_ops"),
+        r.getAs[Long]("last_seq"), r.getAs[Double]("v"))).toMap
+    assert(got == Map("a" -> ((2L, 2L, 11.0)), "c" -> ((1L, 1L, 30.0))))
+  }
+
+  test("rocCurve: perfect separation gives AUC 1, reversal gives 0") {
+    import spark.implicits._
+    val perfect = Seq((9L, 1L), (9L, 1L), (1L, 0L), (1L, 0L)).toDF("bin", "pos")
+    assert(Graft.rocCurve(perfect).head().getAs[Double]("auc") == 1.0)
+    val reversed = Seq((1L, 1L), (9L, 0L)).toDF("bin", "pos")
+    assert(Graft.rocCurve(reversed).head().getAs[Double]("auc") == 0.0)
+    // all-ties → 0.5 exactly (the tie correction)
+    val ties = Seq((5L, 1L), (5L, 0L)).toDF("bin", "pos")
+    assert(Graft.rocCurve(ties).head().getAs[Double]("auc") == 0.5)
+  }
+
   test("noveltyScores: dup doc scores 0, half-recombined doc scores 0.5") {
     import spark.implicits._
     val docs = Seq(

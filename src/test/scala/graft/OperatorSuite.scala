@@ -1652,6 +1652,39 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q208 k-core: 3 rounds reach the fixpoint; every survivor has deg >= k") {
+    val edges = Tables(spark, sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_suppkey").as("s"),
+        org.apache.spark.sql.functions.col("l_partkey").as("p"))
+    def run(rounds: Int) = Graft.kCore(edges, k = 20L, rounds = rounds)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("node"),
+        r.getAs[Long]("deg"))).toSet
+    val r3 = run(3)
+    // the query's bounded 3 rounds genuinely converge on this graph —
+    // one more round changes nothing (true k-core, not a truncation)
+    assert(r3 == run(4), "k-core peel not converged at 3 rounds")
+    assert(r3.forall(_._3 >= 20L), "a survivor has degree below k")
+    // and the peel actually removed something
+    val initial = edges.distinct().count()
+    assert(r3.map(t => t._3).sum / 2 < initial,
+      "k-core peel removed no edges — fixture degenerated")
+  }
+
+  test("q209 text-lines roundtrip is lossless against the original parquet") {
+    val got = SparkEntry.queries("q209_scan_text_lines")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val direct = Tables(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text"))).as("c"),
+        org.apache.spark.sql.functions.sum("doc_id").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == direct, "text roundtrip lost data")
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
