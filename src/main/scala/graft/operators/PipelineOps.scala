@@ -398,6 +398,36 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** q211: group-mean imputation — the missing-value repair step of
+    * every feature pipeline, the statistical member the fill family
+    * lacks (q144 backfills by LOCF in TIME; q211 fills from the
+    * GROUP's distribution): `error` events' values are treated as
+    * missing and imputed with the user's mean of observed values,
+    * falling back to the global mean for users with nothing observed.
+    * Flags ride along so downstream can weigh imputed rows.
+    *
+    * Scale: one user-keyed aggregation of observed values (DECIMAL
+    * sums, R1) + a broadcast 1-row global fallback; the corpus joins
+    * the per-user means once (broadcast at bench scale, shuffled hash
+    * at 100 TB — stats decide) and everything else is per-row. */
+  private def q211(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val miss = col("event_type") === "error"
+    val observed = ev.filter(!miss)
+    val um = observed.groupBy("user_id")
+      .agg(sum(dec(col("value"))).as("s"), count(lit(1)).as("c"))
+      .select(col("user_id").as("um_user"), col("s"), col("c"))
+    val g = observed.agg(sum(dec(col("value"))).as("gs"), count(lit(1)).as("gc"))
+    ev.join(um, col("user_id") === col("um_user"), "left")
+      .crossJoin(broadcast(g))
+      .select(col("event_id"), col("user_id"), miss.as("was_imputed"),
+        when(miss, coalesce(Tables.meanD(col("s"), col("c")),
+          Tables.meanD(col("gs"), col("gc"))))
+          .otherwise(col("value")).as("value_out"))
+      .orderBy("event_id")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
@@ -541,5 +571,17 @@ object PipelineOps {
         "SELECT o_orderkey, CAST(n_ops AS BIGINT) AS n_ops, seq AS last_seq, " +
         Tables.r6sql("price") + " AS final_price " +
         "FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey")),
+    Q("q211_impute_group_mean", q211 _, Some(
+      "WITH ev AS (SELECT event_id, user_id, event_type, value FROM events), " +
+        "um AS (SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS s, " +
+        "COUNT(*) AS c FROM ev WHERE event_type <> 'error' GROUP BY 1), " +
+        "g AS (SELECT SUM(CAST(value AS DECIMAL(18,4))) AS gs, COUNT(*) AS gc " +
+        "FROM ev WHERE event_type <> 'error') " +
+        "SELECT event_id, e.user_id, (event_type = 'error') AS was_imputed, " +
+        "CASE WHEN event_type = 'error' THEN " +
+        s"COALESCE(${Tables.meanDSql("s", "c")}, ${Tables.meanDSql("gs", "gc")}) " +
+        "ELSE value END AS value_out " +
+        "FROM ev e LEFT JOIN um ON e.user_id = um.user_id CROSS JOIN g " +
+        "ORDER BY event_id")),
   )
 }

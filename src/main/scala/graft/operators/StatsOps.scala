@@ -556,6 +556,35 @@ object StatsOps {
         Tables.r6sql(s"$rate / $baseRate") + " AS lift " +
         "FROM deciles CROSS JOIN base ORDER BY decile"
     }),
+    Q("q210_corr_matrix", q210 _, Some {
+      val dq = "CAST(l_quantity AS DECIMAL(19,4))"
+      val de = "CAST(l_extendedprice AS DECIMAL(19,4))"
+      val dd = "CAST(l_discount AS DECIMAL(19,4))"
+      val dt = "CAST(l_tax AS DECIMAL(19,4))"
+      val r = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+      s"WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"SUM($dq) AS sq, SUM($de) AS se, SUM($dd) AS sd, SUM($dt) AS st, " +
+        s"SUM($dq * $dq) AS sqq, SUM($de * $de) AS see, " +
+        s"SUM($dd * $dd) AS sdd, SUM($dt * $dt) AS stt, " +
+        s"SUM($dq * $de) AS sqe, SUM($dq * $dd) AS sqd, SUM($dq * $dt) AS sqt, " +
+        s"SUM($de * $dd) AS sed, SUM($de * $dt) AS set_, SUM($dd * $dt) AS sdt " +
+        "FROM lineitem), " +
+        "p AS (" +
+        "SELECT 'discount' AS col_a, 'extendedprice' AS col_b, n, " +
+        "sd AS sx, se AS sy, sdd AS sxx, see AS syy, sed AS sxy FROM s " +
+        "UNION ALL SELECT 'discount', 'tax', n, sd, st, sdd, stt, sdt FROM s " +
+        "UNION ALL SELECT 'extendedprice', 'tax', n, se, st, see, stt, set_ FROM s " +
+        "UNION ALL SELECT 'quantity', 'discount', n, sq, sd, sqq, sdd, sqd FROM s " +
+        "UNION ALL SELECT 'quantity', 'extendedprice', n, sq, se, sqq, see, sqe FROM s " +
+        "UNION ALL SELECT 'quantity', 'tax', n, sq, st, sqq, stt, sqt FROM s) " +
+        s"SELECT col_a, col_b, n, ${Tables.r6sql(r)} AS r " +
+        "FROM p ORDER BY col_a, col_b"
+    }),
     Q("q206_weighted_median", q206 _, Some(
       "WITH ow AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1), " +
         "cw AS (SELECT c_nationkey, c_custkey, c_acctbal, " +
@@ -572,6 +601,55 @@ object StatsOps {
         "CAST(cum AS BIGINT) AS cum_at_median " +
         "FROM cand WHERE rn = 1 ORDER BY nationkey")),
   )
+
+  /** q210: pairwise Pearson correlation MATRIX over the four lineitem
+    * numerics (quantity, extendedprice, discount, tax) — the
+    * column-profiling companion to q125's single-pair regression: all 6
+    * pairs from ONE corpus pass. The moment sums (Σx, Σx², Σxy) are
+    * exact DECIMAL (R1: products at DECIMAL(38,8), overflow-free to
+    * ~10²¹ even at 100 TB row counts); r is then derived in fixed-shape
+    * IEEE double arithmetic — sqrt is correctly-rounded by IEEE 754, so
+    * cross-engine bits match (q125 precedent) — and r6-rounded.
+    *
+    * Scale: a single 14-aggregate grand total (map-side combinable,
+    * 1-row result); the 6 output rows unpivot from that row via stack.
+    * Never 6 passes, never a melt that ×6es the corpus pre-aggregate. */
+  private def q210(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // width 19, not 18: DuckDB multiplies width-≤18 decimals on the int64
+    // fast path, which overflows on price×price — ≥19 forces the int128
+    // path on its side while Spark's BigDecimal math is width-agnostic
+    val d = (c: Column) => c.cast(DecimalType(19, 4))
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(d(col("l_quantity")).as("q"), d(col("l_extendedprice")).as("e"),
+        d(col("l_discount")).as("dc"), d(col("l_tax")).as("t"))
+    val s = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("e")).as("se"),
+      sum(col("dc")).as("sd"), sum(col("t")).as("st"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("e") * col("e")).as("see"),
+      sum(col("dc") * col("dc")).as("sdd"), sum(col("t") * col("t")).as("stt"),
+      sum(col("q") * col("e")).as("sqe"), sum(col("q") * col("dc")).as("sqd"),
+      sum(col("q") * col("t")).as("sqt"), sum(col("e") * col("dc")).as("sed"),
+      sum(col("e") * col("t")).as("set_"), sum(col("dc") * col("t")).as("sdt"))
+    val pairs = s.select(col("n"), expr(
+      "stack(6, " +
+        "'discount', 'extendedprice', sd, se, sdd, see, sed, " +
+        "'discount', 'tax', sd, st, sdd, stt, sdt, " +
+        "'extendedprice', 'tax', se, st, see, stt, set_, " +
+        "'quantity', 'discount', sq, sd, sqq, sdd, sqd, " +
+        "'quantity', 'extendedprice', sq, se, sqq, see, sqe, " +
+        "'quantity', 'tax', sq, st, sqq, stt, sqt) " +
+        "AS (col_a, col_b, sx, sy, sxx, syy, sxy)"))
+    val nd = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy, sxy) =
+      (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+    pairs.select(col("col_a"), col("col_b"), col("n"),
+      Tables.r6((nd * sxy - sx * sy) /
+        (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("r"))
+      .orderBy("col_a", "col_b")
+  }
 
   /** q206: weighted median — per nation, the account balance at which
     * the ORDER-COUNT-weighted cumulative mass first reaches half: the

@@ -1685,6 +1685,53 @@ class OperatorSuite extends AnyFunSuite {
     assert(got == direct, "text roundtrip lost data")
   }
 
+  test("q210 correlation matrix matches an in-memory Pearson computation") {
+    val rows = Tables(spark, sf, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax").collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val names = Array("quantity", "extendedprice", "discount", "tax")
+    def pearson(i: Int, j: Int): Double = {
+      val n = rows.length.toDouble
+      val (xs, ys) = (rows.map(_(i)), rows.map(_(j)))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(a => a * a).sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val got = SparkEntry.queries("q210_corr_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("r")).toMap
+    assert(got.size == 6)
+    got.foreach { case ((a, b), r) =>
+      val expect = pearson(names.indexOf(a), names.indexOf(b))
+      // the float summation ORDER differs (exact decimal vs naive fold),
+      // so compare at analytic tolerance, not bit-exactness
+      assert(math.abs(r - expect) < 1e-4, s"corr($a,$b): $r vs $expect")
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q211 imputation: observed rows untouched, error rows get their user's mean") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1), r.getString(2), r.getDouble(3)))
+    val got = SparkEntry.queries("q211_impute_group_mean")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Boolean]("was_imputed"), r.getAs[Double]("value_out"))).toMap
+    assert(got.size == ev.length)
+    val byUser = ev.filter(_._3 != "error").groupBy(_._2)
+      .view.mapValues(es => es.map(_._4).sum / es.length).toMap
+    val global = { val o = ev.filter(_._3 != "error"); o.map(_._4).sum / o.length }
+    ev.foreach { case (id, u, t, v) =>
+      val (imp, out) = got(id)
+      if (t == "error") {
+        assert(imp, s"event $id should be imputed")
+        assert(math.abs(out - byUser.getOrElse(u, global)) < 1e-3,
+          s"event $id imputed $out, expected ~${byUser.getOrElse(u, global)}")
+      } else assert(!imp && out == v, s"observed event $id was altered")
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
