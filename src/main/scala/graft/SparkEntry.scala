@@ -32,7 +32,8 @@ object SparkEntry {
     operators.TrainingOps.entries ++
     operators.StatsOps.entries ++
     operators.EvalOps.entries ++
-    operators.IntervalOps.entries
+    operators.IntervalOps.entries ++
+    operators.MiningOps.entries
 
   /** Flagship query (q05 revenue-by-nation join-agg) on sf0.001; the
     * driver smoke-checks rows>0. */

@@ -1732,6 +1732,61 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q212 association rules agree with in-memory basket counts") {
+    val baskets = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemSupp = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairSupp = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { items =>
+      val s = items.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        pairSupp((s(i), s(j))) = pairSupp.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val expect = pairSupp.filter(_._2 >= 3L)
+    val got = SparkEntry.queries("q212_assoc_rules")(spark, sf).collect()
+    assert(got.length == expect.size,
+      s"pair count ${got.length} vs ${expect.size}")
+    got.foreach { r =>
+      val (pa, pb, s) = (r.getAs[Long]("pa"), r.getAs[Long]("pb"),
+        r.getAs[Long]("support"))
+      assert(expect((pa, pb)) == s)
+      assert(r.getAs[Long]("sa") == itemSupp(pa) && r.getAs[Long]("sb") == itemSupp(pb))
+      assert(math.abs(r.getAs[Double]("conf_a_to_b") - s.toDouble / itemSupp(pa)) < 2e-6)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
+  test("q213 week-over-week joins the calendar, not the row sequence") {
+    val rows = SparkEntry.queries("q213_period_over_period")(spark, sf).collect()
+    val revByDay = rows.map(r => r.getAs[Long]("day") -> r.getAs[Double]("revenue")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day")
+      revByDay.get(d - 7) match {
+        case Some(prev) =>
+          assert(r.getAs[Double]("revenue_prev") == prev)
+          assert(math.abs(r.getAs[Double]("wow_growth") -
+            (r.getAs[Double]("revenue") - prev) / prev) < 3e-6)
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("revenue_prev")),
+            s"day $d fabricated a baseline with no day ${d - 7} in the data")
+      }
+    }
+  }
+
+  test("q214 PSI: smoothed probabilities sum to 1, total is the nonneg part-sum") {
+    val rows = SparkEntry.queries("q214_psi_drift")(spark, sf).collect()
+    val (pr, pc) = (rows.map(_.getAs[Double]("p_ref")).sum,
+      rows.map(_.getAs[Double]("p_cur")).sum)
+    assert(math.abs(pr - 1.0) < rows.length * 1e-6)
+    assert(math.abs(pc - 1.0) < rows.length * 1e-6)
+    val tot = rows.head.getAs[Double]("psi_total")
+    assert(rows.forall(_.getAs[Double]("psi_total") == tot))
+    assert(tot >= 0.0, "PSI is a nonnegative divergence")
+    assert(math.abs(tot - rows.map(_.getAs[Double]("psi_part")).sum) < rows.length * 1e-6)
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
