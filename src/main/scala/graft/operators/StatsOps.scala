@@ -585,6 +585,21 @@ object StatsOps {
         s"SELECT col_a, col_b, n, ${Tables.r6sql(r)} AS r " +
         "FROM p ORDER BY col_a, col_b"
     }),
+    Q("q215_mad_outliers", q215 _, Some(
+      "WITH c AS (SELECT c_nationkey, c_custkey, c_acctbal FROM customer), " +
+        "med AS (SELECT c_nationkey, quantile_cont(c_acctbal, 0.5) AS med " +
+        "FROM c GROUP BY 1), " +
+        "r AS (SELECT c.c_nationkey, c_acctbal, med, ABS(c_acctbal - med) AS r " +
+        "FROM c JOIN med USING (c_nationkey)), " +
+        "mad AS (SELECT c_nationkey, quantile_cont(r, 0.5) AS mad FROM r GROUP BY 1) " +
+        "SELECT r.c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"MAX(${Tables.r6sql("med")}) AS med, MAX(${Tables.r6sql("mad")}) AS mad, " +
+        "CAST(SUM(CASE WHEN r > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_outliers, " +
+        Tables.r6sql("CAST(SUM(CASE WHEN r > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) " +
+          "AS DOUBLE) / COUNT(*)") + " AS outlier_rate " +
+        "FROM r JOIN mad USING (c_nationkey) " +
+        "GROUP BY 1 ORDER BY nationkey")),
     Q("q206_weighted_median", q206 _, Some(
       "WITH ow AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1), " +
         "cw AS (SELECT c_nationkey, c_custkey, c_acctbal, " +
@@ -649,6 +664,43 @@ object StatsOps {
       Tables.r6((nd * sxy - sx * sy) /
         (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("r"))
       .orderBy("col_a", "col_b")
+  }
+
+  /** q215: MAD robust outliers — per nation, customers whose account
+    * balance sits more than 3 scaled MADs (median absolute deviation,
+    * consistency factor 1.4826) from the nation median. The ROBUST
+    * member of the outlier family: q138's z-scores and q174's IQR both
+    * move with the outliers they hunt; the median/MAD breakdown point
+    * is 50%. Two quantile passes (median, then median of residuals),
+    * both through BoundedQuantiles (R7 — bounded histogram state, never
+    * the builtin percentile buffer).
+    *
+    * Scale: the customer projection is checkpointed once (BoundedQuantiles
+    * scans its input internally; residuals re-derive from the same
+    * frame); each quantile pass is histogram-bounded; the final flag
+    * count is one keyed aggregation. */
+  private def q215(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .localCheckpoint(true)
+    val med = graft.plans.BoundedQuantiles.groupQuantiles(
+      cust, Seq("c_nationkey"), col("c_acctbal"), Seq(0.5), Seq("med"), pin = false)
+    val resid = cust.join(broadcast(med), "c_nationkey")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("med"),
+        abs(col("c_acctbal") - col("med")).as("r"))
+      .localCheckpoint(true)
+    val mad = graft.plans.BoundedQuantiles.groupQuantiles(
+      resid, Seq("c_nationkey"), col("r"), Seq(0.5), Seq("mad"), pin = false)
+    val cut = lit(3.0) * lit(1.4826) * col("mad")
+    resid.join(broadcast(mad), "c_nationkey")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        max(Tables.r6(col("med"))).as("med"),
+        max(Tables.r6(col("mad"))).as("mad"),
+        sum(when(col("r") > cut, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("nationkey"), col("n"), col("med"), col("mad"), col("n_outliers"),
+        Tables.r6(col("n_outliers").cast("double") / col("n")).as("outlier_rate"))
+      .orderBy("nationkey")
   }
 
   /** q206: weighted median — per nation, the account balance at which

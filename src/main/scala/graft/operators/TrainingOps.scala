@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -274,6 +274,53 @@ object TrainingOps {
       .orderBy("lang", "fold")
   }
 
+  /** q216: feature-matrix materialization — the per-(user, day) wide
+    * frame a feature store serves to training: activity counts by
+    * event type, daily spend, CALENDAR lag features (day−1, day−7 via
+    * equi-joins on the shifted key — gaps yield NULL, never a
+    * wrong-day value), a 7-day trailing mean via a RANGE window
+    * (RANGE, not ROWS, deliberately: the frame is calendar days and
+    * `day` is unique per user, so R5's tie hazard is void while gaps
+    * are handled for free), and the day-of-week. The capstone of the
+    * training-data family: everything upstream (dedup, curation,
+    * splits) exists to feed exactly this shape.
+    *
+    * Scale: ONE (user, day) corpus aggregation; the lag joins and the
+    * range window all run on that bounded daily frame (checkpointed
+    * once — three consumers). Spend sums are DECIMAL (R1), divided
+    * once at emission. */
+  private def q216(spark: SparkSession, sfDir: String): DataFrame = {
+    import Tables.dec
+    val usPerDay = 86400000000L
+    def typeCount(t: String): Column =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV $usPerDay").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        typeCount("click"), typeCount("view"), typeCount("purchase"),
+        typeCount("error"), typeCount("signup"),
+        dec(sum(dec(col("value")))).as("v_dec"))
+      .localCheckpoint(true) // base + two lag frames + range window
+    val wr = Window.partitionBy("user_id").orderBy("day").rangeBetween(-7, -1)
+    def lagFrame(k: Int, name: String): DataFrame =
+      daily.select(col("user_id"), (col("day") + k).as("day"),
+        Tables.r6(col("v_dec").cast("double")).as(name))
+    daily
+      .withColumn("roll_s", sum("v_dec").over(wr))
+      .withColumn("roll_n", count(lit(1)).over(wr))
+      .join(lagFrame(1, "v_lag1"), Seq("user_id", "day"), "left")
+      .join(lagFrame(7, "v_lag7"), Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("n_click"), col("n_view"), col("n_purchase"),
+        col("n_error"), col("n_signup"),
+        Tables.r6(col("v_dec").cast("double")).as("v_sum"),
+        col("v_lag1"), col("v_lag7"),
+        Tables.meanD(col("roll_s"), col("roll_n")).as("v_roll7_mean"),
+        col("roll_n").as("n_roll7"),
+        ((col("day") + 4L) % 7L).as("dow"))
+      .orderBy("user_id", "day")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q153_knn_classify", q153 _, Some {
       val sgn = "(CASE WHEN (((p * 64 + j) * 2654435761) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
@@ -381,5 +428,29 @@ object TrainingOps {
         "FROM documents) " +
         "SELECT lang, (rn - 1) % 5 AS fold, COUNT(*) AS n_docs " +
         "FROM ranked GROUP BY lang, fold ORDER BY lang, fold")),
+    Q("q216_feature_matrix", q216 _, Some {
+      def tc(t: String) =
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t"
+      "WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        s"${tc("click")}, ${tc("view")}, ${tc("purchase")}, " +
+        s"${tc("error")}, ${tc("signup")}, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v_dec " +
+        "FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT *, SUM(v_dec) OVER wr AS roll_s, " +
+        "CAST(COUNT(*) OVER wr AS BIGINT) AS roll_n FROM daily " +
+        "WINDOW wr AS (PARTITION BY user_id ORDER BY day " +
+        "RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT w.user_id, w.day, w.n_events, w.n_click, w.n_view, " +
+        "w.n_purchase, w.n_error, w.n_signup, " +
+        Tables.r6sql("CAST(w.v_dec AS DOUBLE)") + " AS v_sum, " +
+        Tables.r6sql("CAST(l1.v_dec AS DOUBLE)") + " AS v_lag1, " +
+        Tables.r6sql("CAST(l7.v_dec AS DOUBLE)") + " AS v_lag7, " +
+        Tables.meanDSql("w.roll_s", "w.roll_n") + " AS v_roll7_mean, " +
+        "w.roll_n AS n_roll7, (w.day + 4) % 7 AS dow " +
+        "FROM w LEFT JOIN daily l1 ON l1.user_id = w.user_id AND l1.day = w.day - 1 " +
+        "LEFT JOIN daily l7 ON l7.user_id = w.user_id AND l7.day = w.day - 7 " +
+        "ORDER BY w.user_id, w.day"
+    }),
   )
 }

@@ -1787,6 +1787,58 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(tot - rows.map(_.getAs[Double]("psi_part")).sum) < rows.length * 1e-6)
   }
 
+  test("q215 MAD outliers match an in-memory median/MAD computation") {
+    val byNation = Tables(spark, sf, "customer")
+      .select("c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).groupBy(_._1)
+    // Spark Percentile interpolation: v[lo] + (pos-lo)*(v[hi]-v[lo])
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == pos) s(lo) else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val got = SparkEntry.queries("q215_mad_outliers")(spark, sf).collect()
+    assert(got.length == byNation.size)
+    got.foreach { r =>
+      val nk = r.getInt(0)
+      val bals = byNation(nk).map(_._2)
+      val med = median(bals)
+      val mad = median(bals.map(b => math.abs(b - med)))
+      assert(math.abs(r.getAs[Double]("med") - med) < 2e-6, s"nation $nk median")
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 2e-6, s"nation $nk MAD")
+      val nOut = bals.count(b => math.abs(b - med) > 3.0 * 1.4826 * mad).toLong
+      assert(r.getAs[Long]("n_outliers") == nOut, s"nation $nk outlier count")
+    }
+  }
+
+  test("q216 feature matrix: lags are calendar-true and the range window skips gaps") {
+    val rows = SparkEntry.queries("q216_feature_matrix")(spark, sf).collect()
+    val vByKey = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")) ->
+      r.getAs[Double]("v_sum")).toMap
+    rows.foreach { r =>
+      val (u, d) = (r.getAs[Long]("user_id"), r.getAs[Long]("day"))
+      // counts partition n_events
+      assert(Seq("n_click", "n_view", "n_purchase", "n_error", "n_signup")
+        .map(r.getAs[Long]).sum == r.getAs[Long]("n_events"))
+      // lag columns equal the calendar row's v_sum, or NULL when absent
+      for ((k, cn) <- Seq(1 -> "v_lag1", 7 -> "v_lag7")) {
+        vByKey.get((u, d - k)) match {
+          case Some(v) => assert(r.getAs[Double](cn) == v, s"($u,$d) $cn")
+          case None => assert(r.isNullAt(r.fieldIndex(cn)), s"($u,$d) $cn fabricated")
+        }
+      }
+      // the rolling mean averages exactly the calendar days d-7..d-1
+      val window = (1 to 7).flatMap(k => vByKey.get((u, d - k)))
+      assert(r.getAs[Long]("n_roll7") == window.length.toLong)
+      if (window.nonEmpty)
+        assert(math.abs(r.getAs[Double]("v_roll7_mean") -
+          window.sum / window.length) < 1e-3, s"($u,$d) rolling mean")
+      else assert(r.isNullAt(r.fieldIndex("v_roll7_mean")))
+      assert(r.getAs[Long]("dow") == (d + 4) % 7)
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
