@@ -377,6 +377,13 @@ object Scans {
         "zt AS (SELECT x, y, " + zBits("//") + " AS z FROM b) " +
         "SELECT z // 64 AS tile, COUNT(*) AS n, MIN(x) AS x_min, MAX(x) AS x_max, " +
         "MIN(y) AS y_min, MAX(y) AS y_max FROM zt GROUP BY 1 ORDER BY tile")),
+    Q("q218_export_jsonl", q218 _, Some(
+      // lossless roundtrip ⇒ oracle on the original table (q209 precedent)
+      "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS sum_ids " +
+        "FROM documents GROUP BY 1, 2 ORDER BY lang, source")),
     Q("q209_scan_text_lines", q209 _, Some(
       // the roundtrip is lossless, so the oracle states the semantics on
       // the original table directly (q69/q184 precedent)
@@ -398,6 +405,32 @@ object Scans {
     * Scale: text read/write is splittable and narrow (no shuffle until
     * the final bounded per-lang agg); parsing is per-row split()
     * expressions inside codegen. */
+  /** q218: JSONL training-data export — the interchange format every
+    * training stack ingests: each document serialized as one JSON line
+    * via `to_json(struct(...))` (explicit field layout — the export
+    * contract, not whatever write.json infers) through the text sink,
+    * read back with a schema-pinned `read.json`, and checksummed per
+    * (lang, source). JSON string escaping makes the payload roundtrip
+    * lossless for arbitrary text.
+    *
+    * Scale: both directions are narrow splittable scans; to_json is a
+    * per-row codegen expression; the only shuffle is the bounded final
+    * checksum agg. */
+  private def q218(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val path = tmp("jsonl_docs", sfDir)
+    docs.select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"))).as("value"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+    spark.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
+      .json(path)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang", "source")
+  }
+
   private def q209(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     val path = tmp("text_docs", sfDir)

@@ -619,7 +619,72 @@ object TimeSeries {
       .orderBy("t")
   }
 
+  /** q217: event-lateness audit — the measurement that SIZES a
+    * watermark before anyone deploys one (q56–q59 APPLY watermarks;
+    * q217 tells you what delay to pick): treating `event_id` as arrival
+    * order, each event's lateness is how far it sits behind the maximum
+    * event time already seen for its user (0 for in-order arrivals).
+    * Per user: counts, max/p95-ish lateness (exact rank pick on the
+    * bounded per-user frame via the same sweep as q206), and how many
+    * rows a 10-minute watermark would have dropped.
+    *
+    * Scale: ONE user-keyed window over arrival order (running max —
+    * constant state), then a keyed aggregation; the p95 pick reuses the
+    * integer running-count sweep, never a percentile buffer (R7). */
+  private def q217(spark: SparkSession, sfDir: String): DataFrame = {
+    val usMin10 = 600000000L
+    val arrival = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("hwm", max("ts_us").over(arrival))
+      .select(col("user_id"), col("event_id"),
+        greatest(coalesce(col("hwm") - col("ts_us"), lit(0L)), lit(0L)).as("late_us"))
+    // exact p95 per user via the q206 integer sweep on the per-user frame
+    val ord = Window.partitionBy("user_id").orderBy(col("late_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part = Window.partitionBy("user_id")
+    val p95 = late
+      .withColumn("rnk", count(lit(1)).over(ord))
+      .withColumn("n", count(lit(1)).over(part))
+      .filter(col("rnk") * 100L >= col("n") * 95L)
+      .groupBy("user_id")
+      .agg(min(struct(col("late_us"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.late_us").as("p95_late_us"))
+    late.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum(when(col("late_us") > usMin10, 1L).otherwise(0L)).as("n_dropped_10m"))
+      .join(p95, "user_id")
+      .select(col("user_id"), col("n_events"), col("n_late"),
+        col("max_late_us"), col("p95_late_us"), col("n_dropped_10m"))
+      .orderBy("user_id")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q217_lateness_audit", q217 _, Some(
+      "WITH late AS (SELECT user_id, event_id, " +
+        "GREATEST(COALESCE(MAX(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - epoch_us(ts), 0), 0) " +
+        "AS late_us FROM events), " +
+        "r AS (SELECT user_id, event_id, late_us, " +
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY late_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnk, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM late), " +
+        "p95 AS (SELECT user_id, MIN(late_us) AS p95_late_us FROM " +
+        "(SELECT user_id, late_us, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY late_us, event_id) AS rn " +
+        "FROM r WHERE rnk * 100 >= n * 95) WHERE rn = 1 GROUP BY user_id) " +
+        "SELECT l.user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late, " +
+        "CAST(MAX(late_us) AS BIGINT) AS max_late_us, " +
+        "CAST(MAX(p95_late_us) AS BIGINT) AS p95_late_us, " +
+        "CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dropped_10m " +
+        "FROM late l JOIN p95 USING (user_id) " +
+        "GROUP BY l.user_id ORDER BY l.user_id")),
     Q("q189_survival_km", q189 _, Some(
       "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
         "ck AS (SELECT user_id, MIN(ts_us) AS t_click FROM ev WHERE event_type = 'click' GROUP BY user_id), " +

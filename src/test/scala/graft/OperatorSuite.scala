@@ -1839,6 +1839,45 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q217 lateness audit matches an in-memory arrival sweep") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts_us").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1), r.getAs[Long](2)))
+    val got = SparkEntry.queries("q217_lateness_audit")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val inArrival = es.sortBy(_._2)
+      var hwm = Long.MinValue
+      val lates = inArrival.map { case (_, _, ts) =>
+        val l = if (hwm == Long.MinValue) 0L else math.max(hwm - ts, 0L)
+        hwm = math.max(hwm, ts); l
+      }
+      val r = got(u)
+      assert(r.getAs[Long]("n_events") == es.length.toLong)
+      assert(r.getAs[Long]("n_late") == lates.count(_ > 0L).toLong)
+      assert(r.getAs[Long]("max_late_us") == lates.max)
+      assert(r.getAs[Long]("n_dropped_10m") == lates.count(_ > 600000000L).toLong)
+      // p95 = smallest value whose running rank reaches 95% of n
+      val sorted = lates.sorted
+      val idx = sorted.indices.find(i => (i + 1) * 100L >= sorted.length * 95L).get
+      assert(r.getAs[Long]("p95_late_us") == sorted(idx), s"user $u p95")
+    }
+  }
+
+  test("q218 JSONL export roundtrip is lossless including text payloads") {
+    val got = SparkEntry.queries("q218_export_jsonl")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val fn = org.apache.spark.sql.functions
+    val direct = Tables(spark, sf, "documents")
+      .groupBy("lang", "source")
+      .agg(fn.count(fn.lit(1)), fn.sum("n_chars"),
+        fn.sum(fn.length(fn.col("text"))), fn.sum("doc_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == direct, "JSONL roundtrip lost or altered rows")
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
