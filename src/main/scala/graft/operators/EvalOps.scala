@@ -123,7 +123,86 @@ object EvalOps {
       .orderBy("tau")
   }
 
+  /** q220: split-conformal prediction intervals (Vovk; Lei et al.
+    * JASA'18) — the distribution-free "how wide must my error bars be"
+    * calibration the q197 reliability bins can't give a REGRESSOR: the
+    * customer md5-bucket 3-way split (train 50 / calibration 25 / test
+    * 25) fits a per-segment mean model on train, takes qhat = the 0.9
+    * quantile of absolute calibration residuals (global — the standard
+    * marginal-coverage form), and audits test coverage of
+    * |y − ŷ| ≤ qhat per segment (≈0.9 by the conformal guarantee).
+    *
+    * Scale: the split is a per-row hash (no shuffle); the model is one
+    * segment-keyed agg; qhat is ONE BoundedQuantiles pass (R7) over
+    * calibration residuals; coverage is one keyed agg with qhat as a
+    * broadcast scalar. */
+  private def q220(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .withColumn("h", expr("md5(cast(c_custkey AS STRING))"))
+      .withColumn("bucket", expr(
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 50, "train")
+          .when(col("bucket") < 75, "cal").otherwise("test"))
+      .select(col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"),
+        col("split"))
+      .localCheckpoint(true) // model, calibration, and test all read it
+    val model = cust.filter(col("split") === "train")
+      .groupBy("segment")
+      .agg(Tables.meanD(sum(Tables.dec(col("bal"))), count(lit(1))).as("mu"),
+        count(lit(1)).as("n_train"))
+    val cal = cust.filter(col("split") === "cal")
+      .join(broadcast(model.select("segment", "mu")), "segment")
+      .select(col("segment"), abs(col("bal") - col("mu")).as("r"), lit(0).as("g"))
+      .localCheckpoint(true) // BoundedQuantiles scans its input internally
+    val qhat = graft.plans.BoundedQuantiles.groupQuantiles(
+      cal, Seq("g"), col("r"), Seq(0.9), Seq("qhat"), pin = false)
+      .select("qhat")
+    val nCal = cal.groupBy("segment").agg(count(lit(1)).as("n_cal"))
+    cust.filter(col("split") === "test")
+      .join(broadcast(model), "segment")
+      .crossJoin(broadcast(qhat))
+      .groupBy("segment")
+      .agg(max("n_train").as("n_train"), max(col("mu")).as("mu"),
+        count(lit(1)).as("n_test"),
+        max(Tables.r6(col("qhat"))).as("qhat"),
+        sum(when(abs(col("bal") - col("mu")) <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .join(broadcast(nCal), "segment")
+      .select(col("segment"), col("n_train"), col("n_cal"), col("n_test"),
+        col("mu"), col("qhat"),
+        Tables.r6(col("n_covered").cast("double") / col("n_test")).as("coverage"))
+      .orderBy("segment")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q220_eval_conformal", q220 _, Some {
+      val bucket = "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100"
+      "WITH c AS (SELECT c_mktsegment AS segment, c_acctbal AS bal, " +
+        s"CASE WHEN $bucket < 50 THEN 'train' WHEN $bucket < 75 THEN 'cal' " +
+        "ELSE 'test' END AS split FROM " +
+        "(SELECT c_mktsegment, c_acctbal, md5(CAST(c_custkey AS VARCHAR)) AS h " +
+        "FROM customer)), " +
+        "m AS (SELECT segment, " +
+        Tables.meanDSql("SUM(CAST(bal AS DECIMAL(18,4)))", "COUNT(*)") + " AS mu, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_train FROM c WHERE split = 'train' GROUP BY 1), " +
+        "cal AS (SELECT c.segment, ABS(bal - mu) AS r FROM c " +
+        "JOIN m ON c.segment = m.segment WHERE split = 'cal'), " +
+        "q AS (SELECT quantile_cont(r, 0.9) AS qhat FROM cal), " +
+        "nc AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_cal " +
+        "FROM cal GROUP BY 1), " +
+        "t AS (SELECT c.segment, CAST(COUNT(*) AS BIGINT) AS n_test, " +
+        s"MAX(${Tables.r6sql("qhat")}) AS qhat, " +
+        "CAST(SUM(CASE WHEN ABS(bal - mu) <= qhat THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_covered FROM c JOIN m ON c.segment = m.segment CROSS JOIN q " +
+        "WHERE split = 'test' GROUP BY 1) " +
+        "SELECT m.segment, m.n_train, nc.n_cal, t.n_test, m.mu, t.qhat, " +
+        Tables.r6sql("CAST(n_covered AS DOUBLE) / n_test") + " AS coverage " +
+        "FROM m JOIN nc ON m.segment = nc.segment " +
+        "JOIN t ON m.segment = t.segment ORDER BY m.segment"
+    }),
     Q("q196_eval_roc_auc", q196 _, Some(
       s"WITH b AS ($binnedSql), " +
         "c AS (SELECT bin, npos, nneg, " +

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pattern-mining and monitoring operators (SURVEY.md §2.8b
@@ -125,7 +126,69 @@ object MiningOps {
       .orderBy("bin")
   }
 
+  /** q219: sequential A/B test (Wald's SPRT, 1945) — the
+    * peeking-safe monitor q136's fixed-horizon t-test cannot be: per
+    * arm (user parity), daily conversion trials (click/purchase events,
+    * success = purchase) accumulate a log-likelihood ratio for
+    * H1: p=0.25 vs H0: p=0.2, and the run DECIDES the day the LLR
+    * crosses ±ln(19) (α=β=0.05). Emits the full per-(arm, day)
+    * trajectory with the standing decision.
+    *
+    * Determinism: daily LLR increments are integer-weighted ln's of
+    * exact literals (parity-verified transcendental), r6-rounded, then
+    * DECIMAL-cumsummed over the calendar-bounded day frame (q189's ln
+    * cumsum recipe); the boundary compare runs on the rounded value
+    * identically on both engines.
+    *
+    * Scale: ONE (arm, day) corpus aggregation; the cumulative window
+    * and decisions live on the ≤2×#days frame. */
+  private def q219(spark: SparkSession, sfDir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy((col("user_id") % 2L).as("arm"),
+        expr(s"ts_us DIV $usPerDay").as("day"))
+      .agg(count(lit(1)).as("n_trials"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_succ"))
+    val inc = Tables.r6(
+      col("n_succ") * log(lit(1.25)) +
+        (col("n_trials") - col("n_succ")) * log(lit(0.9375)))
+    val w = Window.partitionBy("arm").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bound = log(lit(19.0))
+    daily
+      .withColumn("inc_d",
+        inc.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 9)))
+      .withColumn("cum_llr", Tables.r6(sum("inc_d").over(w).cast("double")))
+      .select(col("arm"), col("day"), col("n_trials"), col("n_succ"),
+        col("cum_llr"),
+        when(col("cum_llr") >= bound, "accept_h1")
+          .when(col("cum_llr") <= -bound, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("arm", "day")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q219_sprt_sequential", q219 _, Some {
+      val inc = Tables.r6sql(
+        "n_succ * ln(1.25) + (n_trials - n_succ) * ln(0.9375)")
+      "WITH daily AS (SELECT user_id % 2 AS arm, " +
+        "epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_trials, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_succ FROM events WHERE event_type IN ('click', 'purchase') " +
+        "GROUP BY 1, 2), " +
+        s"c AS (SELECT arm, day, n_trials, n_succ, " +
+        Tables.r6sql(s"CAST(SUM(CAST($inc AS DECIMAL(18,9))) OVER " +
+          "(PARTITION BY arm ORDER BY day " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)") +
+        " AS cum_llr FROM daily) " +
+        "SELECT arm, day, n_trials, n_succ, cum_llr, " +
+        "CASE WHEN cum_llr >= ln(19.0) THEN 'accept_h1' " +
+        "WHEN cum_llr <= -ln(19.0) THEN 'accept_h0' " +
+        "ELSE 'continue' END AS decision " +
+        "FROM c ORDER BY arm, day"
+    }),
     Q("q212_assoc_rules", q212 _, Some(
       "WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
         "FROM lineitem), " +

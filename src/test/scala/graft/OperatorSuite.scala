@@ -1878,6 +1878,44 @@ class OperatorSuite extends AnyFunSuite {
     assert(got == direct, "JSONL roundtrip lost or altered rows")
   }
 
+  test("q219 SPRT trajectory matches an in-memory accumulation") {
+    val rows = SparkEntry.queries("q219_sprt_sequential")(spark, sf).collect()
+    val lnUp = math.log(1.25)
+    val lnDn = math.log(0.9375)
+    val bound = math.log(19.0)
+    rows.groupBy(_.getAs[Long]("arm")).foreach { case (_, byArm) =>
+      var cum = 0.0
+      byArm.sortBy(_.getAs[Long]("day")).foreach { r =>
+        val (t, s) = (r.getAs[Long]("n_trials"), r.getAs[Long]("n_succ"))
+        assert(s <= t)
+        // mirror the query's per-day r6 rounding before accumulating
+        cum += math.floor((s * lnUp + (t - s) * lnDn) * 1e6 + 0.5) / 1e6
+        assert(math.abs(r.getAs[Double]("cum_llr") - cum) < 1e-5,
+          s"arm/day ${r.getAs[Long]("arm")}/${r.getAs[Long]("day")}")
+        val expect = if (cum >= bound) "accept_h1"
+          else if (cum <= -bound) "accept_h0" else "continue"
+        assert(r.getAs[String]("decision") == expect)
+      }
+    }
+  }
+
+  test("q220 conformal calibration: splits partition, coverage near the 0.9 target") {
+    val rows = SparkEntry.queries("q220_eval_conformal")(spark, sf).collect()
+    val total = rows.map(r => r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") +
+      r.getAs[Long]("n_test")).sum
+    assert(total == Tables(spark, sf, "customer").count())
+    val qhat = rows.head.getAs[Double]("qhat")
+    assert(qhat > 0.0)
+    assert(rows.forall(_.getAs[Double]("qhat") == qhat), "qhat is global")
+    // marginal coverage guarantee: overall coverage ≈ 0.9 (finite-sample
+    // slack for ~375 test rows)
+    val nTest = rows.map(_.getAs[Long]("n_test")).sum
+    val covered = rows.map(r =>
+      r.getAs[Double]("coverage") * r.getAs[Long]("n_test")).sum
+    val overall = covered / nTest
+    assert(overall > 0.82 && overall < 0.98, s"overall coverage $overall")
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
