@@ -697,6 +697,35 @@ object Graft {
           (lit(2.0) * col("graft_p") * col("graft_n"))).as("auc"))
   }
 
+  /** NATIVE backward as-of join — the custom-LogicalPlan tier of the
+    * operator ladder (see `graft.plans.AsOfJoinPlan`): for each fact
+    * the latest same-key version at or before its time, executed as a
+    * co-partitioned single-pass streaming merge (`AsOfJoinExec` —
+    * SortMergeJoin's distribution contract, O(1) state, no TTL).
+    * Contract: `facts` = (key: long, t: long, ...payload); `versions`
+    * = (key: long, t: long, v: string). Returns facts' columns +
+    * `v_asof`. Versions tied on (key, t) resolve to the LAST in sort
+    * order; pass a deduplicated version frame for determinism.
+    * Registers the planner strategy on the session if absent (also
+    * installable via `graft.plans.GraftExtensions`). */
+  def asofJoinNative(facts: DataFrame, versions: DataFrame): DataFrame = {
+    val l = facts.schema.fields
+    val r = versions.schema.fields
+    require(l.length >= 2 &&
+      l(0).dataType.typeName == "long" && l(1).dataType.typeName == "long",
+      s"asofJoinNative: facts must lead with (key: long, t: long), got ${facts.schema.simpleString}")
+    require(r.length == 3 &&
+      r(0).dataType.typeName == "long" && r(1).dataType.typeName == "long" &&
+      r(2).dataType.typeName == "string",
+      s"asofJoinNative: versions must be (key: long, t: long, v: string), got ${versions.schema.simpleString}")
+    val spark = facts.sparkSession
+    if (!spark.experimental.extraStrategies.contains(plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.AsOfJoinStrategy
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      plans.AsOfJoin(facts.queryExecution.analyzed, versions.queryExecution.analyzed))
+  }
+
   def pointInTimeJoin(facts: DataFrame, versions: DataFrame, ttl: Long): DataFrame = {
     require(ttl >= 0, s"pointInTimeJoin: ttl $ttl must be non-negative")
     val reg = versions.select(col("key"), col("t"), lit(0L).as("graft_kind"),

@@ -366,7 +366,54 @@ object Joins {
       .orderBy("cust", "ship_day", "l_orderkey", "l_linenumber")
   }
 
+  /** q221: the NATIVE as-of join exec (graft.plans.AsOfJoinPlan) under
+    * the oracle gate — q10 proves the window FORMULATION of as-of, q221
+    * proves the custom LogicalPlan + Strategy + SparkPlan path end-to-end
+    * against DuckDB's own built-in ASOF JOIN: each lineitem shipment
+    * picks up the customer's priority regime from the latest order at or
+    * before its ship date. Versions dedup to one row per (customer, day)
+    * first (max orderkey wins) — the native exec resolves (key, t) ties
+    * by partition sort order, which a distributed sort leaves undefined.
+    *
+    * Scale: see AsOfJoinPlan — SortMergeJoin's co-partitioning contract,
+    * one forward merge pass, O(1) state, no window re-sort of the
+    * version side. */
+  private def q221(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val orders = Tables(spark, sfDir, "orders")
+    val versions = orders
+      .groupBy(col("o_custkey").as("key"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("bigint").as("t"))
+      .agg(max(struct(col("o_orderkey"), col("o_orderpriority"))).as("m"))
+      .select(col("key"), col("t"), col("m.o_orderpriority").as("v"))
+    val facts = Tables(spark, sfDir, "lineitem")
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("key"),
+        datediff(col("l_shipdate").cast("date"), epoch).cast("bigint").as("t"),
+        col("l_orderkey"), col("l_linenumber"))
+    graft.Graft.asofJoinNative(facts, versions)
+      .select(col("key").as("custkey"), col("l_orderkey"), col("l_linenumber"),
+        col("t").as("ship_day"), col("v_asof").as("prio_asof"))
+      .orderBy("custkey", "ship_day", "l_orderkey", "l_linenumber")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q221_join_asof_native", q221 _, Some(
+      // the oracle is DuckDB's OWN built-in ASOF JOIN — two independent
+      // native implementations of the same semantics must agree
+      "WITH v AS (SELECT o_custkey AS key, " +
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t, " +
+        "MAX({'k': o_orderkey, 'p': o_orderpriority}).p AS v " +
+        "FROM orders GROUP BY 1, 2), " +
+        "f AS (SELECT o_custkey AS key, " +
+        "CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t, " +
+        "l_orderkey, l_linenumber " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "SELECT f.key AS custkey, f.l_orderkey, f.l_linenumber, " +
+        "f.t AS ship_day, v.v AS prio_asof " +
+        "FROM f ASOF LEFT JOIN v ON f.key = v.key AND v.t <= f.t " +
+        "ORDER BY custkey, ship_day, l_orderkey, l_linenumber")),
     Q("q194_join_point_in_time", q194 _, Some(
       "WITH reg AS (SELECT o_custkey AS cust, " +
         "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t, " +

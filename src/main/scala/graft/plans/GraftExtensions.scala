@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDot].getName, "graft_dot"),
       graft.functions.VectorExpressions.builder))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -60,11 +60,18 @@ class OperatorSuite extends AnyFunSuite {
                                  // bin window (≤ #bins rows)
       "q193_dedup_minhash_accuracy", // ndocs 1-row aggregates (the q50 AND
                                  // q61 df-cap paths both run here)
-      "q196_eval_roc_auc")       // ROC sweep windows + AUC fold over the
+      "q196_eval_roc_auc",       // ROC sweep windows + AUC fold over the
                                  // ≤1001-row score-bin frame (score is
                                  // integer-quantized, so the domain is
                                  // bounded by construction) + P/N 1-row
                                  // totals
+      "q212_assoc_rules",        // n_baskets 1-row count (merges one
+                                 // partial row per partition)
+      "q214_psi_drift",          // totals/psi_total 1-row folds over the
+                                 // bounded bin frame
+      "q210_corr_matrix",        // the ONE 14-moment grand aggregate —
+                                 // 1-row by design, map-side combined
+      "q211_impute_group_mean")  // global-mean 1-row fallback aggregate
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution

@@ -43,4 +43,61 @@ class PlanRuleSuite extends AnyFunSuite {
         q3.queryExecution.optimizedPlan.toString.toLowerCase).size == 1)
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("native as-of join: plans AsOfJoinExec and matches the declarative reference") {
+    import spark.implicits._
+    // keys 0..49, versions at t = 0, 100, 200 (value = "k<key>@<t>"),
+    // facts at every t in 0..299 step 17, plus a keyless-fact key 999
+    val versions = (for {
+      k <- 0L until 50L; t <- Seq(0L, 100L, 200L)
+    } yield (k, t, s"k$k@$t")).toDF("key", "t", "v")
+    val facts = ((for {
+      k <- 0L until 50L; t <- 0L until 300L by 17L
+    } yield (k, t, k * 1000 + t)) :+ ((999L, 50L, 999050L)))
+      .toDF("key", "t", "fact_id")
+    val got = Graft.asofJoinNative(facts, versions)
+    // 1. the custom physical operator actually planned, with the
+    //    co-partitioning contract visible (two hash exchanges + sorts)
+    // TreeNode.nodeName strips the Exec suffix, so the physical node
+    // prints as "AsOfJoin [...]" (the leading "!" is the printer flagging
+    // v_asof as produced-not-inherited — expected for a generator-like op)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), s"custom exec not planned:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size >= 2,
+      s"children not co-partitioned:\n$plan")
+    // 2. exact agreement with the declarative union+window reference
+    //    (pointInTimeJoin with an effectively infinite TTL)
+    val ref = Graft.pointInTimeJoin(facts, versions
+        .selectExpr("key", "t", "CAST(t AS LONG) AS version_id", "v"),
+        ttl = Long.MaxValue / 2)
+      .select(col("fact_id"), col("v_at_t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val gotMap = got.select(col("fact_id"), col("v_asof"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(gotMap.size == ref.size)
+    assert(gotMap == ref, {
+      val diff = gotMap.keySet.filter(k => gotMap(k) != ref(k)).take(5)
+      s"native as-of diverges from reference at $diff: " +
+        diff.map(k => s"$k: ${gotMap(k)} vs ${ref(k)}").mkString(", ")
+    })
+    // 3. the keyless fact stayed unmatched
+    assert(gotMap(999050L).isEmpty)
+    // 4. sanity on a specific row: key 3, t = 153 → version at 100
+    assert(gotMap(3153L).contains("k3@100"))
+  }
+
+  test("native as-of join survives skewed keys and empty version partitions") {
+    import spark.implicits._
+    // all facts on ONE key (hash skew) + versions for a DIFFERENT key only
+    val versions = Seq((7L, 10L, "seven@10")).toDF("key", "t", "v")
+    val facts = (0L until 1000L).map(i => (13L, i, i)).toDF("key", "t", "fact_id")
+    val got = Graft.asofJoinNative(facts, versions).collect()
+    assert(got.length == 1000)
+    assert(got.forall(_.isNullAt(3)), "facts matched a version of another key")
+    // and the matching direction: facts BEFORE the first version stay null
+    val f2 = Seq((7L, 5L, 1L), (7L, 10L, 2L), (7L, 11L, 3L)).toDF("key", "t", "fact_id")
+    val m = Graft.asofJoinNative(f2, versions).collect()
+      .map(r => r.getLong(2) -> Option(r.getString(3))).toMap
+    assert(m == Map(1L -> None, 2L -> Some("seven@10"), 3L -> Some("seven@10")))
+  }
 }

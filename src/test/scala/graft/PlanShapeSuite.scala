@@ -420,6 +420,17 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(plan.contains("Join"), s"q207 lost its join:\n$plan")
   }
 
+  test("q221 plans the NATIVE as-of exec: no Window, co-partitioned merge (r10)") {
+    val qe = SparkEntry.queries("q221_join_asof_native")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsOfJoin ["), s"native exec not planned:\n$plan")
+    assert(!plan.contains("Window"),
+      s"q221 must go through the merge exec, not the window formulation:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size >= 2,
+      s"as-of children not co-partitioned:\n$plan")
+  }
+
   test("q124: signature stage is shuffle-free (signatures computed pre-exchange)") {
     // all exchanges in the q124 plan must sit ABOVE the localCheckpoint
     // boundary (band join / rerank); the 16-dot signature projection
