@@ -94,7 +94,17 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // standard operator telemetry — shows up in the SQL UI / explain like
+  // any builtin join's
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "facts matched to a version"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val nLeft = left.output.length
     left.execute().zipPartitions(right.execute()) { (facts, versions) =>
       val vs = versions.buffered
@@ -125,7 +135,10 @@ case class AsOfJoinExec(
         while (i < nLeft) {
           joined(i) = f.get(i, leftTypes(i)); i += 1
         }
-        joined(nLeft) = if (haveV && vKey == fKey) vVal else null
+        val matched = haveV && vKey == fKey
+        joined(nLeft) = if (matched) vVal else null
+        numOutputRows += 1
+        if (matched) numMatched += 1
         // the projection copies field bytes into its UnsafeRow buffer
         // immediately, so reusing `joined`/`wrapper` across rows is safe
         proj(wrapper)
