@@ -585,6 +585,19 @@ object StatsOps {
         s"SELECT col_a, col_b, n, ${Tables.r6sql(r)} AS r " +
         "FROM p ORDER BY col_a, col_b"
     }),
+    Q("q222_inclusion_deps", q222 _, Some {
+      def one(name: String, ct: String, cc: String, pt: String, pc: String) =
+        s"SELECT '$name' AS fk, n_child, n_contained, " +
+          Tables.r6sql("CAST(n_contained AS DOUBLE) / n_child") + " AS containment, " +
+          "n_contained = n_child AS holds FROM (" +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n_child, " +
+          "CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_contained FROM (" +
+          s"SELECT c.v, CASE WHEN p.v IS NOT NULL THEN 1 END AS hit FROM " +
+          s"(SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct) c LEFT JOIN " +
+          s"(SELECT DISTINCT CAST($pc AS BIGINT) AS v FROM $pt) p ON c.v = p.v))"
+      IndCandidates.map { case (n, ct, cc, pt, pc) => one(n, ct, cc, pt, pc) }
+        .mkString("", " UNION ALL ", " ORDER BY fk")
+    }),
     Q("q215_mad_outliers", q215 _, Some(
       "WITH c AS (SELECT c_nationkey, c_custkey, c_acctbal FROM customer), " +
         "med AS (SELECT c_nationkey, quantile_cont(c_acctbal, 0.5) AS med " +
@@ -701,6 +714,53 @@ object StatsOps {
       .select(col("nationkey"), col("n"), col("med"), col("mad"), col("n_outliers"),
         Tables.r6(col("n_outliers").cast("double") / col("n")).as("outlier_rate"))
       .orderBy("nationkey")
+  }
+
+  /** The q222 candidate inclusion dependencies: child-col ⊆ parent-col.
+    * Four true FKs by construction plus a measured NEGATIVE control
+    * (events.user_id runs 0..149 while s_suppkey runs 1..100 — partial
+    * containment; the audit MEASURES, like q162's failing FDs). */
+  // lazy: referenced by `entries`, which is declared earlier in the file
+  // — a plain val here would still be null during object initialization
+  private lazy val IndCandidates: Seq[(String, String, String, String, String)] = Seq(
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("events.user_id->supplier.s_suppkey", "events", "user_id",
+      "supplier", "s_suppkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+      "customer", "c_custkey"))
+
+  /** q222: inclusion-dependency / foreign-key discovery audit — for each
+    * candidate child→parent column pair, the distinct-value containment
+    * fraction and whether the FK HOLDS. The cross-table companion to
+    * q162's single-table FD audit — together they are the schema-
+    * profiling pair (Papenbrock's SINDY/FUN line): q162 finds the keys
+    * inside a table, q222 the references between tables.
+    *
+    * Scale: per candidate, both sides collapse to DISTINCT key
+    * projections (map-side combinable) before the membership left join
+    * — the join is value-domain-sized, never row-count-sized; the five
+    * audits union 1-row frames. */
+  private def q222(spark: SparkSession, sfDir: String): DataFrame = {
+    IndCandidates.map { case (name, ct, cc, pt, pc) =>
+      val child = (if (ct == "events") Tables.events(spark, sfDir)
+        else Tables(spark, sfDir, ct))
+        .select(col(cc).cast("long").as("v")).distinct()
+      val parent = Tables(spark, sfDir, pt)
+        .select(col(pc).cast("long").as("v")).distinct()
+      child.join(parent.withColumn("hit", lit(1L)), Seq("v"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          coalesce(sum("hit"), lit(0L)).as("n_contained"))
+        .select(lit(name).as("fk"), col("n_child"), col("n_contained"),
+          Tables.r6(col("n_contained").cast("double") / col("n_child"))
+            .as("containment"),
+          (col("n_contained") === col("n_child")).as("holds"))
+    }.reduce(_ unionByName _)
+      .orderBy("fk")
   }
 
   /** q206: weighted median — per nation, the account balance at which

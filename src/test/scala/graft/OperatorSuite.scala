@@ -1923,6 +1923,24 @@ class OperatorSuite extends AnyFunSuite {
     assert(overall > 0.82 && overall < 0.98, s"overall coverage $overall")
   }
 
+  test("q222 inclusion deps: true FKs hold, the negative control measures short") {
+    val rows = SparkEntry.queries("q222_inclusion_deps")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_child"),
+        r.getAs[Long]("n_contained"), r.getAs[Double]("containment"),
+        r.getAs[Boolean]("holds"))).toMap
+    assert(rows.size == 5)
+    Seq("customer.c_nationkey->nation.n_nationkey",
+      "lineitem.l_orderkey->orders.o_orderkey",
+      "lineitem.l_suppkey->supplier.s_suppkey",
+      "orders.o_custkey->customer.c_custkey").foreach { fk =>
+      val (nc, ni, frac, holds) = rows(fk)
+      assert(holds && nc == ni && frac == 1.0, s"$fk should hold: $nc/$ni")
+    }
+    val (nc, ni, frac, holds) = rows("events.user_id->supplier.s_suppkey")
+    assert(!holds && ni < nc, "negative control unexpectedly holds")
+    assert(frac > 0.0 && frac < 1.0)
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==

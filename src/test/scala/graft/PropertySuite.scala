@@ -396,4 +396,33 @@ class PropertySuite extends AnyFunSuite {
       got == expect
     }, cases = 8)
   }
+
+  // ---- the native as-of exec vs a sequential in-memory scan ---------------
+
+  test("native as-of join equals a brute-force scan on random key/time sets") {
+    import spark.implicits._
+    // random fact/version sets over a small key domain (forcing key
+    // collisions, empty keys, out-of-range times, and (key,t) fact ties
+    // — version (key,t) is deduped per the operator's contract)
+    val gen = for {
+      nf <- Gen.choose(0, 60)
+      nv <- Gen.choose(0, 30)
+      fs <- Gen.listOfN(nf, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 40L)))
+      vsRaw <- Gen.listOfN(nv, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 40L)))
+    } yield (fs, vsRaw.distinct)
+    check(Prop.forAll(gen) { case (fs, vsPairs) =>
+      val facts = fs.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+      val versions = vsPairs.map { case (k, t) => (k, t, s"v$k@$t") }
+      val expect = facts.map { case (k, t, id) =>
+        val cands = versions.filter(v => v._1 == k && v._2 <= t)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      val got = Graft.asofJoinNative(
+          facts.toDF("key", "t", "fact_id"), versions.toDF("key", "t", "v"))
+        .collect().map(r => r.getLong(2) -> Option(r.getString(3))).toMap
+      got == expect
+    }, cases = 10)
+  }
 }
