@@ -71,7 +71,9 @@ class OperatorSuite extends AnyFunSuite {
                                  // bounded bin frame
       "q210_corr_matrix",        // the ONE 14-moment grand aggregate —
                                  // 1-row by design, map-side combined
-      "q211_impute_group_mean")  // global-mean 1-row fallback aggregate
+      "q211_impute_group_mean",  // global-mean 1-row fallback aggregate
+      "q222_inclusion_deps")     // five 1-row containment folds (one per
+                                 // audited candidate pair)
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
