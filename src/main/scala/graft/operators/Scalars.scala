@@ -209,5 +209,47 @@ object Scalars {
         " AS sum_defaulted FROM (" +
         "SELECT c_mktsegment, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_n " +
         "FROM customer) GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+    Q("q224_scalar_try_safe", q224 _, Some(
+      // the oracle states each try_* contract explicitly as CASE /
+      // TRY_CAST — the absorbed-error semantics Spark's ANSI mode makes
+      // mandatory for production pipelines
+      "SELECT n_nationkey AS nationkey, n_nationkey - 20 AS d, " +
+        "CASE WHEN n_nationkey - 20 <> 0 THEN " +
+        "CAST(100 AS DOUBLE) / (n_nationkey - 20) END AS safe_div, " +
+        "TRY_CAST(CASE WHEN n_nationkey % 3 = 0 THEN 'x' " +
+        "ELSE CAST(n_nationkey AS VARCHAR) END AS INTEGER) AS safe_cast, " +
+        "CASE WHEN n_nationkey = 0 THEN 9223372036854775807 END AS safe_add, " +
+        "CASE WHEN 1 + n_nationkey % 5 BETWEEN 1 AND 3 THEN " +
+        "([10, 20, 30])[1 + n_nationkey % 5] END AS safe_elem " +
+        "FROM nation ORDER BY nationkey")),
   )
+
+  /** q224: ANSI-safe scalar handling — the `try_*` family. Spark 4 runs
+    * ANSI mode ON (÷0, bad casts, overflow, and out-of-bounds access
+    * THROW at runtime, killing the job for one bad row); production
+    * pipelines therefore route risky arithmetic through
+    * `try_divide/try_cast/try_add/try_element_at`, which absorb exactly
+    * those errors into NULL. Each column here forces one failure class
+    * across the nation domain: ÷0 at key 20, an unparseable string at
+    * every key%3=0, int64 overflow everywhere but key 0, and
+    * out-of-bounds element access at key%5 ∉ [1,3].
+    *
+    * Scale: pure per-row codegen expressions, no shuffle (the orderBy
+    * exists only for the deterministic compare). */
+  private def q224(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("nationkey"),
+        (col("n_nationkey") - 20).as("d"),
+        expr("try_divide(100, n_nationkey - 20)").as("safe_div"),
+        expr("try_cast(CASE WHEN n_nationkey % 3 = 0 THEN 'x' " +
+          "ELSE CAST(n_nationkey AS STRING) END AS INT)").as("safe_cast"),
+        expr("try_add(9223372036854775807L, CAST(n_nationkey AS BIGINT))")
+          .as("safe_add"),
+        // index domain 1..5 (4, 5 out of bounds → NULL): try_element_at
+        // absorbs OUT-OF-BOUNDS, but index 0 is an invalid-ARGUMENT
+        // error, which the try family deliberately does not absorb
+        expr("try_element_at(array(10, 20, 30), CAST(1 + n_nationkey % 5 AS INT))")
+          .as("safe_elem"))
+      .orderBy("nationkey")
+  }
 }

@@ -377,6 +377,16 @@ object Scans {
         "zt AS (SELECT x, y, " + zBits("//") + " AS z FROM b) " +
         "SELECT z // 64 AS tile, COUNT(*) AS n, MIN(x) AS x_min, MAX(x) AS x_max, " +
         "MIN(y) AS y_min, MAX(y) AS y_max FROM zt GROUP BY 1 ORDER BY tile")),
+    Q("q223_write_compaction", q223 _, Some(
+      // n_files is determined by the writer contract: one task (coalesce 1)
+      // × one open file per partition value, rolled every 100 records ⇒
+      // ceil(n_rows / 100) files per lang. The oracle derives the same
+      // number from the original table — the read-back file census must
+      // agree or the writer contract broke.
+      "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST((COUNT(*) + 99) // 100 AS BIGINT) AS n_files, " +
+        "CAST(LEAST(COUNT(*), 100) AS BIGINT) AS max_file_rows " +
+        "FROM documents GROUP BY lang ORDER BY lang")),
     Q("q218_export_jsonl", q218 _, Some(
       // lossless roundtrip ⇒ oracle on the original table (q209 precedent)
       "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
@@ -405,6 +415,35 @@ object Scans {
     * Scale: text read/write is splittable and narrow (no shuffle until
     * the final bounded per-lang agg); parsing is per-row split()
     * expressions inside codegen. */
+  /** q223: partitioned write with file-size control — the lakehouse
+    * layout/compaction contract: documents written `partitionBy(lang)`
+    * under `maxRecordsPerFile = 100` from one task, then the read-back
+    * census proves the layout (files per partition = ⌈rows/100⌉, no
+    * file over the cap). This is the writer-side knob that keeps a
+    * 100 TB table from becoming a million 10 KB files — the q70
+    * partition-pruning read's other half. File identity comes from
+    * `input_file_name()` on the read-back (per-row, no extra pass).
+    *
+    * Scale: the write is one pass; at cluster scale the same contract
+    * holds per task (files = tasks × values × ⌈rows/cap⌉ — which is
+    * exactly why compaction jobs repartition BY the partition column
+    * first, as here via coalesce). */
+  private def q223(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val path = tmp("compact_docs", sfDir)
+    docs.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 100)
+      .partitionBy("lang").parquet(path)
+    spark.read.parquet(path)
+      .select(col("lang"), expr("input_file_name()").as("f"))
+      .groupBy("lang", "f").agg(count(lit(1)).as("rows_in_file"))
+      .groupBy("lang")
+      .agg(sum("rows_in_file").as("n_rows"),
+        count(lit(1)).as("n_files"),
+        max("rows_in_file").as("max_file_rows"))
+      .orderBy("lang")
+  }
+
   /** q218: JSONL training-data export — the interchange format every
     * training stack ingests: each document serialized as one JSON line
     * via `to_json(struct(...))` (explicit field layout — the export

@@ -1943,6 +1943,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(frac > 0.0 && frac < 1.0)
   }
 
+  test("q223 write compaction: file census honors the writer contract") {
+    val rows = SparkEntry.queries("q223_write_compaction")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (n, files, mx) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_files"), r.getAs[Long]("max_file_rows"))
+      assert(mx <= 100L, s"${r.getString(0)}: file over the record cap")
+      assert(files == (n + 99) / 100, s"${r.getString(0)}: wrong file count")
+    }
+  }
+
+  test("q224 try family absorbs runtime errors into NULL per contract") {
+    val rows = SparkEntry.queries("q224_scalar_try_safe")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    rows.foreach { case (k, r) =>
+      assert(r.isNullAt(r.fieldIndex("safe_div")) == (k == 20), s"div key $k")
+      assert(r.isNullAt(r.fieldIndex("safe_cast")) == (k % 3 == 0), s"cast key $k")
+      assert(r.isNullAt(r.fieldIndex("safe_add")) == (k != 0), s"add key $k")
+      assert(r.isNullAt(r.fieldIndex("safe_elem")) == (1 + k % 5 > 3), s"elem key $k")
+      if (k % 3 != 0) assert(r.getAs[Int]("safe_cast") == k)
+      if (1 + k % 5 <= 3) assert(r.getAs[Int]("safe_elem") == 10 * (1 + k % 5))
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
