@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -398,7 +398,68 @@ object Joins {
       .orderBy("custkey", "ship_day", "l_orderkey", "l_linenumber")
   }
 
+  /** q225: grid-bucketed spatial proximity join — all point pairs within
+    * radius 5 on a synthetic 1000×1000 integer plane (coordinates
+    * md5-derived from the customer key, so both engines construct the
+    * identical point set). The SPATIAL-JOIN PATTERN is the payload: index
+    * side keyed by its grid cell (cell = coord DIV 10, cell size ≥
+    * radius), probe side exploded to its 3×3 neighbor cells, candidates
+    * from the pure EQUI-join on the cell key, exact distance filter
+    * per-row. Integer coordinates make d² exact int64 — the geo family's
+    * algorithm without the sin/cos cross-engine parity hazard (§2.9 R6:
+    * only ln has verified libm parity).
+    *
+    * Scale: this is how every distributed spatial join runs (geohash/S2
+    * cells at planet scale): fan-out is a constant 9, the join is
+    * hash-partitioned on cells, and no point ever compares against more
+    * than its neighborhood. */
+  private def q225(spark: SparkSession, sfDir: String): DataFrame = {
+    def hx(salt: String): Column = expr(
+      s"((instr('0123456789abcdef', substring(md5(concat('$salt', " +
+        "CAST(c_custkey AS STRING))), 1, 1)) - 1) * 256 + " +
+        s"(instr('0123456789abcdef', substring(md5(concat('$salt', " +
+        "CAST(c_custkey AS STRING))), 2, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substring(md5(concat('$salt', " +
+        "CAST(c_custkey AS STRING))), 3, 1)) - 1)) % 1000")
+    val pts = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"),
+        hx("px:").cast("bigint").as("x"), hx("py:").cast("bigint").as("y"))
+      .localCheckpoint(true) // index side + probe side read it
+    val indexed = pts.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), expr("x DIV 10").as("cx"), expr("y DIV 10").as("cy"))
+    val probes = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        explode(expr("flatten(transform(sequence(-1, 1), dx -> " +
+          "transform(sequence(-1, 1), dy -> " +
+          "named_struct('cx', x DIV 10 + dx, 'cy', y DIV 10 + dy))))")).as("c"))
+      .select(col("id_a"), col("xa"), col("ya"), col("c.cx"), col("c.cy"))
+    probes.join(indexed, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= 25L)
+      .select("id_a", "id_b", "d2").distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q225_join_spatial_grid", q225 _, Some {
+      // the oracle states the SEMANTICS as the direct all-pairs
+      // inequality join over the identically-constructed point set
+      def hx(salt: String) =
+        s"((strpos('0123456789abcdef', substr(md5('$salt' || " +
+          "CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 256 + " +
+          s"(strpos('0123456789abcdef', substr(md5('$salt' || " +
+          "CAST(c_custkey AS VARCHAR)), 2, 1)) - 1) * 16 + " +
+          s"(strpos('0123456789abcdef', substr(md5('$salt' || " +
+          "CAST(c_custkey AS VARCHAR)), 3, 1)) - 1)) % 1000"
+      s"WITH pts AS (SELECT c_custkey AS id, CAST(${hx("px:")} AS BIGINT) AS x, " +
+        s"CAST(${hx("py:")} AS BIGINT) AS y FROM customer) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2 " +
+        "FROM pts a JOIN pts b ON a.id < b.id " +
+        "WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25 " +
+        "ORDER BY id_a, id_b"
+    }),
     Q("q221_join_asof_native", q221 _, Some(
       // the oracle is DuckDB's OWN built-in ASOF JOIN — two independent
       // native implementations of the same semantics must agree

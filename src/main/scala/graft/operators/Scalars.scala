@@ -209,6 +209,14 @@ object Scalars {
         " AS sum_defaulted FROM (" +
         "SELECT c_mktsegment, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_n " +
         "FROM customer) GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+    Q("q226_recursive_cte", q226 _, Some(
+      "WITH RECURSIVE anc AS (" +
+        "SELECT CAST(n_nationkey AS BIGINT) AS node, " +
+        "CAST(n_nationkey // 2 AS BIGINT) AS ancestor, " +
+        "CAST(1 AS BIGINT) AS depth FROM nation WHERE n_nationkey > 0 " +
+        "UNION ALL SELECT node, ancestor // 2, depth + 1 " +
+        "FROM anc WHERE ancestor > 0) " +
+        "SELECT node, ancestor, depth FROM anc ORDER BY node, depth")),
     Q("q224_scalar_try_safe", q224 _, Some(
       // the oracle states each try_* contract explicitly as CASE /
       // TRY_CAST — the absorbed-error semantics Spark's ANSI mode makes
@@ -223,6 +231,31 @@ object Scalars {
         "([10, 20, 30])[1 + n_nationkey % 5] END AS safe_elem " +
         "FROM nation ORDER BY nationkey")),
   )
+
+  /** q226: recursive CTE — Spark 4.1's `WITH RECURSIVE` (UNION ALL
+    * recursion; the engine-limitation note in SURVEY §2.8b records that
+    * UNION-distinct recursion is unsupported, which is why the cyclic
+    * connected-components operators q76/q93 use the iterative frontier
+    * loop instead). Here the ACYCLIC case recursive SQL is actually good
+    * at: walking the ancestor chain of a binary-tree hierarchy (parent
+    * of n = n div 2) to produce every (node, ancestor, depth) — the
+    * org-chart / category-tree / bill-of-materials query, expressed in
+    * ONE SQL statement on both engines.
+    *
+    * Scale: recursion depth = tree height (log n); each step is one
+    * self-union of the frontier — the same shape as the q187 BFS but
+    * driven by the engine's own recursion operator. */
+  private def q226(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.view(spark, sfDir, "nation")
+    spark.sql(
+      "WITH RECURSIVE anc AS (" +
+        "SELECT CAST(n_nationkey AS BIGINT) AS node, " +
+        "CAST(n_nationkey DIV 2 AS BIGINT) AS ancestor, " +
+        "CAST(1 AS BIGINT) AS depth FROM nation WHERE n_nationkey > 0 " +
+        "UNION ALL SELECT node, ancestor DIV 2, depth + 1 " +
+        "FROM anc WHERE ancestor > 0) " +
+        "SELECT node, ancestor, depth FROM anc ORDER BY node, depth")
+  }
 
   /** q224: ANSI-safe scalar handling — the `try_*` family. Spark 4 runs
     * ANSI mode ON (÷0, bad casts, overflow, and out-of-bounds access

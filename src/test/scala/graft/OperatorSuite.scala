@@ -1968,6 +1968,44 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q225 grid spatial join finds exactly the brute-force neighbor pairs") {
+    def hex3(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def d(c: Char) = "0123456789abcdef".indexOf(c).toLong
+      (d(h(0)) * 256 + d(h(1)) * 16 + d(h(2))) % 1000
+    }
+    val pts = Tables(spark, sf, "customer").select("c_custkey").collect()
+      .map(_.getLong(0))
+      .map(id => (id, hex3(s"px:$id"), hex3(s"py:$id")))
+    val expect = (for {
+      (a, xa, ya) <- pts; (b, xb, yb) <- pts
+      if a < b
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 25
+    } yield ((a, b), d2)).toMap
+    val got = SparkEntry.queries("q225_join_spatial_grid")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("d2"))).toMap
+    assert(got == expect,
+      s"grid join diverges from brute force: ${got.size} vs ${expect.size} pairs")
+  }
+
+  test("q226 recursive CTE reproduces the in-memory ancestor chains") {
+    val keys = Tables(spark, sf, "nation").select("n_nationkey")
+      .collect().map(_.getInt(0).toLong).filter(_ > 0)
+    val expect = keys.flatMap { n =>
+      val chain = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      var anc = n / 2
+      var d = 1L
+      chain += ((n, anc, d))
+      while (anc > 0) { anc /= 2; d += 1; chain += ((n, anc, d)) }
+      chain
+    }.toSet
+    val got = SparkEntry.queries("q226_recursive_cte")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"ancestor chains diverge: ${got.size} vs ${expect.size}")
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
