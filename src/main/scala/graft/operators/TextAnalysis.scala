@@ -48,6 +48,45 @@ object TextAnalysis {
     scored.select(col("doc_id"), col("lang"), predOrdered.as("pred_lang"))
   }
 
+  /** q228: multiclass classifier evaluation — per-class
+    * precision/recall/F1 + micro accuracy for the q64 language
+    * identifier against the true labels. The MULTICLASS completion of
+    * the eval family: q198's confusion matrices are binary, q165's
+    * kappa is a single chance-corrected scalar; production model cards
+    * report exactly this per-class table. Classes = union of true and
+    * predicted (the 'und' reject class appears on the predicted side
+    * only: full-outer join, zero-filled). F1 in the division-free
+    * 2·tp/(n_true+n_pred) form; empty denominators → NULL.
+    *
+    * Scale: the confusion frame is ONE corpus aggregation to a
+    * ≤(k+1)² cell frame; everything else is keyed algebra on it. */
+  private def q228(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = langidFrame(spark, sfDir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // byTrue, byPred, and accuracy all read it
+    val byTrue = cm.groupBy(col("lang").as("cls"))
+      .agg(sum("cnt").as("n_true"),
+        sum(when(col("pred_lang") === col("lang"), col("cnt")).otherwise(0L)).as("tp"))
+    val byPred = cm.groupBy(col("pred_lang").as("cls")).agg(sum("cnt").as("n_pred"))
+    val u = byTrue.join(byPred, Seq("cls"), "full_outer")
+      .select(col("cls"), coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .localCheckpoint(true) // accuracy fold + final both read it
+    val acc = u.agg(Tables.r6(sum("tp").cast("double") / sum("n_true"))
+      .as("accuracy"))
+    u.crossJoin(broadcast(acc))
+      .select(col("cls").as("class"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          Tables.r6(col("tp").cast("double") / col("n_pred"))).as("precision"),
+        when(col("n_true") > 0,
+          Tables.r6(col("tp").cast("double") / col("n_true"))).as("recall"),
+        when(col("n_true") + col("n_pred") > 0,
+          Tables.r6(lit(2.0) * col("tp") / (col("n_true") + col("n_pred")))).as("f1"),
+        col("accuracy"))
+      .orderBy("class")
+  }
+
   /** q64: language identification — lexicon-hit scoring over tokens;
     * predicted = argmax score (ties → first language code). */
   private def q64(spark: SparkSession, sfDir: String): DataFrame =
@@ -478,6 +517,38 @@ object TextAnalysis {
         "COALESCE(n_segments, 0) AS n_segments, COALESCE(n_boiler, 0) AS n_boiler, " +
         s"CAST(len(ts) AS BIGINT) - $SegLen * COALESCE(n_boiler, 0) AS cleaned_tokens " +
         "FROM toks t LEFT JOIN perdoc p ON t.doc_id = p.doc_id ORDER BY t.doc_id")),
+    Q("q228_eval_multiclass", q228 _, Some {
+      // shares q165's prediction CTE builders — same lexicon scoring,
+      // same argmax, same confusion frame
+      val scoreCols = profiles.map { case (code, words) =>
+        s"len(list_filter(str_split(text, ' '), t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$code"
+      }.mkString(", ")
+      val best = "greatest(" + profiles.map { case (c, _) => s"s_$c" }.mkString(", ") + ")"
+      val pred = "CASE " + profiles.map { case (c, _) =>
+        s"WHEN s_$c = $best AND $best > 0 THEN '$c'"
+      }.mkString(" ") + " ELSE 'und' END"
+      s"WITH cm AS MATERIALIZED (SELECT lang, pred_lang, COUNT(*) AS cnt FROM (" +
+        s"SELECT lang, $pred AS pred_lang FROM " +
+        s"(SELECT lang, text, $scoreCols FROM documents)) GROUP BY 1, 2), " +
+        "t AS (SELECT lang AS cls, CAST(SUM(cnt) AS BIGINT) AS n_true, " +
+        "CAST(SUM(CASE WHEN pred_lang = lang THEN cnt ELSE 0 END) AS BIGINT) AS tp " +
+        "FROM cm GROUP BY 1), " +
+        "p AS (SELECT pred_lang AS cls, CAST(SUM(cnt) AS BIGINT) AS n_pred " +
+        "FROM cm GROUP BY 1), " +
+        "u AS (SELECT COALESCE(t.cls, p.cls) AS cls, " +
+        "COALESCE(n_true, 0) AS n_true, COALESCE(tp, 0) AS tp, " +
+        "COALESCE(n_pred, 0) AS n_pred FROM t FULL JOIN p ON t.cls = p.cls), " +
+        "acc AS (SELECT " +
+        Tables.r6sql("CAST(SUM(tp) AS DOUBLE) / SUM(n_true)") + " AS accuracy FROM u) " +
+        "SELECT cls AS class, n_true, n_pred, tp, " +
+        "CASE WHEN n_pred > 0 THEN " +
+        Tables.r6sql("CAST(tp AS DOUBLE) / n_pred") + " END AS precision, " +
+        "CASE WHEN n_true > 0 THEN " +
+        Tables.r6sql("CAST(tp AS DOUBLE) / n_true") + " END AS recall, " +
+        "CASE WHEN n_true + n_pred > 0 THEN " +
+        Tables.r6sql("2.0 * tp / (n_true + n_pred)") + " END AS f1, accuracy " +
+        "FROM u CROSS JOIN acc ORDER BY class"
+    }),
     Q("q165_langid_kappa", q165 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
         s"len(list_filter(str_split(text, ' '), t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$code"

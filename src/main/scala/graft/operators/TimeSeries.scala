@@ -662,7 +662,53 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** q227: activity streaks — the gaps-and-islands idiom: per user, the
+    * distinct active DAYS collapse into maximal consecutive runs via
+    * the classic `day − row_number()` constant-per-island key, then per
+    * user: active days, streak count, longest streak, and its start
+    * day (earliest on ties). The retention/engagement "longest streak"
+    * metric — a different axis than q94's µs-gap sessions (calendar
+    * days, not event gaps) and q144's value backfill.
+    *
+    * Scale: one distinct (user, day) projection (map-side combinable),
+    * a user-keyed row_number, two keyed aggs. The island key is pure
+    * integer arithmetic — no window re-scan. */
+  private def q227(spark: SparkSession, sfDir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_us DIV $usPerDay").as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    islands.groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), (-col("start_day")).as("neg_start"))).as("m"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("m.len").as("longest_streak"),
+        (-col("m.neg_start")).as("longest_start_day"))
+      .orderBy("user_id")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q227_user_streaks", q227 _, Some(
+      "WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day " +
+        "FROM events), " +
+        "isl AS (SELECT user_id, day - ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS grp, day FROM days), " +
+        "runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len, " +
+        "MIN(day) AS start_day FROM isl GROUP BY 1, 2), " +
+        "r AS (SELECT user_id, runs.len, start_day, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id " +
+        "ORDER BY len DESC, start_day) AS rn, " +
+        "SUM(len) OVER (PARTITION BY user_id) AS n_active_days, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n_streaks FROM runs) " +
+        "SELECT user_id, CAST(n_active_days AS BIGINT) AS n_active_days, " +
+        "CAST(n_streaks AS BIGINT) AS n_streaks, len AS longest_streak, " +
+        "start_day AS longest_start_day " +
+        "FROM r WHERE rn = 1 ORDER BY user_id")),
     Q("q217_lateness_audit", q217 _, Some(
       "WITH late AS (SELECT user_id, event_id, " +
         "GREATEST(COALESCE(MAX(epoch_us(ts)) OVER " +

@@ -72,8 +72,10 @@ class OperatorSuite extends AnyFunSuite {
       "q210_corr_matrix",        // the ONE 14-moment grand aggregate —
                                  // 1-row by design, map-side combined
       "q211_impute_group_mean",  // global-mean 1-row fallback aggregate
-      "q222_inclusion_deps")     // five 1-row containment folds (one per
+      "q222_inclusion_deps",     // five 1-row containment folds (one per
                                  // audited candidate pair)
+      "q228_eval_multiclass")    // micro-accuracy 1-row fold over the
+                                 // ≤(k+1)-class frame
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -2004,6 +2006,50 @@ class OperatorSuite extends AnyFunSuite {
     val got = SparkEntry.queries("q226_recursive_cte")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expect, s"ancestor chains diverge: ${got.size} vs ${expect.size}")
+  }
+
+  test("q227 streaks match an in-memory gaps-and-islands sweep") {
+    val usDay = 86400000000L
+    val byUser = Tables.events(spark, sf).select("user_id", "ts_us").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[Long](1) / usDay))
+      .distinct.groupBy(_._1)
+    val got = SparkEntry.queries("q227_user_streaks")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got.size == byUser.size)
+    byUser.foreach { case (u, ds) =>
+      val days = ds.map(_._2).distinct.sorted
+      val runs = days.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+        case ((s, l) :: rest, d) if d == s + l => (s, l + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }.reverse
+      val longest = runs.maxBy(r => (r._2, -r._1))
+      val r = got(u)
+      assert(r.getAs[Long]("n_active_days") == days.length.toLong)
+      assert(r.getAs[Long]("n_streaks") == runs.length.toLong)
+      assert(r.getAs[Long]("longest_streak") == longest._2, s"user $u longest")
+      assert(r.getAs[Long]("longest_start_day") == longest._1, s"user $u start")
+    }
+  }
+
+  test("q228 multiclass eval is consistent with the q64 predictions") {
+    val preds = SparkEntry.queries("q64_text_langid")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))) // (true, pred)
+    val got = SparkEntry.queries("q228_eval_multiclass")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val classes = (preds.map(_._1) ++ preds.map(_._2)).distinct
+    assert(got.keySet == classes.toSet)
+    classes.foreach { c =>
+      val r = got(c)
+      val nTrue = preds.count(_._1 == c).toLong
+      val nPred = preds.count(_._2 == c).toLong
+      val tp = preds.count(p => p._1 == c && p._2 == c).toLong
+      assert(r.getAs[Long]("n_true") == nTrue && r.getAs[Long]("n_pred") == nPred &&
+        r.getAs[Long]("tp") == tp, s"class $c counts")
+      if (nPred > 0)
+        assert(math.abs(r.getAs[Double]("precision") - tp.toDouble / nPred) < 2e-6)
+    }
+    val acc = preds.count(p => p._1 == p._2).toDouble / preds.length
+    assert(math.abs(got.values.head.getAs[Double]("accuracy") - acc) < 2e-6)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
