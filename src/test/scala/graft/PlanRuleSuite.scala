@@ -86,6 +86,36 @@ class PlanRuleSuite extends AnyFunSuite {
     assert(gotMap(3153L).contains("k3@100"))
   }
 
+  test("native as-of join adds NO exchange or sort over pre-partitioned, pre-sorted inputs") {
+    import spark.implicits._
+    // the SCALING.md claim behind building this as a physical operator:
+    // on a bucketed/sorted layout (what a feature store keeps anyway),
+    // Catalyst must satisfy the distribution/ordering requirements from
+    // the children as-is. We pre-shape both inputs explicitly; if
+    // EnsureRequirements inserted ANYTHING, the exchange/sort counts
+    // would exceed the two we wrote ourselves per side.
+    val facts = (0L until 500L).map(i => (i % 7, i, i))
+      .toDF("key", "t", "fact_id")
+      .repartition(col("key")).sortWithinPartitions("key", "t")
+    val versions = (0L until 70L).map(i => (i % 7, i * 3, s"v$i"))
+      .toDF("key", "t", "v")
+      .repartition(col("key")).sortWithinPartitions("key", "t")
+    val got = Graft.asofJoinNative(facts, versions)
+    got.collect() // finalize AQE
+    val plan = got.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val nExchange = "Exchange".r.findAllIn(plan).size
+    val nSort = "\\bSort\\b".r.findAllIn(plan).size
+    assert(nExchange == 2,
+      s"expected only the 2 explicit repartitions, got $nExchange exchanges:\n$plan")
+    assert(nSort == 2,
+      s"expected only the 2 explicit sorts, got $nSort sorts:\n$plan")
+    // and the merge is still correct on this layout: fact key=300%7=6,
+    // t=300; key-6 versions are i ∈ {6,13,…,69} at t=3i ≤ 207 — the
+    // latest is i=69 (t=207)
+    val sample = got.filter(col("fact_id") === 300L).head()
+    assert(sample.getString(3) == "v69", s"merge wrong on bucketed layout: $sample")
+  }
+
   test("native as-of join survives skewed keys and empty version partitions") {
     import spark.implicits._
     // all facts on ONE key (hash skew) + versions for a DIFFERENT key only
