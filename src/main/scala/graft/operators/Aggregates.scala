@@ -346,7 +346,97 @@ object Aggregates {
       .orderBy("c_mktsegment")
   }
 
+  /** q229: exact distinct counting via bitmap aggregation — the roaring-
+    * bitmap pattern on builtin bit ops: users bucket into 32-bit words
+    * (word = id div 32), per (type, word) the partial masks OR together
+    * (map-side combinable — the shuffle carries ≤ domain/32 words per
+    * key, not one row per VALUE like q13's count-distinct expand), and
+    * popcounts sum per type. The same result as countDistinct, which
+    * rides along from the same scan for the self-audit — at 100 TB the
+    * bitmap path shuffles ~3% of what the expand path moves on a dense
+    * integer domain.
+    *
+    * 32-bit words keep the set bit below the sign position on BOTH
+    * engines (1 << 63 differs in overflow behavior cross-engine). */
+  private def q229(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_type", "user_id")
+    val bitmap = ev
+      .select(col("event_type"), expr("user_id DIV 32").as("word"),
+        expr("shiftleft(1L, CAST(user_id % 32 AS INT))").as("bit"))
+      .groupBy("event_type", "word").agg(expr("bit_or(bit)").as("mask"))
+      .groupBy("event_type")
+      .agg(sum(expr("bit_count(mask)")).cast("bigint").as("n_distinct_bitmap"))
+    val direct = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_distinct_direct"))
+    bitmap.join(direct, "event_type")
+      .select(col("event_type"), col("n_distinct_bitmap"), col("n_distinct_direct"),
+        (col("n_distinct_bitmap") === col("n_distinct_direct")).as("agree"))
+      .orderBy("event_type")
+  }
+
+  /** q230: aggregate navigation off a materialized rollup — the OLAP
+    * cube contract: the daily revenue rollup is WRITTEN to parquet (the
+    * materialized view), the monthly question is answered from that
+    * rollup, and the answer is proven EQUAL to recomputing from the raw
+    * corpus. The claim q132's incremental maintenance doesn't make:
+    * navigation answers a COARSER grain from a finer materialization —
+    * legitimate only because the DECIMAL partial sums re-aggregate
+    * exactly (R1); the emitted `equal` column is the proof.
+    *
+    * Scale: this is why 100 TB BI works — the monthly query scans the
+    * ≈2k-row daily rollup, not the corpus; the raw path exists here
+    * only as the audit. */
+  private def q230(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val month = substring(col("o_orderdate").cast("date").cast("string"), 1, 7)
+    val orders = Tables(spark, sfDir, "orders")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_rollup_${math.abs(sfDir.hashCode)}"
+    orders
+      .groupBy(month.as("month"), col("o_orderdate").cast("date").as("day"))
+      .agg(Tables.dec(sum(Tables.dec(col("o_totalprice")))).as("rev"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val fromRollup = spark.read.parquet(path)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"),
+        Tables.r6(sum(col("rev")).cast("double")).as("rev_rollup"))
+    val fromRaw = orders.groupBy(month.as("month"))
+      .agg(Tables.r6(sum(Tables.dec(col("o_totalprice"))).cast("double"))
+        .as("rev_raw"))
+    fromRollup.join(fromRaw, "month")
+      .select(col("month"), col("n_days"), col("rev_rollup"), col("rev_raw"),
+        (col("rev_rollup") === col("rev_raw")).as("equal"))
+      .orderBy("month")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q230_agg_rollup_navigation", q230 _, Some(
+      "WITH daily AS (SELECT SUBSTR(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) " +
+        "AS month, CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev " +
+        "FROM orders GROUP BY 1, 2), " +
+        "m1 AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        Tables.r6sql("CAST(SUM(rev) AS DOUBLE)") + " AS rev_rollup " +
+        "FROM daily GROUP BY 1), " +
+        "m2 AS (SELECT SUBSTR(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) " +
+        "AS month, " +
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") +
+        " AS rev_raw FROM orders GROUP BY 1) " +
+        "SELECT m1.month, n_days, rev_rollup, rev_raw, " +
+        "rev_rollup = rev_raw AS equal FROM m1 JOIN m2 ON m1.month = m2.month " +
+        "ORDER BY m1.month")),
+    Q("q229_agg_bitmap_distinct", q229 _, Some(
+      "WITH b AS (SELECT event_type, user_id // 32 AS word, " +
+        "(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bit " +
+        "FROM events), " +
+        "m AS (SELECT event_type, word, BIT_OR(bit) AS mask FROM b GROUP BY 1, 2), " +
+        "bm AS (SELECT event_type, CAST(SUM(bit_count(mask)) AS BIGINT) " +
+        "AS n_distinct_bitmap FROM m GROUP BY 1), " +
+        "d AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) " +
+        "AS n_distinct_direct FROM events GROUP BY 1) " +
+        "SELECT bm.event_type, n_distinct_bitmap, n_distinct_direct, " +
+        "n_distinct_bitmap = n_distinct_direct AS agree " +
+        "FROM bm JOIN d ON bm.event_type = d.event_type " +
+        "ORDER BY bm.event_type")),
     Q("q12_agg_hash", q12 _, Some(
       "SELECT l_returnflag, l_linestatus, " +
         Tables.r6sql("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_qty, " +

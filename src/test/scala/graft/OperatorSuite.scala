@@ -2052,6 +2052,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(got.values.head.getAs[Double]("accuracy") - acc) < 2e-6)
   }
 
+  test("q229 bitmap distinct agrees with countDistinct everywhere") {
+    val rows = SparkEntry.queries("q229_agg_bitmap_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("agree"),
+        s"${r.getString(0)}: bitmap ${r.getAs[Long](1)} != direct ${r.getAs[Long](2)}")
+      assert(r.getAs[Long]("n_distinct_bitmap") > 0)
+    }
+  }
+
+  test("q230 rollup navigation: monthly answers from the cube equal the raw recompute") {
+    val rows = SparkEntry.queries("q230_agg_rollup_navigation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("equal"),
+        s"month ${r.getString(0)}: rollup ${r.getAs[Double]("rev_rollup")} != " +
+          s"raw ${r.getAs[Double]("rev_raw")}")
+    }
+    // months partition the order-date domain
+    assert(rows.map(_.getAs[Long]("n_days")).sum ==
+      Tables(spark, sf, "orders")
+        .select(org.apache.spark.sql.functions.col("o_orderdate").cast("date"))
+        .distinct().count())
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
