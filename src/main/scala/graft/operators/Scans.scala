@@ -377,6 +377,15 @@ object Scans {
         "zt AS (SELECT x, y, " + zBits("//") + " AS z FROM b) " +
         "SELECT z // 64 AS tile, COUNT(*) AS n, MIN(x) AS x_min, MAX(x) AS x_max, " +
         "MIN(y) AS y_min, MAX(y) AS y_max FROM zt GROUP BY 1 ORDER BY tile")),
+    Q("q231_scan_codecs", q231 _, Some(
+      // losslessness is the claim; the oracle derives the per-codec row
+      // from the original table (3 identical rows, one per codec)
+      "SELECT codec, CAST(n AS BIGINT) AS n_rows, " +
+        "CAST(sk AS BIGINT) AS sum_keys, CAST(sl AS BIGINT) AS sum_name_len " +
+        "FROM (SELECT COUNT(*) AS n, SUM(n_nationkey) AS sk, " +
+        "SUM(LENGTH(n_name)) AS sl FROM nation) " +
+        "CROSS JOIN (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec) " +
+        "ORDER BY codec")),
     Q("q223_write_compaction", q223 _, Some(
       // n_files is determined by the writer contract: one task (coalesce 1)
       // × one open file per partition value, rolled every 100 records ⇒
@@ -415,6 +424,35 @@ object Scans {
     * Scale: text read/write is splittable and narrow (no shuffle until
     * the final bounded per-lang agg); parsing is per-row split()
     * expressions inside codegen. */
+  /** q231: compression-codec roundtrips — `nation` written and re-read
+    * under each of parquet's production codecs (snappy: the default
+    * speed point; gzip: the legacy-compatibility point; zstd: the
+    * modern ratio point a 100 TB lake actually standardizes on), each
+    * proven lossless by identical checksums. Codec choice is a
+    * first-class storage knob (3–5× size differences at corpus scale
+    * decide scan cost); this pins the engine's ability to WRITE all
+    * three and MIX them transparently on read.
+    *
+    * Scale: three tiny write+read passes here; at scale codec is
+    * per-table config — the reader dispatches per file footer, so
+    * mixed-codec tables (mid-migration) read fine, which is exactly
+    * what the union of three roundtrips exercises. */
+  private def q231(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables(spark, sfDir, "nation")
+    Seq("gzip", "snappy", "zstd").map { codec =>
+      val path = tmp(s"codec_$codec", sfDir)
+      nation.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("compression", codec).parquet(path)
+      spark.read.schema(nation.schema).parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey").cast("bigint")).as("sum_keys"),
+          sum(length(col("n_name")).cast("bigint")).as("sum_name_len"))
+        .select(lit(codec).as("codec"), col("n_rows"),
+          col("sum_keys"), col("sum_name_len"))
+    }.reduce(_ unionByName _)
+      .orderBy("codec")
+  }
+
   /** q223: partitioned write with file-size control — the lakehouse
     * layout/compaction contract: documents written `partitionBy(lang)`
     * under `maxRecordsPerFile = 100` from one task, then the read-back

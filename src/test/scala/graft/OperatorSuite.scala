@@ -74,8 +74,10 @@ class OperatorSuite extends AnyFunSuite {
       "q211_impute_group_mean",  // global-mean 1-row fallback aggregate
       "q222_inclusion_deps",     // five 1-row containment folds (one per
                                  // audited candidate pair)
-      "q228_eval_multiclass")    // micro-accuracy 1-row fold over the
+      "q228_eval_multiclass",    // micro-accuracy 1-row fold over the
                                  // ≤(k+1)-class frame
+      "q231_scan_codecs")        // three per-codec 1-row checksum folds
+                                 // over the 25-row roundtrip table
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -2075,6 +2077,14 @@ class OperatorSuite extends AnyFunSuite {
       Tables(spark, sf, "orders")
         .select(org.apache.spark.sql.functions.col("o_orderdate").cast("date"))
         .distinct().count())
+  }
+
+  test("q231 codec roundtrips are lossless and identical across codecs") {
+    val rows = SparkEntry.queries("q231_scan_codecs")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("gzip", "snappy", "zstd"))
+    val sigs = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).distinct
+    assert(sigs.length == 1, s"codec roundtrips diverge: ${sigs.toSeq}")
+    assert(sigs.head._1 == Tables(spark, sf, "nation").count())
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
