@@ -111,10 +111,54 @@ object SketchOps {
       .orderBy("word")
   }
 
+  /** Count–Min geometry for q233 — ε = e/1024 ≈ 0.27% of the stream per
+    * estimate, δ = (1/2)^4; 32 KB of state. */
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 1024
+
+  /** The fixed probe vocabulary q233 reads back: frequent types, a
+    * mid-frequency type, stopword-length strings, and one token that
+    * never occurs (its estimate exposes pure collision mass — the
+    * overcount the ε-bound budgets for). Static ⇒ probe cell indexes
+    * compile to literals (see [[graft.functions.CountMin.positions]]). */
+  private val CmProbes = Seq("a", "batch", "graft_absent_token", "hash",
+    "join", "row", "scan", "the", "vector")
+
+  /** q233: Count–Min point-frequency estimates — the frequency-oracle
+    * member of the sketch family: q111 answers distinct counts, q112
+    * quantiles, q123 WHICH items are frequent; q233 answers "how often
+    * did item x occur" for ANY x from 32 KB of order-insensitive
+    * integer state (class doc: est ≥ true always, est ≤ true + εN
+    * w.h.p.). One aggregation over one scan yields the sketch AND the
+    * stream length; the probe read-back is a per-cell `element_at` min
+    * fold over driver-side constant indexes — codegen'd, no UDF, no
+    * second scan. Like q14/q111–q113 the estimates are implementation-
+    * defined (they depend on the sketch geometry and seeds), so no SQL
+    * oracle: SketchSuite asserts est ≥ exact and est ≤ exact + 4·N/width
+    * per probe, plus the bit-exact merge identity on a corpus split. */
+  private def q233(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = udaf(new graft.functions.CountMin(CmDepth, CmWidth))
+    val words = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val sk = words.agg(cm(col("word")).as("sketch"), count(lit(1)).as("n_words"))
+      .localCheckpoint(true) // 1-row; each probe row reads it, never re-aggregates
+    val probeRows = CmProbes.map { w =>
+      // element_at is 1-based; the flat cell index is i*width + pos(i)
+      val est = graft.functions.CountMin.positions(w, CmDepth, CmWidth)
+        .zipWithIndex
+        .map { case (p, i) => element_at(col("sketch"), i * CmWidth + p + 1) }
+        .reduce(least(_, _))
+      sk.select(lit(w).as("word"), est.as("est"), col("n_words"))
+    }
+    probeRows.reduce(_.unionAll(_)).orderBy("word")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q111_agg_sketch_distinct", q111 _, None),
     Q("q112_agg_sketch_quantile", q112 _, None),
     Q("q113_agg_sketch_overlap", q113 _, None),
     Q("q123_agg_heavy_hitters", q123 _, None),
+    Q("q233_agg_sketch_countmin", q233 _, None),
   )
 }

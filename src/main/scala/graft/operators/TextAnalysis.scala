@@ -413,6 +413,69 @@ object TextAnalysis {
     // copy of the coverage semantics, oracle-verified through here
     vocabCoverageOf(Tables(spark, sfDir, "documents"), Seq(5L, 10L, 20L, 40L))
 
+  /** BM25 parameters (Robertson–Walker Okapi defaults) and the fixed
+    * keyword query the retrieval demo scores. */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = Seq("join", "vector", "spark")
+  private val Bm25TopK = 20
+
+  /** q232: BM25 keyword retrieval — top-20 documents for a fixed
+    * 3-term query under Okapi BM25 (k1=1.2, b=0.75, the
+    * Lucene/Elasticsearch default scoring), with the always-positive
+    * idf form ln(1 + (N−df+0.5)/(df+0.5)). The RANKED-retrieval member
+    * the text family lacks: q53/q65 count and score documents in
+    * isolation, q61/q185 match documents to each other — q232 matches
+    * documents to a QUERY, the search/RAG-recall primitive every
+    * training-data curation stack runs (dataset search, eval-set
+    * retrieval, topical filtering).
+    *
+    * Plan: per-doc lengths (narrow, no shuffle) feed ONE 1-row (N,
+    * avgdl) aggregate that broadcasts; the tf frame filters tokens to
+    * the query terms BEFORE exploding (explode fan-out = query hits
+    * only, not the token stream); df per term is a ≤|Q|-row aggregate
+    * off the tf frame that also broadcasts. Scoring is per-row double
+    * arithmetic on broadcast scalars, and the top-k is a distributed
+    * TakeOrdered under the total (score DESC, doc_id) order — never a
+    * full sort. At 100 TB nothing shuffles the corpus: the only wide
+    * ops are the (doc,term)-keyed tf count (fan-in ≤ |Q| per doc) and
+    * the take-ordered.
+    *
+    * Determinism: ln is the one libm function with verified
+    * cross-engine parity (§2.9 / q149 precedent); per-term scores are
+    * r6-quantized then DECIMAL-summed per doc (R1), and the emitted
+    * score is the r6 double the ORDER BY also sorts on (sorting the
+    * unrounded double would let sub-6dp differences reorder the
+    * boundary on one engine only). doc_id is the unique tiebreak (R5). */
+  private def q232(spark: SparkSession, sfDir: String): DataFrame = {
+    val qTerms = Bm25Query.map("'" + _ + "'").mkString(",")
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("bigint").as("dl"))
+      .localCheckpoint(true) // feeds the corpus stats AND the tf frame
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      Tables.meanD(sum(col("dl")), count(lit(1))).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(ts, t -> t IN ($qTerms))")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val score = tf
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        Tables.r6(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(Bm25K1 + 1.0)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+          .as("t"))
+    score.groupBy("doc_id")
+      .agg(Tables.r6(sum(Tables.dec(col("t"))).cast("double")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q64_text_langid", q64 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
@@ -604,5 +667,28 @@ object TextAnalysis {
         "SELECT k, CAST(cum AS BIGINT) AS cum_tokens, " +
         Tables.r6sql("CAST(cum AS DOUBLE) / CAST(n_tok AS DOUBLE)") + " AS coverage " +
         "FROM r CROSS JOIN tot WHERE k IN (5, 10, 20, 40) ORDER BY k")),
+    Q("q232_text_bm25", q232 _, Some {
+      // Every FP constant is interpolated from the SAME Scala double the
+      // Spark plan uses (shortest-round-trip repr; IEEE parse on both
+      // engines), so e.g. k1+1 cannot land on a different double via
+      // engine-side constant folding.
+      val qTerms = Bm25Query.map("'" + _ + "'").mkString(",")
+      "WITH toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS ts, " +
+        "CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
+        "stats AS (SELECT COUNT(*) AS n_docs, " +
+        Tables.meanDSql("SUM(dl)", "COUNT(*)") + " AS avgdl FROM toks), " +
+        "tf AS MATERIALIZED (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (" +
+        s"SELECT doc_id, dl, unnest(list_filter(ts, t -> t IN ($qTerms))) AS term " +
+        "FROM toks) GROUP BY 1, 2, 3), " +
+        "dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1) " +
+        "SELECT doc_id, " +
+        Tables.r6sql("CAST(SUM(CAST(t AS DECIMAL(18,4))) AS DOUBLE)") + " AS score " +
+        "FROM (SELECT doc_id, " +
+        Tables.r6sql(
+          s"LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${Bm25K1 + 1.0}) / " +
+            s"(tf + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * CAST(dl AS DOUBLE) / avgdl))") +
+        " AS t FROM tf JOIN dfq USING (term) CROSS JOIN stats) " +
+        s"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT ${Bm25TopK}"
+    }),
   )
 }

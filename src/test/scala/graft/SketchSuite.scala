@@ -91,4 +91,38 @@ class SketchSuite extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("q233 Count-Min: one-sided bounds per probe + bit-exact merge identity") {
+    val rows = SparkEntry.queries("q233_agg_sketch_countmin")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val words = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val exact = words.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.head.getAs[Long]("n_words")
+    assert(n == exact.values.sum)
+    val width = operators.SketchOps.CmWidth
+    rows.foreach { r =>
+      val (w, est) = (r.getString(0), r.getAs[Long]("est"))
+      val f = exact.getOrElse(w, 0L)
+      // CM's deterministic guarantee: never an undercount. The overcount
+      // bound est ≤ f + εN holds w.h.p.; 4·N/width is loose vs ε = e/width
+      // and deterministic for these fixed seeds + data.
+      assert(est >= f, s"$w: est $est undercounts exact $f")
+      assert(est - f <= 4L * n / width, s"$w: overcount ${est - f} > 4N/w")
+    }
+    // merge identity: sketches of two disjoint halves, merged, must be
+    // BIT-IDENTICAL to the whole-corpus sketch (integer cells, exact
+    // element-wise sum — the sketch-per-shard pattern at 100 TB)
+    val cm = udaf(new functions.CountMin(4, width))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(cm(col("word"))).head().getSeq[Long](0).toArray
+    val whole = sketchOf(words)
+    val lo = sketchOf(words.filter(col("doc_id") % 2 === 0))
+    val hi = sketchOf(words.filter(col("doc_id") % 2 === 1))
+    val merged = lo.zip(hi).map { case (a, b) => a + b }
+    assert(java.util.Arrays.equals(whole, merged),
+      "merged half-sketches must equal the whole-corpus sketch cell-for-cell")
+  }
 }
