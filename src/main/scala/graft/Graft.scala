@@ -172,6 +172,14 @@ object Graft {
       leftKey: Column, rightKey: Column, saltBuckets: Int): DataFrame =
     plans.ScaleJoins.saltedJoin(left, right, leftKey, rightKey, saltBuckets)
 
+  /** Bloom semi-join prefilter (q234): prune `fact` to rows whose
+    * `factKey` might appear in the single-column `dimKeys` frame — no
+    * false negatives, constant-size broadcast mask, non-matching fact
+    * rows die map-side before any join shuffle. */
+  def bloomPrefilter(fact: DataFrame, factKey: Column, dimKeys: DataFrame,
+      bits: Int = 1 << 16, hashes: Int = 5): DataFrame =
+    plans.ScaleJoins.bloomPrefilter(fact, factKey, dimKeys, bits, hashes)
+
   // ---- corpus curation (q104–q106, q109) ----------------------------------
 
   /** Benchmark decontamination (q104): flag every `train` document

@@ -441,7 +441,45 @@ object Joins {
       .orderBy("id_a", "id_b")
   }
 
+  /** q234: Bloom-prefiltered selective join — orders joined to the
+    * BUILDING-segment customers with the fact side pruned by an 8 KB
+    * Bloom mask of the dim keys BEFORE the join
+    * ([[graft.plans.ScaleJoins.bloomPrefilter]]; the runtime row-level
+    * filtering pattern). The scale gap this fills: q04's broadcast join
+    * needs the dim's full hash relation to fit on every executor, q05's
+    * shuffle join ships EVERY fact row; when the dim is
+    * broadcast-too-big but the join selective, the dim's KEY SET still
+    * compresses to a constant-size bit mask that broadcasts at any
+    * cardinality and kills non-matching fact rows map-side, pre-shuffle.
+    *
+    * Correctness is exact, not approximate: the Bloom admits no false
+    * negatives and the exact join removes its false positives, so the
+    * result — and the oracle — is the plain join's (the join itself is
+    * left unhinted: stats/AQE pick broadcast here and sort-merge at
+    * scale, with the mask having already shrunk the fact side either
+    * way). ScaleJoinsSuite measures the pruning and the FPR. */
+  private def q234(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .localCheckpoint(true) // key projection (mask build) + exact join side
+    val pruned = graft.plans.ScaleJoins.bloomPrefilter(
+      Tables(spark, sfDir, "orders"), col("o_custkey"), cust.select("c_custkey"))
+    pruned.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.r6(sum(dec(col("o_totalprice"))).cast("double")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q234_join_bloom_prefilter", q234 _, Some(
+      // the Bloom is a pure pre-shuffle reduction: the exact join result
+      // IS the plain selective join, which is what the oracle states
+      "SELECT o_orderpriority, COUNT(*) AS n_orders, " +
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") +
+        " AS revenue FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
     Q("q225_join_spatial_grid", q225 _, Some {
       // the oracle states the SEMANTICS as the direct all-pairs
       // inequality join over the identically-constructed point set

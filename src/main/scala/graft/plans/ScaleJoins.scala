@@ -47,4 +47,71 @@ object ScaleJoins {
         leftKey === rightKey && salted("graft_salt") === replicated("graft_salt"))
       .drop("graft_salt")
   }
+
+  /** Bloom-filter semi-join prefilter: returns `fact` restricted to rows
+    * whose `factKey` MIGHT appear in `dimKeys` (single-column frame) —
+    * no false negatives, a controlled false-positive rate the downstream
+    * exact join removes. This is the reduction behind runtime row-level
+    * filtering: when the dim side is too large to broadcast as a hash
+    * relation but the JOIN is selective on the fact, its key set
+    * compresses to a fixed `bits`-bit mask (8 KB at the default 2¹⁶)
+    * that broadcasts at ANY dim cardinality, and non-matching fact rows
+    * die map-side BEFORE the shuffle — the wire carries only rows that
+    * (almost always) survive the join.
+    *
+    * Construction: Kirsch–Mitzenmacher double hashing — two xxhash64
+    * draws (the second salted with a constant column) reduced mod
+    * `bits`, probe i at (h1 + i·h2) mod bits. Both hashes are reduced
+    * BEFORE combining so position arithmetic stays < 2³¹ (Spark 4 ANSI
+    * mode throws on long overflow — raw h1 + i·h2 can wrap). The mask
+    * aggregates as 64-bit words via map-side-combined bit_or, ships as
+    * ONE map<word→bits> row, and the membership test is pure codegen'd
+    * bit arithmetic (`try_element_at` + shift/and — absent word = no
+    * bits set). Deterministic: same keys ⇒ same mask ⇒ same kept rows,
+    * and the final joined result is EXACTLY the unfiltered join's.
+    *
+    * FPR ≈ (1 − e^(−kn/m))^k: at the defaults (m = 65536, k = 5) a
+    * 3 000-key dim loads 21% of the bits for FPR ≈ 0.03%. Size `bits`
+    * to the dim's key cardinality at scale; the mask stays ≤ m/8 bytes.
+    */
+  def bloomPrefilter(
+      fact: DataFrame, factKey: Column, dimKeys: DataFrame,
+      bits: Int = 1 << 16, hashes: Int = 5): DataFrame = {
+    require(bits > 64 && Integer.bitCount(bits) == 1,
+      s"bloomPrefilter: bits must be a power of two > 64, got $bits")
+    require(hashes > 0 && hashes.toLong * bits < Int.MaxValue,
+      s"bloomPrefilter: hashes must be positive (and k*m < 2^31), got $hashes")
+    require(dimKeys.columns.length == 1,
+      s"bloomPrefilter: dimKeys must be a single key column, got ${dimKeys.columns.toSeq}")
+    require(!fact.columns.exists(_.startsWith("graft_bloom")),
+      "graft_bloom* columns are reserved by bloomPrefilter")
+    val m = lit(bits.toLong)
+    def positions(key: Column): Seq[Column] = {
+      val h1 = pmod(xxhash64(key), m)
+      val h2 = pmod(xxhash64(key, lit("graft_bloom_h2")), m)
+      (0 until hashes).map(i => pmod(h1 + lit(i.toLong) * h2, m))
+    }
+    val dimKey = col(dimKeys.columns.head)
+    val mask = dimKeys
+      .select(explode(array(positions(dimKey): _*)).as("graft_bloom_pos"))
+      .select(shiftright(col("graft_bloom_pos"), 6).as("graft_bloom_w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(graft_bloom_pos % 64 AS INT))")
+          .as("graft_bloom_m"))
+      .groupBy("graft_bloom_w")
+      .agg(expr("bit_or(graft_bloom_m)").as("graft_bloom_bits"))
+      .agg(map_from_arrays(collect_list(col("graft_bloom_w")),
+        collect_list(col("graft_bloom_bits"))).as("graft_bloom"))
+    val probed = positions(factKey).zipWithIndex.foldLeft(
+      fact.crossJoin(broadcast(mask))) { case (df, (p, i)) =>
+      df.withColumn(s"graft_bloom_p$i", p)
+    }
+    val pass = (0 until hashes)
+      .map(i => expr(
+        s"(shiftright(coalesce(try_element_at(graft_bloom, shiftright(graft_bloom_p$i, 6)), " +
+          s"CAST(0 AS BIGINT)), CAST(graft_bloom_p$i % 64 AS INT)) & 1) = 1"))
+      .reduce(_ && _)
+    probed.filter(pass)
+      .drop("graft_bloom")
+      .drop((0 until hashes).map(i => s"graft_bloom_p$i"): _*)
+  }
 }

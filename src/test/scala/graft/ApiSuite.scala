@@ -586,4 +586,22 @@ class ApiSuite extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
     assert(got(1L) == 1.0 && got(2L) == 0.0 && got(3L) == 0.5)
   }
+
+  test("bloomPrefilter keeps every match, rejects reserved columns") {
+    import spark.implicits._
+    val fact = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val dim = Seq(3L, 500L, 999L, 12345L).toDF("dk") // 12345 matches nothing
+    val kept = Graft.bloomPrefilter(fact, col("k"), dim).collect()
+    val keptKeys = kept.map(_.getLong(0)).toSet
+    assert(Set(3L, 500L, 999L).subsetOf(keptKeys), "bloom dropped a true match")
+    assert(kept.length < 1000, "bloom pruned nothing")
+    assert(kept.forall(_.schema.fieldNames.sameElements(Array("k", "v"))),
+      "helper columns must not leak into the output")
+    intercept[IllegalArgumentException] {
+      Graft.bloomPrefilter(fact.withColumn("graft_bloom_p0", lit(1)), col("k"), dim)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.bloomPrefilter(fact, col("k"), dim, bits = 1000) // not a power of two
+    }
+  }
 }

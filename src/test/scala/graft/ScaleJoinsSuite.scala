@@ -262,6 +262,39 @@ class ScaleJoinsSuite extends AnyFunSuite {
     assert(expA != expB, "test needs distinguishable scale factors")
   }
 
+  test("bloomPrefilter: no false negatives, real pruning, measured FPR") {
+    val cust = Tables(spark, sf, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables(spark, sf, "orders")
+    val dimKeys = cust.select("c_custkey")
+    val kept = ScaleJoins.bloomPrefilter(orders, col("o_custkey"), dimKeys)
+      .select("o_orderkey", "o_custkey").collect()
+    val matchKeys = dimKeys.collect().map(_.getLong(0)).toSet
+    val total = orders.count()
+    // (a) exact superset of the true matches — a single dropped matching
+    // row would be a silent wrong JOIN result downstream
+    val trueMatches = orders.filter(col("o_custkey").isInCollection(matchKeys)).count()
+    assert(kept.count(r => matchKeys(r.getLong(1))) == trueMatches)
+    // (b) the mask actually prunes: the segment is ~1/5 of customers, so
+    // the pass-through must be way under the full fact table
+    assert(kept.length < total * 0.5,
+      s"bloom kept ${kept.length} of $total — no real pruning")
+    // (c) false-positive rate: non-matching keepers over non-matching
+    // total, against the (1-e^(-kn/m))^k budget with generous headroom
+    val fp = kept.count(r => !matchKeys(r.getLong(1))).toDouble
+    val fpr = fp / (total - trueMatches).toDouble
+    val n = matchKeys.size.toDouble
+    val budget = math.pow(1.0 - math.exp(-5.0 * n / 65536.0), 5.0)
+    assert(fpr <= budget * 4 + 1e-6, s"FPR $fpr exceeds 4x analytic budget $budget")
+    // (d) filtered-then-joined == plain join (the q234 oracle restated
+    // on the row level, not just the aggregate)
+    val viaBloom = ScaleJoins.bloomPrefilter(orders, col("o_custkey"), dimKeys)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == plain)
+  }
+
   test("graft_dot is installable via SparkSessionExtensions") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
