@@ -152,7 +152,51 @@ object Scalars {
       .orderBy("c_mktsegment")
   }
 
+  /** q235: Jaro–Winkler fuzzy matching via the NATIVE
+    * [[graft.functions.JaroWinkler]] codegen Expression — top-3 most
+    * similar part names per probe part (10 probes, jw ≥ 0.8). The
+    * rank-normalized [0,1] companion to q90's levenshtein: edit
+    * distance penalizes long strings, JW is THE record-linkage metric
+    * (name/address matching) and Spark has no builtin — the gap that
+    * normally forces a UDF into the hot loop. The oracle is DuckDB's
+    * OWN `jaro_winkler_similarity` — two independent native
+    * implementations agreeing on every probe×corpus pair (the q221
+    * ASOF precedent at expression granularity; the 0.7-boost-threshold
+    * and empty-string contracts were probed empirically, not assumed).
+    *
+    * Scale: probe side bounded (10 rows, broadcast nested-loop — the
+    * q90 shape); the expression runs inside WholeStageCodegen over the
+    * corpus scan. Unbounded fuzzy SELF-join would need a blocking key
+    * first (q83's banded simhash or a phonetic key) — same rule as
+    * q11 vs q63. Ordering sorts the r6-rounded score (R5/R6: both
+    * engines rank the same 6dp value; ids break ties). */
+  private def q235(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(spark)
+    val parts = Tables(spark, sfDir, "part").select("p_partkey", "p_name")
+    val probe = parts.filter(col("p_partkey") <= 10)
+      .select(col("p_partkey").as("id_p"), col("p_name").as("name_p"))
+    val scored = broadcast(probe).crossJoin(
+        parts.select(col("p_partkey").as("id_c"), col("p_name").as("name_c")))
+      .filter(col("id_p") =!= col("id_c"))
+      .withColumn("jw", Tables.r6(expr("graft_jaro_winkler(name_p, name_c)")))
+      .filter(col("jw") >= 0.8)
+    val byJw = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_p").orderBy(col("jw").desc, col("id_c"))
+    scored.withColumn("rn", row_number().over(byJw).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("id_p", "id_c", "jw", "rn")
+      .orderBy("id_p", "rn")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q235_scalar_jaro_winkler", q235 _, Some(
+      "SELECT id_p, id_c, jw, rn FROM (" +
+        "SELECT id_p, id_c, jw, CAST(ROW_NUMBER() OVER (PARTITION BY id_p " +
+        "ORDER BY jw DESC, id_c) AS BIGINT) AS rn FROM (" +
+        "SELECT a.p_partkey AS id_p, b.p_partkey AS id_c, " +
+        Tables.r6sql("jaro_winkler_similarity(a.p_name, b.p_name)") + " AS jw " +
+        "FROM part a JOIN part b ON a.p_partkey <= 10 AND a.p_partkey <> b.p_partkey) " +
+        "WHERE jw >= 0.8) WHERE rn <= 3 ORDER BY id_p, rn")),
     Q("q29_scalar_string", q29 _, Some(
       "SELECT c_custkey, UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo, " +
         "TRIM(' pad ') AS trimmed, SUBSTRING(c_name, 1, 8) AS sub8, " +
