@@ -172,6 +172,14 @@ object Graft {
       leftKey: Column, rightKey: Column, saltBuckets: Int): DataFrame =
     plans.ScaleJoins.saltedJoin(left, right, leftKey, rightKey, saltBuckets)
 
+  /** Data-quality expectations runner (q236): evaluate named row-level
+    * predicate checks over `df` in ONE pass; returns per-check
+    * (check, n_rows, n_violations, violation_rate, pass). A NULL
+    * predicate result counts as a violation. */
+  def expectations(df: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame =
+    operators.StatsOps.expectationsOf(df, checks)
+
   /** Bloom semi-join prefilter (q234): prune `fact` to rows whose
     * `factKey` might appear in the single-column `dimKeys` frame — no
     * false negatives, constant-size broadcast mask, non-matching fact

@@ -403,7 +403,156 @@ object StatsOps {
       .orderBy("decile")
   }
 
+  /** The generic data-quality expectations runner behind q236, exposed
+    * as [[graft.Graft.expectations]] — the Deequ/Great-Expectations
+    * contract check every production table gets before consumption: a
+    * named list of row-level predicates, evaluated in ONE corpus pass
+    * (a single aggregate with one count_if per check — N checks never
+    * cost N scans), unpivoted to a per-check verdict frame. A row where
+    * the predicate is NULL counts as a VIOLATION (three-valued logic:
+    * "not provably true" fails a quality gate; document, don't
+    * surprise). Output: (check_name, n_rows, n_violations,
+    * violation_rate, pass), ordered by check name.
+    *
+    * Scale: the only wide op is the 1-row global aggregate (map-side
+    * partials of N+1 longs); the unpivot explodes a constant-size
+    * array on that single row. Cost is one pruned scan regardless of
+    * how many checks ride along — the reason to batch expectations
+    * instead of firing one query per rule. */
+  private[graft] def expectationsOf(df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "expectations: need at least one (name, predicate) check")
+    require(checks.map(_._1).distinct.length == checks.length,
+      s"expectations: check names must be unique, got ${checks.map(_._1)}")
+    val viols = checks.map { case (nm, pred) =>
+      sum(when(pred, 0L).otherwise(1L)).as(s"graft_viol_$nm")
+    }
+    val one = df.agg(count(lit(1)).as("graft_total"), viols: _*)
+    val packed = checks.map { case (nm, _) =>
+      struct(lit(nm).as("check_name"), col(s"graft_viol_$nm").as("n_violations"))
+    }
+    one.select(col("graft_total"), explode(array(packed: _*)).as("c"))
+      .select(col("c.check_name"), col("graft_total").as("n_rows"),
+        col("c.n_violations"),
+        Tables.r6(col("c.n_violations").cast("double") /
+          col("graft_total").cast("double")).as("violation_rate"),
+        (col("c.n_violations") === 0L).as("pass"))
+      .orderBy("check_name")
+  }
+
+  /** q236: expectations suite over `orders` — six production-shaped
+    * rules (non-null key, positive amount, calendar range, two domain
+    * checks, and one DELIBERATELY failing cap) so both verdict paths
+    * are exercised; the failing rule's violation count is exact, not
+    * just boolean. Delegates to the facade primitive (q120→pageRank
+    * convention): ONE copy of the semantics, oracle-verified here. */
+  private def q236(spark: SparkSession, sfDir: String): DataFrame =
+    expectationsOf(Tables(spark, sfDir, "orders"), Seq(
+      "custkey_not_null" -> col("o_custkey").isNotNull,
+      "date_in_range" -> col("o_orderdate").cast("date")
+        .between(lit("1995-01-01").cast("date"), lit("2001-12-31").cast("date")),
+      "price_positive" -> (col("o_totalprice") > 0.0),
+      "price_under_400k" -> (col("o_totalprice") < 400000.0), // fails by design
+      "priority_domain" -> col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+      "status_domain" -> col("o_orderstatus").isin("F", "O", "P")))
+
+  /** Poisson-bootstrap geometry for q237: replicate count, and the
+    * Poisson(1) inverse-CDF as INTEGER thresholds on a 16-bit uniform —
+    * floor(cdf_k · 2¹⁶), computed ONCE here and interpolated into both
+    * engines, so replicate weights come from integer compares (no FP
+    * boundary can disagree). Draws ≥ t₄ collapse to weight 5 (tail mass
+    * ≈ 0.37%, identical truncation both sides). */
+  private val BootReps = 32
+  private val BootThresholds: Seq[Int] = {
+    val p0 = math.exp(-1.0)
+    val pmf = Seq.iterate(p0 -> 0, 5) { case (p, k) => (p / (k + 1), k + 1) }.map(_._1)
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * 65536.0).toInt)
+  }
+
+  /** q237: Poisson bootstrap — the distributed bootstrap (Chamandy et
+    * al., Google 2012; Kleiner's BLB cousin): classical resampling
+    * needs n draws WITH replacement from the whole dataset — a global
+    * operation no cluster can do row-locally — but Binomial(n, 1/n) →
+    * Poisson(1) as n grows, so each row independently contributes
+    * Poisson(1) copies to each replicate and the resample never
+    * materializes. Output: per replicate, effective n and the weighted
+    * mean order total — the spread ACROSS the 32 replicate means IS the
+    * sampling distribution of the mean (CI = its quantiles).
+    *
+    * Determinism (the q46-noise problem, solved the q109 way): the
+    * "random" weight is an md5-derived 16-bit uniform of
+    * (replicate, o_orderkey) compared against precomputed INTEGER
+    * thresholds ([[BootThresholds]]) — reproducible, seedable by the
+    * salt string, identical in DuckDB.
+    *
+    * Scale: ONE scan; the replicate explode fans out 32× but feeds
+    * straight into a map-side-combined keyed agg — the shuffle carries
+    * 32 partials per map task, not 32× the corpus. R replicates cost
+    * one scan + R·partitions wire rows; the naive alternative runs R
+    * full queries. */
+  private def q237(spark: SparkSession, sfDir: String): DataFrame = {
+    val Seq(t0, t1, t2, t3, t4) = BootThresholds
+    val u16 =
+      "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 + " +
+        "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(h, 4, 1)) - 1))"
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
+      .withColumn("h",
+        md5(concat(lit("boot:"), col("rep").cast("string"), lit(":"),
+          col("o_orderkey").cast("string"))))
+      .withColumn("w",
+        expr(s"CASE WHEN $u16 < $t0 THEN 0 WHEN $u16 < $t1 THEN 1 " +
+          s"WHEN $u16 < $t2 THEN 2 WHEN $u16 < $t3 THEN 3 " +
+          s"WHEN $u16 < $t4 THEN 4 ELSE 5 END").cast("bigint"))
+      .groupBy(col("rep").cast("bigint").as("rep"))
+      .agg(sum(col("w")).as("n_eff"),
+        Tables.meanD(sum(Tables.dec(col("w") * col("o_totalprice"))), sum(col("w")))
+          .as("mean_total"))
+      .orderBy("rep")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q237_stats_bootstrap", q237 _, Some {
+      val Seq(t0, t1, t2, t3, t4) = BootThresholds
+      val u16 =
+        "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + " +
+          "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + " +
+          "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substr(h, 4, 1)) - 1))"
+      s"WITH drawn AS (SELECT rep, o_totalprice, " +
+        s"CASE WHEN $u16 < $t0 THEN 0 WHEN $u16 < $t1 THEN 1 " +
+        s"WHEN $u16 < $t2 THEN 2 WHEN $u16 < $t3 THEN 3 " +
+        s"WHEN $u16 < $t4 THEN 4 ELSE 5 END AS w FROM (" +
+        s"SELECT o_orderkey, o_totalprice, unnest(range(0, $BootReps)) AS rep, " +
+        "md5('boot:' || CAST(unnest(range(0, " + BootReps + ")) AS VARCHAR) || ':' || " +
+        "CAST(o_orderkey AS VARCHAR)) AS h FROM orders)) " +
+        "SELECT CAST(rep AS BIGINT) AS rep, CAST(SUM(w) AS BIGINT) AS n_eff, " +
+        Tables.meanDSql("SUM(CAST(w * o_totalprice AS DECIMAL(18,4)))", "SUM(w)") +
+        " AS mean_total FROM drawn GROUP BY rep ORDER BY rep"
+    }),
+    Q("q236_quality_expectations", q236 _, Some {
+      val rules = Seq(
+        "custkey_not_null" -> "o_custkey IS NOT NULL",
+        "date_in_range" -> ("CAST(o_orderdate AS DATE) BETWEEN " +
+          "CAST('1995-01-01' AS DATE) AND CAST('2001-12-31' AS DATE)"),
+        "price_positive" -> "o_totalprice > 0.0",
+        "price_under_400k" -> "o_totalprice < 400000.0",
+        "priority_domain" -> ("o_orderpriority IN ('1-URGENT', '2-HIGH', " +
+          "'3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')"),
+        "status_domain" -> "o_orderstatus IN ('F', 'O', 'P')")
+      // same NULL-is-violation semantics: CASE WHEN pred THEN 0 ELSE 1
+      rules.map { case (nm, pred) =>
+        s"SELECT '$nm' AS check_name, (SELECT COUNT(*) FROM orders) AS n_rows, " +
+          s"CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) AS n_violations, " +
+          Tables.r6sql(s"CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)") +
+          s" AS violation_rate, " +
+          s"SUM(CASE WHEN $pred THEN 0 ELSE 1 END) = 0 AS pass FROM orders"
+      }.mkString(" UNION ALL ") + " ORDER BY check_name"
+    }),
     Q("q154_benford_audit", q154 _, Some(
       "WITH digits AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
         "COUNT(*) AS n_obs FROM orders GROUP BY 1), " +

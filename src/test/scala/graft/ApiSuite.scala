@@ -587,6 +587,24 @@ class ApiSuite extends AnyFunSuite {
     assert(got(1L) == 1.0 && got(2L) == 0.0 && got(3L) == 0.5)
   }
 
+  test("expectations: NULL predicate counts as violation, one pass, guards") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "c"), (4L, null))
+      .toDF("id", "tag")
+    val got = Graft.expectations(df, Seq(
+      "id_not_null" -> col("id").isNotNull,
+      "id_positive" -> (col("id") > 0), // NULL id → NULL predicate → violation
+      "tag_domain" -> col("tag").isin("a", "b", "c")))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got("id_not_null") == ((1L, false)))
+    assert(got("id_positive") == ((1L, false)), "NULL comparison must count as violation")
+    assert(got("tag_domain") == ((1L, false)), "NULL tag fails isin (3VL)")
+    intercept[IllegalArgumentException] { Graft.expectations(df, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Graft.expectations(df, Seq("x" -> lit(true), "x" -> lit(false)))
+    }
+  }
+
   test("bloomPrefilter keeps every match, rejects reserved columns") {
     import spark.implicits._
     val fact = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))

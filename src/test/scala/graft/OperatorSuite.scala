@@ -2087,6 +2087,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(sigs.head._1 == Tables(spark, sf, "nation").count())
   }
 
+  test("q237 bootstrap: Poisson(1) weights are unbiased, replicate spread brackets the mean") {
+    val rows = SparkEntry.queries("q237_stats_bootstrap")(spark, sf).collect()
+    assert(rows.length == 32)
+    val orders = Tables(spark, sf, "orders")
+    val n = orders.count()
+    val trueMean = orders.agg(org.apache.spark.sql.functions.avg("o_totalprice"))
+      .head().getDouble(0)
+    // E[Poisson(1)] = 1, Var = 1 ⇒ n_eff ~ n ± √n; allow 4σ per
+    // replicate (P(any of 32 exceeding) < 0.2% — a miss means broken
+    // thresholds, not luck). A constant relative tolerance would be σ-
+    // mis-scaled across SFs (5% is 6σ at 15k rows but only 1.9σ at 1.5k).
+    val tol = 4.0 * math.sqrt(n.toDouble)
+    rows.foreach { r =>
+      val nEff = r.getAs[Long]("n_eff")
+      assert(math.abs(nEff - n) <= tol, s"rep ${r.getLong(0)}: n_eff $nEff vs n $n (tol $tol)")
+    }
+    // the replicate means are draws of the sampling distribution of the
+    // mean — 32 of them bracket the true mean essentially surely
+    val means = rows.map(_.getAs[Double]("mean_total"))
+    assert(means.min <= trueMean && trueMean <= means.max,
+      s"true mean $trueMean outside replicate range [${means.min}, ${means.max}]")
+    // and they actually VARY (a constant column means the hash draw broke)
+    assert(means.distinct.length > 16)
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
