@@ -180,6 +180,14 @@ object Graft {
       checks: Seq[(String, Column)]): DataFrame =
     operators.StatsOps.expectationsOf(df, checks)
 
+  /** One-pass column profiler (q238): per column, row/null/distinct
+    * counts, uniqueness, and numeric min/max (dates as days-since-
+    * epoch; strings NULL). Defaults to HLL distincts — the mergeable
+    * no-row-expansion path for big tables; pass `approxDistinct =
+    * false` for exact counts at maintenance cadence. */
+  def profile(df: DataFrame, approxDistinct: Boolean = true): DataFrame =
+    operators.StatsOps.profileOf(df, approxDistinct)
+
   /** Bloom semi-join prefilter (q234): prune `fact` to rows whose
     * `factKey` might appear in the single-column `dimKeys` frame — no
     * false negatives, constant-size broadcast mask, non-matching fact

@@ -515,7 +515,83 @@ object StatsOps {
       .orderBy("rep")
   }
 
+  /** The generic one-pass column profiler behind q238, exposed as
+    * [[graft.Graft.profile]] — the "describe this table" maintenance
+    * operator (Deequ's ColumnProfiler shape): per column, row/null
+    * counts, distinct count, uniqueness verdict, and numeric min/max
+    * under a PORTABLE normalization (integers/doubles as double, r6;
+    * date/timestamp as days-since-epoch; strings → NULL — string
+    * min/max is deliberately omitted: cross-engine value FORMATTING of
+    * doubles/timestamps-as-text is not contractual, §2.9 R2/R3 spirit).
+    *
+    * `approxDistinct = true` (the 100 TB default) uses
+    * approx_count_distinct — one pass, mergeable HLL state, no row
+    * expansion. `false` uses exact countDistinct: Spark plans the
+    * multi-distinct agg via EXPAND (rows × #profiled columns into the
+    * shuffle) — acceptable at maintenance cadence and required for the
+    * q238 oracle, which is exactly why the flag defaults to the sketch
+    * path for library callers. */
+  private[graft] def profileOf(df: DataFrame, approxDistinct: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(df.columns.nonEmpty, "profile: frame has no columns")
+    val numOf: StructField => Option[Column] = f => f.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+           _: DoubleType | _: FloatType | _: DecimalType =>
+        Some(col(f.name).cast("double"))
+      case _: DateType | _: TimestampType | _: TimestampNTZType =>
+        Some(unix_date(col(f.name).cast("date")).cast("double"))
+      case _ => None
+    }
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val nd = if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
+      val num = numOf(f)
+      Seq(count(c).as(s"graft_nn_${f.name}"), nd.as(s"graft_nd_${f.name}"),
+        num.map(min).getOrElse(lit(null).cast("double")).as(s"graft_mn_${f.name}"),
+        num.map(max).getOrElse(lit(null).cast("double")).as(s"graft_mx_${f.name}"))
+    }
+    val one = df.agg(count(lit(1)).as("graft_total"), aggs.toIndexedSeq: _*)
+    val packed = df.schema.fields.map { f =>
+      struct(lit(f.name).as("column_name"),
+        col(s"graft_nn_${f.name}").as("n_nonnull"),
+        col(s"graft_nd_${f.name}").as("n_distinct"),
+        Tables.r6(col(s"graft_mn_${f.name}")).as("min_num"),
+        Tables.r6(col(s"graft_mx_${f.name}")).as("max_num"))
+    }
+    one.select(col("graft_total"), explode(array(packed.toIndexedSeq: _*)).as("c"))
+      .select(col("c.column_name"), col("graft_total").as("n_rows"),
+        (col("graft_total") - col("c.n_nonnull")).as("n_nulls"),
+        col("c.n_distinct"),
+        (col("c.n_distinct") === col("c.n_nonnull") && col("c.n_nonnull") > 0)
+          .as("is_unique"),
+        col("c.min_num"), col("c.max_num"))
+      .orderBy("column_name")
+  }
+
+  /** q238: column profile of `orders` — exact-distinct variant so the
+    * DuckDB oracle can hash-match (see [[profileOf]] for why library
+    * callers default to the HLL path). */
+  private def q238(spark: SparkSession, sfDir: String): DataFrame =
+    profileOf(Tables(spark, sfDir, "orders"), approxDistinct = false)
+
   val entries: Seq[Q] = Seq(
+    Q("q238_profile_columns", q238 _, Some {
+      val cols = Seq( // (name, numeric normalization or NULL)
+        "o_orderkey" -> "CAST(o_orderkey AS DOUBLE)",
+        "o_custkey" -> "CAST(o_custkey AS DOUBLE)",
+        "o_orderstatus" -> "CAST(NULL AS DOUBLE)",
+        "o_totalprice" -> "CAST(o_totalprice AS DOUBLE)",
+        "o_orderdate" -> "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)",
+        "o_orderpriority" -> "CAST(NULL AS DOUBLE)")
+      cols.map { case (nm, num) =>
+        s"SELECT '$nm' AS column_name, COUNT(*) AS n_rows, " +
+          s"COUNT(*) - COUNT($nm) AS n_nulls, " +
+          s"COUNT(DISTINCT $nm) AS n_distinct, " +
+          s"COUNT(DISTINCT $nm) = COUNT($nm) AND COUNT($nm) > 0 AS is_unique, " +
+          Tables.r6sql(s"MIN($num)") + " AS min_num, " +
+          Tables.r6sql(s"MAX($num)") + " AS max_num FROM orders"
+      }.mkString(" UNION ALL ") + " ORDER BY column_name"
+    }),
     Q("q237_stats_bootstrap", q237 _, Some {
       val Seq(t0, t1, t2, t3, t4) = BootThresholds
       val u16 =

@@ -459,7 +459,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"),
         explode(expr(s"filter(ts, t -> t IN ($qTerms))")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint(true) // hit-sized; the df agg AND the scoring read it
+    // tf is one row per (doc, term) already — a plain count IS the
+    // document frequency; countDistinct here would plan a second
+    // dedup exchange for nothing (PlanShapeSuite pins the 3-exchange
+    // shape: tf, df, per-doc score)
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = tf
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(stats))

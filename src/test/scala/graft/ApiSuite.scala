@@ -605,6 +605,23 @@ class ApiSuite extends AnyFunSuite {
     }
   }
 
+  test("profile: null accounting, uniqueness, numeric norms; HLL path runs") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "x", 2.5), (2L, "x", null), (null, "y", 7.0), (4L, null, 2.5))
+      .toDF("id", "tag", "v")
+    val got = Graft.profile(df, approxDistinct = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("id").getLong(1) == 4 && got("id").getLong(2) == 1) // n_rows, n_nulls
+    assert(got("id").getLong(3) == 3 && got("id").getBoolean(4)) // distinct, unique
+    assert(got("tag").getLong(3) == 2 && !got("tag").getBoolean(4))
+    assert(got("v").getDouble(5) == 2.5 && got("v").getDouble(6) == 7.0)
+    assert(got("tag").isNullAt(5) && got("tag").isNullAt(6)) // strings: no min/max
+    // the scale path must produce the same shape (values approximate)
+    val hll = Graft.profile(df).collect()
+    assert(hll.length == 3 && hll.forall(_.getLong(1) == 4))
+  }
+
   test("bloomPrefilter keeps every match, rejects reserved columns") {
     import spark.implicits._
     val fact = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))

@@ -443,4 +443,43 @@ class PlanShapeSuite extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"signature projection must be narrow (no Exchange):\n$plan")
   }
+
+  test("q232 BM25: top-k is a TakeOrdered, stats/df broadcast, one tf exchange") {
+    val qe = SparkEntry.queries("q232_text_bm25")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the top-20 must be a distributed TakeOrdered — a global Sort over
+    // scored docs is the 100× killer the Scaladoc rules out
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q232 must plan a TakeOrdered for its top-k:\n$plan")
+    // (N, avgdl) and the per-term df join both broadcast (never shuffle
+    // the corpus side); the only hash exchanges are the (doc,term) tf
+    // count and the per-doc score sum
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"q232 stats/df must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q232 must not shuffle-join the corpus:\n$plan")
+    val nKeyExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nKeyExchanges <= 3,
+      s"q232: expected tf + df + score exchanges at most, got $nKeyExchanges:\n$plan")
+  }
+
+  test("q234 bloom: mask broadcasts once; fact filter sits under the exact join") {
+    val qe = SparkEntry.queries("q234_join_bloom_prefilter")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the 1-row mask arrives via a broadcast nested-loop (crossJoin of a
+    // single row); the membership test must appear as a Filter BELOW the
+    // exact join — textual order in the tree printout: the bit-arithmetic
+    // filter line is indented deeper than (printed after) the final join
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q234 must broadcast the mask row:\n$plan")
+    val joinAt = plan.indexOf("Join")
+    val filterAt = plan.indexOf("shiftright")
+    assert(filterAt > joinAt && joinAt >= 0,
+      s"q234: bloom bit-filter must sit under (after) the join in the tree:\n$plan")
+    // and no unbounded cartesian anywhere beyond that 1-row mask ship
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"q234: exactly one (1-row) BNLJ expected:\n$plan")
+  }
 }
