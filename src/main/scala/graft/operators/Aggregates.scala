@@ -408,7 +408,36 @@ object Aggregates {
       .orderBy("month")
   }
 
+  /** q239: top-k per group via the bounded-state
+    * [[graft.functions.TopKByScore]] Aggregator — top-3 orders by total
+    * per priority, same answer as q20's rank-window idiom but with the
+    * SCALE-correct plan: the window form sorts every group's full row
+    * set inside each shuffle partition and then discards all but k; the
+    * Aggregator keeps O(k) state per group per map task, combines
+    * map-side, and ships ≤ k pairs per (task, group) through the
+    * shuffle. On a 100 TB fact with heavy groups that is the difference
+    * between a spilling sort and kilobytes of state. Determinism: the
+    * (score desc, id asc) order is total (id unique), so the kept set
+    * is merge-tree-independent (class doc) and the oracle is the plain
+    * ROW_NUMBER formulation. */
+  private def q239(spark: SparkSession, sfDir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    Tables(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("bigint").as("rn"),
+        col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q239_agg_topk_bounded", q239 _, Some(
+      "SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_orderpriority, rn")),
     Q("q230_agg_rollup_navigation", q230 _, Some(
       "WITH daily AS (SELECT SUBSTR(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) " +
         "AS month, CAST(o_orderdate AS DATE) AS day, " +

@@ -211,6 +211,27 @@ class FunctionsSuite extends AnyFunSuite {
     assert(e.eval(null) == rows(0).getDouble(1))
   }
 
+  test("TopKByScore: equals sort-take on random data under any merge split") {
+    val agg = new graft.functions.TopKByScore(5)
+    val rnd = new Random(7)
+    for (_ <- 1 to 50) {
+      // duplicate scores on purpose — the id tiebreak must resolve them
+      val xs = List.fill(40)((rnd.nextInt(8).toDouble, rnd.nextLong().abs))
+        .distinctBy(_._2)
+      val expect = xs.sortBy { case (s, id) => (-s, id) }.take(5)
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(whole == expect)
+      // random 3-way split, merged in a random order
+      val shuffled = rnd.shuffle(xs)
+      val parts = shuffled.grouped(math.max(shuffled.length / 3, 1)).toList
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(parts).reduce(agg.merge)
+      assert(merged == expect, "merge tree changed the kept set")
+    }
+    assert(agg.reduce(agg.zero, (1.0, 9L)) == List((1.0, 9L)))
+    intercept[IllegalArgumentException] { new graft.functions.TopKByScore(0) }
+  }
+
   test("determinism double-run: representative queries byte-identical") {
     for (name <- Seq("q05_join_shuffle", "q12_agg_hash", "q44_anon_entropy_ldiv",
         "q50_dedup_minhash", "q60_dedup_simhash", "q63_ann_ivf",
