@@ -180,6 +180,14 @@ object Graft {
       checks: Seq[(String, Column)]): DataFrame =
     operators.StatsOps.expectationsOf(df, checks)
 
+  /** Bounded-state top-k per group (q239): k best (score, id) rows per
+    * group under (score desc, id asc) — O(k) mergeable state instead of
+    * the rank window's full per-group sort. `id` must be unique (it is
+    * the total-order tiebreak). Output: groupCols + (rn, id, score). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      score: Column, id: Column, k: Int): DataFrame =
+    operators.Aggregates.topKPerGroupOf(df, groupCols, score, id, k)
+
   /** One-pass column profiler (q238): per column, row/null/distinct
     * counts, uniqueness, and numeric min/max (dates as days-since-
     * epoch; strings NULL). Defaults to HLL distincts — the mergeable

@@ -420,16 +420,31 @@ object Aggregates {
     * (score desc, id asc) order is total (id unique), so the kept set
     * is merge-tree-independent (class doc) and the oracle is the plain
     * ROW_NUMBER formulation. */
-  private def q239(spark: SparkSession, sfDir: String): DataFrame = {
-    val topk = udaf(new graft.functions.TopKByScore(3))
-    Tables(spark, sfDir, "orders")
-      .groupBy("o_orderpriority")
-      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
-      .select(col("o_orderpriority"), posexplode(col("top")))
-      .select(col("o_orderpriority"), (col("pos") + 1).cast("bigint").as("rn"),
-        col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
-      .orderBy("o_orderpriority", "rn")
+  /** The generic bounded top-k primitive behind q239, exposed as
+    * [[graft.Graft.topKPerGroup]]: any frame, any group columns, a
+    * double-valued score and a UNIQUE long id (the tiebreak — the
+    * uniqueness contract is what makes the kept set total-ordered and
+    * merge-tree-independent). Output: groupCols + (rn, id, score),
+    * rn 1-based by (score desc, id asc), ordered by group + rn. */
+  private[graft] def topKPerGroupOf(df: DataFrame, groupCols: Seq[String],
+      score: Column, id: Column, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "topKPerGroup: need at least one group column")
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val gs = groupCols.map(col)
+    df.groupBy(gs: _*)
+      .agg(topk(score.cast("double"), id.cast("bigint")).as("graft_top"))
+      .select(gs :+ posexplode(col("graft_top")): _*)
+      .select(gs ++ Seq((col("pos") + 1).cast("bigint").as("rn"),
+        col("col._2").as("id"), col("col._1").as("score")): _*)
+      .orderBy(gs :+ col("rn"): _*)
   }
+
+  private def q239(spark: SparkSession, sfDir: String): DataFrame =
+    // delegates to the facade primitive (q120→pageRank convention)
+    topKPerGroupOf(Tables(spark, sfDir, "orders"), Seq("o_orderpriority"),
+      col("o_totalprice"), col("o_orderkey"), 3)
+      .withColumnRenamed("id", "o_orderkey")
+      .withColumnRenamed("score", "o_totalprice")
 
   val entries: Seq[Q] = Seq(
     Q("q239_agg_topk_bounded", q239 _, Some(

@@ -523,7 +523,69 @@ object NearDup {
       "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
       "FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
 
+  /** Jaro–Winkler acceptance threshold for q240 — the closest observed
+    * name-pair score on the fixed vocabulary sits 3e-3 away (0.893), so
+    * the r6-rounded comparison has no boundary hazard. */
+  private val ErJwThresh = 0.89
+
+  /** q240: entity resolution end-to-end — the record-linkage capstone
+    * composing three verified pieces: BLOCK (first name token) →
+    * MATCH (native `graft_jaro_winkler` ≥ 0.89 within block, q235's
+    * Expression) → CLUSTER (the q76 connected-components loop over the
+    * match graph) → label every part with its entity (= min partkey of
+    * the cluster) and the entity's member count. The catalog-dedup /
+    * customer-360 pipeline shape (Fellegi–Sunter blocking tradition).
+    *
+    * THE scale decision: fuzzy matching runs on the DISTINCT NAME
+    * domain (q222's collapse-before-join rule — the vocabulary is ~64
+    * names at every SF while parts grow without bound), so pair
+    * generation is value-domain² within blocks, not corpus²; the
+    * corpus only re-attaches by a name equi-join against the bounded,
+    * broadcastable label frame. Determinism: entity ids are min
+    * partkey (no RNG), the match score is r6-rounded before the
+    * threshold compare (both engines rank the same 6dp value), and the
+    * CC fixpoint is unique. Oracle: DuckDB mirrors the blocks + its own
+    * jaro_winkler + a WITH RECURSIVE min-label closure — cross-engine
+    * agreement of two native linkage stacks end-to-end. */
+  private def q240(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(spark)
+    val parts = Tables(spark, sfDir, "part").select("p_partkey", "p_name")
+    val nameIds = parts.groupBy("p_name").agg(min("p_partkey").as("nid"))
+      .localCheckpoint(true) // value-domain-sized; edges + re-attach read it
+    val b = nameIds.withColumn("blk", split(col("p_name"), " ").getItem(0))
+    val edges = b.select(col("nid").as("id_a"), col("p_name").as("na"), col("blk"))
+      .join(b.select(col("nid").as("id_b"), col("p_name").as("nb"), col("blk")), "blk")
+      .filter(col("id_a") < col("id_b"))
+      .filter(Tables.r6(expr("graft_jaro_winkler(na, nb)")) >= ErJwThresh)
+      .select("id_a", "id_b")
+    val labels = LLMPipeline.ccLabels(edges)._1 // (doc_id, comp), edge vertices only
+    val entity = nameIds
+      .join(broadcast(labels.withColumnRenamed("doc_id", "nid")), Seq("nid"), "left")
+      .select(col("p_name"), coalesce(col("comp"), col("nid")).as("entity"))
+    val labeled = parts.join(broadcast(entity), "p_name")
+    val sizes = labeled.groupBy("entity").agg(count(lit(1)).as("n_members"))
+    labeled.join(broadcast(sizes), "entity")
+      .select("p_partkey", "p_name", "entity", "n_members")
+      .orderBy("p_partkey")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q240_entity_resolution", q240 _, Some(
+      "WITH RECURSIVE nid AS (SELECT p_name, MIN(p_partkey) AS nid " +
+        "FROM part GROUP BY p_name), " +
+        "b AS (SELECT p_name, nid, str_split(p_name, ' ')[1] AS blk FROM nid), " +
+        "e AS (SELECT a.nid AS ida, c.nid AS idb FROM b a JOIN b c " +
+        "ON a.blk = c.blk AND a.nid < c.nid " +
+        s"WHERE ${Tables.r6sql("jaro_winkler_similarity(a.p_name, c.p_name)")} >= $ErJwThresh), " +
+        "sym AS (SELECT ida AS a, idb AS bb FROM e UNION ALL SELECT idb, ida FROM e), " +
+        "comp(id, lbl) AS (SELECT nid, nid FROM nid " +
+        "UNION SELECT s.bb, c.lbl FROM comp c JOIN sym s ON s.a = c.id), " +
+        "ent AS (SELECT id, MIN(lbl) AS entity FROM comp GROUP BY id), " +
+        "labeled AS (SELECT p.p_partkey, p.p_name, ent.entity " +
+        "FROM part p JOIN nid USING (p_name) JOIN ent ON nid.nid = ent.id), " +
+        "sizes AS (SELECT entity, COUNT(*) AS n_members FROM labeled GROUP BY entity) " +
+        "SELECT p_partkey, p_name, entity, n_members FROM labeled " +
+        "JOIN sizes USING (entity) ORDER BY p_partkey")),
     Q("q60_dedup_simhash", q60 _, Some(
       simhashSql + " SELECT doc_id, simhash FROM sh ORDER BY doc_id")),
     Q("q83_dedup_simhash_pairs", q83 _, Some(

@@ -622,6 +622,21 @@ class ApiSuite extends AnyFunSuite {
     assert(hll.length == 3 && hll.forall(_.getLong(1) == 4))
   }
 
+  test("topKPerGroup: k best per group, score ties resolved by id") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5.0, 1L), ("a", 5.0, 2L), ("a", 3.0, 3L), ("a", 9.0, 4L),
+      ("b", 1.0, 5L)).toDF("g", "s", "i")
+    val got = Graft.topKPerGroup(df, Seq("g"), col("s"), col("i"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 4L, 9.0), ("a", 2L, 1L, 5.0), // tie 5.0: id 1 beats id 2
+      ("b", 1L, 5L, 1.0))) // short group: fewer than k rows kept
+    intercept[IllegalArgumentException] {
+      Graft.topKPerGroup(df, Seq.empty, col("s"), col("i"), 2)
+    }
+  }
+
   test("bloomPrefilter keeps every match, rejects reserved columns") {
     import spark.implicits._
     val fact = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))

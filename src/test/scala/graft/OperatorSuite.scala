@@ -76,8 +76,16 @@ class OperatorSuite extends AnyFunSuite {
                                  // audited candidate pair)
       "q228_eval_multiclass",    // micro-accuracy 1-row fold over the
                                  // ≤(k+1)-class frame
-      "q231_scan_codecs")        // three per-codec 1-row checksum folds
+      "q231_scan_codecs",        // three per-codec 1-row checksum folds
                                  // over the 25-row roundtrip table
+      "q232_text_bm25",          // (N, avgdl) corpus-stats 1-row aggregate
+      "q234_join_bloom_prefilter", // the Bloom MASK build: one map row per
+                                 // partition merges into the single 8 KB
+                                 // map — bounded by design, and the whole
+                                 // point (constant-size broadcast)
+      "q236_quality_expectations", // the ONE N-check grand aggregate —
+                                 // 1-row by design, map-side combined
+      "q238_profile_columns")    // same shape: one grand profile aggregate
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
@@ -99,7 +107,7 @@ class OperatorSuite extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q14_agg_approx_distinct", "q111_agg_sketch_distinct",
       "q112_agg_sketch_quantile", "q113_agg_sketch_overlap",
-      "q123_agg_heavy_hitters"), s"unexpected: $noOracle")
+      "q123_agg_heavy_hitters", "q233_agg_sketch_countmin"), s"unexpected: $noOracle")
   }
 
   test("entry() returns rows") {
