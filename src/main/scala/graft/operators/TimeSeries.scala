@@ -692,7 +692,56 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** q241: trailing 7-day rolling DISTINCT users per day — the DAU/WAU
+    * engagement curve. Distinct-over-a-sliding-window is the one rolling
+    * metric the window-frame family (q23/q138/q155) cannot express:
+    * COUNT(DISTINCT) OVER (RANGE ...) is unsupported on both engines,
+    * and per-day distincts don't add across days. The distributed
+    * formulation: collapse to DISTINCT (day, user) once (corpus →
+    * active-pairs, the bounded frame), CONTRIBUTE each pair to the 7
+    * window positions it covers (constant fan-out 7 on the bounded
+    * frame, not the corpus), dedup (user may appear on several source
+    * days inside one window), and count per target day. Emitted days
+    * are restricted to days that exist in the data (semi-join against
+    * the distinct day frame) so windows never extend past the series.
+    *
+    * Scale: the corpus collapses ONCE; everything after runs on
+    * |active-pairs| ≤ users × days. At 100 TB the same shape holds —
+    * and when even active-pairs is too big, the q111 HLL path replaces
+    * exactness: daily sketches materialize once and ANY window is a
+    * union of 7 sketches (the mergeability argument; SketchSuite's
+    * merge identity). Both paths exist in the library; this query is
+    * the exact one, hence oracle-checkable. */
+  private def q241(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select(expr("ts_us DIV 86400000000").as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint(true) // bounded active-pairs frame; both uses below
+    val realDays = pairs.select("day").distinct()
+    val daily = pairs.groupBy("day").agg(count(lit(1)).as("n_users_1d"))
+    pairs
+      .select(explode(sequence(lit(0L), lit(6L))).as("off"), col("day"), col("user_id"))
+      .select((col("day") + col("off")).as("day"), col("user_id"))
+      .distinct()
+      .join(realDays, "day") // drop window positions past the series end
+      .groupBy("day").agg(count(lit(1)).as("n_users_7d"))
+      .join(daily, "day")
+      .select("day", "n_users_1d", "n_users_7d")
+      .orderBy("day")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q241_rolling_distinct", q241 _, Some(
+      "WITH pairs AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, " +
+        "user_id FROM events), " +
+        "rd AS (SELECT DISTINCT day FROM pairs), " +
+        "daily AS (SELECT day, COUNT(*) AS n_users_1d FROM pairs GROUP BY day), " +
+        "win AS (SELECT DISTINCT day + off AS day, user_id FROM pairs " +
+        "CROSS JOIN (SELECT unnest(range(0, 7)) AS off)), " +
+        "w7 AS (SELECT w.day, COUNT(*) AS n_users_7d FROM win w " +
+        "JOIN rd ON w.day = rd.day GROUP BY w.day) " +
+        "SELECT day, n_users_1d, n_users_7d FROM w7 JOIN daily USING (day) " +
+        "ORDER BY day")),
     Q("q227_user_streaks", q227 _, Some(
       "WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day " +
         "FROM events), " +
