@@ -574,7 +574,132 @@ object StatsOps {
   private def q238(spark: SparkSession, sfDir: String): DataFrame =
     profileOf(Tables(spark, sfDir, "orders"), approxDistinct = false)
 
+  /** q242: winsorized mean — per nation, customer balances clipped to
+    * the exact [P10, P90] band before averaging, with the raw mean
+    * riding along. The ROBUST-location member between q215 (MAD flags
+    * outliers) and q174 (IQR describes spread): winsorizing USES every
+    * row but caps tail leverage — the standard metric-hardening step
+    * for monitoring aggregates a single whale would otherwise move.
+    *
+    * Quantiles come from BoundedQuantiles (§2.9 R7 — histogram-bounded
+    * state, builtin `percentile` is banned; PlanShapeSuite's
+    * no-percentile probe covers this query). Determinism: the exact
+    * cuts are r6-QUANTIZED before clipping, so the clip compare and the
+    * clipped values are identical 6dp doubles on both engines; sums run
+    * in DECIMAL(18,6) — balances are 2dp-exact and the r6'd cuts
+    * 6dp-exact, so no double→decimal rounding ambiguity exists (the
+    * (18,4) default would round the cut values at the 4dp boundary,
+    * where half-rounding is NOT cross-engine contractual).
+    *
+    * Scale: checkpoint once (BQ scans the input 3×, the clip join
+    * once); the cuts frame is nation-bounded and broadcasts; the final
+    * agg is one keyed fold. */
+  private def q242(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir, "customer")
+      .select(col("c_nationkey"), col("c_acctbal"))
+      .localCheckpoint(true)
+    val cuts = graft.plans.BoundedQuantiles.groupQuantiles(
+      base, Seq("c_nationkey"), col("c_acctbal"),
+      Seq(0.1, 0.9), Seq("p10c", "p90c"))
+      .select(col("c_nationkey"),
+        Tables.r6(col("p10c")).as("p10"), Tables.r6(col("p90c")).as("p90"))
+    val d6 = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    base.join(broadcast(cuts), "c_nationkey")
+      .select(col("c_nationkey"), col("p10"), col("p90"), col("c_acctbal"),
+        greatest(least(col("c_acctbal"), col("p90")), col("p10")).as("clipped"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), min("p10").as("p10"), min("p90").as("p90"),
+        Tables.r6(sum(d6(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("mean_raw"),
+        Tables.r6(sum(d6(col("clipped"))).cast("double") / count(lit(1)))
+          .as("mean_winsor"))
+      .orderBy("c_nationkey")
+  }
+
+  /** q243: per-segment revenue trend — ordinary least squares of daily
+    * order revenue on the day index, one (slope, intercept) per market
+    * segment. The GROUPED completion of q173's global log-log fit and
+    * the BI question q213's week-over-week ratio can't answer ("is this
+    * segment growing, and how fast per day"). Days are centered on the
+    * global series start before squaring (x ≤ series length, not
+    * ~11000), which keeps the DECIMAL moment sums well inside (38,·) at
+    * any SF — the classic numerical-hygiene shift, slope-invariant.
+    *
+    * Parity: x is an exact integer day offset, y the r6'd daily DECIMAL
+    * revenue; both quantize to DECIMAL(18,6) and the five moment sums
+    * are exact decimal arithmetic (§2.9 R1, the q173 recipe) — the
+    * closed form runs on identical values in both engines.
+    *
+    * Scale: ONE corpus join+agg to the (segment, day) bounded frame
+    * (calendar × 5 rows); moments and fit are keyed folds on it. */
+  private def q243(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("bigint").as("day"))
+      .agg(Tables.r6(sum(Tables.dec(col("o_totalprice"))).cast("double")).as("rev"))
+      .localCheckpoint(true) // bounded (calendar × segments); d0 + moments read it
+    val d0 = daily.agg(min("day").as("d0"))
+    // x stays an exact INTEGER decimal (DECIMAL(12,0)) and y a 6dp
+    // decimal: the explicit narrow precisions keep every product's
+    // result type inside both engines' decimal range (DuckDB does NOT
+    // auto-widen multiplication operands — (18,6)×(18,6) overflows)
+    val q6 = (c: Column) => Tables.r6(c).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val qx = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(12, 0))
+    val sums = daily.crossJoin(broadcast(d0))
+      .select(col("c_mktsegment"),
+        qx(col("day") - col("d0")).as("x"), q6(col("rev")).as("y"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val d = (c: Column) => c.cast("double")
+    val (n, sx, sxx, sy, sxy) =
+      (d(col("n_days")), d(col("sx")), d(col("sxx")), d(col("sy")), d(col("sxy")))
+    sums.select(col("c_mktsegment"), col("n_days"),
+      Tables.r6((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope_per_day"),
+      Tables.r6((sy * sxx - sx * sxy) / (n * sxx - sx * sx)).as("intercept"))
+      .orderBy("c_mktsegment")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q243_segment_trend", q243 _, Some {
+      val dn = "CAST(n_days AS DOUBLE)"
+      val dsx = "CAST(sx AS DOUBLE)"; val dsxx = "CAST(sxx AS DOUBLE)"
+      val dsy = "CAST(sy AS DOUBLE)"; val dsxy = "CAST(sxy AS DOUBLE)"
+      "WITH daily AS (SELECT c_mktsegment, " +
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day, " +
+        Tables.r6sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)") +
+        " AS rev FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2), " +
+        "d0 AS (SELECT MIN(day) AS d0 FROM daily), " +
+        "terms AS (SELECT c_mktsegment, " +
+        "CAST(day - d0 AS DECIMAL(12,0)) AS x, " +
+        s"CAST(${Tables.r6sql("rev")} AS DECIMAL(18,6)) AS y " +
+        "FROM daily CROSS JOIN d0), " +
+        "sums AS (SELECT c_mktsegment, COUNT(*) AS n_days, SUM(x) AS sx, " +
+        "SUM(x * x) AS sxx, SUM(y) AS sy, SUM(x * y) AS sxy " +
+        "FROM terms GROUP BY 1) " +
+        "SELECT c_mktsegment, n_days, " +
+        Tables.r6sql(s"($dn * $dsxy - $dsx * $dsy) / ($dn * $dsxx - $dsx * $dsx)") +
+        " AS slope_per_day, " +
+        Tables.r6sql(s"($dsy * $dsxx - $dsx * $dsxy) / ($dn * $dsxx - $dsx * $dsx)") +
+        " AS intercept FROM sums ORDER BY c_mktsegment"
+    }),
+    Q("q242_stats_winsorized", q242 _, Some(
+      "WITH cuts AS (SELECT c_nationkey, " +
+        Tables.r6sql("quantile_cont(c_acctbal, 0.1)") + " AS p10, " +
+        Tables.r6sql("quantile_cont(c_acctbal, 0.9)") + " AS p90 " +
+        "FROM customer GROUP BY c_nationkey), " +
+        "c AS (SELECT c_nationkey, c_acctbal, p10, p90, " +
+        "GREATEST(LEAST(c_acctbal, p90), p10) AS clipped " +
+        "FROM customer JOIN cuts USING (c_nationkey)) " +
+        "SELECT c_nationkey, COUNT(*) AS n, MIN(p10) AS p10, MIN(p90) AS p90, " +
+        Tables.r6sql("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)") +
+        " AS mean_raw, " +
+        Tables.r6sql("CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)") +
+        " AS mean_winsor FROM c GROUP BY c_nationkey ORDER BY c_nationkey")),
     Q("q238_profile_columns", q238 _, Some {
       val cols = Seq( // (name, numeric normalization or NULL)
         "o_orderkey" -> "CAST(o_orderkey AS DOUBLE)",
