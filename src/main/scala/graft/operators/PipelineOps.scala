@@ -232,9 +232,6 @@ object PipelineOps {
   private def q121(spark: SparkSession, sfDir: String): DataFrame = {
     val v1 = Tables(spark, sfDir, "customer").select("c_custkey", "c_acctbal")
     val kept = v1.filter(col("c_custkey") % 97 =!= 0)
-      .select(col("c_custkey"),
-        when(col("c_custkey") % 7 === 0, Tables.r6(col("c_acctbal") + lit(100.0)))
-          .otherwise(col("c_acctbal")).as("c_acctbal"))
     val inserted = v1.filter(col("c_custkey") % 101 === 0)
       .select((-col("c_custkey")).as("c_custkey"), col("c_acctbal"))
     val v2 = kept.unionByName(inserted)
@@ -428,7 +425,78 @@ object PipelineOps {
       .orderBy("event_id")
   }
 
+  /** Bucket count for the q244 digest comparison — the localization
+    * resolution: a flagged bucket narrows the expensive row-level diff
+    * to 1/64 of the table. */
+  private val MerkleBuckets = 64
+
+  /** q244: block-digest table comparison — the anti-entropy / Merkle
+    * answer to "are these two 100 TB snapshots equal, and if not,
+    * WHERE": both tables fold to `MerkleBuckets` order-insensitive
+    * bucket digests (count + two independent md5-derived hash sums per
+    * bucket), and only digest-mismatched buckets need q121's row-level
+    * full-outer diff — ONE map-side-combined aggregation per table and
+    * a 64-row compare replaces shuffling both tables on the key. The
+    * Cassandra/Dynamo reconciliation pattern in one query. Input: a
+    * SPARSE variant of q121's manufactured v2 (dropped %97 keys and
+    * inserted %101 negatives, without the dense %7 perturbation), so
+    * the localization is visible: ~2/3 of the buckets verify clean and
+    * the row-level diff would touch only the flagged third.
+    *
+    * Determinism: row hashes are md5 over integer-rendered fields
+    * (balance scaled ×10000 and rounded to an exact int — never a
+    * double→string render, which is not cross-engine contractual);
+    * per-bucket digests are SUMS of 7-hex-digit (28-bit) hash values —
+    * order-insensitive, overflow-free (≤ 2²⁸·rows), identical both
+    * engines. Negative inserted keys bucket via pmod. */
+  private def q244(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables(spark, sfDir, "customer").select("c_custkey", "c_acctbal")
+    val kept = v1.filter(col("c_custkey") % 97 =!= 0)
+    val inserted = v1.filter(col("c_custkey") % 101 === 0)
+      .select((-col("c_custkey")).as("c_custkey"), col("c_acctbal"))
+    val v2 = kept.unionByName(inserted)
+    def hex7(h: Column, from: Int) = (0 until 7).map { i =>
+      (expr(s"instr('0123456789abcdef', substring(h, ${from + i}, 1))") - 1) *
+        lit(1L << (4 * (6 - i)))
+    }.reduce(_ + _)
+    def digests(t: DataFrame) = t
+      .withColumn("h", md5(concat(col("c_custkey").cast("string"), lit(":"),
+        round(col("c_acctbal") * 10000).cast("bigint").cast("string"))))
+      .groupBy(pmod(col("c_custkey"), lit(MerkleBuckets)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(hex7(col("h"), 1)).as("s1"),
+        sum(hex7(col("h"), 8)).as("s2"))
+    digests(v1).select(col("bucket"), col("n").as("n_v1"),
+        col("s1").as("a1"), col("s2").as("a2"))
+      .join(digests(v2).select(col("bucket"), col("n").as("n_v2"),
+        col("s1").as("b1"), col("s2").as("b2")), Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        (col("n_v1") === col("n_v2") && col("a1") === col("b1") &&
+          col("a2") === col("b2")).as("digests_equal"))
+      .orderBy("bucket")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q244_table_merkle_diff", q244 _, Some {
+      def hex7sql(from: Int) = (0 until 7).map { i =>
+        s"(strpos('0123456789abcdef', substr(h, ${from + i}, 1)) - 1) * ${1L << (4 * (6 - i))}"
+      }.mkString(" + ")
+      def digests(src: String) =
+        s"SELECT c_custkey % $MerkleBuckets + CASE WHEN c_custkey % $MerkleBuckets < 0 " +
+          s"THEN $MerkleBuckets ELSE 0 END AS bucket, COUNT(*) AS n, " +
+          s"SUM(${hex7sql(1)}) AS s1, SUM(${hex7sql(8)}) AS s2 FROM (" +
+          "SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR) || ':' || " +
+          "CAST(CAST(ROUND(c_acctbal * 10000) AS BIGINT) AS VARCHAR)) AS h " +
+          s"FROM $src) GROUP BY 1"
+      "WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer), " +
+        "v2 AS (SELECT c_custkey, c_acctbal FROM v1 WHERE c_custkey % 97 <> 0 " +
+        "UNION ALL SELECT -c_custkey, c_acctbal FROM v1 WHERE c_custkey % 101 = 0), " +
+        s"d1 AS (${digests("v1")}), d2 AS (${digests("v2")}) " +
+        "SELECT COALESCE(d1.bucket, d2.bucket) AS bucket, " +
+        "COALESCE(d1.n, 0) AS n_v1, COALESCE(d2.n, 0) AS n_v2, " +
+        "d1.n = d2.n AND d1.s1 = d2.s1 AND d1.s2 = d2.s2 AS digests_equal " +
+        "FROM d1 FULL OUTER JOIN d2 ON d1.bucket = d2.bucket ORDER BY bucket"
+    }),
     Q("q77_text_tfidf", q77 _, Some(
       "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2), " +
@@ -545,9 +613,7 @@ object PipelineOps {
         "FROM scored ORDER BY user_id")),
     Q("q121_snapshot_diff", q121 _, Some(
       "WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer), " +
-        "v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 THEN " +
-        Tables.r6sql("c_acctbal + 100.0") + " ELSE c_acctbal END AS c_acctbal " +
-        "FROM v1 WHERE c_custkey % 97 <> 0 " +
+        "v2 AS (SELECT c_custkey, c_acctbal FROM v1 WHERE c_custkey % 97 <> 0 " +
         "UNION ALL SELECT -c_custkey, c_acctbal FROM v1 WHERE c_custkey % 101 = 0) " +
         "SELECT * FROM (" +
         "SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS key, " +
