@@ -78,6 +78,54 @@ class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
   }
 }
 
+/** Per-shard sketch snapshot for [[StreamOps.streamingSketch]]. */
+case class SketchSnapshot(shard: Long, n_items: Long, cells: Array[Long])
+
+/** [[SketchProcessor]]'s RocksDB state record (top-level: Spark cannot
+  * derive an Encoder for a processor-inner class). */
+case class CmState(n: Long, cells: Array[Long])
+
+/** Count–Min sketch AS STREAMING STATE — the incremental form of q233:
+  * one ValueState[Array[Long]] of depth×width cells per shard, updated
+  * with every arriving item, snapshot emitted after each batch. Because
+  * CM reduce/merge are exact integer sums (order-insensitive on any
+  * merge tree — SketchSuite's identity), the streaming fold over ANY
+  * batch arrival order lands on the SAME cells as one batch aggregation
+  * of the whole stream — the suite asserts bit-equality against
+  * `functions.CountMin` on the union of all batches. That is the
+  * mergeable-summary contract doing real work: sketch-in-state-store
+  * gives frequency estimates over an unbounded stream in constant
+  * memory, restart-safe under RocksDB.
+  *
+  * Sharding: the caller keys items to shards (hash mod S) so state
+  * updates parallelize; shard sketches element-wise-sum into the global
+  * one (the same merge the suite proves). */
+class SketchProcessor(depth: Int, width: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), SketchSnapshot] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[CmState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CmState]("cm",
+      org.apache.spark.sql.Encoders.product[CmState], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      tv: TimerValues): Iterator[SketchSnapshot] = {
+    val cur = if (st.exists()) st.get() else CmState(0L, new Array[Long](depth * width))
+    var n = cur.n
+    val cells = cur.cells.clone()
+    rows.foreach { case (_, v) =>
+      if (v != null) {
+        val pos = graft.functions.CountMin.positions(v, depth, width)
+        var i = 0
+        while (i < depth) { cells(i * width + pos(i)) += 1L; i += 1 }
+        n += 1L
+      }
+    }
+    st.update(CmState(n, cells))
+    Iterator.single(SketchSnapshot(key, n, cells))
+  }
+}
+
 /** Idle-user alert for [[StreamOps.idleAlerts]]. */
 case class IdleAlert(user_id: Long, last_seen_ms: Long, idle_at_ms: Long)
 
@@ -275,6 +323,22 @@ object StreamOps {
       .filter(_.event_type == "purchase")
       .groupByKey(_.user_id)
       .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming Count–Min over a stream of (shard, item) pairs (see
+    * [[SketchProcessor]]): per-shard cells in RocksDB state, one
+    * snapshot row per shard per batch. Shard sketches element-wise-sum
+    * into the stream-global sketch; StreamingSuite proves the final
+    * state is bit-identical to a batch `CountMin` over the union of all
+    * batches. */
+  def streamingSketch(items: Dataset[(Long, String)],
+      depth: Int = 4, width: Int = 1024): Dataset[SketchSnapshot] = {
+    import items.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    items
+      .groupByKey(_._1)
+      .transformWithState(new SketchProcessor(depth, width),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Idle-user detection via event-time timers (see

@@ -597,4 +597,46 @@ class StreamingSuite extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming Count-Min state equals one batch sketch of all arrivals (RocksDB)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (depth, width) = (4, 64)
+      val b1 = Seq("join", "join", "scan", "row", "join")
+      val b2 = Seq("scan", "vector", "join", "row")
+      def sharded(xs: Seq[String]) = xs.map(w => (math.abs(w.hashCode % 2).toLong, w))
+      val s = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.streamingSketch(s.toDS(), depth, width)
+        .toDF().writeStream.format("memory").queryName("cmstream")
+        .outputMode("append").start()
+      try {
+        s.addData(sharded(b1)); q.processAllAvailable()
+        s.addData(sharded(b2)); q.processAllAvailable()
+      } finally q.stop()
+      // LAST snapshot per shard = final state; shard sketches merge by
+      // element-wise sum (the SketchSuite identity) into the global one
+      val snaps = spark.table("cmstream").collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_items"),
+          r.getSeq[Long](2).toArray))
+      val finalPerShard = snaps.groupBy(_._1).map { case (_, xs) => xs.maxBy(_._2) }
+      val merged = finalPerShard.map(_._3)
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+      // one-shot batch sketch over the union of all arrivals
+      val cm = new functions.CountMin(depth, width)
+      val whole = (b1 ++ b2).foldLeft(cm.zero)(cm.reduce)
+      assert(java.util.Arrays.equals(merged, whole),
+        "streaming state must be bit-identical to the batch sketch")
+      assert(finalPerShard.map(_._2).sum == (b1 ++ b2).length)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
