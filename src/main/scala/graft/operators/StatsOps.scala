@@ -663,7 +663,50 @@ object StatsOps {
       .orderBy("c_mktsegment")
   }
 
+  /** q245: weekday seasonality profile — per weekday, mean daily order
+    * revenue and the seasonal index (weekday mean / overall daily
+    * mean): the multiplicative-decomposition baseline every ops
+    * dashboard and forecast de-trends with, and the missing link
+    * between q213 (same-weekday comparison assumes weekday effects
+    * exist) and q243 (the trend that remains after removing them).
+    *
+    * Weekday is pure integer arithmetic on the epoch day index
+    * ((day+4) % 7, 0 = Sunday; 1970-01-01 was a Thursday) — the
+    * `dayofweek` builtins differ in convention across engines (q31's
+    * documented trap), integer math cannot. One corpus agg to the
+    * calendar-bounded daily frame; the weekday fold and the 1-row
+    * global mean both run on it. */
+  private def q245(spark: SparkSession, sfDir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(datediff(col("o_orderdate").cast("date"), epoch)
+        .cast("bigint").as("day"))
+      .agg(sum(Tables.dec(col("o_totalprice"))).as("rev"))
+      .localCheckpoint(true) // calendar-bounded; weekday fold + global mean
+    val overall = daily.agg(Tables.meanD(sum(col("rev")), count(lit(1))).as("g"))
+    daily
+      .groupBy(pmod(col("day") + 4, lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        Tables.meanD(sum(col("rev")), count(lit(1))).as("avg_rev"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), col("avg_rev"),
+        Tables.r6(col("avg_rev") / col("g")).as("seasonal_index"))
+      .orderBy("dow")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q245_weekday_seasonality", q245 _, Some(
+      "WITH daily AS (SELECT date_diff('day', DATE '1970-01-01', " +
+        "CAST(o_orderdate AS DATE)) AS day, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
+        "FROM orders GROUP BY 1), " +
+        "overall AS (SELECT " + Tables.meanDSql("SUM(rev)", "COUNT(*)") +
+        " AS g FROM daily) " +
+        "SELECT (day + 4) % 7 AS dow, COUNT(*) AS n_days, " +
+        Tables.meanDSql("SUM(rev)", "COUNT(*)") + " AS avg_rev, " +
+        Tables.r6sql(s"${Tables.meanDSql("SUM(rev)", "COUNT(*)")} / g") +
+        " AS seasonal_index " +
+        "FROM daily CROSS JOIN overall GROUP BY 1, g ORDER BY dow")),
     Q("q243_segment_trend", q243 _, Some {
       val dn = "CAST(n_days AS DOUBLE)"
       val dsx = "CAST(sx AS DOUBLE)"; val dsxx = "CAST(sxx AS DOUBLE)"

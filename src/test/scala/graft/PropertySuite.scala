@@ -425,4 +425,25 @@ class PropertySuite extends AnyFunSuite {
       got == expect
     }, cases = 10)
   }
+
+  test("bloomPrefilter: no false negative for ANY keys, even at heavy bit load") {
+    import spark.implicits._
+    // bits deliberately tiny (256) so the mask saturates and false
+    // positives are common — the no-false-NEGATIVE guarantee is what
+    // must survive saturation; negative keys exercise the pmod paths
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))) { (factKeys, dimKeys) =>
+      val fact = factKeys.zipWithIndex
+        .map { case (k, i) => (k, i.toLong) }.toDF("k", "rid")
+      val dim = dimKeys.distinct.toDF("dk")
+      val kept = ScaleJoins.bloomPrefilter(fact, col("k"), dim,
+          bits = 256, hashes = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dimSet = dimKeys.toSet
+      val matches = factKeys.zipWithIndex
+        .collect { case (k, i) if dimSet(k) => (k, i.toLong) }.toSet
+      matches.subsetOf(kept)
+    }, cases = 8)
+  }
 }
