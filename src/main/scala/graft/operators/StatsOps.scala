@@ -694,7 +694,83 @@ object StatsOps {
       .orderBy("dow")
   }
 
+  /** Head size for the q246 Pareto analysis. */
+  private val ParetoHead = 100
+
+  /** q246: Pareto / revenue-concentration analysis — the top-100
+    * customers by lifetime revenue with each one's share of TOTAL
+    * revenue and the running cumulative share ("the top N customers
+    * carry X% of revenue" — the 80/20 readout every account-planning
+    * deck opens with). The whale-detection companion to q175's decile
+    * lift and q134's gini (which summarize concentration in one number;
+    * q246 names the actual heads).
+    *
+    * Scale: the per-customer rollup is one keyed agg; the head is a
+    * distributed TakeOrdered under the total (revenue desc, custkey)
+    * order — never a global sort — and the rank/cumsum window runs on
+    * the CONSTANT 100-row head (q179's bounded-window argument), with
+    * the grand total riding along as a 1-row broadcast. */
+  private def q246(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(Tables.dec(col("o_totalprice"))).as("rev"))
+      .localCheckpoint(true) // customer-bounded; head + grand total read it
+    val total = perCust.agg(sum(col("rev")).as("t"))
+    val head = perCust.orderBy(col("rev").desc, col("o_custkey")).limit(ParetoHead)
+    val byRev = Window.orderBy(col("rev").desc, col("o_custkey"))
+    head
+      .withColumn("rank", row_number().over(byRev).cast("bigint"))
+      .withColumn("cum_rev",
+        sum(col("rev")).over(byRev.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("o_custkey"),
+        Tables.r6(col("rev").cast("double")).as("revenue"),
+        Tables.r6(col("rev").cast("double") / col("t").cast("double")).as("share"),
+        Tables.r6(col("cum_rev").cast("double") / col("t").cast("double"))
+          .as("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** q247: daily latency-style quantile bands — exact P50/P90/P99 of
+    * event value per day, the SRE/monitoring percentile series every
+    * dashboard plots (and the time-axis completion of the quantile
+    * family: q19 is one group, q142 global bins, q174 per-nation —
+    * q247 is per-DAY, the axis dashboards actually use).
+    *
+    * Quantiles via BoundedQuantiles grouped by day (§2.9 R7 — the
+    * builtin percentile's unbounded buffer is banned; PlanShapeSuite's
+    * no-percentile probe covers this query). The day-keyed input is
+    * checkpointed once (BQ scans it 3×); output is calendar-bounded. */
+  private def q247(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(expr("ts_us DIV 86400000000").as("day"), col("value"))
+      .localCheckpoint(true)
+    graft.plans.BoundedQuantiles.groupQuantiles(
+        base, Seq("day"), col("value"),
+        Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"))
+      .select(col("day"), Tables.r6(col("p50")).as("p50"),
+        Tables.r6(col("p90")).as("p90"), Tables.r6(col("p99")).as("p99"))
+      .orderBy("day")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q247_daily_quantile_bands", q247 _, Some(
+      "SELECT epoch_us(ts) // 86400000000 AS day, " +
+        Tables.r6sql("quantile_cont(value, 0.5)") + " AS p50, " +
+        Tables.r6sql("quantile_cont(value, 0.9)") + " AS p90, " +
+        Tables.r6sql("quantile_cont(value, 0.99)") + " AS p99 " +
+        "FROM events GROUP BY 1 ORDER BY day")),
+    Q("q246_pareto_heads", q246 _, Some(
+      "WITH pc AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev " +
+        "FROM orders GROUP BY o_custkey), " +
+        "t AS (SELECT SUM(rev) AS t FROM pc), " +
+        s"head AS (SELECT o_custkey, rev FROM pc ORDER BY rev DESC, o_custkey LIMIT $ParetoHead) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS rank, " +
+        "o_custkey, " + Tables.r6sql("CAST(rev AS DOUBLE)") + " AS revenue, " +
+        Tables.r6sql("CAST(rev AS DOUBLE) / CAST(t AS DOUBLE)") + " AS share, " +
+        Tables.r6sql("CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(t AS DOUBLE)") +
+        " AS cum_share FROM head CROSS JOIN t ORDER BY rank")),
     Q("q245_weekday_seasonality", q245 _, Some(
       "WITH daily AS (SELECT date_diff('day', DATE '1970-01-01', " +
         "CAST(o_orderdate AS DATE)) AS day, " +

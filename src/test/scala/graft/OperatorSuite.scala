@@ -85,7 +85,13 @@ class OperatorSuite extends AnyFunSuite {
                                  // point (constant-size broadcast)
       "q236_quality_expectations", // the ONE N-check grand aggregate —
                                  // 1-row by design, map-side combined
-      "q238_profile_columns")    // same shape: one grand profile aggregate
+      "q238_profile_columns",    // same shape: one grand profile aggregate
+      "q246_pareto_heads",       // rank/cumsum window over the CONSTANT
+                                 // 100-row TakeOrdered head (q179 argument)
+      "q243_segment_trend",      // series-start (d0) 1-row min over the
+                                 // calendar-bounded daily frame
+      "q245_weekday_seasonality") // overall-mean 1-row fold over the same
+                                 // bounded daily frame
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution

@@ -111,7 +111,8 @@ class PlanShapeSuite extends AnyFunSuite {
     // aggregate anywhere — only ordinary hash aggregates and the
     // bucket-bounded windows
     for (name <- Seq("q19_agg_median", "q136_ab_test",
-        "q137_rfm_scoring", "q139_skew_report", "q242_stats_winsorized")) {
+        "q137_rfm_scoring", "q139_skew_report", "q242_stats_winsorized",
+        "q247_daily_quantile_bands")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
