@@ -730,7 +730,71 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Journey length cap and head size for q248. */
+  private val JourneySteps = 5
+  private val JourneyTop = 20
+
+  /** q248: top user journeys — the most frequent session-opening
+    * event-type paths (first 5 steps, '>'-joined) with session counts
+    * and share of all sessions. The product-analytics "common paths"
+    * view the funnel (q86) inverts: q86 checks ONE prescribed sequence,
+    * q248 DISCOVERS which sequences actually happen. Sessions are the
+    * q94/q227 convention — per user, a >30-minute µs gap opens a new
+    * session (gaps-and-islands running flag-sum, constant window
+    * state).
+    *
+    * Determinism: in-session order is the total (ts_us, event_id);
+    * paths assemble via sort_array(collect_list(struct(...))) — the
+    * repo's canonical order-insensitive collect (collect_list order is
+    * undefined; the sort makes it irrelevant). Scale: everything keys
+    * on user_id (ONE shuffle for sessionization + path build), the
+    * path-count agg is vocabulary-bounded (≤ |types|^5 distinct paths),
+    * and the head is a TakeOrdered. */
+  private def q248(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("sess",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = sessions
+      .groupBy("user_id", "sess")
+      .agg(expr("transform(sort_array(collect_list(" +
+        "struct(ts_us, event_id, event_type))), s -> s.event_type)").as("steps"))
+      .select(concat_ws(">", slice(col("steps"), 1, JourneySteps)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .localCheckpoint(true) // path-vocabulary-bounded; head + total read it
+    val total = paths.agg(sum(col("n_sessions")).as("t"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n_sessions"),
+        Tables.r6(col("n_sessions").cast("double") / col("t").cast("double"))
+          .as("share"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(JourneyTop)
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q248_journey_paths", q248 _, Some(
+      "WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type " +
+        "FROM events), " +
+        "flagged AS (SELECT user_id, ts_us, event_id, event_type, " +
+        "CASE WHEN ts_us - LAG(ts_us) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM ev), " +
+        "sess AS (SELECT user_id, ts_us, event_id, event_type, " +
+        "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM flagged), " +
+        "paths AS (SELECT array_to_string(" +
+        s"(list(event_type ORDER BY ts_us, event_id))[1:$JourneySteps], '>') AS path " +
+        "FROM sess GROUP BY user_id, sess), " +
+        "pc AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path), " +
+        "t AS (SELECT SUM(n_sessions) AS t FROM pc) " +
+        "SELECT path, n_sessions, " +
+        Tables.r6sql("CAST(n_sessions AS DOUBLE) / CAST(t AS DOUBLE)") + " AS share " +
+        "FROM pc CROSS JOIN t " +
+        s"ORDER BY n_sessions DESC, path LIMIT $JourneyTop")),
     Q("q241_rolling_distinct", q241 _, Some(
       "WITH pairs AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, " +
         "user_id FROM events), " +

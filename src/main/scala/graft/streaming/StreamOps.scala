@@ -126,6 +126,54 @@ class SketchProcessor(depth: Int, width: Int)
   }
 }
 
+/** Per-shard heavy-hitter snapshot for [[StreamOps.trendingItems]]. */
+case class TrendSnapshot(shard: Long, n_items: Long,
+    words: Array[String], estimates: Array[Long])
+
+/** [[TrendProcessor]]'s state record (top-level for Encoder derivation,
+  * the CmState convention). */
+case class MgState(n: Long, words: Array[String], counts: Array[Long])
+
+/** Misra–Gries heavy hitters AS STREAMING STATE — "trending items"
+  * without ever counting the full item universe: one k-bounded summary
+  * per shard in RocksDB, folded forward with each batch, snapshot
+  * emitted after every batch. Unlike the Count–Min cells
+  * ([[SketchProcessor]]), the MG summary's decrement step makes the
+  * kept SET depend on arrival order — which is exactly why the suite
+  * asserts the one thing arrival order cannot change: the MG error
+  * contract f − n/(k+1) ≤ est ≤ f against exact counts of everything
+  * that arrived (the telescoping per-fold bound in the
+  * [[graft.functions.MisraGries]] class doc applies verbatim to
+  * batch-by-batch folding — each fold is just more reduce steps).
+  *
+  * Scale: state is O(k) per shard regardless of stream length; the
+  * trending question ("what is hot NOW") usually composes this with a
+  * TTL or windowed restart so old mass ages out — TTLConfig is the
+  * knob, NONE here so the suite's bounds are exact. */
+class TrendProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), TrendSnapshot] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[MgState] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[MgState]("mg",
+      org.apache.spark.sql.Encoders.product[MgState], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      tv: TimerValues): Iterator[TrendSnapshot] = {
+    val mg = new graft.functions.MisraGries(k)
+    val cur = if (st.exists()) st.get() else MgState(0L, Array.empty, Array.empty)
+    var n = cur.n
+    var summary = cur.words.zip(cur.counts).toMap
+    rows.foreach { case (_, v) =>
+      if (v != null) { summary = mg.reduce(summary, v); n += 1L }
+    }
+    val sorted = summary.toSeq.sortBy { case (w, c) => (-c, w) }
+    st.update(MgState(n, sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+    Iterator.single(TrendSnapshot(key, n,
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
+}
+
 /** Idle-user alert for [[StreamOps.idleAlerts]]. */
 case class IdleAlert(user_id: Long, last_seen_ms: Long, idle_at_ms: Long)
 
@@ -339,6 +387,19 @@ object StreamOps {
       .groupByKey(_._1)
       .transformWithState(new SketchProcessor(depth, width),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming trending items over (shard, item) pairs (see
+    * [[TrendProcessor]]): a k-bounded Misra–Gries summary per shard in
+    * RocksDB state, current heavy hitters snapshot per batch.
+    * StreamingSuite asserts the MG error contract against exact counts
+    * of all arrivals. */
+  def trendingItems(items: Dataset[(Long, String)], k: Int = 16): Dataset[TrendSnapshot] = {
+    import items.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    items
+      .groupByKey(_._1)
+      .transformWithState(new TrendProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
   /** Idle-user detection via event-time timers (see

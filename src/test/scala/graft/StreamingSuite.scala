@@ -598,6 +598,50 @@ class StreamingSuite extends AnyFunSuite {
     }
   }
 
+  test("streaming trending items honor the Misra-Gries bounds across batches (RocksDB)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = 4
+      // a skewed stream on ONE shard: "hot" dominates, long tail churns
+      // the summary's decrement path across both batches
+      val b1 = Seq.fill(30)("hot") ++ Seq("a", "b", "c", "d", "e", "hot2", "hot2")
+      val b2 = Seq.fill(20)("hot") ++ Seq("f", "g", "h", "hot2", "hot2", "hot2")
+      val s = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.trendingItems(s.toDS(), k)
+        .toDF().writeStream.format("memory").queryName("trend")
+        .outputMode("append").start()
+      try {
+        s.addData(b1.map((0L, _))); q.processAllAvailable()
+        s.addData(b2.map((0L, _))); q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("trend").collect().maxBy(_.getAs[Long]("n_items"))
+      val n = last.getAs[Long]("n_items")
+      val all = b1 ++ b2
+      assert(n == all.length)
+      val exact = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val est = last.getSeq[String](2).zip(last.getSeq[Long](3)).toMap
+      // the arrival-order-independent MG contract: no overcount, total
+      // undercount ≤ n/(k+1); the dominant item must therefore survive
+      est.foreach { case (w, e) =>
+        val f = exact.getOrElse(w, 0L)
+        assert(e <= f, s"$w overcounted: $e > $f")
+        assert(f - e <= n / (k + 1), s"$w undercount ${f - e} > n/(k+1)")
+      }
+      assert(est.contains("hot"), "dominant item evicted from the summary")
+      assert(est("hot") >= exact("hot") - n / (k + 1))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming Count-Min state equals one batch sketch of all arrivals (RocksDB)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
