@@ -758,6 +758,33 @@ object Graft {
       plans.AsOfJoin(facts.queryExecution.analyzed, versions.queryExecution.analyzed))
   }
 
+  /** Native band (interval) join (q249): every left row paired with ALL
+    * right rows of the same key within ±`delta` of its time — the
+    * second custom physical operator ([[graft.plans.BandJoin]]): same
+    * ClusteredDistribution + (key, t) sort contract as
+    * [[asofJoinNative]], one forward sweep, window-sized state. Column
+    * contract: left leads with (key: long, t: long); right is exactly
+    * (key: long, t: long, v: string). Output = left ++ (t_match,
+    * v_match). Inner semantics: unmatched left rows emit nothing. */
+  def bandJoinNative(left: DataFrame, right: DataFrame, delta: Long): DataFrame = {
+    require(delta >= 0, s"bandJoinNative: delta $delta must be non-negative")
+    val l = left.schema.fields
+    val r = right.schema.fields
+    require(l.length >= 2 &&
+      l(0).dataType.typeName == "long" && l(1).dataType.typeName == "long",
+      s"bandJoinNative: left must lead with (key: long, t: long), got ${left.schema.simpleString}")
+    require(r.length == 3 &&
+      r(0).dataType.typeName == "long" && r(1).dataType.typeName == "long" &&
+      r(2).dataType.typeName == "string",
+      s"bandJoinNative: right must be (key: long, t: long, v: string), got ${right.schema.simpleString}")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(plans.BandJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.BandJoinStrategy
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      plans.BandJoin(left.queryExecution.analyzed, right.queryExecution.analyzed, delta))
+  }
+
   def pointInTimeJoin(facts: DataFrame, versions: DataFrame, ttl: Long): DataFrame = {
     require(ttl >= 0, s"pointInTimeJoin: ttl $ttl must be non-negative")
     val reg = versions.select(col("key"), col("t"), lit(0L).as("graft_kind"),

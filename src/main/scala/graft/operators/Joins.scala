@@ -398,6 +398,40 @@ object Joins {
       .orderBy("custkey", "ship_day", "l_orderkey", "l_linenumber")
   }
 
+  /** Band half-width for q249 (µs): ±4 hours — wide enough that the
+    * window buffer holds multiple candidates per click at test SFs
+    * (exercising the multi-match sweep, not just 0/1 windows). */
+  private val BandDeltaUs = 14400000000L
+
+  /** q249: NATIVE band join — every click paired with every purchase by
+    * the SAME user within ±10 minutes, via the second custom physical
+    * operator ([[graft.plans.BandJoin]] + Strategy + BandJoinExec; the
+    * q221 tier). The "events near events" interval shape: q10/q221
+    * carry ONE latest version forward, q249 emits the whole admissible
+    * WINDOW — what the declarative theta join (key-equi then band
+    * filter AFTER a full per-key fan-out) and the q205 bucket trick
+    * (3× explode + dedup) both approximate.
+    *
+    * Exec contract: ClusteredDistribution on the key + per-partition
+    * (key, t) sorts (SortMergeJoin's contract — free on bucketed/sorted
+    * layouts), then one forward sweep whose state is the rows inside a
+    * 2·delta span per key, never the key's row count. Oracle: the
+    * band theta join stated directly in SQL — the result sets must
+    * agree row-for-row (the two-native-engines pattern). */
+  private def q249(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("ts_us").as("t"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts_us").as("t"),
+        col("event_id").cast("string").as("v"))
+    graft.Graft.bandJoinNative(clicks, purchases, BandDeltaUs)
+      .select(col("key").as("user_id"), col("t").as("click_us"),
+        col("event_id").as("click_id"), col("t_match").as("purchase_us"),
+        col("v_match").as("purchase_id"))
+      .orderBy("user_id", "click_us", "click_id", "purchase_us", "purchase_id")
+  }
+
   /** q225: grid-bucketed spatial proximity join — all point pairs within
     * radius 5 on a synthetic 1000×1000 integer plane (coordinates
     * md5-derived from the customer key, so both engines construct the
@@ -472,6 +506,13 @@ object Joins {
   }
 
   val entries: Seq[Q] = Seq(
+    Q("q249_join_band_native", q249 _, Some(
+      "SELECT c.user_id, epoch_us(c.ts) AS click_us, c.event_id AS click_id, " +
+        "epoch_us(p.ts) AS purchase_us, CAST(p.event_id AS VARCHAR) AS purchase_id " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        s"AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= $BandDeltaUs " +
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "ORDER BY 1, 2, 3, 4, 5")),
     Q("q234_join_bloom_prefilter", q234 _, Some(
       // the Bloom is a pure pre-shuffle reduction: the exact join result
       // IS the plain selective join, which is what the oracle states

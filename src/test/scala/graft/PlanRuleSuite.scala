@@ -130,4 +130,39 @@ class PlanRuleSuite extends AnyFunSuite {
       .map(r => r.getLong(2) -> Option(r.getString(3))).toMap
     assert(m == Map(1L -> None, 2L -> Some("seven@10"), 3L -> Some("seven@10")))
   }
+
+  test("native band join: plans BandJoinExec; no exchange/sort on pre-shaped inputs") {
+    import spark.implicits._
+    // 1. the exec plans, co-partitioned, and the sweep is correct on a
+    //    window holding several candidates: key 2 rights at t = 0,4,8,12
+    //    with delta 5 ⇒ a left at t=6 must match t ∈ {4, 8} (and only those)
+    val lefts = Seq((2L, 6L, 1L), (2L, 20L, 2L), (3L, 6L, 3L)).toDF("key", "t", "left_id")
+    val rights = (0L until 16L by 4L).map(t => (2L, t, s"r$t")).toDF("key", "t", "v")
+    val got = Graft.bandJoinNative(lefts, rights, 5L)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BandJoin ["), s"custom exec not planned:\n$plan")
+    val rows = got.collect().map(r => (r.getLong(2), r.getString(4))).toSet
+    assert(rows == Set((1L, "r4"), (1L, "r8")), s"band sweep wrong: ${rows.toSeq}")
+    // 2. pre-shaped inputs: EnsureRequirements must add NOTHING (the
+    //    as-of probe's argument — bucketed layouts join as a map-side zip)
+    val bigL = (0L until 400L).map(i => (i % 5, i, i))
+      .toDF("key", "t", "left_id")
+      .repartition(col("key")).sortWithinPartitions("key", "t")
+    val bigR = (0L until 100L).map(i => (i % 5, i * 4, s"v$i"))
+      .toDF("key", "t", "v")
+      .repartition(col("key")).sortWithinPartitions("key", "t")
+    val shaped = Graft.bandJoinNative(bigL, bigR, 3L)
+    shaped.collect()
+    val p2 = shaped.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(p2).size == 2,
+      s"expected only the 2 explicit repartitions:\n$p2")
+    assert("\\bSort\\b".r.findAllIn(p2).size == 2,
+      s"expected only the 2 explicit sorts:\n$p2")
+    // 3. delta 0: exact (key, t) equality only
+    val d0 = Graft.bandJoinNative(
+        Seq((1L, 10L, 1L)).toDF("key", "t", "left_id"),
+        Seq((1L, 10L, "hit"), (1L, 11L, "miss")).toDF("key", "t", "v"), 0L)
+      .collect().map(_.getString(4)).toSeq
+    assert(d0 == Seq("hit"))
+  }
 }

@@ -426,6 +426,34 @@ class PropertySuite extends AnyFunSuite {
     }, cases = 10)
   }
 
+  test("native band join equals the brute-force band predicate on random sets") {
+    import spark.implicits._
+    // small key/time domains force key collisions, (key,t) ties on BOTH
+    // sides, empty keys, and windows holding several candidates at once
+    val gen = for {
+      nf <- Gen.choose(0, 50)
+      nv <- Gen.choose(0, 40)
+      d <- Gen.choose(0L, 10L)
+      fs <- Gen.listOfN(nf, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 40L)))
+      vs <- Gen.listOfN(nv, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 40L)))
+    } yield (fs, vs, d)
+    check(Prop.forAll(gen) { case (fs, vs, d) =>
+      val lefts = fs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rights = vs.zipWithIndex.map { case ((k, t), i) => (k, t, s"r$i") }
+      // brute force: the band theta predicate, as a multiset of matches
+      val expect = (for {
+        (k, t, id) <- lefts
+        (rk, rt, rv) <- rights
+        if rk == k && math.abs(rt - t) <= d
+      } yield (id, rt, rv)).groupBy(identity).view.mapValues(_.size).toMap
+      val got = Graft.bandJoinNative(
+          lefts.toDF("key", "t", "left_id"), rights.toDF("key", "t", "v"), d)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      got == expect
+    }, cases = 10)
+  }
+
   test("bloomPrefilter: no false negative for ANY keys, even at heavy bit load") {
     import spark.implicits._
     // bits deliberately tiny (256) so the mask saturates and false
