@@ -154,4 +154,44 @@ class ScalePathSuite extends AnyFunSuite {
       .getSeq[Double](0)
     assert(List(got.getDouble(0), got.getDouble(1)) == expect.toList)
   }
+
+  test("native band join equals the theta join on a hot key; faster at scale") {
+    import spark.implicits._
+    // ONE key (the skew worst case): the declarative form is an equi-join
+    // whose single hot partition materializes the n×m pair fan-out before
+    // the band filter touches it; the sweep's state is the ~delta/spacing
+    // window. Correctness (multiset equality) runs unconditionally; the
+    // wall-clock ratio only on a bench-class host (IVF-test convention).
+    val n = if (benchClass) 30000 else 1000
+    val m = if (benchClass) 30000 else 500
+    val delta = if (benchClass) 2L else 10L // unit spacing ⇒ window = 2·delta+1
+    // (bench: 900M key-pairs vs ~5 matches/left — the regime the sweep is for)
+    val lefts = (0 until n).map(i => (1L, i.toLong, i.toLong))
+      .toDF("key", "t", "left_id").localCheckpoint(true)
+    val rights = (0 until m).map(j => (1L, j.toLong, s"r$j"))
+      .toDF("key", "t", "v").localCheckpoint(true)
+    def theta = lefts.as("l").join(rights.as("r"),
+        col("l.key") === col("r.key") &&
+          abs(col("l.t") - col("r.t")) <= delta)
+      .select(col("left_id"), col("r.t").as("t_match"), col("v").as("v_match"))
+    def native = Graft.bandJoinNative(lefts, rights, delta)
+      .select(col("left_id"), col("t_match"), col("v_match"))
+    // warm both plans (codegen compile excluded, IVF-test convention)
+    theta.count(); native.count()
+    val t0 = System.nanoTime()
+    val a = theta.collect()
+    val tTheta = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val b = native.collect()
+    val tNative = (System.nanoTime() - t1) / 1e9
+    info(f"theta: $tTheta%.2f s (${a.length} rows)  native sweep: $tNative%.2f s (${b.length} rows)")
+    def ms(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    assert(ms(a) == ms(b), "native band join diverges from the theta join")
+    assert(a.nonEmpty)
+    if (benchClass)
+      assert(tNative * 2 < tTheta,
+        f"sweep ($tNative%.2f s) not ≥2× faster than theta ($tTheta%.2f s) on the hot key")
+  }
 }
