@@ -90,8 +90,10 @@ class OperatorSuite extends AnyFunSuite {
                                  // 100-row TakeOrdered head (q179 argument)
       "q243_segment_trend",      // series-start (d0) 1-row min over the
                                  // calendar-bounded daily frame
-      "q245_weekday_seasonality") // overall-mean 1-row fold over the same
+      "q245_weekday_seasonality", // overall-mean 1-row fold over the same
                                  // bounded daily frame
+      "q248_journey_paths")      // session-total 1-row fold over the
+                                 // path-vocabulary-bounded count frame
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
