@@ -802,4 +802,29 @@ object Graft {
       .select(col("key"), col("graft_id").as("fact_id"), col("t"),
         when(col("t") - col("graft_tc") <= ttl, col("graft_vc")).as("v_at_t"))
   }
+
+  /** Per-user (click, purchase) conversion pairs with the click inside
+    * `windowUs` strictly before the purchase — the batch face of the
+    * stream–stream interval join (StreamOps.clickPurchaseAttribution).
+    * `events` needs (event_id, user_id, event_type, ts_us). Verified as
+    * q250, batch≡stream parity in StreamingSuite. */
+  def conversionPairs(events: DataFrame, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"conversionPairs: windowUs $windowUs must be positive")
+    operators.TimeSeries.conversionPairsOf(events, windowUs)
+  }
+
+  /** Purged temporal train/test split audit: rows before `cutoff` minus
+    * `embargoDays` train, rows from `cutoff` on test, the embargo band
+    * between is excluded — returns per-split count + date bounds proving
+    * the gap. `cutoff` is an ISO date string. Verified as q251. */
+  def temporalSplit(df: DataFrame, date: Column, cutoff: String,
+      embargoDays: Int = 30): DataFrame =
+    operators.TrainingOps.temporalSplitOf(df, date, to_date(lit(cutoff)), embargoDays)
+
+  /** Embedding-space diversity sample (coreset): one representative
+    * vec_id per quantized cell of the first two embedding dimensions at
+    * the given granularity, with cell populations. `df` needs (vec_id,
+    * embedding: array<float>). Verified as q252. */
+  def diversitySample(df: DataFrame, granularity: Int = 8): DataFrame =
+    operators.TrainingOps.diversitySampleOf(df, granularity)
 }

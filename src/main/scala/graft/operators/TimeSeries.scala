@@ -225,6 +225,45 @@ object TimeSeries {
       .orderBy("p_id")
   }
 
+  /** q250: per-user conversion pairing — every (click, purchase) pair by
+    * the SAME user where the click lands in the hour strictly before the
+    * purchase. This is the BATCH face of the stream–stream interval join:
+    * the identical predicate (user equi-key + `click_ts ∈ [purchase_ts −
+    * 1 h, purchase_ts)`) runs on the real Structured Streaming engine in
+    * [[graft.streaming.StreamOps.clickPurchaseAttribution]] (two
+    * watermarked streams, append mode), and StreamingSuite proves
+    * batch≡stream parity by driving BOTH over the same events. Distinct
+    * from q107 (keyless bucketized aggregate) and q145 (last-touch winner
+    * only): q250 emits EVERY qualifying pair — the exact row set the
+    * streaming state store must be able to produce.
+    *
+    * Scale: a shuffled equi-join on user_id with a residual time-band
+    * filter — per-user event streams are human-bounded, so the per-key
+    * pair space never explodes the way a keyless range join would; this
+    * is exactly why Spark's stream–stream join keys its state store the
+    * same way. No driver collect, no nested loop. */
+  private[graft] def conversionPairsOf(ev: DataFrame, windowUs: Long): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - windowUs &&
+        col("c_ts") < col("p_ts"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_ts") - col("c_ts")).as("lag_us"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  private def q250(spark: SparkSession, sfDir: String): DataFrame =
+    conversionPairsOf(
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us")),
+      usPerHour)
+
   /** q108: sliding-window distinct counting — distinct active users per
     * 10-minute window over the trailing hour (6 buckets). Window
     * functions can't COUNT(DISTINCT); the scalable formulation is
@@ -795,6 +834,17 @@ object TimeSeries {
         Tables.r6sql("CAST(n_sessions AS DOUBLE) / CAST(t AS DOUBLE)") + " AS share " +
         "FROM pc CROSS JOIN t " +
         s"ORDER BY n_sessions DESC, path LIMIT $JourneyTop")),
+    Q("q250_join_stream_stream", q250 _, Some(
+      "WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us " +
+        "FROM events), " +
+        "c AS (SELECT user_id, event_id AS click_id, ts_us AS c_ts FROM ev " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_ts FROM ev " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT c.user_id, c.click_id, p.purchase_id, p.p_ts - c.c_ts AS lag_us " +
+        s"FROM c JOIN p ON c.user_id = p.user_id AND c.c_ts >= p.p_ts - $usPerHour " +
+        "AND c.c_ts < p.p_ts " +
+        "ORDER BY c.user_id, click_id, purchase_id")),
     Q("q241_rolling_distinct", q241 _, Some(
       "WITH pairs AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, " +
         "user_id FROM events), " +

@@ -321,7 +321,89 @@ object TrainingOps {
       .orderBy("user_id", "day")
   }
 
+  /** q251: temporal train/test split with an embargo gap — the
+    * leakage-free alternative to q79's hash split for TIME-CORRELATED
+    * data: everything before `cutoff − embargo` trains, everything from
+    * `cutoff` on tests, and the 30-day embargo band between them is
+    * excluded so near-boundary rows can't leak target-window information
+    * across the split (the standard walk-forward / purged-split rule
+    * from time-series model evaluation). Output is the split audit: row
+    * count and date bounds per split, which PROVE the train/test gap is
+    * at least the embargo width.
+    *
+    * Scale: one scan, a narrow CASE label, and a 3-row aggregate —
+    * map-side combined, no shuffle beyond the 3-key exchange. The cutoff
+    * is a literal, so partition pruning applies when the table is
+    * date-partitioned (q70's layout). */
+  /** The generic purged temporal split behind q251, exposed as
+    * [[graft.Graft.temporalSplit]]: labels each row train/embargo/test
+    * around `cutoff` and returns the per-split count + date-bounds
+    * audit. */
+  private[graft] def temporalSplitOf(df: DataFrame, date: Column,
+      cutoff: Column, embargoDays: Int): DataFrame = {
+    require(embargoDays >= 0, s"temporalSplit: embargoDays $embargoDays < 0")
+    df.select(date.cast("date").as("graft_d"))
+      .withColumn("split",
+        when(col("graft_d") < date_sub(cutoff, embargoDays), "train")
+          .when(col("graft_d") < cutoff, "embargo")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("graft_d")).as("min_date"),
+        max(col("graft_d")).as("max_date"))
+      .orderBy("split")
+  }
+
+  private def q251(spark: SparkSession, sfDir: String): DataFrame =
+    temporalSplitOf(Tables(spark, sfDir, "orders"), col("o_orderdate"),
+      to_date(lit("1999-01-01")), 30)
+      .withColumnRenamed("n_rows", "n_orders")
+
+  /** q252: embedding-space diversity sampling (coreset selection) — one
+    * representative vector per quantized embedding cell, with the cell's
+    * population. Curation pipelines use this to cap redundant regions of
+    * embedding space before training (the bucketed stand-in for greedy
+    * k-center, which is inherently sequential and cannot scale): cell =
+    * floor(dim·g) over the first two dimensions at granularity g=8, the
+    * same coarse-quantizer idea as q63's IVF cells; representative = the
+    * cell's min vec_id (deterministic, oracle-reproducible).
+    *
+    * Scale: a narrow per-row quantization map then ONE cell-keyed
+    * aggregate — map-side combined, shuffle bounded by grid cardinality
+    * (≤ g² cells), never by corpus size. Raw vectors never shuffle; only
+    * (cell, vec_id) pairs do. */
+  /** The generic cell-representative sampler behind q252, exposed as
+    * [[graft.Graft.diversitySample]]: `df` needs (vec_id, embedding). */
+  private[graft] def diversitySampleOf(df: DataFrame, granularity: Int): DataFrame = {
+    require(granularity >= 1 && granularity <= 1024,
+      s"diversitySample: granularity $granularity outside [1, 1024]")
+    df.select(col("vec_id"),
+        floor(element_at(col("embedding"), 1).cast("double") * granularity)
+          .cast("long").as("cx"),
+        floor(element_at(col("embedding"), 2).cast("double") * granularity)
+          .cast("long").as("cy"))
+      .groupBy("cx", "cy")
+      .agg(min("vec_id").as("rep_id"), count(lit(1)).as("n_members"))
+      .orderBy("cx", "cy")
+  }
+
+  private def q252(spark: SparkSession, sfDir: String): DataFrame =
+    diversitySampleOf(Tables(spark, sfDir, "embeddings"), 8)
+
   val entries: Seq[Q] = Seq(
+    Q("q251_split_temporal", q251 _, Some(
+      "SELECT split, COUNT(*) AS n_orders, " +
+        "MIN(CAST(o_orderdate AS DATE)) AS min_date, " +
+        "MAX(CAST(o_orderdate AS DATE)) AS max_date FROM (" +
+        "SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01' - 30 " +
+        "THEN 'train' WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01' " +
+        "THEN 'embargo' ELSE 'test' END AS split, o_orderdate FROM orders) " +
+        "GROUP BY split ORDER BY split")),
+    Q("q252_sample_diversity", q252 _, Some(
+      "SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 8) AS BIGINT) AS cx, " +
+        "CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 8) AS BIGINT) AS cy, " +
+        "MIN(vec_id) AS rep_id, COUNT(*) AS n_members " +
+        "FROM embeddings GROUP BY cx, cy ORDER BY cx, cy")),
     Q("q153_knn_classify", q153 _, Some {
       val sgn = "(CASE WHEN (((p * 64 + j) * 2654435761) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
       val dotPlane =

@@ -654,4 +654,52 @@ class ApiSuite extends AnyFunSuite {
       Graft.bloomPrefilter(fact, col("k"), dim, bits = 1000) // not a power of two
     }
   }
+
+  test("conversionPairs: strict-before band, per-user; guards bad window") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "click", 100L), (2L, 1L, "purchase", 150L), // in band
+      (3L, 1L, "click", 150L), // simultaneous with purchase → strict < drops
+      (4L, 2L, "click", 100L), (5L, 2L, "purchase", 300L), // outside 100-µs band
+      (6L, 3L, "purchase", 50L)) // organic: no click at all
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val got = Graft.conversionPairs(ev, 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 2L, 50L)), got.mkString(", "))
+    intercept[IllegalArgumentException] { Graft.conversionPairs(ev, 0L) }
+  }
+
+  test("temporalSplit: embargo band excluded from train AND test; audit proves gap") {
+    import spark.implicits._
+    val df = Seq("2020-01-01", "2020-05-15", "2020-05-25", "2020-06-01", "2020-07-04")
+      .toDF("d").select(to_date(col("d")).as("d"))
+    val got = Graft.temporalSplit(df, col("d"), "2020-06-01", embargoDays = 30)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDate(2).toString, r.getDate(3).toString))).toMap
+    // embargo band = [2020-05-02, 2020-06-01): both May rows land in it
+    assert(got("train") == ((1L, "2020-01-01", "2020-01-01")))
+    assert(got("embargo") == ((2L, "2020-05-15", "2020-05-25")))
+    assert(got("test") == ((2L, "2020-06-01", "2020-07-04")))
+    // the audit itself proves the purge: train max + embargo < test min
+    assert(java.time.LocalDate.parse(got("train")._2.toString).plusDays(30)
+      .isBefore(java.time.LocalDate.parse("2020-06-02")))
+    intercept[IllegalArgumentException] {
+      Graft.temporalSplit(df, col("d"), "2020-06-01", embargoDays = -1)
+    }
+  }
+
+  test("diversitySample: one min-id representative per cell; guards granularity") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, Array(0.10f, 0.10f)), // cell (0,0) at g=8: floor(0.8)=0
+      (7L, Array(0.05f, 0.12f)), // same cell, smaller id → representative
+      (20L, Array(-0.30f, 0.10f)), // cell (-3, 0)
+      (30L, Array(0.30f, -0.20f))) // cell (2, -2)
+      .toDF("vec_id", "embedding")
+    val got = Graft.diversitySample(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got((0L, 0L)) == ((7L, 2L)), "min vec_id must represent the cell")
+    assert(got((-3L, 0L)) == ((20L, 1L)) && got((2L, -2L)) == ((30L, 1L)))
+    intercept[IllegalArgumentException] { Graft.diversitySample(df, granularity = 0) }
+  }
 }

@@ -302,6 +302,20 @@ class PlanShapeSuite extends AnyFunSuite {
       s"got $joins equi-joins:\n$plan")
   }
 
+  test("q250: conversion pairing is a user-keyed equi-join, never a nested loop") {
+    val qe = SparkEntry.queries("q250_join_stream_stream")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the time band must ride as a RESIDUAL condition on the user_id
+    // equi-join — a cartesian/nested loop here means the per-user state
+    // bound that makes the streaming twin viable was lost in batch too
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q250 must stay a keyed equi-join:\n$plan")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findFirstIn(plan).isDefined && plan.contains("user_id"),
+      s"q250: expected an equi-join keyed on user_id:\n$plan")
+  }
+
   test("r10 additions: scoring never rescans the corpus past the checkpoint boundary") {
     // q186/q188/q189/q190 each collapse the corpus ONCE into an eagerly
     // checkpointed bounded/keyed frame (daily cells, distinct user-item,

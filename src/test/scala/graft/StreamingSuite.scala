@@ -516,6 +516,47 @@ class StreamingSuite extends AnyFunSuite {
       s"organic purchase missing its NULL-click outer row: ${rows.mkString(", ")}")
   }
 
+  test("q250 batch conversion pairs ≡ stream-stream join on the same events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // deterministic spread: 4 users × 6 clicks + 4 purchases over 4 hours
+    val clickEvents = for (u <- 1L to 4L; i <- 0 until 6) yield
+      Event(u * 1000 + i, ts(((i * 37 + u * 11) % 240).toInt), u, "click", 0.0)
+    val purchaseEvents = for (u <- 1L to 4L; j <- 0 until 4) yield
+      Event(u * 1000 + 500 + j, ts(((j * 53 + u * 17) % 240).toInt), u, "purchase", 1.0)
+
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamOps.clickPurchaseAttribution(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("parity250")
+      .outputMode("append").start()
+    try {
+      clicks.addData(clickEvents); purchases.addData(purchaseEvents)
+      q.processAllAvailable()
+      // sentinels push both watermarks past every real event so every
+      // joinable pair is flushed to the append sink
+      clicks.addData(Seq(Event(-1, ts(2000), 99, "click", 0.0)))
+      purchases.addData(Seq(Event(-2, ts(2000), 99, "purchase", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("parity250").collect()
+      .filter(_.getAs[Long]("user_id") <= 4L)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"))).toSet
+
+    // the q250 operator on the identical rows in batch form
+    val ev = (clickEvents ++ purchaseEvents).toDF()
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+    val batch = operators.TimeSeries.conversionPairsOf(ev, 3600000000L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"))).toSet
+
+    assert(batch.nonEmpty, "degenerate parity fixture: no qualifying pairs")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(5)}  batch-only: ${(batch -- streamed).take(5)}")
+  }
+
   test("event-time timers: idle alert fires once the watermark passes, slides on activity") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
