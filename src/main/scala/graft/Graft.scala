@@ -827,4 +827,40 @@ object Graft {
     * embedding: array<float>). Verified as q252. */
   def diversitySample(df: DataFrame, granularity: Int = 8): DataFrame =
     operators.TrainingOps.diversitySampleOf(df, granularity)
+
+  /** Local-DP randomized response (Warner 1965): each row reports `value`
+    * truthfully with probability `truthPct`%, else a uniform category —
+    * both coins md5(`key`)-derived so the mechanism is reproducible —
+    * then debiases the observed histogram with the unbiased estimator.
+    * Returns (segment, n_true, n_reported, n_est); n_true rides along as
+    * the audit column. Verified as q254. */
+  def randomizedResponse(df: DataFrame, key: Column, value: Column,
+      categories: Seq[String], truthPct: Int = 75): DataFrame =
+    operators.PrivacyOps.randomizedResponseOf(df, key, value, categories, truthPct)
+
+  /** Precision–recall curve + average precision over an integer-binned
+    * scored frame (bin, pos) — q255's math on any scorer's output; the
+    * rare-positive companion to [[rocCurve]]. */
+  def prCurve(scored: DataFrame): DataFrame = {
+    val b = scored.groupBy("bin")
+      .agg(sum(col("pos")).as("npos"),
+        (count(lit(1)) - sum(col("pos"))).as("nneg"))
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = b.agg(sum("npos").as("graft_p"))
+    val d = b.withColumn("graft_cum_p", sum("npos").over(w))
+      .withColumn("graft_cum_n", sum("nneg").over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("prec", Tables.r6(col("graft_cum_p").cast("double") /
+        (col("graft_cum_p") + col("graft_cum_n"))))
+      .withColumn("recall",
+        Tables.r6(col("graft_cum_p").cast("double") / col("graft_p")))
+      .localCheckpoint(true)
+    val ap = d.agg(sum(Tables.r6(col("npos") * col("prec") / col("graft_p"))
+      .cast("decimal(18,6)")).as("graft_ap"))
+    d.crossJoin(broadcast(ap))
+      .select(col("bin"), col("npos"), col("nneg"), col("prec"), col("recall"),
+        Tables.r6(col("graft_ap").cast("double")).as("avg_precision"))
+  }
 }

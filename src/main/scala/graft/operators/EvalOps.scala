@@ -79,6 +79,36 @@ object EvalOps {
       .orderBy("bin")
   }
 
+  /** q255: precision–recall curve + average precision over the same
+    * bounded bin frame as q196 — the metric that matters when positives
+    * are rare (ROC's FPR denominator hides minority-class failure; PR's
+    * precision denominator does not, Davis & Goadrich ICML'06). AP is
+    * the step-wise sum Σ_b (npos_b / p_tot) · precision_b over bins in
+    * descending score order — each term r6-quantized then DECIMAL-summed
+    * (§2.9 R1) so partition merge order can't move the result.
+    *
+    * Scale: identical shape to q196 — ONE corpus-collapsing groupBy to
+    * ≤1001 bins, then windows/aggregates on the bounded frame only. */
+  private def q255(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = binned(spark, sfDir).localCheckpoint(true)
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = b.agg(sum("npos").as("p_tot"))
+    val d = b.withColumn("cumpos", sum("npos").over(w))
+      .withColumn("cumneg", sum("nneg").over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("prec",
+        Tables.r6(col("cumpos").cast("double") / (col("cumpos") + col("cumneg"))))
+      .withColumn("recall", Tables.r6(col("cumpos").cast("double") / col("p_tot")))
+      .localCheckpoint(true) // ≤1001 rows; AP aggregate + emission both read it
+    val ap = d.agg(sum(Tables.r6(col("npos") * col("prec") / col("p_tot"))
+      .cast("decimal(18,6)")).as("ap_dec"))
+    d.crossJoin(broadcast(ap))
+      .select(col("bin"), col("npos"), col("nneg"), col("prec"), col("recall"),
+        Tables.r6(col("ap_dec").cast("double")).as("avg_precision"))
+      .orderBy("bin")
+  }
+
   /** q197: calibration / reliability bins — score deciles vs observed
     * positive rate. A well-calibrated scorer has mean_pred ≈ pos_rate
     * per decile; the gap column is the per-decile calibration error
@@ -221,6 +251,23 @@ object EvalOps {
         Tables.r6sql("CAST(cumneg AS DOUBLE) / n_tot") + " AS fpr, " +
         Tables.r6sql("CAST(auc_num2 AS DOUBLE) / (2.0 * p_tot * n_tot)") + " AS auc " +
         "FROM c CROSS JOIN t CROSS JOIN a ORDER BY bin")),
+    Q("q255_eval_pr_auc", q255 _, Some(
+      s"WITH b AS ($binnedSql), " +
+        "c AS (SELECT bin, npos, nneg, " +
+        "CAST(SUM(npos) OVER w AS BIGINT) AS cumpos, " +
+        "CAST(SUM(nneg) OVER w AS BIGINT) AS cumneg " +
+        "FROM b WINDOW " +
+        "w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "t AS (SELECT CAST(SUM(npos) AS BIGINT) AS p_tot FROM b), " +
+        "d AS (SELECT bin, npos, nneg, " +
+        Tables.r6sql("CAST(cumpos AS DOUBLE) / (cumpos + cumneg)") + " AS prec, " +
+        Tables.r6sql("CAST(cumpos AS DOUBLE) / p_tot") + " AS recall, p_tot " +
+        "FROM c CROSS JOIN t), " +
+        "a AS (SELECT SUM(CAST(" +
+        Tables.r6sql("npos * prec / p_tot") + " AS DECIMAL(18,6))) AS ap_dec FROM d) " +
+        "SELECT bin, npos, nneg, prec, recall, " +
+        Tables.r6sql("CAST(ap_dec AS DOUBLE)") + " AS avg_precision " +
+        "FROM d CROSS JOIN a ORDER BY bin")),
     Q("q197_eval_calibration", q197 _, Some(
       s"WITH s AS ($scoredSql) " +
         "SELECT LEAST(bin // 100, 9) AS decile, " +

@@ -309,7 +309,92 @@ object PrivacyOps {
     dpMedianOf(Tables(spark, sfDir, "customer"), col("c_acctbal"),
       binWidth = 1000.0, epsilon = 1.0)
 
+  /** q254: LOCAL differential privacy via randomized response (Warner
+    * 1965; the RAPPOR/Apple-style collection model) — each customer
+    * reports their market segment TRUTHFULLY with probability p = 3/4,
+    * otherwise reports a uniform draw over the k = 5 segments; the
+    * aggregator then DEBIASES the observed histogram with the standard
+    * unbiased estimator est_c = (obs_c − (1−p)·N/k) / p. Unlike the
+    * central-DP family (q116/q152/q192: trusted aggregator adds noise
+    * AFTER aggregation), here the privacy boundary is the individual
+    * row — the aggregator never sees true values, which is the model for
+    * telemetry collection from devices the pipeline doesn't trust.
+    * ε = ln(p·k/(1−p) + 1) = ln 16 per report. The true histogram rides
+    * along as the audit column the estimator is judged against.
+    *
+    * Determinism (§2.9): both coins derive from md5(custkey) hex-digit
+    * arithmetic (the q79 split pattern) — cross-engine identical, so the
+    * "randomized" mechanism is exactly reproducible by the oracle.
+    *
+    * Scale: one scan; per-row hashing is codegen'd; two 5-row aggregates
+    * (map-side combined) joined on the 5-value segment domain. */
+  private val rrSegments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** The generic randomized-response mechanism + debiaser behind q254,
+    * exposed as [[graft.Graft.randomizedResponse]]. `truthPct` ∈ (0,100]
+    * is p in percent; `categories` must cover every value of `value`
+    * (unlisted values only ever report truthfully, which would bias the
+    * estimator). */
+  private[graft] def randomizedResponseOf(df: DataFrame, key: Column,
+      value: Column, categories: Seq[String], truthPct: Int): DataFrame = {
+    require(truthPct > 0 && truthPct <= 100,
+      s"randomizedResponse: truthPct $truthPct outside (0, 100]")
+    require(categories.nonEmpty && categories.size <= 16,
+      s"randomizedResponse: ${categories.size} categories outside [1, 16]")
+    val k = categories.size
+    val p = truthPct / 100.0
+    val base = df.select(key.cast("string").as("graft_key"), value.as("graft_v"))
+      .withColumn("h", expr("md5(concat('rr:', graft_key))"))
+      .withColumn("coin", expr(
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 100"))
+      .withColumn("lie", expr(
+        s"(instr('0123456789abcdef', substring(h, 3, 1)) - 1) % $k"))
+      .withColumn("reported",
+        when(col("coin") < truthPct, col("graft_v"))
+          .otherwise(element_at(array(categories.map(lit): _*),
+            col("lie").cast("int") + 1)))
+      .localCheckpoint(true) // corpus-sized frame; two k-row consumers
+    val truth = base.groupBy(col("graft_v").as("segment"))
+      .agg(count(lit(1)).as("n_true"))
+    val observed = base.groupBy(col("reported").as("segment"))
+      .agg(count(lit(1)).as("n_reported"))
+    val n = base.agg(count(lit(1)).as("n_total"))
+    truth.join(observed, "segment").crossJoin(broadcast(n))
+      .select(col("segment"), col("n_true"), col("n_reported"),
+        Tables.r6((col("n_reported").cast("double") -
+          lit(1.0 - p) * col("n_total").cast("double") / lit(k.toDouble)) /
+          lit(p)).as("n_est"))
+      .orderBy("segment")
+  }
+
+  private def q254(spark: SparkSession, sfDir: String): DataFrame =
+    randomizedResponseOf(Tables(spark, sfDir, "customer"),
+      col("c_custkey"), col("c_mktsegment"), rrSegments, truthPct = 75)
+
   val entries: Seq[Q] = Seq(
+    Q("q254_dp_randomized_response", q254 _, Some {
+      val coin = "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100"
+      val lie = "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 5"
+      val segList = "['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY']"
+      "WITH base AS (SELECT c_mktsegment, " +
+        s"CASE WHEN $coin < 75 THEN c_mktsegment " +
+        s"ELSE $segList[CAST($lie AS INT) + 1] END AS reported FROM (" +
+        "SELECT c_custkey, c_mktsegment, " +
+        "md5(concat('rr:', CAST(c_custkey AS VARCHAR))) AS h FROM customer)), " +
+        "truth AS (SELECT c_mktsegment AS segment, COUNT(*) AS n_true " +
+        "FROM base GROUP BY 1), " +
+        "obs AS (SELECT reported AS segment, COUNT(*) AS n_reported " +
+        "FROM base GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS n_total FROM base) " +
+        "SELECT truth.segment, n_true, n_reported, " +
+        Tables.r6sql("(CAST(n_reported AS DOUBLE) - " +
+          "0.25 * CAST(n_total AS DOUBLE) / 5.0) / 0.75") + " AS n_est " +
+        "FROM truth JOIN obs ON truth.segment = obs.segment CROSS JOIN tot " +
+        "ORDER BY truth.segment"
+    }),
     Q("q192_dp_median_expmech", q192 _, Some {
       val key = "(((bin * 2654435761) % 1000003 + 1000003) % 1000003)"
       val gumbel = s"-ln(-ln(CAST($key + 1 AS DOUBLE) / 1000004))"

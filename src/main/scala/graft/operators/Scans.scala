@@ -114,6 +114,28 @@ object Scans {
       .orderBy("n_nationkey")
   }
 
+  /** q253: XML sink + source round-trip of `nation` — the document
+    * interchange format enterprise feeds (SOAP exports, legacy CMS dumps,
+    * sitemap/feed crawls) still arrive in; Spark 4 ships the XML
+    * datasource built into spark-sql (registered short name `xml`,
+    * probed round 10 session 4). `rowTag` names the per-row element;
+    * explicit schema on read-back because XML is stringly-typed on the
+    * wire — inference would surface every column as STRING/LONG guesses.
+    *
+    * Scale note: like CSV/JSON, XML is a row-format ingest boundary —
+    * no pushdown, no pruning, schema applied per record. The pattern at
+    * 100 TB is land → parse ONCE → parquet (q223's compaction), never
+    * repeated analytic scans over the XML itself. */
+  private def q253(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables(spark, sfDir, "nation")
+    val path = tmp("xml_nation", sfDir)
+    nation.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("rowTag", "nation").format("xml").save(path)
+    spark.read.schema(nation.schema).option("rowTag", "nation")
+      .format("xml").load(path)
+      .orderBy("n_nationkey")
+  }
+
   /** q183: schema-evolution scan — a long-lived dataset whose writer
     * added a column mid-stream (the 100 TB reality: parquet directories
     * accumulate files under EVOLVING schemas for years). Two generations
@@ -335,6 +357,8 @@ object Scans {
     Q("q69_scan_orc_roundtrip", q69 _, Some(
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey")),
     Q("q184_scan_avro_roundtrip", q184 _, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+    Q("q253_scan_xml_roundtrip", q253 _, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
     Q("q183_scan_schema_merge", q183 _, Some(
       "SELECT * FROM (" +

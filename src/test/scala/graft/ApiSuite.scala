@@ -702,4 +702,37 @@ class ApiSuite extends AnyFunSuite {
     assert(got((-3L, 0L)) == ((20L, 1L)) && got((2L, -2L)) == ((30L, 1L)))
     intercept[IllegalArgumentException] { Graft.diversitySample(df, granularity = 0) }
   }
+
+  test("randomizedResponse: p=1 is exact; estimates always sum back to N") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("k", "v")
+    // p = 100%: nobody lies, estimator collapses to the observed counts
+    val exact = Graft.randomizedResponse(df, col("k"), col("v"), Seq("a", "b"), 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(exact.toSeq == Seq(("a", 66L, 66L, 66.0), ("b", 134L, 134L, 134.0)))
+    // p = 50%: individual rows are noisy but Σ est = N algebraically
+    val noisy = Graft.randomizedResponse(df, col("k"), col("v"), Seq("a", "b"), 50)
+      .collect()
+    assert(math.abs(noisy.map(_.getDouble(3)).sum - 200.0) < 1e-6,
+      "debiased estimates must sum to the population")
+    assert(noisy.map(_.getLong(1)).sum == 200L)
+    intercept[IllegalArgumentException] {
+      Graft.randomizedResponse(df, col("k"), col("v"), Seq("a", "b"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.randomizedResponse(df, col("k"), col("v"), Seq.empty, 75)
+    }
+  }
+
+  test("prCurve: hand-checked precision/recall sweep and average precision") {
+    import spark.implicits._
+    val scored = Seq((900L, 1L), (900L, 1L), (500L, 0L), (500L, 1L), (100L, 0L))
+      .toDF("bin", "pos")
+    val got = Graft.prCurve(scored).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(900L) == ((1.0, 0.666667, 0.916667)))
+    assert(got(500L) == ((0.75, 1.0, 0.916667)))
+    assert(got(100L) == ((0.6, 1.0, 0.916667)))
+  }
 }

@@ -92,8 +92,12 @@ class OperatorSuite extends AnyFunSuite {
                                  // calendar-bounded daily frame
       "q245_weekday_seasonality", // overall-mean 1-row fold over the same
                                  // bounded daily frame
-      "q248_journey_paths")      // session-total 1-row fold over the
+      "q248_journey_paths",      // session-total 1-row fold over the
                                  // path-vocabulary-bounded count frame
+      "q254_dp_randomized_response", // n_total 1-row aggregate over the
+                                 // 5-segment domain
+      "q255_eval_pr_auc")        // q196's shape: PR sweep windows + AP
+                                 // fold over the ≤1001-row bin frame
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
