@@ -838,6 +838,14 @@ object Graft {
       categories: Seq[String], truthPct: Int = 75): DataFrame =
     operators.PrivacyOps.randomizedResponseOf(df, key, value, categories, truthPct)
 
+  /** Lexicon scoring (sentiment, toxicity lists, policy terms): per-doc
+    * (pos-hits − neg-hits)/tokens via in-row array lambdas — lexica ride
+    * the plan as literals, the corpus never explodes — rolled up per
+    * `lang` to mean score + polar doc counts. `docs` needs (lang, text).
+    * Verified as q256. */
+  def sentiment(docs: DataFrame, pos: Seq[String], neg: Seq[String]): DataFrame =
+    operators.TextAnalysis.sentimentOf(docs, pos, neg)
+
   /** Precision–recall curve + average precision over an integer-binned
     * scored frame (bin, pos) — q255's math on any scorer's output; the
     * rare-positive companion to [[rocCurve]]. */

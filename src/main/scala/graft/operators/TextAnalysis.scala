@@ -481,7 +481,66 @@ object TextAnalysis {
       .limit(Bm25TopK)
   }
 
+  /** q256: lexicon-based sentiment/polarity scoring (the EDBT'16
+    * Spark-sentiment shape, and the general LEXICON-SCORING primitive —
+    * toxicity lists, policy terms, domain keywords all reduce to it):
+    * per-doc score = (pos-hits − neg-hits) / tokens with both lexica
+    * evaluated as codegen'd array lambdas INSIDE the row (no explode, no
+    * join — the lexicon is a literal, so the corpus never fans out to a
+    * token frame), then a per-language rollup: mean score (r6-then-
+    * DECIMAL-summed per §2.9 R1) and polar doc counts.
+    *
+    * Scale: one narrow scan, per-row lambda filters over the split
+    * array, one lang-keyed map-side-combined aggregate. Lexica ship in
+    * the plan (literals), not as a joined table — the q232 "filter
+    * before explode" idea taken to its no-explode limit. */
+  private val posLex = Seq("fast", "big")
+  private val negLex = Seq("slow", "small")
+
+  private[graft] def sentimentOf(docs: DataFrame, pos: Seq[String],
+      neg: Seq[String]): DataFrame = {
+    require(pos.nonEmpty && neg.nonEmpty,
+      "sentiment: both lexica must be non-empty")
+    require(pos.intersect(neg).isEmpty,
+      s"sentiment: lexica overlap on ${pos.intersect(neg).mkString(",")}")
+    val posArr = array(pos.map(lit): _*)
+    val negArr = array(neg.map(lit): _*)
+    docs.select(col("lang"), split(col("text"), " ").as("ts"))
+      .select(col("lang"), size(col("ts")).as("n"),
+        size(filter(col("ts"), t => array_contains(posArr, t))).as("np"),
+        size(filter(col("ts"), t => array_contains(negArr, t))).as("nn"))
+      .withColumn("score",
+        Tables.r6((col("np") - col("nn")).cast("double") / col("n")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score").cast(DecimalType(18, 6))).as("ssum"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pos_docs"),
+        sum(when(col("score") < 0, 1L).otherwise(0L)).as("n_neg_docs"))
+      .select(col("lang"), col("n_docs"),
+        Tables.meanD(col("ssum"), col("n_docs")).as("mean_score"),
+        col("n_pos_docs"), col("n_neg_docs"))
+      .orderBy("lang")
+  }
+
+  private def q256(spark: SparkSession, sfDir: String): DataFrame =
+    sentimentOf(Tables(spark, sfDir, "documents"), posLex, negLex)
+
   val entries: Seq[Q] = Seq(
+    Q("q256_text_sentiment", q256 _, Some {
+      def lex(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
+      "WITH s AS (SELECT lang, len(ts) AS n, " +
+        s"len(list_filter(ts, t -> list_contains([${lex(posLex)}], t))) AS np, " +
+        s"len(list_filter(ts, t -> list_contains([${lex(negLex)}], t))) AS nn " +
+        "FROM (SELECT lang, string_split(text, ' ') AS ts FROM documents)), " +
+        "sc AS (SELECT lang, " +
+        Tables.r6sql("CAST(np - nn AS DOUBLE) / n") + " AS score FROM s) " +
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        Tables.meanDSql("SUM(CAST(score AS DECIMAL(18,6)))", "COUNT(*)") +
+        " AS mean_score, " +
+        "CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_docs, " +
+        "CAST(SUM(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_docs " +
+        "FROM sc GROUP BY lang ORDER BY lang"
+    }),
     Q("q64_text_langid", q64 _, Some {
       val scoreCols = profiles.map { case (code, words) =>
         s"len(list_filter(str_split(text, ' '), t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$code"

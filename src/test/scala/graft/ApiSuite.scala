@@ -724,6 +724,23 @@ class ApiSuite extends AnyFunSuite {
     }
   }
 
+  test("sentiment: hand-checked lexicon scores; overlapping lexica rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "good good bad x"),   // (2-1)/4 = 0.25
+      ("en", "bad bad x x"),       // (0-2)/4 = -0.5
+      ("fr", "x x x x")).toDF("lang", "text") // 0
+    val got = Graft.sentiment(docs, Seq("good"), Seq("bad")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("en") == ((2L, -0.125, 1L, 1L))) // mean of 0.25 and -0.5
+    assert(got("fr") == ((1L, 0.0, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Graft.sentiment(docs, Seq("good", "x"), Seq("x"))
+    }
+    intercept[IllegalArgumentException] { Graft.sentiment(docs, Seq.empty, Seq("bad")) }
+  }
+
   test("prCurve: hand-checked precision/recall sweep and average precision") {
     import spark.implicits._
     val scored = Seq((900L, 1L), (900L, 1L), (500L, 0L), (500L, 1L), (100L, 0L))
