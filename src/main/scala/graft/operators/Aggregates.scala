@@ -446,7 +446,61 @@ object Aggregates {
       .withColumnRenamed("id", "o_orderkey")
       .withColumnRenamed("score", "o_totalprice")
 
+  /** q257: approximate query processing by deterministic uniform sample —
+    * the BlinkDB/AQP pattern: a 2% md5-bucket sample of lineitem
+    * estimates total revenue by Horvitz–Thompson scale-up (×50), and the
+    * output carries the exact total + relative error as the built-in
+    * accuracy audit. Both the sample and exact aggregates ride ONE scan
+    * here (the audit requires the exact answer anyway); the production
+    * shape at 100 TB is the sample MATERIALIZED as its own 2% table so
+    * the estimate scans 2 TB instead of 100 — this query proves the
+    * estimator math that makes that trade measurable. Sampling is
+    * md5-deterministic (q79's hex-digit bucket, 'aqp:' salt) so both
+    * engines draw the identical sample; all sums are DECIMAL-exact with
+    * one r6 double emission (§2.9 R1).
+    *
+    * Scale: one scan, one 1-row map-side-combined grand aggregate. */
+  private def q257(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Tables(spark, sfDir, "lineitem")
+      .withColumn("h",
+        expr("md5(concat('aqp:', cast(l_orderkey * 10 + l_linenumber AS STRING)))"))
+      .withColumn("bucket", expr(
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 100"))
+    b.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < 2, 1L).otherwise(0L)).as("n_sample"),
+        sum(dec(col("l_extendedprice"))).as("exact_dec"),
+        sum(when(col("bucket") < 2, dec(col("l_extendedprice")))
+          .otherwise(dec(lit(0)))).as("samp_dec"))
+      .select(col("n_total"), col("n_sample"),
+        Tables.r6(col("exact_dec").cast("double")).as("exact_sum"),
+        Tables.r6((col("samp_dec") * lit(50)).cast("double")).as("est_sum"),
+        Tables.r6(abs(col("samp_dec") * lit(50) - col("exact_dec")).cast("double") /
+          col("exact_dec").cast("double")).as("rel_err"))
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q257_agg_approx_sample", q257 _, Some {
+      val bucket = "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
+        "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100"
+      "WITH b AS (SELECT l_extendedprice, " +
+        s"$bucket AS bucket FROM (" +
+        "SELECT l_extendedprice, " +
+        "md5(concat('aqp:', CAST(l_orderkey * 10 + l_linenumber AS VARCHAR))) AS h " +
+        "FROM lineitem)), " +
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total, " +
+        "CAST(SUM(CASE WHEN bucket < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS exact_dec, " +
+        "SUM(CASE WHEN bucket < 2 THEN CAST(l_extendedprice AS DECIMAL(18,4)) " +
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS samp_dec FROM b) " +
+        "SELECT n_total, n_sample, " +
+        Tables.r6sql("CAST(exact_dec AS DOUBLE)") + " AS exact_sum, " +
+        Tables.r6sql("CAST(samp_dec * 50 AS DOUBLE)") + " AS est_sum, " +
+        Tables.r6sql("CAST(ABS(samp_dec * 50 - exact_dec) AS DOUBLE) / " +
+          "CAST(exact_dec AS DOUBLE)") + " AS rel_err " +
+        "FROM a"
+    }),
     Q("q239_agg_topk_bounded", q239 _, Some(
       "SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
         "SELECT o_orderpriority, o_orderkey, o_totalprice, " +

@@ -96,8 +96,10 @@ class OperatorSuite extends AnyFunSuite {
                                  // path-vocabulary-bounded count frame
       "q254_dp_randomized_response", // n_total 1-row aggregate over the
                                  // 5-segment domain
-      "q255_eval_pr_auc")        // q196's shape: PR sweep windows + AP
+      "q255_eval_pr_auc",        // q196's shape: PR sweep windows + AP
                                  // fold over the ≤1001-row bin frame
+      "q257_agg_approx_sample")  // the ONE sample+exact grand aggregate —
+                                 // 1-row by design, map-side combined
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
