@@ -357,7 +357,101 @@ object Anonymize {
         (col("dm_kept") + col("n_rows") * col("suppressed_rows")).as("discernibility"))
   }
 
+  /** q258: GDPR right-to-erasure cascade audit (Art. 17) — the request
+    * set (here: negative-balance customers as the deterministic stand-in
+    * for "customers who filed erasure requests") propagates through the
+    * foreign-key chain customer → orders → lineitem, and the output is
+    * the per-table purge audit: total rows, rows that must go, fraction.
+    * This is the ROW-subject side of the anonymization ETL the column
+    * operators (q35–q48) don't cover: deletion must cascade through
+    * every table that references the subject, and the audit is what a
+    * DPO signs off on before the physical delete runs.
+    *
+    * Scale: the request set is tiny → broadcast semi-join against
+    * orders; the affected-order keys semi-join lineitem (equi-join,
+    * AQE-broadcastable); three 1-row count aggregates union to the
+    * 3-row report. No table scans twice, nothing shuffles raw rows. */
+  private def q258(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables(spark, sfDir, "customer")
+    val orders = Tables(spark, sfDir, "orders")
+    val lineitem = Tables(spark, sfDir, "lineitem")
+    val subjects = customer.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    val oDel = orders.join(broadcast(subjects),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val lDel = lineitem.join(oDel.select(col("o_orderkey").as("graft_k")),
+      col("l_orderkey") === col("graft_k"), "left_semi")
+    def audit(name: String, total: DataFrame, purged: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(purged.agg(count(lit(1)).as("n_purged")))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_purged"),
+          Tables.r6(col("n_purged").cast("double") / col("n_rows")).as("purge_frac"))
+    audit("customer", customer, subjects)
+      .unionByName(audit("orders", orders, oDel))
+      .unionByName(audit("lineitem", lineitem, lDel))
+      .orderBy("table_name")
+  }
+
+  /** q259: referential-integrity-preserving pseudonymization audit —
+    * q36 tokenizes ONE table; a real anonymized EXPORT tokenizes the
+    * subject key in EVERY table with the same keyed hash so joins still
+    * work after the identifiers are gone. Because the token is a
+    * STATELESS salted hash (not a lookup table), cross-table consistency
+    * is free — no token-map join, no shared state — which is exactly
+    * what this audit proves: distinct tokens = distinct customers (no
+    * collision collapsed two subjects) and every order's token resolves
+    * into the customer dimension (the FK survived tokenization).
+    *
+    * Scale: per-row codegen'd sha2 on both tables; the resolution check
+    * is a token-keyed semi-join bounded by the dimension domain; output
+    * is one audit row. */
+  private def q259(spark: SparkSession, sfDir: String): DataFrame = {
+    val salt = "fk42"
+    val cTok = Tables(spark, sfDir, "customer")
+      .select(graft.Graft.pseudonym(col("c_custkey").cast("string"), salt).as("tok"))
+    val oTok = Tables(spark, sfDir, "orders")
+      .select(graft.Graft.pseudonym(col("o_custkey").cast("string"), salt).as("tok"))
+    val linked = oTok.join(cTok.distinct(), Seq("tok"), "left_semi")
+    cTok.agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("tok")).as("n_tokens"))
+      .crossJoin(oTok.agg(count(lit(1)).as("n_orders")))
+      .crossJoin(linked.agg(count(lit(1)).as("n_orders_linked")))
+      .select(col("n_customers"), col("n_tokens"), col("n_orders"),
+        col("n_orders_linked"),
+        (col("n_tokens") === col("n_customers") &&
+          col("n_orders_linked") === col("n_orders")).as("fk_preserved"))
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q258_gdpr_erasure_audit", q258 _, Some(
+      "WITH s AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0), " +
+        "od AS (SELECT o_orderkey FROM orders " +
+        "WHERE o_custkey IN (SELECT c_custkey FROM s)), " +
+        "ld AS (SELECT l_orderkey FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM od)) " +
+        "SELECT table_name, n_rows, n_purged, " +
+        Tables.r6sql("CAST(n_purged AS DOUBLE) / n_rows") + " AS purge_frac FROM (" +
+        "SELECT 'customer' AS table_name, " +
+        "CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows, " +
+        "CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_purged " +
+        "UNION ALL SELECT 'orders', " +
+        "CAST((SELECT COUNT(*) FROM orders) AS BIGINT), " +
+        "CAST((SELECT COUNT(*) FROM od) AS BIGINT) " +
+        "UNION ALL SELECT 'lineitem', " +
+        "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT), " +
+        "CAST((SELECT COUNT(*) FROM ld) AS BIGINT)) " +
+        "ORDER BY table_name")),
+    Q("q259_anon_ref_integrity", q259 _, Some(
+      "WITH c AS (SELECT sha256('fk42' || CAST(c_custkey AS VARCHAR)) AS tok " +
+        "FROM customer), " +
+        "o AS (SELECT sha256('fk42' || CAST(o_custkey AS VARCHAR)) AS tok " +
+        "FROM orders), " +
+        "l AS (SELECT tok FROM o WHERE tok IN (SELECT DISTINCT tok FROM c)) " +
+        "SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_customers, " +
+        "CAST((SELECT COUNT(DISTINCT tok) FROM c) AS BIGINT) AS n_tokens, " +
+        "CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_orders, " +
+        "CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_orders_linked, " +
+        "((SELECT COUNT(DISTINCT tok) FROM c) = (SELECT COUNT(*) FROM c) AND " +
+        "(SELECT COUNT(*) FROM l) = (SELECT COUNT(*) FROM o)) AS fk_preserved")),
     Q("q35_anon_drop_identifiers", q35 _, Some(
       "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment " +
         "FROM customer ORDER BY c_custkey")),

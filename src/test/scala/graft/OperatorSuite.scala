@@ -98,8 +98,11 @@ class OperatorSuite extends AnyFunSuite {
                                  // 5-segment domain
       "q255_eval_pr_auc",        // q196's shape: PR sweep windows + AP
                                  // fold over the ≤1001-row bin frame
-      "q257_agg_approx_sample")  // the ONE sample+exact grand aggregate —
+      "q257_agg_approx_sample",  // the ONE sample+exact grand aggregate —
                                  // 1-row by design, map-side combined
+      "q258_gdpr_erasure_audit", // three per-table 1-row purge counts
+                                 // unioned to the 3-row report
+      "q259_anon_ref_integrity") // one audit row: four 1-row count folds
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
