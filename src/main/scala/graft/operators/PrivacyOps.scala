@@ -373,7 +373,102 @@ object PrivacyOps {
     randomizedResponseOf(Tables(spark, sfDir, "customer"),
       col("c_custkey"), col("c_mktsegment"), rrSegments, truthPct = 75)
 
+  /** q261: kᵐ-anonymity item SUPPRESSION (Terrovitis VLDB'08) — the
+    * TRANSFORM completing q188's audit: over order×brand baskets, any
+    * itemset of size ≤ 2 with support < k lets an adversary who knows
+    * those items isolate < k transactions, so the mechanism globally
+    * suppresses (a) every risky single and (b) the LOWER-support member
+    * of every risky pair (ties → lexicographic). One round provably
+    * clears all m ≤ 2 risk: every risky pair loses a member by
+    * construction, and surviving supports are unchanged so no new risk
+    * appears. Output = the per-brand support/suppression report plus
+    * the before/after risky-itemset counts — n_risky_after is computed,
+    * not assumed. k = max(1, n_orders/50), scale-relative so the audit
+    * is meaningful at every SF.
+    *
+    * Scale: the basket frame is (order, brand) DISTINCT — dimension-
+    * bounded fan-out; the pair join keys on the order with C(brands-per-
+    * order, 2) fan-out; every other frame is ≤ |brands|² and broadcast.
+    * Same inverted shape as q188, plus the bounded suppression set
+    * anti-joined back (broadcast). */
+  private def q261(spark: SparkSession, sfDir: String): DataFrame = {
+    val ob = Tables(spark, sfDir, "lineitem")
+      .join(broadcast(Tables(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      .localCheckpoint(true) // read by k, singles, both pair sides, ob2
+    val kF = ob.agg(countDistinct(col("o")).as("no"))
+      .select(greatest(lit(1L), expr("no DIV 50")).as("k"))
+    val singles = ob.groupBy("b").agg(count(lit(1)).as("support"))
+      .localCheckpoint(true) // |brands| rows
+    // name-based selects, NOT positional toDF: a using-column join (ob2's
+    // anti join) reorders columns, which positional renames would mislabel
+    def pairSupports(df: DataFrame): DataFrame =
+      df.select(col("o"), col("b").as("b1"))
+        .join(df.select(col("o"), col("b").as("b2")), "o")
+        .filter(col("b1") < col("b2"))
+        .groupBy("b1", "b2").agg(count(lit(1)).as("psup"))
+    val riskySingles = singles.crossJoin(broadcast(kF))
+      .filter(col("support") < col("k")).select(col("b"))
+    val riskyPairs = pairSupports(ob).crossJoin(broadcast(kF))
+      .filter(col("psup") < col("k")).localCheckpoint(true)
+    val pairVictims = riskyPairs
+      .join(broadcast(singles.toDF("b1", "sup1")), "b1")
+      .join(broadcast(singles.toDF("b2", "sup2")), "b2")
+      .select(when(col("sup1") < col("sup2"), col("b1"))
+        .when(col("sup2") < col("sup1"), col("b2"))
+        .otherwise(least(col("b1"), col("b2"))).as("b"))
+    val suppressed = riskySingles.unionByName(pairVictims).distinct()
+      .localCheckpoint(true) // ≤ |brands| rows
+    val ob2 = ob.join(broadcast(suppressed), Seq("b"), "left_anti")
+    val nBefore = riskySingles.agg(count(lit(1)).as("nrs"))
+      .crossJoin(riskyPairs.agg(count(lit(1)).as("nrp")))
+      .select((col("nrs") + col("nrp")).as("n_risky_before"))
+    val nAfter = ob2.groupBy("b").agg(count(lit(1)).as("s2"))
+      .crossJoin(broadcast(kF)).filter(col("s2") < col("k"))
+      .agg(count(lit(1)).as("nrs2"))
+      .crossJoin(pairSupports(ob2).crossJoin(broadcast(kF))
+        .filter(col("psup") < col("k")).agg(count(lit(1)).as("nrp2")))
+      .select((col("nrs2") + col("nrp2")).as("n_risky_after"))
+    singles
+      .join(broadcast(suppressed.withColumn("sflag", lit(true))), Seq("b"), "left")
+      .crossJoin(broadcast(kF)).crossJoin(broadcast(nBefore))
+      .crossJoin(broadcast(nAfter))
+      .select(col("b").as("brand"), col("support"),
+        coalesce(col("sflag"), lit(false)).as("suppressed"),
+        col("k"), col("n_risky_before"), col("n_risky_after"))
+      .orderBy("brand")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q261_anon_km_suppress", q261 _, Some(
+      "WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+        "kf AS (SELECT GREATEST(1, COUNT(DISTINCT o) // 50) AS k FROM ob), " +
+        "s AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS support FROM ob GROUP BY b), " +
+        "p AS (SELECT a.b AS b1, c.b AS b2, COUNT(*) AS psup FROM ob a " +
+        "JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2), " +
+        "rs AS (SELECT b FROM s CROSS JOIN kf WHERE support < k), " +
+        "rp AS (SELECT b1, b2 FROM p CROSS JOIN kf WHERE psup < k), " +
+        "supp AS (SELECT DISTINCT b FROM (SELECT b FROM rs UNION ALL " +
+        "SELECT CASE WHEN s1.support < s2.support THEN rp.b1 " +
+        "WHEN s2.support < s1.support THEN rp.b2 " +
+        "ELSE LEAST(rp.b1, rp.b2) END AS b FROM rp " +
+        "JOIN s s1 ON s1.b = rp.b1 JOIN s s2 ON s2.b = rp.b2)), " +
+        "ob2 AS (SELECT * FROM ob WHERE b NOT IN (SELECT b FROM supp)), " +
+        "nb AS (SELECT (SELECT COUNT(*) FROM rs) + (SELECT COUNT(*) FROM rp) " +
+        "AS n_risky_before), " +
+        "na AS (SELECT (SELECT COUNT(*) FROM (SELECT b, COUNT(*) AS s2 " +
+        "FROM ob2 GROUP BY b) CROSS JOIN kf WHERE s2 < k) + " +
+        "(SELECT COUNT(*) FROM (SELECT a.b AS b1, c.b AS b2, COUNT(*) AS psup " +
+        "FROM ob2 a JOIN ob2 c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2) " +
+        "CROSS JOIN kf WHERE psup < k) AS n_risky_after) " +
+        "SELECT s.b AS brand, s.support, (s.b IN (SELECT b FROM supp)) " +
+        "AS suppressed, (SELECT k FROM kf) AS k, " +
+        "CAST(n_risky_before AS BIGINT) AS n_risky_before, " +
+        "CAST(n_risky_after AS BIGINT) AS n_risky_after " +
+        "FROM s CROSS JOIN nb CROSS JOIN na ORDER BY brand")),
     Q("q254_dp_randomized_response", q254 _, Some {
       val coin = "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
         "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100"

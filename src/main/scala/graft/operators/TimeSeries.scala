@@ -264,6 +264,43 @@ object TimeSeries {
           col("ts_us")),
       usPerHour)
 
+  /** q260: retention-policy sweep audit — per-event-type time-to-live
+    * applied against a fixed `now` (2024-01-31T00:00Z, just past the
+    * driver corpus): clicks/views expire after 7 days, purchases/signups
+    * after 14, errors keep 30 — the compliance/ops sweep that pairs with
+    * q258's subject-level erasure: q258 deletes WHO asked, q260 deletes
+    * WHAT aged out. Output = per-type rows, expired, retained, the
+    * policy TTL, and the expired fraction — the audit a retention job
+    * logs before the physical delete.
+    *
+    * Scale: one scan, per-row integer age arithmetic + a literal-map
+    * policy lookup (codegen'd), one type-keyed map-side-combined agg.
+    * On a date-partitioned layout the expired set is partition-aligned,
+    * so the delete itself is directory drops, not row rewrites. */
+  private val retentionNowUs = 1706659200000000L // 2024-01-31T00:00:00Z
+  private val retentionDays: Seq[(String, Int)] = Seq(
+    "click" -> 7, "view" -> 7, "purchase" -> 14, "signup" -> 14, "error" -> 30)
+
+  private def q260(spark: SparkSession, sfDir: String): DataFrame = {
+    val policy = map(retentionDays.flatMap {
+      case (t, d) => Seq(lit(t), lit(d)) }: _*)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"($retentionNowUs - ts_us) DIV $usPerDay").as("age_days"))
+      .withColumn("ttl_days", element_at(policy, col("event_type")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("age_days") >= col("ttl_days"), 1L).otherwise(0L))
+          .as("n_expired"),
+        first(col("ttl_days")).as("retention_days"))
+      .select(col("event_type"), col("n_rows"), col("n_expired"),
+        (col("n_rows") - col("n_expired")).as("n_retained"),
+        col("retention_days").cast("long").as("retention_days"),
+        Tables.r6(col("n_expired").cast("double") / col("n_rows"))
+          .as("expired_frac"))
+      .orderBy("event_type")
+  }
+
   /** q108: sliding-window distinct counting — distinct active users per
     * 10-minute window over the trailing hour (6 buckets). Window
     * functions can't COUNT(DISTINCT); the scalable formulation is
@@ -834,6 +871,21 @@ object TimeSeries {
         Tables.r6sql("CAST(n_sessions AS DOUBLE) / CAST(t AS DOUBLE)") + " AS share " +
         "FROM pc CROSS JOIN t " +
         s"ORDER BY n_sessions DESC, path LIMIT $JourneyTop")),
+    Q("q260_retention_policy", q260 _, Some {
+      val ttl = "CASE event_type " + retentionDays.map {
+        case (t, d) => s"WHEN '$t' THEN $d" }.mkString(" ") + " END"
+      s"WITH e AS (SELECT event_type, " +
+        s"($retentionNowUs - epoch_us(ts)) // $usPerDay AS age_days, " +
+        s"$ttl AS ttl_days FROM events), " +
+        "a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN age_days >= ttl_days THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_expired, CAST(MIN(ttl_days) AS BIGINT) AS retention_days " +
+        "FROM e GROUP BY event_type) " +
+        "SELECT event_type, n_rows, n_expired, " +
+        "n_rows - n_expired AS n_retained, retention_days, " +
+        Tables.r6sql("CAST(n_expired AS DOUBLE) / n_rows") + " AS expired_frac " +
+        "FROM a ORDER BY event_type"
+    }),
     Q("q250_join_stream_stream", q250 _, Some(
       "WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us " +
         "FROM events), " +

@@ -102,7 +102,9 @@ class OperatorSuite extends AnyFunSuite {
                                  // 1-row by design, map-side combined
       "q258_gdpr_erasure_audit", // three per-table 1-row purge counts
                                  // unioned to the 3-row report
-      "q259_anon_ref_integrity") // one audit row: four 1-row count folds
+      "q259_anon_ref_integrity", // one audit row: four 1-row count folds
+      "q261_anon_km_suppress")   // k / before / after 1-row folds over
+                                 // brand-bounded frames
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
