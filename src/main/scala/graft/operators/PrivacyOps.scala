@@ -411,7 +411,8 @@ object PrivacyOps {
         .groupBy("b1", "b2").agg(count(lit(1)).as("psup"))
     val riskySingles = singles.crossJoin(broadcast(kF))
       .filter(col("support") < col("k")).select(col("b"))
-    val riskyPairs = pairSupports(ob).crossJoin(broadcast(kF))
+    val pairs = pairSupports(ob).localCheckpoint(true) // ≤ |brands|² rows
+    val riskyPairs = pairs.crossJoin(broadcast(kF))
       .filter(col("psup") < col("k")).localCheckpoint(true)
     val pairVictims = riskyPairs
       .join(broadcast(singles.toDF("b1", "sup1")), "b1")
@@ -421,15 +422,20 @@ object PrivacyOps {
         .otherwise(least(col("b1"), col("b2"))).as("b"))
     val suppressed = riskySingles.unionByName(pairVictims).distinct()
       .localCheckpoint(true) // ≤ |brands| rows
-    val ob2 = ob.join(broadcast(suppressed), Seq("b"), "left_anti")
     val nBefore = riskySingles.agg(count(lit(1)).as("nrs"))
       .crossJoin(riskyPairs.agg(count(lit(1)).as("nrp")))
       .select((col("nrs") + col("nrp")).as("n_risky_before"))
-    val nAfter = ob2.groupBy("b").agg(count(lit(1)).as("s2"))
-      .crossJoin(broadcast(kF)).filter(col("s2") < col("k"))
+    // the after-audit needs NO second basket pass: global suppression
+    // only REMOVES itemsets — a surviving single/pair has the identical
+    // support it had before — so surviving risk is the first-pass frames
+    // anti-joined against the suppression set (brand-bounded, broadcast)
+    val nAfter = singles.join(broadcast(suppressed), Seq("b"), "left_anti")
+      .crossJoin(broadcast(kF)).filter(col("support") < col("k"))
       .agg(count(lit(1)).as("nrs2"))
-      .crossJoin(pairSupports(ob2).crossJoin(broadcast(kF))
-        .filter(col("psup") < col("k")).agg(count(lit(1)).as("nrp2")))
+      .crossJoin(riskyPairs
+        .join(broadcast(suppressed.toDF("b1")), Seq("b1"), "left_anti")
+        .join(broadcast(suppressed.toDF("b2")), Seq("b2"), "left_anti")
+        .agg(count(lit(1)).as("nrp2")))
       .select((col("nrs2") + col("nrp2")).as("n_risky_after"))
     singles
       .join(broadcast(suppressed.withColumn("sflag", lit(true))), Seq("b"), "left")
@@ -456,14 +462,13 @@ object PrivacyOps {
         "WHEN s2.support < s1.support THEN rp.b2 " +
         "ELSE LEAST(rp.b1, rp.b2) END AS b FROM rp " +
         "JOIN s s1 ON s1.b = rp.b1 JOIN s s2 ON s2.b = rp.b2)), " +
-        "ob2 AS (SELECT * FROM ob WHERE b NOT IN (SELECT b FROM supp)), " +
         "nb AS (SELECT (SELECT COUNT(*) FROM rs) + (SELECT COUNT(*) FROM rp) " +
         "AS n_risky_before), " +
-        "na AS (SELECT (SELECT COUNT(*) FROM (SELECT b, COUNT(*) AS s2 " +
-        "FROM ob2 GROUP BY b) CROSS JOIN kf WHERE s2 < k) + " +
-        "(SELECT COUNT(*) FROM (SELECT a.b AS b1, c.b AS b2, COUNT(*) AS psup " +
-        "FROM ob2 a JOIN ob2 c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2) " +
-        "CROSS JOIN kf WHERE psup < k) AS n_risky_after) " +
+        "na AS (SELECT (SELECT COUNT(*) FROM s CROSS JOIN kf " +
+        "WHERE support < k AND b NOT IN (SELECT b FROM supp)) + " +
+        "(SELECT COUNT(*) FROM rp " +
+        "WHERE b1 NOT IN (SELECT b FROM supp) " +
+        "AND b2 NOT IN (SELECT b FROM supp)) AS n_risky_after) " +
         "SELECT s.b AS brand, s.support, (s.b IN (SELECT b FROM supp)) " +
         "AS suppressed, (SELECT k FROM kf) AS k, " +
         "CAST(n_risky_before AS BIGINT) AS n_risky_before, " +
