@@ -838,6 +838,16 @@ object Graft {
       categories: Seq[String], truthPct: Int = 75): DataFrame =
     operators.PrivacyOps.randomizedResponseOf(df, key, value, categories, truthPct)
 
+  /** kᵐ-anonymity (m ≤ 2) global item suppression over transaction
+    * baskets (o, b): suppresses every sub-k single plus the lower-
+    * support member of every sub-k pair — one round provably clears all
+    * size-≤2 risk — and returns the per-item report with before/after
+    * risky counts computed in-query. k = max(1, n_transactions /
+    * kDivisor). Verified as q261; the clears-all-risk property is
+    * PropertySuite-tested on random baskets. */
+  def kmSuppress(baskets: DataFrame, kDivisor: Int = 50): DataFrame =
+    operators.PrivacyOps.kmSuppressOf(baskets, kDivisor)
+
   /** Lexicon scoring (sentiment, toxicity lists, policy terms): per-doc
     * (pos-hits − neg-hits)/tokens via in-row array lambdas — lexica ride
     * the plan as literals, the corpus never explodes — rolled up per

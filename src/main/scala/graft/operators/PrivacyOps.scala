@@ -391,15 +391,20 @@ object PrivacyOps {
     * order, 2) fan-out; every other frame is ≤ |brands|² and broadcast.
     * Same inverted shape as q188, plus the bounded suppression set
     * anti-joined back (broadcast). */
-  private def q261(spark: SparkSession, sfDir: String): DataFrame = {
-    val ob = Tables(spark, sfDir, "lineitem")
-      .join(broadcast(Tables(spark, sfDir, "part")
-        .select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
-      .localCheckpoint(true) // read by k, singles, both pair sides, ob2
+  /** The generic kᵐ (m ≤ 2) global-suppression mechanism behind q261,
+    * exposed as [[graft.Graft.kmSuppress]]: `baskets` needs (o, b) —
+    * transaction id × item — and k = max(1, n_transactions / kDivisor).
+    * Returns the per-item report (brand, support, suppressed, k,
+    * n_risky_before, n_risky_after — `brand` is the item column name,
+    * q261's contract); n_risky_after = 0 is PROVEN by the
+    * one-round argument in the q261 scaladoc and property-tested on
+    * random baskets in PropertySuite. */
+  private[graft] def kmSuppressOf(baskets: DataFrame, kDivisor: Int): DataFrame = {
+    require(kDivisor >= 1, s"kmSuppress: kDivisor $kDivisor must be >= 1")
+    val ob = baskets.select(col("o"), col("b")).distinct()
+      .localCheckpoint(true) // read by k, singles, both pair sides
     val kF = ob.agg(countDistinct(col("o")).as("no"))
-      .select(greatest(lit(1L), expr("no DIV 50")).as("k"))
+      .select(greatest(lit(1L), expr(s"no DIV $kDivisor")).as("k"))
     val singles = ob.groupBy("b").agg(count(lit(1)).as("support"))
       .localCheckpoint(true) // |brands| rows
     // name-based selects, NOT positional toDF: a using-column join (ob2's
@@ -446,6 +451,15 @@ object PrivacyOps {
         col("k"), col("n_risky_before"), col("n_risky_after"))
       .orderBy("brand")
   }
+
+  private def q261(spark: SparkSession, sfDir: String): DataFrame =
+    kmSuppressOf(
+      Tables(spark, sfDir, "lineitem")
+        .join(broadcast(Tables(spark, sfDir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")),
+      kDivisor = 50)
 
   val entries: Seq[Q] = Seq(
     Q("q261_anon_km_suppress", q261 _, Some(

@@ -454,6 +454,21 @@ class PropertySuite extends AnyFunSuite {
     }, cases = 10)
   }
 
+  test("kmSuppress: one round clears ALL size-≤2 risk on random baskets") {
+    import spark.implicits._
+    // the q261 one-round claim: every risky pair loses a member and
+    // surviving supports are unchanged, so n_risky_after must be 0 for
+    // ANY basket set and divisor — including degenerate single-item and
+    // all-identical baskets the TPC-H data never produces
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 40L), Gen.chooseNum(1, 6))),
+      Gen.chooseNum(2, 10)) { (rows, div) =>
+      val baskets = rows.map { case (o, i) => (o, s"item$i") }.toDF("o", "b")
+      val rep = Graft.kmSuppress(baskets, kDivisor = div).collect()
+      rep.nonEmpty && rep.forall(_.getLong(5) == 0L) // n_risky_after
+    }, cases = 8)
+  }
+
   test("bloomPrefilter: no false negative for ANY keys, even at heavy bit load") {
     import spark.implicits._
     // bits deliberately tiny (256) so the mask saturates and false
