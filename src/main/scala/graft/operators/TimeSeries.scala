@@ -264,6 +264,43 @@ object TimeSeries {
           col("ts_us")),
       usPerHour)
 
+  /** q262: conversion abandonment — the ANTI side of q250: per user,
+    * how many clicks were followed by NO same-user purchase within the
+    * next hour (cart abandonment, the metric the conversion pairs alone
+    * can't give because absence never appears in a join's output). A
+    * click "converts" if ≥ 1 purchase lands in (c_ts, c_ts + 1 h]; the
+    * left-semi band join marks converting clicks, and the per-user
+    * rollup reports clicks / converted / abandoned / abandonment rate.
+    *
+    * Scale: the same user-keyed equi-join + residual band as q250, but
+    * LEFT SEMI — Spark stops probing a click at its first matching
+    * purchase and emits no pair fan-out at all, so this is strictly
+    * cheaper than the pairing; per-user rollup is map-side combined. */
+  private def q262(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+    val converted = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("c_ts") && col("p_ts") <= col("c_ts") + usPerHour,
+      "left_semi")
+    val perUser = clicks.groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val convUser = converted.groupBy("user_id")
+      .agg(count(lit(1)).as("n_converted"))
+    perUser.join(convUser, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_clicks"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        (col("n_clicks") - coalesce(col("n_converted"), lit(0L)))
+          .as("n_abandoned"),
+        Tables.r6((col("n_clicks") - coalesce(col("n_converted"), lit(0L)))
+          .cast("double") / col("n_clicks")).as("abandon_frac"))
+      .orderBy("user_id")
+  }
+
   /** q260: retention-policy sweep audit — per-event-type time-to-live
     * applied against a fixed `now` (2024-01-31T00:00Z, just past the
     * driver corpus): clicks/views expire after 7 days, purchases/signups
@@ -897,6 +934,26 @@ object TimeSeries {
         s"FROM c JOIN p ON c.user_id = p.user_id AND c.c_ts >= p.p_ts - $usPerHour " +
         "AND c.c_ts < p.p_ts " +
         "ORDER BY c.user_id, click_id, purchase_id")),
+    Q("q262_conversion_abandonment", q262 _, Some(
+      "WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us " +
+        "FROM events), " +
+        "c AS (SELECT user_id, event_id AS click_id, ts_us AS c_ts FROM ev " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, ts_us AS p_ts FROM ev " +
+        "WHERE event_type = 'purchase'), " +
+        "conv AS (SELECT DISTINCT c.user_id, c.click_id FROM c JOIN p " +
+        "ON c.user_id = p.user_id AND p.p_ts > c.c_ts " +
+        s"AND p.p_ts <= c.c_ts + $usPerHour), " +
+        "pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks " +
+        "FROM c GROUP BY user_id), " +
+        "cu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_converted " +
+        "FROM conv GROUP BY user_id) " +
+        "SELECT pu.user_id, n_clicks, " +
+        "COALESCE(n_converted, 0) AS n_converted, " +
+        "n_clicks - COALESCE(n_converted, 0) AS n_abandoned, " +
+        Tables.r6sql("CAST(n_clicks - COALESCE(n_converted, 0) AS DOUBLE) / n_clicks") +
+        " AS abandon_frac " +
+        "FROM pu LEFT JOIN cu ON pu.user_id = cu.user_id ORDER BY pu.user_id")),
     Q("q241_rolling_distinct", q241 _, Some(
       "WITH pairs AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, " +
         "user_id FROM events), " +
