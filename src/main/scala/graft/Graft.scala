@@ -818,8 +818,14 @@ object Graft {
     * between is excluded — returns per-split count + date bounds proving
     * the gap. `cutoff` is an ISO date string. Verified as q251. */
   def temporalSplit(df: DataFrame, date: Column, cutoff: String,
-      embargoDays: Int = 30): DataFrame =
+      embargoDays: Int = 30): DataFrame = {
+    // fail loudly on an unparseable cutoff: to_date(lit(...)) would yield
+    // NULL and silently label EVERY row "test" — a confidently wrong
+    // leakage audit is worse than an exception
+    require(scala.util.Try(java.time.LocalDate.parse(cutoff)).isSuccess,
+      s"temporalSplit: cutoff '$cutoff' is not an ISO date (yyyy-MM-dd)")
     operators.TrainingOps.temporalSplitOf(df, date, to_date(lit(cutoff)), embargoDays)
+  }
 
   /** Embedding-space diversity sample (coreset): one representative
     * vec_id per quantized cell of the first two embedding dimensions at
@@ -857,28 +863,9 @@ object Graft {
     operators.TextAnalysis.sentimentOf(docs, pos, neg)
 
   /** Precision–recall curve + average precision over an integer-binned
-    * scored frame (bin, pos) — q255's math on any scorer's output; the
-    * rare-positive companion to [[rocCurve]]. */
-  def prCurve(scored: DataFrame): DataFrame = {
-    val b = scored.groupBy("bin")
-      .agg(sum(col("pos")).as("npos"),
-        (count(lit(1)) - sum(col("pos"))).as("nneg"))
-      .localCheckpoint(true)
-    val w = Window.orderBy(col("bin").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = b.agg(sum("npos").as("graft_p"))
-    val d = b.withColumn("graft_cum_p", sum("npos").over(w))
-      .withColumn("graft_cum_n", sum("nneg").over(w))
-      .crossJoin(broadcast(totals))
-      .withColumn("prec", Tables.r6(col("graft_cum_p").cast("double") /
-        (col("graft_cum_p") + col("graft_cum_n"))))
-      .withColumn("recall",
-        Tables.r6(col("graft_cum_p").cast("double") / col("graft_p")))
-      .localCheckpoint(true)
-    val ap = d.agg(sum(Tables.r6(col("npos") * col("prec") / col("graft_p"))
-      .cast("decimal(18,6)")).as("graft_ap"))
-    d.crossJoin(broadcast(ap))
-      .select(col("bin"), col("npos"), col("nneg"), col("prec"), col("recall"),
-        Tables.r6(col("graft_ap").cast("double")).as("avg_precision"))
-  }
+    * scored frame (bin, pos) — the SAME implementation as the verified
+    * q255 (EvalOps.prCurveOf); the rare-positive companion to
+    * [[rocCurve]]. */
+  def prCurve(scored: DataFrame): DataFrame =
+    operators.EvalOps.prCurveOf(scored)
 }

@@ -446,15 +446,20 @@ object Aggregates {
       .withColumnRenamed("id", "o_orderkey")
       .withColumnRenamed("score", "o_totalprice")
 
-  /** q257: approximate query processing by deterministic uniform sample —
-    * the BlinkDB/AQP pattern: a 2% md5-bucket sample of lineitem
-    * estimates total revenue by Horvitz–Thompson scale-up (×50), and the
-    * output carries the exact total + relative error as the built-in
-    * accuracy audit. Both the sample and exact aggregates ride ONE scan
-    * here (the audit requires the exact answer anyway); the production
-    * shape at 100 TB is the sample MATERIALIZED as its own 2% table so
-    * the estimate scans 2 TB instead of 100 — this query proves the
-    * estimator math that makes that trade measurable. Sampling is
+  /** q257: approximate query processing by deterministic sample — the
+    * BlinkDB/AQP pattern: a ~2% md5-bucket sample of lineitem estimates
+    * total revenue, and the output carries the exact total + relative
+    * error as the built-in accuracy audit. The estimator is
+    * SELF-NORMALIZED (ratio form): est = sample_sum · n_total/n_sample —
+    * NOT a fixed ×50 Horvitz–Thompson scale-up, because the hex-pair
+    * mod-100 bucketing makes buckets 0–1 carry 6/256 ≈ 2.34% inclusion
+    * mass, and a fixed multiplier assuming 2% would bake in a
+    * systematic ~17% overestimate; dividing by the OBSERVED sample count
+    * cancels the inclusion-probability mismatch exactly. Both aggregates
+    * ride ONE scan here (the audit requires the exact answer anyway);
+    * the production shape at 100 TB is the sample MATERIALIZED as its
+    * own table so the estimate scans ~2% of the data — this query proves
+    * the estimator math that makes that trade measurable. Sampling is
     * md5-deterministic (q79's hex-digit bucket, 'aqp:' salt) so both
     * engines draw the identical sample; all sums are DECIMAL-exact with
     * one r6 double emission (§2.9 R1).
@@ -475,8 +480,12 @@ object Aggregates {
           .otherwise(dec(lit(0)))).as("samp_dec"))
       .select(col("n_total"), col("n_sample"),
         Tables.r6(col("exact_dec").cast("double")).as("exact_sum"),
-        Tables.r6((col("samp_dec") * lit(50)).cast("double")).as("est_sum"),
-        Tables.r6(abs(col("samp_dec") * lit(50) - col("exact_dec")).cast("double") /
+        Tables.r6(col("samp_dec").cast("double") *
+          col("n_total").cast("double") / col("n_sample").cast("double"))
+          .as("est_sum"),
+        Tables.r6(abs(col("samp_dec").cast("double") *
+          col("n_total").cast("double") / col("n_sample").cast("double") -
+          col("exact_dec").cast("double")) /
           col("exact_dec").cast("double")).as("rel_err"))
   }
 
@@ -496,8 +505,10 @@ object Aggregates {
         "ELSE CAST(0 AS DECIMAL(18,4)) END) AS samp_dec FROM b) " +
         "SELECT n_total, n_sample, " +
         Tables.r6sql("CAST(exact_dec AS DOUBLE)") + " AS exact_sum, " +
-        Tables.r6sql("CAST(samp_dec * 50 AS DOUBLE)") + " AS est_sum, " +
-        Tables.r6sql("CAST(ABS(samp_dec * 50 - exact_dec) AS DOUBLE) / " +
+        Tables.r6sql("CAST(samp_dec AS DOUBLE) * CAST(n_total AS DOUBLE) / " +
+          "CAST(n_sample AS DOUBLE)") + " AS est_sum, " +
+        Tables.r6sql("ABS(CAST(samp_dec AS DOUBLE) * CAST(n_total AS DOUBLE) / " +
+          "CAST(n_sample AS DOUBLE) - CAST(exact_dec AS DOUBLE)) / " +
           "CAST(exact_dec AS DOUBLE)") + " AS rel_err " +
         "FROM a"
     }),

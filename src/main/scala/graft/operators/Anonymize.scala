@@ -367,16 +367,19 @@ object Anonymize {
     * every table that references the subject, and the audit is what a
     * DPO signs off on before the physical delete runs.
     *
-    * Scale: the request set is tiny → broadcast semi-join against
-    * orders; the affected-order keys semi-join lineitem (equi-join,
-    * AQE-broadcastable); three 1-row count aggregates union to the
-    * 3-row report. No table scans twice, nothing shuffles raw rows. */
+    * Scale: both FK hops are semi-joins with NO broadcast hint — the
+    * request set is usually small, but a mass-erasure event (a class
+    * action, a jurisdiction exit) can make it a double-digit fraction of
+    * the dimension (it is 8.9% of customers in this synthetic data), and
+    * a forced broadcast would OOM exactly then; AQE picks broadcast when
+    * the set is actually small. Three 1-row count aggregates union to
+    * the 3-row report. No table scans twice, nothing shuffles raw rows. */
   private def q258(spark: SparkSession, sfDir: String): DataFrame = {
     val customer = Tables(spark, sfDir, "customer")
     val orders = Tables(spark, sfDir, "orders")
     val lineitem = Tables(spark, sfDir, "lineitem")
     val subjects = customer.filter(col("c_acctbal") < 0).select(col("c_custkey"))
-    val oDel = orders.join(broadcast(subjects),
+    val oDel = orders.join(subjects,
       col("o_custkey") === col("c_custkey"), "left_semi")
     val lDel = lineitem.join(oDel.select(col("o_orderkey").as("graft_k")),
       col("l_orderkey") === col("graft_k"), "left_semi")
@@ -410,7 +413,10 @@ object Anonymize {
       .select(graft.Graft.pseudonym(col("c_custkey").cast("string"), salt).as("tok"))
     val oTok = Tables(spark, sfDir, "orders")
       .select(graft.Graft.pseudonym(col("o_custkey").cast("string"), salt).as("tok"))
-    val linked = oTok.join(cTok.distinct(), Seq("tok"), "left_semi")
+    // no distinct() on the semi join's right side: a semi join's output
+    // is identical either way, and the dedup would add a corpus-sized
+    // aggregate + exchange for nothing
+    val linked = oTok.join(cTok, Seq("tok"), "left_semi")
     cTok.agg(count(lit(1)).as("n_customers"),
         countDistinct(col("tok")).as("n_tokens"))
       .crossJoin(oTok.agg(count(lit(1)).as("n_orders")))

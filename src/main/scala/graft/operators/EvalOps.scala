@@ -89,8 +89,15 @@ object EvalOps {
     *
     * Scale: identical shape to q196 — ONE corpus-collapsing groupBy to
     * ≤1001 bins, then windows/aggregates on the bounded frame only. */
-  private def q255(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = binned(spark, sfDir).localCheckpoint(true)
+  /** The PR-curve/AP computation behind q255 AND [[graft.Graft.prCurve]]
+    * — one implementation so the facade can't drift from the verified
+    * query. `scoredDf` needs (bin, pos); output is unordered (q255 adds
+    * its oracle ORDER BY). */
+  private[graft] def prCurveOf(scoredDf: DataFrame): DataFrame = {
+    val b = scoredDf.groupBy("bin")
+      .agg(sum(col("pos")).as("npos"),
+        (count(lit(1)) - sum(col("pos"))).as("nneg"))
+      .localCheckpoint(true)
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = b.agg(sum("npos").as("p_tot"))
@@ -106,8 +113,10 @@ object EvalOps {
     d.crossJoin(broadcast(ap))
       .select(col("bin"), col("npos"), col("nneg"), col("prec"), col("recall"),
         Tables.r6(col("ap_dec").cast("double")).as("avg_precision"))
-      .orderBy("bin")
   }
+
+  private def q255(spark: SparkSession, sfDir: String): DataFrame =
+    prCurveOf(scored(spark, sfDir)).orderBy("bin")
 
   /** q197: calibration / reliability bins — score deciles vs observed
     * positive rate. A well-calibrated scorer has mean_pred ≈ pos_rate

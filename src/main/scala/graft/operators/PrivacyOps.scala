@@ -311,31 +311,40 @@ object PrivacyOps {
 
   /** q254: LOCAL differential privacy via randomized response (Warner
     * 1965; the RAPPOR/Apple-style collection model) — each customer
-    * reports their market segment TRUTHFULLY with probability p = 3/4,
-    * otherwise reports a uniform draw over the k = 5 segments; the
-    * aggregator then DEBIASES the observed histogram with the standard
-    * unbiased estimator est_c = (obs_c − (1−p)·N/k) / p. Unlike the
-    * central-DP family (q116/q152/q192: trusted aggregator adds noise
-    * AFTER aggregation), here the privacy boundary is the individual
-    * row — the aggregator never sees true values, which is the model for
-    * telemetry collection from devices the pipeline doesn't trust.
-    * ε = ln(p·k/(1−p) + 1) = ln 16 per report. The true histogram rides
-    * along as the audit column the estimator is judged against.
+    * reports their market segment truthfully on a coin, else a category
+    * drawn from a lie distribution; the aggregator DEBIASES the observed
+    * histogram. Unlike the central-DP family (q116/q152/q192: trusted
+    * aggregator adds noise AFTER aggregation), here the privacy boundary
+    * is the individual row — the aggregator never sees true values,
+    * which is the model for telemetry collection from devices the
+    * pipeline doesn't trust. The true histogram rides along as the audit
+    * column the estimator is judged against.
     *
-    * Determinism (§2.9): both coins derive from md5(custkey) hex-digit
-    * arithmetic (the q79 split pattern) — cross-engine identical, so the
-    * "randomized" mechanism is exactly reproducible by the oracle.
+    * Estimator honesty: the md5 coins are NOT perfectly uniform (a byte
+    * mod 100 and a hex digit mod k both carry modulo bias), so the naive
+    * (obs − (1−p)·N/k)/p debiaser would be systematically biased. The
+    * implementation therefore computes the EXACT design probabilities of
+    * its own mechanism — p = #{v ∈ [0,256) : v mod 100 < truthPct}/256
+    * and q_c = #{d ∈ [0,16) : d mod k = idx_c}/16 — and inverts those:
+    * est_c = (obs_c − (1−p)·q_c·N) / p, which is exactly unbiased for
+    * the mechanism as built (and Σ est = N algebraically since Σq = 1).
+    * Per-report ε = max_c ln(1 + p/((1−p)·q_c)). Determinism (§2.9):
+    * both coins are md5 hex-digit arithmetic (the q79 split pattern), so
+    * the oracle reproduces mechanism AND estimator bit-for-bit.
     *
-    * Scale: one scan; per-row hashing is codegen'd; two 5-row aggregates
-    * (map-side combined) joined on the 5-value segment domain. */
+    * Scale: one scan; per-row hashing is codegen'd; two k-row map-side
+    * aggregates outer-joined onto the literal category domain (so a
+    * category with zero true holders or zero reports still appears —
+    * dropping it would break the Σ est = N identity). */
   private val rrSegments =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
   /** The generic randomized-response mechanism + debiaser behind q254,
     * exposed as [[graft.Graft.randomizedResponse]]. `truthPct` ∈ (0,100]
-    * is p in percent; `categories` must cover every value of `value`
-    * (unlisted values only ever report truthfully, which would bias the
-    * estimator). */
+    * is the nominal truth-coin percentage (the ACTUAL probability used
+    * by the debiaser accounts for modulo bias, see q254 scaladoc);
+    * `categories` must cover every value of `value` (unlisted values
+    * only ever report truthfully, which would bias the estimator). */
   private[graft] def randomizedResponseOf(df: DataFrame, key: Column,
       value: Column, categories: Seq[String], truthPct: Int): DataFrame = {
     require(truthPct > 0 && truthPct <= 100,
@@ -343,7 +352,10 @@ object PrivacyOps {
     require(categories.nonEmpty && categories.size <= 16,
       s"randomizedResponse: ${categories.size} categories outside [1, 16]")
     val k = categories.size
-    val p = truthPct / 100.0
+    // exact design probabilities of the md5 mechanism (not the nominal
+    // truthPct/100 and 1/k — the modulo maps are measurably non-uniform)
+    val p = (0 until 256).count(_ % 100 < truthPct) / 256.0
+    val qs = categories.indices.map(i => (0 until 16).count(_ % k == i) / 16.0)
     val base = df.select(key.cast("string").as("graft_key"), value.as("graft_v"))
       .withColumn("h", expr("md5(concat('rr:', graft_key))"))
       .withColumn("coin", expr(
@@ -356,15 +368,22 @@ object PrivacyOps {
           .otherwise(element_at(array(categories.map(lit): _*),
             col("lie").cast("int") + 1)))
       .localCheckpoint(true) // corpus-sized frame; two k-row consumers
+    val spark = df.sparkSession
+    import spark.implicits._
+    val domain = categories.zip(qs).toDF("segment", "graft_q")
     val truth = base.groupBy(col("graft_v").as("segment"))
       .agg(count(lit(1)).as("n_true"))
     val observed = base.groupBy(col("reported").as("segment"))
       .agg(count(lit(1)).as("n_reported"))
     val n = base.agg(count(lit(1)).as("n_total"))
-    truth.join(observed, "segment").crossJoin(broadcast(n))
-      .select(col("segment"), col("n_true"), col("n_reported"),
-        Tables.r6((col("n_reported").cast("double") -
-          lit(1.0 - p) * col("n_total").cast("double") / lit(k.toDouble)) /
+    domain.join(truth, Seq("segment"), "left")
+      .join(observed, Seq("segment"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("segment"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_reported"), lit(0L)).as("n_reported"),
+        Tables.r6((coalesce(col("n_reported"), lit(0L)).cast("double") -
+          lit(1.0 - p) * col("graft_q") * col("n_total").cast("double")) /
           lit(p)).as("n_est"))
       .orderBy("segment")
   }
@@ -493,21 +512,31 @@ object PrivacyOps {
         "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100"
       val lie = "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 5"
       val segList = "['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY']"
+      // EXACT design probabilities of the md5 mechanism — same derivation
+      // as randomizedResponseOf (modulo-bias-corrected; see scaladoc)
+      val p = (0 until 256).count(_ % 100 < 75) / 256.0
+      val qCase = "CASE dom.segment " + rrSegments.zipWithIndex.map { case (s, i) =>
+        s"WHEN '$s' THEN ${(0 until 16).count(_ % 5 == i) / 16.0}"
+      }.mkString(" ") + " END"
       "WITH base AS (SELECT c_mktsegment, " +
         s"CASE WHEN $coin < 75 THEN c_mktsegment " +
         s"ELSE $segList[CAST($lie AS INT) + 1] END AS reported FROM (" +
         "SELECT c_custkey, c_mktsegment, " +
         "md5(concat('rr:', CAST(c_custkey AS VARCHAR))) AS h FROM customer)), " +
+        s"dom AS (SELECT UNNEST($segList) AS segment), " +
         "truth AS (SELECT c_mktsegment AS segment, COUNT(*) AS n_true " +
         "FROM base GROUP BY 1), " +
         "obs AS (SELECT reported AS segment, COUNT(*) AS n_reported " +
         "FROM base GROUP BY 1), " +
         "tot AS (SELECT COUNT(*) AS n_total FROM base) " +
-        "SELECT truth.segment, n_true, n_reported, " +
-        Tables.r6sql("(CAST(n_reported AS DOUBLE) - " +
-          "0.25 * CAST(n_total AS DOUBLE) / 5.0) / 0.75") + " AS n_est " +
-        "FROM truth JOIN obs ON truth.segment = obs.segment CROSS JOIN tot " +
-        "ORDER BY truth.segment"
+        "SELECT dom.segment, " +
+        "CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true, " +
+        "CAST(COALESCE(n_reported, 0) AS BIGINT) AS n_reported, " +
+        Tables.r6sql("(CAST(COALESCE(n_reported, 0) AS DOUBLE) - " +
+          s"${1.0 - p} * ($qCase) * CAST(n_total AS DOUBLE)) / $p") + " AS n_est " +
+        "FROM dom LEFT JOIN truth ON dom.segment = truth.segment " +
+        "LEFT JOIN obs ON dom.segment = obs.segment CROSS JOIN tot " +
+        "ORDER BY dom.segment"
     }),
     Q("q192_dp_median_expmech", q192 _, Some {
       val key = "(((bin * 2654435761) % 1000003 + 1000003) % 1000003)"

@@ -722,6 +722,17 @@ class ApiSuite extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Graft.randomizedResponse(df, col("k"), col("v"), Seq.empty, 75)
     }
+    // a category with ZERO true holders must still appear (lies land on
+    // it) — an inner join would drop it and break the Σ est = N identity
+    val onlyA = (1L to 100L).map((_, "a")).toDF("k", "v")
+    val rows = Graft.randomizedResponse(onlyA, col("k"), col("v"), Seq("a", "b"), 50)
+      .collect()
+    assert(rows.length == 2, "zero-holder category must not vanish")
+    val b = rows.find(_.getString(0) == "b").get
+    assert(b.getLong(1) == 0L && b.getLong(2) > 0L,
+      "category b: n_true 0 but reported lies > 0")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 100.0) < 1e-5,
+      "sum-to-N must survive the zero-holder case")
   }
 
   test("sentiment: hand-checked lexicon scores; overlapping lexica rejected") {
