@@ -215,6 +215,52 @@ object EvalOps {
       .orderBy("segment")
   }
 
+  /** q264: NDCG@5 of the q51 brute-force cosine retrieval, scored against
+    * label agreement — the ranking-quality metric (Järvelin & Kekäläinen,
+    * TOIS 2002) the eval family lacked: q196/q255 grade a CLASSIFIER's
+    * score ordering; NDCG grades a RETRIEVAL's ranked list, position-
+    * discounted. Relevance of a retrieved neighbor = 1 iff its label
+    * matches the probe's; DCG = Σ rel(r)/log₂(r+1) over ranks 1..5; IDCG
+    * places the min(5, n_rel) available relevant docs at the top (n_rel =
+    * corpus members of the probe's label minus the probe itself); NDCG =
+    * DCG/IDCG.
+    *
+    * Determinism: rank positions come from q51's 6-dp-rounded-cosine
+    * ordering (id tiebreak); each discount term ln(2)/ln(r+1) is rounded
+    * to 6 dp and summed as DECIMAL(18,6) — exact, associative, identical
+    * cross-engine (ln-parity precedent q116/q154).
+    *
+    * Scale: the ranked list is 10 probes × 5 rows; label lookups and the
+    * per-label corpus counts are equi-joins against it (AQE broadcasts
+    * the 50-row side). The only corpus-shaped work is the retrieval
+    * itself — swap bruteTopK for q63's IVF probe at scale, the metric
+    * layer is unchanged. */
+  private def q264(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val ranked = LLMPipeline.bruteTopK(spark, emb, col("vec_id") < 10, topK = 5)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val relCnt = emb.groupBy(col("label").as("lbl")).agg(count(lit(1)).as("n_lbl"))
+    val disc = log(lit(2.0)) / log(col("rn").cast("double") + lit(1.0))
+    ranked
+      .join(labels.select(col("vec_id").as("id_a"), col("label").as("label_a")), Seq("id_a"))
+      .join(labels.select(col("vec_id").as("id_b"), col("label").as("label_b")), Seq("id_b"))
+      .join(broadcast(relCnt), col("label_a") === col("lbl"))
+      .withColumn("nrel", (col("n_lbl") - lit(1)).cast("bigint"))
+      .groupBy(col("id_a"), col("label_a"), col("nrel"))
+      .agg(
+        sum(Tables.r6(when(col("label_a") === col("label_b"), disc)
+          .otherwise(lit(0.0))).cast("decimal(18,6)")).as("dcgD"),
+        sum(Tables.r6(when(col("rn") <= col("nrel"), disc)
+          .otherwise(lit(0.0))).cast("decimal(18,6)")).as("idcgD"))
+      .select(col("id_a"), col("label_a"), col("nrel").as("n_rel"),
+        Tables.r6(col("dcgD").cast("double")).as("dcg"),
+        Tables.r6(col("idcgD").cast("double")).as("idcg"),
+        when(col("idcgD").cast("double") > 0,
+          Tables.r6(col("dcgD").cast("double") / col("idcgD").cast("double")))
+          .as("ndcg"))
+      .orderBy("id_a")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q220_eval_conformal", q220 _, Some {
       val bucket = "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
@@ -302,5 +348,36 @@ object EvalOps {
         Tables.r6sql("CAST(tp AS DOUBLE) / (tp + fn)") + " END AS recall, " +
         "CASE WHEN 2 * tp + fp + fn > 0 THEN " +
         Tables.r6sql("2.0 * tp / (2 * tp + fp + fn)") + " END AS f1 " +
-        "FROM m ORDER BY tau")))
+        "FROM m ORDER BY tau")),
+    Q("q264_eval_ndcg", q264 _, Some {
+      val dot = LLMPipeline.dotSql("a", "b")
+      val na = LLMPipeline.dotSql("a", "a")
+      val nb = LLMPipeline.dotSql("b", "b")
+      val disc = "LN(2.0) / LN(rn + 1.0)"
+      "WITH ranked AS (SELECT id_a, id_b, rn FROM (SELECT id_a, id_b, " +
+        "ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM (" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        Tables.r6sql(s"$dot / (sqrt($na) * sqrt($nb))") + " AS cos " +
+        "FROM embeddings a, embeddings b " +
+        "WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id)) WHERE rn <= 5), " +
+        "lbl AS (SELECT vec_id, label FROM embeddings), " +
+        "cnt AS (SELECT label AS lbl, COUNT(*) AS n_lbl FROM embeddings GROUP BY 1), " +
+        "terms AS (SELECT r.id_a, la.label AS label_a, " +
+        "CAST(n_lbl - 1 AS BIGINT) AS nrel, rn, " +
+        s"CASE WHEN la.label = lb.label THEN " +
+        Tables.r6sql(disc) + " ELSE 0.0 END AS term, " +
+        s"CASE WHEN rn <= n_lbl - 1 THEN " +
+        Tables.r6sql(disc) + " ELSE 0.0 END AS ideal " +
+        "FROM ranked r JOIN lbl la ON r.id_a = la.vec_id " +
+        "JOIN lbl lb ON r.id_b = lb.vec_id JOIN cnt ON la.label = cnt.lbl), " +
+        "agg AS (SELECT id_a, label_a, nrel AS n_rel, " +
+        "SUM(CAST(term AS DECIMAL(18,6))) AS dcgD, " +
+        "SUM(CAST(ideal AS DECIMAL(18,6))) AS idcgD FROM terms GROUP BY 1, 2, 3) " +
+        "SELECT id_a, label_a, n_rel, " +
+        Tables.r6sql("CAST(dcgD AS DOUBLE)") + " AS dcg, " +
+        Tables.r6sql("CAST(idcgD AS DOUBLE)") + " AS idcg, " +
+        "CASE WHEN CAST(idcgD AS DOUBLE) > 0 THEN " +
+        Tables.r6sql("CAST(dcgD AS DOUBLE) / CAST(idcgD AS DOUBLE)") +
+        " END AS ndcg FROM agg ORDER BY id_a"
+    }))
 }

@@ -265,7 +265,7 @@ object LLMPipeline {
       .orderBy("doc_id")
   }
 
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
 
   /** Native codegen dot product (graft.functions.FloatDot) — see

@@ -1097,6 +1097,68 @@ object StatsOps {
         "CAST(tot AS BIGINT) AS w_total, c_acctbal AS median_bal, " +
         "CAST(cum AS BIGINT) AS cum_at_median " +
         "FROM cand WHERE rn = 1 ORDER BY nationkey")),
+    Q("q263_stats_ks_test", q263 _, Some(
+      "WITH perval AS (SELECT c_acctbal AS v, " +
+        "CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END) AS BIGINT) AS n2 " +
+        "FROM customer GROUP BY 1), " +
+        "cum AS (SELECT v, CAST(SUM(n1) OVER (ORDER BY v) AS BIGINT) AS cum_n1, " +
+        "CAST(SUM(n2) OVER (ORDER BY v) AS BIGINT) AS cum_n2 FROM perval), " +
+        "tot AS (SELECT MAX(cum_n1) AS t1, MAX(cum_n2) AS t2 FROM cum) " +
+        "SELECT v, cum_n1, cum_n2, t1 AS n1_total, t2 AS n2_total, " +
+        Tables.r6sql("CAST(cum_n1 AS DOUBLE) / t1") + " AS ecdf1, " +
+        Tables.r6sql("CAST(cum_n2 AS DOUBLE) / t2") + " AS ecdf2, " +
+        Tables.r6sql("ABS(CAST(cum_n1 AS DOUBLE) / t1 - CAST(cum_n2 AS DOUBLE) / t2)") +
+        " AS gap FROM cum CROSS JOIN tot ORDER BY gap DESC, v LIMIT 10")),
+    Q("q266_stats_mannwhitney", q266 _, Some {
+      val avgrank = "CAST(c1 + c2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE) + " +
+        "(CAST(n1 + n2 AS DOUBLE) + 1.0) / 2.0"
+      val sigma = "SQRT(CAST(nn1 AS DOUBLE) * nn2 / 12.0 * " +
+        "((CAST(nn1 AS DOUBLE) + nn2 + 1.0) - CAST(ties AS DOUBLE) / " +
+        "((CAST(nn1 AS DOUBLE) + nn2) * (CAST(nn1 AS DOUBLE) + nn2 - 1.0))))"
+      val u1 = "(CAST(r1d AS DOUBLE) - CAST(nn1 AS DOUBLE) * (CAST(nn1 AS DOUBLE) + 1.0) / 2.0)"
+      "WITH perval AS (SELECT c_acctbal AS v, " +
+        "CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END) AS BIGINT) AS n2 " +
+        "FROM customer GROUP BY 1), " +
+        "cum AS (SELECT v, n1, n2, CAST(SUM(n1) OVER (ORDER BY v) AS BIGINT) AS c1, " +
+        "CAST(SUM(n2) OVER (ORDER BY v) AS BIGINT) AS c2 FROM perval), " +
+        "agg AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn1, CAST(SUM(n2) AS BIGINT) AS nn2, " +
+        s"SUM(CAST(CAST(n1 AS DOUBLE) * ($avgrank) AS DECIMAL(18,1))) AS r1d, " +
+        "CAST(SUM((n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2)) AS BIGINT) AS ties " +
+        "FROM cum) " +
+        "SELECT nn1 AS n1, nn2 AS n2, " +
+        Tables.r6sql("CAST(r1d AS DOUBLE)") + " AS rank_sum1, " +
+        Tables.r6sql(u1) + " AS u1, " +
+        Tables.r6sql(s"CAST(nn1 AS DOUBLE) * nn2 - $u1") + " AS u2, " +
+        Tables.r6sql("CAST(nn1 AS DOUBLE) * nn2 / 2.0") + " AS mu_u, " +
+        Tables.r6sql(sigma) + " AS sigma_u, " +
+        Tables.r6sql(s"($u1 - CAST(nn1 AS DOUBLE) * nn2 / 2.0) / ($sigma)") + " AS z " +
+        "FROM agg"
+    }),
+    Q("q265_ts_holt_forecast", q265 _, Some {
+      def num(c: String) = EwmaDecay.zipWithIndex.map { case (wt, k) =>
+        s"COALESCE(LAG($c, $k) OVER w * $wt, 0.0)"
+      }.mkString(" + ")
+      def den(c: String) = EwmaDecay.zipWithIndex.map { case (wt, k) =>
+        s"(CASE WHEN LAG($c, $k) OVER w IS NOT NULL THEN $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      "WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "dd AS (SELECT event_type, day, CAST(v AS DOUBLE) AS vd FROM daily), " +
+        "p1 AS (SELECT event_type, day, " + Tables.r6sql("vd") + " AS v, " +
+        Tables.r6sql(s"(${num("vd")}) / (${den("vd")})") + " AS s1 " +
+        "FROM dd WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
+        "p2 AS (SELECT event_type, day, v, s1, " +
+        Tables.r6sql(s"(${num("s1")}) / (${den("s1")})") + " AS s2 " +
+        "FROM p1 WINDOW w AS (PARTITION BY event_type ORDER BY day)) " +
+        "SELECT event_type, day, v, s1, s2, " +
+        Tables.r6sql("2.0 * s1 - s2") + " AS level, " +
+        Tables.r6sql("0.25 * (s1 - s2)") + " AS trend, " +
+        Tables.r6sql("(2.0 * s1 - s2) + 0.25 * (s1 - s2)") + " AS forecast_next " +
+        "FROM p2 ORDER BY event_type, day"
+    }),
   )
 
   /** q210: pairwise Pearson correlation MATRIX over the four lineitem
@@ -1270,5 +1332,136 @@ object StatsOps {
         col("m.tot").as("w_total"), col("m.c_acctbal").as("median_bal"),
         col("m.cum").as("cum_at_median"))
       .orderBy("nationkey")
+  }
+
+  /** Per-distinct-value two-group counts over `c_acctbal` (BUILDING vs
+    * rest) with scale-safe cumulative counts — the shared distributed-ECDF
+    * frame behind q263 (Kolmogorov–Smirnov) and q266 (Mann–Whitney).
+    * ONE corpus-collapsing groupBy(value) bounds the frame by the value
+    * domain, then [[graft.plans.DistributedCumSum]] produces the running
+    * counts with NO single-partition global window — the plan shape that
+    * makes a distribution test survive a 100 TB column. */
+  private def ecdfCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val g1 = col("c_mktsegment") === "BUILDING"
+    val perVal = Tables(spark, sfDir, "customer")
+      .groupBy(col("c_acctbal").as("v"))
+      .agg(sum(when(g1, 1L).otherwise(0L)).as("n1"),
+        sum(when(g1, 0L).otherwise(1L)).as("n2"))
+    graft.plans.DistributedCumSum.cumulative(perVal, "v", Seq("n1", "n2"))
+  }
+
+  /** q263: two-sample Kolmogorov–Smirnov — does the BUILDING segment's
+    * account-balance distribution differ from everyone else's? D = max
+    * over the pooled value domain of |ECDF₁(v) − ECDF₂(v)| (the max gap
+    * is attained at a data point, so evaluating at distinct values is
+    * exact). Output: the 10 largest-gap locations — row 1 IS the KS
+    * statistic, the rest show where the distributions diverge.
+    *
+    * Determinism: ECDFs divide exact cumulative BIGINT counts — both
+    * engines perform identical IEEE divisions on identical integers; the
+    * ordering key is the 6-dp-rounded gap with the value as tiebreak.
+    *
+    * Scale: groupBy(value) collapses the corpus; the cumulative pass is
+    * the two-phase range-partitioned prefix sum (no single-partition
+    * Exchange — PlanShapeSuite asserts it); totals ride a broadcast
+    * 1-row aggregate; the top-10 is TakeOrderedAndProject. */
+  private def q263(spark: SparkSession, sfDir: String): DataFrame = {
+    val cum = ecdfCounts(spark, sfDir)
+      .localCheckpoint(true) // value-domain-bounded; totals + scoring share it
+    val tot = cum.agg(max("cum_n1").as("t1"), max("cum_n2").as("t2"))
+    val e1 = col("cum_n1").cast("double") / col("t1")
+    val e2 = col("cum_n2").cast("double") / col("t2")
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("cum_n1"), col("cum_n2"),
+        col("t1").as("n1_total"), col("t2").as("n2_total"),
+        Tables.r6(e1).as("ecdf1"), Tables.r6(e2).as("ecdf2"),
+        Tables.r6(abs(e1 - e2)).as("gap"))
+      .orderBy(col("gap").desc, col("v"))
+      .limit(10)
+  }
+
+  /** q266: Mann–Whitney U (Wilcoxon rank-sum) on the same two samples as
+    * q263 — the nonparametric location test: U₁ from the rank sum of the
+    * BUILDING group in the pooled ranking, normal approximation with the
+    * standard tie correction. The rank sum needs only the per-value
+    * cumulative pooled counts: the t tied rows at value v share average
+    * rank cum(v) − t + (t+1)/2, so R₁ = Σ_v n₁(v)·avgrank(v) — no
+    * per-row ranking, no global sort.
+    *
+    * Determinism: avgrank is a multiple of 0.5 (exact in double);
+    * n₁·avgrank is summed as DECIMAL(18,1) (exact, associative), ties
+    * (t³−t) as BIGINT; the final one-row statistics are straight-line
+    * IEEE arithmetic, identical cross-engine, 6-dp-rounded.
+    *
+    * Scale: identical frame to q263 — one corpus collapse + the
+    * two-phase cumulative; the test statistic is a second bounded
+    * aggregation to ONE row. */
+  private def q266(spark: SparkSession, sfDir: String): DataFrame = {
+    val cum = ecdfCounts(spark, sfDir)
+    val t = col("n1") + col("n2")
+    val avgrank = (col("cum_n1") + col("cum_n2")).cast("double") -
+      t.cast("double") + (t.cast("double") + lit(1.0)) / lit(2.0)
+    val a = cum.agg(
+      sum("n1").as("nn1"), sum("n2").as("nn2"),
+      sum((col("n1").cast("double") * avgrank).cast("decimal(18,1)")).as("r1d"),
+      sum((t * t * t - t)).as("ties"))
+    val n1 = col("nn1").cast("double")
+    val n2 = col("nn2").cast("double")
+    val nt = n1 + n2
+    val r1 = col("r1d").cast("double")
+    val u1 = r1 - n1 * (n1 + lit(1.0)) / lit(2.0)
+    val sigma = sqrt(n1 * n2 / lit(12.0) *
+      ((nt + lit(1.0)) - col("ties").cast("double") / (nt * (nt - lit(1.0)))))
+    a.select(col("nn1").as("n1"), col("nn2").as("n2"),
+      Tables.r6(r1).as("rank_sum1"),
+      Tables.r6(u1).as("u1"),
+      Tables.r6(n1 * n2 - u1).as("u2"),
+      Tables.r6(n1 * n2 / lit(2.0)).as("mu_u"),
+      Tables.r6(sigma).as("sigma_u"),
+      Tables.r6((u1 - n1 * n2 / lit(2.0)) / sigma).as("z"))
+  }
+
+  /** q265: Brown's double-exponential smoothing (the Holt-style linear
+    * trend forecaster) over daily event value per type — the one-step
+    * forecast q155's single EWMA cannot make (a single smoother lags a
+    * trending series; the double smoother extracts the trend). S′ = the
+    * q155 12-tap truncated EWMA of the daily series; S″ = the SAME taps
+    * applied to the (6-dp-anchored) S′ series; level = 2S′ − S″, trend =
+    * α/(1−α)·(S′−S″) with α = 0.2 (so the factor is exactly 0.25),
+    * forecast_next = level + trend.
+    *
+    * Determinism: the taps are the shared decimal-exact EwmaDecay
+    * literals; S″ reads the ROUNDED S′ column, so the second pass starts
+    * from bit-identical anchors on both engines (q155 precedent squared).
+    *
+    * Scale: daily collapse is one map-side-combined shuffle; both
+    * smoothing passes are windows partitioned by event_type over the
+    * calendar-bounded daily frame — no global window, no second corpus
+    * pass. */
+  private def q265(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+      .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    def smooth(c: Column): Column = {
+      val num = EwmaDecay.zipWithIndex.map { case (wt, k) =>
+        coalesce(lag(c, k).over(w) * lit(wt), lit(0.0))
+      }.reduce(_ + _)
+      val den = EwmaDecay.zipWithIndex.map { case (wt, k) =>
+        when(lag(c, k).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      num / den
+    }
+    val s1d = daily.select(col("event_type"), col("day"),
+      Tables.r6(col("v").cast("double")).as("v"),
+      Tables.r6(smooth(col("v").cast("double"))).as("s1"))
+    s1d.select(col("event_type"), col("day"), col("v"), col("s1"),
+        Tables.r6(smooth(col("s1"))).as("s2"))
+      .select(col("event_type"), col("day"), col("v"), col("s1"), col("s2"),
+        Tables.r6(lit(2.0) * col("s1") - col("s2")).as("level"),
+        Tables.r6(lit(0.25) * (col("s1") - col("s2"))).as("trend"),
+        Tables.r6((lit(2.0) * col("s1") - col("s2")) +
+          lit(0.25) * (col("s1") - col("s2"))).as("forecast_next"))
+      .orderBy("event_type", "day")
   }
 }

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed prefix (cumulative) sums — the running-total
+  * counterpart of [[DistributedRank]]: range-partition the frame by the
+  * order key (globally ordered partitions), compute running sums WITHIN
+  * each partition, then add broadcast per-partition-total offsets. This
+  * is semantically `sum(c).over(Window.orderBy(key))` but with NO
+  * single-partition Exchange: the global-window form funnels the whole
+  * frame through one task, which is exactly the plan shape that dies
+  * when the key domain grows with the data (an ECDF over a 100 TB
+  * column's value domain, for instance).
+  *
+  * Used by the distribution-test family (q263 Kolmogorov–Smirnov, q266
+  * Mann–Whitney), whose cumulative group counts over the value domain
+  * are the scale-bearing step. PropertySuite proves equivalence with the
+  * single-partition window formulation on random frames; PlanShapeSuite
+  * asserts the q263 plan carries no single-partition global Sort.
+  */
+object DistributedCumSum {
+
+  /** Append `cum_<c>` = running sum of each `c` in `sumCols` over
+    * ascending `key` order (rows with equal keys are summed together —
+    * callers needing strict per-row prefixes must pre-aggregate to one
+    * row per key, which is also what bounds the frame). Column names must
+    * not collide with the emitted `cum_` names or the reserved `graft_`
+    * prefix. */
+  def cumulative(df: DataFrame, key: String, sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "cumulative: need at least one sum column")
+    require(!df.columns.exists(c => c.startsWith("graft_") || sumCols.contains("cum_" + c)),
+      "cumulative: input collides with graft_ working columns or cum_ outputs")
+    // Eager checkpoint pins the sampled range boundaries AND the
+    // spark_partition_id values: the frame feeds both the running-sum
+    // window and the per-partition totals, and a recompute could
+    // re-sample different boundaries between the two consumers
+    // (DistributedRank precedent). One row per distinct key after the
+    // caller's pre-aggregation — bounded by the value domain, not the
+    // corpus; on a cluster swap for durable checkpoint().
+    val local = df.repartitionByRange(col(key))
+      .withColumn("graft_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy("graft_pid")
+      .orderBy(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = sumCols.foldLeft(local) { (d, c) =>
+      d.withColumn(s"graft_run_$c", sum(col(c)).over(w))
+    }
+    // Per-partition totals (≤ shuffle.partitions rows) → offset of pid =
+    // Σ totals of lower pids via a tiny broadcast theta-join — NOT a
+    // running-sum window, whose global orderBy would itself plan the
+    // single-partition exchange this object exists to avoid.
+    val totals = local.groupBy("graft_pid")
+      .agg(sum(sumCols.head).as(s"graft_t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(c).as(s"graft_t_$c")): _*)
+    val offsets = totals
+      .join(broadcast(totals.select(
+        (col("graft_pid").as("graft_pid2") +:
+          sumCols.map(c => col(s"graft_t_$c").as(s"graft_t2_$c"))): _*)),
+        col("graft_pid2") < col("graft_pid"), "left")
+      .groupBy("graft_pid")
+      .agg(coalesce(sum(s"graft_t2_${sumCols.head}"), lit(0))
+          .as(s"graft_off_${sumCols.head}"),
+        sumCols.tail.map(c =>
+          coalesce(sum(s"graft_t2_$c"), lit(0)).as(s"graft_off_$c")): _*)
+    withRun.join(broadcast(offsets), Seq("graft_pid"))
+      .select((df.columns.map(col) ++ sumCols.map(c =>
+        (col(s"graft_off_$c") + col(s"graft_run_$c")).as(s"cum_$c"))): _*)
+  }
+}

@@ -36,6 +36,27 @@ class PlanShapeSuite extends AnyFunSuite {
       naive.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("DistributedCumSum plan has no single-partition exchange (q263/q266 ECDF path)") {
+    // the distribution-test family's scale claim: cumulative counts over
+    // the value domain must NOT funnel through one task the way
+    // `sum().over(Window.orderBy(v))` does
+    val perVal = Tables(spark, sf, "customer")
+      .groupBy(col("c_acctbal").as("v"))
+      .agg(sum(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)).as("n1"))
+    val cum = graft.plans.DistributedCumSum.cumulative(perVal, "v", Seq("n1"))
+    cum.collect()
+    val plan = cum.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"two-phase cumulative still plans a single-partition exchange:\n$plan")
+
+    // positive control: the rejected global-window form DOES plan one
+    val bad = perVal.withColumn("cum_n1",
+      sum("n1").over(Window.orderBy("v")))
+    bad.collect()
+    assert(bad.queryExecution.executedPlan.toString.contains("Exchange SinglePartition"),
+      "control failed: global-window cumulative no longer shows a single-partition exchange")
+  }
+
   test("q119/q122: window and aggregation share ONE key exchange as documented") {
     // the Scaladoc claims the navigation window and the groupBy reuse a
     // single shuffle because they share the partition key — enforce it:

@@ -80,6 +80,27 @@ class PropertySuite extends AnyFunSuite {
     }, cases = 5)
   }
 
+  test("DistributedCumSum.cumulative equals the in-memory prefix sums") {
+    import spark.implicits._
+    // one row per distinct key (the documented contract), two sum columns
+    val rowsGen = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(-100L, 100L), Gen.choose(0L, 9L), Gen.choose(0L, 9L))))
+    check(Prop.forAll(rowsGen) { raw =>
+      raw.isEmpty || {
+        val rows = raw.distinctBy(_._1)
+        val got = graft.plans.DistributedCumSum
+          .cumulative(rows.toDF("k", "a", "b"), "k", Seq("a", "b"))
+          .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+        val sorted = rows.sortBy(_._1)
+        val ca = sorted.map(_._2).scanLeft(0L)(_ + _).tail
+        val cb = sorted.map(_._3).scanLeft(0L)(_ + _).tail
+        val expected = sorted.lazyZip(ca).lazyZip(cb)
+          .map { case ((k, _, _), x, y) => (k, x, y) }.toSet
+        got == expected
+      }
+    }, cases = 5)
+  }
+
   test("saltedJoin equals the plain join for arbitrary data and salt counts") {
     import spark.implicits._
     val rowsGen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 1000)))
