@@ -868,4 +868,36 @@ object Graft {
     * [[rocCurve]]. */
   def prCurve(scored: DataFrame): DataFrame =
     operators.EvalOps.prCurveOf(scored)
+
+  /** Two-sample Kolmogorov–Smirnov (q263): the `topN` largest
+    * |ECDF₁−ECDF₂| gaps over `value`, sample 1 = rows where `inGroup1`;
+    * row 1 is the KS statistic. Cumulative counts ride the two-phase
+    * DistributedCumSum — no single-partition window at any domain size. */
+  def ksTest(df: DataFrame, value: Column, inGroup1: Column,
+      topN: Int = 10): DataFrame =
+    operators.StatsOps.ksFromCounts(
+      operators.StatsOps.ecdfCountsOf(df, value, inGroup1), topN)
+
+  /** Mann–Whitney U rank-sum test (q266) on the same sampling contract
+    * as [[ksTest]]: 1-row (n1, n2, rank_sum1, u1, u2, mu_u, sigma_u, z)
+    * with the tie-corrected normal approximation. Rank sums come from
+    * per-value cumulative counts — no per-row ranking exists anywhere. */
+  def mannWhitney(df: DataFrame, value: Column, inGroup1: Column): DataFrame =
+    operators.StatsOps.mannWhitneyFromCounts(
+      operators.StatsOps.ecdfCountsOf(df, value, inGroup1))
+
+  /** Brown double-exponential (Holt-style) one-step forecast (q265):
+    * buckets `value` by (`key`, `time`), then level/trend/forecast from
+    * two cascaded 12-tap truncated EWMAs. Output (k, t, v, s1, s2,
+    * level, trend, forecast_next). */
+  def holtForecast(df: DataFrame, key: Column, time: Column,
+      value: Column): DataFrame =
+    operators.StatsOps.holtForecastOf(df, key, time, value)
+
+  /** NDCG with binary label-agreement relevance (q264) over ANY ranked
+    * retrieval (id_a, id_b, rn) + a (id, label) frame — per-probe DCG,
+    * IDCG and NDCG. Retrieval-agnostic: feed it bruteTopK, IVF or LSH
+    * output alike. */
+  def ndcg(ranked: DataFrame, labels: DataFrame): DataFrame =
+    operators.EvalOps.ndcgOf(ranked, labels)
 }

@@ -237,13 +237,19 @@ object EvalOps {
     * layer is unchanged. */
   private def q264(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables(spark, sfDir, "embeddings")
-    val ranked = LLMPipeline.bruteTopK(spark, emb, col("vec_id") < 10, topK = 5)
-    val labels = emb.select(col("vec_id"), col("label"))
-    val relCnt = emb.groupBy(col("label").as("lbl")).agg(count(lit(1)).as("n_lbl"))
+    ndcgOf(LLMPipeline.bruteTopK(spark, emb, col("vec_id") < 10, topK = 5),
+      emb.select(col("vec_id").as("id"), col("label")))
+  }
+
+  /** Generic form behind q264 and [[graft.Graft.ndcg]]: `ranked` is any
+    * (id_a, id_b, rn) retrieval output (rn 1-based per probe); `labels`
+    * is (id, label). Binary relevance = label agreement. */
+  private[graft] def ndcgOf(ranked: DataFrame, labels: DataFrame): DataFrame = {
+    val relCnt = labels.groupBy(col("label").as("lbl")).agg(count(lit(1)).as("n_lbl"))
     val disc = log(lit(2.0)) / log(col("rn").cast("double") + lit(1.0))
     ranked
-      .join(labels.select(col("vec_id").as("id_a"), col("label").as("label_a")), Seq("id_a"))
-      .join(labels.select(col("vec_id").as("id_b"), col("label").as("label_b")), Seq("id_b"))
+      .join(labels.select(col("id").as("id_a"), col("label").as("label_a")), Seq("id_a"))
+      .join(labels.select(col("id").as("id_b"), col("label").as("label_b")), Seq("id_b"))
       .join(broadcast(relCnt), col("label_a") === col("lbl"))
       .withColumn("nrel", (col("n_lbl") - lit(1)).cast("bigint"))
       .groupBy(col("id_a"), col("label_a"), col("nrel"))

@@ -1341,12 +1341,20 @@ object StatsOps {
     * domain, then [[graft.plans.DistributedCumSum]] produces the running
     * counts with NO single-partition global window — the plan shape that
     * makes a distribution test survive a 100 TB column. */
-  private def ecdfCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val g1 = col("c_mktsegment") === "BUILDING"
-    val perVal = Tables(spark, sfDir, "customer")
-      .groupBy(col("c_acctbal").as("v"))
-      .agg(sum(when(g1, 1L).otherwise(0L)).as("n1"),
-        sum(when(g1, 0L).otherwise(1L)).as("n2"))
+  private def ecdfCounts(spark: SparkSession, sfDir: String): DataFrame =
+    ecdfCountsOf(Tables(spark, sfDir, "customer"),
+      col("c_acctbal"), col("c_mktsegment") === "BUILDING")
+
+  /** Generic form behind q263/q266 and the [[graft.Graft.ksTest]] /
+    * [[graft.Graft.mannWhitney]] facades: per-distinct-`value` counts of
+    * the `inGroup1` sample vs the rest, with scale-safe cumulative
+    * counts (`cum_n1`, `cum_n2`) appended. */
+  private[graft] def ecdfCountsOf(df: DataFrame, value: Column,
+      inGroup1: Column): DataFrame = {
+    val perVal = df
+      .groupBy(value.as("v"))
+      .agg(sum(when(inGroup1, 1L).otherwise(0L)).as("n1"),
+        sum(when(inGroup1, 0L).otherwise(1L)).as("n2"))
     graft.plans.DistributedCumSum.cumulative(perVal, "v", Seq("n1", "n2"))
   }
 
@@ -1365,8 +1373,13 @@ object StatsOps {
     * the two-phase range-partitioned prefix sum (no single-partition
     * Exchange — PlanShapeSuite asserts it); totals ride a broadcast
     * 1-row aggregate; the top-10 is TakeOrderedAndProject. */
-  private def q263(spark: SparkSession, sfDir: String): DataFrame = {
-    val cum = ecdfCounts(spark, sfDir)
+  private def q263(spark: SparkSession, sfDir: String): DataFrame =
+    ksFromCounts(ecdfCounts(spark, sfDir), topN = 10)
+
+  /** KS scoring over an [[ecdfCountsOf]] frame — shared by q263 and the
+    * facade. */
+  private[graft] def ksFromCounts(counts: DataFrame, topN: Int): DataFrame = {
+    val cum = counts
       .localCheckpoint(true) // value-domain-bounded; totals + scoring share it
     val tot = cum.agg(max("cum_n1").as("t1"), max("cum_n2").as("t2"))
     val e1 = col("cum_n1").cast("double") / col("t1")
@@ -1377,7 +1390,7 @@ object StatsOps {
         Tables.r6(e1).as("ecdf1"), Tables.r6(e2).as("ecdf2"),
         Tables.r6(abs(e1 - e2)).as("gap"))
       .orderBy(col("gap").desc, col("v"))
-      .limit(10)
+      .limit(topN)
   }
 
   /** q266: Mann–Whitney U (Wilcoxon rank-sum) on the same two samples as
@@ -1396,8 +1409,12 @@ object StatsOps {
     * Scale: identical frame to q263 — one corpus collapse + the
     * two-phase cumulative; the test statistic is a second bounded
     * aggregation to ONE row. */
-  private def q266(spark: SparkSession, sfDir: String): DataFrame = {
-    val cum = ecdfCounts(spark, sfDir)
+  private def q266(spark: SparkSession, sfDir: String): DataFrame =
+    mannWhitneyFromCounts(ecdfCounts(spark, sfDir))
+
+  /** U-statistic scoring over an [[ecdfCountsOf]] frame — shared by q266
+    * and the facade. */
+  private[graft] def mannWhitneyFromCounts(cum: DataFrame): DataFrame = {
     val t = col("n1") + col("n2")
     val avgrank = (col("cum_n1") + col("cum_n2")).cast("double") -
       t.cast("double") + (t.cast("double") + lit(1.0)) / lit(2.0)
@@ -1438,30 +1455,39 @@ object StatsOps {
     * smoothing passes are windows partitioned by event_type over the
     * calendar-bounded daily frame — no global window, no second corpus
     * pass. */
-  private def q265(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
-      .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
-    val w = Window.partitionBy("event_type").orderBy("day")
+  private def q265(spark: SparkSession, sfDir: String): DataFrame =
+    holtForecastOf(Tables.events(spark, sfDir), col("event_type"),
+      expr("ts_us DIV 86400000000"), col("value"))
+      .withColumnRenamed("k", "event_type").withColumnRenamed("t", "day")
+      .orderBy("event_type", "day")
+
+  /** Generic form behind q265 and [[graft.Graft.holtForecast]]: bucket
+    * `value` by (`key`, `time`), exact-DECIMAL sum per bucket, then
+    * Brown's double smoothing. Output (k, t, v, s1, s2, level, trend,
+    * forecast_next); callers rename/order. */
+  private[graft] def holtForecastOf(df: DataFrame, key: Column,
+      time: Column, value: Column): DataFrame = {
+    val series = df.groupBy(key.as("k"), time.as("t"))
+      .agg(Tables.dec(sum(Tables.dec(value))).as("v"))
+    val w = Window.partitionBy("k").orderBy("t")
     def smooth(c: Column): Column = {
-      val num = EwmaDecay.zipWithIndex.map { case (wt, k) =>
-        coalesce(lag(c, k).over(w) * lit(wt), lit(0.0))
+      val num = EwmaDecay.zipWithIndex.map { case (wt, kk) =>
+        coalesce(lag(c, kk).over(w) * lit(wt), lit(0.0))
       }.reduce(_ + _)
-      val den = EwmaDecay.zipWithIndex.map { case (wt, k) =>
-        when(lag(c, k).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
+      val den = EwmaDecay.zipWithIndex.map { case (wt, kk) =>
+        when(lag(c, kk).over(w).isNotNull, lit(wt)).otherwise(lit(0.0))
       }.reduce(_ + _)
       num / den
     }
-    val s1d = daily.select(col("event_type"), col("day"),
-      Tables.r6(col("v").cast("double")).as("v"),
-      Tables.r6(smooth(col("v").cast("double"))).as("s1"))
-    s1d.select(col("event_type"), col("day"), col("v"), col("s1"),
+    series.select(col("k"), col("t"),
+        Tables.r6(col("v").cast("double")).as("v"),
+        Tables.r6(smooth(col("v").cast("double"))).as("s1"))
+      .select(col("k"), col("t"), col("v"), col("s1"),
         Tables.r6(smooth(col("s1"))).as("s2"))
-      .select(col("event_type"), col("day"), col("v"), col("s1"), col("s2"),
+      .select(col("k"), col("t"), col("v"), col("s1"), col("s2"),
         Tables.r6(lit(2.0) * col("s1") - col("s2")).as("level"),
         Tables.r6(lit(0.25) * (col("s1") - col("s2"))).as("trend"),
         Tables.r6((lit(2.0) * col("s1") - col("s2")) +
           lit(0.25) * (col("s1") - col("s2"))).as("forecast_next"))
-      .orderBy("event_type", "day")
   }
 }

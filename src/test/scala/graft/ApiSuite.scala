@@ -763,4 +763,61 @@ class ApiSuite extends AnyFunSuite {
     assert(got(500L) == ((0.75, 1.0, 0.916667)))
     assert(got(100L) == ((0.6, 1.0, 0.916667)))
   }
+
+  test("ksTest: hand-checked ECDF gaps; row 1 is the KS statistic") {
+    import spark.implicits._
+    // sample1 = {1,2}, sample2 = {2,3,4}: gaps .5, 2/3, 1/3, 0 → D at v=2
+    val df = Seq((1.0, true), (2.0, true), (2.0, false), (3.0, false), (4.0, false))
+      .toDF("v", "g")
+    val rows = Graft.ksTest(df, col("v"), col("g"), topN = 2).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(0) == 2.0 && rows(0).getDouble(7) == 0.666667)
+    assert(rows(1).getDouble(0) == 1.0 && rows(1).getDouble(7) == 0.5)
+    assert(rows(0).getLong(3) == 2L && rows(0).getLong(4) == 3L) // n totals
+  }
+
+  test("mannWhitney: hand-checked U, tie-corrected sigma, z") {
+    import spark.implicits._
+    // g1 = {1,3}, g2 = {2,4,5}: R1 = 1+3, U1 = 1, U2 = 5, mu = 3,
+    // sigma = sqrt(2·3/12·(6−0)) = √3, z = −2/√3
+    val df = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false), (5.0, false))
+      .toDF("v", "g")
+    val r = Graft.mannWhitney(df, col("v"), col("g")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0)
+    assert(r.getDouble(5) == 3.0 && r.getDouble(6) == 1.732051)
+    assert(r.getDouble(7) == -1.154701)
+  }
+
+  test("holtForecast: flat start, positive trend on an increasing series") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0))
+      .toDF("key", "tt", "x")
+    val rows = Graft.holtForecast(df, col("key"), col("tt"), col("x"))
+      .orderBy("t").collect()
+    val first = rows.head
+    // one observation: S′ = S″ = v ⇒ level = v, trend = 0, forecast = v
+    assert(first.getDouble(2) == 1.0 && first.getDouble(3) == 1.0 &&
+      first.getDouble(4) == 1.0 && first.getDouble(6) == 0.0 &&
+      first.getDouble(7) == 1.0)
+    // strictly increasing series: positive trend, forecast above level
+    rows.tail.foreach { r =>
+      assert(r.getDouble(6) > 0.0, s"trend not positive: $r")
+      assert(r.getDouble(7) > r.getDouble(5), s"forecast not above level: $r")
+    }
+  }
+
+  test("ndcg: hand-checked DCG/IDCG with label-agreement relevance") {
+    import spark.implicits._
+    // probe 1 (label A) retrieves 10(A), 11(B), 12(A); corpus has 3 A's
+    // ⇒ n_rel = 2, DCG = 1 + 0 + 0.5, IDCG = 1 + ln2/ln3
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("id_a", "id_b", "rn")
+    val labels = Seq((1L, "A"), (10L, "A"), (11L, "B"), (12L, "A"))
+      .toDF("id", "label")
+    val r = Graft.ndcg(ranked, labels).collect().head
+    assert(r.getLong(0) == 1L && r.getString(1) == "A" && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.5 && r.getDouble(4) == 1.63093)
+    assert(math.abs(r.getDouble(5) - 1.5 / 1.63093) < 2e-6)
+  }
 }
