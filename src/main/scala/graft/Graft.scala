@@ -894,6 +894,26 @@ object Graft {
       value: Column): DataFrame =
     operators.StatsOps.holtForecastOf(df, key, time, value)
 
+  /** Theil–Sen robust trend (q267): buckets `value` by (`key`, integral
+    * `time`), then the median of all pairwise slopes per key plus the
+    * median-residual intercept (29% breakdown point vs OLS's 0). Output
+    * (k, n, n_pairs, slope, intercept). Pair generation runs on the
+    * time-bounded bucketed series, never the corpus; medians ride
+    * BoundedQuantiles. */
+  def theilSen(df: DataFrame, key: Column, time: Column,
+      value: Column): DataFrame =
+    operators.StatsOps.theilSenOf(df, key, time, value)
+
+  /** Lagged cross-correlation (q268): Pearson r of (x_t, y_{t+lag}) for
+    * each lag 0..maxLag over a series frame with one row per integral
+    * `time`. Output (lag, n, r). The lead-lag companion to
+    * [[autocorrelation]]: which shift of y best lines up with x. The
+    * pair join runs on the time-bounded series, never a corpus. */
+  def crossCorr(df: DataFrame, time: Column, x: Column, y: Column,
+      maxLag: Int = 7): DataFrame =
+    operators.StatsOps.crossCorrOf(
+      df.select(time.as("t"), x.as("x"), y.as("y")), maxLag)
+
   /** NDCG with binary label-agreement relevance (q264) over ANY ranked
     * retrieval (id_a, id_b, rn) + a (id, label) frame — per-probe DCG,
     * IDCG and NDCG. Retrieval-agnostic: feed it bruteTopK, IVF or LSH

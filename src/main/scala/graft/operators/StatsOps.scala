@@ -1159,6 +1159,50 @@ object StatsOps {
         Tables.r6sql("(2.0 * s1 - s2) + 0.25 * (s1 - s2)") + " AS forecast_next " +
         "FROM p2 ORDER BY event_type, day"
     }),
+    Q("q267_ts_theil_sen", q267 _, Some(
+      "WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "slopes AS (SELECT a.event_type, " +
+        "CAST(b.v - a.v AS DOUBLE) / (b.day - a.day) AS slope " +
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day), " +
+        "med AS (SELECT event_type, quantile_cont(slope, 0.5) AS slope_med " +
+        "FROM slopes GROUP BY 1), " +
+        "resid AS (SELECT d.event_type, " +
+        "CAST(d.v AS DOUBLE) - m.slope_med * d.day AS r " +
+        "FROM daily d JOIN med m USING (event_type)), " +
+        "ic AS (SELECT event_type, quantile_cont(r, 0.5) AS intercept " +
+        "FROM resid GROUP BY 1), " +
+        "nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1) " +
+        "SELECT event_type, n_days, n_days * (n_days - 1) // 2 AS n_pairs, " +
+        Tables.r6sql("slope_med") + " AS slope, " +
+        Tables.r6sql("intercept") + " AS intercept " +
+        "FROM med JOIN ic USING (event_type) JOIN nd USING (event_type) " +
+        "ORDER BY event_type")),
+    Q("q268_ts_cross_corr", q268 _, Some {
+      def half(t: String) =
+        s"COALESCE(CAST(SUM(CASE WHEN event_type = '$t' THEN " +
+          "CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(18,4)), " +
+          "CAST(0 AS DECIMAL(18,4)))"
+      "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS t, " +
+        half("click") + " AS x, " + half("purchase") + " AS y " +
+        "FROM events GROUP BY 1), " +
+        "d AS (SELECT t, CAST(x AS DECIMAL(19,4)) AS x, " +
+        "CAST(y AS DECIMAL(19,4)) AS y FROM daily), " +
+        "l AS (SELECT range AS lag FROM range(0, 8)), " +
+        "m AS (SELECT l.lag AS lag, COUNT(*) AS n, " +
+        "SUM(a.x) AS sx, SUM(b.y) AS sy, SUM(a.x * a.x) AS sxx, " +
+        "SUM(b.y * b.y) AS syy, SUM(a.x * b.y) AS sxy " +
+        "FROM l CROSS JOIN d a JOIN d b ON b.t = a.t + l.lag GROUP BY 1) " +
+        "SELECT lag, n, " +
+        Tables.r6sql("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+          "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+          "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))") + " AS r " +
+        "FROM m ORDER BY lag"
+    }),
   )
 
   /** q210: pairwise Pearson correlation MATRIX over the four lineitem
@@ -1460,6 +1504,126 @@ object StatsOps {
       expr("ts_us DIV 86400000000"), col("value"))
       .withColumnRenamed("k", "event_type").withColumnRenamed("t", "day")
       .orderBy("event_type", "day")
+
+  /** q267: Theil–Sen robust trend per event type — the median of all
+    * pairwise slopes over the daily series (+ the median-residual
+    * intercept), the estimator that shrugs off the outlier days that
+    * drag q243's per-segment OLS around (29% breakdown point vs 0).
+    *
+    * Determinism: slopes are exact-DECIMAL differences cast to double
+    * over integer day gaps — identical IEEE ops both engines; medians
+    * ride BoundedQuantiles (bit-equal to quantile_cont, q19 precedent).
+    *
+    * Scale: the pair join runs on the CALENDAR-bounded daily frame
+    * (≤ days²/2 pairs per type — days don't grow with corpus size), so
+    * the only corpus-sized work is the daily collapse. The checkpoint
+    * pins one daily frame for both pair sides and the residual pass.
+    *
+    * The slope frame is ALSO checkpointed, for two load-bearing reasons:
+    * (a) BoundedQuantiles scans its input 3× — better 3 reads of a pinned
+    * days²-bounded RDD than 3 replans of the pair join; (b) the quantile
+    * machinery re-joins its input against an aggregate DERIVED from the
+    * same plan, and Spark's self-join attribute dedup can remap the pair
+    * join's two `daily` instances onto ONE attribute set inside that
+    * derived copy — observed concretely here as d2−day collapsing to
+    * day−day = 0 (ANSI DIVIDE_BY_ZERO) despite the d2>day join predicate.
+    * Truncating the lineage to a fresh LogicalRDD removes the shared
+    * attributes the dedup rule can confuse. */
+  private def q267(spark: SparkSession, sfDir: String): DataFrame =
+    theilSenOf(Tables.events(spark, sfDir), col("event_type"),
+      expr("ts_us DIV 86400000000"), col("value"))
+      .withColumnRenamed("k", "event_type").withColumnRenamed("n", "n_days")
+      .orderBy("event_type")
+
+  /** Generic form behind q267 and [[graft.Graft.theilSen]]: bucket `value`
+    * by (`key`, `time`) with an exact-DECIMAL sum, then the Theil–Sen
+    * estimator over the bucketed series. Output (k, n, n_pairs, slope,
+    * intercept); callers rename/order. `time` must be integral (it enters
+    * the slope denominator and the intercept product as exact values). */
+  private[graft] def theilSenOf(df: DataFrame, key: Column, time: Column,
+      value: Column): DataFrame = {
+    val daily = df.groupBy(key.as("k"), time.as("t"))
+      .agg(Tables.dec(sum(Tables.dec(value))).as("v"))
+      .localCheckpoint(true) // time-bounded; pair sides + residuals share it
+    val slopes = daily
+      .join(daily.select(col("k").as("k2"), col("t").as("t2"),
+        col("v").as("v2")),
+        col("k") === col("k2") && col("t") < col("t2"))
+      .select(col("k"),
+        ((col("v2") - col("v")).cast("double") / (col("t2") - col("t")))
+          .as("slope"))
+      .localCheckpoint(true) // see doc: 3-scan reuse + self-join dedup hazard
+    val med = graft.plans.BoundedQuantiles.groupQuantiles(
+      slopes, Seq("k"), col("slope"), Seq(0.5), Seq("slope_med"),
+      pin = true) // two consumers: the residual join and the final select
+    val resid = daily.join(broadcast(med), Seq("k"))
+      .select(col("k"),
+        (col("v").cast("double") - col("slope_med") * col("t")).as("r"))
+    val ic = graft.plans.BoundedQuantiles.groupQuantiles(
+      resid, Seq("k"), col("r"), Seq(0.5), Seq("intercept"),
+      pin = false)
+    val nd = daily.groupBy("k").agg(count(lit(1)).as("n"))
+    med.join(ic, Seq("k")).join(nd, Seq("k"))
+      .select(col("k"), col("n"),
+        expr("n * (n - 1) DIV 2").as("n_pairs"),
+        Tables.r6(col("slope_med")).as("slope"),
+        Tables.r6(col("intercept")).as("intercept"))
+  }
+
+  /** q268: lagged cross-correlation (CCF) — Pearson r between the click
+    * daily series and the purchase daily series shifted by lag 0..7:
+    * the "does today's clicking predict purchasing k days later" curve,
+    * the lead-lag question q210's same-row correlation matrix and
+    * q186's single-series ACF both can't answer.
+    *
+    * Determinism: ONE daily collapse builds both series as exact-DECIMAL
+    * conditional sums (absent days fold to 0 — daily-total semantics);
+    * moment sums at DECIMAL(19,4) (q210's width — forces DuckDB's int128
+    * path); r derives in fixed-shape IEEE doubles and r6.
+    *
+    * Scale: corpus touched once (the daily collapse, map-side combined);
+    * the lag explode and pair join run on the CALENDAR-bounded series
+    * (≤ (maxLag+1)·days rows). */
+  private def q268(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val zero = lit(0).cast(DecimalType(18, 4))
+    def half(t: String): Column = coalesce(Tables.dec(
+      sum(when(col("event_type") === t, Tables.dec(col("value"))))), zero)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(expr("ts_us DIV 86400000000").as("t"))
+      .agg(half("click").as("x"), half("purchase").as("y"))
+    crossCorrOf(daily, maxLag = 7).orderBy("lag")
+  }
+
+  /** Generic form behind q268 and [[graft.Graft.crossCorr]]: Pearson r of
+    * (x_t, y_{t+lag}) for each lag in 0..maxLag over a bucketed series
+    * frame (t, x, y) — one row per t, integral t, DECIMAL-exact x/y.
+    * Output (lag, n, r); callers order. The series is checkpointed: it
+    * feeds BOTH sides of the lag join (self-join dedup hazard — see
+    * [[graft.plans.BoundedQuantiles.groupQuantiles]]) and is
+    * time-bounded, never corpus-sized. */
+  private[graft] def crossCorrOf(series: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, "crossCorr: maxLag must be ≥ 0")
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = (c: Column) => c.cast(DecimalType(19, 4))
+    val s = series.select(col("t"), d19(col("x")).as("x"), d19(col("y")).as("y"))
+      .localCheckpoint(true)
+    val pairs = s.select(col("t"), col("x"))
+      .withColumn("lag", explode(array((0 to maxLag).map(l => lit(l.toLong)): _*)))
+      .join(s.select(col("t").as("t2"), col("y")),
+        col("t2") === col("t") + col("lag"))
+    val m = pairs.groupBy("lag").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nd = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, syy, sxy) =
+      (col("sxx").cast("double"), col("syy").cast("double"), col("sxy").cast("double"))
+    m.select(col("lag"), col("n"),
+      Tables.r6((nd * sxy - sx * sy) /
+        (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))).as("r"))
+  }
 
   /** Generic form behind q265 and [[graft.Graft.holtForecast]]: bucket
     * `value` by (`key`, `time`), exact-DECIMAL sum per bucket, then

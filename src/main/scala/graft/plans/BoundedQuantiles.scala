@@ -62,7 +62,16 @@ object BoundedQuantiles {
     * global group), emitted as double columns named `outNames`. Groups
     * with no non-null value are absent from the output (the four
     * production call sites never produce one). `value` must be numeric;
-    * longs beyond ±2^53 would lose order under the double cast. */
+    * longs beyond ±2^53 would lose order under the double cast.
+    *
+    * PRECONDITION: if `df`'s plan contains a self-join, checkpoint it
+    * first. The passes here re-join `df` against aggregates derived from
+    * its own plan; Spark's self-join attribute dedup can then remap the
+    * inner self-join's two relation instances onto one attribute set in
+    * the derived copy (q267 hit this as d2−day → day−day = 0 under ANSI).
+    * A localCheckpoint truncates the shared lineage and removes the
+    * ambiguity — and is what the 3-scan design wants anyway when the
+    * upstream is a join. */
   def groupQuantiles(
       df: DataFrame,
       groupCols: Seq[String],

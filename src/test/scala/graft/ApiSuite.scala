@@ -807,6 +807,34 @@ class ApiSuite extends AnyFunSuite {
     }
   }
 
+  test("theilSen: outlier-robust slope; exact two-point fit") {
+    import spark.implicits._
+    // key a: y = t on t=0..3 plus one wild outlier (4, 100). 10 pairwise
+    // slopes = {1 ×6, 25, 33, 49, 97} → median 1.0; residuals under
+    // slope 1 = {0,0,0,0,96} → intercept 0.0. OLS would report ≈ 20.
+    // key b: two points (0,5),(2,9) → slope 2, intercept 5, 1 pair.
+    val df = (Seq(("a", 0L, 0.0), ("a", 1L, 1.0), ("a", 2L, 2.0),
+      ("a", 3L, 3.0), ("a", 4L, 100.0), ("b", 0L, 5.0), ("b", 2L, 9.0)))
+      .toDF("key", "tt", "x")
+    val got = Graft.theilSen(df, col("key"), col("tt"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((5L, 10L, 1.0, 0.0)))
+    assert(got("b") == ((2L, 1L, 2.0, 5.0)))
+  }
+
+  test("crossCorr: lag-1-shifted linear series scores r = 1 at lag 1") {
+    import spark.implicits._
+    // y_{t+1} = 2·x_t + 3 for t = 0..2; y_0 = 100 wrecks the lag-0 fit
+    val df = Seq((0L, 1.0, 100.0), (1L, 2.0, 5.0), (2L, 3.0, 7.0),
+      (3L, 4.0, 9.0)).toDF("tt", "xx", "yy")
+    val got = Graft.crossCorr(df, col("tt"), col("xx"), col("yy"), maxLag = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 1.0)))
+    assert(got(0L)._1 == 4L && got(0L)._2 < 0.0) // y0=100 on the smallest x
+    assert(got(2L)._1 == 2L && got(2L)._2 == 1.0) // 2 points: trivially exact
+  }
+
   test("ndcg: hand-checked DCG/IDCG with label-agreement relevance") {
     import spark.implicits._
     // probe 1 (label A) retrieves 10(A), 11(B), 12(A); corpus has 3 A's

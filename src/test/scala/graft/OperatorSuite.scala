@@ -103,8 +103,16 @@ class OperatorSuite extends AnyFunSuite {
       "q258_gdpr_erasure_audit", // three per-table 1-row purge counts
                                  // unioned to the 3-row report
       "q259_anon_ref_integrity", // one audit row: four 1-row count folds
-      "q261_anon_km_suppress")   // k / before / after 1-row folds over
+      "q261_anon_km_suppress",   // k / before / after 1-row folds over
                                  // brand-bounded frames
+      "q263_stats_ks_test",      // sample-totals 1-row max-fold over the
+                                 // value-domain-bounded ECDF frame (the
+                                 // corpus-sized cumulative pass itself is
+                                 // DistributedCumSum — no single-partition
+                                 // window, PlanShapeSuite asserts it)
+      "q266_stats_mannwhitney")  // same totals fold + the final 1-row
+                                 // U-statistic aggregate over the bounded
+                                 // ECDF frame
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
