@@ -483,6 +483,33 @@ object Graft {
   def containmentPairs(docs: DataFrame, tau: Double = 0.5): DataFrame =
     operators.NearDup.containmentPairsOf(docs, tau)
 
+  /** EXACT set-similarity join (q269): every document pair whose
+    * word-trigram-set Jaccard is ≥ `tau` (r6-rounded compare), found by
+    * AllPairs/SSJoin prefix filtering — no false negatives, unlike the
+    * heuristic [[minhashPairs]]/df-capped paths. Output (ia, ib, inter,
+    * jaccard). `docs` needs (doc_id, text). */
+  def similarityJoin(docs: DataFrame, tau: Double = 0.6): DataFrame =
+    operators.NearDup.similarityJoinOf(docs, tau)
+
+  /** Duplicated-span audit (q270): marks every word `k`-gram shared by
+    * ≥ `minDocs` distinct documents, merges overlapping/adjacent marks
+    * into maximal spans, and reports per doc (n_tokens, n_spans,
+    * dup_tokens, dup_fraction) — the alignment-independent "how much of
+    * this doc exists elsewhere" sweep that whole-doc scores miss.
+    * `docs` needs (doc_id, text). */
+  def spanAudit(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame =
+    operators.NearDup.spanAuditOf(docs, k, minDocs)
+
+  /** Token-budget corpus selection (q271): within each `group`, keep the
+    * highest-scored rows in (score DESC, doc_id) order until the group's
+    * token budget (Σtokens DIV `budgetDiv`) is spent — prefix selection
+    * on a scale-safe grouped cumulative sum (no per-group single-task
+    * window). `scored` needs (doc_id, group, tokens, score); returns the
+    * input plus (cum_tokens, budget, kept). */
+  def budgetSelect(scored: DataFrame, group: String = "source",
+      budgetDiv: Int = 4): DataFrame =
+    operators.CorpusOps.budgetSelectOf(scored, group, budgetDiv)
+
   /** Lag-k autocorrelation of a keyed, bucketed series (q186): buckets
     * `df` per (key, time), sums `value` exactly, and returns acf at lags
     * 1..`maxLag` per key — deviation products r6-quantized then

@@ -419,6 +419,63 @@ object CorpusOps {
   private def q190(spark: SparkSession, sfDir: String): DataFrame =
     noveltyOf(Tables(spark, sfDir, "documents"))
 
+  /** q271: token-budget corpus selection — the knapsack-shaped curation
+    * step a training mix actually runs: within each source, take the
+    * highest-quality documents IN ORDER until the source's token budget
+    * (25% of its total tokens) is spent, then report per source what the
+    * budget bought. Quality = the integer distinct-token density
+    * (1000·distinct DIV total — the q65/q196 score family; integer so
+    * ordering has no float-tie hazard), tie-broken by doc_id; a doc
+    * whose cumulative tokens would cross the budget is dropped and the
+    * scan stops (prefix selection — deterministic and what a streaming
+    * selector does; it does not backfill with smaller lower-ranked
+    * docs).
+    *
+    * Scale: the ordered per-source cumulative sum is the scale-bearing
+    * step — ONE source can hold half the corpus, so
+    * `sum.over(partitionBy(source))` would funnel it through one task.
+    * [[graft.plans.DistributedCumSum.cumulativeGrouped]] range-partitions
+    * by (source, score desc, doc_id), splits oversized groups across
+    * partitions, and stitches with broadcast per-(partition, group)
+    * offsets (≤ partitions × sources rows). Budgets are a 5-row
+    * broadcast. */
+  private def q271(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = budgetSelectOf(
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tokens"),
+          expr("(1000 * size(array_distinct(split(text, ' ')))) DIV size(split(text, ' '))")
+            .as("score")),
+      group = "source", budgetDiv = 4)
+    val budgets = sel.select("source", "budget").distinct()
+    budgets.join(
+      sel.filter(col("kept")).groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("tokens").as("tokens_kept")),
+      Seq("source"), "left")
+      .select(col("source"), col("budget"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        Tables.r6(coalesce(col("tokens_kept"), lit(0L)) / col("budget"))
+          .as("utilization"))
+      .orderBy("source")
+  }
+
+  /** The generic selection behind q271, exposed as
+    * [[graft.Graft.budgetSelect]]: `scored` needs (doc_id, `group`,
+    * tokens, score); returns every input row plus (cum_tokens, budget,
+    * kept) where budget = group's Σtokens DIV `budgetDiv` and kept =
+    * cum_tokens ≤ budget under (score DESC, doc_id) order. */
+  private[graft] def budgetSelectOf(scored: DataFrame, group: String,
+      budgetDiv: Int): DataFrame = {
+    require(budgetDiv >= 1, s"budgetSelect: budgetDiv $budgetDiv must be >= 1")
+    val cum = graft.plans.DistributedCumSum.cumulativeGrouped(
+      scored, Seq(group), Seq(col("score").desc, col("doc_id")), Seq("tokens"))
+    val budgets = scored.groupBy(group)
+      .agg(expr(s"sum(tokens) DIV $budgetDiv").as("budget"))
+    cum.join(broadcast(budgets), group)
+      .withColumn("kept", col("cum_tokens") <= col("budget"))
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q190_text_novelty", q190 _, Some(
       "WITH s AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents " +
@@ -542,5 +599,21 @@ object CorpusOps {
         Tables.r6sql("CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)") +
         " AS gram_containment " +
         "FROM pd GROUP BY split ORDER BY split")),
+    Q("q271_corpus_budget_select", q271 _, Some(
+      "WITH s AS (SELECT doc_id, source, " +
+        "CAST(len(str_split(text, ' ')) AS BIGINT) AS tokens, " +
+        "(1000 * len(list_distinct(str_split(text, ' ')))) // " +
+        "len(str_split(text, ' ')) AS score FROM documents), " +
+        "b AS (SELECT source, CAST(SUM(tokens) AS BIGINT) // 4 AS budget " +
+        "FROM s GROUP BY 1), " +
+        "c AS (SELECT source, tokens, SUM(tokens) OVER (PARTITION BY source " +
+        "ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s), " +
+        "k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(tokens) AS BIGINT) AS tokens_kept " +
+        "FROM c JOIN b USING (source) WHERE cum <= budget GROUP BY 1) " +
+        "SELECT b.source, b.budget, COALESCE(k.n_kept, 0) AS n_kept, " +
+        "CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept, " +
+        Tables.r6sql("COALESCE(k.tokens_kept, 0) / b.budget") + " AS utilization " +
+        "FROM b LEFT JOIN k USING (source) ORDER BY source")),
   )
 }

@@ -189,24 +189,30 @@ object NearDup {
     * (q61) and Broder containment (q185) — are ratios over exactly
     * (inter, |A|, |B|), so the expensive inverted-index join lives here
     * once. Returns (inter: (ia, ib, inter), sizes: (doc_id, n)). */
-  private[graft] def cappedPairFrames(docs: DataFrame,
-      minInter: Int = 3): (DataFrame, DataFrame) = {
-    val tg = docs
+  /** The distinct word-trigram SET of each document as (doc_id, gh)
+    * rows, gh = xxhash64 of the shingle string. Shared by the capped
+    * heuristic path (q50/q61/q185) and the exact prefix-filter join
+    * (q269). Hash BEFORE the dedup: the distinct then shuffles 16-byte
+    * (doc_id, int64) rows instead of ~30-char strings, and downstream
+    * joins compare ints (engine-internal key only — the oracles join on
+    * the exact strings, so a collision would surface as a verify
+    * mismatch; P(collision) ≈ n²/2⁶⁵ ≈ 1e-9 here). */
+  private[graft] def distinctShingleHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("g"))
-    // hash BEFORE the dedup: the distinct then shuffles 16-byte
-    // (doc_id, int64) rows instead of ~30-char strings, and the self-join
-    // compares ints (engine-internal key only — the oracle joins on the
-    // exact strings, so a collision would surface as a verify mismatch;
-    // P(collision) ≈ n²/2⁶⁵ ≈ 1e-9 here).
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+
+  private[graft] def cappedPairFrames(docs: DataFrame,
+      minInter: Int = 3): (DataFrame, DataFrame) = {
     // The distinct's Exchange is identical across its three consumers
     // (sizes + both self-join sides), so ReuseExchange materializes it
     // once — no explicit checkpoint needed (one was measured at +0.5 s of
     // pure overhead on a single-shot run).
-    val hashed = tg.select(col("doc_id"), xxhash64(col("g")).as("gh"))
-      .distinct()
+    val hashed = distinctShingleHashes(docs)
     // df-cap (MaxShingleDf): drop shingles present in > 10% of documents
     // before the inverted-index join — the skew guard; see the constant's
     // doc. Exact document frequency comes FROM the distinct frame the
@@ -279,6 +285,172 @@ object NearDup {
 
   private def q185(spark: SparkSession, sfDir: String): DataFrame =
     containmentPairsOf(Tables(spark, sfDir, "documents"), tau = 0.5)
+
+  /** q269: EXACT set-similarity join via prefix filtering (Chaudhuri et
+    * al. ICDE'06 SSJoin; Bayardo et al. WWW'07 AllPairs) — every document
+    * pair whose word-trigram-set Jaccard is ≥ τ = 0.6, with NO false
+    * negatives. The q50/q61 family buys its candidate bound with
+    * heuristics (df-cap, ≥3 shared shingles, MinHash banding) that change
+    * or approximate the reported set; this operator is the exact
+    * τ-threshold join, and its candidate bound is a THEOREM: order the
+    * shingle universe globally by (document frequency, hash); if
+    * J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉ (the overlap is ≥ τ·|A∪B| ≥ τ·|A|),
+    * and any two sets with overlap ≥ α must collide within their first
+    * |·|−α+1 elements of ANY shared total order — so indexing only each
+    * doc's (1−τ)-fraction prefix of RAREST shingles finds every
+    * qualifying pair. Boilerplate-hot shingles sort LAST and never enter
+    * a prefix unless a doc has almost nothing else, which is exactly the
+    * skew-robustness the df-cap approximates — here with zero semantic
+    * cost.
+    *
+    * Candidate generation uses τ_c = τ − 0.01: the emitted filter
+    * compares the r6-ROUNDED Jaccard against τ (cross-engine boundary
+    * discipline, q185 precedent), and rounding can lift a true score of
+    * τ − 5e-7 over the line — the relaxed prefix keeps those pairs
+    * candidate-complete. Prefix length is integer-exact both engines:
+    * p = n − ⌈τ_c·n⌉ + 1 with ⌈c·n/100⌉ = (c·n + 99) DIV 100.
+    *
+    * Determinism: the per-engine prefix ORDER differs (Spark breaks df
+    * ties by shingle hash, the oracle needn't prefix at all) but the
+    * OUTPUT is order-independent — any total order yields a complete
+    * candidate set, and every candidate is verified against the full
+    * sets. The oracle therefore runs the plain uncapped inverted-index
+    * join: same semantics, plan-free.
+    *
+    * Scale: two corpus-shingle-bounded shuffles (the df join and the
+    * doc-partitioned rank window — AllPairs' global-ordering step), then
+    * the candidate join touches only prefix rows (rare shingles, tiny
+    * df ⇒ df² per shingle stays small) and verification is two
+    * candidate-bounded equi-joins back to the pinned shingle frame.
+    * Never doc×doc, no df-cap, no minInter floor. */
+  private def q269(spark: SparkSession, sfDir: String): DataFrame =
+    similarityJoinOf(Tables(spark, sfDir, "documents"), tau = 0.6)
+
+  /** q270: duplicated-SPAN audit — which exact word spans of each
+    * document also appear in other documents, and how much of the doc
+    * they cover. Whole-doc scores (q61/q269) say "these two docs are
+    * near-dups"; q164's disjoint 8-token segments catch boilerplate only
+    * when it lands on a segment boundary. This is the alignment-
+    * INDEPENDENT sweep (the exact-substring-dedup shape of suffix-array
+    * pipelines, here at word granularity): every SLIDING 8-gram present
+    * in ≥2 distinct docs marks its 8 token positions as duplicated, and
+    * overlapping marks merge into maximal spans. Per doc: token count,
+    * span count, duplicated-token count, duplicated fraction.
+    *
+    * Determinism: islands derive from integer positions only; the
+    * fraction is an int/int division r6'd on emission.
+    *
+    * Scale: the gram explode is token-bounded (one row per token, the
+    * q61 explode's cost shape); the ≥2-distinct-docs filter is one
+    * map-side-combinable count over gram hashes; the island merge is a
+    * lag/sum window partitioned by doc_id — doc-bounded partitions, no
+    * global window. Shared-gram spans rejoin by gram hash equi-join
+    * (engine-internal key, oracle uses exact strings — q61 note). */
+  private def q270(spark: SparkSession, sfDir: String): DataFrame =
+    spanAuditOf(Tables(spark, sfDir, "documents"), k = 8, minDocs = 2)
+
+  /** The generic span-audit behind q270, exposed as
+    * [[graft.Graft.spanAudit]]: `docs` needs (doc_id, text); a word
+    * `k`-gram is duplicated when ≥ `minDocs` DISTINCT docs contain it.
+    * Output (doc_id, n_tokens, n_spans, dup_tokens, dup_fraction),
+    * one row per input doc (0-span rows included). */
+  private[graft] def spanAuditOf(docs: DataFrame, k: Int, minDocs: Int): DataFrame = {
+    require(k >= 2 && minDocs >= 2, s"spanAudit: need k >= 2, minDocs >= 2")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("bigint").as("nt"), col("ts"))
+    val grams = toks.filter(col("nt") >= k)
+      .select(col("doc_id"), col("nt"),
+        explode(expr(s"transform(sequence(0, size(ts) - $k), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', slice(ts, i + 1, $k)) AS g))")).as("s"))
+      .select(col("doc_id"), col("nt"),
+        col("s.pos").as("pos"), xxhash64(col("s.g")).as("gh"))
+    val shared = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("dfc"))
+      .filter(col("dfc") >= minDocs).select("gh")
+    val marks = grams.join(shared, "gh").select("doc_id", "nt", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // merge overlapping OR adjacent k-token regions (prev covers up to
+    // prev+k−1, so pos ≤ prev+k continues the contiguous duplicated run);
+    // −2k sentinel makes the first mark open an island (pos ≥ 0 always)
+    val isl = marks
+      .withColumn("brk",
+        when(col("pos") > coalesce(lag("pos", 1).over(w), lit(-2L * k)) + k,
+          1L).otherwise(0L))
+      .withColumn("isl", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "nt", "isl")
+      .agg((max("pos") - min("pos") + k).as("len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("len").as("dup_tokens"))
+    toks.select("doc_id", "nt").join(isl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        Tables.r6(coalesce(col("dup_tokens"), lit(0L)) / col("nt")).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** The generic exact prefix-filter join behind q269, exposed as
+    * [[graft.Graft.similarityJoin]]: `docs` needs (doc_id, text); emits
+    * (ia, ib, inter, jaccard) for every pair with r6(Jaccard) ≥ `tau`
+    * over the word-trigram sets. Exact — see q269's doc for the
+    * completeness argument. */
+  private[graft] def similarityJoinOf(docs: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"similarityJoin: tau $tau outside (0, 1]")
+    // candidate threshold, percent-integer floor (≤ τ − 0.01 keeps the
+    // r6 boundary pairs; c = 0 degenerates to the full inverted join,
+    // still exact)
+    val c = math.max(math.floor((tau - 0.01) * 100).toInt, 0)
+    // NO checkpoint: every consumer embeds the same distinct subplan, so
+    // its Exchange is written once and re-read (ReuseExchange — the q61
+    // note; an eager localCheckpoint measured ~1.5 s of pure overhead).
+    val sh = distinctShingleHashes(docs)
+    val dfs = sh.groupBy("gh").agg(count(lit(1)).as("gdf"))
+    val wPos = Window.partitionBy("doc_id").orderBy("gdf", "gh")
+    val wN = Window.partitionBy("doc_id")
+    val prefix = sh.join(dfs, "gh")
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(expr(s"pos <= n - (n * $c + 99) DIV 100 + 1"))
+      .select("doc_id", "gh", "pos", "n")
+    // Candidate generation with the two classic sound prunes, both in
+    // exact integer arithmetic on τ_c = c/100:
+    //  - length filter: J ≥ τ_c ⟹ |A∩B| ≤ min ∧ |A∪B| ≥ max ⟹
+    //    100·min(na,nb) ≥ c·max(na,nb);
+    //  - positional filter (PPJoin, Xiao et al. WWW'08): let w be the
+    //    globally SMALLEST shared prefix token, at positions (pam, pbm).
+    //    Any shared token before w in A would sort before w in B too —
+    //    putting it in both prefixes and contradicting w's minimality —
+    //    so the whole intersection sits at positions ≥ pam resp. ≥ pbm:
+    //    |A∩B| ≤ 1 + min(na − pam, nb − pbm), which must reach the
+    //    required overlap α = ⌈τ_c/(1+τ_c)·(na+nb)⌉ (J ≥ τ_c ⟹
+    //    inter ≥ τ_c·(na+nb−inter)).
+    val cand = prefix.toDF("ia", "gh", "pa", "na")
+      .join(prefix.toDF("ib", "gh", "pb", "nb"), "gh")
+      .filter(col("ia") < col("ib") &&
+        col("na") * 100 >= col("nb") * c && col("nb") * 100 >= col("na") * c)
+      .groupBy("ia", "ib", "na", "nb")
+      .agg(min("pa").as("pam"), min("pb").as("pbm"))
+      .filter(lit(1) + least(col("na") - col("pam"), col("nb") - col("pbm")) >=
+        expr(s"(($c * (na + nb)) + ${c + 99}) DIV ${100 + c}"))
+      .select("ia", "ib", "na", "nb")
+    // Verification: per-doc shingle arrays (doc-length-bounded) joined to
+    // the pruned pairs, intersection counted in-row by array_intersect —
+    // candidate×1 rows move, never candidate×|A| (the naive re-join
+    // measured 3.5 s on 300k pre-prune candidates at sf0.1).
+    val sets = sh.groupBy("doc_id").agg(collect_list("gh").as("gs"))
+    cand
+      .join(sets.toDF("ia", "ga"), "ia")
+      .join(sets.toDF("ib", "gb"), "ib")
+      .select(col("ia"), col("ib"),
+        size(array_intersect(col("ga"), col("gb"))).cast("bigint").as("inter"),
+        col("na"), col("nb"))
+      .withColumn("jaccard",
+        Tables.r6(col("inter") / (col("na") + col("nb") - col("inter"))))
+      .filter(col("jaccard") >= tau)
+      .select("ia", "ib", "inter", "jaccard")
+      .orderBy("ia", "ib")
+  }
 
   /** q62: embedding-cosine near-dup — EVERY pair with cos ≥ 0.3, exactly,
     * but with no cartesian anywhere in the plan: [[exactCosPairs]] prunes
@@ -610,6 +782,44 @@ object NearDup {
         Tables.r6sql("inter / sb.n") + " AS cont_b " +
         "FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
         "WHERE inter >= 3) WHERE greatest(cont_a, cont_b) >= 0.5 ORDER BY ia, ib")),
+    // exact-join oracle: the prefix filter is a plan device, not a
+    // semantic one — the uncapped inverted-index join states the same
+    // set (see q269's doc)
+    Q("q269_dedup_similarity_join", q269 _, Some(
+      "WITH split AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents WHERE len(str_split(text, ' ')) >= 3), " +
+        "tg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(ts) - 1), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS g FROM split)), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
+        "FROM tg a JOIN tg b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT ia, ib, inter, jaccard FROM (SELECT ia, ib, inter, " +
+        Tables.r6sql("inter / (sa.n + sb.n - inter)") + " AS jaccard " +
+        "FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id) " +
+        "WHERE jaccard >= 0.6 ORDER BY ia, ib")),
+    Q("q270_dedup_span_audit", q270 _, Some(
+      "WITH base AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS nt, " +
+        "str_split(text, ' ') AS ts FROM documents), " +
+        "gr AS (SELECT doc_id, nt, u.pos AS pos, u.g AS g FROM (" +
+        "SELECT doc_id, nt, unnest(list_transform(range(0, nt - 7), i -> " +
+        "struct_pack(pos := i, g := array_to_string(" +
+        "list_slice(ts, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' ')))) AS u " +
+        "FROM base WHERE nt >= 8)), " +
+        "sh AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS dfc " +
+        "FROM gr GROUP BY g) WHERE dfc >= 2), " +
+        "m AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM sh)), " +
+        "i1 AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(LAG(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos), -16) + 8 THEN 1 ELSE 0 END AS brk FROM m), " +
+        "i2 AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS UNBOUNDED PRECEDING) AS isl FROM i1), " +
+        "i3 AS (SELECT doc_id, isl, MAX(pos) - MIN(pos) + 8 AS len FROM i2 GROUP BY 1, 2), " +
+        "ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+        "CAST(SUM(len) AS BIGINT) AS dup_tokens FROM i3 GROUP BY 1) " +
+        "SELECT b.doc_id, b.nt AS n_tokens, " +
+        "COALESCE(a.n_spans, 0) AS n_spans, " +
+        "CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens, " +
+        Tables.r6sql("COALESCE(a.dup_tokens, 0) / b.nt") + " AS dup_fraction " +
+        "FROM base b LEFT JOIN ag a USING (doc_id) ORDER BY doc_id")),
     Q("q62_dedup_embedding", q62 _, Some(
       "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         Tables.r6sql(s"${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))") +

@@ -68,4 +68,56 @@ object DistributedCumSum {
       .select((df.columns.map(col) ++ sumCols.map(c =>
         (col(s"graft_off_$c") + col(s"graft_run_$c")).as(s"cum_$c"))): _*)
   }
+
+  /** PER-GROUP per-row prefix sums with the same two-phase shape:
+    * append `cum_<c>` = running sum of each `c` over `orderCols` order
+    * WITHIN each `groupCols` group. Semantically
+    * `sum(c).over(Window.partitionBy(groupCols).orderBy(orderCols))` —
+    * but a group can be corpus-sized (one source holding half a 100 TB
+    * corpus), and the window form funnels each group through ONE task.
+    * Here the frame range-partitions by (group, order) — a group larger
+    * than a partition SPLITS, each split computes its in-partition
+    * running sums, and per-(partition, group) totals (≤ partitions ×
+    * groups rows, broadcastable by construction) supply the offsets.
+    *
+    * `orderCols` must totally order rows within a group (add a unique
+    * tiebreak column) — equal-key rows would get a nondeterministic
+    * interleave. Column-name rules as [[cumulative]]. */
+  def cumulativeGrouped(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && orderCols.nonEmpty && sumCols.nonEmpty,
+      "cumulativeGrouped: need group, order and sum columns")
+    require(!df.columns.exists(c => c.startsWith("graft_") || sumCols.contains("cum_" + c)),
+      "cumulativeGrouped: input collides with graft_ working columns or cum_ outputs")
+    // eager checkpoint pins sampled range boundaries + pid values across
+    // the running-sum and totals consumers ([[cumulative]]'s rationale)
+    val local = df.repartitionByRange((groupCols.map(col) ++ orderCols): _*)
+      .withColumn("graft_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(("graft_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = sumCols.foldLeft(local) { (d, c) =>
+      d.withColumn(s"graft_run_$c", sum(col(c)).over(w))
+    }
+    val totals = local.groupBy(("graft_pid" +: groupCols).map(col): _*)
+      .agg(sum(sumCols.head).as(s"graft_t_${sumCols.head}"),
+        sumCols.tail.map(c => sum(c).as(s"graft_t_$c")): _*)
+    val offsets = totals
+      .join(broadcast(totals.select(
+        (col("graft_pid").as("graft_pid2") +:
+          (groupCols.map(g => col(g).as(s"graft_g2_$g")) ++
+            sumCols.map(c => col(s"graft_t_$c").as(s"graft_t2_$c")))): _*)),
+        groupCols.map(g => col(g) === col(s"graft_g2_$g"))
+          .reduce(_ && _) && col("graft_pid2") < col("graft_pid"), "left")
+      .groupBy(("graft_pid" +: groupCols).map(col): _*)
+      .agg(coalesce(sum(s"graft_t2_${sumCols.head}"), lit(0))
+          .as(s"graft_off_${sumCols.head}"),
+        sumCols.tail.map(c =>
+          coalesce(sum(s"graft_t2_$c"), lit(0)).as(s"graft_off_$c")): _*)
+    withRun.join(broadcast(offsets), "graft_pid" +: groupCols)
+      .select((df.columns.map(col) ++ sumCols.map(c =>
+        (col(s"graft_off_$c") + col(s"graft_run_$c")).as(s"cum_$c"))): _*)
+  }
 }

@@ -835,6 +835,89 @@ class ApiSuite extends AnyFunSuite {
     assert(got(2L)._1 == 2L && got(2L)._2 == 1.0) // 2 points: trivially exact
   }
 
+  test("similarityJoin: exactly the brute-force pairs, boilerplate included") {
+    import spark.implicits._
+    // Every doc shares a boilerplate head (its shingles are corpus-hot —
+    // the df-capped q61 path would DROP them from the universe; the exact
+    // join must keep them in the denominator), plus a distinctive tail.
+    // Docs 1/2/7 are near-duplicates of each other; the rest are not.
+    val boiler = "all rights reserved contact us for terms of service"
+    val texts = Seq(
+      1L -> s"$boiler alpha beta gamma delta epsilon zeta eta theta",
+      2L -> s"$boiler alpha beta gamma delta epsilon zeta eta iota",
+      3L -> s"$boiler completely different words one two three four five",
+      4L -> s"$boiler yet more unrelated content six seven eight nine",
+      5L -> s"$boiler eleven twelve thirteen fourteen fifteen sixteen",
+      6L -> s"$boiler seventeen eighteen nineteen twenty twentyone",
+      7L -> s"$boiler alpha beta gamma delta epsilon zeta mu nu",
+      8L -> "short doc", // < 3 tokens: no shingle set, absent by contract
+      9L -> s"$boiler twentytwo twentythree twentyfour twentyfive")
+    def grams(t: String): Set[String] = {
+      val ts = t.split(" ")
+      if (ts.length < 3) Set.empty[String]
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      ga = grams(ta); gb = grams(tb) if ga.nonEmpty && gb.nonEmpty
+      inter = ga.intersect(gb).size
+      j = r6(inter.toDouble / (ga.size + gb.size - inter)) if j >= 0.6
+    } yield (ia, ib, inter.toLong, j)).toSet
+    assert(expected.nonEmpty && expected.map(p => (p._1, p._2))
+      .subsetOf(Set((1L, 2L), (1L, 7L), (2L, 7L))))
+    val got = Graft.similarityJoin(texts.toDF("doc_id", "text"), tau = 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
+  test("spanAudit: hand-checked islands — overlap merge, adjacent merge, 0-rows kept") {
+    import spark.implicits._
+    // k=3, minDocs=2. Shared 3-grams: "a b c" (docs 1,2,5), "b c d"
+    // (docs 1,2,5). Doc 1 marks {0,1} → one span of 4 tokens; doc 2
+    // marks {2,3} → one span of 4; doc 5 = "a b c d a b c" marks
+    // {0,1,4}, where 4 − 1 = 3 = k is the ADJACENT case → all merge to
+    // one span covering the whole doc. Docs 3 (nothing shared) and 4
+    // (< k tokens, no grams) must still emit 0-span rows.
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d q r",
+      3L -> "p q r s t u",
+      4L -> "m n",
+      5L -> "a b c d a b c").toDF("doc_id", "text")
+    val got = Graft.spanAudit(docs, k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((8L, 1L, 4L, 0.5)))
+    assert(got(2L) == ((8L, 1L, 4L, 0.5)))
+    assert(got(3L) == ((6L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 0L, 0L, 0.0)))
+    assert(got(5L) == ((7L, 1L, 7L, 1.0)))
+  }
+
+  test("budgetSelect: prefix selection, tie-break, no backfill, 0-kept group") {
+    import spark.implicits._
+    // group g: order by (score DESC, doc_id) = b(30), c(20), d(5), a(10);
+    // total 65, budgetDiv 2 → budget 32. cum: 30 ✓, 50 ✗, 55 ✗, 65 ✗ —
+    // only b kept; d (5 tokens) would FIT but prefix selection must not
+    // backfill past the first crossing. Group h: its single doc exceeds
+    // its own budget → 0 kept.
+    val scored = Seq(
+      (1L, "g", 10L, 5L), (2L, "g", 30L, 9L), (3L, "g", 20L, 7L),
+      (4L, "g", 5L, 7L), (5L, "h", 8L, 1L))
+      .toDF("doc_id", "source", "tokens", "score")
+    val got = Graft.budgetSelect(scored, group = "source", budgetDiv = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cum_tokens"), r.getAs[Long]("budget"),
+          r.getAs[Boolean]("kept")))).toMap
+    assert(got(2L) == ((30L, 32L, true)))
+    assert(got(3L) == ((50L, 32L, false)))
+    assert(got(4L) == ((55L, 32L, false))) // tie with c broken by doc_id
+    assert(got(1L) == ((65L, 32L, false)))
+    assert(got(5L) == ((8L, 4L, false)))
+  }
+
   test("ndcg: hand-checked DCG/IDCG with label-agreement relevance") {
     import spark.implicits._
     // probe 1 (label A) retrieves 10(A), 11(B), 12(A); corpus has 3 A's

@@ -101,6 +101,29 @@ class PropertySuite extends AnyFunSuite {
     }, cases = 5)
   }
 
+  test("DistributedCumSum.cumulativeGrouped equals per-group in-memory prefix sums") {
+    import spark.implicits._
+    // rows (group, id, v) — id unique per group (the total-order
+    // contract); expect per-group running sums under (v DESC, id) order
+    val rowsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 40L), Gen.choose(-9L, 9L))))
+    check(Prop.forAll(rowsGen) { raw =>
+      raw.isEmpty || {
+        val rows = raw.distinctBy(r => (r._1, r._2))
+        val got = graft.plans.DistributedCumSum
+          .cumulativeGrouped(rows.toDF("g", "id", "v"), Seq("g"),
+            Seq(col("v").desc, col("id")), Seq("v"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+        val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, grp) =>
+          val sorted = grp.sortBy(r => (-r._3, r._2))
+          sorted.map(_._3).scanLeft(0L)(_ + _).tail
+            .lazyZip(sorted).map { case (c, (_, id, _)) => (g, id, c) }
+        }.toSet
+        got == expected
+      }
+    }, cases = 5)
+  }
+
   test("saltedJoin equals the plain join for arbitrary data and salt counts") {
     import spark.implicits._
     val rowsGen = Gen.listOfN(80, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 1000)))
