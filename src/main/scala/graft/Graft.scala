@@ -510,6 +510,15 @@ object Graft {
       budgetDiv: Int = 4): DataFrame =
     operators.CorpusOps.budgetSelectOf(scored, group, budgetDiv)
 
+  /** T5-style span corruption (q273): deterministically masks ~15% of
+    * token positions per doc (md5 of (doc_id, position) — reproducible,
+    * no RNG), collapses masked runs to `<X>` sentinels, and returns
+    * (doc_id, n_tokens, n_masked, corrupted, target) seq2seq denoising
+    * pairs. Substituting target spans back into the sentinels
+    * reconstructs the original. `docs` needs (doc_id, text). */
+  def spanCorrupt(docs: DataFrame): DataFrame =
+    operators.TrainingOps.spanCorruptOf(docs)
+
   /** Lag-k autocorrelation of a keyed, bucketed series (q186): buckets
     * `df` per (key, time), sums `value` exactly, and returns acf at lags
     * 1..`maxLag` per key — deviation products r6-quantized then

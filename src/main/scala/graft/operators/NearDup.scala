@@ -390,6 +390,43 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** q272: cross-source duplication matrix — near-dup PROVENANCE: the
+    * q61 candidate pairs (≥3 shared trigrams, df-capped universe) rolled
+    * up by unordered source pair into (source_a, source_b, n_pairs,
+    * avg_jaccard). The report that says WHERE a corpus duplicates
+    * itself: a hot off-diagonal cell means source A republishes source
+    * B's text (crawl overlap, mirrors), a hot diagonal cell means the
+    * source self-duplicates — which pair-level output (q61/q269) and
+    * per-doc output (q270) don't aggregate to.
+    *
+    * Determinism: each pair's jaccard is r6'd (q61's value), then
+    * DECIMAL(18,6)-cast and summed (§2.9 R1 — exact, associative) with
+    * meanD for the mean; unordered source keys via least/greatest.
+    *
+    * Scale: the pair frame is the already-bounded q61 candidate set;
+    * source attachment is two equi-joins against the (doc_id, source)
+    * projection — the corpus text never moves; the matrix is
+    * sources²-bounded. */
+  private def q272(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val (inter, sizes) = cappedPairFrames(docs)
+    val scored = inter
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+      .select(col("ia"), col("ib"),
+        Tables.r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    val src = docs.select("doc_id", "source")
+    scored
+      .join(src.toDF("ia", "sa"), "ia")
+      .join(src.toDF("ib", "sb"), "ib")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Tables.meanD(sum(col("jaccard").cast(DecimalType(18, 6))),
+          count(lit(1))).as("avg_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** The generic exact prefix-filter join behind q269, exposed as
     * [[graft.Graft.similarityJoin]]: `docs` needs (doc_id, text); emits
     * (ia, ib, inter, jaccard) for every pair with r6(Jaccard) ≥ `tau`
@@ -820,6 +857,20 @@ object NearDup {
         "CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens, " +
         Tables.r6sql("COALESCE(a.dup_tokens, 0) / b.nt") + " AS dup_fraction " +
         "FROM base b LEFT JOIN ag a USING (doc_id) ORDER BY doc_id")),
+    Q("q272_dedup_source_matrix", q272 _, Some(
+      pairCtesSql +
+        ", j AS (SELECT ia, ib, " +
+        Tables.r6sql("inter / (sa.n + sb.n - inter)") + " AS jaccard " +
+        "FROM pairs JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id " +
+        "WHERE inter >= 3), " +
+        "lab AS (SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b, jaccard " +
+        "FROM j JOIN documents da ON j.ia = da.doc_id " +
+        "JOIN documents db ON j.ib = db.doc_id) " +
+        "SELECT source_a, source_b, COUNT(*) AS n_pairs, " +
+        Tables.meanDSql("SUM(CAST(jaccard AS DECIMAL(18,6)))", "COUNT(*)") +
+        " AS avg_jaccard " +
+        "FROM lab GROUP BY 1, 2 ORDER BY 1, 2")),
     Q("q62_dedup_embedding", q62 _, Some(
       "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         Tables.r6sql(s"${dotSql("a", "b")} / (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")}))") +

@@ -390,7 +390,75 @@ object TrainingOps {
   private def q252(spark: SparkSession, sfDir: String): DataFrame =
     diversitySampleOf(Tables(spark, sfDir, "embeddings"), 8)
 
+  /** The q273 mask predicate for token position `iExpr` of the current
+    * doc: md5 of "doc_id:i" folded to a 0..255 bucket via the portable
+    * instr/substring idiom (q79/q85 lineage), masked iff bucket < 38
+    * (≈14.8% — the T5 corruption-rate ballpark). `castT` is STRING on
+    * Spark, VARCHAR on DuckDB; everything else is engine-identical. */
+  private def maskSql(iExpr: String, castT: String): String = {
+    val h = s"md5(concat(CAST(doc_id AS $castT), ':', CAST(($iExpr) AS $castT)))"
+    s"(((instr('0123456789abcdef', substring($h, 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substring($h, 2, 1)) - 1)) < 38)"
+  }
+
+  /** q273: span-corruption pair generation — the T5/UL2 denoising
+    * objective's data step, run in the engine: deterministically mask
+    * ~15% of each document's token positions (md5 of (doc_id, position)
+    * — reproducible across runs AND engines, no RNG), collapse each
+    * RUN of masked tokens to one `<X>` sentinel in the corrupted input,
+    * and emit the masked runs (sentinel-prefixed) as the target. Output
+    * (doc_id, n_tokens, n_masked, corrupted, target) — the
+    * (input, label) pair a seq2seq denoiser trains on, next to q157's
+    * contrastive pairs and q158's causal-LM windows.
+    *
+    * Scale: entirely NARROW — one projection computes mask flags and
+    * both strings per row with array lambdas; no shuffle except the
+    * emission sort. Run-start detection re-evaluates the i−1 mask
+    * inside the lambda (two md5s per token) instead of materializing a
+    * flag array — cheaper than a second explode at any scale. */
+  private def q273(spark: SparkSession, sfDir: String): DataFrame =
+    spanCorruptOf(Tables(spark, sfDir, "documents"))
+
+  /** The generic corruption behind q273, exposed as
+    * [[graft.Graft.spanCorrupt]]: `docs` needs (doc_id, text); the mask
+    * is a pure function of (doc_id, position). ApiSuite proves the T5
+    * round-trip invariant: substituting each target span back into its
+    * `<X>` sentinel reconstructs the original token stream. */
+  private[graft] def spanCorruptOf(docs: DataFrame): DataFrame = {
+    def m(i: String) = maskSql(i, "STRING")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("bigint").as("n_tokens"),
+        expr(s"CAST(size(filter(sequence(0, size(ts) - 1), i -> ${m("i")})) AS BIGINT)")
+          .as("n_masked"),
+        expr("concat_ws(' ', filter(transform(sequence(0, size(ts) - 1), i -> " +
+          s"CASE WHEN NOT ${m("i")} THEN ts[i] " +
+          s"WHEN i = 0 OR NOT ${m("i - 1")} THEN '<X>' ELSE NULL END), " +
+          "x -> x IS NOT NULL))").as("corrupted"),
+        expr("concat_ws(' ', filter(transform(sequence(0, size(ts) - 1), i -> " +
+          s"CASE WHEN ${m("i")} AND (i = 0 OR NOT ${m("i - 1")}) THEN concat('<X> ', ts[i]) " +
+          s"WHEN ${m("i")} THEN ts[i] ELSE NULL END), " +
+          "x -> x IS NOT NULL))").as("target"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q273_span_corruption", q273 _, Some {
+      def m(i: String) = maskSql(i, "VARCHAR")
+      "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+        s"CAST(len(list_filter(range(0, len(ts)), i -> ${m("i")})) AS BIGINT) AS n_masked, " +
+        "COALESCE(array_to_string(list_filter(list_transform(range(0, len(ts)), i -> " +
+        s"CASE WHEN NOT ${m("i")} THEN list_extract(ts, CAST(i + 1 AS INT)) " +
+        s"WHEN i = 0 OR NOT ${m("i - 1")} THEN '<X>' ELSE NULL END), " +
+        "x -> x IS NOT NULL), ' '), '') AS corrupted, " +
+        "COALESCE(array_to_string(list_filter(list_transform(range(0, len(ts)), i -> " +
+        s"CASE WHEN ${m("i")} AND (i = 0 OR NOT ${m("i - 1")}) THEN concat('<X> ', list_extract(ts, CAST(i + 1 AS INT))) " +
+        s"WHEN ${m("i")} THEN list_extract(ts, CAST(i + 1 AS INT)) ELSE NULL END), " +
+        "x -> x IS NOT NULL), ' '), '') AS target " +
+        "FROM (SELECT doc_id, str_split(text, ' ') AS ts FROM documents) " +
+        "ORDER BY doc_id"
+    }),
     Q("q251_split_temporal", q251 _, Some(
       "SELECT split, COUNT(*) AS n_orders, " +
         "MIN(CAST(o_orderdate AS DATE)) AS min_date, " +

@@ -918,6 +918,33 @@ class ApiSuite extends AnyFunSuite {
     assert(got(5L) == ((8L, 4L, false)))
   }
 
+  test("spanCorrupt: target spans substituted into sentinels rebuild the original") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> (1 to 80).map(i => s"w$i").mkString(" "), // long: masking certain
+      2L -> "alpha",                                   // 1 token
+      3L -> (1 to 40).map(i => s"v${i % 7}").mkString(" "))
+    val rows = Graft.spanCorrupt(texts.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    var totalMasked = 0L
+    for ((id, nTok, nMask, corrupted, target) <- rows) {
+      val orig = texts.toMap.apply(id).split(" ").toSeq
+      assert(nTok == orig.length)
+      // parse target "<X> a b <X> c" into spans; substitute in order
+      val spans = scala.collection.mutable.Queue(
+        target.split("<X> ").toSeq.filter(_.nonEmpty).map(_.trim.split(" ").toSeq): _*)
+      assert(nMask == spans.map(_.length).sum)
+      val rebuilt = corrupted.split(" ").toSeq.filter(_.nonEmpty).flatMap {
+        case "<X>" => spans.dequeue()
+        case tok => Seq(tok)
+      }
+      assert(spans.isEmpty && rebuilt == orig, s"doc $id failed round-trip")
+      totalMasked += nMask
+    }
+    assert(totalMasked > 0) // the corpus is long enough that masking fired
+  }
+
   test("ndcg: hand-checked DCG/IDCG with label-agreement relevance") {
     import spark.implicits._
     // probe 1 (label A) retrieves 10(A), 11(B), 12(A); corpus has 3 A's

@@ -110,9 +110,11 @@ class OperatorSuite extends AnyFunSuite {
                                  // corpus-sized cumulative pass itself is
                                  // DistributedCumSum — no single-partition
                                  // window, PlanShapeSuite asserts it)
-      "q266_stats_mannwhitney")  // same totals fold + the final 1-row
+      "q266_stats_mannwhitney",  // same totals fold + the final 1-row
                                  // U-statistic aggregate over the bounded
                                  // ECDF frame
+      "q272_dedup_source_matrix") // ndocs 1-row aggregate (q61's shared
+                                 // df-cap machinery under the matrix)
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
