@@ -519,6 +519,22 @@ object Graft {
   def spanCorrupt(docs: DataFrame): DataFrame =
     operators.TrainingOps.spanCorruptOf(docs)
 
+  /** Grouped percentile-rank normalization (q274): appends rn (per-`g`
+    * row number under (v, id) order) and pct = rn/(n+1) ∈ (0,1) — the
+    * outlier-robust quantile transform — WITHOUT a per-group window
+    * task: ranks ride the grouped distributed prefix sum, so one huge
+    * group cannot serialize on a single task. `df` needs (id, g, v),
+    * id unique. */
+  def rankNormalize(df: DataFrame): DataFrame =
+    operators.PipelineOps.rankNormalizeOf(df)
+
+  /** Leave-one-out target encoding with m-estimate smoothing (q275):
+    * appends enc = (Σ_cat y − y_i + m·prior)/(n_cat − 1 + m), prior =
+    * the global mean of y — the high-cardinality categorical encoder,
+    * leakage-free by the LOO exclusion. `df` needs (id, cat, y). */
+  def targetEncode(df: DataFrame, m: Int = 10): DataFrame =
+    operators.PipelineOps.targetEncodeOf(df, m)
+
   /** Lag-k autocorrelation of a keyed, bucketed series (q186): buckets
     * `df` per (key, time), sums `value` exactly, and returns acf at lags
     * 1..`maxLag` per key — deviation products r6-quantized then

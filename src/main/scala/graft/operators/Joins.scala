@@ -295,6 +295,42 @@ object Joins {
       .orderBy("key_col")
   }
 
+  /** q276: join-fanout audit — the "will this join explode" guard run
+    * BEFORE a planned join (here orders.o_custkey ⋈ events.user_id, the
+    * enrichment shape): per-key multiplicities on both sides multiply
+    * into exact pair counts, Σ products = the exact output cardinality
+    * the join would produce, amplification = est_rows / max(input
+    * sizes). Output = the top-10 contributing keys with the global
+    * estimate attached — the keys you'd salt (q89) or pre-aggregate
+    * away. Complements q139 (single-table skew): this is the JOINT
+    * statistic, which single-side histograms can't give.
+    *
+    * Scale: two map-side-combined groupBys collapse each side to its
+    * key domain; the count-join and Σ-product run on key-bounded
+    * frames; totals are 1-row folds; top-10 is TakeOrderedAndProject.
+    * The estimate costs two scans and key-sized shuffles — strictly
+    * cheaper than the join it predicts. */
+  private def q276(spark: SparkSession, sfDir: String): DataFrame = {
+    val ca = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cnt_a"))
+    val cb = Tables(spark, sfDir, "events")
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("cnt_b"))
+    val prod = ca.join(cb, "k")
+      .select(col("k"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a") * col("cnt_b")).as("pair_rows"))
+      .localCheckpoint(true) // key-bounded; est fold + top-10 share it
+    val na = Tables(spark, sfDir, "orders").agg(count(lit(1)).as("na"))
+    val nb = Tables(spark, sfDir, "events").agg(count(lit(1)).as("nb"))
+    val est = prod.agg(sum("pair_rows").as("est_rows"))
+    prod.orderBy(col("pair_rows").desc, col("k")).limit(10)
+      .crossJoin(broadcast(est)).crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("k").as("join_key"), col("cnt_a"), col("cnt_b"),
+        col("pair_rows"), col("est_rows"),
+        Tables.r6(col("est_rows") / greatest(col("na"), col("nb")))
+          .as("amplification"))
+      .orderBy(col("pair_rows").desc, col("join_key"))
+  }
+
   /** q180: dimension-enrichment aggregate — the batch proof of the
     * stream–static join (StreamOps.enrichStatic runs the SAME shape on
     * the incremental engine): the events fact stream joined to the
@@ -653,5 +689,18 @@ object Joins {
         Tables.r6sql("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)") + " AS sum_value " +
         "FROM events JOIN customer ON user_id = c_custkey " +
         "GROUP BY 1, 2 ORDER BY 1, 2")),
+    Q("q276_join_fanout_audit", q276 _, Some(
+      "WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS cnt_a FROM orders GROUP BY 1), " +
+        "cb AS (SELECT user_id AS k, COUNT(*) AS cnt_b FROM events GROUP BY 1), " +
+        "prod AS (SELECT k, cnt_a, cnt_b, cnt_a * cnt_b AS pair_rows " +
+        "FROM ca JOIN cb USING (k)), " +
+        "est AS (SELECT CAST(SUM(pair_rows) AS BIGINT) AS est_rows FROM prod), " +
+        "na AS (SELECT COUNT(*) AS na FROM orders), " +
+        "nb AS (SELECT COUNT(*) AS nb FROM events), " +
+        "top AS (SELECT * FROM prod ORDER BY pair_rows DESC, k LIMIT 10) " +
+        "SELECT k AS join_key, cnt_a, cnt_b, pair_rows, est_rows, " +
+        Tables.r6sql("est_rows / greatest(na, nb)") + " AS amplification " +
+        "FROM top CROSS JOIN est CROSS JOIN na CROSS JOIN nb " +
+        "ORDER BY pair_rows DESC, join_key")),
   )
 }

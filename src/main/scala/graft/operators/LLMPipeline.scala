@@ -310,6 +310,41 @@ object LLMPipeline {
       .orderBy("vec_id")
   }
 
+  /** q277: embedding-matrix profile — the vector-column health check an
+    * embedding pipeline runs before indexing: per dimension 1..64, the
+    * count, mean, variance, min and max of the component values. A
+    * near-zero-variance dimension is dead weight (quantize it away —
+    * q78); a mean far from 0 signals an uncentered model (cosine and
+    * dot diverge); min/max bound the quantization range. Completes the
+    * vector family: q52 profiles per VECTOR, this profiles per
+    * DIMENSION.
+    *
+    * Determinism: component sums ride the q63 float path (double →
+    * DECIMAL(18,9), exact addition); squares are r6-quantized then
+    * DECIMAL(18,6)-summed (§2.9 R1); mean/var derive per row in
+    * fixed-shape IEEE doubles; min/max of float widen exactly.
+    *
+    * Scale: ONE posexplode (rows × dims — the unavoidable rewrite) into
+    * ONE map-side-combined groupBy(pos) with constant-width state; the
+    * output is dimension-bounded (64 rows) no matter the corpus. */
+  private def q277(spark: SparkSession, sfDir: String): DataFrame = {
+    val pe = Tables(spark, sfDir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).as("pos"), col("col").cast("double").as("vd"))
+    pe.groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vd").cast(DecimalType(18, 9))).as("sv"),
+        sum(Tables.r6(col("vd") * col("vd")).cast(DecimalType(18, 6))).as("sq"),
+        min("vd").as("vmin"), max("vd").as("vmax"))
+      .select(col("pos").cast("bigint").as("pos"), col("n"),
+        Tables.meanD(col("sv"), col("n")).as("mean"),
+        Tables.r6(col("sq").cast("double") / col("n") -
+          Tables.meanD(col("sv"), col("n")) * Tables.meanD(col("sv"), col("n")))
+          .as("variance"),
+        col("vmin"), col("vmax"))
+      .orderBy("pos")
+  }
+
   /** q53: tokenize + term frequency — global top-20 tokens (Generator
     * path: explode over split). */
   private def q53(spark: SparkSession, sfDir: String): DataFrame = {
@@ -455,6 +490,20 @@ object LLMPipeline {
         Tables.r6sql("sqrt(list_sum(list_transform(range(1,65), i -> " +
           "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))") +
         " AS l2 FROM embeddings ORDER BY vec_id")),
+    Q("q277_embedding_profile", q277 _, Some {
+      val meanSql = Tables.r6sql(
+        "CAST(SUM(CAST(vd AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)")
+      "WITH pe0 AS (SELECT unnest(range(1, 65)) AS pos, unnest(embedding) AS v0 " +
+        "FROM embeddings), " +
+        "pe AS (SELECT pos, CAST(v0 AS DOUBLE) AS vd FROM pe0) " +
+        "SELECT CAST(pos AS BIGINT) AS pos, COUNT(*) AS n, " +
+        meanSql + " AS mean, " +
+        Tables.r6sql("CAST(SUM(CAST(" + Tables.r6sql("vd * vd") +
+          " AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) - " +
+          s"($meanSql) * ($meanSql)") + " AS variance, " +
+        "MIN(vd) AS vmin, MAX(vd) AS vmax " +
+        "FROM pe GROUP BY pos ORDER BY pos"
+    }),
     Q("q53_text_tokens", q53 _, Some(
       "SELECT token, COUNT(*) AS cnt FROM (" +
         "SELECT unnest(str_split(text, ' ')) AS token FROM documents) " +

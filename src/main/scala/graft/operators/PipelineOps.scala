@@ -476,7 +476,106 @@ object PipelineOps {
       .orderBy("bucket")
   }
 
+  /** q274: grouped percentile-rank feature normalization — the
+    * quantile/uniform transform of feature preprocessing (outlier-robust,
+    * scale-free): within each nation, each customer's balance becomes
+    * rank/(n+1) ∈ (0,1) under (balance, custkey) order. Output
+    * (c_custkey, n_name, bal, rn, pct).
+    *
+    * THE scale point: a per-group `row_number().over(partitionBy)` puts
+    * each nation — 1/25th of a 100 TB table — through ONE window task.
+    * Here the rank IS a grouped prefix count, so it rides
+    * [[graft.plans.DistributedCumSum.cumulativeGrouped]] (sum of ones
+    * under (nation, balance, custkey) range partitioning): oversized
+    * groups split across partitions, offsets stitch by broadcast.
+    * Group sizes are a 25-row broadcast. */
+  private def q274(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables(spark, sfDir, "nation").select("n_nationkey", "n_name")
+    rankNormalizeOf(
+      Tables(spark, sfDir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("id"), col("n_name").as("g"),
+          col("c_acctbal").as("v")))
+      .select(col("id").as("c_custkey"), col("g").as("n_name"),
+        col("v").cast("double").as("bal"), col("rn"), col("pct"))
+      .orderBy("c_custkey")
+  }
+
+  /** The generic rank transform behind q274, exposed as
+    * [[graft.Graft.rankNormalize]]: `df` needs (id, g, v) with unique id;
+    * appends rn = per-`g` row number under (v, id) order and
+    * pct = rn/(n+1), without a per-group window task (see q274). */
+  private[graft] def rankNormalizeOf(df: DataFrame): DataFrame = {
+    val base = df.withColumn("one", lit(1L))
+    val ranked = graft.plans.DistributedCumSum.cumulativeGrouped(
+      base, Seq("g"), Seq(col("v"), col("id")), Seq("one"))
+    val sizes = base.groupBy("g").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(sizes), "g")
+      .select(col("id"), col("g"), col("v"), col("cum_one").as("rn"),
+        Tables.r6(col("cum_one") / (col("n") + 1)).as("pct"))
+  }
+
+  /** Smoothing pseudo-count for q275 (the classic m-estimate). */
+  private val TeM = 10
+
+  /** q275: leave-one-out target encoding with m-estimate smoothing — the
+    * high-cardinality categorical encoder (CatBoost lineage): a
+    * customer's segment becomes (Σ_segment bal − own bal + m·prior) /
+    * (n_segment − 1 + m), prior = the global mean balance. Excluding the
+    * own row prevents target leakage; the m-pull toward the prior tames
+    * rare categories. Output (c_custkey, seg, bal, enc).
+    *
+    * Determinism: segment sums and the global sum are exact DECIMAL; the
+    * LOO ratio derives per row in fixed-shape IEEE doubles and r6.
+    *
+    * Scale: one map-side-combined groupBy(segment) (≤ #segments rows,
+    * broadcast back), one 1-row global aggregate, then a pure per-row
+    * projection — the corpus is scanned once and never reshuffled. */
+  private def q275(spark: SparkSession, sfDir: String): DataFrame =
+    targetEncodeOf(
+      Tables(spark, sfDir, "customer")
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("cat"),
+          col("c_acctbal").as("y")), m = TeM)
+      .select(col("id").as("c_custkey"), col("cat").as("seg"),
+        col("y").cast("double").as("bal"), col("enc"))
+      .orderBy("c_custkey")
+
+  /** The generic encoder behind q275, exposed as
+    * [[graft.Graft.targetEncode]]: `df` needs (id, cat, y numeric);
+    * appends enc = the m-estimate leave-one-out encoding
+    * (Σ_cat y − y_i + m·prior)/(n_cat − 1 + m). */
+  private[graft] def targetEncodeOf(df: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"targetEncode: smoothing m $m must be >= 1")
+    val catStats = df.groupBy("cat")
+      .agg(sum(dec(col("y"))).as("catSum"), count(lit(1)).as("catN"))
+    val prior = df.agg(
+      Tables.meanD(sum(dec(col("y"))), count(lit(1))).as("prior"))
+    df.join(broadcast(catStats), "cat").crossJoin(broadcast(prior))
+      .select(col("id"), col("cat"), col("y"),
+        Tables.r6(((col("catSum") - dec(col("y"))).cast("double") +
+          lit(m.toDouble) * col("prior")) /
+          (col("catN") - 1 + m)).as("enc"))
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q274_feature_rank_norm", q274 _, Some(
+      "WITH c AS (SELECT c_custkey, n_name, c_acctbal FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey), " +
+        "r AS (SELECT c_custkey, n_name, CAST(c_acctbal AS DOUBLE) AS bal, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n FROM c) " +
+        "SELECT c_custkey, n_name, bal, rn, " +
+        Tables.r6sql("rn / (n + 1)") + " AS pct " +
+        "FROM r ORDER BY c_custkey")),
+    Q("q275_target_encoding", q275 _, Some(
+      "WITH c AS (SELECT c_custkey, c_mktsegment AS seg, " +
+        "CAST(c_acctbal AS DECIMAL(18,4)) AS bal FROM customer), " +
+        "s AS (SELECT seg, SUM(bal) AS segsum, COUNT(*) AS segn FROM c GROUP BY 1), " +
+        "p AS (SELECT " + Tables.meanDSql("SUM(bal)", "COUNT(*)") + " AS prior FROM c) " +
+        "SELECT c_custkey, seg, CAST(bal AS DOUBLE) AS bal, " +
+        Tables.r6sql(s"(CAST(segsum - bal AS DOUBLE) + $TeM.0 * prior) / (segn - 1 + $TeM)") +
+        " AS enc " +
+        "FROM c JOIN s USING (seg) CROSS JOIN p ORDER BY c_custkey")),
     Q("q244_table_merkle_diff", q244 _, Some {
       def hex7sql(from: Int) = (0 until 7).map { i =>
         s"(strpos('0123456789abcdef', substr(h, ${from + i}, 1)) - 1) * ${1L << (4 * (6 - i))}"

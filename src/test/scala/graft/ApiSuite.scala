@@ -945,6 +945,36 @@ class ApiSuite extends AnyFunSuite {
     assert(totalMasked > 0) // the corpus is long enough that masking fired
   }
 
+  test("rankNormalize: per-group ranks and pct; ties broken by id") {
+    import spark.implicits._
+    // group a: v = 5, 5, 9 → ranks by (v, id): id1→1, id2→2, id3→3,
+    // pct = k/4. group b: one row → rank 1, pct = 1/2.
+    val df = Seq((1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 9.0),
+      (4L, "b", 7.0)).toDF("id", "g", "v")
+    val got = Graft.rankNormalize(df).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rn"), r.getAs[Double]("pct")))).toMap
+    assert(got(1L) == ((1L, 0.25)) && got(2L) == ((2L, 0.5)) &&
+      got(3L) == ((3L, 0.75)) && got(4L) == ((1L, 0.5)))
+  }
+
+  test("targetEncode: LOO excludes the own row and m pulls toward the prior") {
+    import spark.implicits._
+    // cat x: y = 10, 20; cat z: y = 30. prior = 20. m = 2.
+    // id1: (20−10+10... wait) enc = (Σx − y_i + m·prior)/(n−1+m):
+    //   id1 → (30 − 10 + 40)/(2−1+2) = 60/3 = 20.0
+    //   id2 → (30 − 20 + 40)/3 = 50/3 = 16.666667 (r6)
+    //   id3 → (30 − 30 + 40)/(1−1+2) = 40/2 = 20.0 (pure prior — the
+    //   singleton category contributes nothing of itself)
+    val df = Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "z", 30.0))
+      .toDF("id", "cat", "y")
+    val got = Graft.targetEncode(df, m = 2).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("enc")).toMap
+    assert(got(1L) == 20.0)
+    assert(got(2L) == 16.666667)
+    assert(got(3L) == 20.0)
+  }
+
   test("ndcg: hand-checked DCG/IDCG with label-agreement relevance") {
     import spark.implicits._
     // probe 1 (label A) retrieves 10(A), 11(B), 12(A); corpus has 3 A's

@@ -113,8 +113,13 @@ class OperatorSuite extends AnyFunSuite {
       "q266_stats_mannwhitney",  // same totals fold + the final 1-row
                                  // U-statistic aggregate over the bounded
                                  // ECDF frame
-      "q272_dedup_source_matrix") // ndocs 1-row aggregate (q61's shared
+      "q272_dedup_source_matrix", // ndocs 1-row aggregate (q61's shared
                                  // df-cap machinery under the matrix)
+      "q275_target_encoding",    // global-prior 1-row mean fold (merges
+                                 // one partial row per partition)
+      "q276_join_fanout_audit")  // est/na/nb 1-row folds: Σ-product over
+                                 // the key-bounded count frame + two
+                                 // input-size counts
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
