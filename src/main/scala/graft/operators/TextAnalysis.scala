@@ -48,6 +48,58 @@ object TextAnalysis {
     scored.select(col("doc_id"), col("lang"), predOrdered.as("pred_lang"))
   }
 
+  /** q280 chunk width (tokens). */
+  private val MixChunk = 32
+
+  /** q280: mixed-language detection — the curation filter whole-doc
+    * language-ID (q64) can't express: a document whose 32-token chunks
+    * identify as DIFFERENT languages is a concatenation artifact
+    * (crawl boilerplate, mid-doc language switch) that poisons
+    * monolingual training mixes. Each doc splits into disjoint
+    * 32-token chunks (q164's stride-=-length discipline — ≤ n/32 rows,
+    * no sliding blow-up), each chunk runs the q64 lexicon argmax, and
+    * the doc reports (n_chunks, n_langs≠und, majority lang + share,
+    * mixed = more than one real language seen).
+    *
+    * Scale: one bounded explode, narrow per-chunk scoring (array
+    * lambdas over literal lexica — no token shuffle), one per-doc
+    * count aggregate + a doc-partitioned top-1 window. */
+  private def q280(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= MixChunk)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(ts) DIV $MixChunk - 1)")).as("i"),
+        col("ts"))
+      .select(col("doc_id"),
+        slice(col("ts"), col("i") * MixChunk + 1, lit(MixChunk)).as("c"))
+    val scored = profiles.foldLeft(chunks) { case (df, (code, words)) =>
+      df.withColumn(s"s_$code",
+        expr(s"size(filter(c, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))")
+          .cast("bigint"))
+    }
+    val best = profiles.map { case (code, _) => col(s"s_$code") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = profiles.foldLeft(Option.empty[Column]) {
+      case (None, (code, _)) => Some(when(col(s"s_$code") === best && best > 0, lit(code)))
+      case (Some(c), (code, _)) => Some(c.when(col(s"s_$code") === best && best > 0, lit(code)))
+    }.get.otherwise(lit("und"))
+    val pc = scored.select(col("doc_id"), pred.as("pred"))
+      .groupBy("doc_id", "pred").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // totals, lang count, and majority share it
+    val tot = pc.groupBy("doc_id").agg(sum("c").as("n_chunks"),
+      sum(when(col("pred") =!= "und", 1L).otherwise(0L)).as("n_langs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("pred"))
+    val mj = pc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("pred").as("major_lang"), col("c").as("mc"))
+    tot.join(mj, "doc_id")
+      .select(col("doc_id"), col("n_chunks").cast("bigint").as("n_chunks"),
+        col("n_langs"), col("major_lang"),
+        Tables.r6(col("mc") / col("n_chunks")).as("major_share"),
+        (col("n_langs") > 1).as("mixed"))
+      .orderBy("doc_id")
+  }
+
   /** q228: multiclass classifier evaluation — per-class
     * precision/recall/F1 + micro accuracy for the q64 language
     * identifier against the true labels. The MULTICLASS completion of
@@ -447,7 +499,12 @@ object TextAnalysis {
     * score is the r6 double the ORDER BY also sorts on (sorting the
     * unrounded double would let sub-6dp differences reorder the
     * boundary on one engine only). doc_id is the unique tiebreak (R5). */
-  private def q232(spark: SparkSession, sfDir: String): DataFrame = {
+  private def q232(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopDocs(spark, sfDir)
+
+  /** q232's scorer, shared with q278's fusion: the BM25 top-20
+    * (doc_id, score) for the fixed query terms. */
+  private def bm25TopDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val qTerms = Bm25Query.map("'" + _ + "'").mkString(",")
     val toks = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -479,6 +536,45 @@ object TextAnalysis {
       .agg(Tables.r6(sum(Tables.dec(col("t"))).cast("double")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
+  }
+
+  /** RRF smoothing constant (Cormack et al. SIGIR'09's k = 60). */
+  private val RrfK = 60
+
+  /** q278: reciprocal-rank fusion — the HYBRID-retrieval combiner: fuse
+    * the BM25 lexical ranking (q232's top-20) with a quality-prior
+    * ranking (integer distinct-token density, top-20) into one list via
+    * RRF(d) = Σ_r 1/(k + rank_r(d)), k = 60 — rank-based, so the two
+    * scorers' incomparable scales never touch (the reason RRF beats
+    * score interpolation without tuning). A doc on one list only gets
+    * the other term as 0. Output = top-10 fused with both ranks
+    * (absent rank = NULL).
+    *
+    * Scale: both rankings end in TakeOrderedAndProject (corpus scanned,
+    * never globally sorted); the rank windows and the full-outer fuse
+    * run on the two CONSTANT 20-row heads (q179/q246 bounded-frame
+    * exception). */
+  private def q278(spark: SparkSession, sfDir: String): DataFrame = {
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25TopDocs(spark, sfDir)
+      .withColumn("rank_lex", row_number().over(wLex).cast("bigint"))
+      .select("doc_id", "rank_lex")
+    val wQ = Window.orderBy(col("d").desc, col("doc_id"))
+    val qual = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("(1000 * size(array_distinct(split(text, ' ')))) DIV size(split(text, ' '))")
+          .as("d"))
+      .orderBy(col("d").desc, col("doc_id")).limit(Bm25TopK)
+      .withColumn("rank_qual", row_number().over(wQ).cast("bigint"))
+      .select("doc_id", "rank_qual")
+    lex.join(qual, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_qual"),
+        Tables.r6(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rank_qual")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
   }
 
   /** q256: lexicon-based sentiment/polarity scoring (the EDBT'16
@@ -731,28 +827,72 @@ object TextAnalysis {
         "SELECT k, CAST(cum AS BIGINT) AS cum_tokens, " +
         Tables.r6sql("CAST(cum AS DOUBLE) / CAST(n_tok AS DOUBLE)") + " AS coverage " +
         "FROM r CROSS JOIN tot WHERE k IN (5, 10, 20, 40) ORDER BY k")),
-    Q("q232_text_bm25", q232 _, Some {
-      // Every FP constant is interpolated from the SAME Scala double the
-      // Spark plan uses (shortest-round-trip repr; IEEE parse on both
-      // engines), so e.g. k1+1 cannot land on a different double via
-      // engine-side constant folding.
-      val qTerms = Bm25Query.map("'" + _ + "'").mkString(",")
-      "WITH toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS ts, " +
-        "CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
-        "stats AS (SELECT COUNT(*) AS n_docs, " +
-        Tables.meanDSql("SUM(dl)", "COUNT(*)") + " AS avgdl FROM toks), " +
-        "tf AS MATERIALIZED (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (" +
-        s"SELECT doc_id, dl, unnest(list_filter(ts, t -> t IN ($qTerms))) AS term " +
-        "FROM toks) GROUP BY 1, 2, 3), " +
-        "dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1) " +
-        "SELECT doc_id, " +
-        Tables.r6sql("CAST(SUM(CAST(t AS DECIMAL(18,4))) AS DOUBLE)") + " AS score " +
-        "FROM (SELECT doc_id, " +
-        Tables.r6sql(
-          s"LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${Bm25K1 + 1.0}) / " +
-            s"(tf + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * CAST(dl AS DOUBLE) / avgdl))") +
-        " AS t FROM tf JOIN dfq USING (term) CROSS JOIN stats) " +
-        s"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT ${Bm25TopK}"
+    Q("q232_text_bm25", q232 _, Some(
+      bm25OracleCte + " SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id")),
+    Q("q280_lang_mixture", q280 _, Some {
+      val scores = profiles.map { case (code, words) =>
+        s"len(list_filter(c, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$code"
+      }.mkString(", ")
+      val caseChain = profiles.map { case (code, _) =>
+        s"WHEN s_$code = g AND g > 0 THEN '$code'"
+      }.mkString(" ")
+      val gList = profiles.map { case (code, _) => s"s_$code" }.mkString(", ")
+      s"WITH s AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents " +
+        s"WHERE len(str_split(text, ' ')) >= $MixChunk), " +
+        s"e AS (SELECT doc_id, ts, unnest(range(0, len(ts) // $MixChunk)) AS i FROM s), " +
+        s"ch AS (SELECT doc_id, list_slice(ts, CAST(i * $MixChunk + 1 AS INT), " +
+        s"CAST(i * $MixChunk + $MixChunk AS INT)) AS c FROM e), " +
+        s"sc AS (SELECT doc_id, $scores FROM ch), " +
+        s"p AS (SELECT doc_id, CASE $caseChain ELSE 'und' END AS pred " +
+        s"FROM (SELECT *, greatest($gList) AS g FROM sc)), " +
+        "pc AS (SELECT doc_id, pred, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1, 2), " +
+        "tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks, " +
+        "CAST(SUM(CASE WHEN pred <> 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_langs " +
+        "FROM pc GROUP BY 1), " +
+        "mj AS (SELECT doc_id, pred AS major_lang, c AS mc FROM (" +
+        "SELECT doc_id, pred, c, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY c DESC, pred) AS rn FROM pc) WHERE rn = 1) " +
+        "SELECT t.doc_id, n_chunks, n_langs, major_lang, " +
+        Tables.r6sql("mc / n_chunks") + " AS major_share, n_langs > 1 AS mixed " +
+        "FROM tot t JOIN mj USING (doc_id) ORDER BY doc_id"
     }),
+    Q("q278_retrieval_rrf", q278 _, Some(
+      bm25OracleCte + ", " +
+        "lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex FROM bm25), " +
+        "qd AS (SELECT doc_id, (1000 * len(list_distinct(str_split(text, ' ')))) // " +
+        "len(str_split(text, ' ')) AS d FROM documents), " +
+        s"qtop AS (SELECT doc_id, d FROM qd ORDER BY d DESC, doc_id LIMIT ${Bm25TopK}), " +
+        "qual AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY d DESC, doc_id) AS BIGINT) AS rank_qual FROM qtop) " +
+        "SELECT COALESCE(lex.doc_id, qual.doc_id) AS doc_id, rank_lex, rank_qual, " +
+        Tables.r6sql(s"COALESCE(1.0 / ($RrfK + rank_lex), 0.0) + " +
+          s"COALESCE(1.0 / ($RrfK + rank_qual), 0.0)") + " AS rrf " +
+        "FROM lex FULL OUTER JOIN qual ON lex.doc_id = qual.doc_id " +
+        "ORDER BY rrf DESC, doc_id LIMIT 10")),
   )
+
+  /** Oracle CTE chain ending in `bm25` = q232's top-20 (doc_id, score);
+    * shared by the q232 and q278 oracles. Every FP constant is
+    * interpolated from the SAME Scala double the Spark plan uses
+    * (shortest-round-trip repr; IEEE parse on both engines), so e.g.
+    * k1+1 cannot land on a different double via engine-side constant
+    * folding. */
+  private def bm25OracleCte: String = {
+    val qTerms = Bm25Query.map("'" + _ + "'").mkString(",")
+    "WITH toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS ts, " +
+      "CAST(len(str_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
+      "stats AS (SELECT COUNT(*) AS n_docs, " +
+      Tables.meanDSql("SUM(dl)", "COUNT(*)") + " AS avgdl FROM toks), " +
+      "tf AS MATERIALIZED (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (" +
+      s"SELECT doc_id, dl, unnest(list_filter(ts, t -> t IN ($qTerms))) AS term " +
+      "FROM toks) GROUP BY 1, 2, 3), " +
+      "dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
+      "bm25 AS (SELECT doc_id, " +
+      Tables.r6sql("CAST(SUM(CAST(t AS DECIMAL(18,4))) AS DOUBLE)") + " AS score " +
+      "FROM (SELECT doc_id, " +
+      Tables.r6sql(
+        s"LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${Bm25K1 + 1.0}) / " +
+          s"(tf + ${Bm25K1} * (${1.0 - Bm25B} + ${Bm25B} * CAST(dl AS DOUBLE) / avgdl))") +
+      " AS t FROM tf JOIN dfq USING (term) CROSS JOIN stats) " +
+      s"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT ${Bm25TopK})"
+  }
 }

@@ -114,6 +114,49 @@ object TrainingOps {
       .orderBy(col("label").desc, col("id_a"), col("id_b"))
   }
 
+  /** q279: hard-negative mining — the contrastive-training step q157's
+    * hash-deranged RANDOM negatives deliberately avoid: for each probe,
+    * the nearest neighbors with a DIFFERENT label (top-3 by cosine among
+    * the hyperplane-LSH band candidates). Hard negatives are what move
+    * an embedding model (random negatives quickly become trivial);
+    * mining them is an ANN query with a label-disagreement predicate.
+    * Output (id_p, p_label, id_c, c_label, cos, rn).
+    *
+    * Scale: q124/q153's candidate discipline — signatures are a narrow
+    * codegen projection, candidates come from the 4×4-bit band
+    * equi-join (bucket-bounded, never probe×corpus), the label filter
+    * prunes before the exact rerank, and the top-3 is a per-probe
+    * window over the bounded candidate set. */
+  private def q279(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val sigs = NearDup.hyperplaneSigFrame(emb)
+      .localCheckpoint(true) // read by both band-join sides
+    val banded = sigs.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("vec_id"), col("b"),
+        expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+    val cand = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id_p"), col("b"), col("k"))
+      .join(banded.select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
+      .filter(col("id_p") =!= col("id_c"))
+      .select("id_p", "id_c").distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("id_p"), col("embedding").as("ep"),
+        col("label").as("p_label"),
+        sqrt(NearDup.dotCol("embedding", "embedding")).as("np")), "id_p")
+      .join(emb.select(col("vec_id").as("id_c"), col("embedding").as("ec"),
+        col("label").as("c_label"),
+        sqrt(NearDup.dotCol("embedding", "embedding")).as("nc")), "id_c")
+      .filter(col("c_label") =!= col("p_label"))
+      .select(col("id_p"), col("p_label"), col("id_c"), col("c_label"),
+        Tables.r6(NearDup.dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos"))
+    val w = Window.partitionBy("id_p").orderBy(col("cos").desc, col("id_c"))
+    scored.withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("id_p", "rn")
+  }
+
   private val CtxLen = 8
   private val CtxStride = 4
 
@@ -499,6 +542,31 @@ object TrainingOps {
         "SELECT v.id_p, e.label AS true_label, v.c_label AS pred_label, v.votes " +
         "FROM votes v JOIN embeddings e ON v.id_p = e.vec_id " +
         "WHERE v.vr = 1 ORDER BY v.id_p"
+    }),
+    Q("q279_hard_negatives", q279 _, Some {
+      val sgn = "(CASE WHEN (((p * 64 + j) * 2654435761) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+      val dotPlane =
+        s"list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * $sgn))"
+      val dotPC = NearDup.dotSql("pv", "cv")
+      val nP = s"sqrt(${NearDup.dotSql("pv", "pv")})"
+      val nC = s"sqrt(${NearDup.dotSql("cv", "cv")})"
+      "WITH bits AS (SELECT e.vec_id, p, " +
+        s"CASE WHEN $dotPlane >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END AS bit " +
+        "FROM embeddings e CROSS JOIN range(0, 16) r(p)), " +
+        "sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id), " +
+        "banded AS (SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS k " +
+        "FROM sig CROSS JOIN range(0, 4) r(b)), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM banded a " +
+        "JOIN banded c ON a.b = c.b AND a.k = c.k " +
+        "WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id) " +
+        "SELECT id_p, p_label, id_c, c_label, cos, rn FROM (" +
+        "SELECT cand.id_p, pv.label AS p_label, cand.id_c, cv.label AS c_label, " +
+        Tables.r6sql(s"$dotPC / ($nP * $nC)") + " AS cos, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY cand.id_p ORDER BY " +
+        Tables.r6sql(s"$dotPC / ($nP * $nC)") + " DESC, cand.id_c) AS BIGINT) AS rn " +
+        "FROM cand JOIN embeddings pv ON cand.id_p = pv.vec_id " +
+        "JOIN embeddings cv ON cand.id_c = cv.vec_id " +
+        "WHERE pv.label <> cv.label) WHERE rn <= 3 ORDER BY id_p, rn"
     }),
     Q("q157_contrastive_pairs", q157 _, Some(
       "WITH " + NearDup.simhashCtes("documents") + ", " +

@@ -117,6 +117,10 @@ class OperatorSuite extends AnyFunSuite {
                                  // df-cap machinery under the matrix)
       "q275_target_encoding",    // global-prior 1-row mean fold (merges
                                  // one partial row per partition)
+      "q278_retrieval_rrf",      // rank windows + fuse over the two
+                                 // CONSTANT 20-row TakeOrdered heads
+                                 // (q179/q246 exception); corpus side is
+                                 // q232's justified shape
       "q276_join_fanout_audit")  // est/na/nb 1-row folds: Σ-product over
                                  // the key-bounded count frame + two
                                  // input-size counts
