@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators for large-scale training-data pipelines
   * (SURVEY.md §2.8b, q104/q105/q109): benchmark decontamination,
@@ -19,12 +20,13 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   /** md5-prefix bucket 0..`mod`−1 of column `h` (two hex chars via instr
-    * math — the q79/q85 portable-bucket idiom). */
-  private def hexBucket(mod: Int) = expr(
+    * math — the q79/q85 portable-bucket idiom; shared with the other
+    * operator modules so the bucket convention can't diverge). */
+  private[operators] def hexBucket(mod: Int) = expr(
     "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
       s"(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % $mod")
 
-  private def hexBucketSql(mod: Int, h: String) =
+  private[operators] def hexBucketSql(mod: Int, h: String) =
     s"((instr('0123456789abcdef', substring($h, 1, 1)) - 1) * 16 + " +
       s"(instr('0123456789abcdef', substring($h, 2, 1)) - 1)) % $mod"
 
@@ -476,6 +478,129 @@ object CorpusOps {
       .withColumn("kept", col("cum_tokens") <= col("budget"))
   }
 
+  /** q282 hashed-feature domain (DSIR buckets unigrams into a fixed
+    * feature space so the ratio model is constant-size at any corpus). */
+  private val DsirBuckets = 256
+
+  /** q282: DSIR-style importance scoring (Xie et al., NeurIPS 2023 —
+    * Data Selection via Importance Resampling): score every raw-pool
+    * document by Σ_f c_f(doc)·ln(p_target(f)/p_raw(f)) over hashed
+    * unigram features, where `target` is the curated split (the q79
+    * md5-bucket ≥ 90 tail) and `raw` is the remaining 90%. Positive
+    * scores mark raw documents that look like the target distribution —
+    * the principled replacement for hand-tuned quality filters when a
+    * trusted seed corpus exists. Laplace-smoothed (+1 / +|F|); output
+    * (doc_id, n_tok, lw, selected = lw > 0) over the raw pool.
+    *
+    * Parity: the per-feature log-ratio is r6-quantized → DECIMAL, the
+    * per-doc Σ c_f·lr is exact DECIMAL (merge-order-free), cast once.
+    *
+    * Scale: the feature domain is FIXED at 256 buckets, so both count
+    * frames, the ratio table, and its broadcast are constant-size; the
+    * corpus is scanned twice (once for feature stats, once for scoring),
+    * both passes narrow with vocabulary-bounded shuffles — no token
+    * stream is ever checkpointed. */
+  private def q282(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("split_b", hexBucket(100))
+      .select(col("doc_id"), col("split_b"), split(col("text"), " ").as("ts"))
+    def toks(d: DataFrame) = d
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .withColumn("h", md5(col("t")))
+      .withColumn("fb", hexBucket(DsirBuckets))
+    val tgtCnt = toks(docs.filter(col("split_b") >= 90))
+      .groupBy("fb").agg(count(lit(1)).as("ct"))
+    val rawToks = toks(docs.filter(col("split_b") < 90))
+    val rawCnt = rawToks.groupBy("fb").agg(count(lit(1)).as("cr"))
+    val totT = tgtCnt.agg(sum("ct").as("tt"))
+    val totR = rawCnt.agg(sum("cr").as("tr"))
+    val ratio = tgtCnt.join(rawCnt, Seq("fb"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .select(col("fb"), Tables.r6(
+        log((col("ct") + lit(1.0)) / (col("tt") + lit(DsirBuckets.toDouble))) -
+          log((col("cr") + lit(1.0)) / (col("tr") + lit(DsirBuckets.toDouble))))
+        .cast(DecimalType(18, 6)).as("lr"))
+    val perDoc = rawToks.groupBy("doc_id", "fb").agg(count(lit(1)).as("cf"))
+      .join(broadcast(ratio), "fb")
+      .groupBy("doc_id")
+      .agg(sum("cf").as("n_tok"), sum(col("cf") * col("lr")).as("lw_dec"))
+    perDoc.select(col("doc_id"), col("n_tok"),
+      col("lw_dec").cast("double").as("lw"),
+      (col("lw_dec") > 0).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** q286 band width (tokens) and cap — difficulty bands 0..4. */
+  private val CurBandTokens = 64
+  private val CurBands = 5
+
+  /** q286: curriculum ordering — assign every document a deterministic
+    * GLOBAL training position ordered by difficulty band (token count
+    * DIV 64, capped at band 4) with an md5 shuffle WITHIN each band:
+    * easy-to-hard curriculum between bands, unbiased order inside one
+    * (the Bengio et al. 2009 curriculum shape, made reproducible —
+    * re-running on the same corpus yields byte-identical order, the
+    * property a resumable training run needs).
+    *
+    * Scale: the global position is NOT a global-window row_number (one
+    * task) — it rides `DistributedCumSum.cumulativeGrouped` under a
+    * constant group: range-partition by (band, h, doc_id), per-partition
+    * row counts, broadcast offsets. The corpus sorts only WITHIN
+    * partitions of the range layout. */
+  private def q286(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        least(lit((CurBands - 1).toLong),
+          expr(s"CAST(size(split(text, ' ')) DIV $CurBandTokens AS BIGINT)"))
+          .as("band"),
+        md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("hh"))
+      .withColumn("g", lit(0)).withColumn("one", lit(1L))
+    graft.plans.DistributedCumSum
+      .cumulativeGrouped(d, Seq("g"),
+        Seq(col("band"), col("hh"), col("doc_id")), Seq("one"))
+      .select(col("doc_id"), col("band"), col("cum_one").as("pos"))
+      .orderBy("pos")
+  }
+
+  /** q289 temperature (the mT5 α = 0.3 convention). */
+  private val MixAlpha = 0.3
+
+  /** q289: temperature-smoothed mixture weights — the multilingual/
+    * multi-source sampling-rate formula (Arivazhagan et al. 2019; mT5):
+    * q_s ∝ p_s^α with α = 0.3, where p_s is the source's token share.
+    * Low-resource sources are up-sampled (upsample = q/p > 1), dominant
+    * ones damped — the knob between proportional (α=1) and uniform
+    * (α=0) mixing. Complements q178's boost-table mixture with the
+    * closed-form temperature family.
+    *
+    * Parity: p and p^α are r6-quantized before the Σ p^α normalizer
+    * (DECIMAL sum, merge-order-free); q and upsample recompute from the
+    * quantized pieces identically on both engines.
+    *
+    * Scale: one map-side-combined groupBy(source) (≤ #sources rows);
+    * the normalizer is a 1-row fold over that bounded frame. */
+  private def q289(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("bigint")).as("tokens"))
+      .localCheckpoint(true) // ≤ #sources rows; totals fold + final join
+    val tot = perSrc.agg(sum("tokens").as("tt"))
+    val withP = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        Tables.r6(col("tokens").cast("double") / col("tt")).as("p"))
+      .withColumn("pa", Tables.r6(pow(col("p"), lit(MixAlpha))))
+    val norm = withP.agg(sum(col("pa").cast(DecimalType(18, 6))).as("z"))
+    withP.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("tokens"), col("p"),
+        Tables.r6(col("pa") / col("z").cast("double")).as("q"),
+        Tables.r6(Tables.r6(col("pa") / col("z").cast("double")) / col("p"))
+          .as("upsample"))
+      .orderBy("source")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q190_text_novelty", q190 _, Some(
       "WITH s AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents " +
@@ -615,5 +740,51 @@ object CorpusOps {
         "CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept, " +
         Tables.r6sql("COALESCE(k.tokens_kept, 0) / b.budget") + " AS utilization " +
         "FROM b LEFT JOIN k USING (source) ORDER BY source")),
+    Q("q282_dsir_importance", q282 _, Some(
+      "WITH d AS (SELECT doc_id, str_split(text, ' ') AS ts, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "db AS (SELECT doc_id, ts, " + hexBucketSql(100, "h") +
+        " AS split_b FROM d), " +
+        "tf AS MATERIALIZED (SELECT doc_id, split_b, " +
+        hexBucketSql(DsirBuckets, "md5(t)") + " AS fb FROM (" +
+        "SELECT doc_id, split_b, unnest(ts) AS t FROM db)), " +
+        "tgt AS (SELECT fb, CAST(COUNT(*) AS BIGINT) AS ct FROM tf " +
+        "WHERE split_b >= 90 GROUP BY fb), " +
+        "raw AS (SELECT fb, CAST(COUNT(*) AS BIGINT) AS cr FROM tf " +
+        "WHERE split_b < 90 GROUP BY fb), " +
+        "tots AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt, " +
+        "(SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr), " +
+        "ratio AS (SELECT COALESCE(tgt.fb, raw.fb) AS fb, CAST(" +
+        Tables.r6sql(s"LN((COALESCE(ct, 0) + 1.0) / (tt + $DsirBuckets.0)) - " +
+          s"LN((COALESCE(cr, 0) + 1.0) / (tr + $DsirBuckets.0))") +
+        " AS DECIMAL(18,6)) AS lr " +
+        "FROM tgt FULL OUTER JOIN raw ON tgt.fb = raw.fb CROSS JOIN tots), " +
+        "pd AS (SELECT doc_id, fb, CAST(COUNT(*) AS BIGINT) AS cf FROM tf " +
+        "WHERE split_b < 90 GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(SUM(cf) AS BIGINT) AS n_tok, " +
+        "CAST(SUM(cf * lr) AS DOUBLE) AS lw, SUM(cf * lr) > 0 AS selected " +
+        "FROM pd JOIN ratio USING (fb) GROUP BY doc_id ORDER BY doc_id")),
+    Q("q286_curriculum_order", q286 _, Some(
+      "WITH d AS (SELECT doc_id, " +
+        s"least(CAST(${CurBands - 1} AS BIGINT), " +
+        s"CAST(len(str_split(text, ' ')) // $CurBandTokens AS BIGINT)) AS band, " +
+        "md5('cur:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents) " +
+        "SELECT doc_id, band, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY band, hh, doc_id) AS BIGINT) AS pos " +
+        "FROM d ORDER BY pos")),
+    Q("q289_mixture_temperature", q289 _, Some(
+      "WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tokens " +
+        "FROM documents GROUP BY source), " +
+        "tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM s), " +
+        "wp AS (SELECT source, n_docs, tokens, " +
+        Tables.r6sql("CAST(tokens AS DOUBLE) / tt") + " AS p " +
+        "FROM s CROSS JOIN tot), " +
+        s"wpa AS (SELECT *, ${Tables.r6sql(s"POWER(p, $MixAlpha)")} AS pa FROM wp), " +
+        "norm AS (SELECT SUM(CAST(pa AS DECIMAL(18,6))) AS z FROM wpa) " +
+        "SELECT source, n_docs, tokens, p, " +
+        Tables.r6sql("pa / CAST(z AS DOUBLE)") + " AS q, " +
+        Tables.r6sql(s"${Tables.r6sql("pa / CAST(z AS DOUBLE)")} / p") + " AS upsample " +
+        "FROM wpa CROSS JOIN norm ORDER BY source")),
   )
 }

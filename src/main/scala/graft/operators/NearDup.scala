@@ -778,6 +778,107 @@ object NearDup {
       .orderBy("p_partkey")
   }
 
+  /** Shared DuckDB CTE prefix `bits → sig → banded`: regenerates the
+    * q124 hyperplane signatures (Knuth-hash ±1 planes) and the 4×4-bit
+    * band keys in SQL, bit-identically to [[hyperplaneSigFrame]]. Used
+    * by the q283 oracle (q124/q279 predate the extraction and carry
+    * inline copies of the same text). */
+  private[operators] val hyperplaneCtesSql: String = {
+    val sgn = "(CASE WHEN (((p * 64 + j) * 2654435761) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    val dotPlane =
+      s"list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * $sgn))"
+    "WITH bits AS (SELECT e.vec_id, p, " +
+      s"CASE WHEN $dotPlane >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END AS bit " +
+      "FROM embeddings e CROSS JOIN range(0, 16) r(p)), " +
+      "sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id), " +
+      "banded AS (SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS k " +
+      "FROM sig CROSS JOIN range(0, 4) r(b))"
+  }
+
+  /** q283 contamination threshold: candidate cosines on this corpus top
+    * out near 0.39 (q279's hard negatives), so 0.35 flags the closest
+    * few pairs without drowning the report. */
+  private val SemThresh = 0.35
+
+  /** q283: semantic decontamination — the EMBEDDING-space complement of
+    * q104's n-gram decontamination: paraphrased or re-worded benchmark
+    * leakage shares no 5-gram but lands close in embedding space. Eval
+    * probes (the q79 md5-bucket ≥ 90 tail over vec_id) are joined to
+    * train vectors through the q124 hyperplane-LSH bands; candidates are
+    * cosine-reranked, and each probe reports (n_cand, max_cos,
+    * contaminated = max_cos ≥ 0.35). Probes with no band collision emit
+    * n_cand = 0 / NULL max_cos — the audit covers every eval row.
+    *
+    * Scale: q124's candidate discipline (band equi-join, never
+    * probe×corpus); the eval side is a 10% slice, and the per-probe
+    * rollup is candidate-bounded. */
+  private def q283(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val sigs = hyperplaneSigFrame(emb)
+      .withColumn("h", md5(concat(lit("sdc:"), col("vec_id").cast("string"))))
+      .withColumn("b100", CorpusOps.hexBucket(100))
+      .localCheckpoint(true) // read by both band-join sides + the probe list
+    val banded = sigs.select(col("vec_id"), col("b100"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("vec_id"), col("b100"), col("b"),
+        expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+    val cand = banded.filter(col("b100") >= 90)
+      .select(col("vec_id").as("id_p"), col("b"), col("k"))
+      .join(banded.filter(col("b100") < 90)
+        .select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
+      .select("id_p", "id_c").distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("id_p"), col("embedding").as("ep"),
+        sqrt(dotCol("embedding", "embedding")).as("np")), "id_p")
+      .join(emb.select(col("vec_id").as("id_c"), col("embedding").as("ec"),
+        sqrt(dotCol("embedding", "embedding")).as("nc")), "id_c")
+      .select(col("id_p"),
+        Tables.r6(dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos"))
+    val per = scored.groupBy("id_p")
+      .agg(count(lit(1)).as("n_cand"), max("cos").as("max_cos"))
+    sigs.filter(col("b100") >= 90).select("vec_id")
+      .join(per.withColumnRenamed("id_p", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("max_cos"),
+        coalesce(col("max_cos") >= SemThresh, lit(false)).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  /** q285: dedup-threshold sensitivity sweep — the tuning curve behind
+    * every near-dup threshold decision: for Jaccard cut-offs 0.5–0.9,
+    * how many candidate pairs survive and how many documents would be
+    * dropped (the higher doc_id of each surviving pair — q49's keep-min
+    * convention). Reading the knee of this curve is how a pipeline picks
+    * its threshold; computing it costs ONE candidate-generation pass.
+    *
+    * Scale: the expensive part (q61's df-capped inverted-index
+    * candidates + exact scores) runs ONCE and is checkpointed
+    * (candidate-bounded, not corpus-bounded); the 5-threshold grid then
+    * sweeps the bounded pair frame. */
+  private def q285(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val (inter, sizes) = cappedPairFrames(docs)
+    val jac = inter
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+      .select(col("ib"),
+        Tables.r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("j"))
+      .localCheckpoint(true) // candidate-bounded; swept 5× by the grid
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val grid = spark.range(5, 10).select((col("id") * 10).as("thr"))
+    val perThr = grid.join(jac, col("j") >= col("thr") / lit(100.0))
+      .groupBy("thr")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("ib")).as("n_docs_dropped"))
+    grid.join(perThr, Seq("thr"), "left").crossJoin(broadcast(nd))
+      .select(col("thr"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        Tables.r6(coalesce(col("n_docs_dropped"), lit(0L)) /
+          col("n_docs").cast("double")).as("drop_rate"))
+      .orderBy("thr")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q240_entity_resolution", q240 _, Some(
       "WITH RECURSIVE nid AS (SELECT p_name, MIN(p_partkey) AS nid " +
@@ -939,5 +1040,44 @@ object NearDup {
         "FROM documents d LEFT JOIN eh ON d.doc_id = eh.doc_id " +
         "LEFT JOIN nh ON d.doc_id = nh.doc_id " +
         "WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id")),
+    Q("q283_semantic_decontam", q283 _, Some {
+      val dotPQ = "list_sum(list_transform(range(1,65), i -> CAST(pv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))"
+      val nP = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(pv.embedding[i] AS DOUBLE) * CAST(pv.embedding[i] AS DOUBLE))))"
+      val nC = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(cv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE))))"
+      hyperplaneCtesSql + ", " +
+        "bk AS (SELECT vec_id, " +
+        CorpusOps.hexBucketSql(100, "md5('sdc:' || CAST(vec_id AS VARCHAR))") +
+        " AS b100 FROM embeddings), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c " +
+        "FROM banded a JOIN bk pa ON a.vec_id = pa.vec_id " +
+        "JOIN banded c ON a.b = c.b AND a.k = c.k " +
+        "JOIN bk pc ON c.vec_id = pc.vec_id " +
+        "WHERE pa.b100 >= 90 AND pc.b100 < 90), " +
+        "sc AS (SELECT id_p, " + Tables.r6sql(s"$dotPQ / ($nP * $nC)") + " AS cos " +
+        "FROM cand JOIN embeddings pv ON id_p = pv.vec_id " +
+        "JOIN embeddings cv ON id_c = cv.vec_id), " +
+        "per AS (SELECT id_p, CAST(COUNT(*) AS BIGINT) AS n_cand, " +
+        "MAX(cos) AS max_cos FROM sc GROUP BY id_p) " +
+        "SELECT bk.vec_id, COALESCE(n_cand, 0) AS n_cand, max_cos, " +
+        s"COALESCE(max_cos >= $SemThresh, false) AS contaminated " +
+        "FROM bk LEFT JOIN per ON bk.vec_id = per.id_p " +
+        "WHERE b100 >= 90 ORDER BY vec_id"
+    }),
+    Q("q285_dedup_threshold_sweep", q285 _, Some(
+      pairCtesSql + ", " +
+        "jac AS (SELECT ib, " +
+        Tables.r6sql("inter / (sa.n + sb.n - inter)") + " AS j " +
+        "FROM pairs JOIN sizes sa ON ia = sa.doc_id " +
+        "JOIN sizes sb ON ib = sb.doc_id WHERE inter >= 3), " +
+        "g AS (SELECT unnest(range(5, 10)) * 10 AS thr), " +
+        "pt AS (SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(COUNT(DISTINCT ib) AS BIGINT) AS n_docs_dropped " +
+        "FROM g JOIN jac ON j >= thr / 100.0 GROUP BY thr), " +
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) " +
+        "SELECT g.thr, COALESCE(n_pairs, 0) AS n_pairs, " +
+        "COALESCE(n_docs_dropped, 0) AS n_docs_dropped, " +
+        Tables.r6sql("COALESCE(n_docs_dropped, 0) / CAST(n_docs AS DOUBLE)") +
+        " AS drop_rate " +
+        "FROM g LEFT JOIN pt ON g.thr = pt.thr CROSS JOIN nd ORDER BY g.thr")),
   )
 }

@@ -621,6 +621,140 @@ object TextAnalysis {
   private def q256(spark: SparkSession, sfDir: String): DataFrame =
     sentimentOf(Tables(spark, sfDir, "documents"), posLex, negLex)
 
+  /** q281: Heaps'-law vocabulary-growth fit — the tokenizer/vocab-sizing
+    * companion to q173's Zipf fit: V(N) ≈ K·N^β estimated from ten
+    * cumulative corpus prefixes. Prefix order is the q79 md5-bucket
+    * "random order" (the standard way vocabulary growth is measured —
+    * document-arrival order would confound growth with topic drift):
+    * prefix k = docs whose md5 bucket < 10k. V_k counts tokens whose
+    * FIRST bucket ≤ prefix (a token joins the vocabulary exactly once),
+    * N_k sums prefix token counts; the log-log OLS runs the q173 recipe
+    * (r6-quantized ln terms, DECIMAL sums, closed form).
+    *
+    * Scale: the first-occurrence frame is the standard vocabulary-bounded
+    * min-aggregate (no prefix re-scans — TEN prefixes cost ONE corpus
+    * pass); everything after runs on ≤100-row bucket frames and the
+    * 10-row decile grid. */
+  private def q281(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", CorpusOps.hexBucket(100))
+    val firstB = docs.select(col("bucket"), explode(col("ts")).as("t"))
+      .groupBy("t").agg(min("bucket").as("fb"))
+    val vb = firstB.groupBy("fb").agg(count(lit(1)).as("v"))
+    val nb = docs.groupBy("bucket")
+      .agg(sum(size(col("ts")).cast("bigint")).as("n"))
+    val grid = spark.range(1, 11).select(col("id").as("decile"))
+    val vc = grid.join(broadcast(vb), col("fb") < col("decile") * 10)
+      .groupBy("decile").agg(sum("v").as("vocab"))
+    val nc = grid.join(broadcast(nb), col("bucket") < col("decile") * 10)
+      .groupBy("decile").agg(sum("n").as("n_tokens"))
+    val q6 = (c: Column) => Tables.r6(c).cast(DecimalType(18, 6))
+    val pts = vc.join(nc, "decile")
+      .select(col("decile"), col("n_tokens"), col("vocab"),
+        q6(log(col("n_tokens").cast("double"))).as("x"),
+        q6(log(col("vocab").cast("double"))).as("y"))
+      .localCheckpoint(true) // 10 rows; read by the fit fold AND the output
+    val sums = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val d = (c: Column) => c.cast("double")
+    val fit = sums.select(
+      Tables.r6((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+        (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))).as("heaps_beta"),
+      Tables.r6((d(col("sy")) * d(col("sxx")) - d(col("sx")) * d(col("sxy"))) /
+        (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))).as("heaps_lnk"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("decile"), col("n_tokens"), col("vocab"),
+        col("heaps_beta"), col("heaps_lnk"))
+      .orderBy("decile")
+  }
+
+  /** Minimum document frequency for a term to enter the q287 burstiness
+    * report (df < 5 terms have too few containing docs for the mean-tf
+    * statistic to mean anything). */
+  private val BurstMinDf = 5
+
+  /** q287: term-burstiness audit (Church–Gale): for each term, mean
+    * term frequency WITHIN containing documents (burstiness = tf/df) and
+    * the adaptation ratio df_observed / df_Poisson, where df_Poisson =
+    * n_docs·(1−e^{−tf/n_docs}) is the doc frequency a Poisson
+    * (burstiness-free) process would produce. Bursty terms (ratio ≪ 1)
+    * concentrate in few docs — content words; ratio ≈ 1 marks function
+    * words. The statistic drives keyword extraction and stopword
+    * induction in curation pipelines. Top-20 by burstiness.
+    *
+    * Scale: (term, doc) tf is the q77 TF-IDF shuffle shape (map-side
+    * combined, keyed by term); the per-term rollup is vocabulary-bounded;
+    * n_docs is a 1-row broadcast; head = TakeOrderedAndProject. */
+  private def q287(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+    val ndocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+    tf.groupBy("t")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+      .filter(col("df") >= BurstMinDf)
+      .crossJoin(broadcast(ndocs))
+      .select(col("t").as("term"), col("df"), col("tf_total"),
+        Tables.meanD(col("tf_total"), col("df")).as("burstiness"),
+        Tables.r6(col("df") /
+          (col("nd") * (lit(1.0) - exp(col("tf_total").cast("double") / -col("nd")))))
+          .as("adaptation"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(20)
+  }
+
+  /** q288 vocabulary cap: the JS divergence runs over the top-100 global
+    * terms (distribution distance concentrates in the head; the cap
+    * bounds every downstream frame). */
+  private val JsVocab = 100
+
+  /** q288: pairwise Jensen–Shannon divergence between per-language
+    * unigram distributions over the shared top-100 vocabulary — the
+    * source/language similarity matrix a mixture designer reads before
+    * setting sampling weights (JS is symmetric, bounded by ln 2, and
+    * defined even where one side has zero mass — exactly why it beats
+    * raw KL here). p is each language's in-vocabulary term distribution;
+    * JS(P,Q) = ½ΣP·ln(2p/(p+q)) + ½ΣQ·ln(2q/(p+q)), zero-mass terms
+    * contribute nothing. Parity: per-term contributions are r6-quantized
+    * then DECIMAL-summed (the q173/q143 R1 recipe).
+    *
+    * Scale: one corpus scan builds the (lang, term) counts (shuffle
+    * bounded by langs × vocab after the broadcast vocab semi-join); the
+    * pair matrix is (langs²/2) × 100 rows — constant-bounded. */
+  private def q288(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(JsVocab).select("t")
+    val lc = toks.join(broadcast(vocab), "t")
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    val tot = lc.groupBy("lang").agg(sum("c").as("n"))
+    val grid = docs.select("lang").distinct().crossJoin(broadcast(vocab))
+      .join(lc, Seq("lang", "t"), "left").na.fill(0L, Seq("c"))
+      .join(tot, "lang")
+      .select(col("lang"), col("t"),
+        (col("c").cast("double") / col("n")).as("p"))
+      .localCheckpoint(true) // langs×vocab rows; both pair-join sides
+    val pairs = grid.toDF("lang_a", "t", "pa")
+      .join(grid.toDF("lang_b", "t", "pb"), "t")
+      .filter(col("lang_a") < col("lang_b"))
+    val term = (p: Column, q: Column) =>
+      when(p > 0, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0))
+    pairs
+      .select(col("lang_a"), col("lang_b"),
+        Tables.r6(lit(0.5) * term(col("pa"), col("pb")) +
+          lit(0.5) * term(col("pb"), col("pa")))
+          .cast(DecimalType(18, 6)).as("contrib"))
+      .groupBy("lang_a", "lang_b")
+      .agg(sum("contrib").as("js_dec"))
+      .select(col("lang_a"), col("lang_b"),
+        col("js_dec").cast("double").as("js"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q256_text_sentiment", q256 _, Some {
       def lex(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
@@ -868,6 +1002,70 @@ object TextAnalysis {
           s"COALESCE(1.0 / ($RrfK + rank_qual), 0.0)") + " AS rrf " +
         "FROM lex FULL OUTER JOIN qual ON lex.doc_id = qual.doc_id " +
         "ORDER BY rrf DESC, doc_id LIMIT 10")),
+    Q("q281_heaps_law", q281 _, Some {
+      val dn = "CAST(n AS DOUBLE)"; val dsx = "CAST(sx AS DOUBLE)"
+      val dsxx = "CAST(sxx AS DOUBLE)"; val dsy = "CAST(sy AS DOUBLE)"
+      val dsxy = "CAST(sxy AS DOUBLE)"
+      "WITH d AS (SELECT doc_id, str_split(text, ' ') AS ts, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "db AS (SELECT doc_id, ts, " + CorpusOps.hexBucketSql(100, "h") +
+        " AS bucket FROM d), " +
+        "firstb AS (SELECT t, MIN(bucket) AS fb FROM (" +
+        "SELECT bucket, unnest(ts) AS t FROM db) GROUP BY t), " +
+        "vb AS (SELECT fb, COUNT(*) AS v FROM firstb GROUP BY fb), " +
+        "nb AS (SELECT bucket, SUM(len(ts)) AS n FROM db GROUP BY bucket), " +
+        "g AS (SELECT unnest(range(1, 11)) AS decile), " +
+        "vc AS (SELECT decile, CAST(SUM(v) AS BIGINT) AS vocab " +
+        "FROM g JOIN vb ON fb < decile * 10 GROUP BY decile), " +
+        "nc AS (SELECT decile, CAST(SUM(n) AS BIGINT) AS n_tokens " +
+        "FROM g JOIN nb ON bucket < decile * 10 GROUP BY decile), " +
+        "pts AS (SELECT decile, n_tokens, vocab, " +
+        s"CAST(${Tables.r6sql("LN(CAST(n_tokens AS DOUBLE))")} AS DECIMAL(18,6)) AS x, " +
+        s"CAST(${Tables.r6sql("LN(CAST(vocab AS DOUBLE))")} AS DECIMAL(18,6)) AS y " +
+        "FROM vc JOIN nc USING (decile)), " +
+        "sums AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx, " +
+        "SUM(y) AS sy, SUM(x * y) AS sxy FROM pts) " +
+        "SELECT decile, n_tokens, vocab, " +
+        Tables.r6sql(s"($dn * $dsxy - $dsx * $dsy) / ($dn * $dsxx - $dsx * $dsx)") +
+        " AS heaps_beta, " +
+        Tables.r6sql(s"($dsy * $dsxx - $dsx * $dsxy) / ($dn * $dsxx - $dsx * $dsx)") +
+        " AS heaps_lnk FROM pts CROSS JOIN sums ORDER BY decile"
+    }),
+    Q("q287_term_burstiness", q287 _, Some(
+      "WITH tf AS (SELECT t, doc_id, COUNT(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents), " +
+        "pt AS (SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS df, " +
+        "CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf GROUP BY 1 " +
+        s"HAVING COUNT(*) >= $BurstMinDf) " +
+        "SELECT term, df, tf_total, " +
+        Tables.meanDSql("tf_total", "df") + " AS burstiness, " +
+        Tables.r6sql(
+          "df / (nd * (1.0 - EXP(CAST(tf_total AS DOUBLE) / -nd)))") +
+        " AS adaptation " +
+        "FROM pt CROSS JOIN nd ORDER BY burstiness DESC, term LIMIT 20")),
+    Q("q288_lang_js_divergence", q288 _, Some(
+      "WITH toks AS MATERIALIZED (SELECT lang, unnest(str_split(text, ' ')) AS t " +
+        "FROM documents), " +
+        "vocab AS (SELECT t FROM (SELECT t, COUNT(*) AS c FROM toks " +
+        s"GROUP BY t ORDER BY c DESC, t LIMIT $JsVocab)), " +
+        "lc AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM toks JOIN vocab USING (t) GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM lc GROUP BY lang), " +
+        "grid AS (SELECT l.lang, v.t, COALESCE(lc.c, 0) AS c " +
+        "FROM (SELECT DISTINCT lang FROM documents) l CROSS JOIN vocab v " +
+        "LEFT JOIN lc ON lc.lang = l.lang AND lc.t = v.t), " +
+        "p AS (SELECT g.lang, g.t, CAST(g.c AS DOUBLE) / tot.n AS p " +
+        "FROM grid g JOIN tot ON g.lang = tot.lang), " +
+        "pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.p AS pa, b.p AS pb " +
+        "FROM p a JOIN p b ON a.t = b.t AND a.lang < b.lang) " +
+        "SELECT lang_a, lang_b, CAST(SUM(CAST(" +
+        Tables.r6sql(
+          "0.5 * (CASE WHEN pa > 0 THEN pa * LN(2.0 * pa / (pa + pb)) ELSE 0.0 END) + " +
+            "0.5 * (CASE WHEN pb > 0 THEN pb * LN(2.0 * pb / (pa + pb)) ELSE 0.0 END)") +
+        " AS DECIMAL(18,6))) AS DOUBLE) AS js " +
+        "FROM pr GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 
   /** Oracle CTE chain ending in `bm25` = q232's top-20 (doc_id, score);

@@ -486,7 +486,67 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** q284: label-noise audit by centroid distance — the standard
+    * mislabel screen over a labelled embedding set (Confident-Learning
+    * family, reduced to its distance core): per label, the component-wise
+    * mean centroid; per vector, the cosine to its OWN label's centroid;
+    * report the 20 least-cohesive vectors — the rows a human (or a
+    * relabeling pass) should look at first. Complements q153 (kNN
+    * predicts labels) and q106 (kmeans finds structure): this one scores
+    * agreement with the GIVEN labels.
+    *
+    * Determinism: q277's float discipline — component sums exact
+    * DECIMAL(18,9); every cross-term (v·c, v², c²) r6-quantized then
+    * DECIMAL(18,6)-summed, so the 64-term folds are merge-order-free.
+    *
+    * Scale: one posexplode pass; centroids are a (labels × 64)-bounded
+    * aggregate broadcast back; the per-vector fold is map-side combined;
+    * the head is TakeOrderedAndProject. No pairwise anything. */
+  private def q284(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pe = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("pos"),
+        col("col").cast("double").as("vd"))
+    val cent = pe.groupBy("label", "pos")
+      .agg(Tables.meanD(sum(col("vd").cast(DecimalType(18, 9))), count(lit(1)))
+        .as("cm"))
+      .localCheckpoint(true) // labels×64 rows; read by dot join + norm fold
+    val cnorm = cent.groupBy("label")
+      .agg(sum(Tables.r6(col("cm") * col("cm")).cast(DecimalType(18, 6))).as("sc2"))
+    val per = pe.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(Tables.r6(col("vd") * col("cm")).cast(DecimalType(18, 6))).as("dot"),
+        sum(Tables.r6(col("vd") * col("vd")).cast(DecimalType(18, 6))).as("sv2"))
+    per.join(broadcast(cnorm), "label")
+      .select(col("vec_id"), col("label"),
+        Tables.r6(col("dot").cast("double") /
+          (sqrt(col("sv2").cast("double")) * sqrt(col("sc2").cast("double"))))
+          .as("cos"))
+      .orderBy(col("cos").asc, col("vec_id"))
+      .limit(20)
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q284_label_noise_audit", q284 _, Some {
+      val meanSql = Tables.meanDSql("SUM(CAST(vd AS DECIMAL(18,9)))", "COUNT(*)")
+      "WITH pe AS MATERIALIZED (SELECT vec_id, label, " +
+        "unnest(range(1, 65)) AS pos, CAST(unnest(embedding) AS DOUBLE) AS vd " +
+        "FROM embeddings), " +
+        s"cent AS (SELECT label, pos, $meanSql AS cm FROM pe GROUP BY 1, 2), " +
+        "cn AS (SELECT label, SUM(CAST(" + Tables.r6sql("cm * cm") +
+        " AS DECIMAL(18,6))) AS sc2 FROM cent GROUP BY label), " +
+        "per AS (SELECT vec_id, pe.label, " +
+        "SUM(CAST(" + Tables.r6sql("vd * cm") + " AS DECIMAL(18,6))) AS dot, " +
+        "SUM(CAST(" + Tables.r6sql("vd * vd") + " AS DECIMAL(18,6))) AS sv2 " +
+        "FROM pe JOIN cent ON pe.label = cent.label AND pe.pos = cent.pos " +
+        "GROUP BY 1, 2) " +
+        "SELECT vec_id, per.label, " +
+        Tables.r6sql("CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(sv2 AS DOUBLE)) * sqrt(CAST(sc2 AS DOUBLE)))") + " AS cos " +
+        "FROM per JOIN cn ON per.label = cn.label " +
+        "ORDER BY cos, vec_id LIMIT 20"
+    }),
     Q("q273_span_corruption", q273 _, Some {
       def m(i: String) = maskSql(i, "VARCHAR")
       "SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, " +

@@ -121,6 +121,16 @@ class OperatorSuite extends AnyFunSuite {
                                  // CONSTANT 20-row TakeOrdered heads
                                  // (q179/q246 exception); corpus side is
                                  // q232's justified shape
+      "q281_heaps_law",          // OLS-sums 1-row fold over the 10-row
+                                 // decile frame (q173's fit shape)
+      "q282_dsir_importance",    // target/raw token-total 1-row folds
+                                 // over the 256-bucket feature frames
+      "q285_dedup_threshold_sweep", // n_docs 1-row count (q61's df-cap
+                                 // shape) swept against the 5-row grid
+      "q287_term_burstiness",    // n_docs 1-row count feeding the
+                                 // Poisson adaptation baseline
+      "q289_mixture_temperature", // token-total + Σp^α normalizer 1-row
+                                 // folds over the ≤#sources frame
       "q276_join_fanout_audit")  // est/na/nb 1-row folds: Σ-product over
                                  // the key-bounded count frame + two
                                  // input-size counts
