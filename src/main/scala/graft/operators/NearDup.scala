@@ -717,6 +717,71 @@ object NearDup {
       .orderBy("id_p", "rn")
   }
 
+  /** q291 audit depth: recall@10 — deep enough that band-collision
+    * misses show up, small enough that the exact ground truth stays a
+    * probe-bounded stream. */
+  private val RecallK = 10
+
+  /** q291: ANN recall audit — the measurement that justifies ever using
+    * q124/q63 instead of exact search: for the q124 probe set (vec_id <
+    * 10), compute the TRUE cosine top-10 by brute force and the
+    * LSH-candidate top-10, and report per-probe overlap (recall@10).
+    * This is how an index's band/nprobe configuration gets tuned before
+    * a corpus-scale run — on a probe SAMPLE, never the full matrix
+    * (q193 plays the same role for MinHash vs exact Jaccard).
+    *
+    * Scale: the ground-truth side is the ONLY brute-force piece and it
+    * is probe-bounded by construction — the ≤10-row probe frame
+    * broadcasts and the corpus streams past it ONCE (a BNLJ whose build
+    * side is constant; the PlanShape cartesian probe verifies the bound
+    * at runtime). The LSH side reuses q124's candidate discipline: band
+    * equi-join, rerank candidates only. */
+  private def q291(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val sigs = hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
+      .localCheckpoint(true) // read by probes, corpus, and both band sides
+    val banded = sigs.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col("vec_id"), col("b"),
+        expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+    val probes = sigs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id_p"), col("embedding").as("ep"),
+        sqrt(dotCol("embedding", "embedding")).as("np"))
+      .localCheckpoint(true) // ≤10 rows; broadcast to both scorers
+    val corpus = sigs.select(col("vec_id").as("id_c"), col("embedding").as("ec"),
+      sqrt(dotCol("embedding", "embedding")).as("nc"))
+    val wTop = Window.partitionBy("id_p").orderBy(col("cos").desc, col("id_c"))
+    def topK(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= RecallK).select("id_p", "id_c")
+    val exact = topK(broadcast(probes)
+      .join(corpus, col("id_p") =!= col("id_c"))
+      .select(col("id_p"), col("id_c"),
+        Tables.r6(dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos")))
+    val cand = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id_p"), col("b"), col("k"))
+      .join(banded.select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
+      .filter(col("id_p") =!= col("id_c"))
+      .select("id_p", "id_c").distinct()
+    val lsh = topK(cand
+      .join(broadcast(probes), "id_p")
+      .join(corpus, "id_c")
+      .select(col("id_p"), col("id_c"),
+        Tables.r6(dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos")))
+    val nl = lsh.groupBy("id_p").agg(count(lit(1)).as("n_lsh"))
+    val nh = exact.join(lsh, Seq("id_p", "id_c"))
+      .groupBy("id_p").agg(count(lit(1)).as("n_hit"))
+    probes.select(col("id_p").as("vec_id"))
+      .join(nl.withColumnRenamed("id_p", "vec_id"), Seq("vec_id"), "left")
+      .join(nh.withColumnRenamed("id_p", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        Tables.r6(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          lit(RecallK.toDouble)).as("recall_at_k"))
+      .orderBy("vec_id")
+  }
+
   /** Oracle CTE prefix shared by q61/q185 — the exact-string mirror of
     * [[cappedPairFrames]] (split → distinct trigrams → df-cap → kept →
     * sizes → pair intersections). */
@@ -1062,6 +1127,37 @@ object NearDup {
         s"COALESCE(max_cos >= $SemThresh, false) AS contaminated " +
         "FROM bk LEFT JOIN per ON bk.vec_id = per.id_p " +
         "WHERE b100 >= 90 ORDER BY vec_id"
+    }),
+    Q("q291_ann_recall_audit", q291 _, Some {
+      val dotPQ = "list_sum(list_transform(range(1,65), i -> CAST(pv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))"
+      val nP = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(pv.embedding[i] AS DOUBLE) * CAST(pv.embedding[i] AS DOUBLE))))"
+      val nC = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(cv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE))))"
+      val cosSql = Tables.r6sql(s"$dotPQ / ($nP * $nC)")
+      hyperplaneCtesSql + ", " +
+        s"exd AS (SELECT pv.vec_id AS id_p, cv.vec_id AS id_c, $cosSql AS cos " +
+        "FROM embeddings pv JOIN embeddings cv ON cv.vec_id <> pv.vec_id " +
+        "WHERE pv.vec_id < 10), " +
+        "ex AS (SELECT id_p, id_c FROM (SELECT id_p, id_c, " +
+        "ROW_NUMBER() OVER (PARTITION BY id_p ORDER BY cos DESC, id_c) AS rn " +
+        s"FROM exd) WHERE rn <= $RecallK), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM banded a " +
+        "JOIN banded c ON a.b = c.b AND a.k = c.k " +
+        "WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id), " +
+        s"ld AS (SELECT cand.id_p, cand.id_c, $cosSql AS cos " +
+        "FROM cand JOIN embeddings pv ON cand.id_p = pv.vec_id " +
+        "JOIN embeddings cv ON cand.id_c = cv.vec_id), " +
+        "lsh AS (SELECT id_p, id_c FROM (SELECT id_p, id_c, " +
+        "ROW_NUMBER() OVER (PARTITION BY id_p ORDER BY cos DESC, id_c) AS rn " +
+        s"FROM ld) WHERE rn <= $RecallK), " +
+        "nl AS (SELECT id_p, CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh GROUP BY 1), " +
+        "nh AS (SELECT e.id_p, CAST(COUNT(*) AS BIGINT) AS n_hit " +
+        "FROM ex e JOIN lsh l ON e.id_p = l.id_p AND e.id_c = l.id_c GROUP BY 1) " +
+        "SELECT p.vec_id, COALESCE(n_lsh, 0) AS n_lsh, COALESCE(n_hit, 0) AS n_hit, " +
+        Tables.r6sql(s"COALESCE(n_hit, 0) / CAST($RecallK AS DOUBLE)") +
+        " AS recall_at_k " +
+        "FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p " +
+        "LEFT JOIN nl ON p.vec_id = nl.id_p LEFT JOIN nh ON p.vec_id = nh.id_p " +
+        "ORDER BY p.vec_id"
     }),
     Q("q285_dedup_threshold_sweep", q285 _, Some(
       pairCtesSql + ", " +

@@ -755,7 +755,94 @@ object TextAnalysis {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** q292 pair-report floor: pairs sharing <2 selected fingerprints are
+    * noise at any corpus size (a single shared window-min is one shared
+    * 4-gram). */
+  private val WinnowMinShared = 2
+
+  /** q292: winnowing fingerprint dedup (Schleimer–Wilkerson–Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every token 4-gram, slide a
+    * 4-window over the hash sequence, and keep each window's MINIMUM as
+    * a selected fingerprint — position-robust (guaranteed ≥1 selection
+    * per window, so any sufficiently long shared passage is caught no
+    * matter where it sits) yet ~4× sparser than the full gram set.
+    * Docs are then paired through the selected-fingerprint inverted
+    * index: the copy/mirror detection report (doc_a, doc_b, n_shared,
+    * containment = shared / smaller fingerprint set). Complements q67
+    * (per-doc rolling-hash fingerprint, no selection) and q61 (full
+    * trigram Jaccard): winnowing trades a tunable density bound for
+    * q61's exhaustiveness — the standard plagiarism-checker plan.
+    * Dedup-by-VALUE makes the selection rule order-free: the set of
+    * window minima needs no rightmost-tie-break, so both engines derive
+    * identical fingerprint sets from pure array lambdas.
+    *
+    * Scale: gram hashing + window minima are NARROW per-row array
+    * lambdas (no explode before selection — the corpus never shuffles
+    * at gram grain, only at selected-fingerprint grain, ~1/w of it);
+    * the pair join rides the q61 df-cap (hot fingerprints — boilerplate
+    * — leave before pair generation), so candidate volume is
+    * index-bounded, never doc×doc; the report head is TakeOrdered. */
+  private def q292(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val gh = "cast(conv(substring(md5(concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3])), 1, 8), 16, 10) as bigint)"
+    val fps = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 7) // ≥4 grams ⇒ ≥1 full window
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, size(ts) - 4), i -> $gh)").as("hs"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(3, size(hs) - 1), e -> " +
+          "least(hs[e], hs[e-1], hs[e-2], hs[e-3])))")).as("f"))
+    val ndocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val hot = fps.groupBy("f").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("df") > greatest(col("nd") * lit(NearDup.MaxShingleDf),
+        lit(NearDup.MinHotDf)))
+      .select("f")
+    val kept = fps.join(broadcast(hot), Seq("f"), "left_anti")
+      .select("doc_id", "f")
+      .localCheckpoint(true) // selected-fingerprint grain; read by sizes
+                             // + both inverted-index join sides
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    kept.toDF("ia", "f").join(kept.toDF("ib", "f"), "f")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .join(sizes.toDF("ia", "na"), "ia")
+      .join(sizes.toDF("ib", "nb"), "ib")
+      .select(col("ia"), col("ib"), col("n_shared"),
+        Tables.r6(col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .orderBy(col("n_shared").desc, col("ia"), col("ib"))
+      .limit(20)
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q292_winnowing_dedup", q292 _, Some {
+      val g = "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || " +
+        "ts[CAST(i + 2 AS INT)] || ' ' || ts[CAST(i + 3 AS INT)]"
+      "WITH d AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents " +
+        "WHERE len(str_split(text, ' ')) >= 7), " +
+        "hsx AS (SELECT doc_id, list_transform(range(1, len(ts) - 2), i -> " +
+        s"CAST(('0x' || substr(md5($g), 1, 8)) AS BIGINT)) AS hs FROM d), " +
+        "fp AS (SELECT doc_id, unnest(list_distinct(" +
+        "list_transform(range(4, len(hs) + 1), e -> " +
+        "least(hs[CAST(e AS INT)], hs[CAST(e - 1 AS INT)], " +
+        "hs[CAST(e - 2 AS INT)], hs[CAST(e - 3 AS INT)])))) AS f FROM hsx), " +
+        "hot AS (SELECT f FROM (SELECT f, COUNT(*) AS df FROM fp GROUP BY f) " +
+        s"WHERE df > ${NearDup.hotThresholdSql}), " +
+        "kept AS (SELECT doc_id, f FROM fp WHERE f NOT IN (SELECT f FROM hot)), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS nf FROM kept GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_shared FROM kept a JOIN kept b " +
+        "ON a.f = b.f AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT ia, ib, n_shared, " +
+        Tables.r6sql("n_shared / CAST(LEAST(sa.nf, sb.nf) AS DOUBLE)") +
+        " AS containment " +
+        "FROM pairs JOIN sizes sa ON ia = sa.doc_id " +
+        "JOIN sizes sb ON ib = sb.doc_id " +
+        s"WHERE n_shared >= $WinnowMinShared " +
+        "ORDER BY n_shared DESC, ia, ib LIMIT 20"
+    }),
     Q("q256_text_sentiment", q256 _, Some {
       def lex(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
       "WITH s AS (SELECT lang, len(ts) AS n, " +

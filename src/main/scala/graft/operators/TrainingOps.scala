@@ -527,7 +527,125 @@ object TrainingOps {
       .limit(20)
   }
 
+  /** q290 hyperparameters. 64 hashed feature buckets keep every weight /
+    * gradient frame constant-size (64 rows) at any corpus scale; 3
+    * full-batch gradient-descent steps are enough to pull the weight
+    * signs onto the language-distinctive buckets; the rate is sized so
+    * 6-dp-quantized gradients (≈1e-3) move weights visibly per step. */
+  private val LrBuckets = 64
+  private val LrIters = 3
+  private val LrRate = 10.0
+
+  /** q290: distributed logistic regression — the trainable quality /
+    * domain classifier every curation stack ends up with (fastText-style
+    * lineage: hashed bag-of-words → linear model). Features are hashed
+    * unigram frequencies (md5 bucket 0..63, tf / doc length); the label
+    * is lang = 'en' (the corpus's own metadata as supervision — the
+    * "classify docs that look like my seed set" shape, q282's DSIR with
+    * a trained discriminator instead of a ratio table). Three full-batch
+    * GD steps from w = 0 with σ = 1/(1+e^{−w·x}); output = the 64 final
+    * weights + the training accuracy of sign(w·x), every step of which
+    * the DuckDB oracle replays CTE-for-CTE.
+    *
+    * Determinism (the §2.9 R1 recipe, load-bearing here because the
+    * model is a fixpoint of float folds): every per-item product (x·w
+    * margin terms, x·err gradient terms) is r6-quantized then
+    * DECIMAL(18,6)-summed — merge-order-free, so both engines iterate
+    * through IDENTICAL weight vectors, not merely close ones.
+    *
+    * Scale: the corpus is scanned once into the (doc, bucket, x) feature
+    * frame (checkpointed; at 100 TB this persists to storage once). Each
+    * GD step is one broadcast join against the 64-row weight frame + two
+    * map-side-combined aggregates (per-doc margin, per-bucket gradient)
+    * — NO corpus re-shuffle, NO driver-side data movement: the weight
+    * vector stays a broadcast DataFrame end to end, which is exactly how
+    * a linear model trains on a 1000-executor cluster without a
+    * parameter server. */
+  private def q290(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables(spark, sfDir, "documents")
+    val feat = docs
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", md5(col("t")))
+      .withColumn("b", CorpusOps.hexBucket(LrBuckets).cast("bigint"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
+    val ntok = feat.groupBy("doc_id").agg(sum("c").as("n"))
+    val x = feat.join(ntok, "doc_id")
+      .select(col("doc_id"), col("y"), col("b"),
+        Tables.r6(col("c").cast("double") / col("n")).as("x"))
+      .localCheckpoint(true) // one corpus pass; 3 margin + 3 grad + 1
+                             // accuracy consumers read the bounded frame
+    val ndF = docs.agg(count(lit(1)).cast("double").as("nd"))
+    def margins(w: DataFrame): DataFrame = x.join(broadcast(w), "b")
+      .groupBy("doc_id", "y")
+      .agg(sum(Tables.r6(col("x") * col("w")).cast(DecimalType(18, 6))).as("mdec"))
+    var w: DataFrame = spark.range(0, LrBuckets)
+      .select(col("id").as("b"), lit(0.0).as("w"))
+    for (_ <- 1 to LrIters) {
+      val err = margins(w).select(col("doc_id"),
+        Tables.r6(lit(1.0) / (lit(1.0) + exp(-col("mdec").cast("double")))
+          - col("y")).as("err"))
+      val g = x.join(err, "doc_id")
+        .groupBy("b")
+        .agg(sum(Tables.r6(col("x") * col("err")).cast(DecimalType(18, 6))).as("gsum"))
+      w = w.join(g, Seq("b"), "left").crossJoin(broadcast(ndF))
+        .select(col("b"), Tables.r6(col("w") - lit(LrRate) *
+          coalesce(col("gsum").cast("double"), lit(0.0)) / col("nd")).as("w"))
+        .localCheckpoint(true) // 64 rows; truncates per-step lineage so
+                               // the plan doesn't deepen with LrIters
+    }
+    val acc = margins(w)
+      .select(when((col("mdec") >= 0) === (col("y") > 0.5), 1L)
+        .otherwise(0L).as("ok"))
+      .agg(Tables.meanD(sum("ok"), count(lit(1))).as("train_acc"))
+    w.crossJoin(broadcast(acc))
+      .select(col("b").as("bucket"), col("w").as("weight"), col("train_acc"))
+      .orderBy("bucket")
+  }
+
+  /** The q290 oracle: the identical GD unroll as DuckDB CTEs, generated
+    * by the same loop bound so the two engines cannot disagree on the
+    * iteration count. */
+  private def q290Sql: String = {
+    val r6m = Tables.r6sql("x * w")
+    val iters = (1 to LrIters).map { i =>
+      val wp = s"w${i - 1}"
+      s"m$i AS (SELECT doc_id, y, SUM(CAST($r6m AS DECIMAL(18,6))) AS mdec " +
+        s"FROM x JOIN $wp USING (b) GROUP BY 1, 2), " +
+        s"e$i AS (SELECT doc_id, " +
+        Tables.r6sql("1.0 / (1.0 + EXP(-CAST(mdec AS DOUBLE))) - y") +
+        s" AS err FROM m$i), " +
+        s"g$i AS (SELECT b, SUM(CAST(" + Tables.r6sql("x * err") +
+        s" AS DECIMAL(18,6))) AS gsum FROM x JOIN e$i USING (doc_id) GROUP BY b), " +
+        s"w$i AS (SELECT $wp.b, " +
+        Tables.r6sql(s"$wp.w - $LrRate * COALESCE(CAST(gsum AS DOUBLE), 0.0) / nd") +
+        s" AS w FROM $wp LEFT JOIN g$i USING (b) CROSS JOIN nd)"
+    }.mkString(", ")
+    "WITH toks AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "unnest(str_split(text, ' ')) AS t FROM documents), " +
+      "feat AS (SELECT doc_id, y, CAST(" +
+      CorpusOps.hexBucketSql(LrBuckets, "md5(t)") + " AS BIGINT) AS b, " +
+      "COUNT(*) AS c FROM toks GROUP BY 1, 2, 3), " +
+      "ntok AS (SELECT doc_id, SUM(c) AS n FROM feat GROUP BY 1), " +
+      "x AS MATERIALIZED (SELECT doc_id, y, b, " +
+      Tables.r6sql("CAST(c AS DOUBLE) / n") + " AS x " +
+      "FROM feat JOIN ntok USING (doc_id)), " +
+      "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents), " +
+      s"w0 AS (SELECT CAST(unnest(range(0, $LrBuckets)) AS BIGINT) AS b, 0.0 AS w), " +
+      iters + ", " +
+      s"mf AS (SELECT doc_id, y, SUM(CAST($r6m AS DECIMAL(18,6))) AS mdec " +
+      s"FROM x JOIN w$LrIters USING (b) GROUP BY 1, 2), " +
+      "acc AS (SELECT " + Tables.meanDSql(
+        "SUM(CASE WHEN (mdec >= 0) = (y > 0.5) THEN 1 ELSE 0 END)", "COUNT(*)") +
+      " AS train_acc FROM mf) " +
+      s"SELECT b AS bucket, w AS weight, train_acc FROM w$LrIters " +
+      "CROSS JOIN acc ORDER BY bucket"
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q290_quality_classifier", q290 _, Some(q290Sql)),
     Q("q284_label_noise_audit", q284 _, Some {
       val meanSql = Tables.meanDSql("SUM(CAST(vd AS DECIMAL(18,9)))", "COUNT(*)")
       "WITH pe AS MATERIALIZED (SELECT vec_id, label, " +

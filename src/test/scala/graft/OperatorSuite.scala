@@ -123,6 +123,11 @@ class OperatorSuite extends AnyFunSuite {
                                  // q232's justified shape
       "q281_heaps_law",          // OLS-sums 1-row fold over the 10-row
                                  // decile frame (q173's fit shape)
+      "q290_quality_classifier", // n_docs + train-accuracy 1-row folds
+                                 // (one partial row per partition); every
+                                 // weight/gradient frame is 64 rows
+      "q292_winnowing_dedup",    // ndocs 1-row aggregate (q61's shared
+                                 // df-cap shape over selected fingerprints)
       "q282_dsir_importance",    // target/raw token-total 1-row folds
                                  // over the 256-bucket feature frames
       "q285_dedup_threshold_sweep", // n_docs 1-row count (q61's df-cap
