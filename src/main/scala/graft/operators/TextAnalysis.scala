@@ -256,8 +256,13 @@ object TextAnalysis {
     * scoring join is an equi-join of the bigram stream against it, and
     * the per-doc fold is one keyed agg; the bigram stream is
     * checkpointed once and feeds both the LM build and the scoring. */
-  private def q143(spark: SparkSession, sfDir: String): DataFrame = {
-    val bg = Tables(spark, sfDir, "documents")
+  private def q143(spark: SparkSession, sfDir: String): DataFrame =
+    perDocNll(Tables(spark, sfDir, "documents")).orderBy("doc_id")
+
+  /** The per-document LM score behind q143 and q295's sweep: add-one-
+    * smoothed bigram NLL per doc — (doc_id, n_bigrams, avg_nll). */
+  private[graft] def perDocNll(docs: DataFrame): DataFrame = {
+    val bg = docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -277,8 +282,26 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         Tables.meanD(sum(col("t")), count(lit(1))).as("avg_nll"))
-      .orderBy("doc_id")
   }
+
+  /** The q143 oracle CTE chain ending in `per` = (doc_id, n_bigrams,
+    * avg_nll); shared with the q295 sweep oracle. */
+  private val nllCtesSql: String =
+    "WITH split AS (SELECT doc_id, lang, str_split(text, ' ') AS ts FROM documents " +
+      "WHERE len(str_split(text, ' ')) >= 2), " +
+      "bg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)), i -> " +
+      "{'w1': ts[CAST(i AS INT)], 'w2': ts[CAST(i + 1 AS INT)]})) AS b FROM split), " +
+      "bgf AS MATERIALIZED (SELECT doc_id, lang, b['w1'] AS w1, b['w2'] AS w2 FROM bg0), " +
+      "cxy AS (SELECT lang, w1, w2, COUNT(*) AS cxy FROM bgf GROUP BY 1, 2, 3), " +
+      "cx AS (SELECT lang, w1, CAST(SUM(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1, 2), " +
+      "vocab AS (SELECT lang, COUNT(DISTINCT w2) AS v FROM cxy GROUP BY 1), " +
+      "terms AS (SELECT doc_id, CAST(" +
+      Tables.r6sql("-LN(CAST(cxy.cxy + 1 AS DOUBLE) / (cx.cx + vocab.v))") +
+      " AS DECIMAL(18,6)) AS t FROM bgf " +
+      "JOIN cxy USING (lang, w1, w2) JOIN cx USING (lang, w1) JOIN vocab USING (lang)), " +
+      "per AS (SELECT doc_id, COUNT(*) AS n_bigrams, " +
+      Tables.meanDSql("SUM(t)", "COUNT(*)") + " AS avg_nll " +
+      "FROM terms GROUP BY doc_id)"
 
   /** q149: PMI collocation mining — pointwise mutual information
     * ln(c_xy·N / (c_x·c_y)) for every word bigram seen ≥ 5 times (the
@@ -755,6 +778,72 @@ object TextAnalysis {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** q294: tokenizer fertility by language — the mT5-style audit of how
+    * many tokens/bytes a tokenizer spends per unit of text in each
+    * language (CJK scripts cost ~3 UTF-8 bytes per char and segment
+    * differently; a budget set in tokens silently re-weights languages
+    * unless this table is consulted). Per language: docs, whitespace
+    * tokens, chars, UTF-8 bytes, and the three ratios a mixture designer
+    * reads (chars/token, bytes/token, bytes/char).
+    *
+    * Scale: ONE map-side-combined groupBy(lang) over a narrow
+    * projection; output ≤ #languages rows at any corpus size. */
+  private def q294(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("toks"),
+        length(col("text")).cast("bigint").as("chars"),
+        octet_length(col("text")).cast("bigint").as("bytes"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("ws_tokens"),
+        sum("chars").as("n_chars"),
+        sum("bytes").as("n_bytes"),
+        Tables.meanD(sum("chars"), sum("toks")).as("chars_per_token"),
+        Tables.meanD(sum("bytes"), sum("toks")).as("bytes_per_token"),
+        Tables.meanD(sum("bytes"), sum("chars")).as("bytes_per_char"))
+      .orderBy("lang")
+
+  /** q295 sweep offsets (nats, relative to the corpus-mean NLL): the
+    * grid is centered on the mean so it stays meaningful as the LM
+    * sharpens with corpus growth — absolute cutoffs would drift off the
+    * distribution at a different SF. */
+  private val PplOffsets = Seq(-0.2, -0.1, 0.0, 0.1, 0.2)
+
+  /** q295: perplexity-filter retention sweep — the CCNet-style tuning
+    * curve behind LM-based quality filtering: for thresholds τ = corpus
+    * mean NLL + offset, how many documents (and how much text, in
+    * bigrams) survive `avg_nll ≤ τ`. Reading this curve is how a
+    * pipeline picks its perplexity cutoff; q285 plays the same role for
+    * the near-dup threshold. Scores come from q143's add-one bigram LM
+    * (shared perDocNll), so the sweep costs no second scoring pass.
+    *
+    * Scale: the corpus collapses to the per-doc (n_bigrams, avg_nll)
+    * summary once; the mean is a 1-row fold; the sweep explodes the
+    * SUMMARY frame ×5 (grid size, constant) into one map-side-combined
+    * groupBy(offset) — never the corpus text. */
+  private def q295(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = perDocNll(Tables(spark, sfDir, "documents"))
+      .localCheckpoint(true) // scored once; read by the mean + the sweep
+    val mn = per.agg(Tables.meanD(
+      sum(col("avg_nll").cast(DecimalType(18, 6))), count(lit(1))).as("mn"))
+    val kept = col("avg_nll") <= Tables.r6(col("mn") + col("o"))
+    per.crossJoin(broadcast(mn))
+      .select(col("n_bigrams"), col("avg_nll"), col("mn"),
+        explode(array(PplOffsets.map(lit(_)): _*)).as("o"))
+      .groupBy("o", "mn")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("n_bigrams")).otherwise(0L)).as("bigrams_kept"))
+      .select(Tables.r6(col("o")).as("off_nats"),
+        Tables.r6(col("mn") + col("o")).as("tau"),
+        col("n_kept"),
+        Tables.meanD(col("n_kept"), col("n_docs")).as("keep_rate"),
+        col("bigrams_kept"))
+      .orderBy("off_nats")
+  }
+
   /** q292 pair-report floor: pairs sharing <2 selected fingerprints are
     * noise at any corpus size (a single shared window-min is one shared
     * 4-gram). */
@@ -817,6 +906,36 @@ object TextAnalysis {
   }
 
   val entries: Seq[Q] = Seq(
+    Q("q294_tokenizer_fertility", q294 _, Some(
+      "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(toks) AS BIGINT) AS ws_tokens, " +
+        "CAST(SUM(chars) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(bytes) AS BIGINT) AS n_bytes, " +
+        Tables.meanDSql("SUM(chars)", "SUM(toks)") + " AS chars_per_token, " +
+        Tables.meanDSql("SUM(bytes)", "SUM(toks)") + " AS bytes_per_token, " +
+        Tables.meanDSql("SUM(bytes)", "SUM(chars)") + " AS bytes_per_char " +
+        "FROM (SELECT lang, len(str_split(text, ' ')) AS toks, " +
+        "length(text) AS chars, octet_length(encode(text)) AS bytes " +
+        "FROM documents) GROUP BY lang ORDER BY lang")),
+    Q("q295_perplexity_sweep", q295 _, Some {
+      val offsets = PplOffsets.mkString("[", ", ", "]")
+      val kept = s"avg_nll <= ${Tables.r6sql("mn + o")}"
+      nllCtesSql + ", " +
+        "mn AS (SELECT " + Tables.meanDSql(
+          "SUM(CAST(avg_nll AS DECIMAL(18,6)))", "COUNT(*)") +
+        " AS mn FROM per), " +
+        s"g AS (SELECT CAST(unnest($offsets) AS DOUBLE) AS o), " +
+        "sw AS (SELECT o, mn, COUNT(*) AS n_docs, " +
+        s"SUM(CASE WHEN $kept THEN 1 ELSE 0 END) AS n_kept, " +
+        s"SUM(CASE WHEN $kept THEN n_bigrams ELSE 0 END) AS bigrams_kept " +
+        "FROM per CROSS JOIN mn CROSS JOIN g GROUP BY 1, 2) " +
+        "SELECT " + Tables.r6sql("o") + " AS off_nats, " +
+        Tables.r6sql("mn + o") + " AS tau, " +
+        "CAST(n_kept AS BIGINT) AS n_kept, " +
+        Tables.meanDSql("n_kept", "n_docs") + " AS keep_rate, " +
+        "CAST(bigrams_kept AS BIGINT) AS bigrams_kept " +
+        "FROM sw ORDER BY off_nats"
+    }),
     Q("q292_winnowing_dedup", q292 _, Some {
       val g = "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || " +
         "ts[CAST(i + 2 AS INT)] || ' ' || ts[CAST(i + 3 AS INT)]"
@@ -911,21 +1030,8 @@ object TextAnalysis {
         "WHERE len(str_split(text, ' ')) >= 2)) GROUP BY 1, 2, 3)) " +
         "WHERE cnt >= 3 ORDER BY lang, w1, w2")),
     Q("q143_text_perplexity", q143 _, Some(
-      "WITH split AS (SELECT doc_id, lang, str_split(text, ' ') AS ts FROM documents " +
-        "WHERE len(str_split(text, ' ')) >= 2), " +
-        "bg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)), i -> " +
-        "{'w1': ts[CAST(i AS INT)], 'w2': ts[CAST(i + 1 AS INT)]})) AS b FROM split), " +
-        "bgf AS (SELECT doc_id, lang, b['w1'] AS w1, b['w2'] AS w2 FROM bg0), " +
-        "cxy AS (SELECT lang, w1, w2, COUNT(*) AS cxy FROM bgf GROUP BY 1, 2, 3), " +
-        "cx AS (SELECT lang, w1, CAST(SUM(cxy) AS BIGINT) AS cx FROM cxy GROUP BY 1, 2), " +
-        "vocab AS (SELECT lang, COUNT(DISTINCT w2) AS v FROM cxy GROUP BY 1), " +
-        "terms AS (SELECT doc_id, CAST(" +
-        Tables.r6sql("-LN(CAST(cxy.cxy + 1 AS DOUBLE) / (cx.cx + vocab.v))") +
-        " AS DECIMAL(18,6)) AS t FROM bgf " +
-        "JOIN cxy USING (lang, w1, w2) JOIN cx USING (lang, w1) JOIN vocab USING (lang)) " +
-        "SELECT doc_id, COUNT(*) AS n_bigrams, " +
-        Tables.meanDSql("SUM(t)", "COUNT(*)") + " AS avg_nll " +
-        "FROM terms GROUP BY doc_id ORDER BY doc_id")),
+      nllCtesSql +
+        " SELECT doc_id, n_bigrams, avg_nll FROM per ORDER BY doc_id")),
     Q("q149_token_pmi", q149 _, Some(
       // cxy MATERIALIZED: it feeds both margins, the total, and the
       // scoring join — plain-CTE inlining would re-run the bigram

@@ -527,6 +527,104 @@ object TrainingOps {
       .limit(20)
   }
 
+  /** q293 iteration count: three covariance-action steps separate the
+    * top component decisively on this corpus while keeping the oracle's
+    * generated CTE chain readable. */
+  private val PcaIters = 3
+
+  /** q293: top principal component of the embedding matrix by
+    * distributed power iteration — the diagnostic behind whitening,
+    * anisotropy correction (all-but-the-top), and "is one direction
+    * eating my cosine scores" checks on learned embeddings. Vectors are
+    * mean-centered (q277's per-dimension mean); from v₀ = e₁, each step
+    * applies the UNMATERIALIZED covariance action u = Σᵢ cᵢ(cᵢ·v) as two
+    * corpus passes (per-vector projection yᵢ = cᵢ·v, then the
+    * y-weighted component sum), normalizes, and re-broadcasts. Output:
+    * 64 loadings + the sample eigenvalue ‖u‖/n. The DuckDB oracle
+    * replays the identical unroll with CTEs generated by the same
+    * PcaIters loop (q290's discipline).
+    *
+    * Determinism: §2.9 R1 — the centered values are exact doubles (float
+    * widening minus a 6-dp mean), every projection/update term is
+    * r6-quantized then DECIMAL(18,6)-summed, the norm is a 1-row fold of
+    * quantized squares — both engines iterate through IDENTICAL vectors.
+    *
+    * Scale: the power-iteration pattern IS the cluster answer to PCA
+    * when d is small and n is huge — nothing ever materializes the n×n
+    * or even d×d matrix. The centered frame is one posexplode pass
+    * (checkpointed; at 100 TB, a stored column projection); each step is
+    * two broadcast joins against 64-row frames + two map-side-combined
+    * aggregates; v/u/norm frames are constant-size (64, 64, 1 rows). */
+  private def q293(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables(spark, sfDir, "embeddings")
+    val pe = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"),
+        col("col").cast("double").as("xd"))
+    val mu = pe.groupBy("d")
+      .agg(Tables.meanD(sum(col("xd").cast(DecimalType(18, 9))), count(lit(1)))
+        .as("mu"))
+    val cent = pe.join(broadcast(mu), "d")
+      .select(col("vec_id"), col("d"), (col("xd") - col("mu")).as("cd"))
+      .localCheckpoint(true) // centered once; 2 consumers per iteration
+    var v: DataFrame = spark.range(1, 65)
+      .select(col("id").as("d"), when(col("id") === 1, 1.0).otherwise(0.0).as("v"))
+    var nrm: DataFrame = null
+    for (_ <- 1 to PcaIters) {
+      val y = cent.join(broadcast(v), "d")
+        .groupBy("vec_id")
+        .agg(sum(Tables.r6(col("cd") * col("v")).cast(DecimalType(18, 6))).as("ydec"))
+        .select(col("vec_id"), col("ydec").cast("double").as("y"))
+      val u = cent.join(y, "vec_id")
+        .groupBy("d")
+        .agg(sum(Tables.r6(col("cd") * col("y")).cast(DecimalType(18, 6)))
+          .cast("double").as("u"))
+        .localCheckpoint(true) // 64 rows; read by the norm fold + v update
+      nrm = u.agg(sqrt(sum(Tables.r6(col("u") * col("u"))
+        .cast(DecimalType(18, 6))).cast("double")).as("nrm"))
+      v = u.crossJoin(broadcast(nrm))
+        .select(col("d"), Tables.r6(col("u") / col("nrm")).as("v"))
+        .localCheckpoint(true) // 64 rows; truncates per-step lineage
+    }
+    val nvec = emb.agg(count(lit(1)).cast("double").as("n"))
+    v.crossJoin(broadcast(nrm)).crossJoin(broadcast(nvec))
+      .select(col("d").cast("bigint").as("dim"), col("v").as("loading"),
+        Tables.r6(col("nrm") / col("n")).as("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  /** The q293 oracle: the identical power-iteration unroll as generated
+    * DuckDB CTEs. */
+  private def q293Sql: String = {
+    val iters = (1 to PcaIters).map { i =>
+      val vp = s"v${i - 1}"
+      s"y$i AS (SELECT vec_id, CAST(SUM(CAST(" + Tables.r6sql("cd * v") +
+        s" AS DECIMAL(18,6))) AS DOUBLE) AS y FROM cent JOIN $vp USING (d) " +
+        "GROUP BY vec_id), " +
+        s"u$i AS (SELECT d, CAST(SUM(CAST(" + Tables.r6sql("cd * y") +
+        s" AS DECIMAL(18,6))) AS DOUBLE) AS u FROM cent JOIN y$i USING (vec_id) " +
+        "GROUP BY d), " +
+        s"nrm$i AS (SELECT sqrt(CAST(SUM(CAST(" + Tables.r6sql("u * u") +
+        s" AS DECIMAL(18,6))) AS DOUBLE)) AS nrm FROM u$i), " +
+        s"v$i AS (SELECT d, " + Tables.r6sql("u / nrm") +
+        s" AS v FROM u$i CROSS JOIN nrm$i)"
+    }.mkString(", ")
+    val meanSql = Tables.meanDSql("SUM(CAST(xd AS DECIMAL(18,9)))", "COUNT(*)")
+    "WITH pe AS (SELECT vec_id, unnest(range(1, 65)) AS d, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS xd FROM embeddings), " +
+      s"mu AS (SELECT d, $meanSql AS mu FROM pe GROUP BY d), " +
+      "cent AS MATERIALIZED (SELECT vec_id, d, xd - mu AS cd " +
+      "FROM pe JOIN mu USING (d)), " +
+      "v0 AS (SELECT d, CAST(CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS v " +
+      "FROM (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS d)), " +
+      iters + ", " +
+      "nvec AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings) " +
+      s"SELECT d AS dim, v AS loading, " +
+      Tables.r6sql("nrm / n") + " AS eigenvalue " +
+      s"FROM v$PcaIters CROSS JOIN nrm$PcaIters CROSS JOIN nvec ORDER BY dim"
+  }
+
   /** q290 hyperparameters. 64 hashed feature buckets keep every weight /
     * gradient frame constant-size (64 rows) at any corpus scale; 3
     * full-batch gradient-descent steps are enough to pull the weight
@@ -646,6 +744,7 @@ object TrainingOps {
 
   val entries: Seq[Q] = Seq(
     Q("q290_quality_classifier", q290 _, Some(q290Sql)),
+    Q("q293_embedding_pca", q293 _, Some(q293Sql)),
     Q("q284_label_noise_audit", q284 _, Some {
       val meanSql = Tables.meanDSql("SUM(CAST(vd AS DECIMAL(18,9)))", "COUNT(*)")
       "WITH pe AS MATERIALIZED (SELECT vec_id, label, " +

@@ -123,6 +123,10 @@ class OperatorSuite extends AnyFunSuite {
                                  // q232's justified shape
       "q281_heaps_law",          // OLS-sums 1-row fold over the 10-row
                                  // decile frame (q173's fit shape)
+      "q293_embedding_pca",      // per-step norm + n_vecs 1-row folds
+                                 // over the 64-row update frames
+      "q295_perplexity_sweep",   // corpus-mean-NLL 1-row fold (one
+                                 // partial row per partition)
       "q290_quality_classifier", // n_docs + train-accuracy 1-row folds
                                  // (one partial row per partition); every
                                  // weight/gradient frame is 64 rows
