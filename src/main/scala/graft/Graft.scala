@@ -972,4 +972,42 @@ object Graft {
     * output alike. */
   def ndcg(ranked: DataFrame, labels: DataFrame): DataFrame =
     operators.EvalOps.ndcgOf(ranked, labels)
+
+  /** Distributed logistic-regression text classifier (q290): hashed
+    * unigram tf features (64 md5 buckets), 3 full-batch GD steps from
+    * w = 0 — the fastText-style quality/domain filter trained in the
+    * engine, no parameter server. `docs` needs (doc_id, text); `label`
+    * is any boolean Column over its columns. Returns (bucket, weight,
+    * train_acc). */
+  def textClassifier(docs: DataFrame, label: Column): DataFrame =
+    operators.TrainingOps.textClassifierOf(docs, label)
+
+  /** Top principal component by power iteration (q293): mean-centers
+    * `emb` (vec_id, embedding of uniform dimension `dims`), applies
+    * 3 covariance-action steps without materializing any matrix, and
+    * returns (dim, loading, eigenvalue) — the whitening / anisotropy
+    * diagnostic. */
+  def pcaTopComponent(emb: DataFrame, dims: Int = 64): DataFrame =
+    operators.TrainingOps.pcaTopComponentOf(emb, dims)
+
+  /** Winnowing fingerprint dedup (q292, MOSS lineage): token-4-gram
+    * hashes, per-4-window minima as selected fingerprints, doc pairs
+    * via the df-capped fingerprint inverted index. `docs` needs
+    * (doc_id, text); returns the top-20 (ia, ib, n_shared,
+    * containment) report. */
+  def winnowingPairs(docs: DataFrame): DataFrame =
+    operators.TextAnalysis.winnowingPairsOf(docs)
+
+  /** Tokenizer fertility by language (q294): per-lang docs, whitespace
+    * tokens, chars, UTF-8 bytes and the chars/token, bytes/token,
+    * bytes/char ratios. `docs` needs (lang, text). */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    operators.TextAnalysis.tokenizerFertilityOf(docs)
+
+  /** Perplexity-filter retention sweep (q295): scores `docs` (doc_id,
+    * lang, text) with the add-one bigram LM once, then reports docs /
+    * bigrams surviving avg_nll ≤ mean + offset for each offset. */
+  def perplexitySweep(docs: DataFrame,
+      offsets: Seq[Double] = Seq(-0.2, -0.1, 0.0, 0.1, 0.2)): DataFrame =
+    operators.TextAnalysis.perplexitySweepOf(docs, offsets)
 }

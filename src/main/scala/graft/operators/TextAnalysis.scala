@@ -789,7 +789,12 @@ object TextAnalysis {
     * Scale: ONE map-side-combined groupBy(lang) over a narrow
     * projection; output ≤ #languages rows at any corpus size. */
   private def q294(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "documents")
+    tokenizerFertilityOf(Tables(spark, sfDir, "documents"))
+
+  /** The generic fertility table behind q294, exposed as
+    * [[graft.Graft.tokenizerFertility]]: `docs` needs (lang, text). */
+  private[graft] def tokenizerFertilityOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"),
         size(split(col("text"), " ")).cast("bigint").as("toks"),
         length(col("text")).cast("bigint").as("chars"),
@@ -822,16 +827,24 @@ object TextAnalysis {
     * summary once; the mean is a 1-row fold; the sweep explodes the
     * SUMMARY frame ×5 (grid size, constant) into one map-side-combined
     * groupBy(offset) — never the corpus text. */
-  private def q295(spark: SparkSession, sfDir: String): DataFrame = {
+  private def q295(spark: SparkSession, sfDir: String): DataFrame =
+    perplexitySweepOf(Tables(spark, sfDir, "documents"), PplOffsets)
+
+  /** The generic sweep behind q295, exposed as
+    * [[graft.Graft.perplexitySweep]]: `docs` needs (doc_id, lang, text);
+    * `offsets` are nats relative to the corpus-mean NLL. */
+  private[graft] def perplexitySweepOf(docs: DataFrame,
+      offsets: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val per = perDocNll(Tables(spark, sfDir, "documents"))
+    require(offsets.nonEmpty, "perplexitySweep: offsets must be non-empty")
+    val per = perDocNll(docs)
       .localCheckpoint(true) // scored once; read by the mean + the sweep
     val mn = per.agg(Tables.meanD(
       sum(col("avg_nll").cast(DecimalType(18, 6))), count(lit(1))).as("mn"))
     val kept = col("avg_nll") <= Tables.r6(col("mn") + col("o"))
     per.crossJoin(broadcast(mn))
       .select(col("n_bigrams"), col("avg_nll"), col("mn"),
-        explode(array(PplOffsets.map(lit(_)): _*)).as("o"))
+        explode(array(offsets.map(lit(_)): _*)).as("o"))
       .groupBy("o", "mn")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
@@ -871,8 +884,12 @@ object TextAnalysis {
     * the pair join rides the q61 df-cap (hot fingerprints — boilerplate
     * — leave before pair generation), so candidate volume is
     * index-bounded, never doc×doc; the report head is TakeOrdered. */
-  private def q292(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  private def q292(spark: SparkSession, sfDir: String): DataFrame =
+    winnowingPairsOf(Tables(spark, sfDir, "documents"))
+
+  /** The generic winnowing core behind q292, exposed as
+    * [[graft.Graft.winnowingPairs]]: `docs` needs (doc_id, text). */
+  private[graft] def winnowingPairsOf(docs: DataFrame): DataFrame = {
     val gh = "cast(conv(substring(md5(concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3])), 1, 8), 16, 10) as bigint)"
     val fps = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 7) // ≥4 grams ⇒ ≥1 full window

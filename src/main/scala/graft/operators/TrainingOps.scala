@@ -555,9 +555,17 @@ object TrainingOps {
     * (checkpointed; at 100 TB, a stored column projection); each step is
     * two broadcast joins against 64-row frames + two map-side-combined
     * aggregates; v/u/norm frames are constant-size (64, 64, 1 rows). */
-  private def q293(spark: SparkSession, sfDir: String): DataFrame = {
+  private def q293(spark: SparkSession, sfDir: String): DataFrame =
+    pcaTopComponentOf(Tables(spark, sfDir, "embeddings"))
+
+  /** The generic power-iteration core behind q293, exposed as
+    * [[graft.Graft.pcaTopComponent]]: `emb` needs (vec_id, embedding:
+    * array<float|double>) with a uniform dimension ≤ the 64 the plan
+    * unrolls against; returns (dim, loading, eigenvalue). */
+  private[graft] def pcaTopComponentOf(emb: DataFrame, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val emb = Tables(spark, sfDir, "embeddings")
+    require(dims > 0, "pcaTopComponent: dims must be positive")
+    val spark = emb.sparkSession
     val pe = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("d"),
@@ -568,7 +576,7 @@ object TrainingOps {
     val cent = pe.join(broadcast(mu), "d")
       .select(col("vec_id"), col("d"), (col("xd") - col("mu")).as("cd"))
       .localCheckpoint(true) // centered once; 2 consumers per iteration
-    var v: DataFrame = spark.range(1, 65)
+    var v: DataFrame = spark.range(1, dims + 1L)
       .select(col("id").as("d"), when(col("id") === 1, 1.0).otherwise(0.0).as("v"))
     var nrm: DataFrame = null
     for (_ <- 1 to PcaIters) {
@@ -660,11 +668,19 @@ object TrainingOps {
     * a linear model trains on a 1000-executor cluster without a
     * parameter server. */
   private def q290(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val docs = Tables(spark, sfDir, "documents")
+    textClassifierOf(docs, col("lang") === "en")
+  }
+
+  /** The generic trainer behind q290, exposed as
+    * [[graft.Graft.textClassifier]]: `docs` needs (doc_id, text);
+    * `label` is any boolean Column over its columns. Returns the
+    * 64-bucket weight vector + training accuracy. */
+  private[graft] def textClassifierOf(docs: DataFrame, label: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val feat = docs
       .select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        when(label, 1.0).otherwise(0.0).as("y"),
         explode(split(col("text"), " ")).as("t"))
       .withColumn("h", md5(col("t")))
       .withColumn("b", CorpusOps.hexBucket(LrBuckets).cast("bigint"))
@@ -679,7 +695,7 @@ object TrainingOps {
     def margins(w: DataFrame): DataFrame = x.join(broadcast(w), "b")
       .groupBy("doc_id", "y")
       .agg(sum(Tables.r6(col("x") * col("w")).cast(DecimalType(18, 6))).as("mdec"))
-    var w: DataFrame = spark.range(0, LrBuckets)
+    var w: DataFrame = docs.sparkSession.range(0, LrBuckets)
       .select(col("id").as("b"), lit(0.0).as("w"))
     for (_ <- 1 to LrIters) {
       val err = margins(w).select(col("doc_id"),

@@ -988,4 +988,70 @@ class ApiSuite extends AnyFunSuite {
     assert(r.getDouble(3) == 1.5 && r.getDouble(4) == 1.63093)
     assert(math.abs(r.getDouble(5) - 1.5 / 1.63093) < 2e-6)
   }
+
+  test("textClassifier: separable vocabularies reach perfect training accuracy") {
+    import spark.implicits._
+    // two disjoint vocabularies → hashed features are linearly separable;
+    // 3 GD steps must classify the training set perfectly
+    val pos = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta alpha beta", "p"))
+    val neg = (20 until 40).map(i => (i.toLong, "omega sigma tau rho omega sigma", "n"))
+    val docs = (pos ++ neg).toDF("doc_id", "text", "cls")
+    val out = Graft.textClassifier(docs, col("cls") === "p").collect()
+    assert(out.length == 64)
+    assert(out.head.getAs[Double]("train_acc") == 1.0)
+    // weights move in opposite directions for the two vocabularies
+    val w = out.map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("weight")).toMap
+    assert(w.values.exists(_ > 0) && w.values.exists(_ < 0))
+  }
+
+  test("pcaTopComponent: loading concentrates on the dominant direction, unit norm") {
+    import spark.implicits._
+    // variance lives on dim 2 (values ±10); dims 1 and 3 are near-constant
+    val emb = (0 until 16).map { i =>
+      (i.toLong, Array(0.01f * (i % 2), if (i % 2 == 0) 10f else -10f, 0.5f))
+    }.toDF("vec_id", "embedding")
+    val r = Graft.pcaTopComponent(emb, dims = 3).collect().sortBy(_.getLong(0))
+    val loads = r.map(_.getAs[Double]("loading"))
+    assert(math.abs(loads(1)) > 0.99, s"dominant dim not found: ${loads.toSeq}")
+    assert(math.abs(loads.map(x => x * x).sum - 1.0) < 1e-4, "loading not unit-norm")
+    assert(r.head.getAs[Double]("eigenvalue") > 50.0) // var(±10) = 100, ‖u‖/n ≥ λ-ish
+  }
+
+  test("winnowingPairs: a doc and its copy share every fingerprint; unrelated pair absent") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val b = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val pairs = Graft.winnowingPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 2L)
+    assert(pairs.head._3 == 1.0) // identical docs: full containment
+  }
+
+  test("tokenizerFertility: multi-byte text shows bytes_per_char > 1") {
+    import spark.implicits._
+    val docs = Seq(("en", "hello world"), ("zh", "日本 語文"))
+      .toDF("lang", "text")
+    val m = Graft.tokenizerFertility(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("en").getAs[Double]("bytes_per_char") == 1.0)
+    assert(m("zh").getAs[Double]("bytes_per_char") > 2.0) // CJK = 3 B/char
+    assert(m("zh").getAs[Long]("ws_tokens") == 2L)
+  }
+
+  test("perplexitySweep: retention is monotone in the threshold and hits 100%") {
+    import spark.implicits._
+    // repetitive docs score low NLL, a unique-vocab doc scores high
+    val docs = Seq(
+      (1L, "en", "a b a b a b a b"), (2L, "en", "a b a b a b a b"),
+      (3L, "en", "a b a b a b a b"), (4L, "en", "q r s t u v w x")
+    ).toDF("doc_id", "lang", "text")
+    val sw = Graft.perplexitySweep(docs, Seq(-0.5, 0.0, 2.0))
+      .collect().sortBy(_.getAs[Double]("off_nats"))
+    val rates = sw.map(_.getAs[Double]("keep_rate"))
+    assert(rates.zip(rates.tail).forall { case (lo, hi) => lo <= hi },
+      s"keep_rate not monotone: ${rates.toSeq}")
+    assert(rates.last == 1.0, "widest threshold must keep everything")
+    assert(rates.head < 1.0, "tightest threshold must drop the outlier doc")
+  }
 }
