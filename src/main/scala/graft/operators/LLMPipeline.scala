@@ -431,7 +431,69 @@ object LLMPipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** q296: LSH probability curve — theory vs measurement for the q50
+    * banding config (8 perms, 4 bands × 2 rows): for every pair sharing
+    * ≥1 kept shingle, bin the EXACT trigram Jaccard into deciles and
+    * report the empirical band-collision (detection) rate next to the
+    * closed-form S-curve P(s) = 1 − (1 − s²)⁴ at the bin midpoint.
+    * This is the picture an engineer looks at before choosing (b, r):
+    * q193 validates the minhash ESTIMATE per pair; this validates the
+    * CANDIDATE-GENERATION probability the dedup pipeline actually rides.
+    * The theory column is computed by repeated multiplication (no pow),
+    * so both engines run identical IEEE ops.
+    *
+    * Scale: both sides reuse bounded machinery — the exact side is
+    * q61's df-capped inverted index at minInter = 1, the detected side
+    * is q50's band join; the rollup is a ≤10-row decile aggregate. */
+  private def q296(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val cand = minhashPairs(spark, sfDir).withColumn("det", lit(1L))
+    val (inter, sizes) = NearDup.cappedPairFrames(docs, minInter = 1)
+    val jac = inter.toDF("id_a", "id_b", "inter")
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Tables.r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+    val sMid = (col("bin").cast("double") + lit(0.5)) / lit(10.0)
+    val miss = lit(1.0) - sMid * sMid
+    jac.join(cand, Seq("id_a", "id_b"), "left")
+      .select(least(floor(col("jac") * 10).cast("bigint"), lit(9L)).as("bin"),
+        coalesce(col("det"), lit(0L)).as("det"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum("det").as("n_detected"))
+      .select(col("bin"), Tables.r6(sMid).as("s_mid"),
+        col("n_pairs"), col("n_detected"),
+        Tables.meanD(col("n_detected"), col("n_pairs")).as("empirical"),
+        Tables.r6(lit(1.0) - miss * miss * miss * miss).as("theory"))
+      .orderBy("bin")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q296_lsh_probability_curve", q296 _, Some {
+      val s = "((CAST(bin AS DOUBLE) + 0.5) / 10.0)"
+      val miss = s"(1.0 - $s * $s)"
+      minhashPairsSql + ", " +
+        "kept2 AS (SELECT DISTINCT doc_id, token FROM capped), " +
+        "sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM kept2 GROUP BY doc_id), " +
+        "inter2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
+        "FROM kept2 a JOIN kept2 b ON a.token = b.token AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "jac AS (SELECT ia AS id_a, ib AS id_b, " +
+        Tables.r6sql("inter / CAST(sa.n + sb.n - inter AS DOUBLE)") + " AS jac " +
+        "FROM inter2 JOIN sizes2 sa ON ia = sa.doc_id " +
+        "JOIN sizes2 sb ON ib = sb.doc_id), " +
+        "flags AS (SELECT LEAST(CAST(FLOOR(jac * 10) AS BIGINT), 9) AS bin, " +
+        "CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS det " +
+        "FROM jac LEFT JOIN pairs p ON jac.id_a = p.id_a AND jac.id_b = p.id_b), " +
+        "g AS (SELECT bin, COUNT(*) AS n_pairs, SUM(det) AS n_detected " +
+        "FROM flags GROUP BY bin) " +
+        "SELECT bin, " + Tables.r6sql(s) + " AS s_mid, " +
+        "CAST(n_pairs AS BIGINT) AS n_pairs, " +
+        "CAST(n_detected AS BIGINT) AS n_detected, " +
+        Tables.meanDSql("n_detected", "n_pairs") + " AS empirical, " +
+        Tables.r6sql(s"1.0 - $miss * $miss * $miss * $miss") + " AS theory " +
+        "FROM g ORDER BY bin"
+    }),
     Q("q193_dedup_minhash_accuracy", q193 _, Some {
       val mSum = (0 until 8).map(i =>
         s"CASE WHEN s.s$i = t.s$i THEN 1 ELSE 0 END").mkString(" + ")

@@ -782,6 +782,33 @@ object NearDup {
       .orderBy("vec_id")
   }
 
+  /** q298: SimHash bit-balance audit — index-health check for the q60
+    * fingerprints: each of the 32 bits should be set in ~50% of
+    * documents; a bit stuck near 0 or 1 (degenerate) carries no
+    * discriminating power, silently widening every q83 band bucket and
+    * inflating candidate volume. Per bit: set count, set rate,
+    * |rate − 0.5| imbalance, and a degenerate flag outside [0.4, 0.6] —
+    * the table to read before trusting a simhash-banded dedup at scale.
+    *
+    * Scale: fingerprints are the existing one-pass simhash aggregate;
+    * the bit explode is ×32 on the (doc, fingerprint) frame (constant
+    * fan-out, narrow), rolled into a 32-group map-side-combined agg. */
+  private def q298(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = simhashDF(spark, sfDir)
+    val ndocs = sh.agg(count(lit(1)).cast("double").as("nd"))
+    sh.select(col("simhash"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .select(col("bit").cast("bigint").as("bit"),
+        expr("shiftright(simhash, cast(bit as int)) & 1").as("isset"))
+      .groupBy("bit").agg(sum("isset").as("n_set"))
+      .crossJoin(broadcast(ndocs))
+      .select(col("bit"), col("n_set"),
+        Tables.meanD(col("n_set"), col("nd")).as("p_set"),
+        Tables.r6(abs(col("n_set").cast("double") / col("nd") - lit(0.5)))
+          .as("imbalance"))
+      .withColumn("degenerate", col("p_set") < 0.4 || col("p_set") > 0.6)
+      .orderBy("bit")
+  }
+
   /** Oracle CTE prefix shared by q61/q185 — the exact-string mirror of
     * [[cappedPairFrames]] (split → distinct trigrams → df-cap → kept →
     * sizes → pair intersections). */
@@ -1128,6 +1155,18 @@ object NearDup {
         "FROM bk LEFT JOIN per ON bk.vec_id = per.id_p " +
         "WHERE b100 >= 90 ORDER BY vec_id"
     }),
+    Q("q298_simhash_bit_balance", q298 _, Some(
+      simhashSql + ", " +
+        "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM sh), " +
+        "b AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS bit), " +
+        "s AS (SELECT bit, CAST(SUM((simhash >> CAST(bit AS INT)) & 1) AS BIGINT) " +
+        "AS n_set FROM sh CROSS JOIN b GROUP BY bit) " +
+        "SELECT bit, n_set, " +
+        Tables.meanDSql("n_set", "nd") + " AS p_set, " +
+        Tables.r6sql("ABS(CAST(n_set AS DOUBLE) / nd - 0.5)") + " AS imbalance, " +
+        "(" + Tables.meanDSql("n_set", "nd") + " < 0.4 OR " +
+        Tables.meanDSql("n_set", "nd") + " > 0.6) AS degenerate " +
+        "FROM s CROSS JOIN nd ORDER BY bit")),
     Q("q291_ann_recall_audit", q291 _, Some {
       val dotPQ = "list_sum(list_transform(range(1,65), i -> CAST(pv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))"
       val nP = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(pv.embedding[i] AS DOUBLE) * CAST(pv.embedding[i] AS DOUBLE))))"

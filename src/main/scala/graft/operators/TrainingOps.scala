@@ -677,7 +677,18 @@ object TrainingOps {
     * `label` is any boolean Column over its columns. Returns the
     * 64-bucket weight vector + training accuracy. */
   private[graft] def textClassifierOf(docs: DataFrame, label: Column): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    val x = lrFeatures(docs, label)
+      .localCheckpoint(true) // one corpus pass; 3 margin + 3 grad + 1
+                             // accuracy consumers read the bounded frame
+    val ndF = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val w = lrTrain(x, ndF)
+    w.crossJoin(broadcast(lrAcc(x, w)))
+      .select(col("b").as("bucket"), col("w").as("weight"), col("train_acc"))
+      .orderBy("bucket")
+  }
+
+  /** Hashed-unigram tf features for the GD family: (doc_id, y, b, x). */
+  private def lrFeatures(docs: DataFrame, label: Column): DataFrame = {
     val feat = docs
       .select(col("doc_id"),
         when(label, 1.0).otherwise(0.0).as("y"),
@@ -686,19 +697,27 @@ object TrainingOps {
       .withColumn("b", CorpusOps.hexBucket(LrBuckets).cast("bigint"))
       .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
     val ntok = feat.groupBy("doc_id").agg(sum("c").as("n"))
-    val x = feat.join(ntok, "doc_id")
+    feat.join(ntok, "doc_id")
       .select(col("doc_id"), col("y"), col("b"),
         Tables.r6(col("c").cast("double") / col("n")).as("x"))
-      .localCheckpoint(true) // one corpus pass; 3 margin + 3 grad + 1
-                             // accuracy consumers read the bounded frame
-    val ndF = docs.agg(count(lit(1)).cast("double").as("nd"))
-    def margins(w: DataFrame): DataFrame = x.join(broadcast(w), "b")
+  }
+
+  /** Per-doc DECIMAL margin under weights `w`: (doc_id, y, mdec). */
+  private def lrMargins(x: DataFrame, w: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    x.join(broadcast(w), "b")
       .groupBy("doc_id", "y")
       .agg(sum(Tables.r6(col("x") * col("w")).cast(DecimalType(18, 6))).as("mdec"))
-    var w: DataFrame = docs.sparkSession.range(0, LrBuckets)
+  }
+
+  /** LrIters full-batch GD steps from w = 0 over feature frame `x`;
+    * `ndF` is the 1-row training-doc count normalizing the gradient. */
+  private def lrTrain(x: DataFrame, ndF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    var w: DataFrame = x.sparkSession.range(0, LrBuckets)
       .select(col("id").as("b"), lit(0.0).as("w"))
     for (_ <- 1 to LrIters) {
-      val err = margins(w).select(col("doc_id"),
+      val err = lrMargins(x, w).select(col("doc_id"),
         Tables.r6(lit(1.0) / (lit(1.0) + exp(-col("mdec").cast("double")))
           - col("y")).as("err"))
       val g = x.join(err, "doc_id")
@@ -710,13 +729,58 @@ object TrainingOps {
         .localCheckpoint(true) // 64 rows; truncates per-step lineage so
                                // the plan doesn't deepen with LrIters
     }
-    val acc = margins(w)
+    w
+  }
+
+  /** 1-row sign(w·x) accuracy of weights `w` over feature frame `x`. */
+  private def lrAcc(x: DataFrame, w: DataFrame): DataFrame =
+    lrMargins(x, w)
       .select(when((col("mdec") >= 0) === (col("y") > 0.5), 1L)
         .otherwise(0L).as("ok"))
       .agg(Tables.meanD(sum("ok"), count(lit(1))).as("train_acc"))
-    w.crossJoin(broadcast(acc))
-      .select(col("b").as("bucket"), col("w").as("weight"), col("train_acc"))
-      .orderBy("bucket")
+
+  /** q297 training-fraction grid (md5-bucket percentages of the corpus). */
+  private val CurvePcts = Seq(25, 50, 75, 100)
+
+  /** q297: learning curve — the sample-efficiency experiment every
+    * data-curation decision ultimately answers to: train the q290
+    * classifier on deterministic 25/50/75/100% md5-bucket subsets and
+    * report, per fraction, the training-subset accuracy AND the
+    * accuracy over the FULL corpus ("does more data still buy
+    * accuracy?"). Reuses the q290 GD core verbatim, so the curve and
+    * the classifier can never diverge; the oracle replays all four
+    * runs as one generated CTE chain.
+    *
+    * Scale: the feature frame is built and checkpointed ONCE; each
+    * fraction filters it (no re-scan of the corpus text), trains
+    * against 64-row weight frames, and folds two 1-row accuracies —
+    * 4 fractions cost 4 bounded GD runs, not 4 corpus scans. */
+  private def q297(spark: SparkSession, sfDir: String): DataFrame =
+    learningCurveOf(Tables(spark, sfDir, "documents"),
+      col("lang") === "en", CurvePcts)
+
+  /** The generic curve behind q297, exposed as
+    * [[graft.Graft.learningCurve]]: `docs` needs (doc_id, text); `label`
+    * is any boolean Column; `pcts` are md5-bucket training fractions. */
+  private[graft] def learningCurveOf(docs: DataFrame, label: Column,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      "learningCurve: pcts must be in 1..100")
+    val x = lrFeatures(docs, label)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("db", CorpusOps.hexBucket(100).cast("bigint"))
+      .localCheckpoint(true) // one corpus pass; every fraction reads it
+    val rows = pcts.map { p =>
+      val xp = x.filter(col("db") < p)
+      val ndp = xp.agg(countDistinct("doc_id").cast("double").as("nd"))
+      val w = lrTrain(xp, ndp)
+      ndp.select(lit(p.toLong).as("pct"), col("nd").cast("bigint").as("n_train"))
+        .crossJoin(broadcast(lrAcc(xp, w)))
+        .crossJoin(broadcast(lrAcc(x, w).withColumnRenamed("train_acc", "full_acc")))
+    }
+    rows.reduce(_ unionByName _)
+      .select("pct", "n_train", "train_acc", "full_acc")
+      .orderBy("pct")
   }
 
   /** The q290 oracle: the identical GD unroll as DuckDB CTEs, generated
@@ -758,9 +822,61 @@ object TrainingOps {
       "CROSS JOIN acc ORDER BY bucket"
   }
 
+  /** The q297 oracle: all four GD runs replayed as one generated CTE
+    * chain (the q290 unroll, parameterized by training fraction). */
+  private def q297Sql: String = {
+    val r6m = Tables.r6sql("x * w")
+    val accSel = Tables.meanDSql(
+      "SUM(CASE WHEN (mdec >= 0) = (y > 0.5) THEN 1 ELSE 0 END)", "COUNT(*)")
+    def margin(src: String, w: String, name: String) =
+      s"$name AS (SELECT doc_id, y, SUM(CAST($r6m AS DECIMAL(18,6))) AS mdec " +
+        s"FROM $src JOIN $w USING (b) GROUP BY 1, 2)"
+    def chain(p: Int): String = {
+      val xp = s"xp$p"
+      val wLast = s"w${p}_$LrIters"
+      val iters = (1 to LrIters).map { i =>
+        val wp = if (i == 1) "w0" else s"w${p}_${i - 1}"
+        margin(xp, wp, s"m${p}_$i") + ", " +
+          s"e${p}_$i AS (SELECT doc_id, " +
+          Tables.r6sql("1.0 / (1.0 + EXP(-CAST(mdec AS DOUBLE))) - y") +
+          s" AS err FROM m${p}_$i), " +
+          s"g${p}_$i AS (SELECT b, SUM(CAST(" + Tables.r6sql("x * err") +
+          s" AS DECIMAL(18,6))) AS gsum FROM $xp JOIN e${p}_$i USING (doc_id) " +
+          "GROUP BY b), " +
+          s"w${p}_$i AS (SELECT $wp.b, " +
+          Tables.r6sql(s"$wp.w - $LrRate * COALESCE(CAST(gsum AS DOUBLE), 0.0) / nd") +
+          s" AS w FROM $wp LEFT JOIN g${p}_$i USING (b) CROSS JOIN nd$p)"
+      }.mkString(", ")
+      s"$xp AS (SELECT * FROM x WHERE db < $p), " +
+        s"nd$p AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM $xp), " +
+        iters + ", " +
+        margin(xp, wLast, s"mt$p") + ", " +
+        s"acct$p AS (SELECT $accSel AS train_acc FROM mt$p), " +
+        margin("x", wLast, s"mf$p") + ", " +
+        s"accf$p AS (SELECT $accSel AS full_acc FROM mf$p), " +
+        s"row$p AS (SELECT CAST($p AS BIGINT) AS pct, CAST(nd AS BIGINT) AS n_train, " +
+        s"train_acc, full_acc FROM nd$p CROSS JOIN acct$p CROSS JOIN accf$p)"
+    }
+    "WITH toks AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "unnest(str_split(text, ' ')) AS t FROM documents), " +
+      "feat AS (SELECT doc_id, y, CAST(" +
+      CorpusOps.hexBucketSql(LrBuckets, "md5(t)") + " AS BIGINT) AS b, " +
+      "COUNT(*) AS c FROM toks GROUP BY 1, 2, 3), " +
+      "ntok AS (SELECT doc_id, SUM(c) AS n FROM feat GROUP BY 1), " +
+      "x AS MATERIALIZED (SELECT doc_id, y, b, " +
+      Tables.r6sql("CAST(c AS DOUBLE) / n") + " AS x, CAST(" +
+      CorpusOps.hexBucketSql(100, "md5(CAST(doc_id AS VARCHAR))") +
+      " AS BIGINT) AS db FROM feat JOIN ntok USING (doc_id)), " +
+      s"w0 AS (SELECT CAST(unnest(range(0, $LrBuckets)) AS BIGINT) AS b, 0.0 AS w), " +
+      CurvePcts.map(chain).mkString(", ") + " " +
+      CurvePcts.map(p => s"SELECT * FROM row$p").mkString(" UNION ALL ") +
+      " ORDER BY pct"
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q290_quality_classifier", q290 _, Some(q290Sql)),
     Q("q293_embedding_pca", q293 _, Some(q293Sql)),
+    Q("q297_learning_curve", q297 _, Some(q297Sql)),
     Q("q284_label_noise_audit", q284 _, Some {
       val meanSql = Tables.meanDSql("SUM(CAST(vd AS DECIMAL(18,9)))", "COUNT(*)")
       "WITH pe AS MATERIALIZED (SELECT vec_id, label, " +

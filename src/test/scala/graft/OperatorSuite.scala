@@ -123,6 +123,11 @@ class OperatorSuite extends AnyFunSuite {
                                  // q232's justified shape
       "q281_heaps_law",          // OLS-sums 1-row fold over the 10-row
                                  // decile frame (q173's fit shape)
+      "q296_lsh_probability_curve", // ndocs 1-row aggregates (q50 AND q61
+                                 // df-cap paths, q193's justification)
+      "q297_learning_curve",     // per-fraction n_train + accuracy 1-row
+                                 // folds (one partial row per partition)
+      "q298_simhash_bit_balance", // ndocs 1-row fold over the simhash frame
       "q293_embedding_pca",      // per-step norm + n_vecs 1-row folds
                                  // over the 64-row update frames
       "q295_perplexity_sweep",   // corpus-mean-NLL 1-row fold (one
