@@ -1004,6 +1004,14 @@ object Graft {
   def tokenizerFertility(docs: DataFrame): DataFrame =
     operators.TextAnalysis.tokenizerFertilityOf(docs)
 
+  /** Sample-efficiency learning curve (q297): trains [[textClassifier]]
+    * on deterministic md5-bucket fractions of `docs` and reports, per
+    * fraction, (pct, n_train, train_acc, full_acc) — subset accuracy
+    * next to full-corpus accuracy under the subset-trained weights. */
+  def learningCurve(docs: DataFrame, label: Column,
+      pcts: Seq[Int] = Seq(25, 50, 75, 100)): DataFrame =
+    operators.TrainingOps.learningCurveOf(docs, label, pcts)
+
   /** Perplexity-filter retention sweep (q295): scores `docs` (doc_id,
     * lang, text) with the add-one bigram LM once, then reports docs /
     * bigrams surviving avg_nll ≤ mean + offset for each offset. */

@@ -1004,6 +1004,20 @@ class ApiSuite extends AnyFunSuite {
     assert(w.values.exists(_ > 0) && w.values.exists(_ < 0))
   }
 
+  test("learningCurve: separable data stays perfect at every fraction; n_train grows") {
+    import spark.implicits._
+    val pos = (0 until 30).map(i => (i.toLong, "alpha beta gamma delta", "p"))
+    val neg = (30 until 60).map(i => (i.toLong, "omega sigma tau rho", "n"))
+    val docs = (pos ++ neg).toDF("doc_id", "text", "cls")
+    val rows = Graft.learningCurve(docs, col("cls") === "p", Seq(50, 100))
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(50L, 100L))
+    assert(rows(0).getAs[Long]("n_train") < rows(1).getAs[Long]("n_train"))
+    assert(rows(1).getAs[Long]("n_train") == 60L)
+    // disjoint vocabularies are separable from any subset that has both classes
+    assert(rows.forall(_.getAs[Double]("full_acc") == 1.0))
+  }
+
   test("pcaTopComponent: loading concentrates on the dominant direction, unit norm") {
     import spark.implicits._
     // variance lives on dim 2 (values ±10); dims 1 and 3 are near-constant
