@@ -468,7 +468,84 @@ object LLMPipeline {
       .orderBy("bin")
   }
 
+  /** q300: dup-cluster quality audit — the check that keeps transitive
+    * dedup honest: q76's connected components merge A~B~C into one
+    * cluster even when A and C are nothing alike (chain collapse), and
+    * at corpus scale one mega-cluster silently deletes half a source.
+    * Per component: member count, candidate-edge count, edge DENSITY
+    * (2E/(V(V−1)) — low = chain-shaped, exactly the risky ones), and
+    * the min/mean EXACT Jaccard over its edges (low min = a weak link
+    * holding the cluster together). Top-20 components by size — the
+    * review queue before a destructive keep-one-per-cluster pass.
+    *
+    * Scale: edges are the bounded q50 candidate set (checkpointed, read
+    * by CC + scoring); labels ride the q76 CC loop (candidate-graph
+    * vertices only); exact scores reuse q61's df-capped machinery; all
+    * rollups are component-keyed aggs on edge-bounded frames. */
+  private def q300(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables(spark, sfDir, "documents")
+    val cand = minhashPairs(spark, sfDir)
+      .localCheckpoint(true) // read by the CC loop and the edge scoring
+    val labels = ccLabels(cand)._1
+    val (inter, sizes) = NearDup.cappedPairFrames(docs, minInter = 1)
+    val iv = coalesce(col("inter"), lit(0L))
+    val jac = cand
+      .join(inter.toDF("id_a", "id_b", "inter"), Seq("id_a", "id_b"), "left")
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .select(col("id_a"),
+        Tables.r6(iv / (col("na") + col("nb") - iv)).as("jac"))
+    val eStats = jac
+      .join(labels.toDF("id_a", "comp"), "id_a") // id_b shares the comp by construction
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_edges"), min("jac").as("min_jac"),
+        Tables.meanD(sum(col("jac").cast(DecimalType(18, 6))), count(lit(1)))
+          .as("avg_jac"))
+    labels.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .join(eStats, "comp")
+      .select(col("comp"), col("n_members"), col("n_edges"),
+        Tables.r6(lit(2.0) * col("n_edges") /
+          (col("n_members") * (col("n_members") - 1))).as("density"),
+        col("min_jac"), col("avg_jac"))
+      .orderBy(col("n_members").desc, col("comp"))
+      .limit(20)
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q300_dupcluster_audit", q300 _, Some {
+      val jacSql = Tables.r6sql(
+        "COALESCE(i.inter, 0) / CAST(sa.n + sb.n - COALESCE(i.inter, 0) AS DOUBLE)")
+      minhashPairsSql + ", " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src) " +
+        "SELECT a, b FROM r), " +
+        "comps AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a), " +
+        "verts AS (SELECT doc_id, comp FROM comps " +
+        "WHERE doc_id IN (SELECT src FROM edges)), " +
+        "kept2 AS (SELECT DISTINCT doc_id, token FROM capped), " +
+        "sizes2 AS (SELECT doc_id, COUNT(*) AS n FROM kept2 GROUP BY doc_id), " +
+        "inter2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter " +
+        "FROM kept2 a JOIN kept2 b ON a.token = b.token AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        s"jac AS (SELECT p.id_a, $jacSql AS jac FROM pairs p " +
+        "JOIN sizes2 sa ON p.id_a = sa.doc_id " +
+        "JOIN sizes2 sb ON p.id_b = sb.doc_id " +
+        "LEFT JOIN inter2 i ON p.id_a = i.ia AND p.id_b = i.ib), " +
+        "es AS (SELECT v.comp, COUNT(*) AS n_edges, MIN(jac) AS min_jac, " +
+        Tables.meanDSql("SUM(CAST(jac AS DECIMAL(18,6)))", "COUNT(*)") +
+        " AS avg_jac FROM jac JOIN verts v ON jac.id_a = v.doc_id GROUP BY 1), " +
+        "cs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members " +
+        "FROM verts GROUP BY comp) " +
+        "SELECT cs.comp, n_members, CAST(n_edges AS BIGINT) AS n_edges, " +
+        Tables.r6sql("2.0 * n_edges / (n_members * (n_members - 1))") +
+        " AS density, min_jac, avg_jac " +
+        "FROM cs JOIN es ON cs.comp = es.comp " +
+        "ORDER BY n_members DESC, cs.comp LIMIT 20"
+    }),
     Q("q296_lsh_probability_curve", q296 _, Some {
       val s = "((CAST(bin AS DOUBLE) + 0.5) / 10.0)"
       val miss = s"(1.0 - $s * $s)"

@@ -822,6 +822,91 @@ object TrainingOps {
       "CROSS JOIN acc ORDER BY bucket"
   }
 
+  /** q299 histogram granularity (chars per bin): bounds the candidate
+    * grid at max(n_chars)/16 rows regardless of corpus size. */
+  private val StumpBin = 16
+
+  /** q299: decision stump by information gain — the boosting weak
+    * learner and the one-feature feature-importance probe: histogram
+    * n_chars into 16-char bins, and for every candidate threshold
+    * (bin boundary) compute the label-entropy gain of splitting
+    * `lang = 'en'` there; report the 10 best splits with their left /
+    * right compositions. The discrete companion to q290's linear model
+    * (and the building block of every tree ensemble's split search).
+    * 0·ln0 cells contribute zero by CASE on both engines.
+    *
+    * Scale: the corpus collapses to a ≤(max_chars/16)-row histogram in
+    * one map-side-combined pass; the cumulative sweep is a window over
+    * that BOUNDED frame (the q23/q196 justification), and candidates
+    * never touch the corpus again. */
+  private def q299(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val hist = docs.select(expr(s"n_chars DIV $StumpBin").as("b"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("b").agg(count(lit(1)).as("n"), sum("pos").as("npos"))
+    val wcum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("b"),
+      sum("n").over(wcum).as("nl"), sum("npos").over(wcum).as("posl"))
+    val tot = hist.agg(sum("n").as("nt"), sum("npos").as("post"))
+    def h(p: Column): Column =
+      -(when(p > 0, p * log(p)).otherwise(lit(0.0))) -
+        when(p < 1, (lit(1.0) - p) * log(lit(1.0) - p)).otherwise(lit(0.0))
+    val nlD = col("nl").cast("double"); val ntD = col("nt").cast("double")
+    val nr = col("nt") - col("nl"); val posr = col("post") - col("posl")
+    cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nt")) // a split must leave the right side non-empty
+      .select(((col("b") + 1) * StumpBin).as("thr"),
+        col("nl").as("n_left"), col("posl").as("pos_left"),
+        nr.as("n_right"), posr.as("pos_right"),
+        Tables.r6(h(col("post") / ntD) -
+          (nlD / ntD) * h(col("posl") / nlD) -
+          (nr.cast("double") / ntD) * h(posr / nr.cast("double"))).as("gain"))
+      .orderBy(col("gain").desc, col("thr"))
+      .limit(10)
+  }
+
+  /** q301: per-feature mutual information with the label — the
+    * feature-selection table for the q290 bucket space: for each of the
+    * 64 hashed unigram buckets, the 2×2 (presence × lang='en') MI in
+    * nats, with the contingency counts alongside so the direction is
+    * readable. MI ranks features by how much label information they
+    * carry — the screen a curation team runs before trusting (or
+    * pruning) a learned filter's vocabulary. Zero cells contribute 0 by
+    * CASE; the four cell terms fold inside ONE row, so no sum-order
+    * hazard exists at all.
+    *
+    * Scale: presence is a per-doc DISTINCT bucket explode (≤64 rows per
+    * doc) into a 64-group map-side-combined agg; totals are a 1-row
+    * broadcast; the MI arithmetic runs on the 64-row frame. */
+  private def q301(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val pres = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", md5(col("t")))
+      .withColumn("b", CorpusOps.hexBucket(LrBuckets).cast("bigint"))
+      .select("doc_id", "y", "b").distinct()
+    val tot = docs.agg(count(lit(1)).as("n"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"))
+    val nD = col("n").cast("double")
+    def term(nij: Column, ri: Column, cj: Column): Column =
+      when(nij > 0, (nij / nD) * log((nD * nij) / (ri.cast("double") * cj)))
+        .otherwise(lit(0.0))
+    val n11 = col("n11"); val n10 = col("n1") - col("n11")
+    val n01 = col("np") - col("n11")
+    val n00 = col("n") - col("np") - (col("n1") - col("n11"))
+    val r1 = col("n1"); val r0 = col("n") - col("n1")
+    val c1 = col("np"); val c0 = col("n") - col("np")
+    pres.groupBy("b").agg(count(lit(1)).as("n1"), sum("y").as("n11"))
+      .crossJoin(broadcast(tot))
+      .select(col("b").as("bucket"), col("n1").as("n_present"), n11.as("n_pos_present"),
+        Tables.r6(term(n11, r1, c1) + term(n10, r1, c0) +
+          term(n01, r0, c1) + term(n00, r0, c0)).as("mi"))
+      .orderBy(col("mi").desc, col("bucket"))
+      .limit(20)
+  }
+
   /** The q297 oracle: all four GD runs replayed as one generated CTE
     * chain (the q290 unroll, parameterized by training fraction). */
   private def q297Sql: String = {
@@ -877,6 +962,50 @@ object TrainingOps {
     Q("q290_quality_classifier", q290 _, Some(q290Sql)),
     Q("q293_embedding_pca", q293 _, Some(q293Sql)),
     Q("q297_learning_curve", q297 _, Some(q297Sql)),
+    Q("q299_decision_stump", q299 _, Some {
+      def hs(p: String) =
+        s"(-(CASE WHEN $p > 0 THEN $p * LN($p) ELSE 0.0 END) - " +
+          s"(CASE WHEN $p < 1 THEN (1.0 - $p) * LN(1.0 - $p) ELSE 0.0 END))"
+      val pt = "(post / CAST(nt AS DOUBLE))"
+      val pl = "(posl / CAST(nl AS DOUBLE))"
+      val pr = "((post - posl) / CAST(nt - nl AS DOUBLE))"
+      s"WITH hist AS (SELECT n_chars // $StumpBin AS b, COUNT(*) AS n, " +
+        "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS npos " +
+        "FROM documents GROUP BY 1), " +
+        "cum AS (SELECT b, SUM(n) OVER w AS nl, SUM(npos) OVER w AS posl " +
+        "FROM hist WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW)), " +
+        "tot AS (SELECT SUM(n) AS nt, SUM(npos) AS post FROM hist) " +
+        s"SELECT CAST((b + 1) * $StumpBin AS BIGINT) AS thr, " +
+        "CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left, " +
+        "CAST(nt - nl AS BIGINT) AS n_right, " +
+        "CAST(post - posl AS BIGINT) AS pos_right, " +
+        Tables.r6sql(s"${hs(pt)} - (CAST(nl AS DOUBLE) / nt) * ${hs(pl)} - " +
+          s"(CAST(nt - nl AS DOUBLE) / nt) * ${hs(pr)}") + " AS gain " +
+        "FROM cum CROSS JOIN tot WHERE nl < nt ORDER BY gain DESC, thr LIMIT 10"
+    }),
+    Q("q301_feature_mi_ranking", q301 _, Some {
+      def term(nij: String, ri: String, cj: String) =
+        s"(CASE WHEN $nij > 0 THEN ($nij / CAST(n AS DOUBLE)) * " +
+          s"LN((CAST(n AS DOUBLE) * $nij) / (CAST($ri AS DOUBLE) * $cj)) " +
+          "ELSE 0.0 END)"
+      val mi = term("n11", "n1", "np") + " + " +
+        term("(n1 - n11)", "n1", "(n - np)") + " + " +
+        term("(np - n11)", "(n - n1)", "np") + " + " +
+        term("(n - np - (n1 - n11))", "(n - n1)", "(n - np)")
+      "WITH pres AS (SELECT DISTINCT doc_id, y, CAST(" +
+        CorpusOps.hexBucketSql(LrBuckets, "md5(t)") + " AS BIGINT) AS b FROM (" +
+        "SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, " +
+        "unnest(list_distinct(str_split(text, ' '))) AS t FROM documents)), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np " +
+        "FROM documents), " +
+        "per AS (SELECT b, COUNT(*) AS n1, SUM(y) AS n11 FROM pres GROUP BY b) " +
+        "SELECT b AS bucket, CAST(n1 AS BIGINT) AS n_present, " +
+        "CAST(n11 AS BIGINT) AS n_pos_present, " +
+        Tables.r6sql(mi) + " AS mi " +
+        "FROM per CROSS JOIN tot ORDER BY mi DESC, bucket LIMIT 20"
+    }),
     Q("q284_label_noise_audit", q284 _, Some {
       val meanSql = Tables.meanDSql("SUM(CAST(vd AS DECIMAL(18,9)))", "COUNT(*)")
       "WITH pe AS MATERIALIZED (SELECT vec_id, label, " +

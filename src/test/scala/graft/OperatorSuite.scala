@@ -123,6 +123,12 @@ class OperatorSuite extends AnyFunSuite {
                                  // q232's justified shape
       "q281_heaps_law",          // OLS-sums 1-row fold over the 10-row
                                  // decile frame (q173's fit shape)
+      "q299_decision_stump",     // cumulative window over the bounded
+                                 // 16-char-bin histogram (q23/q196 shape)
+                                 // + class-total 1-row fold
+      "q300_dupcluster_audit",   // ndocs 1-row aggregate (df-cap under
+                                 // the exact-Jaccard edge scoring)
+      "q301_feature_mi_ranking", // corpus-total/positive-total 1-row fold
       "q296_lsh_probability_curve", // ndocs 1-row aggregates (q50 AND q61
                                  // df-cap paths, q193's justification)
       "q297_learning_curve",     // per-fraction n_train + accuracy 1-row
