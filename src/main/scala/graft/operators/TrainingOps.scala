@@ -761,25 +761,64 @@ object TrainingOps {
 
   /** The generic curve behind q297, exposed as
     * [[graft.Graft.learningCurve]]: `docs` needs (doc_id, text); `label`
-    * is any boolean Column; `pcts` are md5-bucket training fractions. */
+    * is any boolean Column; `pcts` are md5-bucket training fractions.
+    *
+    * All fractions train SIMULTANEOUSLY: the feature frame is exploded
+    * ×|pcts| once (pct-keyed), weights live in one (pct, b) frame
+    * (|pcts|·64 rows, still broadcastable), and each GD step is ONE
+    * margin pass + ONE gradient pass over the combined frame — 2 passes
+    * per step instead of 2·|pcts|, the grouped-learners pattern that
+    * makes hyper-parameter/ablation sweeps affordable on a cluster. */
   private[graft] def learningCurveOf(docs: DataFrame, label: Column,
       pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
       "learningCurve: pcts must be in 1..100")
-    val x = lrFeatures(docs, label)
+    val spark = docs.sparkSession
+    // (pct, doc_id, y, b, x, train): every fraction's view of every doc,
+    // train = doc's md5 bucket falls inside the fraction
+    val xall = lrFeatures(docs, label)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("db", CorpusOps.hexBucket(100).cast("bigint"))
-      .localCheckpoint(true) // one corpus pass; every fraction reads it
-    val rows = pcts.map { p =>
-      val xp = x.filter(col("db") < p)
-      val ndp = xp.agg(countDistinct("doc_id").cast("double").as("nd"))
-      val w = lrTrain(xp, ndp)
-      ndp.select(lit(p.toLong).as("pct"), col("nd").cast("bigint").as("n_train"))
-        .crossJoin(broadcast(lrAcc(xp, w)))
-        .crossJoin(broadcast(lrAcc(x, w).withColumnRenamed("train_acc", "full_acc")))
+      .select(col("doc_id"), col("y"), col("b"), col("x"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"),
+        col("db"))
+      .withColumn("train", col("db") < col("pct"))
+      .drop("db")
+      .localCheckpoint(true) // one corpus pass; every GD step reads it
+    val xtr = xall.filter(col("train"))
+    // per-fraction training-doc counts — one bounded frame, broadcast
+    val ndF = xtr.groupBy("pct")
+      .agg(countDistinct("doc_id").cast("double").as("nd"))
+      .localCheckpoint(true)
+    def margins(src: DataFrame, w: DataFrame): DataFrame =
+      src.join(broadcast(w), Seq("pct", "b"))
+        .groupBy("pct", "doc_id", "y")
+        .agg(sum(Tables.r6(col("x") * col("w")).cast(DecimalType(18, 6))).as("mdec"))
+    var w: DataFrame = spark.range(0, LrBuckets)
+      .select(col("id").as("b"), lit(0.0).as("w"))
+      .crossJoin(spark.createDataFrame(pcts.map(p => Tuple1(p.toLong)))
+        .toDF("pct"))
+    for (_ <- 1 to LrIters) {
+      val err = margins(xtr, w).select(col("pct"), col("doc_id"),
+        Tables.r6(lit(1.0) / (lit(1.0) + exp(-col("mdec").cast("double")))
+          - col("y")).as("err"))
+      val g = xtr.join(err, Seq("pct", "doc_id"))
+        .groupBy("pct", "b")
+        .agg(sum(Tables.r6(col("x") * col("err")).cast(DecimalType(18, 6))).as("gsum"))
+      w = w.join(g, Seq("pct", "b"), "left").join(broadcast(ndF), "pct")
+        .select(col("pct"), col("b"), Tables.r6(col("w") - lit(LrRate) *
+          coalesce(col("gsum").cast("double"), lit(0.0)) / col("nd")).as("w"))
+        .localCheckpoint(true) // |pcts|·64 rows; truncates per-step lineage
     }
-    rows.reduce(_ unionByName _)
-      .select("pct", "n_train", "train_acc", "full_acc")
+    def acc(src: DataFrame, name: String): DataFrame = margins(src, w)
+      .select(col("pct"), when((col("mdec") >= 0) === (col("y") > 0.5), 1L)
+        .otherwise(0L).as("ok"))
+      .groupBy("pct")
+      .agg(Tables.meanD(sum("ok"), count(lit(1))).as(name))
+    ndF.select(col("pct"), col("nd").cast("bigint").as("n_train"))
+      .join(acc(xtr, "train_acc"), "pct")
+      .join(acc(xall, "full_acc"), "pct")
       .orderBy("pct")
   }
 

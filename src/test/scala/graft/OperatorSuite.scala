@@ -131,8 +131,8 @@ class OperatorSuite extends AnyFunSuite {
       "q301_feature_mi_ranking", // corpus-total/positive-total 1-row fold
       "q296_lsh_probability_curve", // ndocs 1-row aggregates (q50 AND q61
                                  // df-cap paths, q193's justification)
-      "q297_learning_curve",     // per-fraction n_train + accuracy 1-row
-                                 // folds (one partial row per partition)
+      "q297_learning_curve",     // fraction-keyed folds are grouped aggs;
+                                 // only the final ≤|pcts|-row report sorts
       "q298_simhash_bit_balance", // ndocs 1-row fold over the simhash frame
       "q293_embedding_pca",      // per-step norm + n_vecs 1-row folds
                                  // over the 64-row update frames
