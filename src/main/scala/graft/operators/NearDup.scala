@@ -782,6 +782,49 @@ object NearDup {
       .orderBy("vec_id")
   }
 
+  /** q302: Johnson–Lindenstrauss random projection + distortion audit —
+    * the dimensionality-reduction step in front of ANN/clustering when
+    * 64 dims is still too wide to index: project every vector onto the
+    * 16 deterministic ±1 hyperplanes q124 already carries (scaled by
+    * 1/√16 so distances are preserved in expectation) and, on the q124
+    * probe set, report per-pair original vs projected Euclidean distance
+    * and their ratio — the empirical distortion JL bounds in theory.
+    * Ratios spread around 1 tell an engineer whether 16 dims is enough
+    * BEFORE re-indexing the corpus.
+    *
+    * Scale: the projection is a narrow codegen'd map stage (16
+    * `graft_dot`s per row — no shuffle); the audit side is
+    * probe²-bounded (≤45 pairs), and distance arithmetic is a fixed
+    * 16-term expression chain, not an aggregation — no fold-order
+    * hazard. */
+  private def q302(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 10)
+    val planes: Seq[Column] = (0 until NPlanes).map { p =>
+      typedLit(Array.tabulate(64)(j0 => planeSign(p, j0 + 1).toFloat))
+    }
+    val proj = planes.zipWithIndex.foldLeft(emb.select(col("vec_id"), col("embedding"))) {
+      case (df, (pl, p)) => df.withColumn(s"p$p", pl)
+    }.select(col("vec_id") +: col("embedding").as("e") +:
+      (0 until NPlanes).map(p =>
+        Tables.r6(expr(s"graft_dot(embedding, p$p)") / lit(4.0)).as(s"z$p")): _*)
+      .localCheckpoint(true) // ≤10 rows; both pair-join sides read it
+    val a = proj.toDF(proj.columns.map(c => s"a_$c"): _*)
+    val b = proj.toDF(proj.columns.map(c => s"b_$c"): _*)
+    val d16sq = (0 until NPlanes).map(p =>
+      (col(s"a_z$p") - col(s"b_z$p")) * (col(s"a_z$p") - col(s"b_z$p")))
+      .reduce(_ + _)
+    val d64sq = Tables.r6(dotCol("a_e", "a_e")) + Tables.r6(dotCol("b_e", "b_e")) -
+      lit(2.0) * Tables.r6(dotCol("a_e", "b_e"))
+    a.join(b, col("a_vec_id") < col("b_vec_id"))
+      .select(col("a_vec_id").as("id_a"), col("b_vec_id").as("id_b"),
+        Tables.r6(sqrt(d64sq)).as("d_orig"),
+        Tables.r6(sqrt(d16sq)).as("d_proj"))
+      .select(col("id_a"), col("id_b"), col("d_orig"), col("d_proj"),
+        Tables.r6(col("d_proj") / col("d_orig")).as("ratio"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q298: SimHash bit-balance audit — index-health check for the q60
     * fingerprints: each of the 32 bits should be set in ~50% of
     * documents; a bit stuck near 0 or 1 (degenerate) carries no
@@ -1154,6 +1197,33 @@ object NearDup {
         s"COALESCE(max_cos >= $SemThresh, false) AS contaminated " +
         "FROM bk LEFT JOIN per ON bk.vec_id = per.id_p " +
         "WHERE b100 >= 90 ORDER BY vec_id"
+    }),
+    Q("q302_jl_projection", q302 _, Some {
+      def dotE(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> " +
+          s"CAST($x.embedding[CAST(i AS INT)] AS DOUBLE) * CAST($y.embedding[CAST(i AS INT)] AS DOUBLE)))"
+      def zCol(p: Int) = {
+        val sgn = s"(CASE WHEN (((${p} * 64 + j) * 2654435761) % 1000003) % 2 = 0 " +
+          "THEN 1.0 ELSE -1.0 END)"
+        Tables.r6sql("list_sum(list_transform(range(1, 65), j -> " +
+          s"CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * $sgn)) / 4.0") + s" AS z$p"
+      }
+      val d16 = (0 until NPlanes).map(p =>
+        s"(a.z$p - b.z$p) * (a.z$p - b.z$p)").mkString(" + ")
+      val d64 = Tables.r6sql(dotE("pa", "pa")) + " + " + Tables.r6sql(dotE("pb", "pb")) +
+        " - 2.0 * " + Tables.r6sql(dotE("pa", "pb"))
+      "WITH proj AS (SELECT vec_id, " +
+        (0 until NPlanes).map(zCol).mkString(", ") +
+        " FROM embeddings e WHERE vec_id < 10), " +
+        "d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        Tables.r6sql(s"sqrt($d64)") + " AS d_orig, " +
+        Tables.r6sql(s"sqrt($d16)") + " AS d_proj " +
+        "FROM proj a JOIN proj b ON a.vec_id < b.vec_id " +
+        "JOIN embeddings pa ON a.vec_id = pa.vec_id " +
+        "JOIN embeddings pb ON b.vec_id = pb.vec_id) " +
+        "SELECT id_a, id_b, d_orig, d_proj, " +
+        Tables.r6sql("d_proj / d_orig") + " AS ratio " +
+        "FROM d ORDER BY id_a, id_b"
     }),
     Q("q298_simhash_bit_balance", q298 _, Some(
       simhashSql + ", " +

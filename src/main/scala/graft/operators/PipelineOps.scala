@@ -98,6 +98,27 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** q303: PII density by source — the compliance heat map q81's per-doc
+    * rows don't aggregate to: per source, docs scanned, docs with ≥1 PII
+    * hit, total hits, and hits per 1,000 characters — the number a
+    * data-protection review reads to decide which sources need the
+    * redaction pass (or exclusion) first.
+    *
+    * Scale: one narrow per-row regexp count (same `piiPat` as q81, no
+    * text shuffled) into a map-side-combined groupBy(source); output
+    * ≤ #sources rows at any corpus size. */
+  private def q303(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("source"),
+        size(expr(s"regexp_extract_all(text, '$piiPat', 0)")).cast("bigint").as("hits"),
+        length(col("text")).cast("bigint").as("chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum("hits").as("n_hits"),
+        Tables.r6(lit(1000.0) * sum("hits") / sum("chars")).as("hits_per_kchar"))
+      .orderBy("source")
+
   /** q82: bigram repetition ratio (Gopher-style quality signal) —
     * 1 − distinct/total word bigrams per doc. One explode + one groupBy,
     * shuffle bounded by doc count. */
@@ -631,6 +652,15 @@ object PipelineOps {
       s"SELECT doc_id, len(regexp_extract_all(text, '$piiPat')) AS n_hits, " +
         s"substr(regexp_replace(text, '$piiPat', '<PII>', 'g'), 1, 60) AS redacted_prefix " +
         "FROM documents ORDER BY doc_id")),
+    Q("q303_pii_density", q303 _, Some(
+      "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, " +
+        "CAST(SUM(hits) AS BIGINT) AS n_hits, " +
+        Tables.r6sql("1000.0 * SUM(hits) / SUM(chars)") + " AS hits_per_kchar " +
+        "FROM (SELECT source, " +
+        s"len(regexp_extract_all(text, '$piiPat')) AS hits, " +
+        "length(text) AS chars FROM documents) " +
+        "GROUP BY source ORDER BY source")),
     Q("q82_text_repetition", q82 _, Some(
       "SELECT doc_id, n_bigrams, n_distinct, " +
         Tables.r6sql("1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams") + " AS rep_ratio FROM (" +

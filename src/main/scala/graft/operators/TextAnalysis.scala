@@ -857,6 +857,61 @@ object TextAnalysis {
       .orderBy("off_nats")
   }
 
+  /** q304 profile width: top-20 trigrams per language — Cavnar–Trenkle
+    * keeps the head of the rank profile; 20 is plenty at this corpus's
+    * vocabulary and keeps the broadcast profile ≤ langs×20 rows. */
+  private val CharProfK = 20
+
+  /** q304: character-trigram language ID, self-trained (Cavnar–Trenkle
+    * '94, the n-gram-profile classic): learn per-language top-20 char
+    * trigram profiles from a deterministic 50% md5 split of the corpus,
+    * classify the OTHER 50% by profile-hit count, and report per-language
+    * held-out accuracy. The character-level second opinion to q64's
+    * word-list langid (q165 measures agreement between two word-level
+    * raters; this one changes the MODALITY) — and unlike q64's fixed
+    * lists, the profiles come from the data, so the operator works on
+    * any corpus. Zero-hit docs predict 'und' via the left join, ties
+    * break to the lexicographically smaller language on both engines.
+    *
+    * Scale: trigram explode is narrow (in-row lambda); profile learning
+    * is a vocabulary-bounded agg + a per-language top-k window (lang-
+    * partitioned, never single-task); scoring joins the BROADCAST
+    * (langs×20)-row profile — the corpus never shuffles at trigram
+    * grain. */
+  private def q304(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .filter(length(col("text")) >= 3)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", CorpusOps.hexBucket(100))
+      .localCheckpoint(true) // read by the train explode, test explode,
+                             // and the final report join
+    def tri(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tri"))
+    val wProf = Window.partitionBy("lang").orderBy(col("c").desc, col("tri"))
+    val prof = tri(d.filter(col("bucket") < 50))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wProf))
+      .filter(col("rn") <= CharProfK)
+      .select(col("lang").as("plang"), col("tri"))
+    val wBest = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang"))
+    val pred = tri(d.filter(col("bucket") >= 50))
+      .join(broadcast(prof), "tri")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("pred"))
+    d.filter(col("bucket") >= 50).select("doc_id", "lang")
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("lang"),
+        when(col("pred") === col("lang"), 1L).otherwise(0L).as("ok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_correct"),
+        Tables.meanD(sum("ok"), count(lit(1))).as("acc"))
+      .orderBy("lang")
+  }
+
   /** q292 pair-report floor: pairs sharing <2 selected fingerprints are
     * noise at any corpus size (a single shared window-min is one shared
     * 4-gram). */
@@ -923,6 +978,29 @@ object TextAnalysis {
   }
 
   val entries: Seq[Q] = Seq(
+    Q("q304_char_langid", q304 _, Some(
+      "WITH d AS (SELECT doc_id, lang, text, " +
+        CorpusOps.hexBucketSql(100, "md5(CAST(doc_id AS VARCHAR))") +
+        " AS bucket FROM documents WHERE length(text) >= 3), " +
+        "tri_tr AS (SELECT lang, unnest(list_transform(range(1, length(text) - 1), " +
+        "i -> substr(text, CAST(i AS INT), 3))) AS tri FROM d WHERE bucket < 50), " +
+        "prof AS (SELECT lang AS plang, tri FROM (" +
+        "SELECT lang, tri, COUNT(*) AS c, ROW_NUMBER() OVER (" +
+        "PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rn " +
+        s"FROM tri_tr GROUP BY lang, tri) WHERE rn <= $CharProfK), " +
+        "tri_te AS (SELECT doc_id, unnest(list_transform(range(1, length(text) - 1), " +
+        "i -> substr(text, CAST(i AS INT), 3))) AS tri FROM d WHERE bucket >= 50), " +
+        "sc AS (SELECT doc_id, plang, COUNT(*) AS hits FROM tri_te " +
+        "JOIN prof USING (tri) GROUP BY 1, 2), " +
+        "pred AS (SELECT doc_id, plang AS pred FROM (" +
+        "SELECT doc_id, plang, ROW_NUMBER() OVER (" +
+        "PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn FROM sc) WHERE rn = 1) " +
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(ok) AS BIGINT) AS n_correct, " +
+        Tables.meanDSql("SUM(ok)", "COUNT(*)") + " AS acc " +
+        "FROM (SELECT d.lang, CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END AS ok " +
+        "FROM d LEFT JOIN pred p ON d.doc_id = p.doc_id WHERE d.bucket >= 50) " +
+        "GROUP BY lang ORDER BY lang")),
     Q("q294_tokenizer_fertility", q294 _, Some(
       "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(toks) AS BIGINT) AS ws_tokens, " +
