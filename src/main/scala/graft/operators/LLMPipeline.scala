@@ -43,7 +43,7 @@ object LLMPipeline {
     * to library users via [[graft.Graft.minhashPairs]]. */
   /** The 8-component signature frame (doc_id, s0..s7) behind
     * [[minhashPairsOf]] — shared with q193's estimator-accuracy audit. */
-  private[operators] def minhashSigsOf(docs: DataFrame): DataFrame = {
+  private[graft] def minhashSigsOf(docs: DataFrame): DataFrame = {
     // NO pre-distinct on shingles: min() is idempotent over duplicates, so
     // the signature is identical without it, and dropping it removes a
     // full shuffle of the exploded shingle rows — the groupBy(doc_id)
@@ -468,6 +468,40 @@ object LLMPipeline {
       .orderBy("bin")
   }
 
+  /** q305: source-level MinHash similarity via the MERGEABLE rollup —
+    * the property that makes minhash the 100 TB similarity tool:
+    * sig(A ∪ B) = elementwise min(sig(A), sig(B)), so a SOURCE's
+    * signature is one 8-column MIN-aggregate over its documents'
+    * signatures (no shingle re-scan, no doc-pair joins), and the full
+    * source×source similarity matrix costs a join of 20 signature ROWS.
+    * Estimates = per-pair signature match rate (matches/8). q272 asks
+    * "which sources contain duplicate DOCS"; this asks "which sources
+    * draw from the same CONTENT distribution" — the shingle-space
+    * overlap of whole sources. PropertySuite proves the shard-merge
+    * identity (docs → shards → source == docs → source for any shard
+    * assignment — the 100 TB rollup pattern).
+    *
+    * Scale: doc signatures are the existing one-pass aggregate; the
+    * rollup is a sources-bounded MIN agg; the matrix is sources²/2 rows
+    * of pure integer compares — nothing pairwise ever touches docs. */
+  private def q305(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val sigs = minhashSigsOf(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val srcSigs = sigs.groupBy("source")
+      .agg((0 until 8).map(i => min(col(s"s$i")).as(s"s$i")).head,
+        (0 until 8).map(i => min(col(s"s$i")).as(s"s$i")).tail: _*)
+      .localCheckpoint(true) // ≤#sources rows; both matrix sides read it
+    val a = srcSigs.toDF("source_a" +: (0 until 8).map(i => s"a$i"): _*)
+    val b = srcSigs.toDF("source_b" +: (0 until 8).map(i => s"b$i"): _*)
+    val m = (0 until 8).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), m.as("n_match"),
+        Tables.r6(m / lit(8.0)).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q300: dup-cluster quality audit — the check that keeps transitive
     * dedup honest: q76's connected components merge A~B~C into one
     * cluster even when A and C are nothing alike (chain collapse), and
@@ -513,6 +547,19 @@ object LLMPipeline {
   }
 
   val entries: Seq[Q] = Seq(
+    Q("q305_minhash_source_sim", q305 _, Some {
+      val mSum = (0 until 8).map(i =>
+        s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+      val mins = (0 until 8).map(i => s"MIN(s$i) AS s$i").mkString(", ")
+      minhashPairsSql + ", " + // bands/pairs CTEs go unused (lazy) — sigs is the prefix we ride
+        "ssig AS (SELECT source, " + mins + " FROM sigs " +
+        "JOIN documents USING (doc_id) GROUP BY source) " +
+        "SELECT a.source AS source_a, b.source AS source_b, " +
+        s"CAST($mSum AS BIGINT) AS n_match, " +
+        Tables.r6sql(s"CAST($mSum AS DOUBLE) / 8") + " AS est_jaccard " +
+        "FROM ssig a JOIN ssig b ON a.source < b.source " +
+        "ORDER BY source_a, source_b"
+    }),
     Q("q300_dupcluster_audit", q300 _, Some {
       val jacSql = Tables.r6sql(
         "COALESCE(i.inter, 0) / CAST(sa.n + sb.n - COALESCE(i.inter, 0) AS DOUBLE)")

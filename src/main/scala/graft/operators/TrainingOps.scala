@@ -861,6 +861,89 @@ object TrainingOps {
       "CROSS JOIN acc ORDER BY bucket"
   }
 
+  /** q307: global embedding outliers — the unlabeled anomaly screen
+    * (q284 needs labels; a raw crawl has none): cosine of every vector
+    * to the GLOBAL centroid, 20 least-aligned reported — the
+    * embedding-space "does anything look alien" sweep run before
+    * trusting a new batch (poisoning / modality-mixup screen).
+    * Determinism: q284's exact recipe (DECIMAL(18,9) component sums,
+    * r6→DECIMAL(18,6) cross-terms).
+    *
+    * Scale: one posexplode pass; the centroid is a 64-row aggregate
+    * broadcast back; per-vector folds map-side combined; head
+    * TakeOrdered. */
+  private def q307(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pe = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"),
+        col("col").cast("double").as("vd"))
+    val cent = pe.groupBy("pos")
+      .agg(Tables.meanD(sum(col("vd").cast(DecimalType(18, 9))), count(lit(1)))
+        .as("cm"))
+      .localCheckpoint(true) // 64 rows; read by the dot join + norm fold
+    val cnorm = cent.agg(
+      sum(Tables.r6(col("cm") * col("cm")).cast(DecimalType(18, 6))).as("sc2"))
+    pe.join(broadcast(cent), "pos")
+      .groupBy("vec_id")
+      .agg(sum(Tables.r6(col("vd") * col("cm")).cast(DecimalType(18, 6))).as("dot"),
+        sum(Tables.r6(col("vd") * col("vd")).cast(DecimalType(18, 6))).as("sv2"))
+      .crossJoin(broadcast(cnorm))
+      .select(col("vec_id"),
+        Tables.r6(col("dot").cast("double") /
+          (sqrt(col("sv2").cast("double")) * sqrt(col("sc2").cast("double"))))
+          .as("cos"))
+      .orderBy(col("cos").asc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** q306 coreset size: 8 centers — enough rounds to show the max-min
+    * radius shrinking while keeping the oracle's generated chain short. */
+  private val CoresetK = 8
+
+  /** q306: k-center greedy coreset selection (Gonzalez '85, the 2-approx
+    * classic — the diverse-subset picker behind data-selection /
+    * active-learning seeding): start from the smallest vec_id, then k−1
+    * times pick the vector FARTHEST (squared Euclidean) from the chosen
+    * set; ties break to the smaller vec_id. Output (k, vec_id,
+    * dist_to_set) — dist_to_set is the coverage radius at each step, the
+    * curve that says when the corpus is "covered". Complements q252's
+    * hash-diversity sample (cheap, geometry-blind) with the geometric
+    * guarantee, and q106's k-means (centroids) with actual exemplars.
+    *
+    * Scale: each round is ONE corpus pass — distances to the ≤k-row
+    * broadcast chosen frame, a vector-keyed MIN, and a TakeOrdered(1)
+    * argmax; nothing pairwise, state is k rows. The same loop shape as
+    * q293's power iteration: corpus passes × small broadcast state. */
+  private def q306(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    import NearDup.dotCol
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // read once per round
+    val first = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding"), lit(0L).as("k"), lit(0.0).as("dist_to_set"))
+    var chosen = first.localCheckpoint(true)
+    for (k <- 1 until CoresetK) {
+      val d2 = Tables.r6(dotCol("embedding", "embedding")) +
+        Tables.r6(dotCol("c_emb", "c_emb")) -
+        lit(2.0) * Tables.r6(dotCol("embedding", "c_emb"))
+      val nextId = emb
+        .join(broadcast(chosen.select(col("vec_id").as("c_id"))),
+          col("vec_id") === col("c_id"), "left_anti")
+        .crossJoin(broadcast(chosen.select(col("embedding").as("c_emb"))))
+        .groupBy("vec_id")
+        .agg(min(Tables.r6(d2)).as("md"))
+        .orderBy(col("md").desc, col("vec_id"))
+        .limit(1)
+      val next = nextId.join(emb, "vec_id")
+        .select(col("vec_id"), col("embedding"), lit(k.toLong).as("k"),
+          col("md").as("dist_to_set"))
+      chosen = chosen.unionByName(next).localCheckpoint(true) // ≤k+1 rows
+    }
+    chosen.select("k", "vec_id", "dist_to_set").orderBy("k")
+  }
+
   /** q299 histogram granularity (chars per bin): bounds the candidate
     * grid at max(n_chars)/16 rows regardless of corpus size. */
   private val StumpBin = 16
@@ -1001,6 +1084,45 @@ object TrainingOps {
     Q("q290_quality_classifier", q290 _, Some(q290Sql)),
     Q("q293_embedding_pca", q293 _, Some(q293Sql)),
     Q("q297_learning_curve", q297 _, Some(q297Sql)),
+    Q("q307_embedding_outliers", q307 _, Some {
+      val meanSql = Tables.meanDSql("SUM(CAST(vd AS DECIMAL(18,9)))", "COUNT(*)")
+      "WITH pe AS MATERIALIZED (SELECT vec_id, " +
+        "unnest(range(1, 65)) AS pos, CAST(unnest(embedding) AS DOUBLE) AS vd " +
+        "FROM embeddings), " +
+        s"cent AS (SELECT pos, $meanSql AS cm FROM pe GROUP BY pos), " +
+        "cn AS (SELECT SUM(CAST(" + Tables.r6sql("cm * cm") +
+        " AS DECIMAL(18,6))) AS sc2 FROM cent), " +
+        "per AS (SELECT vec_id, " +
+        "SUM(CAST(" + Tables.r6sql("vd * cm") + " AS DECIMAL(18,6))) AS dot, " +
+        "SUM(CAST(" + Tables.r6sql("vd * vd") + " AS DECIMAL(18,6))) AS sv2 " +
+        "FROM pe JOIN cent USING (pos) GROUP BY vec_id) " +
+        "SELECT vec_id, " +
+        Tables.r6sql("CAST(dot AS DOUBLE) / " +
+          "(sqrt(CAST(sv2 AS DOUBLE)) * sqrt(CAST(sc2 AS DOUBLE)))") + " AS cos " +
+        "FROM per CROSS JOIN cn ORDER BY cos, vec_id LIMIT 20"
+    }),
+    Q("q306_kcenter_coreset", q306 _, Some {
+      def dotE(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> " +
+          s"CAST($x.embedding[CAST(i AS INT)] AS DOUBLE) * CAST($y.embedding[CAST(i AS INT)] AS DOUBLE)))"
+      val d2 = Tables.r6sql(dotE("e", "e")) + " + " + Tables.r6sql(dotE("c", "c")) +
+        " - 2.0 * " + Tables.r6sql(dotE("e", "c"))
+      val rounds = (1 until CoresetK).map { k =>
+        val prev = s"c${k - 1}"
+        s"d$k AS (SELECT e.vec_id, MIN(" + Tables.r6sql(d2) + ") AS md " +
+          s"FROM embeddings e CROSS JOIN $prev c " +
+          s"WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev) GROUP BY e.vec_id), " +
+          s"p$k AS (SELECT vec_id, md FROM d$k ORDER BY md DESC, vec_id LIMIT 1), " +
+          s"c$k AS (SELECT * FROM $prev UNION ALL " +
+          s"SELECT e.vec_id, e.embedding, CAST($k AS BIGINT) AS k, p.md " +
+          s"FROM p$k p JOIN embeddings e USING (vec_id))"
+      }.mkString(", ")
+      "WITH c0 AS (SELECT vec_id, embedding, CAST(0 AS BIGINT) AS k, " +
+        "CAST(0.0 AS DOUBLE) AS dist_to_set FROM embeddings " +
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)), " +
+        rounds + " " +
+        s"SELECT k, vec_id, dist_to_set FROM c${CoresetK - 1} ORDER BY k"
+    }),
     Q("q299_decision_stump", q299 _, Some {
       def hs(p: String) =
         s"(-(CASE WHEN $p > 0 THEN $p * LN($p) ELSE 0.0 END) - " +

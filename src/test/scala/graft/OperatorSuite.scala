@@ -123,6 +123,8 @@ class OperatorSuite extends AnyFunSuite {
                                  // q232's justified shape
       "q281_heaps_law",          // OLS-sums 1-row fold over the 10-row
                                  // decile frame (q173's fit shape)
+      "q307_embedding_outliers", // centroid-norm 1-row fold over the
+                                 // 64-row centroid frame
       "q299_decision_stump",     // cumulative window over the bounded
                                  // 16-char-bin histogram (q23/q196 shape)
                                  // + class-total 1-row fold

@@ -533,4 +533,22 @@ class PropertySuite extends AnyFunSuite {
       matches.subsetOf(kept)
     }, cases = 8)
   }
+
+  test("minhash source rollup is mergeable: two-stage shard merge == one-stage (q305)") {
+    // the 100 TB shard-rollup pattern behind q305: signatures MIN-merge
+    // associatively, so rolling docs → shards → source must equal rolling
+    // docs → source directly, for ANY shard assignment
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, TestSpark.sfDir, "documents")
+    val sigs = operators.LLMPipeline.minhashSigsOf(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("shard", pmod(col("doc_id"), lit(3))) // arbitrary shards
+      .localCheckpoint(true)
+    val mins = (0 until 8).map(i => min(col(s"s$i")).as(s"s$i"))
+    val oneStage = sigs.groupBy("source").agg(mins.head, mins.tail: _*)
+    val twoStage = sigs.groupBy("source", "shard").agg(mins.head, mins.tail: _*)
+      .groupBy("source").agg(mins.head, mins.tail: _*)
+    assert(oneStage.exceptAll(twoStage).isEmpty && twoStage.exceptAll(oneStage).isEmpty,
+      "two-stage minhash rollup diverged from the one-stage rollup")
+  }
 }
