@@ -78,6 +78,36 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q310: eval n-gram coverage — the RECALL side of decontamination:
+    * q104 flags train docs that leak INTO the eval split; this measures,
+    * per eval document, what fraction of its distinct 5-grams exist
+    * anywhere in train — high coverage means the "held-out" doc is
+    * effectively memorizable from train even if no single doc contains
+    * it (the stitched-leakage case doc-level overlap flags miss). The
+    * per-doc coverage distribution is the honest answer to "how held
+    * out is my eval set".
+    *
+    * Scale: the q104 dataflow reversed — the EVAL gram index is the
+    * small side; here train grams form the big side of the SAME
+    * equi-join (hits counted per eval doc); at corpus scale the join is
+    * gram-keyed and shuffle-bounded by the eval index either way. */
+  private def q310(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", hexBucket(100))
+    val trainIdx = fiveGrams(docs.filter(col("bucket") < 90)
+      .select("doc_id", "text")).select("g").distinct()
+    val evalGrams = fiveGrams(docs.filter(col("bucket") >= 90)
+      .select("doc_id", "text"))
+    val hits = evalGrams.join(trainIdx.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_covered"))
+    hits.select(col("doc_id"), col("n_grams"), col("n_covered"),
+        Tables.meanD(col("n_covered"), col("n_grams")).as("coverage"))
+      .orderBy("doc_id")
+  }
+
   /** Packing capacity (tokens per training sequence) and the bucket
     * count packing parallelizes over. */
   private val PackLen = 512
@@ -643,6 +673,21 @@ object CorpusOps {
         "SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY lang " +
         "ORDER BY md5('gk:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn " +
         "FROM documents) WHERE rn <= 10 ORDER BY lang, rn")),
+    Q("q310_eval_ngram_coverage", q310 _, Some(
+      s"WITH $bucketCte, " +
+        "s AS (SELECT doc_id, bucket, str_split(text, ' ') AS ts FROM d " +
+        "WHERE len(str_split(text, ' ')) >= 5), " +
+        "g AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(ts) - 3), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)] || ' ' || " +
+        "ts[CAST(i + 3 AS INT)] || ' ' || ts[CAST(i + 4 AS INT)]))) AS g FROM s), " +
+        "tr AS (SELECT DISTINCT g FROM g WHERE bucket < 90), " +
+        "per AS (SELECT t.doc_id, COUNT(*) AS n_grams, " +
+        "SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS n_covered " +
+        "FROM g t LEFT JOIN tr ON t.g = tr.g WHERE t.bucket >= 90 GROUP BY t.doc_id) " +
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, " +
+        "CAST(n_covered AS BIGINT) AS n_covered, " +
+        Tables.meanDSql("n_covered", "n_grams") + " AS coverage " +
+        "FROM per ORDER BY doc_id")),
     Q("q104_decontamination", q104 _, Some(
       s"WITH $bucketCte, " +
         "s AS (SELECT doc_id, bucket, str_split(text, ' ') AS ts FROM d " +

@@ -825,6 +825,44 @@ object NearDup {
       .orderBy("id_a", "id_b")
   }
 
+  /** q309: blocking-quality audit for record linkage — the measurement
+    * behind q240's first-token blocking choice: ground truth = ALL
+    * name pairs with Jaro–Winkler ≥ 0.89 over the DISTINCT name domain
+    * (value-domain², bounded — q222's collapse rule makes the exhaustive
+    * cross affordable), then how many of those pairs share a block, how
+    * many candidate pairs blocking generates at all, and the reduction
+    * vs the full cross. Recall says whether blocking LOSES matches;
+    * reduction says what it SAVES — the two numbers every blocking
+    * scheme is chosen by (q291's role for ANN, played for linkage).
+    *
+    * Scale: everything runs on the ≤|name-domain| frame (≈64 rows at
+    * every SF); the exhaustive cross is domain²-bounded by construction
+    * and never touches the parts table beyond the initial collapse. */
+  private def q309(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(spark)
+    val names = Tables(spark, sfDir, "part").select("p_name").distinct()
+      .localCheckpoint(true) // name domain; read by truth + block sides
+    val a = names.toDF("na"); val b = names.toDF("nb")
+    val truth = a.join(b, col("na") < col("nb"))
+      .filter(Tables.r6(expr("graft_jaro_winkler(na, nb)")) >= ErJwThresh)
+      .select("na", "nb")
+      .localCheckpoint(true) // ≤domain² matches; read twice below
+    val blkKey = (c: Column) => split(c, " ").getItem(0)
+    val blocked = a.join(b, col("na") < col("nb"))
+      .filter(blkKey(col("na")) === blkKey(col("nb")))
+      .select("na", "nb")
+      .localCheckpoint(true)
+    val nNames = names.agg(count(lit(1)).as("n_names"))
+    val nTruth = truth.agg(count(lit(1)).as("n_true"))
+    val nBlocked = blocked.agg(count(lit(1)).as("n_candidates"))
+    val nFound = truth.join(blocked, Seq("na", "nb")).agg(count(lit(1)).as("n_found"))
+    nNames.crossJoin(nTruth).crossJoin(nBlocked).crossJoin(nFound)
+      .select(col("n_true"), col("n_candidates"), col("n_found"),
+        Tables.meanD(col("n_found"), col("n_true")).as("recall"),
+        Tables.r6(lit(1.0) - col("n_candidates").cast("double") /
+          (col("n_names") * (col("n_names") - 1) / lit(2L))).as("reduction"))
+  }
+
   /** q298: SimHash bit-balance audit — index-health check for the q60
     * fingerprints: each of the 32 bits should be set in ~50% of
     * documents; a bit stuck near 0 or 1 (degenerate) carries no
@@ -1198,6 +1236,24 @@ object NearDup {
         "FROM bk LEFT JOIN per ON bk.vec_id = per.id_p " +
         "WHERE b100 >= 90 ORDER BY vec_id"
     }),
+    Q("q309_blocking_quality", q309 _, Some(
+      "WITH names AS (SELECT DISTINCT p_name FROM part), " +
+        "truth AS (SELECT a.p_name AS na, b.p_name AS nb FROM names a " +
+        "JOIN names b ON a.p_name < b.p_name " +
+        s"WHERE ${Tables.r6sql("jaro_winkler_similarity(a.p_name, b.p_name)")} >= $ErJwThresh), " +
+        "blocked AS (SELECT a.p_name AS na, b.p_name AS nb FROM names a " +
+        "JOIN names b ON a.p_name < b.p_name " +
+        "AND str_split(a.p_name, ' ')[1] = str_split(b.p_name, ' ')[1]), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_names FROM names), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth), " +
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM blocked), " +
+        "nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth " +
+        "JOIN blocked USING (na, nb)) " +
+        "SELECT n_true, n_candidates, n_found, " +
+        Tables.meanDSql("n_found", "n_true") + " AS recall, " +
+        Tables.r6sql("1.0 - CAST(n_candidates AS DOUBLE) / " +
+          "(n_names * (n_names - 1) / 2)") + " AS reduction " +
+        "FROM nn CROSS JOIN nt CROSS JOIN nb CROSS JOIN nf")),
     Q("q302_jl_projection", q302 _, Some {
       def dotE(x: String, y: String) =
         s"list_sum(list_transform(range(1, 65), i -> " +

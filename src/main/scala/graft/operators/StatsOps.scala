@@ -753,7 +753,129 @@ object StatsOps {
       .orderBy("day")
   }
 
+  /** q308 EM steps: three E/M rounds separate the two length modes on
+    * this corpus; the oracle replays the identical unroll. */
+  private val EmIters = 3
+
+  /** q308: two-component 1-D Gaussian mixture by distributed EM over
+    * document length — the soft-clustering family (q106 k-means is its
+    * hard-assignment cousin): deterministic quartile init from the
+    * (min, max) range, then EM steps where the E-step is a narrow
+    * per-row responsibility and the M-step is ONE grand aggregate (six
+    * sufficient statistics; component 2's fall out of the totals, so a
+    * K-component step is still one pass). Variance floor 1.0 guards
+    * collapse. Output: (component, weight, mu, sigma2) — the bimodal
+    * length model a curation pass fits before setting length cuts.
+    * The 1/√(2π) factor cancels in responsibilities and is dropped.
+    *
+    * Determinism: responsibilities and every weighted term are
+    * r6-quantized then DECIMAL-summed (§2.9 R1) — both engines iterate
+    * through IDENTICAL parameter rows. Scale: state is ONE row; each
+    * step = one broadcast crossJoin + one map-side-combined grand
+    * aggregate — the classic cluster-EM shape (sufficient statistics,
+    * never data movement). */
+  private def q308(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = Tables(spark, sfDir, "documents")
+      .select(col("n_chars").cast("double").as("x"))
+      .localCheckpoint(true) // one narrow projection; every EM step reads it
+    var st = x.agg(min("x").as("mn"), max("x").as("mx"))
+      .select(lit(0.5).as("w1"),
+        Tables.r6(col("mn") + (col("mx") - col("mn")) / 4.0).as("mu1"),
+        Tables.r6(((col("mx") - col("mn")) / 4.0) * ((col("mx") - col("mn")) / 4.0)).as("s21"),
+        lit(0.5).as("w2"),
+        Tables.r6(col("mn") + (col("mx") - col("mn")) * 3.0 / 4.0).as("mu2"),
+        Tables.r6(((col("mx") - col("mn")) / 4.0) * ((col("mx") - col("mn")) / 4.0)).as("s22"))
+      .localCheckpoint(true)
+    for (_ <- 1 to EmIters) {
+      val d1 = exp(-(col("x") - col("mu1")) * (col("x") - col("mu1")) /
+        (lit(2.0) * col("s21"))) / sqrt(col("s21"))
+      val d2 = exp(-(col("x") - col("mu2")) * (col("x") - col("mu2")) /
+        (lit(2.0) * col("s22"))) / sqrt(col("s22"))
+      val r1 = Tables.r6(col("w1") * d1 / (col("w1") * d1 + col("w2") * d2))
+      val dec = (c: Column) => Tables.r6(c).cast(DecimalType(18, 6))
+      val m = x.crossJoin(broadcast(st))
+        .select(r1.as("r1"), col("x"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r1").cast(DecimalType(18, 6))).as("sr1"),
+          sum(dec(col("r1") * col("x"))).as("sr1x"),
+          sum(dec(col("r1") * col("x") * col("x"))).as("sr1xx"),
+          sum(dec(col("x"))).as("sx"),
+          sum(dec(col("x") * col("x"))).as("sxx"))
+      st = m.select(
+          Tables.meanD(col("sr1"), col("n")).as("w1"),
+          Tables.meanD(col("sr1x"), col("sr1").cast("double")).as("mu1"),
+          col("n"), col("sr1"), col("sr1x"), col("sr1xx"), col("sx"), col("sxx"))
+        .select(col("w1"), col("mu1"),
+          greatest(Tables.r6(col("sr1xx").cast("double") / col("sr1").cast("double")
+            - col("mu1") * col("mu1")), lit(1.0)).as("s21"),
+          Tables.r6(lit(1.0) - col("w1")).as("w2"),
+          Tables.meanD(col("sx") - col("sr1x"),
+            (col("n").cast("double") - col("sr1").cast("double"))).as("mu2"),
+          col("n"), col("sr1"), col("sr1x"), col("sr1xx"), col("sx"), col("sxx"))
+        .select(col("w1"), col("mu1"), col("s21"), col("w2"), col("mu2"),
+          greatest(Tables.r6((col("sxx").cast("double") - col("sr1xx").cast("double")) /
+            (col("n").cast("double") - col("sr1").cast("double"))
+            - col("mu2") * col("mu2")), lit(1.0)).as("s22"))
+        .localCheckpoint(true) // 1 row; truncates per-step lineage
+    }
+    st.select(expr(
+      "stack(2, 1L, w1, mu1, s21, 2L, w2, mu2, s22) AS (component, weight, mu, sigma2)"))
+      .orderBy("component")
+  }
+
+  /** The q308 oracle: the identical EM unroll as generated DuckDB CTEs. */
+  private def q308Sql: String = {
+    def dens(mu: String, s2: String) =
+      s"EXP(-(x - $mu) * (x - $mu) / (2.0 * $s2)) / sqrt($s2)"
+    def dec(e: String) = s"CAST(${Tables.r6sql(e)} AS DECIMAL(18,6))"
+    val iters = (1 to EmIters).map { i =>
+      val prev = s"st${i - 1}"
+      val d1 = dens("mu1", "s21"); val d2 = dens("mu2", "s22")
+      s"e$i AS (SELECT " + Tables.r6sql(s"w1 * $d1 / (w1 * $d1 + w2 * $d2)") +
+        s" AS r1, x FROM xs CROSS JOIN $prev), " +
+        s"m$i AS (SELECT COUNT(*) AS n, " +
+        "SUM(CAST(r1 AS DECIMAL(18,6))) AS sr1, " +
+        s"SUM(${dec("r1 * x")}) AS sr1x, " +
+        s"SUM(${dec("r1 * x * x")}) AS sr1xx, " +
+        s"SUM(${dec("x")}) AS sx, " +
+        s"SUM(${dec("x * x")}) AS sxx FROM e$i), " +
+        s"st$i AS (SELECT " +
+        Tables.meanDSql("sr1", "n") + " AS w1, " +
+        Tables.meanDSql("sr1x", "CAST(sr1 AS DOUBLE)") + " AS mu1, " +
+        "GREATEST(" + Tables.r6sql(
+          "CAST(sr1xx AS DOUBLE) / CAST(sr1 AS DOUBLE) - " +
+          s"(${Tables.meanDSql("sr1x", "CAST(sr1 AS DOUBLE)")}) * " +
+          s"(${Tables.meanDSql("sr1x", "CAST(sr1 AS DOUBLE)")})") +
+        ", 1.0) AS s21, " +
+        Tables.r6sql("1.0 - " + Tables.meanDSql("sr1", "n")) + " AS w2, " +
+        Tables.meanDSql("sx - sr1x",
+          "(CAST(n AS DOUBLE) - CAST(sr1 AS DOUBLE))") + " AS mu2, " +
+        "GREATEST(" + Tables.r6sql(
+          "(CAST(sxx AS DOUBLE) - CAST(sr1xx AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) - CAST(sr1 AS DOUBLE)) - " +
+          s"(${Tables.meanDSql("sx - sr1x", "(CAST(n AS DOUBLE) - CAST(sr1 AS DOUBLE))")}) * " +
+          s"(${Tables.meanDSql("sx - sr1x", "(CAST(n AS DOUBLE) - CAST(sr1 AS DOUBLE))")})") +
+        s", 1.0) AS s22 FROM m$i)"
+    }.mkString(", ")
+    "WITH xs AS MATERIALIZED (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents), " +
+      "mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM xs), " +
+      "st0 AS (SELECT CAST(0.5 AS DOUBLE) AS w1, " +
+      Tables.r6sql("mn + (mx - mn) / 4.0") + " AS mu1, " +
+      Tables.r6sql("((mx - mn) / 4.0) * ((mx - mn) / 4.0)") + " AS s21, " +
+      "CAST(0.5 AS DOUBLE) AS w2, " +
+      Tables.r6sql("mn + (mx - mn) * 3.0 / 4.0") + " AS mu2, " +
+      Tables.r6sql("((mx - mn) / 4.0) * ((mx - mn) / 4.0)") + " AS s22 FROM mm), " +
+      iters + " " +
+      "SELECT component, weight, mu, sigma2 FROM (" +
+      s"SELECT CAST(1 AS BIGINT) AS component, w1 AS weight, mu1 AS mu, s21 AS sigma2 FROM st$EmIters " +
+      "UNION ALL " +
+      s"SELECT CAST(2 AS BIGINT), w2, mu2, s22 FROM st$EmIters) " +
+      "ORDER BY component"
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q308_gaussian_mixture_em", q308 _, Some(q308Sql)),
     Q("q247_daily_quantile_bands", q247 _, Some(
       "SELECT epoch_us(ts) // 86400000000 AS day, " +
         Tables.r6sql("quantile_cont(value, 0.5)") + " AS p50, " +

@@ -123,6 +123,11 @@ class OperatorSuite extends AnyFunSuite {
                                  // q232's justified shape
       "q281_heaps_law",          // OLS-sums 1-row fold over the 10-row
                                  // decile frame (q173's fit shape)
+      "q308_gaussian_mixture_em", // per-step sufficient-statistics grand
+                                 // aggregate — 1-row BY DESIGN (map-side
+                                 // combined) + the (min,max) init fold
+      "q309_blocking_quality",   // four 1-row count folds over the
+                                 // ≤name-domain² bounded frames
       "q307_embedding_outliers", // centroid-norm 1-row fold over the
                                  // 64-row centroid frame
       "q299_decision_stump",     // cumulative window over the bounded
