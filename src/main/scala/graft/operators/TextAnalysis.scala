@@ -912,6 +912,63 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q313: ensemble quality gate — the multi-signal fusion every real
+    * curation pipeline ends at: no single heuristic survives contact
+    * with a corpus, so the gate z-standardizes three INDEPENDENT
+    * signals — q65's linear quality score (up = good), q143's bigram
+    * NLL (up = surprising), q82's bigram repetition ratio (up =
+    * degenerate) — and ranks documents by composite = z_quality −
+    * z_nll − z_rep. Top-20 reported; the same frame, ordered ascending,
+    * is the drop queue. Standardization makes the signals commensurable
+    * without hand-tuned weights — the step that turns three heuristics
+    * into one decision.
+    *
+    * Scale: three per-doc summaries (each an existing one-pass shape)
+    * joined doc-keyed; the mean/std frame is ONE grand sufficient-
+    * statistics aggregate (r6→DECIMAL sums) broadcast back; the head is
+    * TakeOrdered. Std floors at 1e-6 on both engines. */
+  private def q313(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val stopList = stopwords.map("'" + _ + "'").mkString(",")
+    val docs = Tables(spark, sfDir, "documents")
+    val qual = docs
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        Tables.r6(lit(0.001) * col("n_chars") +
+          lit(0.5) * (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))) -
+          (expr(s"size(filter(ts, t -> t IN ($stopList)))").cast("double") / size(col("ts"))))
+          .as("q"),
+        Tables.r6(lit(1.0) -
+          expr("size(array_distinct(transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))))").cast("double") /
+          (size(col("ts")) - 1)).as("rep"))
+    val sig = qual.join(perDocNll(docs).select(col("doc_id"), col("avg_nll").as("nll")), "doc_id")
+      .localCheckpoint(true) // three signals in one frame; stats + rank read it
+    val dec = (c: Column) => Tables.r6(c).cast(DecimalType(18, 6))
+    val stats = sig.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("q"))).as("sq"), sum(dec(col("q") * col("q"))).as("sqq"),
+      sum(dec(col("nll"))).as("sn"), sum(dec(col("nll") * col("nll"))).as("snn"),
+      sum(dec(col("rep"))).as("sr"), sum(dec(col("rep") * col("rep"))).as("srr"))
+    def mz(s: String, ss: String): (Column, Column) = {
+      val m = Tables.meanD(col(s), col("n"))
+      val sd = greatest(Tables.r6(sqrt(
+        col(ss).cast("double") / col("n") - m * m)), lit(1e-6))
+      (m, sd)
+    }
+    val (mq, sdq) = mz("sq", "sqq")
+    val (mn, sdn) = mz("sn", "snn")
+    val (mr, sdr) = mz("sr", "srr")
+    val zq = Tables.r6((col("q") - mq) / sdq)
+    val zn = Tables.r6((col("nll") - mn) / sdn)
+    val zr = Tables.r6((col("rep") - mr) / sdr)
+    sig.crossJoin(broadcast(stats))
+      .select(col("doc_id"), zq.as("z_quality"), zn.as("z_nll"), zr.as("z_rep"),
+        Tables.r6(zq - zn - zr).as("composite"))
+      .orderBy(col("composite").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** q292 pair-report floor: pairs sharing <2 selected fingerprints are
     * noise at any corpus size (a single shared window-min is one shared
     * 4-gram). */
@@ -978,6 +1035,37 @@ object TextAnalysis {
   }
 
   val entries: Seq[Q] = Seq(
+    Q("q313_quality_ensemble", q313 _, Some {
+      val stopList = stopwords.map("'" + _ + "'").mkString(",")
+      def m(s: String) = Tables.meanDSql(s, "n")
+      def sd(s: String, ss: String) = "GREATEST(" + Tables.r6sql(
+        s"sqrt(CAST($ss AS DOUBLE) / n - (${m(s)}) * (${m(s)}))") + ", 0.000001)"
+      def z(x: String, s: String, ss: String) =
+        Tables.r6sql(s"($x - ${m(s)}) / ${sd(s, ss)}")
+      def dec(e: String) = s"CAST(${Tables.r6sql(e)} AS DECIMAL(18,6))"
+      val zq = z("q", "sq", "sqq"); val zn = z("nll", "sn", "snn")
+      val zr = z("rep", "sr", "srr")
+      val qExpr = Tables.r6sql(
+        "0.001 * n_chars + 0.5 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)) - " +
+          s"(CAST(len(list_filter(ts, t -> t IN ($stopList))) AS DOUBLE) / len(ts))")
+      val repExpr = Tables.r6sql(
+        "1.0 - CAST(len(list_distinct(list_transform(range(1, len(ts)), i -> " +
+          "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]))) AS DOUBLE) / (len(ts) - 1)")
+      nllCtesSql + ", " +
+        s"qr AS (SELECT doc_id, $qExpr AS q, $repExpr AS rep FROM (" +
+        "SELECT doc_id, n_chars, str_split(text, ' ') AS ts FROM documents " +
+        "WHERE len(str_split(text, ' ')) >= 2)), " +
+        "sig AS MATERIALIZED (SELECT qr.doc_id, q, rep, avg_nll AS nll " +
+        "FROM qr JOIN per ON qr.doc_id = per.doc_id), " +
+        "stats AS (SELECT COUNT(*) AS n, " +
+        s"SUM(${dec("q")}) AS sq, SUM(${dec("q * q")}) AS sqq, " +
+        s"SUM(${dec("nll")}) AS sn, SUM(${dec("nll * nll")}) AS snn, " +
+        s"SUM(${dec("rep")}) AS sr, SUM(${dec("rep * rep")}) AS srr FROM sig) " +
+        s"SELECT doc_id, $zq AS z_quality, $zn AS z_nll, $zr AS z_rep, " +
+        Tables.r6sql(s"($zq) - ($zn) - ($zr)") + " AS composite " +
+        "FROM sig CROSS JOIN stats " +
+        "ORDER BY composite DESC, doc_id LIMIT 20"
+    }),
     Q("q304_char_langid", q304 _, Some(
       "WITH d AS (SELECT doc_id, lang, text, " +
         CorpusOps.hexBucketSql(100, "md5(CAST(doc_id AS VARCHAR))") +

@@ -825,7 +825,9 @@ object TrainingOps {
   /** The q290 oracle: the identical GD unroll as DuckDB CTEs, generated
     * by the same loop bound so the two engines cannot disagree on the
     * iteration count. */
-  private def q290Sql: String = {
+  /** Shared q290/q312 CTE prefix: features, w0, the GD unroll, and the
+    * final-margin frame `mf` under w_LrIters. */
+  private def lrCtesSql: String = {
     val r6m = Tables.r6sql("x * w")
     val iters = (1 to LrIters).map { i =>
       val wp = s"w${i - 1}"
@@ -853,13 +855,46 @@ object TrainingOps {
       s"w0 AS (SELECT CAST(unnest(range(0, $LrBuckets)) AS BIGINT) AS b, 0.0 AS w), " +
       iters + ", " +
       s"mf AS (SELECT doc_id, y, SUM(CAST($r6m AS DECIMAL(18,6))) AS mdec " +
-      s"FROM x JOIN w$LrIters USING (b) GROUP BY 1, 2), " +
+      s"FROM x JOIN w$LrIters USING (b) GROUP BY 1, 2)"
+  }
+
+  private def q290Sql: String =
+    lrCtesSql + ", " +
       "acc AS (SELECT " + Tables.meanDSql(
         "SUM(CASE WHEN (mdec >= 0) = (y > 0.5) THEN 1 ELSE 0 END)", "COUNT(*)") +
       " AS train_acc FROM mf) " +
       s"SELECT b AS bucket, w AS weight, train_acc FROM w$LrIters " +
       "CROSS JOIN acc ORDER BY bucket"
+
+  /** q312: uncertainty sampling — the active-learning labeling queue:
+    * train the q290 classifier, then surface the 20 documents whose
+    * margin sits closest to the decision boundary (|w·x| minimal, i.e.
+    * σ nearest 0.5) — the rows where a human label buys the most model
+    * improvement. The standard loop that turns a weak learned filter
+    * into a good one without labeling the whole corpus.
+    *
+    * Scale: reuses the q290 GD passes (bounded weight frames); the
+    * queue is one more margin pass + TakeOrdered(20). */
+  private def q312(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val x = lrFeatures(docs, col("lang") === "en")
+      .localCheckpoint(true) // GD passes + the final margin pass read it
+    val ndF = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val w = lrTrain(x, ndF)
+    lrMargins(x, w)
+      .select(col("doc_id"), col("y").cast("bigint").as("label"),
+        Tables.r6(col("mdec").cast("double")).as("margin"),
+        Tables.r6(abs(col("mdec").cast("double"))).as("uncertainty"))
+      .orderBy(col("uncertainty").asc, col("doc_id"))
+      .limit(20)
   }
+
+  private def q312Sql: String =
+    lrCtesSql + " " +
+      "SELECT doc_id, CAST(y AS BIGINT) AS label, " +
+      Tables.r6sql("CAST(mdec AS DOUBLE)") + " AS margin, " +
+      Tables.r6sql("ABS(CAST(mdec AS DOUBLE))") + " AS uncertainty " +
+      "FROM mf ORDER BY uncertainty, doc_id LIMIT 20"
 
   /** q307: global embedding outliers — the unlabeled anomaly screen
     * (q284 needs labels; a raw crawl has none): cosine of every vector
@@ -942,6 +977,72 @@ object TrainingOps {
       chosen = chosen.unionByName(next).localCheckpoint(true) // ≤k+1 rows
     }
     chosen.select("k", "vec_id", "dist_to_set").orderBy("k")
+  }
+
+  /** q311: multinomial Naive Bayes language ID — the GENERATIVE learned
+    * classifier completing the langid trio (q64 fixed word lists, q304
+    * char-trigram profiles, q290's discriminative GD): train per-language
+    * Laplace-smoothed bucket likelihoods P(b|lang) and priors on the
+    * 50% md5 split, score the held-out half by ln prior + Σ tf·ln P(b|lang),
+    * report per-language accuracy. Closed-form — no iterations — which is
+    * why NB is the classifier a pipeline trains when it cannot afford GD
+    * passes: ONE count pass is the whole fit.
+    *
+    * Determinism: ln terms r6-quantized then DECIMAL-summed; argmax ties
+    * break to the lexicographically smaller language on both engines.
+    * Scale: the model is a (langs × 64)-row broadcast; train = one
+    * map-side-combined count pass; scoring = one equi-join of test
+    * bucket counts against the broadcast model + a per-doc window over
+    * ≤langs rows. */
+  private def q311(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = Tables(spark, sfDir, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .select(col("doc_id"), col("lang"), col("text"),
+        CorpusOps.hexBucket(100).cast("bigint").as("db"))
+      .localCheckpoint(true) // read by train counts, test counts, report
+    def buckets(df: DataFrame) = df
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", md5(col("t")))
+      .withColumn("b", CorpusOps.hexBucket(LrBuckets).cast("bigint"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+    val train = d.filter(col("db") < 50)
+    val cb = buckets(train).groupBy("lang", "b").agg(sum("c").as("cnt"))
+    val ct = cb.groupBy("lang").agg(sum("cnt").as("tok"))
+    val prior = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n"))))
+    // dense (lang × 64) model: unseen buckets get the same Laplace mass
+    val langs = prior.select(col("lang").as("plang"), Tables.r6(
+      log(col("nd").cast("double") / col("n"))).as("lnprior"))
+    val grid = langs.select("plang")
+      .crossJoin(spark.range(0, LrBuckets).select(col("id").as("b")))
+      .join(cb.withColumnRenamed("lang", "plang"), Seq("plang", "b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .join(ct.withColumnRenamed("lang", "plang"), "plang")
+      .select(col("plang"), col("b"), Tables.r6(log(
+        (col("cnt") + lit(1L)).cast("double") / (col("tok") + lit(LrBuckets.toLong))))
+        .as("lnp"))
+      .localCheckpoint(true) // langs×64 rows, broadcast to the scorer
+    val test = buckets(d.filter(col("db") >= 50))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("plang"))
+    val pred = test.join(broadcast(grid), "b")
+      .groupBy("doc_id", "plang")
+      .agg(sum(Tables.r6(col("c") * col("lnp")).cast(DecimalType(18, 6))).as("ll"))
+      .join(broadcast(langs), "plang")
+      .select(col("doc_id"), col("plang"),
+        (col("ll").cast("double") + col("lnprior")).as("score"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("pred"))
+    d.filter(col("db") >= 50).select("doc_id", "lang")
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("lang"),
+        when(col("pred") === col("lang"), 1L).otherwise(0L).as("ok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_correct"),
+        Tables.meanD(sum("ok"), count(lit(1))).as("acc"))
+      .orderBy("lang")
   }
 
   /** q299 histogram granularity (chars per bin): bounds the candidate
@@ -1101,6 +1202,41 @@ object TrainingOps {
           "(sqrt(CAST(sv2 AS DOUBLE)) * sqrt(CAST(sc2 AS DOUBLE)))") + " AS cos " +
         "FROM per CROSS JOIN cn ORDER BY cos, vec_id LIMIT 20"
     }),
+    Q("q312_uncertainty_sampling", q312 _, Some(q312Sql)),
+    Q("q311_naive_bayes_langid", q311 _, Some(
+      "WITH d AS (SELECT doc_id, lang, text, CAST(" +
+        CorpusOps.hexBucketSql(100, "md5(CAST(doc_id AS VARCHAR))") +
+        " AS BIGINT) AS db FROM documents), " +
+        "tb AS MATERIALIZED (SELECT doc_id, lang, db, b, COUNT(*) AS c FROM (" +
+        "SELECT doc_id, lang, db, CAST(" +
+        CorpusOps.hexBucketSql(LrBuckets, "md5(t)") + " AS BIGINT) AS b FROM (" +
+        "SELECT doc_id, lang, db, unnest(str_split(text, ' ')) AS t FROM d)) " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "cb AS (SELECT lang, b, SUM(c) AS cnt FROM tb WHERE db < 50 GROUP BY 1, 2), " +
+        "ct AS (SELECT lang, SUM(cnt) AS tok FROM cb GROUP BY 1), " +
+        "ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d WHERE db < 50), " +
+        "pr AS (SELECT lang AS plang, " +
+        Tables.r6sql("LN(CAST(COUNT(*) AS DOUBLE) / n)") + " AS lnprior " +
+        "FROM d CROSS JOIN ntr WHERE db < 50 GROUP BY lang, n), " +
+        "grid AS (SELECT p.plang, g.b, " +
+        Tables.r6sql(s"LN(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE) / (tok + $LrBuckets))") +
+        " AS lnp FROM pr p CROSS JOIN (SELECT CAST(unnest(range(0, " +
+        s"$LrBuckets)) AS BIGINT) AS b) g " +
+        "LEFT JOIN cb ON cb.lang = p.plang AND cb.b = g.b " +
+        "JOIN ct ON ct.lang = p.plang), " +
+        "sc AS (SELECT t.doc_id, g.plang, SUM(CAST(" + Tables.r6sql("c * lnp") +
+        " AS DECIMAL(18,6))) AS ll FROM tb t JOIN grid g USING (b) " +
+        "WHERE t.db >= 50 GROUP BY 1, 2), " +
+        "pred AS (SELECT doc_id, plang AS pred FROM (" +
+        "SELECT doc_id, sc.plang, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY CAST(ll AS DOUBLE) + lnprior DESC, sc.plang) AS rn " +
+        "FROM sc JOIN pr ON sc.plang = pr.plang) WHERE rn = 1) " +
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(ok) AS BIGINT) AS n_correct, " +
+        Tables.meanDSql("SUM(ok)", "COUNT(*)") + " AS acc " +
+        "FROM (SELECT d.lang, CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END AS ok " +
+        "FROM d LEFT JOIN pred p USING (doc_id) WHERE d.db >= 50) " +
+        "GROUP BY lang ORDER BY lang")),
     Q("q306_kcenter_coreset", q306 _, Some {
       def dotE(x: String, y: String) =
         s"list_sum(list_transform(range(1, 65), i -> " +

@@ -123,6 +123,11 @@ class OperatorSuite extends AnyFunSuite {
                                  // q232's justified shape
       "q281_heaps_law",          // OLS-sums 1-row fold over the 10-row
                                  // decile frame (q173's fit shape)
+      "q311_naive_bayes_langid", // train-doc-count 1-row fold feeding the
+                                 // priors (model frames are langs×64)
+      "q312_uncertainty_sampling", // n_docs 1-row fold (q290's GD shape)
+      "q313_quality_ensemble",   // the ONE six-moment sufficient-statistics
+                                 // grand aggregate — 1-row by design
       "q308_gaussian_mixture_em", // per-step sufficient-statistics grand
                                  // aggregate — 1-row BY DESIGN (map-side
                                  // combined) + the (min,max) init fold
