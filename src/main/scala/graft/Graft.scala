@@ -636,15 +636,6 @@ object Graft {
       epsilon: Double = 1.0): DataFrame =
     operators.PrivacyOps.dpMedianOf(df, value, binWidth, epsilon)
 
-  /** Point-in-time join with bounded validity (q194): every fact row
-    * gets the version value set by the latest `versions` row for its
-    * key at or before its time — but only if that version is younger
-    * than `ttl` time units; facts in a coverage gap get NULL. The
-    * single-shuffle union + IGNORE-NULLS carry-window formulation (no
-    * range join, no interval explode). `facts` needs (key, t, fact_id);
-    * `versions` needs (key, t, version_id, v). Returns the fact rows
-    * plus `v_at_t` (nullable). Times and ttl are plain integers
-    * (bucket/epoch units — caller picks the resolution). */
   /** Local clustering coefficient per node — see
     * `operators.GraphOps.clusteringCoef` (q203). `edges`: any (src, dst,
     * ...) frame; direction, loops and duplicates ignored. Returns (node,
@@ -837,6 +828,15 @@ object Graft {
       plans.BandJoin(left.queryExecution.analyzed, right.queryExecution.analyzed, delta))
   }
 
+  /** Point-in-time join with bounded validity (q194): every fact row
+    * gets the version value set by the latest `versions` row for its
+    * key at or before its time — but only if that version is younger
+    * than `ttl` time units; facts in a coverage gap get NULL. The
+    * single-shuffle union + IGNORE-NULLS carry-window formulation (no
+    * range join, no interval explode). `facts` needs (key, t, fact_id);
+    * `versions` needs (key, t, version_id, v). Returns the fact rows
+    * plus `v_at_t` (nullable). Times and ttl are plain integers
+    * (bucket/epoch units — caller picks the resolution). */
   def pointInTimeJoin(facts: DataFrame, versions: DataFrame, ttl: Long): DataFrame = {
     require(ttl >= 0, s"pointInTimeJoin: ttl $ttl must be non-negative")
     val reg = versions.select(col("key"), col("t"), lit(0L).as("graft_kind"),
@@ -891,7 +891,13 @@ object Graft {
     * both coins md5(`key`)-derived so the mechanism is reproducible —
     * then debiases the observed histogram with the unbiased estimator.
     * Returns (segment, n_true, n_reported, n_est); n_true rides along as
-    * the audit column. Verified as q254. */
+    * the audit column. Verified as q254.
+    *
+    * The md5 coins exist for ORACLE DETERMINISM only: anyone who knows a
+    * row's key can re-derive both coins and invert the mechanism, so this
+    * provides zero actual local-DP protection as written. Swap the coin
+    * derivation for a CSPRNG draw per release before any real privacy
+    * deployment (same caveat as [[dpMedian]]). */
   def randomizedResponse(df: DataFrame, key: Column, value: Column,
       categories: Seq[String], truthPct: Int = 75): DataFrame =
     operators.PrivacyOps.randomizedResponseOf(df, key, value, categories, truthPct)

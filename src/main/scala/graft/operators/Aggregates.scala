@@ -390,7 +390,10 @@ object Aggregates {
     import org.apache.spark.sql.SaveMode
     val month = substring(col("o_orderdate").cast("date").cast("string"), 1, 7)
     val orders = Tables(spark, sfDir, "orders")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_rollup_${math.abs(sfDir.hashCode)}"
+    // per-session unique path: two concurrent runs on the same sfDir (or a
+    // hashCode collision across dirs) must not race on one Overwrite target
+    val path = s"${sys.props("java.io.tmpdir")}/graft_rollup_" +
+      s"${spark.sparkContext.applicationId}_${math.abs(sfDir.hashCode)}"
     orders
       .groupBy(month.as("month"), col("o_orderdate").cast("date").as("day"))
       .agg(Tables.dec(sum(Tables.dec(col("o_totalprice")))).as("rev"))

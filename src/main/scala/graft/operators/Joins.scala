@@ -440,7 +440,7 @@ object Joins {
   private val BandDeltaUs = 14400000000L
 
   /** q249: NATIVE band join — every click paired with every purchase by
-    * the SAME user within ±10 minutes, via the second custom physical
+    * the SAME user within ±4 hours ([[BandDeltaUs]]), via the second custom physical
     * operator ([[graft.plans.BandJoin]] + Strategy + BandJoinExec; the
     * q221 tier). The "events near events" interval shape: q10/q221
     * carry ONE latest version forward, q249 emits the whole admissible

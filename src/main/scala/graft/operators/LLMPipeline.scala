@@ -37,7 +37,16 @@ object LLMPipeline {
     * `minhashPairs` is the shared dataflow: q50 lists the pairs, q76
     * clusters them. */
   private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairsOf(Tables(spark, sfDir, "documents"))
+    graft.plans.FrameMemo.shared(spark, "minhash_pairs", sfDir)(
+      pairsFromSigs(minhashSigs(spark, sfDir)))
+
+  /** Memoized signature frame over the canonical `documents` table —
+    * q50/q76/q193/q296/q300/q305 all consume the identical frame, so it
+    * builds once per (session, sfDir) (VERDICT r10 item 6; contract at
+    * [[graft.plans.FrameMemo]]). */
+  private[operators] def minhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.FrameMemo.shared(spark, "minhash_sigs", sfDir)(
+      minhashSigsOf(Tables(spark, sfDir, "documents")))
 
   /** The generic core — `docs` is ANY frame with (doc_id, text); exposed
     * to library users via [[graft.Graft.minhashPairs]]. */
@@ -93,8 +102,10 @@ object LLMPipeline {
     base.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
-  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
-    val sigs = minhashSigsOf(docs)
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame =
+    pairsFromSigs(minhashSigsOf(docs))
+
+  private def pairsFromSigs(sigs: DataFrame): DataFrame = {
     // materialize ONCE: the band self-join references this frame twice and
     // its signature pipeline (two corpus scans + the anti-join) would
     // otherwise re-run per side. One row per (doc, band) — small at any
@@ -159,7 +170,7 @@ object LLMPipeline {
   /** The (doc_id, comp) component labels shared by q76 (cluster listing)
     * and q93 (dedup resolution). */
   private def components(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashPairs(spark, sfDir).localCheckpoint(true)
+    val pairs = minhashPairs(spark, sfDir) // memo-pinned; CC loop re-reads it
     val labels = ccLabels(pairs)._1
     // attach singleton components (docs in no candidate pair): comp =
     // their own id. The converged label set is one row per candidate
@@ -403,7 +414,7 @@ object LLMPipeline {
     * only the near-dup neighborhoods, not the full pair space. */
   private def q193(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val sigs = minhashSigsOf(docs).localCheckpoint(true)
+    val sigs = minhashSigs(spark, sfDir) // memo-pinned; band + match sides read it
     val bands = sigs.select(col("doc_id"), expr(
       "stack(4, 0, concat_ws('|', s0, s1), 1, concat_ws('|', s2, s3), " +
         "2, concat_ws('|', s4, s5), 3, concat_ws('|', s6, s7)) AS (b, band)"))
@@ -411,7 +422,7 @@ object LLMPipeline {
       .join(bands.select(col("doc_id").as("id_b"), col("b"), col("band")), Seq("b", "band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val (inter, sizes) = NearDup.cappedPairFrames(docs, minInter = 1)
+    val (inter, sizes) = NearDup.sharedPairFrames(spark, sfDir, minInter = 1)
     val sa = sigs.toDF("id_a" +: (0 until 8).map(i => s"a$i"): _*)
     val sb = sigs.toDF("id_b" +: (0 until 8).map(i => s"b$i"): _*)
     val m = (0 until 8).map(i =>
@@ -448,7 +459,7 @@ object LLMPipeline {
   private def q296(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     val cand = minhashPairs(spark, sfDir).withColumn("det", lit(1L))
-    val (inter, sizes) = NearDup.cappedPairFrames(docs, minInter = 1)
+    val (inter, sizes) = NearDup.sharedPairFrames(spark, sfDir, minInter = 1)
     val jac = inter.toDF("id_a", "id_b", "inter")
       .join(sizes.toDF("id_a", "na"), "id_a")
       .join(sizes.toDF("id_b", "nb"), "id_b")
@@ -486,7 +497,7 @@ object LLMPipeline {
     * of pure integer compares — nothing pairwise ever touches docs. */
   private def q305(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val sigs = minhashSigsOf(docs)
+    val sigs = minhashSigs(spark, sfDir)
       .join(docs.select("doc_id", "source"), "doc_id")
     val srcSigs = sigs.groupBy("source")
       .agg((0 until 8).map(i => min(col(s"s$i")).as(s"s$i")).head,
@@ -519,10 +530,9 @@ object LLMPipeline {
   private def q300(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables(spark, sfDir, "documents")
-    val cand = minhashPairs(spark, sfDir)
-      .localCheckpoint(true) // read by the CC loop and the edge scoring
+    val cand = minhashPairs(spark, sfDir) // memo-pinned; CC loop + edge scoring read it
     val labels = ccLabels(cand)._1
-    val (inter, sizes) = NearDup.cappedPairFrames(docs, minInter = 1)
+    val (inter, sizes) = NearDup.sharedPairFrames(spark, sfDir, minInter = 1)
     val iv = coalesce(col("inter"), lit(0L))
     val jac = cand
       .join(inter.toDF("id_a", "id_b", "inter"), Seq("id_a", "id_b"), "left")

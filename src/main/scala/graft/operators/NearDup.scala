@@ -64,18 +64,38 @@ object NearDup {
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
 
   /** The (doc_id, simhash) frame shared by q60 (fingerprint listing) and
-    * q83 (banded near-dup pairing). Each token hashes to 32 bits
-    * (md5-prefix); per-bit signed counts over all token occurrences; the
-    * sign vector re-packs into one int64 fingerprint. */
+    * q83 (banded near-dup pairing). Features are (word-trigram, per-doc
+    * term frequency) pairs hashed to 32 bits (md5-prefix); per-bit
+    * signed counts over a doc's distinct features; the sign vector
+    * re-packs into one int64 fingerprint. */
   private[operators] def simhashDF(spark: SparkSession, sfDir: String): DataFrame =
     simhashOf(Tables(spark, sfDir, "documents"))
 
-  /** The generic core — `docs` is ANY frame with (doc_id, text); exposed
-    * to library users via [[graft.Graft.simhash]]. */
+  /** The generic core — `docs` is ANY frame with (doc_id, text), docs
+    * under 3 tokens dropped; exposed via [[graft.Graft.simhash]].
+    *
+    * Feature choice (VERDICT r10 item 3): the original per-token-
+    * occurrence hashing left 27/32 bits degenerate (set rates
+    * 0.01–0.96) on a shared-vocabulary corpus — every doc votes with
+    * nearly the same common-token mass, so whole bits pin corpus-wide
+    * and every q83 band bucket silently widens. Hashing the
+    * (trigram, tf) pair instead draws each doc's votes from a feature
+    * universe large enough that cross-doc sharing can't pin a bit
+    * (q298 measures 31/32 bits inside [0.4, 0.6] at sf0.01, 32/32 at
+    * sf0.1), while small edits still change only a few features — the
+    * Manku et al. WWW'07 weighted-feature recipe with integer-exact
+    * votes (±1 per distinct feature; no float IDF weights, so both
+    * engines re-derive bit-identical fingerprints with no fold-order
+    * hazard). */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .withColumn("h", expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)"))
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), expr(
+        "cast(conv(substring(md5(concat(g, ':', cast(tf as string))), 1, 8), 16, 10) as bigint)").as("h"))
     val bitSums = (0 until 32).map(i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"w$i"))
     val packed = (0 until 32)
@@ -94,8 +114,11 @@ object NearDup {
       s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS w$i").mkString(", ")
     val packed = (0 until 32).map(i =>
       s"CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"raw AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM $src), " +
-      "toks AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM raw), " +
+    s"raw AS (SELECT doc_id, str_split(text, ' ') AS ts FROM $src WHERE len(str_split(text, ' ')) >= 3), " +
+      "occ AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1), i -> " +
+      "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)])) AS g FROM raw), " +
+      "tfq AS (SELECT doc_id, g, COUNT(*) AS tf FROM occ GROUP BY doc_id, g), " +
+      "toks AS (SELECT doc_id, CAST(('0x' || substr(md5(g || ':' || CAST(tf AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM tfq), " +
       s"bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id), " +
       s"sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits)"
   }
@@ -207,7 +230,34 @@ object NearDup {
       .distinct()
 
   private[graft] def cappedPairFrames(docs: DataFrame,
+      minInter: Int = 3): (DataFrame, DataFrame) =
+    pairFramesFromKept(keptShingles(docs), minInter)
+
+  /** Memoized [[cappedPairFrames]] over the canonical `documents` table
+    * (VERDICT r10 item 6): the kept-shingle frame, the per-doc sizes and
+    * the minInter=1 pair-intersection frame each build ONCE per
+    * (session, sfDir) through [[graft.plans.FrameMemo]] and every family
+    * member (q61/q185/q272/q285 at minInter 3; q193/q296/q300 at 1)
+    * derives its view by a filter over the pinned frames. All frames are
+    * bounded: kept is (doc, distinct-capped-trigram) grain, inter is
+    * candidate-bounded by the df-cap. minInter ≥ 1 only (the memoized
+    * base is the ≥1 frame). */
+  private[graft] def sharedPairFrames(spark: SparkSession, sfDir: String,
       minInter: Int = 3): (DataFrame, DataFrame) = {
+    require(minInter >= 1, s"sharedPairFrames: minInter $minInter must be ≥ 1")
+    val kept = graft.plans.FrameMemo.shared(spark, "dedup_kept", sfDir)(
+      keptShingles(Tables(spark, sfDir, "documents")))
+    val inter1 = graft.plans.FrameMemo.shared(spark, "dedup_inter1", sfDir)(
+      pairFramesFromKept(kept, minInter = 1)._1)
+    val sizes = graft.plans.FrameMemo.shared(spark, "dedup_sizes", sfDir)(
+      pairFramesFromKept(kept, minInter = 1)._2)
+    (if (minInter <= 1) inter1 else inter1.filter(col("inter") >= minInter),
+      sizes)
+  }
+
+  /** The df-capped distinct (doc_id, gh) kept-shingle frame — the shared
+    * input every pair derivation starts from. */
+  private[graft] def keptShingles(docs: DataFrame): DataFrame = {
     // The distinct's Exchange is identical across its three consumers
     // (sizes + both self-join sides), so ReuseExchange materializes it
     // once — no explicit checkpoint needed (one was measured at +0.5 s of
@@ -232,8 +282,13 @@ object NearDup {
       .select("gh")
     // (re-select: a using-join moves the join column first, which would
     // scramble the positional toDF renames below)
-    val kept = hashed.join(broadcast(hot), Seq("gh"), "left_anti")
+    hashed.join(broadcast(hot), Seq("gh"), "left_anti")
       .select("doc_id", "gh")
+  }
+
+  /** Per-doc sizes + pair intersections from a kept-shingle frame. */
+  private[graft] def pairFramesFromKept(kept: DataFrame,
+      minInter: Int): (DataFrame, DataFrame) = {
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.toDF("ia", "gh").join(kept.toDF("ib", "gh"), "gh")
       .filter(col("ia") < col("ib"))
@@ -245,7 +300,7 @@ object NearDup {
   /** q61: word-trigram Jaccard near-dup via the inverted-index join —
     * pairs sharing ≥3 shingles, scored inter/(|A|+|B|−inter). */
   private def q61(spark: SparkSession, sfDir: String): DataFrame = {
-    val (inter, sizes) = cappedPairFrames(Tables(spark, sfDir, "documents"))
+    val (inter, sizes) = sharedPairFrames(spark, sfDir)
     inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
@@ -271,8 +326,12 @@ object NearDup {
     * ((doc_id, n) per side). */
   /** The generic containment primitive behind q185, exposed as
     * [[graft.Graft.containmentPairs]]: `docs` needs (doc_id, text). */
-  private[graft] def containmentPairsOf(docs: DataFrame, tau: Double): DataFrame = {
-    val (inter, sizes) = cappedPairFrames(docs)
+  private[graft] def containmentPairsOf(docs: DataFrame, tau: Double): DataFrame =
+    containmentScore(cappedPairFrames(docs), tau)
+
+  private def containmentScore(frames: (DataFrame, DataFrame),
+      tau: Double): DataFrame = {
+    val (inter, sizes) = frames
     inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
@@ -284,7 +343,7 @@ object NearDup {
   }
 
   private def q185(spark: SparkSession, sfDir: String): DataFrame =
-    containmentPairsOf(Tables(spark, sfDir, "documents"), tau = 0.5)
+    containmentScore(sharedPairFrames(spark, sfDir), tau = 0.5)
 
   /** q269: EXACT set-similarity join via prefix filtering (Chaudhuri et
     * al. ICDE'06 SSJoin; Bayardo et al. WWW'07 AllPairs) — every document
@@ -409,7 +468,7 @@ object NearDup {
     * sources²-bounded. */
   private def q272(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val (inter, sizes) = cappedPairFrames(docs)
+    val (inter, sizes) = sharedPairFrames(spark, sfDir)
     val scored = inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
@@ -670,9 +729,43 @@ object NearDup {
     * candidate volume is bucket-bounded; rerank touches candidates
     * only. Planes are Knuth-hash ±1 so the oracle regenerates them
     * bit-identically in SQL. */
-  private val NPlanes = 16
+  /** 32 planes banded 8×4 bits (VERDICT r10 item 2): the original 16/4×4
+    * config measured recall@10 = 0.1–0.4 on this corpus — true top-10
+    * neighbors sit near cosine 0.3 (per-bit agreement p ≈ 0.6), so a
+    * 4-band exact-bucket probe hits a neighbor with only 1−(1−p⁴)⁴ ≈ 0.6.
+    * Eight bands with the [[multiProbe]] flip-1 ring lift that to
+    * 1−(1−(p⁴+4p³(1−p)))⁸ ≈ 0.994 (measured ≥ 0.9 at sf0.01/sf0.1 by
+    * q291). Candidates stay band-bounded: the join is still an equi-join
+    * on (b, k) — 5 probe keys per band, corpus side single-key. */
+  private[operators] val NPlanes = 32
+  private[operators] val NBands = 8
+  /** q302's JL target dimensionality — fixed at 16 independently of the
+    * LSH signature width (the JL audit asks "is 16 dims enough?", a
+    * different question from the index's banding). */
+  private val JlDims = 16
   private def planeSign(p: Int, j1: Int): Double =
     if ((((p * 64L + j1) * 2654435761L) % 1000003L) % 2L == 0L) 1.0 else -1.0
+
+  /** Multi-probe expansion of a (…, b, k) band-key frame (Lv et al.,
+    * VLDB'07, applied to sign-LSH): each PROBE band key also probes its
+    * four Hamming-1 neighbor buckets (k XOR 1/2/4/8). One flipped sign
+    * bit is the most likely miss mode for a true near neighbor —
+    * P[bit match] = 1 − θ/π per Charikar — so probing the flip-1 ring
+    * lifts per-band hit probability from p⁴ to p⁴ + 4p³(1−p): recall@10
+    * measured 0.1–0.4 with exact-bucket probing (VERDICT r10 item 2)
+    * and ≥0.8 with the ring. Probe-side only (5 keys per probe band);
+    * the CORPUS side stays single-key, so the index layout and its
+    * bucket bounds are unchanged — this is more probes, not a bigger
+    * index, exactly the multi-probe trade. */
+  private[operators] def multiProbe(banded: DataFrame): DataFrame =
+    banded.withColumn("k",
+      explode(array(Seq(0, 1, 2, 4, 8).map(f => col("k").bitwiseXOR(lit(f))): _*)))
+
+  /** DuckDB CTE fragment mirroring [[multiProbe]]: expand `src` (vec_id,
+    * b, k [, extra cols]) to the 5-key probe ring. */
+  private[operators] def multiProbeSql(src: String, extraCols: String = ""): String =
+    s"(SELECT vec_id$extraCols, b, xor(k, f.f) AS k FROM $src " +
+      "CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f) f)"
 
   /** The q124 signature projection — narrow (no Exchange), 16 codegen'd
     * `graft_dot`s against literal plane arrays. Shared with
@@ -695,10 +788,10 @@ object NearDup {
     val sigs = hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
       .localCheckpoint(true) // signatures computed once, read by both join sides
     val banded = sigs.select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("b"))
+        explode(sequence(lit(0), lit(NBands - 1))).as("b"))
       .select(col("vec_id"), col("b"),
         expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
-    val cand = banded.filter(col("vec_id") < 10)
+    val cand = multiProbe(banded.filter(col("vec_id") < 10))
       .select(col("vec_id").as("id_p"), col("b"), col("k"))
       .join(banded.select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
       .filter(col("id_p") =!= col("id_c"))
@@ -741,7 +834,7 @@ object NearDup {
     val sigs = hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
       .localCheckpoint(true) // read by probes, corpus, and both band sides
     val banded = sigs.select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("b"))
+        explode(sequence(lit(0), lit(NBands - 1))).as("b"))
       .select(col("vec_id"), col("b"),
         expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
     val probes = sigs.filter(col("vec_id") < 10)
@@ -758,7 +851,7 @@ object NearDup {
       .join(corpus, col("id_p") =!= col("id_c"))
       .select(col("id_p"), col("id_c"),
         Tables.r6(dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos")))
-    val cand = banded.filter(col("vec_id") < 10)
+    val cand = multiProbe(banded.filter(col("vec_id") < 10))
       .select(col("vec_id").as("id_p"), col("b"), col("k"))
       .join(banded.select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
       .filter(col("id_p") =!= col("id_c"))
@@ -782,6 +875,60 @@ object NearDup {
       .orderBy("vec_id")
   }
 
+  /** q314: ANN from a PERSISTED index layout (VERDICT r10 item 7) —
+    * q124's exact query shape answered from a bucketed (b, k) band-key
+    * table written once per sfDir (the q88 pay-the-shuffle-once pattern
+    * applied to similarity): signatures are computed at INDEX-BUILD time
+    * and never again — the query plan contains only scans of the index
+    * plus the candidate rerank; PlanShapeSuite asserts no signature
+    * recompute (no shiftright-of-sig, no plane dots) appears past the
+    * first build. This is what an embedding-dedup deployment actually
+    * runs at 100 TB: probes arrive continuously, the corpus index is a
+    * table, and re-hashing the corpus per query would dwarf the query.
+    * Bucketing by (b, k) co-locates each band bucket, so a probe batch
+    * prunes to its buckets instead of shuffling the index. Output =
+    * q124's (identical semantics, layout-independent), so the oracle is
+    * the same recompute-from-scratch SQL — the strongest possible check
+    * that the layout changes WHERE the work happens, never the answer.
+    * Catalog name + path carry the sfDir tag (q88's convention: scale
+    * factors must not clobber each other; re-invocations reuse the
+    * layout — the first invocation per sfDir pays the build). */
+  private def q314(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxT = s"graft_ann_idx$tag"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx$tag"
+    if (!(spark.catalog.tableExists(idxT) && new java.io.File(path).exists())) {
+      hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
+        .select(col("vec_id"), col("sig"),
+          explode(sequence(lit(0), lit(NBands - 1))).as("b"))
+        .select(col("vec_id"), col("b"),
+          expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "b", "k").sortBy("b", "k")
+        .option("path", path).saveAsTable(idxT)
+    }
+    val idx = spark.table(idxT)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cand = multiProbe(idx.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("id_p"), col("b"), col("k"))
+      .join(idx.select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
+      .filter(col("id_p") =!= col("id_c"))
+      .select("id_p", "id_c").distinct()
+    val withVec = cand
+      .join(emb.select(col("vec_id").as("id_p"), col("embedding").as("ep"),
+        sqrt(dotCol("embedding", "embedding")).as("np")), "id_p")
+      .join(emb.select(col("vec_id").as("id_c"), col("embedding").as("ec"),
+        sqrt(dotCol("embedding", "embedding")).as("nc")), "id_c")
+    val wTop = Window.partitionBy("id_p").orderBy(col("cos").desc, col("id_c"))
+    withVec
+      .select(col("id_p"), col("id_c"),
+        Tables.r6(dotCol("ep", "ec") / (col("np") * col("nc"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .orderBy("id_p", "rn")
+  }
+
   /** q302: Johnson–Lindenstrauss random projection + distortion audit —
     * the dimensionality-reduction step in front of ANN/clustering when
     * 64 dims is still too wide to index: project every vector onto the
@@ -800,18 +947,18 @@ object NearDup {
   private def q302(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 10)
-    val planes: Seq[Column] = (0 until NPlanes).map { p =>
+    val planes: Seq[Column] = (0 until JlDims).map { p =>
       typedLit(Array.tabulate(64)(j0 => planeSign(p, j0 + 1).toFloat))
     }
     val proj = planes.zipWithIndex.foldLeft(emb.select(col("vec_id"), col("embedding"))) {
       case (df, (pl, p)) => df.withColumn(s"p$p", pl)
     }.select(col("vec_id") +: col("embedding").as("e") +:
-      (0 until NPlanes).map(p =>
+      (0 until JlDims).map(p =>
         Tables.r6(expr(s"graft_dot(embedding, p$p)") / lit(4.0)).as(s"z$p")): _*)
       .localCheckpoint(true) // ≤10 rows; both pair-join sides read it
     val a = proj.toDF(proj.columns.map(c => s"a_$c"): _*)
     val b = proj.toDF(proj.columns.map(c => s"b_$c"): _*)
-    val d16sq = (0 until NPlanes).map(p =>
+    val d16sq = (0 until JlDims).map(p =>
       (col(s"a_z$p") - col(s"b_z$p")) * (col(s"a_z$p") - col(s"b_z$p")))
       .reduce(_ + _)
     val d64sq = Tables.r6(dotCol("a_e", "a_e")) + Tables.r6(dotCol("b_e", "b_e")) -
@@ -838,6 +985,20 @@ object NearDup {
     * Scale: everything runs on the ≤|name-domain| frame (≈64 rows at
     * every SF); the exhaustive cross is domain²-bounded by construction
     * and never touches the parts table beyond the initial collapse. */
+  /** The q240/q309 blocking keys for one name column: a tagged
+    * first-token key and a tagged last-token key per name (multi-pass
+    * blocking as ONE key explode — candidates are the equi-join on
+    * `blk`, unioned across passes by construction). */
+  private def erBlockKeys(d: DataFrame, n: String): DataFrame =
+    d.select(col(n), explode(array(
+      concat(lit("f:"), split(col(n), " ").getItem(0)),
+      concat(lit("l:"), element_at(split(col(n), " "), -1)))).as("blk"))
+
+  /** Same keys as a DuckDB CTE body over relation `src(col)`. */
+  private def erBlockKeysSql(src: String, c: String): String =
+    s"SELECT $c, 'f:' || str_split($c, ' ')[1] AS blk FROM $src " +
+      s"UNION ALL SELECT $c, 'l:' || str_split($c, ' ')[-1] FROM $src"
+
   private def q309(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.JaroWinkler.register(spark)
     val names = Tables(spark, sfDir, "part").select("p_name").distinct()
@@ -847,10 +1008,16 @@ object NearDup {
       .filter(Tables.r6(expr("graft_jaro_winkler(na, nb)")) >= ErJwThresh)
       .select("na", "nb")
       .localCheckpoint(true) // ≤domain² matches; read twice below
-    val blkKey = (c: Column) => split(c, " ").getItem(0)
-    val blocked = a.join(b, col("na") < col("nb"))
-      .filter(blkKey(col("na")) === blkKey(col("nb")))
-      .select("na", "nb")
+    // two-pass blocking (VERDICT r10 item 4): first-token alone measured
+    // recall 0.67 — a third of true JW matches never reached the matcher.
+    // Unioning a LAST-token pass catches the tail (JW's Winkler prefix
+    // boost means prefix-divergent matches still share their suffix
+    // token here: measured recall 1.0 / reduction 0.78 on this domain).
+    // Key-explode form, not per-pass cross joins: candidates come from
+    // ONE equi-join on the tagged key, the scalable multi-pass shape.
+    val blocked = erBlockKeys(a, "na").join(erBlockKeys(b, "nb"), "blk")
+      .filter(col("na") < col("nb"))
+      .select("na", "nb").distinct()
       .localCheckpoint(true)
     val nNames = names.agg(count(lit(1)).as("n_names"))
     val nTruth = truth.agg(count(lit(1)).as("n_true"))
@@ -934,12 +1101,15 @@ object NearDup {
     val parts = Tables(spark, sfDir, "part").select("p_partkey", "p_name")
     val nameIds = parts.groupBy("p_name").agg(min("p_partkey").as("nid"))
       .localCheckpoint(true) // value-domain-sized; edges + re-attach read it
-    val b = nameIds.withColumn("blk", split(col("p_name"), " ").getItem(0))
+    // first+last-token two-pass blocking, same keys as the q309 audit
+    // that justifies them (recall 0.67 → 1.0 on this name domain)
+    val b = erBlockKeys(nameIds, "p_name")
+      .join(nameIds, "p_name")
     val edges = b.select(col("nid").as("id_a"), col("p_name").as("na"), col("blk"))
       .join(b.select(col("nid").as("id_b"), col("p_name").as("nb"), col("blk")), "blk")
       .filter(col("id_a") < col("id_b"))
       .filter(Tables.r6(expr("graft_jaro_winkler(na, nb)")) >= ErJwThresh)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
     val labels = LLMPipeline.ccLabels(edges)._1 // (doc_id, comp), edge vertices only
     val entity = nameIds
       .join(broadcast(labels.withColumnRenamed("doc_id", "nid")), Seq("nid"), "left")
@@ -962,10 +1132,10 @@ object NearDup {
       s"list_sum(list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * $sgn))"
     "WITH bits AS (SELECT e.vec_id, p, " +
       s"CASE WHEN $dotPlane >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END AS bit " +
-      "FROM embeddings e CROSS JOIN range(0, 16) r(p)), " +
+      "FROM embeddings e CROSS JOIN range(0, 32) r(p)), " +
       "sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id), " +
       "banded AS (SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS k " +
-      "FROM sig CROSS JOIN range(0, 4) r(b))"
+      "FROM sig CROSS JOIN range(0, 8) r(b))"
   }
 
   /** q283 contamination threshold: candidate cosines on this corpus top
@@ -993,10 +1163,10 @@ object NearDup {
       .withColumn("b100", CorpusOps.hexBucket(100))
       .localCheckpoint(true) // read by both band-join sides + the probe list
     val banded = sigs.select(col("vec_id"), col("b100"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("b"))
+        explode(sequence(lit(0), lit(NBands - 1))).as("b"))
       .select(col("vec_id"), col("b100"), col("b"),
         expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
-    val cand = banded.filter(col("b100") >= 90)
+    val cand = multiProbe(banded.filter(col("b100") >= 90))
       .select(col("vec_id").as("id_p"), col("b"), col("k"))
       .join(banded.filter(col("b100") < 90)
         .select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
@@ -1031,7 +1201,7 @@ object NearDup {
     * sweeps the bounded pair frame. */
   private def q285(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val (inter, sizes) = cappedPairFrames(docs)
+    val (inter, sizes) = sharedPairFrames(spark, sfDir)
     val jac = inter
       .join(sizes.toDF("ia", "na"), "ia")
       .join(sizes.toDF("ib", "nb"), "ib")
@@ -1056,8 +1226,10 @@ object NearDup {
     Q("q240_entity_resolution", q240 _, Some(
       "WITH RECURSIVE nid AS (SELECT p_name, MIN(p_partkey) AS nid " +
         "FROM part GROUP BY p_name), " +
-        "b AS (SELECT p_name, nid, str_split(p_name, ' ')[1] AS blk FROM nid), " +
-        "e AS (SELECT a.nid AS ida, c.nid AS idb FROM b a JOIN b c " +
+        "bk AS (SELECT p_name, 'f:' || str_split(p_name, ' ')[1] AS blk FROM nid " +
+        "UNION ALL SELECT p_name, 'l:' || str_split(p_name, ' ')[-1] FROM nid), " +
+        "b AS (SELECT bk.p_name, nid.nid, bk.blk FROM bk JOIN nid USING (p_name)), " +
+        "e AS (SELECT DISTINCT a.nid AS ida, c.nid AS idb FROM b a JOIN b c " +
         "ON a.blk = c.blk AND a.nid < c.nid " +
         s"WHERE ${Tables.r6sql("jaro_winkler_similarity(a.p_name, c.p_name)")} >= $ErJwThresh), " +
         "sym AS (SELECT ida AS a, idb AS bb FROM e UNION ALL SELECT idb, ida FROM e), " +
@@ -1172,7 +1344,16 @@ object NearDup {
         "FROM cells s JOIN embeddings e ON s.label = e.label AND s.id_p <> e.vec_id) " +
         "WHERE rn <= 3 ORDER BY id_p, rn"
     }),
-    Q("q124_ann_hyperplane", q124 _, Some {
+    // q314 answers q124's exact query from the persisted index, so both
+    // compare against the SAME recompute-from-scratch oracle — the
+    // layout must change where the work happens, never the answer
+    Q("q314_ann_index_layout", q314 _, Some(annTop3OracleSql)),
+    Q("q124_ann_hyperplane", q124 _, Some(annTop3OracleSql)),
+  ) ++ legacyEntries
+
+  /** The q124/q314 oracle: hyperplane signatures + multi-probe banding +
+    * exact cosine rerank, all regenerated from scratch in DuckDB. */
+  private lazy val annTop3OracleSql: String = {
       // the same Knuth-hash ±1 planes, regenerated inline: sign(p, j) for
       // the j-th (1-based) component of plane p
       val sgn = "(CASE WHEN (((p * 64 + j) * 2654435761) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
@@ -1183,11 +1364,12 @@ object NearDup {
       val nC = "sqrt(list_sum(list_transform(range(1,65), i -> CAST(cv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE))))"
       "WITH bits AS (SELECT e.vec_id, p, " +
         s"CASE WHEN $dotPlane >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END AS bit " +
-        "FROM embeddings e CROSS JOIN range(0, 16) r(p)), " +
+        "FROM embeddings e CROSS JOIN range(0, 32) r(p)), " +
         "sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id), " +
         "banded AS (SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS k " +
-        "FROM sig CROSS JOIN range(0, 4) r(b)), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM banded a " +
+        "FROM sig CROSS JOIN range(0, 8) r(b)), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM " +
+        multiProbeSql("banded") + " a " +
         "JOIN banded c ON a.b = c.b AND a.k = c.k " +
         "WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id) " +
         "SELECT id_p, id_c, cos, rn FROM (SELECT cand.id_p, cand.id_c, " +
@@ -1197,7 +1379,11 @@ object NearDup {
         "FROM cand JOIN embeddings pv ON cand.id_p = pv.vec_id " +
         "JOIN embeddings cv ON cand.id_c = cv.vec_id) " +
         "WHERE rn <= 3 ORDER BY id_p, rn"
-    }),
+  }
+
+  // lazy: referenced from `entries` above its definition point — a plain
+  // val would still be null during the object's initializer
+  private lazy val legacyEntries: Seq[Q] = Seq(
     Q("q181_ingest_dedup", q181 _, Some(
       simhashSql + ", " +
         "banded AS (SELECT doc_id, simhash, b, (simhash >> CAST(b * 8 AS INT)) & 255 AS k " +
@@ -1222,7 +1408,7 @@ object NearDup {
         CorpusOps.hexBucketSql(100, "md5('sdc:' || CAST(vec_id AS VARCHAR))") +
         " AS b100 FROM embeddings), " +
         "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c " +
-        "FROM banded a JOIN bk pa ON a.vec_id = pa.vec_id " +
+        "FROM " + multiProbeSql("banded") + " a JOIN bk pa ON a.vec_id = pa.vec_id " +
         "JOIN banded c ON a.b = c.b AND a.k = c.k " +
         "JOIN bk pc ON c.vec_id = pc.vec_id " +
         "WHERE pa.b100 >= 90 AND pc.b100 < 90), " +
@@ -1241,9 +1427,9 @@ object NearDup {
         "truth AS (SELECT a.p_name AS na, b.p_name AS nb FROM names a " +
         "JOIN names b ON a.p_name < b.p_name " +
         s"WHERE ${Tables.r6sql("jaro_winkler_similarity(a.p_name, b.p_name)")} >= $ErJwThresh), " +
-        "blocked AS (SELECT a.p_name AS na, b.p_name AS nb FROM names a " +
-        "JOIN names b ON a.p_name < b.p_name " +
-        "AND str_split(a.p_name, ' ')[1] = str_split(b.p_name, ' ')[1]), " +
+        "bk AS (" + erBlockKeysSql("names", "p_name") + "), " +
+        "blocked AS (SELECT DISTINCT a.p_name AS na, b.p_name AS nb " +
+        "FROM bk a JOIN bk b ON a.blk = b.blk AND a.p_name < b.p_name), " +
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_names FROM names), " +
         "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth), " +
         "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM blocked), " +
@@ -1264,12 +1450,12 @@ object NearDup {
         Tables.r6sql("list_sum(list_transform(range(1, 65), j -> " +
           s"CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * $sgn)) / 4.0") + s" AS z$p"
       }
-      val d16 = (0 until NPlanes).map(p =>
+      val d16 = (0 until JlDims).map(p =>
         s"(a.z$p - b.z$p) * (a.z$p - b.z$p)").mkString(" + ")
       val d64 = Tables.r6sql(dotE("pa", "pa")) + " + " + Tables.r6sql(dotE("pb", "pb")) +
         " - 2.0 * " + Tables.r6sql(dotE("pa", "pb"))
       "WITH proj AS (SELECT vec_id, " +
-        (0 until NPlanes).map(zCol).mkString(", ") +
+        (0 until JlDims).map(zCol).mkString(", ") +
         " FROM embeddings e WHERE vec_id < 10), " +
         "d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         Tables.r6sql(s"sqrt($d64)") + " AS d_orig, " +
@@ -1305,7 +1491,8 @@ object NearDup {
         "ex AS (SELECT id_p, id_c FROM (SELECT id_p, id_c, " +
         "ROW_NUMBER() OVER (PARTITION BY id_p ORDER BY cos DESC, id_c) AS rn " +
         s"FROM exd) WHERE rn <= $RecallK), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM banded a " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM " +
+        multiProbeSql("banded") + " a " +
         "JOIN banded c ON a.b = c.b AND a.k = c.k " +
         "WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id), " +
         s"ld AS (SELECT cand.id_p, cand.id_c, $cosSql AS cos " +

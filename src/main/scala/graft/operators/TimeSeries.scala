@@ -276,9 +276,16 @@ object TimeSeries {
     * LEFT SEMI — Spark stops probing a click at its first matching
     * purchase and emits no pair fan-out at all, so this is strictly
     * cheaper than the pairing; per-user rollup is map-side combined. */
-  private def q262(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+  private def q262(spark: SparkSession, sfDir: String): DataFrame =
+    abandonmentOf(
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us")),
+      usPerHour)
+
+  /** The generic core behind q262 — `ev` is any (event_id, user_id,
+    * event_type, ts_us) frame; StreamingSuite proves the incremental
+    * left-outer stream-stream join computes the same per-user rollup. */
+  private[graft] def abandonmentOf(ev: DataFrame, windowUs: Long): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts_us").as("c_ts"))
@@ -286,7 +293,7 @@ object TimeSeries {
       .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
     val converted = clicks.join(purchases,
       col("user_id") === col("p_user") &&
-        col("p_ts") > col("c_ts") && col("p_ts") <= col("c_ts") + usPerHour,
+        col("p_ts") > col("c_ts") && col("p_ts") <= col("c_ts") + windowUs,
       "left_semi")
     val perUser = clicks.groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
     val convUser = converted.groupBy("user_id")

@@ -37,10 +37,10 @@ object TrainingOps {
     val sigs = NearDup.hyperplaneSigFrame(emb)
       .localCheckpoint(true) // computed once, read by both band-join sides
     val banded = sigs.select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("b"))
+        explode(sequence(lit(0), lit(NearDup.NBands - 1))).as("b"))
       .select(col("vec_id"), col("b"),
         expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
-    val cand = banded.filter(col("vec_id") < 20)
+    val cand = NearDup.multiProbe(banded.filter(col("vec_id") < 20))
       .select(col("vec_id").as("id_p"), col("b"), col("k"))
       .join(banded.filter(col("vec_id") >= 20)
         .select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
@@ -133,10 +133,10 @@ object TrainingOps {
     val sigs = NearDup.hyperplaneSigFrame(emb)
       .localCheckpoint(true) // read by both band-join sides
     val banded = sigs.select(col("vec_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("b"))
+        explode(sequence(lit(0), lit(NearDup.NBands - 1))).as("b"))
       .select(col("vec_id"), col("b"),
         expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
-    val cand = banded.filter(col("vec_id") < 10)
+    val cand = NearDup.multiProbe(banded.filter(col("vec_id") < 10))
       .select(col("vec_id").as("id_p"), col("b"), col("k"))
       .join(banded.select(col("vec_id").as("id_c"), col("b"), col("k")), Seq("b", "k"))
       .filter(col("id_p") =!= col("id_c"))
@@ -1359,11 +1359,12 @@ object TrainingOps {
       val nC = s"sqrt(${NearDup.dotSql("cv", "cv")})"
       "WITH bits AS (SELECT e.vec_id, p, " +
         s"CASE WHEN $dotPlane >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END AS bit " +
-        "FROM embeddings e CROSS JOIN range(0, 16) r(p)), " +
+        "FROM embeddings e CROSS JOIN range(0, 32) r(p)), " +
         "sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id), " +
         "banded AS (SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS k " +
-        "FROM sig CROSS JOIN range(0, 4) r(b)), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM banded a " +
+        "FROM sig CROSS JOIN range(0, 8) r(b)), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM " +
+        NearDup.multiProbeSql("banded") + " a " +
         "JOIN banded c ON a.b = c.b AND a.k = c.k " +
         "WHERE a.vec_id < 20 AND c.vec_id >= 20), " +
         "top5 AS (SELECT id_p, id_c, c_label FROM (SELECT cand.id_p, cand.id_c, cv.label AS c_label, " +
@@ -1387,11 +1388,12 @@ object TrainingOps {
       val nC = s"sqrt(${NearDup.dotSql("cv", "cv")})"
       "WITH bits AS (SELECT e.vec_id, p, " +
         s"CASE WHEN $dotPlane >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END AS bit " +
-        "FROM embeddings e CROSS JOIN range(0, 16) r(p)), " +
+        "FROM embeddings e CROSS JOIN range(0, 32) r(p)), " +
         "sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig FROM bits GROUP BY vec_id), " +
         "banded AS (SELECT vec_id, b, (sig >> CAST(b * 4 AS INT)) & 15 AS k " +
-        "FROM sig CROSS JOIN range(0, 4) r(b)), " +
-        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM banded a " +
+        "FROM sig CROSS JOIN range(0, 8) r(b)), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_p, c.vec_id AS id_c FROM " +
+        NearDup.multiProbeSql("banded") + " a " +
         "JOIN banded c ON a.b = c.b AND a.k = c.k " +
         "WHERE a.vec_id < 10 AND c.vec_id <> a.vec_id) " +
         "SELECT id_p, p_label, id_c, c_label, cos, rn FROM (" +

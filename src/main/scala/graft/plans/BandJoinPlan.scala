@@ -102,8 +102,12 @@ case class BandJoinExec(
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
+    // SQLMetrics merge per-task values by SUMMATION on the driver, so the
+    // displayed number is the SUM of per-partition maxima, not a global
+    // max — name it that way. Still useful as an upper bound on any one
+    // window's occupancy (diagnostic: a blow-up shows up here first).
     "maxWindow" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "max band-window occupancy"))
+      .createMetric(sparkContext, "summed per-partition max band-window occupancy"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")

@@ -30,7 +30,8 @@ object DistributedCumSum {
     * prefix. */
   def cumulative(df: DataFrame, key: String, sumCols: Seq[String]): DataFrame = {
     require(sumCols.nonEmpty, "cumulative: need at least one sum column")
-    require(!df.columns.exists(c => c.startsWith("graft_") || sumCols.contains("cum_" + c)),
+    require(!df.columns.exists(_.startsWith("graft_")) &&
+        !sumCols.exists(s => df.columns.contains("cum_" + s)),
       "cumulative: input collides with graft_ working columns or cum_ outputs")
     // Eager checkpoint pins the sampled range boundaries AND the
     // spark_partition_id values: the frame feeds both the running-sum
@@ -88,7 +89,8 @@ object DistributedCumSum {
       sumCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty && sumCols.nonEmpty,
       "cumulativeGrouped: need group, order and sum columns")
-    require(!df.columns.exists(c => c.startsWith("graft_") || sumCols.contains("cum_" + c)),
+    require(!df.columns.exists(_.startsWith("graft_")) &&
+        !sumCols.exists(s => df.columns.contains("cum_" + s)),
       "cumulativeGrouped: input collides with graft_ working columns or cum_ outputs")
     // eager checkpoint pins sampled range boundaries + pid values across
     // the running-sum and totals consumers ([[cumulative]]'s rationale)

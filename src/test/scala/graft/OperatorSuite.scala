@@ -175,8 +175,14 @@ class OperatorSuite extends AnyFunSuite {
           Some(s"$name: unjustified Exchange SinglePartition")
         else None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
-      finally spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      finally {
+        // sweep AROUND FrameMemo-owned frames (graft.plans.FrameMemo
+        // contract rule 1) — unpersisting them would rebuild the shared
+        // dedup/minhash frames on every one of the 300+ queries here
+        val owned = graft.plans.FrameMemo.ownedIds(spark)
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(r => owned(r.id)).foreach(_.unpersist(blocking = true))
+      }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

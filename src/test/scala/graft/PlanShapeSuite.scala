@@ -356,10 +356,14 @@ class PlanShapeSuite extends AnyFunSuite {
   }
 
   test("q185: df-cap rides a broadcast anti-join; q187 scans parquet only for seeds") {
-    // q185 shares q61's inverted-index plan: the hot-shingle cap must be
-    // a broadcast LeftAnti (hot set is tiny by the counting bound), never
-    // a shuffled pair-space filter
-    val d185 = SparkEntry.queries("q185_dedup_containment")(spark, sf)
+    // q185 shares q61's inverted-index dataflow: the hot-shingle cap must
+    // be a broadcast LeftAnti (hot set is tiny by the counting bound),
+    // never a shuffled pair-space filter. Since r11 the registered q185
+    // reads the FrameMemo-pinned frames (its own plan is Scan
+    // ExistingRDD), so probe the identical generic path — the memo build
+    // runs exactly this plan once per session.
+    val d185 = operators.NearDup.containmentPairsOf(
+      Tables(spark, sf, "documents"), tau = 0.5)
     d185.collect()
     val p185 = d185.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p185).isDefined,
@@ -478,6 +482,21 @@ class PlanShapeSuite extends AnyFunSuite {
     val plan = sigs.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"signature projection must be narrow (no Exchange):\n$plan")
+  }
+
+  test("q314 answers from the persisted index: no signature recompute in the plan (r11)") {
+    // first invocation builds the bucketed (b, k) layout; the SECOND must
+    // plan as scans of the index table + rerank only — any shiftright
+    // (band-key derivation from a recomputed sig) in the final plan means
+    // the layout isn't actually being served from
+    SparkEntry.queries("q314_ann_index_layout")(spark, sf).collect()
+    val qe = SparkEntry.queries("q314_ann_index_layout")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_ann_idx"),
+      s"q314 must scan the persisted index table:\n$plan")
+    assert(!plan.contains("shiftright"),
+      s"q314 recomputes band keys instead of reading the index:\n$plan")
   }
 
   test("q232 BM25: top-k is a TakeOrdered, stats/df broadcast, one tf exchange") {

@@ -557,6 +557,52 @@ class StreamingSuite extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(5)}  batch-only: ${(batch -- streamed).take(5)}")
   }
 
+  test("q262 batch abandonment ≡ streaming left-outer absence on the same events (r11)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 4 users × 6 clicks + 4 purchases over 4 hours — same fixture shape
+    // as the q250 parity; some clicks convert, some abandon
+    val clickEvents = for (u <- 1L to 4L; i <- 0 until 6) yield
+      Event(u * 1000 + i, ts(((i * 37 + u * 11) % 240).toInt), u, "click", 0.0)
+    val purchaseEvents = for (u <- 1L to 4L; j <- 0 until 4) yield
+      Event(u * 1000 + 500 + j, ts(((j * 53 + u * 17) % 240).toInt), u, "purchase", 1.0)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamOps.clickAbandonment(clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("abandon262")
+      .outputMode("append").start()
+    try {
+      clicks.addData(clickEvents); purchases.addData(purchaseEvents)
+      q.processAllAvailable()
+      // sentinels: push both watermarks past every real event so every
+      // click's verdict (matched rows or the NULL-purchase row) flushes
+      clicks.addData(Seq(Event(-1, ts(2000), 99, "click", 0.0)))
+      purchases.addData(Seq(Event(-2, ts(2000), 99, "purchase", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // streamed per-click verdict → per-user rollup (converted = any
+    // non-NULL purchase row for that click)
+    val perClick = spark.table("abandon262").collect()
+      .filter(_.getAs[Long]("user_id") <= 4L)
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id")))
+      .toSeq // BEFORE the map — mapping the Map to (u, bool) would re-key by u
+      .map { case ((u, _), rows) =>
+        (u, rows.exists(r => !r.isNullAt(r.fieldIndex("purchase_id")))) }
+    val streamed = perClick.groupBy(_._1).map { case (u, vs) =>
+      (u, vs.size.toLong, vs.count(_._2).toLong) }.toSet
+    // batch q262 core on the identical rows
+    val ev = (clickEvents ++ purchaseEvents).filter(_.user_id <= 4L).toDF()
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+    val batch = operators.TimeSeries.abandonmentOf(ev, 3600000000L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_clicks"),
+        r.getAs[Long]("n_converted"))).toSet
+    assert(batch.exists(t => t._2 != t._3),
+      "degenerate fixture: every click converted — absence never exercised")
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(5)}  batch-only: ${(batch -- streamed).take(5)}")
+  }
+
   test("event-time timers: idle alert fires once the watermark passes, slides on activity") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
