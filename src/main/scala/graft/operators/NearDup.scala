@@ -69,7 +69,10 @@ object NearDup {
     * signed counts over a doc's distinct features; the sign vector
     * re-packs into one int64 fingerprint. */
   private[operators] def simhashDF(spark: SparkSession, sfDir: String): DataFrame =
-    simhashOf(Tables(spark, sfDir, "documents"))
+    // memoized per (session, sfDir): q60/q83/q157/q298 consume the
+    // identical fingerprint frame (FrameMemo contract; VERDICT r10 item 6)
+    graft.plans.FrameMemo.shared(spark, "simhash", sfDir)(
+      simhashOf(Tables(spark, sfDir, "documents")))
 
   /** The generic core — `docs` is ANY frame with (doc_id, text), docs
     * under 3 tokens dropped; exposed via [[graft.Graft.simhash]].

@@ -76,8 +76,7 @@ object TrainingOps {
     * n/2 offset and the positive-count cap are 1-row broadcast
     * aggregates. */
   private def q157(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = NearDup.simhashOf(Tables(spark, sfDir, "documents"))
-      .localCheckpoint(true) // read by the band join, both pair sides, and negatives
+    val sh = NearDup.simhashDF(spark, sfDir) // memo-pinned; band join, pair sides + negatives read it
     val banded = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("k", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
@@ -1181,7 +1180,122 @@ object TrainingOps {
       " ORDER BY pct"
   }
 
+  /** q315: weight-of-evidence / information-value feature audit — the
+    * credit-scoring-lineage (Siddiqi 2006) categorical-feature screen
+    * the encoder family lacked: q275 ENCODES a category against the
+    * target, q315 MEASURES how much signal the whole feature carries
+    * before anyone trains on it. Per order-priority bucket against the
+    * binary target o_orderstatus = 'F': event/non-event counts, class
+    * distributions, WOE = ln(dist_good/dist_bad) (0.5-smoothed counts in
+    * the ratio so an empty cell can't produce ±∞), and the IV term
+    * (dist_good − dist_bad)·WOE whose sum is the feature's screening
+    * score (<0.02 useless, >0.5 suspicious — the standard bands).
+    *
+    * Determinism: counts are exact integers; distributions r6'd; the ln
+    * argument is a ratio of identically-derived doubles and the ln term
+    * r6-quantized (q149's PMI recipe); the IV term composes from the
+    * ALREADY-r6'd emitted columns so both engines multiply the same
+    * 6dp values.
+    *
+    * Scale: ONE map-side-combined groupBy over the corpus to a
+    * ≤|priority-domain| frame; totals are a 1-row broadcast fold —
+    * the whole audit after the first agg is arithmetic on ≤5 rows. */
+  private def q315(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val per = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_good"))
+      .withColumn("n_bad", col("n") - col("n_good"))
+    val tot = per.agg(sum("n_good").as("tg"), sum("n_bad").as("tb"))
+    per.crossJoin(broadcast(tot))
+      .select(col("priority"), col("n"), col("n_good"), col("n_bad"),
+        Tables.r6(d(col("n_good")) / d(col("tg"))).as("dist_good"),
+        Tables.r6(d(col("n_bad")) / d(col("tb"))).as("dist_bad"),
+        Tables.r6(log(((d(col("n_good")) + 0.5) * d(col("tb"))) /
+          ((d(col("n_bad")) + 0.5) * d(col("tg"))))).as("woe"))
+      .withColumn("iv_term",
+        Tables.r6((col("dist_good") - col("dist_bad")) * col("woe")))
+      .orderBy("priority")
+  }
+
+  private val q315Sql: String = {
+    val dg = Tables.r6sql("CAST(n_good AS DOUBLE) / tg")
+    val db = Tables.r6sql("CAST(n_bad AS DOUBLE) / tb")
+    val woe = Tables.r6sql(
+      "ln(((CAST(n_good AS DOUBLE) + 0.5) * tb) / ((CAST(n_bad AS DOUBLE) + 0.5) * tg))")
+    "WITH per AS (SELECT o_orderpriority AS priority, " +
+      "CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_good " +
+      "FROM orders GROUP BY 1), " +
+      "pb AS (SELECT priority, n, n_good, n - n_good AS n_bad FROM per), " +
+      "tot AS (SELECT CAST(SUM(n_good) AS DOUBLE) AS tg, " +
+      "CAST(SUM(n_bad) AS DOUBLE) AS tb FROM pb), " +
+      s"scored AS (SELECT priority, n, n_good, n_bad, $dg AS dist_good, " +
+      s"$db AS dist_bad, $woe AS woe FROM pb CROSS JOIN tot) " +
+      "SELECT priority, n, n_good, n_bad, dist_good, dist_bad, woe, " +
+      Tables.r6sql("(dist_good - dist_bad) * woe") + " AS iv_term " +
+      "FROM scored ORDER BY priority"
+  }
+
+  /** q316 bucket count — deliberately SMALL (2⁶) so the collision audit
+    * has something to show on the benchmark cardinalities; a deployment
+    * uses 2¹⁸⁺ and the same audit to size it. */
+  private val FhBuckets = 64
+
+  /** q316: the feature-hashing trick + collision audit (Weinberger et
+    * al., ICML'09) — fixed-dimension featurization with NO vocabulary
+    * pass: each (name:value) categorical feature hashes to bucket
+    * h mod 64 with a second hash bit as the ±1 sign (the signed variant
+    * that keeps collided counts unbiased in expectation). Output per
+    * bucket: occurrence count, DISTINCT features landed (the collision
+    * audit — custkeys ≫ 64 buckets, so collisions are guaranteed and the
+    * audit shows exactly how crowded each cell is), and the signed sum
+    * a linear model would actually see. This is the encoder that works
+    * at 100 TB when the vocabulary itself won't fit a broadcast — q275
+    * and q315 both need the category domain; the hashing trick needs
+    * only the hash.
+    *
+    * Scale: a constant ×3 per-row explode (never the corpus squared),
+    * one map-side-combined (bucket, feature) agg on the vocabulary-
+    * bounded frame, folded to 64 rows. All-integer arithmetic — no
+    * determinism hazards at all. */
+  private def q316(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables(spark, sfDir, "orders")
+      .select(explode(array(
+        concat(lit("cust:"), col("o_custkey").cast("string")),
+        concat(lit("prio:"), col("o_orderpriority")),
+        concat(lit("status:"), col("o_orderstatus")))).as("f"))
+      .select(col("f"),
+        expr("cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint)").as("h"))
+      .select(col("f"), (col("h") % FhBuckets).as("bucket"),
+        when(expr("(shiftright(h, 6) & 1) = 1"), lit(1L)).otherwise(lit(-1L)).as("sgn"))
+    feats.groupBy("bucket", "f")
+      .agg(count(lit(1)).as("n"), sum("sgn").as("s"))
+      .groupBy("bucket")
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_features"),
+        sum("s").as("signed_sum"))
+      .withColumn("collision", col("n_features") > 1)
+      .orderBy("bucket")
+  }
+
+  private val q316Sql: String =
+    "WITH occ AS (SELECT unnest(['cust:' || CAST(o_custkey AS VARCHAR), " +
+      "'prio:' || o_orderpriority, 'status:' || o_orderstatus]) AS f FROM orders), " +
+      "hf AS (SELECT f, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) AS h FROM occ), " +
+      s"sf AS (SELECT f, h % $FhBuckets AS bucket, " +
+      "CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sgn FROM hf), " +
+      "pf AS (SELECT bucket, f, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(sgn) AS BIGINT) AS s FROM sf GROUP BY bucket, f) " +
+      "SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_rows, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_features, " +
+      "CAST(SUM(s) AS BIGINT) AS signed_sum, " +
+      "COUNT(*) > 1 AS collision " +
+      "FROM pf GROUP BY bucket ORDER BY bucket"
+
   val entries: Seq[Q] = Seq(
+    Q("q315_feature_woe", q315 _, Some(q315Sql)),
+    Q("q316_feature_hashing", q316 _, Some(q316Sql)),
     Q("q290_quality_classifier", q290 _, Some(q290Sql)),
     Q("q293_embedding_pca", q293 _, Some(q293Sql)),
     Q("q297_learning_curve", q297 _, Some(q297Sql)),

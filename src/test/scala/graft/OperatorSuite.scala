@@ -163,9 +163,11 @@ class OperatorSuite extends AnyFunSuite {
                                  // Poisson adaptation baseline
       "q289_mixture_temperature", // token-total + Σp^α normalizer 1-row
                                  // folds over the ≤#sources frame
-      "q276_join_fanout_audit")  // est/na/nb 1-row folds: Σ-product over
+      "q276_join_fanout_audit",  // est/na/nb 1-row folds: Σ-product over
                                  // the key-bounded count frame + two
                                  // input-size counts
+      "q315_feature_woe")        // good/bad totals 1-row fold over the
+                                 // ≤|priority-domain| (≤5-row) frame
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
