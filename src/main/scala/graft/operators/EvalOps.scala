@@ -267,7 +267,52 @@ object EvalOps {
       .orderBy("id_a")
   }
 
+  /** q317: group-fairness audit (demographic parity + the EEOC
+    * four-fifths rule) — the responsible-AI sibling the eval family
+    * (rank q196, calibration q197, conformal q220) lacked: whatever the
+    * upstream selector is (here the corpus-standard ≥40-token quality
+    * screen, standing in for any classifier/filter), per GROUP (source,
+    * the protected-attribute stand-in): selected count, selection rate,
+    * the disparate-impact ratio rate/max-group-rate, and the four-fifths
+    * flag (ratio < 0.8 — the threshold adverse-impact analyses use).
+    * A data-curation pipeline runs exactly this before shipping a
+    * filtered corpus: a screen that silently drops one source's docs at
+    * 2× the rate of another's is a bias bug no accuracy metric shows.
+    *
+    * Determinism: counts exact integers; rates r6'd; the ratio composes
+    * from already-r6'd values. Scale: ONE map-side-combined corpus
+    * groupBy to the ≤|sources| frame; the max rate is a 1-row fold
+    * broadcast back — arithmetic on ≤20 rows after the first agg. */
+  private def q317(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(size(split(col("text"), " ")) >= 40, 1L).otherwise(0L))
+          .as("n_selected"))
+      .withColumn("sel_rate",
+        Tables.r6(col("n_selected").cast("double") / col("n")))
+    val mx = per.agg(max("sel_rate").as("max_rate"))
+    per.crossJoin(broadcast(mx))
+      .select(col("source"), col("n"), col("n_selected"), col("sel_rate"),
+        Tables.r6(col("sel_rate") / col("max_rate")).as("di_ratio"))
+      .withColumn("four_fifths_fail", col("di_ratio") < 0.8)
+      .orderBy("source")
+  }
+
+  private val q317Sql: String =
+    "WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN len(str_split(text, ' ')) >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected " +
+      "FROM documents GROUP BY 1), " +
+      "r AS (SELECT source, n, n_selected, " +
+      Tables.r6sql("CAST(n_selected AS DOUBLE) / n") + " AS sel_rate FROM per), " +
+      "mx AS (SELECT MAX(sel_rate) AS max_rate FROM r) " +
+      "SELECT source, n, n_selected, sel_rate, " +
+      Tables.r6sql("sel_rate / max_rate") + " AS di_ratio, " +
+      Tables.r6sql("sel_rate / max_rate") + " < 0.8 AS four_fifths_fail " +
+      "FROM r CROSS JOIN mx ORDER BY source"
+
   val entries: Seq[Q] = Seq(
+    Q("q317_fairness_parity", q317 _, Some(q317Sql)),
     Q("q220_eval_conformal", q220 _, Some {
       val bucket = "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + " +
         "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100"

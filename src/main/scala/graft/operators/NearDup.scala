@@ -760,7 +760,7 @@ object NearDup {
     * the CORPUS side stays single-key, so the index layout and its
     * bucket bounds are unchanged — this is more probes, not a bigger
     * index, exactly the multi-probe trade. */
-  private[operators] def multiProbe(banded: DataFrame): DataFrame =
+  private[graft] def multiProbe(banded: DataFrame): DataFrame =
     banded.withColumn("k",
       explode(array(Seq(0, 1, 2, 4, 8).map(f => col("k").bitwiseXOR(lit(f))): _*)))
 

@@ -668,17 +668,28 @@ object TrainingOps {
     * parameter server. */
   private def q290(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    textClassifierOf(docs, col("lang") === "en")
+    classifierFromFeatures(docs, lrFeaturesEn(spark, sfDir))
   }
+
+  /** Memoized (doc_id, y, b, x) feature frame for the GD family's
+    * canonical (documents, lang = 'en') task — q290/q297/q312 all train
+    * on the identical frame (FrameMemo contract; VERDICT r10 item 6).
+    * Bounded: ≤ docs × 64 buckets rows. */
+  private def lrFeaturesEn(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.FrameMemo.shared(spark, "lr_features_en", sfDir)(
+      lrFeatures(Tables(spark, sfDir, "documents"), col("lang") === "en"))
 
   /** The generic trainer behind q290, exposed as
     * [[graft.Graft.textClassifier]]: `docs` needs (doc_id, text);
     * `label` is any boolean Column over its columns. Returns the
     * 64-bucket weight vector + training accuracy. */
-  private[graft] def textClassifierOf(docs: DataFrame, label: Column): DataFrame = {
-    val x = lrFeatures(docs, label)
-      .localCheckpoint(true) // one corpus pass; 3 margin + 3 grad + 1
-                             // accuracy consumers read the bounded frame
+  private[graft] def textClassifierOf(docs: DataFrame, label: Column): DataFrame =
+    classifierFromFeatures(docs,
+      lrFeatures(docs, label)
+        .localCheckpoint(true)) // one corpus pass; 3 margin + 3 grad + 1
+                                // accuracy consumers read the bounded frame
+
+  private def classifierFromFeatures(docs: DataFrame, x: DataFrame): DataFrame = {
     val ndF = docs.agg(count(lit(1)).cast("double").as("nd"))
     val w = lrTrain(x, ndF)
     w.crossJoin(broadcast(lrAcc(x, w)))
@@ -755,8 +766,7 @@ object TrainingOps {
     * against 64-row weight frames, and folds two 1-row accuracies —
     * 4 fractions cost 4 bounded GD runs, not 4 corpus scans. */
   private def q297(spark: SparkSession, sfDir: String): DataFrame =
-    learningCurveOf(Tables(spark, sfDir, "documents"),
-      col("lang") === "en", CurvePcts)
+    learningCurveFrom(lrFeaturesEn(spark, sfDir), CurvePcts)
 
   /** The generic curve behind q297, exposed as
     * [[graft.Graft.learningCurve]]: `docs` needs (doc_id, text); `label`
@@ -769,14 +779,18 @@ object TrainingOps {
     * per step instead of 2·|pcts|, the grouped-learners pattern that
     * makes hyper-parameter/ablation sweeps affordable on a cluster. */
   private[graft] def learningCurveOf(docs: DataFrame, label: Column,
+      pcts: Seq[Int]): DataFrame =
+    learningCurveFrom(lrFeatures(docs, label), pcts)
+
+  private def learningCurveFrom(features: DataFrame,
       pcts: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
       "learningCurve: pcts must be in 1..100")
-    val spark = docs.sparkSession
+    val spark = features.sparkSession
     // (pct, doc_id, y, b, x, train): every fraction's view of every doc,
     // train = doc's md5 bucket falls inside the fraction
-    val xall = lrFeatures(docs, label)
+    val xall = features
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("db", CorpusOps.hexBucket(100).cast("bigint"))
       .select(col("doc_id"), col("y"), col("b"), col("x"),
@@ -876,8 +890,7 @@ object TrainingOps {
     * queue is one more margin pass + TakeOrdered(20). */
   private def q312(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val x = lrFeatures(docs, col("lang") === "en")
-      .localCheckpoint(true) // GD passes + the final margin pass read it
+    val x = lrFeaturesEn(spark, sfDir) // memo-pinned; GD + final margin pass read it
     val ndF = docs.agg(count(lit(1)).cast("double").as("nd"))
     val w = lrTrain(x, ndF)
     lrMargins(x, w)
@@ -1293,7 +1306,74 @@ object TrainingOps {
       "COUNT(*) > 1 AS collision " +
       "FROM pf GROUP BY bucket ORDER BY bucket"
 
+  /** q318: embedding-distribution drift monitor — a two-sample test IN
+    * EMBEDDING SPACE, the member the drift family lacked (q214's PSI and
+    * q263's KS test both need a scalar column; embeddings don't have
+    * one): split the corpus into halves (vec_id parity — in production,
+    * last week vs this week), and for each of the 32 q124 hyperplanes
+    * run a two-proportion z-test on the SIGN RATE P(w·x ≥ 0) between
+    * halves. Identically-distributed halves keep every |z| small; a
+    * shifted embedding distribution moves the sign rate of the planes
+    * aligned with the shift — random sign projections are exactly the
+    * cheap sketch of distribution shape that detects this (the
+    * sign-rate view of the Charikar signatures q124 already computes).
+    * Output per plane: per-half counts/rates, z, and a |z| > 1.96 flag;
+    * the max |z| row is the monitor's alarm line.
+    *
+    * Determinism: counts are exact integers off the sign bit; rates and
+    * the closed-form z derive from those ints in fixed expression shape,
+    * r6'd. Scale: signatures are the existing narrow projection; ONE
+    * ×32 constant-fan-out explode; one map-side-combined 32-group agg —
+    * the whole test is arithmetic on 32 rows after one corpus pass. */
+  private def q318(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val d = (c: Column) => c.cast("double")
+    val sigs = NearDup.hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
+    val bits = sigs
+      .select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(31))).as("p"))
+      .select(col("p").cast("bigint").as("plane"),
+        (col("vec_id") % 2).as("half"),
+        expr("shiftright(sig, cast(p as int)) & 1").as("isset"))
+    val agg = bits.groupBy("plane")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("half") === 0, col("isset")).otherwise(0L)).as("s0"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 1, col("isset")).otherwise(0L)).as("s1"))
+    val (n0, s0, n1, s1) = (d(col("n0")), d(col("s0")), d(col("n1")), d(col("s1")))
+    val pp = (s0 + s1) / (n0 + n1)
+    val z = (s0 / n0 - s1 / n1) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1))
+    agg.select(col("plane"), col("n0"), col("s0"), col("n1"), col("s1"),
+        Tables.r6(s0 / n0).as("rate0"), Tables.r6(s1 / n1).as("rate1"),
+        Tables.r6(z).as("z"))
+      .withColumn("drifted", abs(col("z")) > 1.96)
+      .orderBy("plane")
+  }
+
+  private val q318Sql: String = {
+    val z = "(CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1) / " +
+      "sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))"
+    NearDup.hyperplaneCtesSql + ", " +
+      "pb AS (SELECT vec_id % 2 AS half, p AS plane, " +
+      "(sig >> CAST(p AS INT)) & 1 AS isset FROM sig CROSS JOIN range(0, 32) r(p)), " +
+      "agg AS (SELECT plane, " +
+      "CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(SUM(CASE WHEN half = 0 THEN isset ELSE 0 END) AS BIGINT) AS s0, " +
+      "CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      "CAST(SUM(CASE WHEN half = 1 THEN isset ELSE 0 END) AS BIGINT) AS s1 " +
+      "FROM pb GROUP BY plane), " +
+      "wp AS (SELECT *, CAST(s0 + s1 AS DOUBLE) / (n0 + n1) AS pp FROM agg) " +
+      "SELECT plane, n0, s0, n1, s1, " +
+      Tables.r6sql("CAST(s0 AS DOUBLE) / n0") + " AS rate0, " +
+      Tables.r6sql("CAST(s1 AS DOUBLE) / n1") + " AS rate1, " +
+      Tables.r6sql(z) + " AS z, " +
+      "abs(" + Tables.r6sql(z) + ") > 1.96 AS drifted " +
+      "FROM wp ORDER BY plane"
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q318_embedding_drift", q318 _, Some(q318Sql)),
     Q("q315_feature_woe", q315 _, Some(q315Sql)),
     Q("q316_feature_hashing", q316 _, Some(q316Sql)),
     Q("q290_quality_classifier", q290 _, Some(q290Sql)),

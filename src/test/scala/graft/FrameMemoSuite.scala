@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The FrameMemo unpersist-safety contract (plans/FrameMemo.scala),
+  * tested directly: the registry is the new r11 mechanism every dedup/
+  * minhash/classifier query rides, and its sharp edge is a HOST that
+  * sweeps persistent RDDs out from under a cached handle — the contract
+  * says that must cost a rebuild, never correctness. */
+class FrameMemoSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def sweepAll(): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
+  test("second lookup returns the SAME pinned handle; no second build") {
+    import spark.implicits._
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("k", "v") }
+    plans.FrameMemo.clear(spark)
+    val a = plans.FrameMemo.shared(spark, "memo_test_reuse", "sfX")(build)
+    val b = plans.FrameMemo.shared(spark, "memo_test_reuse", "sfX")(build)
+    assert(builds == 1, "second lookup must not rebuild")
+    assert(a eq b, "cache hit must return the identical handle")
+    assert(b.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    plans.FrameMemo.clear(spark)
+  }
+
+  test("keys are (tag, sfDir)-scoped: different sfDir builds its own frame") {
+    import spark.implicits._
+    plans.FrameMemo.clear(spark)
+    val a = plans.FrameMemo.shared(spark, "memo_test_key", "sfA")(
+      Seq(1L).toDF("k"))
+    val b = plans.FrameMemo.shared(spark, "memo_test_key", "sfB")(
+      Seq(2L).toDF("k"))
+    assert(a.collect().head.getLong(0) == 1L)
+    assert(b.collect().head.getLong(0) == 2L)
+    plans.FrameMemo.clear(spark)
+  }
+
+  test("a hostile full sweep forces a REBUILD, not a broken handle (contract rule 2)") {
+    import spark.implicits._
+    var builds = 0
+    def build = { builds += 1; Seq((10L, 1L), (20L, 2L)).toDF("k", "n") }
+    plans.FrameMemo.clear(spark)
+    plans.FrameMemo.shared(spark, "memo_test_sweep", "sfX")(build).collect()
+    sweepAll() // a host ignoring ownedIds — the contract's failure mode
+    val after = plans.FrameMemo.shared(spark, "memo_test_sweep", "sfX")(build)
+    assert(builds == 2, "swept entry must rebuild on next lookup")
+    assert(after.agg(sum("n")).collect().head.getLong(0) == 3L,
+      "rebuilt frame must answer correctly")
+    plans.FrameMemo.clear(spark)
+  }
+
+  test("ownedIds covers the pinned RDDs and clear() releases them") {
+    import spark.implicits._
+    plans.FrameMemo.clear(spark)
+    val before = plans.FrameMemo.ownedIds(spark)
+    plans.FrameMemo.shared(spark, "memo_test_own", "sfX")(
+      Seq(1L, 2L, 3L).toDF("k")).collect()
+    val owned = plans.FrameMemo.ownedIds(spark) -- before
+    assert(owned.nonEmpty, "a built entry must own at least one RDD id")
+    assert(owned.forall(spark.sparkContext.getPersistentRDDs.contains),
+      "owned ids must be live persistent RDDs")
+    plans.FrameMemo.clear(spark)
+    assert(owned.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
+      "clear() must unpersist every owned RDD")
+  }
+
+  test("multi-probe candidates are a SUPERSET of exact-bucket candidates (q124 family)") {
+    // the multiProbe ring includes XOR 0 (the exact key), so every
+    // exact-bucket collision must survive the retune — losing one would
+    // mean the recall fix silently changed candidate semantics
+    val sf = TestSpark.sfDir
+    functions.VectorExpressions.register(spark)
+    val sigs = operators.NearDup.hyperplaneSigFrame(
+      Tables(spark, sf, "embeddings")).localCheckpoint(true)
+    val banded = sigs.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .select(col("vec_id"), col("b"),
+        expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+    def pairs(probe: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      probe.select(col("vec_id").as("id_p"), col("b"), col("k"))
+        .join(banded.select(col("vec_id").as("id_c"), col("b"), col("k")),
+          Seq("b", "k"))
+        .filter(col("id_p") =!= col("id_c"))
+        .select("id_p", "id_c").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probeSide = banded.filter(col("vec_id") < 10)
+    val exact = pairs(probeSide)
+    val multi = pairs(operators.NearDup.multiProbe(probeSide))
+    assert(exact.subsetOf(multi),
+      s"multi-probe lost exact-bucket pairs: ${(exact -- multi).take(5)}")
+    assert(multi.size > exact.size,
+      "flip-1 ring should add candidates on this corpus")
+  }
+}

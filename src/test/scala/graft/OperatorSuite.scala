@@ -166,8 +166,10 @@ class OperatorSuite extends AnyFunSuite {
       "q276_join_fanout_audit",  // est/na/nb 1-row folds: Σ-product over
                                  // the key-bounded count frame + two
                                  // input-size counts
-      "q315_feature_woe")        // good/bad totals 1-row fold over the
+      "q315_feature_woe",        // good/bad totals 1-row fold over the
                                  // ≤|priority-domain| (≤5-row) frame
+      "q317_fairness_parity")    // max-rate 1-row fold over the
+                                 // ≤|sources| (≤20-row) frame
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
