@@ -1033,6 +1033,95 @@ object NearDup {
           (col("n_names") * (col("n_names") - 1) / lit(2L))).as("reduction"))
   }
 
+  /** q319 sorted-neighborhood window size: rank distance < 8 pairs
+    * (each item meets its 7 sorted neighbors per pass). */
+  private val SnWindow = 8
+
+  /** q319: multi-pass sorted-neighborhood linkage (Hernández–Stolfo,
+    * SIGMOD'95) — the OTHER classic candidate-generation method next to
+    * q240/q309's key blocking: sort the domain, compare each record to
+    * its w−1 sorted neighbors. One pass over one sort key misses matches
+    * whose difference is at the key's FRONT (lexicographic adjacency
+    * needs a shared prefix), so this runs the method's standard fix —
+    * two passes, forward name order + REVERSED name order (suffix
+    * adjacency) — and unions the candidate sets. Same report shape as
+    * q309 (truth = exhaustive JW ≥ 0.89 over the bounded name domain):
+    * n_true / n_candidates / n_found / recall / reduction, so the two
+    * generation methods are directly comparable from their audit rows.
+    *
+    * Scale: the sort is [[graft.plans.DistributedRank.denseTokens]] —
+    * range-partitioned two-phase rank, NO single-partition sort — and
+    * the neighbor join is an equi-join on the rank bucket ⌊rank/w⌋
+    * (each side explodes to its own + next bucket: any pair within
+    * rank distance < w shares a probed bucket; candidates stay
+    * window-bounded at w·n, never n²). The exhaustive truth side is
+    * domain²-bounded (the q309/q222 collapse rule). */
+  private def q319(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(spark)
+    val names = Tables(spark, sfDir, "part").select("p_name").distinct()
+      .localCheckpoint(true) // name domain; truth + both rank passes read it
+    val a = names.toDF("na"); val b = names.toDF("nb")
+    val truth = a.join(b, col("na") < col("nb"))
+      .filter(Tables.r6(expr("graft_jaro_winkler(na, nb)")) >= ErJwThresh)
+      .select("na", "nb")
+      .localCheckpoint(true) // ≤domain² matches; read twice below
+    def passPairs(keyed: DataFrame): DataFrame = {
+      // keyed: (p_name, token) — rank-bucket band join, bucket g and g+1
+      // probed so any rank distance < SnWindow collides at least once
+      val bucketed = keyed.select(col("p_name"), col("token"),
+        explode(array((col("token") / SnWindow).cast("bigint"),
+          (col("token") / SnWindow).cast("bigint") + 1)).as("g"))
+      bucketed.select(col("p_name").as("na"), col("token").as("ta"), col("g"))
+        .join(bucketed.select(col("p_name").as("nb"), col("token").as("tb"), col("g")), "g")
+        .filter(col("na") < col("nb") &&
+          abs(col("ta") - col("tb")) < SnWindow)
+        .select("na", "nb")
+    }
+    val fwd = passPairs(graft.plans.DistributedRank.denseTokens(names, "p_name"))
+    val rev = passPairs(
+      graft.plans.DistributedRank.denseTokens(
+        names.select(col("p_name"), reverse(col("p_name")).as("rname")), "rname")
+        .join(names.withColumn("rname", reverse(col("p_name"))), "rname")
+        .select("p_name", "token"))
+    val cand = fwd.unionByName(rev).distinct()
+      .localCheckpoint(true) // window-bounded; counted + joined below
+    val nNames = names.agg(count(lit(1)).as("n_names"))
+    val nTruth = truth.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nFound = truth.join(cand, Seq("na", "nb")).agg(count(lit(1)).as("n_found"))
+    nNames.crossJoin(nTruth).crossJoin(nCand).crossJoin(nFound)
+      .select(col("n_true"), col("n_candidates"), col("n_found"),
+        Tables.meanD(col("n_found"), col("n_true")).as("recall"),
+        Tables.r6(lit(1.0) - col("n_candidates").cast("double") /
+          (col("n_names") * (col("n_names") - 1) / lit(2L))).as("reduction"))
+  }
+
+  // lazy: references ErJwThresh, which is defined further down the file —
+  // a plain val would read 0.0 during the object initializer
+  private lazy val q319Sql: String = {
+    def pass(order: String, tag: String): String =
+      s"r$tag AS (SELECT p_name, CAST(ROW_NUMBER() OVER (ORDER BY $order) AS BIGINT) AS t FROM names), " +
+        s"b$tag AS (SELECT p_name, t, unnest([t // $SnWindow, t // $SnWindow + 1]) AS g FROM r$tag), " +
+        s"p$tag AS (SELECT DISTINCT a.p_name AS na, b.p_name AS nb FROM b$tag a JOIN b$tag b " +
+        s"ON a.g = b.g AND a.p_name < b.p_name AND abs(a.t - b.t) < $SnWindow) "
+    "WITH names AS (SELECT DISTINCT p_name FROM part), " +
+      "truth AS (SELECT a.p_name AS na, b.p_name AS nb FROM names a " +
+      "JOIN names b ON a.p_name < b.p_name " +
+      s"WHERE ${Tables.r6sql("jaro_winkler_similarity(a.p_name, b.p_name)")} >= $ErJwThresh), " +
+      pass("p_name", "f") + ", " + pass("reverse(p_name)", "r") + ", " +
+      "cand AS (SELECT na, nb FROM pf UNION SELECT na, nb FROM pr), " +
+      "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_names FROM names), " +
+      "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth), " +
+      "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand), " +
+      "nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM truth " +
+      "JOIN cand USING (na, nb)) " +
+      "SELECT n_true, n_candidates, n_found, " +
+      Tables.meanDSql("n_found", "n_true") + " AS recall, " +
+      Tables.r6sql("1.0 - CAST(n_candidates AS DOUBLE) / " +
+        "(n_names * (n_names - 1) / 2)") + " AS reduction " +
+      "FROM nn CROSS JOIN nt CROSS JOIN nb CROSS JOIN nf"
+  }
+
   /** q298: SimHash bit-balance audit — index-health check for the q60
     * fingerprints: each of the 32 bits should be set in ~50% of
     * documents; a bit stuck near 0 or 1 (degenerate) carries no
@@ -1350,6 +1439,7 @@ object NearDup {
     // q314 answers q124's exact query from the persisted index, so both
     // compare against the SAME recompute-from-scratch oracle — the
     // layout must change where the work happens, never the answer
+    Q("q319_sorted_neighborhood", q319 _, Some(q319Sql)),
     Q("q314_ann_index_layout", q314 _, Some(annTop3OracleSql)),
     Q("q124_ann_hyperplane", q124 _, Some(annTop3OracleSql)),
   ) ++ legacyEntries

@@ -133,6 +133,8 @@ class OperatorSuite extends AnyFunSuite {
                                  // combined) + the (min,max) init fold
       "q309_blocking_quality",   // four 1-row count folds over the
                                  // ≤name-domain² bounded frames
+      "q319_sorted_neighborhood", // same four 1-row folds (q309's
+                                 // report shape, sorted-neighborhood pass)
       "q307_embedding_outliers", // centroid-norm 1-row fold over the
                                  // 64-row centroid frame
       "q299_decision_stump",     // cumulative window over the bounded
