@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -367,6 +367,80 @@ object CorpusOps {
             .otherwise("test")),
       "split", "train")
   }
+
+  /** q320: GROUP-aware split + leakage audit — the group-k-fold lesson
+    * applied to corpus splitting: q182 buckets by md5(doc_id), so two
+    * near-duplicate docs from the SAME source routinely straddle
+    * train/test and its audit measures that leakage; q320 buckets by
+    * md5(SOURCE) instead — every doc of a source lands in one split BY
+    * CONSTRUCTION (zero same-source cross-split pairs, no audit needed
+    * for that property), which is how production corpora split when
+    * within-source duplication is the dominant leak channel (crawl
+    * snapshots, forum mirrors). Same 80/10/10 buckets and the SAME
+    * report shape as q182 ([[splitLeakageOf]] verbatim), so the two
+    * split policies compare row-for-row: what survives here is only the
+    * CROSS-source gram overlap — the irreducible floor a group split
+    * can't remove (that's q104/q283's decontamination job).
+    *
+    * Scale: identical to q182 — the split column is a narrow hash of a
+    * row attribute (no extra shuffle), and the audit is the shared
+    * gram-index left join. */
+  private def q320(spark: SparkSession, sfDir: String): DataFrame =
+    splitLeakageOf(
+      Tables(spark, sfDir, "documents")
+        .withColumn("h", md5(col("source")))
+        .withColumn("bucket", hexBucket(100))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test")),
+      "split", "train")
+
+  /** q322: dataset-card rollup — the release artifact every corpus
+    * ships (a "datasheet for datasets" summary table), computed at
+    * every grain in ONE pass: ROLLUP(lang, source) gives per-(lang,
+    * source) rows, per-lang subtotals, and the grand total from a
+    * single shuffle — per group: docs, tokens, mean tokens/doc,
+    * distinct texts (exact-hash), and the exact-dup fraction. The
+    * composite the card needs exists piecemeal across q64/q49/q178;
+    * this is the one-scan rollup a 100 TB release job runs LAST, after
+    * curation, to stamp the shipped corpus.
+    *
+    * Scale: ONE corpus scan into a rollup aggregate (Spark expands
+    * grouping sets map-side; the shuffle carries (lang, source,
+    * grouping-id) keys); distinct texts ride md5 (16-byte keys, not
+    * text) through a count-distinct — at extreme scale swap for the
+    * q14 HLL sketch, same plan shape. NULL group cells mark subtotal
+    * rows exactly as the SQL standard renders them. */
+  private def q322(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    Tables(spark, sfDir, "documents")
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"),
+        md5(col("text")).as("th"))
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        countDistinct("th").as("n_unique_texts"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        Tables.r6(d(col("n_tokens")) / d(col("n_docs"))).as("avg_tokens"),
+        col("n_unique_texts"),
+        Tables.r6(lit(1.0) - d(col("n_unique_texts")) / d(col("n_docs")))
+          .as("dup_frac"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
+  private val q322Sql: String =
+    "WITH b AS (SELECT lang, source, " +
+      "CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok, md5(text) AS th FROM documents) " +
+      "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
+      Tables.r6sql("CAST(SUM(n_tok) AS DOUBLE) / COUNT(*)") + " AS avg_tokens, " +
+      "CAST(COUNT(DISTINCT th) AS BIGINT) AS n_unique_texts, " +
+      Tables.r6sql("1.0 - CAST(COUNT(DISTINCT th) AS DOUBLE) / COUNT(*)") +
+      " AS dup_frac " +
+      "FROM b GROUP BY ROLLUP (lang, source) " +
+      "ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"
 
   /** q178: dataset mixture weights — the multilingual-sampling standard
     * (temperature-scaled source weights, α = 0.5): per source,
@@ -748,6 +822,29 @@ object CorpusOps {
         Tables.r6sql(s"$w * CAST(1000 AS DOUBLE)") + " AS exp_docs_1k " +
         "FROM s CROSS JOIN t ORDER BY source"
     }),
+    Q("q322_dataset_card", q322 _, Some(q322Sql)),
+    Q("q320_group_split_leakage", q320 _, Some(
+      "WITH d AS (SELECT doc_id, text, " +
+        hexBucketSql(100, "md5(source)") + " AS bucket FROM documents), " +
+        "s AS (SELECT doc_id, bucket, str_split(text, ' ') AS ts FROM d " +
+        "WHERE len(str_split(text, ' ')) >= 5), " +
+        "g AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(ts) - 3), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)] || ' ' || ts[CAST(i + 2 AS INT)] || ' ' || " +
+        "ts[CAST(i + 3 AS INT)] || ' ' || ts[CAST(i + 4 AS INT)]))) AS g FROM s), " +
+        "sp AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' " +
+        "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, g FROM g), " +
+        "tr AS (SELECT DISTINCT g FROM sp WHERE split = 'train'), " +
+        "pd AS (SELECT split, sp.doc_id, COUNT(*) AS n_grams, " +
+        "CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit " +
+        "FROM sp LEFT JOIN tr ON sp.g = tr.g " +
+        "WHERE split <> 'train' GROUP BY split, sp.doc_id) " +
+        "SELECT split, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky, " +
+        Tables.r6sql("CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(COUNT(*) AS DOUBLE)") + " AS leak_rate, " +
+        Tables.r6sql("CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)") +
+        " AS gram_containment " +
+        "FROM pd GROUP BY split ORDER BY split")),
     Q("q182_split_leakage", q182 _, Some(
       s"WITH $bucketCte, " +
         "s AS (SELECT doc_id, bucket, str_split(text, ' ') AS ts FROM d " +

@@ -578,7 +578,64 @@ object PipelineOps {
           (col("catN") - 1 + m)).as("enc"))
   }
 
+  /** q321: rendezvous (highest-random-weight) sharding + elasticity
+    * audit (Thaler–Ravishankar ToN'98) — the shard-assignment layer a
+    * 100 TB corpus store actually needs: each doc goes to the shard s
+    * maximizing h(doc, s). The property this buys over mod-N — and the
+    * number this audit measures — is MINIMAL DISRUPTION: growing 8 → 9
+    * shards moves only the docs whose new-shard hash wins (≈1/9 of
+    * them), while mod-N remaps ≈8/9 of the corpus. Output per shard:
+    * docs assigned at N=8, docs HRW moves at N=9, docs mod-N would
+    * move, and both fractions — the migration-cost estimate read before
+    * any resharding.
+    *
+    * Determinism: h = md5(doc:shard) prefix (exact integers); argmax
+    * via max_by on the tie-proof key h·16+(8−s). Scale: a constant ×9
+    * per-row explode + ONE doc-keyed map-side-combinable agg, then an
+    * 8-group rollup — the corpus never joins anything. */
+  private def q321(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val assigned = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(8L))).as("s"))
+      .withColumn("hw", expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', cast(s as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("key", col("hw") * 16 + (lit(8L) - col("s")))
+      .groupBy("doc_id")
+      .agg(expr("max_by(s, if(s < 8, key, -1L))").as("shard8"),
+        expr("max_by(s, key)").as("shard9"))
+      .withColumn("h0", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"))
+    assigned.groupBy(col("shard8").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+          .as("hrw_moved"),
+        sum(when(col("h0") % 8 =!= col("h0") % 9, 1L).otherwise(0L))
+          .as("mod_moved"))
+      .select(col("shard"), col("n_docs"), col("hrw_moved"), col("mod_moved"),
+        Tables.r6(d(col("hrw_moved")) / d(col("n_docs"))).as("hrw_moved_frac"),
+        Tables.r6(d(col("mod_moved")) / d(col("n_docs"))).as("mod_moved_frac"))
+      .orderBy("shard")
+  }
+
+  private val q321Sql: String =
+    "WITH e AS (SELECT doc_id, unnest(range(0, 9)) AS s FROM documents), " +
+      "h AS (SELECT doc_id, s, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS hw FROM e), " +
+      "k AS (SELECT doc_id, s, hw * 16 + (8 - s) AS key FROM h), " +
+      "a AS (SELECT doc_id, arg_max(CASE WHEN s < 8 THEN s END, CASE WHEN s < 8 THEN key END) AS shard8, " +
+      "arg_max(s, key) AS shard9 FROM k GROUP BY doc_id), " +
+      "m AS (SELECT doc_id, shard8, shard9, " +
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h0 FROM a) " +
+      "SELECT shard8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved, " +
+      "CAST(SUM(CASE WHEN h0 % 8 <> h0 % 9 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved, " +
+      Tables.r6sql("CAST(SUM(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)") +
+      " AS hrw_moved_frac, " +
+      Tables.r6sql("CAST(SUM(CASE WHEN h0 % 8 <> h0 % 9 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)") +
+      " AS mod_moved_frac " +
+      "FROM m GROUP BY shard8 ORDER BY shard8"
+
   val entries: Seq[Q] = Seq(
+    Q("q321_rendezvous_sharding", q321 _, Some(q321Sql)),
     Q("q274_feature_rank_norm", q274 _, Some(
       "WITH c AS (SELECT c_custkey, n_name, c_acctbal FROM customer " +
         "JOIN nation ON c_nationkey = n_nationkey), " +
