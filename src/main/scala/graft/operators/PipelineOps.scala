@@ -634,7 +634,120 @@ object PipelineOps {
       " AS mod_moved_frac " +
       "FROM m GROUP BY shard8 ORDER BY shard8"
 
+  /** q323: snapshot data-diff — the row-level reconciliation every
+    * replication/migration job runs (the datacompy/data-diff tool
+    * category): given two versions of a keyed table, classify every key
+    * as added / removed / changed / unchanged via ONE full outer join
+    * on the key plus a row-content hash compare. Version 2 is derived
+    * deterministically here so the oracle can re-derive it (drop
+    * custkey % 17 = 0; +100 balance where % 10 = 0; clone % 23 = 0 rows
+    * under negated keys as "added") — in production both sides are real
+    * snapshots and the plan is identical.
+    *
+    * Scale: the join is THE scalable diff plan — one shuffle on the key
+    * (or zero with both snapshots bucketed, the q88 layout), content
+    * compare via md5 of a canonical row rendering so the shuffle
+    * carries 16-byte digests, not rows; the report is a 4-group
+    * map-side-combined rollup. */
+  private def q323(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat"),
+        Tables.dec(col("c_acctbal")).as("bal"))
+    val v2 = base.filter(col("k") % 17 =!= 0)
+      .select(col("k"), col("seg"), col("nat"),
+        when(col("k") % 10 === 0, col("bal") + 100).otherwise(col("bal")).as("bal"))
+      .unionByName(base.filter(col("k") % 23 === 0)
+        .select((-col("k")).as("k"), col("seg"), col("nat"), col("bal")))
+    def rh(d: DataFrame, tag: String) = d.select(col("k").as(s"k_$tag"),
+      md5(concat_ws("|", col("seg"), col("nat"), col("bal").cast("string")))
+        .as(s"h_$tag"))
+    rh(base, "a").join(rh(v2, "b"), col("k_a") === col("k_b"), "full_outer")
+      .select(when(col("k_a").isNull, "added")
+        .when(col("k_b").isNull, "removed")
+        .when(col("h_a") =!= col("h_b"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_rows"))
+      .orderBy("status")
+  }
+
+  private val q323Sql: String =
+    "WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, " +
+      "c_nationkey AS nat, CAST(c_acctbal AS DECIMAL(18,4)) AS bal FROM customer), " +
+      "v2 AS (SELECT k, seg, nat, " +
+      "CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal " +
+      "FROM base WHERE k % 17 <> 0 " +
+      "UNION ALL SELECT -k, seg, nat, bal FROM base WHERE k % 23 = 0), " +
+      "ha AS (SELECT k AS k_a, md5(seg || '|' || CAST(nat AS VARCHAR) || '|' || CAST(bal AS VARCHAR)) AS h_a FROM base), " +
+      "hb AS (SELECT k AS k_b, md5(seg || '|' || CAST(nat AS VARCHAR) || '|' || CAST(bal AS VARCHAR)) AS h_b FROM v2) " +
+      "SELECT CASE WHEN k_a IS NULL THEN 'added' WHEN k_b IS NULL THEN 'removed' " +
+      "WHEN h_a <> h_b THEN 'changed' ELSE 'unchanged' END AS status, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_rows " +
+      "FROM ha FULL OUTER JOIN hb ON k_a = k_b GROUP BY 1 ORDER BY 1"
+
+  /** q324: cross-engine table manifest — the row-count + order-free
+    * content checksum per table that replication validation exchanges
+    * instead of data (the "do both clusters hold the same tables"
+    * handshake): per table, n_rows, a key checksum and a content
+    * checksum, each = Σ md5-prefix(rendered row) as DECIMAL(38,0) —
+    * commutative, so partition order can't matter, and wide enough that
+    * it cannot overflow below ~10²⁸ rows. Checksums cover the key +
+    * categorical/integer columns (stable canonical rendering on any
+    * engine); continuous columns are validated by the sketch family
+    * (q111–q113) instead — float rendering is not portable and has no
+    * business inside a cross-engine digest.
+    *
+    * Scale: one scan per table folding straight to 1 row — the manifest
+    * for a 100 TB lake is five numbers per table, computed without
+    * moving anything. */
+  private def q324(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def hsum(c: Column) = sum(conv(substring(md5(c), 1, 8), 16, 10)
+      .cast("long").cast(DecimalType(38, 0)))
+    def row(table: String, keyRender: Column, contentRender: Column) =
+      Tables(spark, sfDir, table).agg(count(lit(1)).as("n_rows"),
+        hsum(keyRender).as("key_checksum"),
+        hsum(contentRender).as("content_checksum"))
+        .select(lit(table).as("table_name"), col("n_rows"),
+          // STRING emission: the driver compare forbids DECIMAL output
+          // columns (rendering hazard); plain digit strings are hash-safe
+          col("key_checksum").cast("string").as("key_checksum"),
+          col("content_checksum").cast("string").as("content_checksum"))
+    row("region", col("r_regionkey").cast("string"),
+      concat_ws("|", col("r_regionkey"), col("r_name")))
+      .unionByName(row("nation", col("n_nationkey").cast("string"),
+        concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+      .unionByName(row("customer", col("c_custkey").cast("string"),
+        concat_ws("|", col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))))
+      .unionByName(row("orders", col("o_orderkey").cast("string"),
+        concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))))
+      .unionByName(row("part", col("p_partkey").cast("string"),
+        concat_ws("|", col("p_partkey"), col("p_name"))))
+      .orderBy("table_name")
+  }
+
+  private val q324Sql: String = {
+    def h(rend: String) =
+      s"CAST(CAST(SUM(CAST(('0x' || substr(md5($rend), 1, 8)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)"
+    def row(t: String, key: String, content: String) =
+      s"SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"${h(key)} AS key_checksum, ${h(content)} AS content_checksum FROM $t"
+    row("region", "CAST(r_regionkey AS VARCHAR)",
+      "CAST(r_regionkey AS VARCHAR) || '|' || r_name") +
+      " UNION ALL " + row("nation", "CAST(n_nationkey AS VARCHAR)",
+      "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' || CAST(n_regionkey AS VARCHAR)") +
+      " UNION ALL " + row("customer", "CAST(c_custkey AS VARCHAR)",
+      "CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)") +
+      " UNION ALL " + row("orders", "CAST(o_orderkey AS VARCHAR)",
+      "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus") +
+      " UNION ALL " + row("part", "CAST(p_partkey AS VARCHAR)",
+      "CAST(p_partkey AS VARCHAR) || '|' || p_name") +
+      " ORDER BY table_name"
+  }
+
   val entries: Seq[Q] = Seq(
+    Q("q323_snapshot_diff", q323 _, Some(q323Sql)),
+    Q("q324_table_manifest", q324 _, Some(q324Sql)),
     Q("q321_rendezvous_sharding", q321 _, Some(q321Sql)),
     Q("q274_feature_rank_norm", q274 _, Some(
       "WITH c AS (SELECT c_custkey, n_name, c_acctbal FROM customer " +

@@ -170,8 +170,10 @@ class OperatorSuite extends AnyFunSuite {
                                  // input-size counts
       "q315_feature_woe",        // good/bad totals 1-row fold over the
                                  // ≤|priority-domain| (≤5-row) frame
-      "q317_fairness_parity")    // max-rate 1-row fold over the
+      "q317_fairness_parity",    // max-rate 1-row fold over the
                                  // ≤|sources| (≤20-row) frame
+      "q324_table_manifest")     // five per-table 1-row manifest folds
+                                 // (count + two commutative checksums)
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
