@@ -47,7 +47,10 @@ object Bench {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
         else f.length
-      try walk(new java.io.File(p)) >> 20 catch { case _: Throwable => -1L }
+      // clamp failed walks to 0 rather than folding a -1 sentinel into the
+      // sum (ADVICE r11: -1 summed alongside valid sizes silently skewed
+      // scratch_mb negative-biased instead of signalling the failed path)
+      try walk(new java.io.File(p)) >> 20 catch { case _: Throwable => 0L }
     }
     val scratch = Seq(sys.props.get("spark.local.dir"), sys.props.get("java.io.tmpdir"))
       .flatten.distinct.map(duMb).sum
@@ -163,15 +166,27 @@ object Bench {
     // min(median, retest median). Both readings stream, so an intentional
     // regression can't hide: a genuinely slow plan is slow in BOTH windows.
     val retestSec = sys.env.get("SPARK_GRAFT_RETEST_SEC").map(_.toDouble).getOrElse(1.5)
+    // queries whose reported value came from the retest window — flagged in
+    // the summary JSON so the headline total is auditable against the
+    // per-query retest lines (ADVICE r11 item 2)
+    val retested = scala.collection.mutable.LinkedHashSet[String]()
     if (retestSec > 0) {
       val slow = results.filter(_._2 > retestSec).keys.toSeq
         .sortBy(n => -results(n)).take(20)
       slow.foreach { name =>
         System.gc()
+        // track errors like the main loop (ADVICE r11 item 1: the old
+        // swallow-and-min timed a fast FAILURE and silently overwrote the
+        // real median with no err field); any failed rep voids the retest.
+        var retestErr: Option[String] = None
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try selected(name)(spark, sfDir).count()
-          catch { case _: Throwable => () }
+          catch {
+            case e: Throwable => retestErr = Some(
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+                .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160))
+          }
           val dt = (System.nanoTime() - t0) / 1e9
           locally {
           // sweep AROUND FrameMemo-owned frames (pay-once family builds;
@@ -186,8 +201,11 @@ object Bench {
         val med2 =
           if (times.length % 2 == 1) times(times.length / 2)
           else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-        println(s"""{"query":"$name","retest_sec":${r3(med2)},"main_sec":${r3(results(name))}}""")
-        if (med2 < results(name)) results(name) = med2
+        val errField = retestErr.map(m => s""","err":"$m"""").getOrElse("")
+        println(s"""{"query":"$name","retest_sec":${r3(med2)},"main_sec":${r3(results(name))}$errField}""")
+        if (retestErr.isEmpty && med2 < results(name)) {
+          results(name) = med2; retested += name
+        }
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -235,12 +253,24 @@ object Bench {
     val failedField =
       s""""failed":${failedQueries.size},"failed_queries":${
         failedQueries.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val retestedField = s""""retested":${
+      retested.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val telemetry = s""""load":${r3(loadAvg)},"cpus":$hostCpus,""" +
-      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$failedField"""
+      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$retestedField,$failedField"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,$telemetry,"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), full + "\n")
+    catch { case _: Throwable => () }
+    // machine-readable bench history (VERDICT r11 item 6): one appended
+    // line per run makes regression adjudication a one-line diff for every
+    // future round instead of reconstructing from per-round snapshots.
+    // Same full summary as bench_result.json (per-query dict included).
+    try Files.writeString(Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")),
+      full + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     spark.stop()
     // the summary is the LAST line on stdout — after spark.stop() so no

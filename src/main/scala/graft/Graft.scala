@@ -82,7 +82,14 @@ object Graft {
     operators.LLMPipeline.minhashPairsOf(docs)
 
   /** SimHash fingerprint per document (q60; paired by q83). `docs`
-    * needs (doc_id, text). */
+    * needs (doc_id, text).
+    *
+    * NOTE: documents with fewer than 3 whitespace tokens produce NO
+    * output row — the word-trigram feature extractor has no features to
+    * vote with, so such docs carry no fingerprint and can never be
+    * flagged by fingerprint-based dedup (q83/q181). Filter or pad short
+    * docs upstream if they must participate. The oracle SQL applies the
+    * identical drop, so both engines agree. */
   def simhash(docs: DataFrame): DataFrame =
     operators.NearDup.simhashOf(docs)
 

@@ -898,7 +898,13 @@ object NearDup {
     * layout — the first invocation per sfDir pays the build). */
   private def q314(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    // applicationId in the tag (ADVICE r11, matching the Aggregates.scala
+    // graft_rollup fix): a fixed shared path raced when two applications
+    // benched the same sfDir concurrently (one scans while the other
+    // drops/rewrites), and cross-session reuse never happened anyway —
+    // the in-memory catalog resets with the session.
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val idxT = s"graft_ann_idx$tag"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx$tag"
     if (!(spark.catalog.tableExists(idxT) && new java.io.File(path).exists())) {
