@@ -84,12 +84,13 @@ object Graft {
   /** SimHash fingerprint per document (q60; paired by q83). `docs`
     * needs (doc_id, text).
     *
-    * NOTE: documents with fewer than 3 whitespace tokens produce NO
-    * output row — the word-trigram feature extractor has no features to
-    * vote with, so such docs carry no fingerprint and can never be
-    * flagged by fingerprint-based dedup (q83/q181). Filter or pad short
-    * docs upstream if they must participate. The oracle SQL applies the
-    * identical drop, so both engines agree. */
+    * Documents with fewer than 3 whitespace tokens (no word trigram to
+    * vote with) receive a DEGENERATE whole-text fingerprint — the low 32
+    * bits of md5(text) — so identical short texts still collide at
+    * Hamming 0 and are flagged by fingerprint-based dedup (q83/q181);
+    * unrelated short texts land on independent uniform bits (false
+    * Hamming-≤3 pair ≈ 1.3e-6). The oracle SQL applies the identical
+    * fallback, so both engines agree (VERDICT r12 item 3). */
   def simhash(docs: DataFrame): DataFrame =
     operators.NearDup.simhashOf(docs)
 

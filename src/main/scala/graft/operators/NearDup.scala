@@ -75,7 +75,8 @@ object NearDup {
       simhashOf(Tables(spark, sfDir, "documents")))
 
   /** The generic core — `docs` is ANY frame with (doc_id, text), docs
-    * under 3 tokens dropped; exposed via [[graft.Graft.simhash]].
+    * under 3 tokens get a DEGENERATE whole-text fingerprint (below);
+    * exposed via [[graft.Graft.simhash]].
     *
     * Feature choice (VERDICT r10 item 3): the original per-token-
     * occurrence hashing left 27/32 bits degenerate (set rates
@@ -89,7 +90,18 @@ object NearDup {
     * Manku et al. WWW'07 weighted-feature recipe with integer-exact
     * votes (±1 per distinct feature; no float IDF weights, so both
     * engines re-derive bit-identical fingerprints with no fold-order
-    * hazard). */
+    * hazard).
+    *
+    * Short docs (< 3 tokens, so no trigram exists) previously emitted NO
+    * fingerprint, leaving them invisible to every fingerprint consumer —
+    * the q181 ingest path could never near-dup-flag a 2-token doc even
+    * against its byte-identical twin (VERDICT r12 item 3). They now get a
+    * degenerate whole-text fingerprint (md5 prefix, 32 bits): identical
+    * short texts collide at Hamming 0 and are flagged; unrelated short
+    * texts land on independent uniform bits, so a false Hamming-≤3 pair
+    * costs P ≈ 5.5k/2³² ≈ 1.3e-6 — the standard degenerate-shingle
+    * fallback. Exact-hash dedup (q49) remains the primary catch; this
+    * closes the fingerprint leg. */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -104,8 +116,13 @@ object NearDup {
     val packed = (0 until 32)
       .map(i => when(col(s"w$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val long = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
+    val short = docs
+      .filter(col("text").isNotNull && size(split(col("text"), " ")) < 3)
+      .select(col("doc_id"), expr(
+        "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)").as("simhash"))
+    long.unionByName(short)
   }
 
   /** The oracle-SQL CTE list (no leading WITH) producing the same
@@ -123,7 +140,11 @@ object NearDup {
       "tfq AS (SELECT doc_id, g, COUNT(*) AS tf FROM occ GROUP BY doc_id, g), " +
       "toks AS (SELECT doc_id, CAST(('0x' || substr(md5(g || ':' || CAST(tf AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM tfq), " +
       s"bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id), " +
-      s"sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits)"
+      s"sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits " +
+      // degenerate whole-text fingerprint for < 3-token docs (mirrors
+      // simhashOf's short branch bit-identically)
+      "UNION ALL SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS simhash " +
+      s"FROM $src WHERE text IS NOT NULL AND len(str_split(text, ' ')) < 3)"
   }
 
   /** The q60/q83 form: the CTE chain over the full `documents` table. */

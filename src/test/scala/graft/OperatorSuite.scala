@@ -320,6 +320,33 @@ class OperatorSuite extends AnyFunSuite {
       b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("simhash short-doc fallback: a 2-token exact-dup pair IS flagged by the near leg") {
+    // VERDICT r12 item 3: <3-token docs previously emitted NO fingerprint,
+    // so the q181 ingest path could never near-dup-flag a short doc even
+    // against its byte-identical twin. The degenerate whole-text
+    // fingerprint closes that: identical short texts collide at Hamming 0.
+    import spark.implicits._
+    val index = Seq(1L -> "hello world", 2L -> "a much longer standing document with many tokens")
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> "hello world",        // 2-token exact dup of index doc 1
+      11L -> "goodbye moon",       // 2-token, novel
+      12L -> "a much longer standing document with many tokens extra") // near-dup of 2
+      .toDF("doc_id", "text")
+    val got = Graft.ingestDedup(batch, index).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(10L) == ((true, true, false)),
+      s"2-token dup must be flagged by BOTH legs now, got ${got(10L)}")
+    assert(got(11L)._1 == false && got(11L)._3 == true,
+      s"novel short doc must be kept, got ${got(11L)}")
+    // every doc still carries exactly one fingerprint (short branch unions in)
+    val sh = Graft.simhash(batch.union(index)).collect()
+    assert(sh.length == 5 && sh.map(_.getLong(0)).distinct.length == 5)
+    // identical texts → identical fingerprints across the two frames
+    val byId = sh.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(10L) == byId(1L))
+  }
+
   test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
     // tile = top 2 interleaved bits of each 5-bit dim → within any tile
     // both x and y span at most 8 consecutive values (vs 25/28 global).
