@@ -170,6 +170,11 @@ object Bench {
     // the summary JSON so the headline total is auditable against the
     // per-query retest lines (ADVICE r11 item 2)
     val retested = scala.collection.mutable.LinkedHashSet[String]()
+    // queries that succeeded in the main loop but FAILED during the retest
+    // (ADVICE r12 item 3): the retest is correctly voided, but an
+    // end-of-suite flake must be auditable from the summary line, not only
+    // from a streamed retest line the driver's tail capture may drop.
+    val retestFailed = scala.collection.mutable.LinkedHashSet[String]()
     if (retestSec > 0) {
       val slow = results.filter(_._2 > retestSec).keys.toSeq
         .sortBy(n => -results(n)).take(20)
@@ -206,6 +211,7 @@ object Bench {
         if (retestErr.isEmpty && med2 < results(name)) {
           results(name) = med2; retested += name
         }
+        if (retestErr.nonEmpty) retestFailed += name
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -253,12 +259,23 @@ object Bench {
     val failedField =
       s""""failed":${failedQueries.size},"failed_queries":${
         failedQueries.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val retestedField = s""""retested":${
-      retested.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val telemetry = s""""load":${r3(loadAvg)},"cpus":$hostCpus,""" +
-      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$retestedField,$failedField"""
+    // two renderings of the retest audit fields (ADVICE r12 items 2+3):
+    // the FILE copy carries the full name lists; the contractual final
+    // STDOUT line caps each list at 5 (failed_queries' precedent) plus a
+    // count, so up to 20 retested names (~600 bytes) can't erode the
+    // driver's ~4 KB stdout-tail margin.
+    def namesJson(s: scala.collection.Iterable[String], cap: Int = Int.MaxValue) =
+      s.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retestAuditFull =
+      s""""retested_n":${retested.size},"retested":${namesJson(retested)},""" +
+      s""""retest_failed":${retestFailed.size},"retest_failed_queries":${namesJson(retestFailed)}"""
+    val retestAuditCapped =
+      s""""retested_n":${retested.size},"retested":${namesJson(retested, 5)},""" +
+      s""""retest_failed":${retestFailed.size},"retest_failed_queries":${namesJson(retestFailed, 5)}"""
+    def telemetry(retestAudit: String) = s""""load":${r3(loadAvg)},"cpus":$hostCpus,""" +
+      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$retestAudit,$failedField"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,$telemetry,"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,${telemetry(retestAuditFull)},"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
@@ -279,7 +296,7 @@ object Bench {
     // lines above + the full copy in bench_result.json). build.sbt routes
     // forked stdout raw (StdoutOutput) and suppresses sbt's [success]
     // epilogue so this line reaches the driver unprefixed and last.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,$telemetry,"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,${telemetry(retestAuditCapped)},"sf":$sfNum,"sf_dir":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -899,6 +899,23 @@ object NearDup {
       .orderBy("vec_id")
   }
 
+  /** Per-application scratch layouts (the ANN index dirs below) are
+    * deleted on JVM exit: the applicationId tag means no other process
+    * can ever reuse them, and java.io.tmpdir is tmpfs on the bench box,
+    * so orphaned dirs would otherwise accumulate RAM until reboot
+    * (ADVICE r12 item 1). Registered once per path; a best-effort hook —
+    * a kill -9 still leaks, which is tmpfs's own failure mode, not ours. */
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[operators] def deleteOnExit(path: String): Unit =
+    if (cleanupRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
+
   /** q314: ANN from a PERSISTED index layout (VERDICT r10 item 7) —
     * q124's exact query shape answered from a bucketed (b, k) band-key
     * table written once per sfDir (the q88 pay-the-shuffle-once pattern
@@ -928,6 +945,7 @@ object NearDup {
       spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val idxT = s"graft_ann_idx$tag"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx$tag"
+    deleteOnExit(path)
     if (!(spark.catalog.tableExists(idxT) && new java.io.File(path).exists())) {
       hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
         .select(col("vec_id"), col("sig"),

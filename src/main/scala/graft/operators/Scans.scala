@@ -98,19 +98,21 @@ object Scans {
     * interchange format that carries streaming/CDC feeds into a lake
     * (Kafka payloads land as Avro far more often than as parquet). This
     * build of Spark 4.1.2 bundles the Avro implementation inside
-    * spark-sql itself but does NOT register the `avro` short name in
-    * DataSourceRegister (probed round 10: the classes are present, no
-    * service entry in any jar under /opt/spark/jars) — so the format is
-    * addressed by its implementation class, which resolves through the
-    * same DataSource lookup path. Explicit schema on read-back: Avro
-    * carries its own writer schema, but pinning the reader schema keeps
-    * int32 columns from surfacing under Avro's wider default mappings. */
+    * spark-sql itself but ships no DataSourceRegister service entry for
+    * it (probed round 10: the classes are present, no service entry in
+    * any jar under /opt/spark/jars) — so the ENGINE jar registers the
+    * short name: src/main/resources/META-INF/services/
+    * org.apache.spark.sql.sources.DataSourceRegister lists
+    * AvroFileFormat, and `format("avro")` resolves through the standard
+    * ServiceLoader lookup (VERDICT r11 item 7). Explicit schema on
+    * read-back: Avro carries its own writer schema, but pinning the
+    * reader schema keeps int32 columns from surfacing under Avro's wider
+    * default mappings. */
   private def q184(spark: SparkSession, sfDir: String): DataFrame = {
     val nation = Tables(spark, sfDir, "nation")
     val path = tmp("avro_nation", sfDir)
-    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
-    nation.coalesce(1).write.mode(SaveMode.Overwrite).format(avroFmt).save(path)
-    spark.read.schema(nation.schema).format(avroFmt).load(path)
+    nation.coalesce(1).write.mode(SaveMode.Overwrite).format("avro").save(path)
+    spark.read.schema(nation.schema).format("avro").load(path)
       .orderBy("n_nationkey")
   }
 
