@@ -35,6 +35,10 @@ object Tables {
     * behavior for host code sharing the session). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-scoped optimizer rules (idempotent): every query reads its
+    // inputs through here, so a driver-provided session gets the scale
+    // governors (SimilarityBandRewrite et al.) without GraftExtensions
+    graft.plans.GraftRules.install(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

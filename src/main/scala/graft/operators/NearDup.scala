@@ -761,14 +761,16 @@ object NearDup {
     * 1−(1−(p⁴+4p³(1−p)))⁸ ≈ 0.994 (measured ≥ 0.9 at sf0.01/sf0.1 by
     * q291). Candidates stay band-bounded: the join is still an equi-join
     * on (b, k) — 5 probe keys per band, corpus side single-key. */
-  private[operators] val NPlanes = 32
-  private[operators] val NBands = 8
+  // canonical plane family lives in functions.Hyperplanes so the
+  // SimilarityBandRewrite optimizer rule hashes bit-identically
+  private[operators] val NPlanes = graft.functions.Hyperplanes.NPlanes
+  private[operators] val NBands = graft.functions.Hyperplanes.NBands
   /** q302's JL target dimensionality — fixed at 16 independently of the
     * LSH signature width (the JL audit asks "is 16 dims enough?", a
     * different question from the index's banding). */
   private val JlDims = 16
   private def planeSign(p: Int, j1: Int): Double =
-    if ((((p * 64L + j1) * 2654435761L) % 1000003L) % 2L == 0L) 1.0 else -1.0
+    graft.functions.Hyperplanes.planeSign(p, j1)
 
   /** Multi-probe expansion of a (…, b, k) band-key frame (Lv et al.,
     * VLDB'07, applied to sign-LSH): each PROBE band key also probes its
@@ -934,29 +936,42 @@ object NearDup {
     * Catalog name + path carry the sfDir tag (q88's convention: scale
     * factors must not clobber each other; re-invocations reuse the
     * layout — the first invocation per sfDir pays the build). */
-  private def q314(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(spark)
-    // applicationId in the tag (ADVICE r11, matching the Aggregates.scala
-    // graft_rollup fix): a fixed shared path raced when two applications
-    // benched the same sfDir concurrently (one scans while the other
-    // drops/rewrites), and cross-session reuse never happened anyway —
-    // the in-memory catalog resets with the session.
+  /** (vec_id, b, k): the banded band-key frame for `emb` — the one place
+    * plane hashing happens on an index build/maintenance path. */
+  private def bandedSigOf(emb: DataFrame): DataFrame =
+    hyperplaneSigFrame(emb)
+      .select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(NBands - 1))).as("b"))
+      .select(col("vec_id"), col("b"),
+        expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+
+  /** Build-or-reuse the persisted bucketed (b, k) band-key index over
+    * `emb` (shared by q314/q325). applicationId in the tag (ADVICE r11,
+    * matching the Aggregates.scala graft_rollup fix): a fixed shared path
+    * raced when two applications benched the same sfDir concurrently (one
+    * scans while the other drops/rewrites), and cross-session reuse never
+    * happened anyway — the in-memory catalog resets with the session.
+    * `suffix` separates independently maintained layouts. */
+  private def annIndexTableFor(spark: SparkSession, sfDir: String,
+      suffix: String, emb: => DataFrame): DataFrame = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
-      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") + suffix
     val idxT = s"graft_ann_idx$tag"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx$tag"
     deleteOnExit(path)
     if (!(spark.catalog.tableExists(idxT) && new java.io.File(path).exists())) {
-      hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
-        .select(col("vec_id"), col("sig"),
-          explode(sequence(lit(0), lit(NBands - 1))).as("b"))
-        .select(col("vec_id"), col("b"),
-          expr("shiftright(sig, cast(b * 4 as int)) & 15").as("k"))
+      bandedSigOf(emb)
         .write.mode("overwrite").format("parquet")
         .bucketBy(16, "b", "k").sortBy("b", "k")
         .option("path", path).saveAsTable(idxT)
     }
-    val idx = spark.table(idxT)
+    spark.table(idxT)
+  }
+
+  private def q314(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val idx = annIndexTableFor(spark, sfDir, "",
+      Tables(spark, sfDir, "embeddings"))
     val emb = Tables(spark, sfDir, "embeddings")
     val cand = multiProbe(idx.filter(col("vec_id") < 10))
       .select(col("vec_id").as("id_p"), col("b"), col("k"))
@@ -1258,6 +1273,55 @@ object NearDup {
       .orderBy("p_partkey")
   }
 
+  /** q325: INCREMENTAL maintenance of the persisted ANN index (VERDICT
+    * r12 item 2) — the delta path whose absence forced a full index
+    * rebuild on every corpus change. Scenario, derived deterministically
+    * so the oracle re-derives it: the STANDING index was built (and
+    * persisted, q314's layout) over even vec_ids; the day's batch UPSERTS
+    * the odd vec_ids and DELETES every id divisible by 6. Maintenance is
+    * algebraic on the banded layout (q132's incremental-agg pattern
+    * applied to an index):
+    *
+    *   maintained = (persisted_base ANTI-JOIN tombstones) ∪ banded(delta)
+    *
+    * Plane hashing touches ONLY the delta — the returned plan reads the
+    * index table for the base side and never re-hashes the base corpus
+    * (PlanShapeSuite asserts: exactly one embedding-hashing projection,
+    * index scan present). Deletes are a key anti-join against the
+    * tombstone feed. The output is EXACTLY what a from-scratch rebuild
+    * would produce: the oracle recomputes full banding in SQL and the
+    * per-band entry counts, vector counts and md5 content checksums must
+    * hash-match — proving the incremental path loses and duplicates
+    * nothing.
+    *
+    * Scale: the standing index (100 TB corpus → ~10¹¹ banded rows) is
+    * precisely what cannot be rebuilt per delta; the daily batch is
+    * bounded. The anti-join streams the index once against the (small,
+    * in production) tombstone feed; the append side is batch-sized. On a
+    * lake table this lands as partition append + merge-on-read delete
+    * files — the same algebra. The audit aggregation here (per-band
+    * counts/checksum) is the maintenance job's verification step, itself
+    * one map-side-combined pass. */
+  private def q325(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val idx = annIndexTableFor(spark, sfDir, "_base",
+      emb.filter(col("vec_id") % 2 === 0))
+    val deltaBanded = bandedSigOf(emb.filter(col("vec_id") % 2 === 1))
+    val tombstones = emb.select(col("vec_id")).filter(col("vec_id") % 6 === 0)
+    val maintained = idx.join(tombstones, Seq("vec_id"), "left_anti")
+      .unionByName(deltaBanded)
+    maintained
+      .select(col("vec_id"), col("b").cast("long").as("b"), col("k"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(col("vec_id")).as("n_vectors"),
+        sum(expr("cast(conv(substring(md5(concat(cast(vec_id as string), ':', " +
+          "cast(b as string), ':', cast(k as string))), 1, 8), 16, 10) as bigint)"))
+          .as("checksum"))
+      .orderBy("b")
+  }
+
   /** Shared DuckDB CTE prefix `bits → sig → banded`: regenerates the
     * q124 hyperplane signatures (Knuth-hash ±1 planes) and the 4×4-bit
     * band keys in SQL, bit-identically to [[hyperplaneSigFrame]]. Used
@@ -1486,6 +1550,17 @@ object NearDup {
     // layout must change where the work happens, never the answer
     Q("q319_sorted_neighborhood", q319 _, Some(q319Sql)),
     Q("q314_ann_index_layout", q314 _, Some(annTop3OracleSql)),
+    // the oracle rebuilds the FINAL index from scratch (full banding in
+    // SQL, filtered to the post-delete id set) — hash-equality against
+    // Spark's incrementally maintained layout is the strongest possible
+    // check that the delta path loses/duplicates nothing
+    Q("q325_ann_index_upsert", q325 _, Some(
+      hyperplaneCtesSql + ", " +
+        "final AS (SELECT vec_id, b, k FROM banded WHERE vec_id % 6 <> 0) " +
+        "SELECT b, COUNT(*) AS n_entries, COUNT(DISTINCT vec_id) AS n_vectors, " +
+        "CAST(SUM(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || " +
+        "CAST(b AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
+        "FROM final GROUP BY b ORDER BY b")),
     Q("q124_ann_hyperplane", q124 _, Some(annTop3OracleSql)),
   ) ++ legacyEntries
 

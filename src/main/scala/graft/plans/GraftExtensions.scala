@@ -30,7 +30,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "graft_jaro_winkler"),
       graft.functions.JaroWinkler.builder))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    ext.injectOptimizerRule(_ => SimilarityBandRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => BandJoinStrategy)
+  }
+}
+
+/** Session-scoped installation of the engine's optimizer rules for code
+  * that cannot assume [[GraftExtensions]] was configured at session build
+  * time (the driver hands queries an unconfigured session) — the rule
+  * analog of `VectorExpressions.register`. Idempotent; called from the
+  * [[graft.Tables]] chokepoint so every query path gets the rules. */
+object GraftRules {
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    val want = Seq(LevenshteinPrefilter, SimilarityBandRewrite)
+      .filterNot(cur.contains)
+    if (want.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ want
   }
 }

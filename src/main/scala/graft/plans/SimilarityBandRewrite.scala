@@ -1,0 +1,193 @@
+package graft.plans
+
+import graft.functions.{FloatDot, Hyperplanes}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: brute-force all-pairs vector similarity → banded
+  * sign-LSH candidate join above the measured size crossover (VERDICT
+  * r11/r12 item 1 — the engine's one systematic scale trap).
+  *
+  * The trap: a user writes the natural brute-force shape
+  *
+  * {{{ a.join(b, $"id_a" < $"id_b")           // or =!= ; NO equi key
+  *      .select(graft_dot($"ea", $"eb"), ...) // per-pair vector math }}}
+  *
+  * which plans a BroadcastNestedLoop/Cartesian whose cost is the full
+  * |a|×|b| pair space. Fine for a bounded probe set (the house helpers
+  * gate on [[graft.operators.Joins.MaxCrossProbe]]); a cluster-killer at
+  * corpus scale. ScalePathSuite measured the crossover where the banded
+  * LSH path wins: 24k×3k pairs (≈72M), brute 72.2 s vs indexed 10.0 s
+  * (7.2×) — and the gap only widens with n².
+  *
+  * Above that pair estimate this rule substitutes the q124/q314 banded
+  * plan: both sides gain the canonical 32-bit hyperplane signature
+  * ([[Hyperplanes]] — bit-identical to the q124/q314 index builders),
+  * explode to 8×4-bit band keys, and the nested loop becomes an
+  * EQUI-join on the band key. A first-matching-band conjunct keeps
+  * exactly one copy of each colliding pair (no Distinct needed), and the
+  * original theta condition rides along unchanged. The rewritten output
+  * is a SUBSET of the brute-force pairs with identical values — the
+  * standard LSH candidate semantics (recall measured ≥ 0.9 by q291's
+  * audit at the index configuration this rule shares).
+  *
+  * Because the rewrite is candidate-pruning (approximate), it fires only
+  * when ALL of the following hold, and each is a deliberate contract:
+  *  - `spark.graft.similarity.autoIndex` is true (default; the opt-out
+  *    for exact-at-any-cost runs such as recall-audit ground truths);
+  *  - the join is Inner/Cross with NO equi-key conjunct (an equi key
+  *    means the pair space is already bucketed — including by this rule
+  *    itself, which makes the rewrite idempotent under the fixed-point
+  *    batch);
+  *  - NEITHER side carries an explicit broadcast hint: `broadcast(df)`
+  *    is the user's bounded-probe declaration — the same contract
+  *    MaxCrossProbe enforces at runtime — and a hinted probe×corpus scan
+  *    is linear in the corpus, not quadratic, so it is honored;
+  *  - exactly one array<float> column from each side is combined in one
+  *    expression (the join condition or the adjacent Project/Filter) —
+  *    the per-pair vector-math signature;
+  *  - the estimated pair count `rows(l)·rows(r)` exceeds
+  *    `spark.graft.similarity.autoIndexPairs` (default 72e6, the
+  *    measured crossover). Estimates come from `LogicalPlan.stats`
+  *    (row count under CBO, sizeInBytes/row-width otherwise) — the same
+  *    statistics the join-strategy planner trusts.
+  *
+  * 100 TB rationale: this is the enforcement layer the q124/q314 index
+  * paths were missing — the engine no longer relies on the query AUTHOR
+  * choosing the scale path; the optimizer swaps it in exactly where the
+  * measured crossover says brute force loses. PlanRuleSuite asserts
+  * fire-on-large, no-fire-at-fixture-scale, subset-with-identical-values
+  * semantics, pair dedup, and idempotence.
+  */
+object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.similarity.autoIndex"
+  val PairsKey = "spark.graft.similarity.autoIndexPairs"
+
+  /** Default pair-count crossover: ScalePathSuite's measured 24k×3k. */
+  val DefaultPairs: Long = 72L * 1000 * 1000
+
+  /** Bytes-per-row guess when only sizeInBytes is known — an embedding
+    * row (64 float4 + id + parquet overhead) is ≈300 bytes; erring LOW
+    * on bytes errs HIGH on rows, i.e. toward firing, which at pair
+    * counts this size is the safe direction. */
+  private val EstRowBytes = 256L
+
+  private def enabled: Boolean =
+    conf.getConfString(EnabledKey, "true").toBoolean
+
+  private def pairsThreshold: BigInt =
+    BigInt(conf.getConfString(PairsKey, DefaultPairs.toString).toLong)
+
+  private def estRows(p: LogicalPlan): BigInt = {
+    val s = p.stats
+    s.rowCount.getOrElse((s.sizeInBytes / EstRowBytes).max(1))
+  }
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Exactly one array<float> attribute from each join side referenced
+    * inside `e` — the per-pair vector-math signature. */
+  private def vecPair(e: Expression, j: Join): Option[(Attribute, Attribute)] = {
+    val arrs = e.collect { case a: AttributeReference if isFloatArray(a.dataType) => a }
+    val ls = arrs.filter(j.left.outputSet.contains).distinctBy(_.exprId)
+    val rs = arrs.filter(j.right.outputSet.contains).distinctBy(_.exprId)
+    (ls, rs) match {
+      case (Seq(a), Seq(b)) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  private def firstVecPair(es: Seq[Expression], j: Join): Option[(Attribute, Attribute)] =
+    es.iterator.map(vecPair(_, j)).collectFirst { case Some(p) => p }
+
+  private def spansBothSides(l: Expression, r: Expression, j: Join): Boolean =
+    (l.references.nonEmpty && r.references.nonEmpty) &&
+      ((l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+        (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet)))
+
+  private def hasEquiKey(j: Join): Boolean =
+    j.condition.exists(c => splitConjunctivePredicates(c).exists {
+      case EqualTo(l, r) => spansBothSides(l, r, j)
+      case EqualNullSafe(l, r) => spansBothSides(l, r, j)
+      case _ => false
+    })
+
+  private def broadcastHinted(j: Join): Boolean = {
+    def hinted(h: Option[HintInfo]) = h.exists(_.strategy.contains(BROADCAST))
+    hinted(j.hint.leftHint) || hinted(j.hint.rightHint)
+  }
+
+  private def eligible(j: Join): Boolean =
+    (j.joinType == Inner || j.joinType == Cross) &&
+      !hasEquiKey(j) && !broadcastHinted(j) &&
+      estRows(j.left) * estRows(j.right) > pairsThreshold
+
+  /** Append the canonical signature + exploded band key to one side:
+    * Project(side.output :+ sig) → Generate(explode(bk array)).
+    * bk packs (band, key) into one long (b·256 + k; k < 16 ≪ 256, so
+    * bands can never collide across b) — a single equi-join key. */
+  private def sideWithBands(side: LogicalPlan, emb: Attribute): (LogicalPlan, Attribute, Attribute) = {
+    val sigE = (0 until Hyperplanes.NPlanes).map { p =>
+      val plane = Literal.create(Hyperplanes.planeArray(p), ArrayType(FloatType, containsNull = false))
+      If(GreaterThanOrEqual(FloatDot(emb, plane), Literal(0.0)),
+        Literal(1L << p), Literal(0L))
+    }.reduce[Expression](Add(_, _))
+    val sigAlias = Alias(sigE, "graft_sig")()
+    val proj = Project(side.output :+ sigAlias, side)
+    val sig = sigAlias.toAttribute
+    val bkElems: Seq[Expression] = (0 until Hyperplanes.NBands).map { b =>
+      Add(Literal(b.toLong * 256L), bandKey(sig, b))
+    }
+    val bk = AttributeReference("graft_bk", LongType, nullable = false)()
+    val gen = Generate(Explode(CreateArray(bkElems)), Nil, outer = false, None, Seq(bk), proj)
+    (gen, sig, bk)
+  }
+
+  private def bandKey(sig: Expression, b: Int): Expression =
+    BitwiseAnd(ShiftRight(sig, Literal(4 * b)), Literal(15L))
+
+  private def rewrite(j: Join, lEmb: Attribute, rEmb: Attribute): LogicalPlan = {
+    val (gl, sigL, bkL) = sideWithBands(j.left, lEmb)
+    val (gr, sigR, bkR) = sideWithBands(j.right, rEmb)
+    // keep each colliding pair exactly once: only the FIRST band where
+    // the two signatures agree survives — for every earlier band b' the
+    // keys must differ ((b ≤ b') OR k_l(b') ≠ k_r(b')), with b = bk>>8
+    val bandOf = ShiftRight(bkL, Literal(8))
+    val firstMatch = (0 until Hyperplanes.NBands - 1).map { bp =>
+      Or(LessThanOrEqual(bandOf, Literal(bp.toLong)),
+        Not(EqualTo(bandKey(sigL, bp), bandKey(sigR, bp))))
+    }.reduce[Expression](And(_, _))
+    val cond = (Seq[Expression](EqualTo(bkL, bkR), firstMatch) ++ j.condition)
+      .reduce[Expression](And(_, _))
+    logWarning(s"SimilarityBandRewrite: all-pairs similarity join over an " +
+      s"estimated ${estRows(j.left)}x${estRows(j.right)} pair space exceeds " +
+      s"$PairsKey=$pairsThreshold — substituting the banded sign-LSH " +
+      s"candidate join (set $EnabledKey=false for exact brute force)")
+    Project(j.output, Join(gl, gr, Inner, Some(cond), JoinHint.NONE))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      // dot computed inside the join condition (pushed-down filter shape)
+      case j: Join if eligible(j) && j.condition.flatMap(vecPair(_, j)).isDefined =>
+        val Some((l, r)) = j.condition.flatMap(vecPair(_, j))
+        rewrite(j, l, r)
+      // dot computed in the adjacent Project (the q11/q51 select shape)
+      case p @ Project(list, j: Join) if eligible(j) && firstVecPair(list, j).isDefined =>
+        val Some((l, r)) = firstVecPair(list, j)
+        p.copy(child = rewrite(j, l, r))
+      // dot computed in an adjacent Filter (threshold shape)
+      case f @ Filter(cond, j: Join) if eligible(j) && vecPair(cond, j).isDefined =>
+        val Some((l, r)) = vecPair(cond, j)
+        f.copy(child = rewrite(j, l, r))
+    }
+  }
+}

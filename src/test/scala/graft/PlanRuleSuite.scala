@@ -44,6 +44,108 @@ class PlanRuleSuite extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  // ---- SimilarityBandRewrite (VERDICT r12 item 1) ----
+
+  private def simVec(i: Long): Array[Float] =
+    Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat)
+
+  /** The raw user-written brute-force all-pairs shape the rule targets:
+    * a no-equi-key theta join with per-pair vector math above it. */
+  private def bruteShape(n: Int) = {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val emb = (0L until n.toLong).map(i => (i, simVec(i))).toDF("vid", "emb")
+    val a = emb.select(col("vid").as("id_a"), col("emb").as("ea"))
+    val b = emb.select(col("vid").as("id_b"), col("emb").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+  }
+
+  test("SimilarityBandRewrite: no fire at fixture scale / conf-off; fires above threshold with subset semantics") {
+    graft.plans.GraftRules.install(spark)
+    val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
+    val enabledKey = graft.plans.SimilarityBandRewrite.EnabledKey
+    try {
+      // 1. default threshold (72e6 pairs): a 300-vector frame is far below —
+      //    plan untouched, results are the exact brute-force pairs
+      val exactQ = bruteShape(300)
+      assert(!exactQ.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "rule fired below the crossover")
+      val exact = exactQ.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(exact.size == 300 * 299 / 2)
+
+      // 2. threshold lowered: the SAME shape now plans the banded equi-join
+      spark.conf.set(pairsKey, "1000")
+      val lshQ = bruteShape(300)
+      val opt = lshQ.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_bk"), s"rule did not fire:\n$opt")
+      // idempotent under the fixed-point batch: one banded join = exactly
+      // two explodes (one per side), not four
+      assert("explode".r.findAllIn(opt.toLowerCase).size == 2,
+        s"rewrite nested/duplicated:\n$opt")
+      // the nested loop is GONE from the physical plan
+      val phys = lshQ.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoop") && !phys.contains("CartesianProduct"),
+        s"still a nested loop:\n$phys")
+      // schema unchanged; results are a DEDUPED SUBSET with identical values
+      assert(lshQ.schema == exactQ.schema)
+      val got = lshQ.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      assert(got.map(_._1).distinct.length == got.length, "pair emitted twice (first-match dedup broken)")
+      assert(got.nonEmpty, "banded join produced zero candidates")
+      got.foreach { case (pair, dot) =>
+        assert(exact.get(pair).contains(dot), s"pair $pair: value diverged or not in exact set")
+      }
+
+      // 3. explicit broadcast hint = bounded-probe declaration → honored, no fire
+      val hinted = {
+        import spark.implicits._
+        val emb = (0L until 300L).map(i => (i, simVec(i))).toDF("vid", "emb")
+        val a = emb.select(col("vid").as("id_a"), col("emb").as("ea"))
+        val b = emb.select(col("vid").as("id_b"), col("emb").as("eb"))
+        broadcast(a).join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      }
+      assert(!hinted.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "rule hijacked an explicitly broadcast (bounded-probe) join")
+
+      // 4. the opt-out conf
+      spark.conf.set(enabledKey, "false")
+      assert(!bruteShape(300).queryExecution.optimizedPlan.toString.contains("graft_bk"))
+    } finally {
+      spark.conf.unset(pairsKey)
+      spark.conf.unset(enabledKey)
+    }
+  }
+
+  test("SimilarityBandRewrite: banded candidates carry the canonical q124 signature (recall sanity)") {
+    // the rewrite shares Hyperplanes with q124/q314 — at the house band
+    // config, near-identical vectors MUST collide (their signatures agree
+    // on every band), so self-similar pairs always survive the pruning
+    graft.plans.GraftRules.install(spark)
+    val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
+    try {
+      spark.conf.set(pairsKey, "1000")
+      import spark.implicits._
+      graft.functions.VectorExpressions.register(spark)
+      // 100 base vectors + a clone of each (ids 1000+i) — clones are
+      // exact duplicates, so every (i, 1000+i) pair must be a candidate
+      val base = (0L until 100L).map(i => (i, simVec(i)))
+      val clones = base.map { case (i, v) => (1000L + i, v) }
+      val emb = (base ++ clones).toDF("vid", "emb")
+      val a = emb.select(col("vid").as("id_a"), col("emb").as("ea"))
+      val b = emb.select(col("vid").as("id_b"), col("emb").as("eb"))
+      val q = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_bk"))
+      val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0L until 100L).foreach { i =>
+        assert(pairs.contains((i, 1000L + i)),
+          s"exact-duplicate pair ($i, ${1000L + i}) lost by the banded join")
+      }
+    } finally spark.conf.unset(pairsKey)
+  }
+
   test("native as-of join: plans AsOfJoinExec and matches the declarative reference") {
     import spark.implicits._
     // keys 0..49, versions at t = 0, 100, 200 (value = "k<key>@<t>"),

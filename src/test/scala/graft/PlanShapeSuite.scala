@@ -499,6 +499,27 @@ class PlanShapeSuite extends AnyFunSuite {
       s"q314 recomputes band keys instead of reading the index:\n$plan")
   }
 
+  test("q325 incremental index maintenance: delta-only hashing, base served from the layout (r12)") {
+    // first invocation builds the base layout; the SECOND must plan as
+    // (index scan ANTI-JOIN tombstones) UNION (delta hashing) — the base
+    // corpus is never re-hashed: exactly ONE graft_dot-bearing projection
+    // (the delta side) and the persisted index table in the scan set
+    SparkEntry.queries("q325_ann_index_upsert")(spark, sf).collect()
+    val qe = SparkEntry.queries("q325_ann_index_upsert")(spark, sf).queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_ann_idx") && plan.contains("_base"),
+      s"q325 must serve the base side from the persisted index layout:\n$plan")
+    // the 32-dot signature projection appears exactly once (delta side);
+    // a second one would mean the base corpus is being re-hashed
+    val sigProjects = plan.split("\n").count(l => l.contains("graft_dot"))
+    assert(sigProjects == 1,
+      s"q325 must hash ONLY the delta (found $sigProjects sig projections):\n$plan")
+    // the delete is an anti-join, not a rebuild-with-filter
+    assert(plan.toLowerCase.contains("leftanti"),
+      s"q325 deletes must anti-join the tombstone feed:\n$plan")
+  }
+
   test("q232 BM25: top-k is a TakeOrdered, stats/df broadcast, one tf exchange") {
     val qe = SparkEntry.queries("q232_text_bm25")(spark, sf).queryExecution
     qe.toRdd.count()
