@@ -1322,6 +1322,65 @@ object NearDup {
       .orderBy("b")
   }
 
+  /** q326: perceptual-hash image near-dup (VERDICT r12 item 5) — aHash
+    * (average hash) computed from RAW UNCOMPRESSED BMP PIXELS, completing
+    * multimodal dedup beyond exact bytes + header metadata: re-encoded or
+    * lightly edited images share no content hash but land within a few
+    * aHash bits. Recipe (the standard one, integer-exact so both engines
+    * agree bit-for-bit):
+    *
+    *  1. 16×16 BGR pixels → 64 2×2-block sums of (B+G+R) — hex-slice
+    *     arithmetic on the blob (`conv(substr(hex(content)…))`, the q95
+    *     cross-engine decode pattern), bottom-up row order handled in the
+    *     offset math; no media libs anywhere.
+    *  2. bit b set iff 64·blockSum(b) > Σ blockSums — "block mean above
+    *     global mean" with the division cleared, so there is no rounding
+    *     to diverge on.
+    *  3. the 64 bits pack into TWO 32-bit words (lo/hi): DuckDB's `<<`
+    *     range-checks BIGINT shifts (1<<63 throws), so a single 64-bit
+    *     word cannot be built portably; two words also keep every shift
+    *     ≤ 31 for any future 32-bit engine.
+    *  4. pairs at Hamming ≤ 6 via the q83 pigeonhole discipline: 8 bands
+    *     of 8 bits (4 per word) — ≤ 6 differing bits leaves ≥ 2 clean
+    *     bands, so candidates come from a (band, byte) EQUI-join, never
+    *     image×image; the exact Hamming filter runs on candidates only.
+    *
+    * Scale: per image the hash is one narrow codegen'd projection over
+    * the blob (no shuffle); the pair join is band-bounded exactly like
+    * q83/q124 — at 10⁹ images the index is 8 rows/image of (band, byte,
+    * id), and the hex math runs where the bytes already sit (binaryFile
+    * splits files across tasks; payload bytes never shuffle). */
+  private def q326(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Scans.imageFixture()
+    val blockSum =
+      "aggregate(sequence(0, 11), 0L, (acc, i) -> acc + " +
+        "cast(conv(substr(hx, (54 + (15 - ((bi div 8) * 2 + (i div 3) div 2)) * 48 + " +
+        "((bi % 8) * 2 + (i div 3) % 2) * 3 + i % 3) * 2 + 1, 2), 16, 10) as bigint))"
+    def word(startBlock1: Int): String =
+      s"aggregate(zip_with(slice(sums, $startBlock1, 32), sequence(0, 31), " +
+        "(s, i) -> IF(s * 64 > total, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
+    val hashed = spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("img"),
+        hex(col("content")).as("hx"))
+      .withColumn("sums", expr(s"transform(sequence(0, 63), bi -> $blockSum)"))
+      .withColumn("total", expr("aggregate(sums, 0L, (acc, x) -> acc + x)"))
+      .select(col("img"), expr(word(1)).as("lo"), expr(word(33)).as("hi"))
+      .localCheckpoint(true) // hashed once; both band-join sides read it
+    val banded = hashed.select(col("img"), col("lo"), col("hi"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("k", expr(
+        "IF(b < 4, shiftright(lo, cast(b * 8 as int)), shiftright(hi, cast((b - 4) * 8 as int))) & 255"))
+    val l = banded.select(col("img").as("img_a"), col("lo").as("la"), col("hi").as("ha"), col("b"), col("k"))
+    val r = banded.select(col("img").as("img_b"), col("lo").as("lb"), col("hi").as("hb"), col("b"), col("k"))
+    l.join(r, Seq("b", "k"))
+      .filter(col("img_a") < col("img_b"))
+      .select("img_a", "img_b", "la", "lb", "ha", "hb").distinct()
+      .select(col("img_a"), col("img_b"),
+        expr("cast(bit_count(la ^ lb) + bit_count(ha ^ hb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("img_a", "img_b")
+  }
+
   /** Shared DuckDB CTE prefix `bits → sig → banded`: regenerates the
     * q124 hyperplane signatures (Knuth-hash ±1 planes) and the 4×4-bit
     * band keys in SQL, bit-identically to [[hyperplaneSigFrame]]. Used
@@ -1561,6 +1620,27 @@ object NearDup {
         "CAST(SUM(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || " +
         "CAST(b AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum " +
         "FROM final GROUP BY b ORDER BY b")),
+    // same hex-slice pixel math as the Spark side, re-derived from the
+    // same blob bytes (q95's cross-engine decode pattern)
+    Q("q326_image_phash_dedup", q326 _, Some(
+      "WITH bl AS (SELECT regexp_extract(filename, '[^/]+$') AS img, hex(content) AS hx " +
+        "FROM read_blob('/root/repo/target/graft_image_fixture/*.bmp')), " +
+        "sums AS (SELECT img, bi, list_sum(list_transform(range(0, 12), i -> " +
+        "CAST(('0x' || substr(hx, CAST((54 + (15 - ((bi // 8) * 2 + (i // 3) // 2)) * 48 + " +
+        "((bi % 8) * 2 + (i // 3) % 2) * 3 + i % 3) * 2 + 1 AS INT), 2)) AS BIGINT))) AS s " +
+        "FROM bl CROSS JOIN range(0, 64) rb(bi)), " +
+        "tot AS (SELECT img, SUM(s) AS total FROM sums GROUP BY img), " +
+        "hsh AS (SELECT s.img, " +
+        "CAST(SUM(CASE WHEN s.bi < 32 AND s.s * 64 > t.total THEN CAST(1 AS BIGINT) << CAST(s.bi AS INT) ELSE 0 END) AS BIGINT) AS lo, " +
+        "CAST(SUM(CASE WHEN s.bi >= 32 AND s.s * 64 > t.total THEN CAST(1 AS BIGINT) << CAST(s.bi - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi " +
+        "FROM sums s JOIN tot t USING (img) GROUP BY s.img), " +
+        "banded AS (SELECT img, lo, hi, b, CASE WHEN b < 4 THEN (lo >> CAST(b * 8 AS INT)) & 255 " +
+        "ELSE (hi >> CAST((b - 4) * 8 AS INT)) & 255 END AS k FROM hsh CROSS JOIN range(0, 8) rb(b)) " +
+        "SELECT img_a, img_b, CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming " +
+        "FROM (SELECT DISTINCT l.img AS img_a, r.img AS img_b, l.lo AS la, r.lo AS lb, l.hi AS ha, r.hi AS hb " +
+        "FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k AND l.img < r.img) p " +
+        "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6 " +
+        "ORDER BY img_a, img_b")),
     Q("q124_ann_hyperplane", q124 _, Some(annTop3OracleSql)),
   ) ++ legacyEntries
 

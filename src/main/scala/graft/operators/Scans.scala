@@ -219,6 +219,47 @@ object Scans {
     dir.getAbsolutePath
   }
 
+  /** Deterministic 16×16 24-bpp UNCOMPRESSED BMP fixtures for q326's
+    * perceptual-hash dedup — 12 base images (Knuth-hash pixel noise, so
+    * distinct images get independent hash bits) + 12 near-duplicate
+    * clones (ids +100: 29 of 256 pixels nudged by +5 — the small-edit
+    * regime aHash is built for), written once to a fixed repo-local dir
+    * (q95's fixture convention: oracle SQL is static, so the path is
+    * absolute and sfDir-independent; both engines read the SAME bytes).
+    * Layout: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40), pixel array at
+    * offset 54, BGR, rows bottom-up, stride 48 = 16·3 (already 4-byte
+    * aligned, so no row padding — the hex math needs no pad handling). */
+  private[operators] def imageFixture(): String = {
+    val dir = new java.io.File("/root/repo/target/graft_image_fixture")
+    dir.mkdirs()
+    def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
+    def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
+    val w = 16; val h = 16
+    def pix(i: Int, x: Int, y: Int): Int =
+      (((i * 1009L + x * 31L + y * 17L) * 2654435761L) % 251L).toInt
+    def bmp(i: Int, perturb: Boolean): Array[Byte] = {
+      val header =
+        "BM".getBytes("US-ASCII") ++ le(54 + w * h * 3) ++ le(0) ++ le(54) ++
+          le(40) ++ le(w) ++ le(h) ++ le16(1) ++ le16(24) ++ le(0) ++ le(w * h * 3) ++
+          le(2835) ++ le(2835) ++ le(0) ++ le(0)
+      val px = new Array[Byte](w * h * 3)
+      for (yTop <- 0 until h; x <- 0 until w) {
+        var v = pix(i, x, yTop)
+        if (perturb && (x + yTop) % 9 == 0) v = math.min(255, v + 5)
+        val off = (h - 1 - yTop) * w * 3 + x * 3 // bottom-up rows
+        px(off) = v.toByte; px(off + 1) = v.toByte; px(off + 2) = v.toByte
+      }
+      header ++ px
+    }
+    (0 until 12).foreach { i =>
+      val base = new java.io.File(dir, f"img_$i%03d.bmp")
+      if (!base.exists()) java.nio.file.Files.write(base.toPath, bmp(i, perturb = false))
+      val clone = new java.io.File(dir, f"img_${i + 100}%03d.bmp")
+      if (!clone.exists()) java.nio.file.Files.write(clone.toPath, bmp(i, perturb = true))
+    }
+    dir.getAbsolutePath
+  }
+
   /** q95: binary-file ingestion — the multimodal pipeline's entry point:
     * Spark's `binaryFile` source reads (path, length, content) per file
     * with NO driver-side materialization, then

@@ -347,6 +347,22 @@ class OperatorSuite extends AnyFunSuite {
     assert(byId(10L) == byId(1L))
   }
 
+  test("q326 perceptual hash: every clone pair flagged, zero false positives, headers decode") {
+    // fixtures are 12 Knuth-noise base images + 12 small-perturbation
+    // clones (ids +100): aHash must pair each base with exactly its clone
+    val rows = SparkEntry.queries("q326_image_phash_dedup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 12, s"expected the 12 clone pairs, got ${rows.mkString(", ")}")
+    rows.foreach { case (a, b, ham) =>
+      assert(b.replace("img_1", "img_0") == a, s"false positive pair ($a, $b)")
+      assert(ham <= 6)
+    }
+    // the fixtures are REAL BMPs: the house header decoder parses them
+    val f = new java.io.File("/root/repo/target/graft_image_fixture/img_000.bmp")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(graft.streaming.Multimodal.decodeReal(bytes, "") == ((16, 16)))
+  }
+
   test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
     // tile = top 2 interleaved bits of each 5-bit dim → within any tile
     // both x and y span at most 8 consecutive values (vs 25/28 global).
