@@ -120,7 +120,12 @@ object Joins {
     * [[MaxCrossProbe]] rows, so this path can never be handed a
     * corpus-sized frame and silently plan an O(n²) nested-loop join.
     * Corpus-scale similarity belongs to the index paths: LSH
-    * (q124_ann_hyperplane) or IVF (q63_ann_ivf / NearDup.ivfTopK). */
+    * (q124_ann_hyperplane) or IVF (q63_ann_ivf / NearDup.ivfTopK).
+    * The RAW user-written shape (no helper, no guard) is governed by
+    * [[graft.plans.SimilarityBandRewrite]]: above the measured pair-count
+    * crossover the optimizer substitutes the banded LSH equi-join
+    * automatically (r12 item 1) — this helper's broadcast hint marks the
+    * probe side as deliberately bounded, which that rule honors. */
   private[graft] def crossDotProducts(probe: DataFrame, corpus: DataFrame): DataFrame = {
     val nProbe = probe.count()
     require(nProbe <= MaxCrossProbe,

@@ -292,7 +292,12 @@ object LLMPipeline {
   /** The q51 dataflow, parameterized — the exact brute-force baseline
     * ScalePathSuite times NearDup.ivfTopK against. Probe side (rows
     * matching `probePred`) is broadcast; the big side streams once with
-    * no shuffle until the top-k window. */
+    * no shuffle until the top-k window. The broadcast hint doubles as
+    * the bounded-probe declaration [[graft.plans.SimilarityBandRewrite]]
+    * honors — the unhinted raw version of this shape auto-rewrites to
+    * the banded LSH join above the measured pair crossover (r12 item 1),
+    * so a user who omits the hint at corpus scale gets the index path,
+    * not the cartesian. */
   private[graft] def bruteTopK(spark: SparkSession, emb: DataFrame,
       probePred: Column, topK: Int): DataFrame = {
     graft.functions.VectorExpressions.register(spark)

@@ -578,7 +578,9 @@ object NearDup {
     * the exact cosine only inside the surviving equi-joined cell pairs.
     * Results are identical to brute force by construction (the bound is
     * a no-false-negative guarantee, not a probabilistic filter), so the
-    * all-pairs oracle SQL is unchanged. */
+    * all-pairs oracle SQL is unchanged. A user who bypasses this
+    * operator and writes the raw all-pairs join instead is caught by
+    * [[graft.plans.SimilarityBandRewrite]] above the pair crossover. */
   private def q62(spark: SparkSession, sfDir: String): DataFrame =
     exactCosPairs(spark, Tables(spark, sfDir, "embeddings"), tau = 0.3)
 
