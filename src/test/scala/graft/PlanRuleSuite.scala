@@ -118,6 +118,39 @@ class PlanRuleSuite extends AnyFunSuite {
     }
   }
 
+  test("SimilarityBandRewrite: fires on the threshold-Filter and dot-in-condition shapes too") {
+    graft.plans.GraftRules.install(spark)
+    val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
+    try {
+      spark.conf.set(pairsKey, "1000")
+      import spark.implicits._
+      graft.functions.VectorExpressions.register(spark)
+      val emb = (0L until 200L).map(i => (i, simVec(i))).toDF("vid", "emb")
+      val a = emb.select(col("vid").as("id_a"), col("emb").as("ea"))
+      val b = emb.select(col("vid").as("id_b"), col("emb").as("eb"))
+      // q62-style: cosine computed in a Project, thresholded in a Filter —
+      // the optimizer pushes the predicate into the join or leaves a
+      // Filter above it; either way the rule must fire
+      val thresholdShape = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("round(graft_dot(ea, eb) / (sqrt(graft_dot(ea, ea)) * sqrt(graft_dot(eb, eb))), 6)").as("cos"))
+        .filter(col("cos") >= 0.3)
+      val opt1 = thresholdShape.queryExecution.optimizedPlan.toString
+      assert(opt1.contains("graft_bk"), s"threshold shape did not fire:\n$opt1")
+      assert(!thresholdShape.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+      // dot directly inside the join condition
+      val condShape = a.join(b,
+        col("id_a") < col("id_b") && expr("graft_dot(ea, eb)") > lit(50.0))
+      val opt2 = condShape.queryExecution.optimizedPlan.toString
+      assert(opt2.contains("graft_bk"), s"dot-in-condition shape did not fire:\n$opt2")
+      assert("explode".r.findAllIn(opt2.toLowerCase).size == 2, s"duplicated rewrite:\n$opt2")
+      // both still run and dedup pairs
+      val pairs = condShape.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.distinct.length == pairs.length)
+    } finally spark.conf.unset(pairsKey)
+  }
+
   test("SimilarityBandRewrite: banded candidates carry the canonical q124 signature (recall sanity)") {
     // the rewrite shares Hyperplanes with q124/q314 — at the house band
     // config, near-identical vectors MUST collide (their signatures agree
