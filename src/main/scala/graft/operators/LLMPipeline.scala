@@ -276,6 +276,38 @@ object LLMPipeline {
       .orderBy("doc_id")
   }
 
+  /** q327: quality-based cluster representative selection — the
+    * RESOLUTION POLICY production dedup actually ships: q93 keeps the
+    * min-id member of each near-dup component (deterministic but
+    * arbitrary); real cleaning pipelines keep the BEST member — here
+    * quality = whitespace token count (deterministic on both engines;
+    * swap in q65/q313's richer score in production, same plan), doc_id
+    * ascending as the tie-break so equal-quality clusters still resolve
+    * identically everywhere. Per document: its component's chosen
+    * representative, its own quality, and the keep/drop verdict.
+    *
+    * Scale: components come from the SHARED pay-once CC frame (FrameMemo
+    * — same labels q76/q93 read); quality is a narrow scalar projection
+    * on the documents scan; representative selection is one row_number
+    * window PARTITIONED BY component — dup clusters are small by
+    * construction after banding (df-capped candidates), so no window
+    * partition can grow with the corpus. Nothing new shuffles at
+    * corpus width beyond the comp-keyed exchange the window needs. */
+  private def q327(spark: SparkSession, sfDir: String): DataFrame = {
+    val comps = components(spark, sfDir).select("doc_id", "comp")
+    val quality = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("quality"))
+    val w = Window.partitionBy("comp").orderBy(col("quality").desc, col("doc_id"))
+    val ranked = comps.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+    val reps = ranked.filter(col("rn") === 1)
+      .select(col("comp"), col("doc_id").as("representative"))
+    ranked.join(reps, "comp")
+      .select(col("doc_id"), col("representative"), col("quality"),
+        (col("doc_id") === col("representative")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
 
@@ -679,6 +711,23 @@ object LLMPipeline {
         "comps AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a) " +
         "SELECT doc_id, comp AS representative, doc_id = comp AS keep " +
         "FROM comps ORDER BY doc_id")),
+    Q("q327_dedup_keep_best", q327 _, Some(
+      minhashPairsSql + ", " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach AS (WITH RECURSIVE r(a, b) AS (" +
+        "SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src) " +
+        "SELECT a, b FROM r), " +
+        "comps AS (SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a), " +
+        "ql AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS quality FROM documents), " +
+        "ranked AS (SELECT c.doc_id, c.comp, ql.quality, " +
+        "ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY ql.quality DESC, c.doc_id) AS rn " +
+        "FROM comps c JOIN ql USING (doc_id)), " +
+        "reps AS (SELECT comp, doc_id AS representative FROM ranked WHERE rn = 1) " +
+        "SELECT r2.doc_id, reps.representative, r2.quality, " +
+        "r2.doc_id = reps.representative AS keep " +
+        "FROM ranked r2 JOIN reps USING (comp) ORDER BY doc_id")),
     Q("q51_sim_cosine_topk", q51 _, Some(
       "SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos, " +
         "ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn FROM (" +

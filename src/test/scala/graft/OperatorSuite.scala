@@ -363,6 +363,26 @@ class OperatorSuite extends AnyFunSuite {
     assert(graft.streaming.Multimodal.decodeReal(bytes, "") == ((16, 16)))
   }
 
+  test("q327 keep-best resolution: one keeper per component, keeper has max quality") {
+    val rows = SparkEntry.queries("q327_dedup_keep_best")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // exactly one keep per representative, and it IS the representative
+    val byRep = rows.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"component $rep has ${keepers.length} keepers")
+      assert(keepers.head._1 == rep)
+      // the keeper's quality is the component max (doc_id breaks ties)
+      val maxQ = members.map(_._3).max
+      assert(keepers.head._3 == maxQ,
+        s"component $rep kept quality ${keepers.head._3}, max is $maxQ")
+    }
+    // the policy differs from q93's min-id exactly when a higher-quality
+    // non-min member exists — sanity that the join/window wiring is live
+    assert(rows.length == SparkEntry.queries("q93_dedup_resolution")(spark, sf).count())
+  }
+
   test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
     // tile = top 2 interleaved bits of each 5-bit dim → within any tile
     // both x and y span at most 8 consecutive values (vs 25/28 global).
