@@ -61,6 +61,14 @@ import org.apache.spark.sql.types._
   * measured crossover says brute force loses. PlanRuleSuite asserts
   * fire-on-large, no-fire-at-fixture-scale, subset-with-identical-values
   * semantics, pair dedup, and idempotence.
+  *
+  * Known trade-off: the band equi-join shuffles each side ×NBands
+  * INCLUDING its payload columns (a logical rule sees no primary key, so
+  * it cannot split into a narrow candidate join + a re-attach join the
+  * way the hand-written q124/q314 plans do). That is still O(n·NBands)
+  * rows moved versus the nested loop's O(n²) pair evaluations — the
+  * rewrite wins asymptotically; an author who wants the narrow-join
+  * refinement writes the q124/q314 operators directly.
   */
 object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
