@@ -260,6 +260,39 @@ object Scans {
     dir.getAbsolutePath
   }
 
+  /** Deterministic WAV fixtures WITH real 16-bit PCM payloads for q328's
+    * audio feature extraction (q95's header-only wav carries no samples).
+    * 6 mono files at 8 kHz, 800 samples each: sawtooth-ish integer
+    * waveforms `(((i·(f+3)) mod 200) − 100) · (100 + 40f)` — period and
+    * amplitude vary per file so windows differ in every feature. Layout:
+    * canonical 44-byte RIFF/fmt/data header, little-endian int16 samples
+    * at offset 44 (both engines re-derive them from the same bytes). */
+  private[operators] def audioFixture(): String = {
+    val dir = new java.io.File("/root/repo/target/graft_audio_fixture")
+    dir.mkdirs()
+    def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
+    def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
+    val n = 800
+    def wav(f: Int): Array[Byte] = {
+      val header =
+        "RIFF".getBytes("US-ASCII") ++ le(36 + n * 2) ++ "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le(16) ++ le16(1) ++ le16(1) ++
+          le(8000) ++ le(16000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le(n * 2)
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = (((i * (f + 3)) % 200) - 100) * (100 + 40 * f)
+        pcm(i * 2) = v.toByte; pcm(i * 2 + 1) = (v >> 8).toByte
+      }
+      header ++ pcm
+    }
+    (0 until 6).foreach { f =>
+      val file = new java.io.File(dir, f"tone_$f%02d.wav")
+      if (!file.exists()) java.nio.file.Files.write(file.toPath, wav(f))
+    }
+    dir.getAbsolutePath
+  }
+
   /** q95: binary-file ingestion — the multimodal pipeline's entry point:
     * Spark's `binaryFile` source reads (path, length, content) per file
     * with NO driver-side materialization, then
@@ -281,6 +314,43 @@ object Scans {
       .select(col("fname"), col("n_bytes"),
         col("d._1").as("d1"), col("d._2").as("d2"))
       .orderBy("fname")
+  }
+
+  /** q328: audio feature extraction from RAW PCM samples — the audio leg
+    * of the multimodal family (q95 decodes headers, q326 hashes image
+    * pixels; this reads the 16-bit LE samples themselves): per file and
+    * per 100-sample window, peak amplitude, zero-crossing count (the
+    * classic cheap pitch/noisiness proxy) and RMS level — the triage
+    * features an audio-curation pipeline computes before any expensive
+    * model touches the bytes. Sample decode is hex-slice arithmetic with
+    * explicit two's-complement sign handling (raw ≥ 32768 → raw − 65536),
+    * mirrored in the DuckDB oracle from the same bytes; peak/crossings
+    * are integer-exact, RMS is the one float (IEEE sqrt of an identical
+    * integer sum, r6-quantized — the q52 discipline).
+    *
+    * Scale: one codegen'd projection per file where the bytes sit
+    * (binaryFile splits across tasks; payloads never shuffle); the window
+    * explode is a constant ×8 on file COUNT, not on bytes; output is
+    * (files × windows)-bounded. A 100 TB audio lake runs exactly this
+    * shape with bigger windows — the plan has no other moving part. */
+  private def q328(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = audioFixture()
+    val raw = "(cast(conv(substr(hx, (44 + i * 2) * 2 + 1, 2), 16, 10) as bigint) + " +
+      "256 * cast(conv(substr(hx, (44 + i * 2) * 2 + 3, 2), 16, 10) as bigint))"
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("fname"),
+        hex(col("content")).as("hx"))
+      .withColumn("samples", expr(
+        s"transform(sequence(0, 799), i -> IF($raw >= 32768, $raw - 65536, $raw))"))
+      .select(col("fname"), explode(sequence(lit(0), lit(7))).as("win0"), col("samples"))
+      .withColumn("s", expr("slice(samples, win0 * 100 + 1, 100)"))
+      .select(col("fname"), col("win0").cast("long").as("win"),
+        lit(100L).as("n_samples"),
+        expr("array_max(transform(s, x -> abs(x)))").as("peak"),
+        expr("aggregate(zip_with(slice(s, 1, 99), slice(s, 2, 99), " +
+          "(a, b) -> IF(a * b < 0, 1L, 0L)), 0L, (acc, x) -> acc + x)").as("zero_crossings"),
+        Tables.r6(expr("sqrt(cast(aggregate(s, 0L, (acc, x) -> acc + x * x) as double) / 100)")).as("rms"))
+      .orderBy("fname", "win")
   }
 
   /** q97: heterogeneous-source consolidation — the same logical table
@@ -434,6 +504,24 @@ object Scans {
         "substr(hx, 47, 2) || substr(hx, 45, 2)) AS BIGINT) " +
         "ELSE CAST(('0x' || substr(hx, 47, 2) || substr(hx, 45, 2)) AS BIGINT) END AS d2 " +
         "FROM b ORDER BY fname")),
+    // same two's-complement sample decode re-derived from the same bytes
+    Q("q328_audio_features", q328 _, Some {
+      val raw = "(CAST(('0x' || substr(hx, CAST((44 + i * 2) * 2 + 1 AS INT), 2)) AS BIGINT) + " +
+        "256 * CAST(('0x' || substr(hx, CAST((44 + i * 2) * 2 + 3 AS INT), 2)) AS BIGINT))"
+      "WITH bw AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, hex(content) AS hx " +
+        "FROM read_blob('/root/repo/target/graft_audio_fixture/*.wav')), " +
+        s"samp AS (SELECT fname, list_transform(range(0, 800), i -> " +
+        s"CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS samples FROM bw), " +
+        "ws AS (SELECT fname, w, list_slice(samples, CAST(w * 100 + 1 AS INT), " +
+        "CAST(w * 100 + 100 AS INT)) AS s FROM samp CROSS JOIN range(0, 8) rw(w)), " +
+        "feat AS (SELECT fname, w, list_max(list_transform(s, x -> abs(x))) AS peak, " +
+        "CAST(list_sum(list_transform(range(1, 100), j -> " +
+        "CASE WHEN s[CAST(j AS INT)] * s[CAST(j + 1 AS INT)] < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings, " +
+        "CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sumsq FROM ws) " +
+        "SELECT fname, w AS win, CAST(100 AS BIGINT) AS n_samples, peak, zero_crossings, " +
+        Tables.r6sql("sqrt(CAST(sumsq AS DOUBLE) / 100)") + " AS rms " +
+        "FROM feat ORDER BY fname, win"
+    }),
     Q("q114_join_dpp", q114 _, Some(
       "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS cnt " +
         "FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997, 1998) " +

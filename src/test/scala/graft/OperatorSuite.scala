@@ -383,6 +383,30 @@ class OperatorSuite extends AnyFunSuite {
     assert(rows.length == SparkEntry.queries("q93_dedup_resolution")(spark, sf).count())
   }
 
+  test("q328 audio features: peaks match the generator's amplitude law, RMS ≈ peak/√3") {
+    val rows = SparkEntry.queries("q328_audio_features")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.length == 48) // 6 files × 8 windows
+    rows.foreach { case (fname, _, peak, crossings, rms) =>
+      val f = fname.slice(5, 7).toInt
+      val bound = 100L * (100 + 40 * f)
+      // generator amplitude law: |sample| ≤ 100·(100 + 40f) per window
+      assert(peak <= bound && peak > bound / 2, s"$fname peak $peak vs bound $bound")
+      // a symmetric sawtooth's RMS is bound/√3 (±5% per-window for the
+      // discrete ramp's phase)
+      assert(math.abs(rms / (bound / math.sqrt(3.0)) - 1.0) < 0.05, s"$fname rms $rms vs bound $bound")
+      assert(crossings >= 1 && crossings < 100)
+    }
+    // the bound is ATTAINED somewhere in every file (i = 0 → sample −100·amp)
+    rows.groupBy(_._1).foreach { case (fname, rs) =>
+      val f = fname.slice(5, 7).toInt
+      assert(rs.map(_._3).max == 100L * (100 + 40 * f), s"$fname never attains its amplitude bound")
+    }
+    // higher file index ⇒ shorter period ⇒ strictly more total crossings
+    val byFile = rows.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._4).sum }
+    assert(byFile("tone_00.wav") < byFile("tone_05.wav"))
+  }
+
   test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
     // tile = top 2 interleaved bits of each 5-bit dim → within any tile
     // both x and y span at most 8 consecutive values (vs 25/28 global).
