@@ -316,6 +316,70 @@ object Scans {
       .orderBy("fname")
   }
 
+  /** Deterministic raw-video fixtures for q329 — 4 "videos" of 16
+    * grayscale 16×16 frames (4-byte LE frame-count header + frames of
+    * 256 luminance bytes, top-down rows): pixel = Knuth hash of
+    * (video, frame, x, y), so consecutive frames differ (motion) and
+    * videos are mutually unrelated. The fixed-size-frame container is
+    * the raw-video layout (YUV/RGB elementary streams) a demuxer feeds. */
+  private[operators] def videoFixture(): String = {
+    val dir = new java.io.File("/root/repo/target/graft_video_fixture")
+    dir.mkdirs()
+    def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
+    val frames = 16
+    def pix(v: Int, t: Int, x: Int, y: Int): Int =
+      (((v * 131L + t * 17L + x * 7L + y * 13L) * 2654435761L) % 251L).toInt
+    def video(v: Int): Array[Byte] = {
+      val body = new Array[Byte](frames * 256)
+      for (t <- 0 until frames; y <- 0 until 16; x <- 0 until 16)
+        body(t * 256 + y * 16 + x) = pix(v, t, x, y).toByte
+      le(frames) ++ body
+    }
+    (0 until 4).foreach { v =>
+      val f = new java.io.File(dir, f"video_$v%02d.bin")
+      if (!f.exists()) java.nio.file.Files.write(f.toPath, video(v))
+    }
+    dir.getAbsolutePath
+  }
+
+  /** q329: video frame sampling + per-frame featurization — the
+    * frame-sample leg of the multimodal quartet (decode q95/q68,
+    * image features q326, audio features q328): sample every 4th frame
+    * of each raw-video payload and compute the frame's perceptual hash
+    * (q326's 2×2-block aHash, single-channel) and mean luminance — the
+    * shot-boundary / frame-dedup features a video-curation pipeline
+    * derives before any expensive model sees a frame. Frame extraction
+    * is pure offset arithmetic on the fixed-size-frame container
+    * (offset = header + t·256), hex-mirrored in the oracle from the
+    * same bytes.
+    *
+    * Scale: the sampled-frame explode is ×(frames/stride) on video
+    * COUNT; all pixel math is one codegen'd projection where the bytes
+    * sit (binaryFile splits across tasks, payloads never shuffle). The
+    * streaming-side plumbing for arbitrary containers is
+    * [[graft.streaming.Multimodal.sampleFrames]]; this is the
+    * oracle-verified batch shape. */
+  private def q329(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = videoFixture()
+    val blockSum =
+      "aggregate(sequence(0, 3), 0L, (acc, d) -> acc + " +
+        "cast(conv(substr(hx, (4 + t * 256 + ((bi div 8) * 2 + d div 2) * 16 + " +
+        "(bi % 8) * 2 + d % 2) * 2 + 1, 2), 16, 10) as bigint))"
+    def word(startBlock1: Int): String =
+      s"aggregate(zip_with(slice(sums, $startBlock1, 32), sequence(0, 31), " +
+        "(s, i) -> IF(s * 64 > total, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("video"),
+        hex(col("content")).as("hx"))
+      .select(col("video"), col("hx"), explode(expr("sequence(0, 15, 4)")).as("t"))
+      .withColumn("sums", expr(s"transform(sequence(0, 63), bi -> $blockSum)"))
+      .withColumn("total", expr("aggregate(sums, 0L, (acc, x) -> acc + x)"))
+      .select(col("video"), col("t").cast("long").as("frame_idx"),
+        expr(word(1)).as("lo"), expr(word(33)).as("hi"),
+        Tables.r6(expr("cast(total as double) / 256")).as("mean_lum"))
+      .orderBy("video", "frame_idx")
+  }
+
   /** q328: audio feature extraction from RAW PCM samples — the audio leg
     * of the multimodal family (q95 decodes headers, q326 hashes image
     * pixels; this reads the 16-bit LE samples themselves): per file and
@@ -521,6 +585,25 @@ object Scans {
         "SELECT fname, w AS win, CAST(100 AS BIGINT) AS n_samples, peak, zero_crossings, " +
         Tables.r6sql("sqrt(CAST(sumsq AS DOUBLE) / 100)") + " AS rms " +
         "FROM feat ORDER BY fname, win"
+    }),
+    // same single-channel block math as q326, frame offset = 4 + t*256
+    Q("q329_video_frame_sample", q329 _, Some {
+      "WITH bv AS (SELECT regexp_extract(filename, '[^/]+$') AS video, hex(content) AS hx " +
+        "FROM read_blob('/root/repo/target/graft_video_fixture/*.bin')), " +
+        "fr AS (SELECT video, hx, t FROM bv CROSS JOIN range(0, 16, 4) rt(t)), " +
+        "sums AS (SELECT video, t, bi, list_sum(list_transform(range(0, 4), d -> " +
+        "CAST(('0x' || substr(hx, CAST((4 + t * 256 + ((bi // 8) * 2 + d // 2) * 16 + " +
+        "(bi % 8) * 2 + d % 2) * 2 + 1 AS INT), 2)) AS BIGINT))) AS s " +
+        "FROM fr CROSS JOIN range(0, 64) rb(bi)), " +
+        "tot AS (SELECT video, t, SUM(s) AS total FROM sums GROUP BY video, t), " +
+        "hsh AS (SELECT s.video, s.t, " +
+        "CAST(SUM(CASE WHEN s.bi < 32 AND s.s * 64 > tt.total THEN CAST(1 AS BIGINT) << CAST(s.bi AS INT) ELSE 0 END) AS BIGINT) AS lo, " +
+        "CAST(SUM(CASE WHEN s.bi >= 32 AND s.s * 64 > tt.total THEN CAST(1 AS BIGINT) << CAST(s.bi - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi " +
+        "FROM sums s JOIN tot tt ON s.video = tt.video AND s.t = tt.t GROUP BY s.video, s.t) " +
+        "SELECT h.video, CAST(h.t AS BIGINT) AS frame_idx, h.lo, h.hi, " +
+        Tables.r6sql("CAST(tt.total AS DOUBLE) / 256") + " AS mean_lum " +
+        "FROM hsh h JOIN tot tt ON h.video = tt.video AND h.t = tt.t " +
+        "ORDER BY h.video, frame_idx"
     }),
     Q("q114_join_dpp", q114 _, Some(
       "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS cnt " +

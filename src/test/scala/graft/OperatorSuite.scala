@@ -407,6 +407,19 @@ class OperatorSuite extends AnyFunSuite {
     assert(byFile("tone_00.wav") < byFile("tone_05.wav"))
   }
 
+  test("q329 frame sampling: 4 frames per video at stride 4, motion changes the hash") {
+    val rows = SparkEntry.queries("q329_video_frame_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), (r.getLong(2), r.getLong(3)), r.getDouble(4)))
+    assert(rows.length == 16) // 4 videos × frames 0,4,8,12
+    rows.groupBy(_._1).foreach { case (v, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(0L, 4L, 8L, 12L), s"$v sampled wrong frames")
+      // motion: the 4 sampled frames of one video are not all hash-equal
+      assert(rs.map(_._3).distinct.length > 1, s"$v frames all hash-identical")
+      // uniform 0..250 noise ⇒ mean luminance near 125
+      rs.foreach { case (_, _, _, lum) => assert(lum > 100 && lum < 150) }
+    }
+  }
+
   test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
     // tile = top 2 interleaved bits of each 5-bit dim → within any tile
     // both x and y span at most 8 consecutive values (vs 25/28 global).
