@@ -380,6 +380,35 @@ object Scans {
       .orderBy("video", "frame_idx")
   }
 
+  /** q330: pixel-accurate image resize (box filter) — the resize leg of
+    * the multimodal quartet as a VERIFIED operator: 16×16 BMP pixels →
+    * 8×8 thumbnail by 2×2 box pooling, emitted as the 64 row-major
+    * integer block sums of (B+G+R) so both engines produce bit-identical
+    * arrays (a mean would divide; the sum IS the box filter up to the
+    * constant 1/12, applied by the consumer). This replaces the
+    * byte-subsampling stand-in story: the pooling here is real pixel
+    * math on real pixels ([[graft.streaming.Multimodal.resizeFeatures]]
+    * keeps the aspect/dimension logic for arbitrary sizes; this is the
+    * oracle-verified kernel).
+    *
+    * Scale: one codegen'd projection per image over the blob — the
+    * thumbnail never exceeds 64 longs/row, payloads never shuffle, and a
+    * 100 TB thumbnail job is exactly this map plus a parquet sink. */
+  private def q330(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = imageFixture()
+    val blockSum =
+      "aggregate(sequence(0, 11), 0L, (acc, i) -> acc + " +
+        "cast(conv(substr(hx, (54 + (15 - ((bi div 8) * 2 + (i div 3) div 2)) * 48 + " +
+        "((bi % 8) * 2 + (i div 3) % 2) * 3 + i % 3) * 2 + 1, 2), 16, 10) as bigint))"
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("img"),
+        hex(col("content")).as("hx"))
+      .select(col("img"), lit(16L).as("in_w"), lit(16L).as("in_h"),
+        lit(8L).as("out_w"), lit(8L).as("out_h"),
+        expr(s"transform(sequence(0, 63), bi -> $blockSum)").as("thumb"))
+      .orderBy("img")
+  }
+
   /** q328: audio feature extraction from RAW PCM samples — the audio leg
     * of the multimodal family (q95 decodes headers, q326 hashes image
     * pixels; this reads the 16-bit LE samples themselves): per file and
@@ -605,6 +634,16 @@ object Scans {
         "FROM hsh h JOIN tot tt ON h.video = tt.video AND h.t = tt.t " +
         "ORDER BY h.video, frame_idx"
     }),
+    // q326's block sums re-derived as the thumbnail array itself
+    Q("q330_image_resize", q330 _, Some(
+      "WITH bl AS (SELECT regexp_extract(filename, '[^/]+$') AS img, hex(content) AS hx " +
+        "FROM read_blob('/root/repo/target/graft_image_fixture/*.bmp')) " +
+        "SELECT img, CAST(16 AS BIGINT) AS in_w, CAST(16 AS BIGINT) AS in_h, " +
+        "CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h, " +
+        "list_transform(range(0, 64), bi -> CAST(list_sum(list_transform(range(0, 12), i -> " +
+        "CAST(('0x' || substr(hx, CAST((54 + (15 - ((bi // 8) * 2 + (i // 3) // 2)) * 48 + " +
+        "((bi % 8) * 2 + (i // 3) % 2) * 3 + i % 3) * 2 + 1 AS INT), 2)) AS BIGINT))) AS BIGINT)) AS thumb " +
+        "FROM bl ORDER BY img")),
     Q("q114_join_dpp", q114 _, Some(
       "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS cnt " +
         "FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997, 1998) " +

@@ -420,6 +420,23 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q330 resize: thumbnail equals an independently computed 2x2 box pool") {
+    val rows = SparkEntry.queries("q330_image_resize")(spark, sf).collect()
+    assert(rows.length == 24)
+    val thumb0 = rows.find(_.getString(0) == "img_000.bmp").get
+      .getSeq[Long](5).toVector
+    // recompute from the fixture's generator law (base image 0, grayscale
+    // so B+G+R = 3v): block (bx, by) = Σ over its 2×2 pixels of 3·pix
+    def pix(x: Int, y: Int): Long = ((x * 31L + y * 17L) * 2654435761L) % 251L
+    val expected = (0 until 64).map { bi =>
+      val (bx, by) = (bi % 8, bi / 8)
+      (for (dx <- 0 to 1; dy <- 0 to 1)
+        yield 3L * pix(bx * 2 + dx, by * 2 + dy)).sum
+    }.toVector
+    assert(thumb0 == expected, s"thumb diverges from the box pool at ${
+      thumb0.zip(expected).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
     // tile = top 2 interleaved bits of each 5-bit dim → within any tile
     // both x and y span at most 8 consecutive values (vs 25/28 global).
