@@ -187,6 +187,23 @@ object Scans {
       .orderBy("o_year", "o_orderstatus")
   }
 
+  /** Atomic fixture write: temp file + ATOMIC_MOVE, so a concurrent
+    * application (the driver runs Verify and Bench as separate JVMs over
+    * the same repo-local fixture dirs) can never observe a half-written
+    * file — it sees either nothing (and writes its own identical copy)
+    * or the complete bytes. Idempotent: fixtures are deterministic, so
+    * last-writer-wins replacement is content-neutral. */
+  private def writeFixture(f: java.io.File, bytes: Array[Byte]): Unit =
+    if (!f.exists()) {
+      val tmp = java.nio.file.Files.createTempFile(f.getParentFile.toPath, f.getName, ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.move(tmp, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp) }
+    }
+
   /** Deterministic binary fixtures for q95 — minimal VALID PNG / BMP /
     * WAV headers built byte-by-byte (no media libs), written once to a
     * fixed repo-local dir. Both engines read the same files: Spark via
@@ -214,7 +231,7 @@ object Scans {
       "wav1.bin" -> wav(44100, 2)
     ).foreach { case (n, bytes) =>
       val f = new java.io.File(dir, n)
-      if (!f.exists()) java.nio.file.Files.write(f.toPath, bytes)
+      writeFixture(f, bytes)
     }
     dir.getAbsolutePath
   }
@@ -253,9 +270,9 @@ object Scans {
     }
     (0 until 12).foreach { i =>
       val base = new java.io.File(dir, f"img_$i%03d.bmp")
-      if (!base.exists()) java.nio.file.Files.write(base.toPath, bmp(i, perturb = false))
+      writeFixture(base, bmp(i, perturb = false))
       val clone = new java.io.File(dir, f"img_${i + 100}%03d.bmp")
-      if (!clone.exists()) java.nio.file.Files.write(clone.toPath, bmp(i, perturb = true))
+      writeFixture(clone, bmp(i, perturb = true))
     }
     dir.getAbsolutePath
   }
@@ -288,7 +305,7 @@ object Scans {
     }
     (0 until 6).foreach { f =>
       val file = new java.io.File(dir, f"tone_$f%02d.wav")
-      if (!file.exists()) java.nio.file.Files.write(file.toPath, wav(f))
+      writeFixture(file, wav(f))
     }
     dir.getAbsolutePath
   }
@@ -337,7 +354,7 @@ object Scans {
     }
     (0 until 4).foreach { v =>
       val f = new java.io.File(dir, f"video_$v%02d.bin")
-      if (!f.exists()) java.nio.file.Files.write(f.toPath, video(v))
+      writeFixture(f, video(v))
     }
     dir.getAbsolutePath
   }
