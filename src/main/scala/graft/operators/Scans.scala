@@ -333,23 +333,31 @@ object Scans {
       .orderBy("fname")
   }
 
-  /** Deterministic raw-video fixtures for q329 — 4 "videos" of 16
+  /** Deterministic raw-video fixtures for q329/q331 — 4 "videos" of 16
     * grayscale 16×16 frames (4-byte LE frame-count header + frames of
-    * 256 luminance bytes, top-down rows): pixel = Knuth hash of
-    * (video, frame, x, y), so consecutive frames differ (motion) and
-    * videos are mutually unrelated. The fixed-size-frame container is
-    * the raw-video layout (YUV/RGB elementary streams) a demuxer feeds. */
+    * 256 luminance bytes, top-down rows) with SCENE structure: the base
+    * pattern is a Knuth hash of (video, scene, x, y) where scene =
+    * t div 8, plus a small per-frame motion perturbation (+t mod 8 on a
+    * fifth of the pixels) — so consecutive frames inside a scene are
+    * near-duplicates (small hash distance) while the scene change at
+    * t = 8 replaces the pattern entirely (hash distance ≈ half the
+    * bits). The fixed-size-frame container is the raw-video layout
+    * (YUV/RGB elementary streams) a demuxer feeds. */
   private[operators] def videoFixture(): String = {
     val dir = new java.io.File("/root/repo/target/graft_video_fixture")
     dir.mkdirs()
     def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
     val frames = 16
-    def pix(v: Int, t: Int, x: Int, y: Int): Int =
-      (((v * 131L + t * 17L + x * 7L + y * 13L) * 2654435761L) % 251L).toInt
+    def pixBase(v: Int, s: Int, x: Int, y: Int): Int =
+      (((v * 131L + s * 29L + x * 7L + y * 13L) * 2654435761L) % 241L).toInt
+    def pixel(v: Int, t: Int, x: Int, y: Int): Int = {
+      val motion = if ((x + y + t) % 5 == 0) t % 8 else 0
+      math.min(250, pixBase(v, t / 8, x, y) + motion)
+    }
     def video(v: Int): Array[Byte] = {
       val body = new Array[Byte](frames * 256)
       for (t <- 0 until frames; y <- 0 until 16; x <- 0 until 16)
-        body(t * 256 + y * 16 + x) = pix(v, t, x, y).toByte
+        body(t * 256 + y * 16 + x) = pixel(v, t, x, y).toByte
       le(frames) ++ body
     }
     (0 until 4).foreach { v =>
@@ -376,7 +384,9 @@ object Scans {
     * streaming-side plumbing for arbitrary containers is
     * [[graft.streaming.Multimodal.sampleFrames]]; this is the
     * oracle-verified batch shape. */
-  private def q329(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-sampled-frame hash frame shared by q329/q331:
+    * (video, t, lo, hi, total) — one codegen'd projection per video. */
+  private def frameHashes(spark: SparkSession): DataFrame = {
     val dir = videoFixture()
     val blockSum =
       "aggregate(sequence(0, 3), 0L, (acc, d) -> acc + " +
@@ -391,11 +401,59 @@ object Scans {
       .select(col("video"), col("hx"), explode(expr("sequence(0, 15, 4)")).as("t"))
       .withColumn("sums", expr(s"transform(sequence(0, 63), bi -> $blockSum)"))
       .withColumn("total", expr("aggregate(sums, 0L, (acc, x) -> acc + x)"))
+      .select(col("video"), col("t"), expr(word(1)).as("lo"), expr(word(33)).as("hi"), col("total"))
+  }
+
+  private def q329(spark: SparkSession, sfDir: String): DataFrame =
+    frameHashes(spark)
       .select(col("video"), col("t").cast("long").as("frame_idx"),
-        expr(word(1)).as("lo"), expr(word(33)).as("hi"),
+        col("lo"), col("hi"),
         Tables.r6(expr("cast(total as double) / 256")).as("mean_lum"))
       .orderBy("video", "frame_idx")
+
+  /** q331: shot-boundary (scene-cut) detection — the canonical consumer
+    * of q329's frame hashes: per consecutive SAMPLED frame pair within a
+    * video, the Hamming distance between their perceptual hashes;
+    * `is_cut` flags distances above 16 of 64 bits (within a scene the
+    * motion perturbation flips a few bits; a scene change replaces the
+    * pattern and lands near 32). This is how video curation segments
+    * footage before sampling training frames per shot instead of per
+    * wall-clock second.
+    *
+    * Scale: one lag window PARTITIONED BY video over the (videos ×
+    * sampled-frames) hash frame — the window partition is the per-video
+    * sample count (bounded by stride), never pixels; all pixel math
+    * stays in the shared one-pass hash projection. */
+  private def q331(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("video").orderBy("t")
+    frameHashes(spark)
+      .select(col("video"), col("t"), col("lo"), col("hi"),
+        lag("t", 1).over(w).as("pt"), lag("lo", 1).over(w).as("plo"),
+        lag("hi", 1).over(w).as("phi"))
+      .filter(col("pt").isNotNull)
+      .select(col("video"), col("t").cast("long").as("frame_idx"),
+        col("pt").cast("long").as("prev_idx"),
+        expr("cast(bit_count(lo ^ plo) + bit_count(hi ^ phi) as bigint)").as("hamming"))
+      .withColumn("is_cut", col("hamming") > 16)
+      .orderBy("video", "frame_idx")
   }
+
+  /** Shared oracle CTE chain for q329/q331: per sampled video frame the
+    * lo/hi hash words (hsh) and the luminance total (tot), re-derived
+    * from the same fixture bytes with the same integer math. */
+  private val videoHashCtes: String =
+    "WITH bv AS (SELECT regexp_extract(filename, '[^/]+$') AS video, hex(content) AS hx " +
+      "FROM read_blob('/root/repo/target/graft_video_fixture/*.bin')), " +
+      "fr AS (SELECT video, hx, t FROM bv CROSS JOIN range(0, 16, 4) rt(t)), " +
+      "sums AS (SELECT video, t, bi, list_sum(list_transform(range(0, 4), d -> " +
+      "CAST(('0x' || substr(hx, CAST((4 + t * 256 + ((bi // 8) * 2 + d // 2) * 16 + " +
+      "(bi % 8) * 2 + d % 2) * 2 + 1 AS INT), 2)) AS BIGINT))) AS s " +
+      "FROM fr CROSS JOIN range(0, 64) rb(bi)), " +
+      "tot AS (SELECT video, t, SUM(s) AS total FROM sums GROUP BY video, t), " +
+      "hsh AS (SELECT s.video, s.t, " +
+      "CAST(SUM(CASE WHEN s.bi < 32 AND s.s * 64 > tt.total THEN CAST(1 AS BIGINT) << CAST(s.bi AS INT) ELSE 0 END) AS BIGINT) AS lo, " +
+      "CAST(SUM(CASE WHEN s.bi >= 32 AND s.s * 64 > tt.total THEN CAST(1 AS BIGINT) << CAST(s.bi - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi " +
+      "FROM sums s JOIN tot tt ON s.video = tt.video AND s.t = tt.t GROUP BY s.video, s.t)"
 
   /** q330: pixel-accurate image resize (box filter) — the resize leg of
     * the multimodal quartet as a VERIFIED operator: 16×16 BMP pixels →
@@ -632,24 +690,23 @@ object Scans {
         Tables.r6sql("sqrt(CAST(sumsq AS DOUBLE) / 100)") + " AS rms " +
         "FROM feat ORDER BY fname, win"
     }),
-    // same single-channel block math as q326, frame offset = 4 + t*256
+    // same single-channel block math as q326, frame offset = 4 + t*256;
+    // the bv→fr→sums→tot→hsh chain is shared with the q331 oracle
     Q("q329_video_frame_sample", q329 _, Some {
-      "WITH bv AS (SELECT regexp_extract(filename, '[^/]+$') AS video, hex(content) AS hx " +
-        "FROM read_blob('/root/repo/target/graft_video_fixture/*.bin')), " +
-        "fr AS (SELECT video, hx, t FROM bv CROSS JOIN range(0, 16, 4) rt(t)), " +
-        "sums AS (SELECT video, t, bi, list_sum(list_transform(range(0, 4), d -> " +
-        "CAST(('0x' || substr(hx, CAST((4 + t * 256 + ((bi // 8) * 2 + d // 2) * 16 + " +
-        "(bi % 8) * 2 + d % 2) * 2 + 1 AS INT), 2)) AS BIGINT))) AS s " +
-        "FROM fr CROSS JOIN range(0, 64) rb(bi)), " +
-        "tot AS (SELECT video, t, SUM(s) AS total FROM sums GROUP BY video, t), " +
-        "hsh AS (SELECT s.video, s.t, " +
-        "CAST(SUM(CASE WHEN s.bi < 32 AND s.s * 64 > tt.total THEN CAST(1 AS BIGINT) << CAST(s.bi AS INT) ELSE 0 END) AS BIGINT) AS lo, " +
-        "CAST(SUM(CASE WHEN s.bi >= 32 AND s.s * 64 > tt.total THEN CAST(1 AS BIGINT) << CAST(s.bi - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi " +
-        "FROM sums s JOIN tot tt ON s.video = tt.video AND s.t = tt.t GROUP BY s.video, s.t) " +
-        "SELECT h.video, CAST(h.t AS BIGINT) AS frame_idx, h.lo, h.hi, " +
+      videoHashCtes +
+        " SELECT h.video, CAST(h.t AS BIGINT) AS frame_idx, h.lo, h.hi, " +
         Tables.r6sql("CAST(tt.total AS DOUBLE) / 256") + " AS mean_lum " +
         "FROM hsh h JOIN tot tt ON h.video = tt.video AND h.t = tt.t " +
         "ORDER BY h.video, frame_idx"
+    }),
+    Q("q331_video_shot_boundary", q331 _, Some {
+      videoHashCtes +
+        " SELECT video, frame_idx, prev_idx, hamming, hamming > 16 AS is_cut FROM (" +
+        "SELECT video, CAST(t AS BIGINT) AS frame_idx, " +
+        "CAST(LAG(t) OVER w AS BIGINT) AS prev_idx, " +
+        "CAST(bit_count(xor(lo, LAG(lo) OVER w)) + bit_count(xor(hi, LAG(hi) OVER w)) AS BIGINT) AS hamming " +
+        "FROM hsh WINDOW w AS (PARTITION BY video ORDER BY t)) " +
+        "WHERE prev_idx IS NOT NULL ORDER BY video, frame_idx"
     }),
     // q326's block sums re-derived as the thumbnail array itself
     Q("q330_image_resize", q330 _, Some(

@@ -437,6 +437,19 @@ class OperatorSuite extends AnyFunSuite {
       thumb0.zip(expected).indexWhere(p => p._1 != p._2)}")
   }
 
+  test("q331 shot boundaries: the scene cut at frame 8 is the ONLY cut in every video") {
+    val rows = SparkEntry.queries("q331_video_shot_boundary")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 12) // 4 videos × 3 consecutive sampled pairs
+    rows.foreach { case (v, frameIdx, hamming, isCut) =>
+      if (frameIdx == 8L) {
+        assert(isCut && hamming > 30, s"$v missed the scene cut (hamming $hamming)")
+      } else {
+        assert(!isCut && hamming <= 3, s"$v false cut at $frameIdx (hamming $hamming)")
+      }
+    }
+  }
+
   test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
     // tile = top 2 interleaved bits of each 5-bit dim → within any tile
     // both x and y span at most 8 consecutive values (vs 25/28 global).
