@@ -348,19 +348,31 @@ object Scans {
     dir.mkdirs()
     def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
     val frames = 16
+    // multiplicative (v, s) × (x, y) mix with an intermediate prime mod:
+    // a purely linear index × constant hash makes two videos differ by a
+    // CONSTANT shift mod 241, which aHash largely survives (measured
+    // Hamming ≤ 5 between "unrelated" fixtures) — the cross term
+    // decorrelates patterns across videos and scenes
     def pixBase(v: Int, s: Int, x: Int, y: Int): Int =
-      (((v * 131L + s * 29L + x * 7L + y * 13L) * 2654435761L) % 241L).toInt
+      ((((v * 97L + s * 29L + 1L) * (x * 7L + y * 13L + 19L) * 2654435761L)
+        % 1000003L) % 241L).toInt
     def pixel(v: Int, t: Int, x: Int, y: Int): Int = {
       val motion = if ((x + y + t) % 5 == 0) t % 8 else 0
       math.min(250, pixBase(v, t / 8, x, y) + motion)
     }
     def video(v: Int): Array[Byte] = {
+      // video_04 is a RE-ENCODE of video_00: same content, small uniform
+      // perturbation (+2 on a seventh of the pixels) — the cross-video
+      // duplicate-footage case q332 must flag
+      val src = if (v == 4) 0 else v
       val body = new Array[Byte](frames * 256)
-      for (t <- 0 until frames; y <- 0 until 16; x <- 0 until 16)
-        body(t * 256 + y * 16 + x) = pixel(v, t, x, y).toByte
+      for (t <- 0 until frames; y <- 0 until 16; x <- 0 until 16) {
+        val reenc = if (v == 4 && (x + y) % 7 == 0) 2 else 0
+        body(t * 256 + y * 16 + x) = math.min(250, pixel(src, t, x, y) + reenc).toByte
+      }
       le(frames) ++ body
     }
-    (0 until 4).foreach { v =>
+    (0 until 5).foreach { v =>
       val f = new java.io.File(dir, f"video_$v%02d.bin")
       writeFixture(f, video(v))
     }
@@ -436,6 +448,39 @@ object Scans {
         expr("cast(bit_count(lo ^ plo) + bit_count(hi ^ phi) as bigint)").as("hamming"))
       .withColumn("is_cut", col("hamming") > 16)
       .orderBy("video", "frame_idx")
+  }
+
+  /** q332: cross-video duplicate-footage detection — q326's pigeonhole
+    * discipline applied to q329's frame hashes: band each sampled
+    * frame's 64-bit hash into 8×8-bit keys, equi-join bands ACROSS
+    * videos, exact Hamming ≤ 6 on candidates only. This is how a video
+    * corpus finds re-encodes, shared intros and syndicated footage
+    * before training — the video analog of q62/q326. The fixture's
+    * re-encoded clone (video_04 = video_00 + small uniform perturbation)
+    * must pair with its source at every sampled frame; unrelated videos
+    * sit near Hamming 32 and never pass.
+    *
+    * Scale: candidates come from a (band, byte) equi-join over 8 narrow
+    * rows per sampled frame — never frame×frame; at 10⁹ frames this is
+    * exactly the q314 persisted-index shape with (b, k) bucketing. */
+  private def q332(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = frameHashes(spark).localCheckpoint(true) // both join sides
+    val banded = hashed.select(col("video"), col("t"), col("lo"), col("hi"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("k", expr(
+        "IF(b < 4, shiftright(lo, cast(b * 8 as int)), shiftright(hi, cast((b - 4) * 8 as int))) & 255"))
+    val l = banded.select(col("video").as("video_a"), col("t").as("frame_a"),
+      col("lo").as("la"), col("hi").as("ha"), col("b"), col("k"))
+    val r = banded.select(col("video").as("video_b"), col("t").as("frame_b"),
+      col("lo").as("lb"), col("hi").as("hb"), col("b"), col("k"))
+    l.join(r, Seq("b", "k"))
+      .filter(col("video_a") < col("video_b"))
+      .select("video_a", "video_b", "frame_a", "frame_b", "la", "lb", "ha", "hb").distinct()
+      .select(col("video_a"), col("video_b"),
+        col("frame_a").cast("long").as("frame_a"), col("frame_b").cast("long").as("frame_b"),
+        expr("cast(bit_count(la ^ lb) + bit_count(ha ^ hb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("video_a", "video_b", "frame_a", "frame_b")
   }
 
   /** Shared oracle CTE chain for q329/q331: per sampled video frame the
@@ -698,6 +743,19 @@ object Scans {
         Tables.r6sql("CAST(tt.total AS DOUBLE) / 256") + " AS mean_lum " +
         "FROM hsh h JOIN tot tt ON h.video = tt.video AND h.t = tt.t " +
         "ORDER BY h.video, frame_idx"
+    }),
+    Q("q332_video_dup_footage", q332 _, Some {
+      videoHashCtes + ", " +
+        "banded AS (SELECT video, t, lo, hi, b, CASE WHEN b < 4 THEN (lo >> CAST(b * 8 AS INT)) & 255 " +
+        "ELSE (hi >> CAST((b - 4) * 8 AS INT)) & 255 END AS k FROM hsh CROSS JOIN range(0, 8) rb2(b)) " +
+        "SELECT video_a, video_b, frame_a, frame_b, " +
+        "CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming " +
+        "FROM (SELECT DISTINCT l.video AS video_a, r.video AS video_b, " +
+        "CAST(l.t AS BIGINT) AS frame_a, CAST(r.t AS BIGINT) AS frame_b, " +
+        "l.lo AS la, r.lo AS lb, l.hi AS ha, r.hi AS hb " +
+        "FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k AND l.video < r.video) p " +
+        "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6 " +
+        "ORDER BY video_a, video_b, frame_a, frame_b"
     }),
     Q("q331_video_shot_boundary", q331 _, Some {
       videoHashCtes +

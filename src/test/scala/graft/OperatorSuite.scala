@@ -410,7 +410,7 @@ class OperatorSuite extends AnyFunSuite {
   test("q329 frame sampling: 4 frames per video at stride 4, motion changes the hash") {
     val rows = SparkEntry.queries("q329_video_frame_sample")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), (r.getLong(2), r.getLong(3)), r.getDouble(4)))
-    assert(rows.length == 16) // 4 videos × frames 0,4,8,12
+    assert(rows.length == 20) // 5 videos × frames 0,4,8,12
     rows.groupBy(_._1).foreach { case (v, rs) =>
       assert(rs.map(_._2).sorted.toSeq == Seq(0L, 4L, 8L, 12L), s"$v sampled wrong frames")
       // motion: the 4 sampled frames of one video are not all hash-equal
@@ -440,14 +440,28 @@ class OperatorSuite extends AnyFunSuite {
   test("q331 shot boundaries: the scene cut at frame 8 is the ONLY cut in every video") {
     val rows = SparkEntry.queries("q331_video_shot_boundary")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
-    assert(rows.length == 12) // 4 videos × 3 consecutive sampled pairs
+    assert(rows.length == 15) // 5 videos × 3 consecutive sampled pairs
     rows.foreach { case (v, frameIdx, hamming, isCut) =>
       if (frameIdx == 8L) {
-        assert(isCut && hamming > 30, s"$v missed the scene cut (hamming $hamming)")
+        assert(isCut && hamming > 16, s"$v missed the scene cut (hamming $hamming)")
       } else {
         assert(!isCut && hamming <= 3, s"$v false cut at $frameIdx (hamming $hamming)")
       }
     }
+  }
+
+  test("q332 duplicate footage: the re-encoded clone pairs with its source, nothing else") {
+    val rows = SparkEntry.queries("q332_video_dup_footage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every flagged pair is between video_00 and its re-encode video_04
+    rows.foreach { case (a, b, _, _, ham) =>
+      assert(a == "video_00.bin" && b == "video_04.bin", s"false dup pair ($a, $b)")
+      assert(ham <= 6)
+    }
+    // the same-frame pairs (the actual duplicated footage) are all present
+    val sameFrame = rows.filter(r => r._3 == r._4).map(_._3).sorted.toSeq
+    assert(sameFrame == Seq(0L, 4L, 8L, 12L), s"missed same-frame dups: $sameFrame")
   }
 
   test("q110 z-order tiles bound BOTH dimensions (the locality property)") {
