@@ -252,8 +252,12 @@ object Scans {
     def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
     def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
     val w = 16; val h = 16
+    // multiplicative image × (x, y) mix (q332's generator lesson: a
+    // linear index × constant hash leaves "unrelated" fixtures
+    // constant-shift-correlated, which aHash largely survives)
     def pix(i: Int, x: Int, y: Int): Int =
-      (((i * 1009L + x * 31L + y * 17L) * 2654435761L) % 251L).toInt
+      ((((i * 101L + 1L) * (x * 31L + y * 17L + 23L) * 2654435761L)
+        % 1000003L) % 251L).toInt
     def bmp(i: Int, perturb: Boolean): Array[Byte] = {
       val header =
         "BM".getBytes("US-ASCII") ++ le(54 + w * h * 3) ++ le(0) ++ le(54) ++

@@ -427,7 +427,8 @@ class OperatorSuite extends AnyFunSuite {
       .getSeq[Long](5).toVector
     // recompute from the fixture's generator law (base image 0, grayscale
     // so B+G+R = 3v): block (bx, by) = Σ over its 2×2 pixels of 3·pix
-    def pix(x: Int, y: Int): Long = ((x * 31L + y * 17L) * 2654435761L) % 251L
+    def pix(x: Int, y: Int): Long =
+      (((x * 31L + y * 17L + 23L) * 2654435761L) % 1000003L) % 251L
     val expected = (0 until 64).map { bi =>
       val (bx, by) = (bi % 8, bi / 8)
       (for (dx <- 0 to 1; dy <- 0 to 1)
