@@ -1361,7 +1361,7 @@ object NearDup {
     def word(startBlock1: Int): String =
       s"aggregate(zip_with(slice(sums, $startBlock1, 32), sequence(0, 31), " +
         "(s, i) -> IF(s * 64 > total, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
-    val hashed = spark.read.format("binaryFile").load(dir)
+    val hashed = spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(dir)
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("img"),
         hex(col("content")).as("hx"))
       .withColumn("sums", expr(s"transform(sequence(0, 63), bi -> $blockSum)"))

@@ -42,11 +42,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * analog of `VectorExpressions.register`. Idempotent; called from the
   * [[graft.Tables]] chokepoint so every query path gets the rules. */
 object GraftRules {
-  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    val want = Seq(LevenshteinPrefilter, SimilarityBandRewrite)
-      .filterNot(cur.contains)
-    if (want.nonEmpty)
-      spark.experimental.extraOptimizations = cur ++ want
-  }
+  /** Synchronized on the session: Tables.apply calls this on every table
+    * read, and an unsynchronized read-modify-write let two first queries
+    * racing on one session append the rules twice — harmless only
+    * because the rules are idempotent, but every optimizer pass then ran
+    * them twice (ADVICE r13). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.synchronized {
+      val cur = spark.experimental.extraOptimizations
+      val want = Seq(LevenshteinPrefilter, SimilarityBandRewrite)
+        .filterNot(cur.contains)
+      if (want.nonEmpty)
+        spark.experimental.extraOptimizations = cur ++ want
+    }
 }

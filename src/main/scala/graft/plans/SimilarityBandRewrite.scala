@@ -46,14 +46,20 @@ import org.apache.spark.sql.types._
   *    is the user's bounded-probe declaration — the same contract
   *    MaxCrossProbe enforces at runtime — and a hinted probe×corpus scan
   *    is linear in the corpus, not quadratic, so it is honored;
-  *  - exactly one array<float> column from each side is combined in one
-  *    expression (the join condition or the adjacent Project/Filter) —
-  *    the per-pair vector-math signature;
+  *  - the join condition or the adjacent Project/Filter contains the
+  *    house similarity kernel ([[FloatDot]], which cosine builds on)
+  *    applied to one bare array<float> attribute from EACH side — mere
+  *    co-occurrence of float-array columns (zip_with / struct / concat
+  *    over an intentional cross join) never fires;
   *  - the estimated pair count `rows(l)·rows(r)` exceeds
   *    `spark.graft.similarity.autoIndexPairs` (default 72e6, the
   *    measured crossover). Estimates come from `LogicalPlan.stats`
   *    (row count under CBO, sizeInBytes/row-width otherwise) — the same
-  *    statistics the join-strategy planner trusts.
+  *    statistics the join-strategy planner trusts. A side whose
+  *    sizeInBytes is the spark.sql.defaultSizeInBytes "I know nothing"
+  *    sentinel (LogicalRDD, streaming relations) counts as UNKNOWN and
+  *    the rule fails closed: exactness only ever degrades to candidate
+  *    pruning on evidence, never on a missing statistic.
   *
   * 100 TB rationale: this is the enforcement layer the q124/q314 index
   * paths were missing — the engine no longer relies on the query AUTHOR
@@ -90,27 +96,38 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def pairsThreshold: BigInt =
     BigInt(conf.getConfString(PairsKey, DefaultPairs.toString).toLong)
 
-  private def estRows(p: LogicalPlan): BigInt = {
+  /** Row estimate, or None when the plan carries no REAL statistics.
+    * LogicalRDD / ExternalRDD / streaming relations report
+    * sizeInBytes = spark.sql.defaultSizeInBytes (Long.MaxValue by
+    * default) when nothing is known — naively dividing that by a row
+    * width estimates ~3.6e16 rows and would fire the result-changing
+    * rewrite on ANY small RDD-backed all-pairs query (ADVICE r13,
+    * high). Unknown stats → None → the rule never fires; a
+    * candidate-pruning rewrite must fail CLOSED. */
+  private def estRows(p: LogicalPlan): Option[BigInt] = {
     val s = p.stats
-    s.rowCount.getOrElse((s.sizeInBytes / EstRowBytes).max(1))
-  }
-
-  private def isFloatArray(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
-  /** Exactly one array<float> attribute from each join side referenced
-    * inside `e` — the per-pair vector-math signature. */
-  private def vecPair(e: Expression, j: Join): Option[(Attribute, Attribute)] = {
-    val arrs = e.collect { case a: AttributeReference if isFloatArray(a.dataType) => a }
-    val ls = arrs.filter(j.left.outputSet.contains).distinctBy(_.exprId)
-    val rs = arrs.filter(j.right.outputSet.contains).distinctBy(_.exprId)
-    (ls, rs) match {
-      case (Seq(a), Seq(b)) => Some((a, b))
-      case _ => None
+    s.rowCount.orElse {
+      if (s.sizeInBytes <= 0 || s.sizeInBytes >= conf.defaultSizeInBytes) None
+      else Some((s.sizeInBytes / EstRowBytes).max(1))
     }
   }
+
+  private def estLabel(p: LogicalPlan): String =
+    estRows(p).map(_.toString).getOrElse("?")
+
+  /** The per-pair similarity kernel: a [[FloatDot]] whose two operands
+    * are bare array<float> attributes, one from each join side (cosine
+    * builds on the same node — dot / (norm·norm) still contains it).
+    * Mere co-occurrence of float-array columns (zip_with, struct, array
+    * concat over an intentional cross join) is NOT a similarity query
+    * and must not trigger the result-changing rewrite (ADVICE r13). */
+  private def vecPair(e: Expression, j: Join): Option[(Attribute, Attribute)] =
+    e.collect {
+      case FloatDot(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(a) && j.right.outputSet.contains(b) => (a, b)
+      case FloatDot(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(b) && j.right.outputSet.contains(a) => (b, a)
+    }.headOption
 
   private def firstVecPair(es: Seq[Expression], j: Join): Option[(Attribute, Attribute)] =
     es.iterator.map(vecPair(_, j)).collectFirst { case Some(p) => p }
@@ -135,7 +152,10 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def eligible(j: Join): Boolean =
     (j.joinType == Inner || j.joinType == Cross) &&
       !hasEquiKey(j) && !broadcastHinted(j) &&
-      estRows(j.left) * estRows(j.right) > pairsThreshold
+      ((estRows(j.left), estRows(j.right)) match {
+        case (Some(l), Some(r)) => l * r > pairsThreshold
+        case _ => false // either side's stats unknown → fail closed
+      })
 
   /** Append the canonical signature + exploded band key to one side:
     * Project(side.output :+ sig) → Generate(explode(bk array)).
@@ -175,7 +195,7 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val cond = (Seq[Expression](EqualTo(bkL, bkR), firstMatch) ++ j.condition)
       .reduce[Expression](And(_, _))
     logWarning(s"SimilarityBandRewrite: all-pairs similarity join over an " +
-      s"estimated ${estRows(j.left)}x${estRows(j.right)} pair space exceeds " +
+      s"estimated ${estLabel(j.left)}x${estLabel(j.right)} pair space exceeds " +
       s"$PairsKey=$pairsThreshold — substituting the banded sign-LSH " +
       s"candidate join (set $EnabledKey=false for exact brute force)")
     Project(j.output, Join(gl, gr, Inner, Some(cond), JoinHint.NONE))

@@ -422,9 +422,10 @@ class OperatorSuite extends AnyFunSuite {
 
   test("q330 resize: thumbnail equals an independently computed 2x2 box pool") {
     val rows = SparkEntry.queries("q330_image_resize")(spark, sf).collect()
-    assert(rows.length == 24)
-    val thumb0 = rows.find(_.getString(0) == "img_000.bmp").get
-      .getSeq[Long](5).toVector
+    assert(rows.length == 24 * 64) // one scalar row per (image, block)
+    val thumb0 = rows.filter(_.getString(0) == "img_000.bmp")
+      .sortBy(_.getLong(5)).map(_.getLong(6)).toVector
+    assert(thumb0.length == 64)
     // recompute from the fixture's generator law (base image 0, grayscale
     // so B+G+R = 3v): block (bx, by) = Σ over its 2×2 pixels of 3·pix
     def pix(x: Int, y: Int): Long =

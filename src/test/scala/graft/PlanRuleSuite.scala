@@ -179,6 +179,57 @@ class PlanRuleSuite extends AnyFunSuite {
     } finally spark.conf.unset(pairsKey)
   }
 
+  test("SimilarityBandRewrite: fails closed on unknown stats and on non-dot float-array co-occurrence") {
+    // ADVICE r13: (1) LogicalRDD-backed plans report sizeInBytes =
+    // spark.sql.defaultSizeInBytes ("I know nothing"), which naively
+    // estimates ~3.6e16 rows — the rule must treat that as UNKNOWN and
+    // keep the exact plan; (2) arbitrary per-pair float-array math
+    // (zip_with over an intentional cross join) is not a similarity
+    // query and must never trigger the result-changing rewrite.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    graft.plans.GraftRules.install(spark)
+    graft.functions.VectorExpressions.register(spark)
+    val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
+    try {
+      spark.conf.set(pairsKey, "1000")
+      // 1. RDD-backed frame: no real stats → no fire, results exact
+      val schema = StructType(Seq(
+        StructField("vid", LongType, nullable = false),
+        StructField("emb", ArrayType(FloatType, containsNull = false))))
+      val rdd = spark.sparkContext.parallelize(
+        (0L until 50L).map(i => Row(i, simVec(i).toSeq)), 4)
+      val embRdd = spark.createDataFrame(rdd, schema)
+      val a = embRdd.select(col("vid").as("id_a"), col("emb").as("ea"))
+      val b = embRdd.select(col("vid").as("id_b"), col("emb").as("eb"))
+      val q = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "rule fired on a stats-less LogicalRDD plan — candidate pruning must fail closed")
+      assert(q.count() == 50L * 49 / 2, "exact all-pairs result was pruned")
+
+      // 2. per-pair vector math that is NOT the similarity kernel:
+      //    zip_with / struct over the same large-enough local frames
+      import spark.implicits._
+      val emb = (0L until 300L).map(i => (i, simVec(i))).toDF("vid", "emb")
+      val al = emb.select(col("vid").as("id_a"), col("emb").as("ea"))
+      val bl = emb.select(col("vid").as("id_b"), col("emb").as("eb"))
+      val zw = al.join(bl, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("zip_with(ea, eb, (x, y) -> x + y)").as("s"))
+      assert(!zw.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "rule hijacked a non-similarity zip_with pair enumeration")
+      val st = al.join(bl, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), struct(col("ea"), col("eb")).as("p"))
+      assert(!st.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "rule hijacked a struct(ea, eb) pair enumeration")
+      // positive control: the SAME frames with the real kernel DO fire
+      val ctl = al.join(bl, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      assert(ctl.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "positive control: kernel shape no longer fires")
+    } finally spark.conf.unset(pairsKey)
+  }
+
   test("native as-of join: plans AsOfJoinExec and matches the declarative reference") {
     import spark.implicits._
     // keys 0..49, versions at t = 0, 100, 200 (value = "k<key>@<t>"),
