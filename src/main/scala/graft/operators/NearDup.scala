@@ -740,6 +740,49 @@ object NearDup {
       .orderBy("id_p", "rn")
   }
 
+  /** q333: product quantization (Jégou, Douze, Schmid, TPAMI 2011) — the
+    * memory-compression leg of the ANN family (q63 prunes WHICH vectors
+    * are scanned; PQ shrinks WHAT each vector costs to hold): the 64-dim
+    * embedding splits into 8 contiguous 8-dim subvectors, each assigned
+    * to its nearest of 16 per-subspace centroids by squared L2, so a
+    * 256-byte float vector becomes 8 one-byte codes — the 32× that makes
+    * a 100 TB ANN corpus RAM-resident (codes + codebook replace raw
+    * vectors; distances are then table lookups). Codebook = the
+    * subvectors of the 16 lowest-id embeddings — deterministic k-means
+    * seeding (the init both engines can re-derive bit-identically; a
+    * Lloyd sweep refines centroids but never changes the ASSIGNMENT
+    * dataflow this operator verifies). Output: one row per (vector,
+    * subspace) with the chosen code and the r6-quantized residual —
+    * Σ err over a vector's 8 rows IS its reconstruction error.
+    *
+    * Exactness: float→double casts are exact, the 8-term fold is
+    * in-order in both engines, so squared distances are bit-identical
+    * and argmin needs only the code-id tie-break.
+    *
+    * Scale: the codebook is 128 tiny rows — broadcast; assignment is a
+    * narrow per-row projection after the broadcast join + one bounded
+    * window keyed (vec_id, sub) with 16 rows per key. No corpus-sized
+    * shuffle anywhere: the 100 TB encode job is scan → broadcast join →
+    * per-key argmin → sink. */
+  private def q333(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    def subVecs(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("embedding"))
+      .select(col("vec_id"), col("s").cast("long").as("s"),
+        expr("transform(slice(embedding, s * 8 + 1, 8), x -> cast(x as double))").as("sv"))
+    val cents = subVecs(emb.filter(col("vec_id") < 16))
+      .select(col("vec_id").as("code"), col("s"), col("sv").as("cv"))
+    val wMin = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
+    subVecs(emb).join(broadcast(cents), "s")
+      .select(col("vec_id"), col("s"), col("code"),
+        zipFold(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)).as("d2"))
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s").as("sub"), col("code"),
+        Tables.r6(col("d2")).as("err"))
+      .orderBy("vec_id", "sub")
+  }
+
   /** q124: random-hyperplane LSH ANN (Charikar, STOC 2002) — the
     * signature-based scale path for cosine search that needs NO trained
     * quantizer (complement of q63's IVF, which needs centroids): 16
@@ -1613,6 +1656,22 @@ object NearDup {
     Q("q314_ann_index_layout", q314 _, Some(annTop3OracleSql)),
     // the oracle rebuilds the FINAL index from scratch (full banding in
     // SQL, filtered to the post-delete id set) — hash-equality against
+    // same in-order double fold per (vector, subspace, centroid); the
+    // codebook is re-derived from the same 16 seed rows
+    Q("q333_ann_pq", q333 _, Some(
+      "WITH sv AS (SELECT vec_id, s, list_transform(range(1, 9), d -> " +
+        "CAST(embedding[CAST(s * 8 + d AS INT)] AS DOUBLE)) AS v " +
+        "FROM embeddings CROSS JOIN range(0, 8) rs(s)), " +
+        "cent AS (SELECT vec_id AS code, s, v AS cv FROM sv WHERE vec_id < 16), " +
+        "d AS (SELECT sv.vec_id, sv.s, c.code, " +
+        "list_sum(list_transform(range(1, 9), i -> " +
+        "(sv.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * " +
+        "(sv.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS d2 " +
+        "FROM sv JOIN cent c ON sv.s = c.s) " +
+        "SELECT vec_id, s AS sub, code, " + Tables.r6sql("d2") + " AS err " +
+        "FROM (SELECT vec_id, s, code, d2, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d) " +
+        "WHERE rn = 1 ORDER BY vec_id, sub")),
     // Spark's incrementally maintained layout is the strongest possible
     // check that the delta path loses/duplicates nothing
     Q("q325_ann_index_upsert", q325 _, Some(

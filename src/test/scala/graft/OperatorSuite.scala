@@ -439,6 +439,23 @@ class OperatorSuite extends AnyFunSuite {
       thumb0.zip(expected).indexWhere(p => p._1 != p._2)}")
   }
 
+  test("q333 PQ: seed vectors self-assign with zero residual; codes stay in the codebook") {
+    val rows = SparkEntry.queries("q333_ann_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nVec = rows.map(_._1).distinct.length
+    assert(rows.length == nVec * 8, "each vector must emit exactly 8 subspace rows")
+    // the 16 codebook seeds are their own nearest centroid, residual 0
+    rows.filter(_._1 < 16).foreach { case (vid, sub, code, err) =>
+      assert(code == vid && err == 0.0,
+        s"seed $vid sub $sub: expected self-assignment, got code=$code err=$err")
+    }
+    // every code addresses the 16-entry codebook; residuals are non-negative
+    rows.foreach { case (vid, sub, code, err) =>
+      assert(code >= 0 && code < 16, s"vec $vid sub $sub: code $code out of range")
+      assert(err >= 0.0, s"vec $vid sub $sub: negative residual $err")
+    }
+  }
+
   test("q331 shot boundaries: the scene cut at frame 8 is the ONLY cut in every video") {
     val rows = SparkEntry.queries("q331_video_shot_boundary")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
