@@ -1426,6 +1426,55 @@ object NearDup {
       .orderBy("img_a", "img_b")
   }
 
+  /** q334: audio-fingerprint dedup over raw PCM — completes the
+    * multimodal dedup triple (q326 images, q332 video, this the audio
+    * leg): per file, 64 blocks of 12 samples each get their total
+    * ABSOLUTE amplitude (energy, the part of the signal a re-level/
+    * re-encode shifts least); bit b = 1 iff block energy exceeds the
+    * file mean (the aHash trick on the energy envelope, robust to the
+    * fixture clones' ±5 dither because bits flip only when a block sits
+    * within dither range of the mean); the 64-bit fingerprint bands
+    * into 8×8-bit keys, candidates come from the (band, byte) equi-join
+    * — never file×file — and the exact Hamming ≤ 6 filter runs on
+    * candidates only. Two's-complement sample decode is q328's
+    * hex-slice arithmetic, mirrored byte-for-byte in the oracle.
+    *
+    * Scale: per file the fingerprint is one narrow codegen'd projection
+    * over the blob (binaryFile splits files across tasks; payloads
+    * never shuffle); the pair join is band-bounded (q83/q124/q326
+    * discipline) — at 10⁹ recordings the index is 8 (band, byte, id)
+    * rows per file, the q314 persisted-index shape. */
+  private def q334(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Scans.audioDupFixture()
+    val raw = "(cast(conv(substr(hx, (44 + (bi * 12 + i) * 2) * 2 + 1, 2), 16, 10) as bigint) + " +
+      "256 * cast(conv(substr(hx, (44 + (bi * 12 + i) * 2) * 2 + 3, 2), 16, 10) as bigint))"
+    val blockSum =
+      s"aggregate(sequence(0, 11), 0L, (acc, i) -> acc + abs(IF($raw >= 32768, $raw - 65536, $raw)))"
+    def word(startBlock1: Int): String =
+      s"aggregate(zip_with(slice(sums, $startBlock1, 32), sequence(0, 31), " +
+        "(s, i) -> IF(s * 64 > total, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
+    val hashed = spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("fname"),
+        hex(col("content")).as("hx"))
+      .withColumn("sums", expr(s"transform(sequence(0, 63), bi -> $blockSum)"))
+      .withColumn("total", expr("aggregate(sums, 0L, (acc, x) -> acc + x)"))
+      .select(col("fname"), expr(word(1)).as("lo"), expr(word(33)).as("hi"))
+      .localCheckpoint(true) // hashed once; both band-join sides read it
+    val banded = hashed.select(col("fname"), col("lo"), col("hi"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("k", expr(
+        "IF(b < 4, shiftright(lo, cast(b * 8 as int)), shiftright(hi, cast((b - 4) * 8 as int))) & 255"))
+    val l = banded.select(col("fname").as("fname_a"), col("lo").as("la"), col("hi").as("ha"), col("b"), col("k"))
+    val r = banded.select(col("fname").as("fname_b"), col("lo").as("lb"), col("hi").as("hb"), col("b"), col("k"))
+    l.join(r, Seq("b", "k"))
+      .filter(col("fname_a") < col("fname_b"))
+      .select("fname_a", "fname_b", "la", "lb", "ha", "hb").distinct()
+      .select(col("fname_a"), col("fname_b"),
+        expr("cast(bit_count(la ^ lb) + bit_count(ha ^ hb) as bigint)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("fname_a", "fname_b")
+  }
+
   /** Shared DuckDB CTE prefix `bits → sig → banded`: regenerates the
     * q124 hyperplane signatures (Knuth-hash ±1 planes) and the 4×4-bit
     * band keys in SQL, bit-identically to [[hyperplaneSigFrame]]. Used
@@ -1702,6 +1751,29 @@ object NearDup {
         "FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k AND l.img < r.img) p " +
         "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6 " +
         "ORDER BY img_a, img_b")),
+    // q326's energy-envelope hash on WAV bytes: same two's-complement
+    // decode as the q328 oracle, same band join as the q326 oracle
+    Q("q334_audio_dup", q334 _, Some {
+      val raw = "(CAST(('0x' || substr(hx, CAST((44 + (bi * 12 + i) * 2) * 2 + 1 AS INT), 2)) AS BIGINT) + " +
+        "256 * CAST(('0x' || substr(hx, CAST((44 + (bi * 12 + i) * 2) * 2 + 3 AS INT), 2)) AS BIGINT))"
+      "WITH bw AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, hex(content) AS hx " +
+        "FROM read_blob('/root/repo/target/graft_audio_dup_fixture/*.wav')), " +
+        "sums AS (SELECT fname, bi, list_sum(list_transform(range(0, 12), i -> " +
+        s"abs(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END))) AS s " +
+        "FROM bw CROSS JOIN range(0, 64) rb(bi)), " +
+        "tot AS (SELECT fname, SUM(s) AS total FROM sums GROUP BY fname), " +
+        "hsh AS (SELECT s.fname, " +
+        "CAST(SUM(CASE WHEN s.bi < 32 AND s.s * 64 > t.total THEN CAST(1 AS BIGINT) << CAST(s.bi AS INT) ELSE 0 END) AS BIGINT) AS lo, " +
+        "CAST(SUM(CASE WHEN s.bi >= 32 AND s.s * 64 > t.total THEN CAST(1 AS BIGINT) << CAST(s.bi - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi " +
+        "FROM sums s JOIN tot t USING (fname) GROUP BY s.fname), " +
+        "banded AS (SELECT fname, lo, hi, b, CASE WHEN b < 4 THEN (lo >> CAST(b * 8 AS INT)) & 255 " +
+        "ELSE (hi >> CAST((b - 4) * 8 AS INT)) & 255 END AS k FROM hsh CROSS JOIN range(0, 8) rb(b)) " +
+        "SELECT fname_a, fname_b, CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming " +
+        "FROM (SELECT DISTINCT l.fname AS fname_a, r.fname AS fname_b, l.lo AS la, r.lo AS lb, l.hi AS ha, r.hi AS hb " +
+        "FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k AND l.fname < r.fname) p " +
+        "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6 " +
+        "ORDER BY fname_a, fname_b"
+    }),
     Q("q124_ann_hyperplane", q124 _, Some(annTop3OracleSql)),
   ) ++ legacyEntries
 

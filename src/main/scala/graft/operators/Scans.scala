@@ -336,6 +336,45 @@ object Scans {
     dir.getAbsolutePath
   }
 
+  /** Deterministic PCM "recordings" for q334's audio-fingerprint dedup —
+    * 8 base files of Knuth-hash noise samples (multiplicative (file,
+    * sample) mix, the q332 generator lesson: decorrelated files get
+    * independent fingerprint bits) + 3 clones (ids +100: every sample
+    * dithered by a deterministic ±5 on amplitudes up to 15000 — the
+    * re-encode/re-level regime an energy fingerprint must survive).
+    * Same WAV layout as [[audioFixture]]: 8 kHz mono 16-bit, 800
+    * samples, data at byte offset 44. Own dir (q328's oracle globs the
+    * other fixture's dir and is row-count-sensitive to new files). */
+  private[operators] def audioDupFixture(): String = {
+    val dir = new java.io.File("/root/repo/target/graft_audio_dup_fixture")
+    dir.mkdirs()
+    def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
+    def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
+    val n = 800
+    def sample(b: Int, i: Int): Int =
+      (((b * 101L + 7L) * (i * 2654435761L + 12345L) % 1000003L) % 30001L - 15000L).toInt
+    def wav(s: Int => Int): Array[Byte] = {
+      val header =
+        "RIFF".getBytes("US-ASCII") ++ le(36 + n * 2) ++ "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le(16) ++ le16(1) ++ le16(1) ++
+          le(8000) ++ le(16000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le(n * 2)
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = s(i); pcm(i * 2) = v.toByte; pcm(i * 2 + 1) = (v >> 8).toByte
+      }
+      header ++ pcm
+    }
+    (0 until 8).foreach { b =>
+      writeFixture(new java.io.File(dir, f"rec_$b%03d.wav"), wav(sample(b, _)))
+    }
+    Seq(0, 2, 5).foreach { b =>
+      writeFixture(new java.io.File(dir, f"rec_${b + 100}%03d.wav"),
+        wav(i => sample(b, i) + (i * 7) % 11 - 5))
+    }
+    dir.getAbsolutePath
+  }
+
   /** q95: binary-file ingestion — the multimodal pipeline's entry point:
     * Spark's `binaryFile` source reads (path, length, content) per file
     * with NO driver-side materialization, then

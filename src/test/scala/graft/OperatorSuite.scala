@@ -456,6 +456,19 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q334 audio dedup: exactly the three dithered clones pair with their sources") {
+    val rows = SparkEntry.queries("q334_audio_dup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(p => (p._1, p._2)).toSet == Set(
+      ("rec_000.wav", "rec_100.wav"),
+      ("rec_002.wav", "rec_102.wav"),
+      ("rec_005.wav", "rec_105.wav")),
+      s"expected exactly the 3 clone pairs, got ${rows.mkString(", ")}")
+    // ±5 dither on ±15000 amplitudes must not move any envelope bit far:
+    // clones sit well inside the Hamming ≤ 6 dup threshold
+    rows.foreach { case (a, b, h) => assert(h <= 2, s"($a, $b) hamming $h") }
+  }
+
   test("q331 shot boundaries: the scene cut at frame 8 is the ONLY cut in every video") {
     val rows = SparkEntry.queries("q331_video_shot_boundary")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
