@@ -337,6 +337,45 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** q335: HTML/markup text extraction — the step a web-crawl pipeline
+    * runs BEFORE any of the text operators here see a document: strip
+    * tags, decode entities, normalize whitespace, and census the links
+    * (total + external) so downstream filters can gate on link density.
+    * Both engines first derive the same deterministic HTML wrapper from
+    * `documents` (title header, body paragraph, one relative link, an
+    * absolute link on every third doc, an `&amp;` entity) — the corpus
+    * is the fixture; what the oracle verifies is the EXTRACTION: the
+    * tag-strip regex, entity decode, whitespace collapse, title capture
+    * and link counts produce identical values in both regex engines
+    * (Java vs RE2 — the patterns are deliberately in the common
+    * dialect: no backrefs, no lookaround).
+    *
+    * Scale: extraction is a narrow per-row regex projection — no
+    * shuffle, no UDF, full codegen; a 100 TB crawl runs scan → this
+    * projection → parquet, then q164/q65/q303 operate on `clean`. */
+  private def q335(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val html = docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><h1>"), upper(expr("substring(text, 1, 16)")),
+      lit("</h1><p>"), col("text"), lit("</p><a href=\"/doc/"),
+      expr("cast(doc_id * 7 % 100 as string)"), lit("\">rel</a>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<a href=\"https://ex.org/"), col("doc_id").cast("string"), lit("\">ext</a>")))
+        .otherwise(lit("")),
+      lit("&amp;copy; 2024</body></html>")).as("html"))
+    html
+      .withColumn("clean", trim(regexp_replace(regexp_replace(
+        regexp_replace(col("html"), "<[^>]*>", " "), "&amp;", "&"), "\\s+", " ")))
+      .select(col("doc_id"),
+        regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+        expr("cast(regexp_count(html, '<a href=') as bigint)").as("n_links"),
+        expr("cast(regexp_count(html, 'https://') as bigint)").as("n_ext_links"),
+        length(col("clean")).cast("long").as("clean_len"),
+        expr("substring(clean, 1, 40)").as("clean_head"))
+      .orderBy("doc_id")
+  }
+
   private val SegLen = 8
   private val BoilerDf = 3
 
@@ -1035,6 +1074,23 @@ object TextAnalysis {
   }
 
   val entries: Seq[Q] = Seq(
+    // same wrapper derivation + the same common-dialect regexes (RE2
+    // side needs the 'g' flag; Spark's regexp_replace is global already)
+    Q("q335_html_extract", q335 _, Some(
+      "WITH h AS (SELECT doc_id, " +
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body><h1>' || " +
+        "upper(substr(text, 1, 16)) || '</h1><p>' || text || '</p><a href=\"/doc/' || " +
+        "CAST(doc_id * 7 % 100 AS VARCHAR) || '\">rel</a>' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"https://ex.org/' || CAST(doc_id AS VARCHAR) || '\">ext</a>' ELSE '' END || " +
+        "'&amp;copy; 2024</body></html>' AS html FROM documents), " +
+        "c AS (SELECT doc_id, html, trim(regexp_replace(regexp_replace(regexp_replace(" +
+        "html, '<[^>]*>', ' ', 'g'), '&amp;', '&', 'g'), '\\s+', ' ', 'g')) AS clean FROM h) " +
+        "SELECT doc_id, regexp_extract(html, '<title>([^<]*)</title>', 1) AS title, " +
+        "CAST(len(regexp_extract_all(html, '<a href=')) AS BIGINT) AS n_links, " +
+        "CAST(len(regexp_extract_all(html, 'https://')) AS BIGINT) AS n_ext_links, " +
+        "CAST(length(clean) AS BIGINT) AS clean_len, " +
+        "substr(clean, 1, 40) AS clean_head " +
+        "FROM c ORDER BY doc_id")),
     Q("q313_quality_ensemble", q313 _, Some {
       val stopList = stopwords.map("'" + _ + "'").mkString(",")
       def m(s: String) = Tables.meanDSql(s, "n")

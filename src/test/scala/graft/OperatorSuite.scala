@@ -456,6 +456,22 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q335 html extract: titles, link census and entity decode follow the wrapper law") {
+    val rows = SparkEntry.queries("q335_html_extract")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, title, nLinks, nExt, head) =>
+      assert(title == s"Doc $id", s"doc $id: title '$title'")
+      // every doc carries the relative link; every third doc adds the
+      // absolute one (which is also the only https:// occurrence)
+      val expLinks = if (id % 3 == 0) 2L else 1L
+      assert(nLinks == expLinks && nExt == expLinks - 1,
+        s"doc $id: links $nLinks/$nExt, expected $expLinks/${expLinks - 1}")
+      // tags are gone and the &amp; entity decoded in the visible text
+      assert(!head.contains("<") && head.startsWith(s"Doc $id "), s"doc $id: head '$head'")
+    }
+  }
+
   test("q334 audio dedup: exactly the three dithered clones pair with their sources") {
     val rows = SparkEntry.queries("q334_audio_dup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
