@@ -1475,6 +1475,53 @@ object NearDup {
       .orderBy("fname_a", "fname_b")
   }
 
+  /** q336: semantic deduplication, the SemDeDup recipe (Abbas et al.,
+    * arXiv 2303.09540) — q62 finds near-duplicate PAIRS; this turns the
+    * idea into the corpus-curation OPERATOR: cluster the embedding
+    * space with a coarse quantizer (here the q333 seeding: nearest of
+    * the 16 lowest-id embeddings by full-vector L2, i.e. the IVF cell),
+    * then inside each cluster drop every vector that has a LOWER-id
+    * clustermate at cosine ≥ 0.3 (q62's threshold) — per vector:
+    * bucket, representative (lowest such clustermate, itself if kept)
+    * and the keep verdict. Lower-id-wins is deterministic and
+    * chain-free: the verdict needs no connected components, just one
+    * grouped MIN over the filtered pair join — both engines agree
+    * row-for-row.
+    *
+    * Scale: the whole point of SemDeDup is that the pair space is
+    * CLUSTER-bounded, never corpus²: centroids are a broadcast
+    * (k×dim, tiny even at k=100k), assignment is one narrow
+    * projection + a 16-row-per-key argmin, and the self-join is an
+    * equi-join on the bucket id. Giant cells degrade gracefully to the
+    * q124 band discipline inside the cell. */
+  private def q336(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+    val wMin = Window.partitionBy("vec_id").orderBy(col("d2"), col("code"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("code"),
+        zipFold(col("embedding"), col("cv"), (x, y) =>
+          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))).as("d2"))
+      .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("code").as("bucket"), col("embedding"),
+        sqrt(dotCol("embedding", "embedding")).as("nrm"))
+      .localCheckpoint(true) // assigned once; both self-join sides read it
+    val l = assigned.select(col("vec_id").as("id_a"), col("bucket"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val r = assigned.select(col("vec_id").as("id_b"), col("bucket"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dups = l.join(r, "bucket").filter(col("id_a") < col("id_b"))
+      .filter(Tables.r6(dotCol("ea", "eb") / (col("na") * col("nb"))) >= 0.3)
+      .groupBy(col("id_b").as("vec_id")).agg(min(col("id_a")).as("rep0"))
+    assigned.select("vec_id", "bucket").join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("rep0"), col("vec_id")).as("rep"),
+        col("rep0").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Shared DuckDB CTE prefix `bits → sig → banded`: regenerates the
     * q124 hyperplane signatures (Knuth-hash ±1 planes) and the 4×4-bit
     * band keys in SQL, bit-identically to [[hyperplaneSigFrame]]. Used
@@ -1773,6 +1820,26 @@ object NearDup {
         "FROM banded l JOIN banded r ON l.b = r.b AND l.k = r.k AND l.fname < r.fname) p " +
         "WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6 " +
         "ORDER BY fname_a, fname_b"
+    }),
+    // q333's coarse assignment + q62's thresholded cosine, composed:
+    // lower-id-wins representative via one grouped MIN over the
+    // bucket-bounded pair join
+    Q("q336_semdedup", q336 _, Some {
+      val l2 = "list_sum(list_transform(range(1, 65), i -> " +
+        "(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) * " +
+        "(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cv[CAST(i AS INT)] AS DOUBLE))))"
+      "WITH cent AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
+        s"d AS (SELECT e.vec_id, c.code, $l2 AS d2 FROM embeddings e CROSS JOIN cent c), " +
+        "a AS (SELECT vec_id, code AS bucket FROM (SELECT vec_id, code, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn FROM d) WHERE rn = 1), " +
+        "p AS (SELECT y.vec_id AS idb, MIN(x.vec_id) AS rep0 " +
+        "FROM a ax JOIN embeddings x ON ax.vec_id = x.vec_id " +
+        "JOIN a ay ON ax.bucket = ay.bucket JOIN embeddings y ON ay.vec_id = y.vec_id " +
+        "WHERE x.vec_id < y.vec_id AND " +
+        Tables.r6sql(s"${dotSql("x", "y")} / (sqrt(${dotSql("x", "x")}) * sqrt(${dotSql("y", "y")}))") +
+        " >= 0.3 GROUP BY y.vec_id) " +
+        "SELECT a.vec_id, a.bucket, COALESCE(p.rep0, a.vec_id) AS rep, " +
+        "p.rep0 IS NULL AS keep FROM a LEFT JOIN p ON a.vec_id = p.idb ORDER BY a.vec_id"
     }),
     Q("q124_ann_hyperplane", q124 _, Some(annTop3OracleSql)),
   ) ++ legacyEntries

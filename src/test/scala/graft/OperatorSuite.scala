@@ -472,6 +472,25 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q336 semdedup: lower-id-wins verdicts are consistent and bucket-local") {
+    val rows = SparkEntry.queries("q336_semdedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val bucketOf = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (vid, bucket, rep, keep) =>
+      assert(bucket >= 0 && bucket < 16, s"vec $vid: bucket $bucket")
+      assert(rep <= vid, s"vec $vid: representative $rep is not lower-id")
+      assert(keep == (rep == vid), s"vec $vid: keep=$keep but rep=$rep")
+      assert(bucketOf(rep) == bucket,
+        s"vec $vid: rep $rep lives in bucket ${bucketOf(rep)}, not $bucket")
+    }
+    // the 16 seeds are their own bucket centroids — each must land in
+    // its own cell (distance 0 to itself)
+    rows.filter(_._1 < 16).foreach { case (vid, bucket, _, _) =>
+      assert(bucket == vid, s"seed $vid assigned to bucket $bucket")
+    }
+  }
+
   test("q334 audio dedup: exactly the three dithered clones pair with their sources") {
     val rows = SparkEntry.queries("q334_audio_dup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
