@@ -241,6 +241,52 @@ object TextAnalysis {
       .orderBy("lang", "w1", "w2")
   }
 
+  /** q337: interpolated Kneser–Ney bigram probabilities (Kneser & Ney,
+    * ICASSP 1995; Chen & Goodman 1998) — the smoothing every SHIPPED
+    * count-based LM uses, upgrading q129's MLE and q143's add-one:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1) + λ(w1) · P_cont(w2)
+    *   λ(w1) = D · N1+(w1,•)/c(w1),  P_cont(w2) = N1+(•,w2)/|types|
+    *
+    * with the standard fixed discount D = 0.75. The continuation
+    * probability is THE Kneser–Ney idea: back off to how many CONTEXTS
+    * a word follows, not how often it occurs ("San Francisco" makes
+    * "Francisco" frequent yet nearly context-bound, so its unigram
+    * backoff should be small). Reported for bigrams with c ≥ 3 (q129's
+    * support convention); the discount mass identity Σ P = 1 per
+    * context is proven over the full vocabulary in OperatorSuite.
+    *
+    * Determinism: every model input is an integer count; the one
+    * double expression has the same shape in both engines (int/int `/`
+    * is float division in both) and the result is r6-quantized.
+    *
+    * Scale: all three KN statistics derive from ONE grouped count of
+    * the exploded bigram stream — no second corpus pass; aggregates
+    * and the final join are bigram-VOCABULARY-bounded; the type total
+    * is a 1-row broadcast. */
+  private def q337(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds all three KN aggregates + the join
+    // bg rows are distinct (w1, w2) types, so COUNT(*) per side IS N1+
+    val ctx = bg.groupBy("w1").agg(sum("cnt").as("c1"), count(lit(1)).as("n_after"))
+    val cont = bg.groupBy("w2").agg(count(lit(1)).as("n_before"))
+    val types = bg.agg(count(lit(1)).as("n_types"))
+    bg.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(types))
+      .filter(col("cnt") >= 3)
+      .select(col("w1"), col("w2"), col("cnt"),
+        Tables.r6(
+          greatest(col("cnt") - lit(0.75), lit(0.0)) / col("c1") +
+            (lit(0.75) * col("n_after") / col("c1")) * (col("n_before") / col("n_types")))
+          .as("p_kn"))
+      .orderBy("w1", "w2")
+  }
+
   /** q143: per-document perplexity scoring under the corpus bigram LM
     * (q129's model, add-one smoothed): every document's average negative
     * log-likelihood −Σ ln((c_xy+1)/(c_x+V))/n over its bigrams — the
@@ -1271,6 +1317,22 @@ object TextAnalysis {
     Q("q143_text_perplexity", q143 _, Some(
       nllCtesSql +
         " SELECT doc_id, n_bigrams, avg_nll FROM per ORDER BY doc_id")),
+    // the same three counts from one grouped bigram CTE; int/int '/' is
+    // float division in both engines, final prob r6
+    Q("q337_kneser_ney_lm", q337 _, Some(
+      "WITH bg AS (SELECT bgp['w1'] AS w1, bgp['w2'] AS w2, COUNT(*) AS cnt FROM (" +
+        "SELECT unnest(list_transform(range(1, len(ts)), i -> " +
+        "{'w1': ts[CAST(i AS INT)], 'w2': ts[CAST(i + 1 AS INT)]})) AS bgp FROM (" +
+        "SELECT str_split(text, ' ') AS ts FROM documents " +
+        "WHERE len(str_split(text, ' ')) >= 2)) GROUP BY 1, 2), " +
+        "ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1, COUNT(*) AS n_after FROM bg GROUP BY w1), " +
+        "cont AS (SELECT w2, COUNT(*) AS n_before FROM bg GROUP BY w2), " +
+        "types AS (SELECT COUNT(*) AS n_types FROM bg) " +
+        "SELECT bg.w1, bg.w2, bg.cnt, " +
+        Tables.r6sql("GREATEST(bg.cnt - 0.75, 0.0) / ctx.c1 + " +
+          "(0.75 * ctx.n_after / ctx.c1) * (cont.n_before / types.n_types)") + " AS p_kn " +
+        "FROM bg JOIN ctx ON bg.w1 = ctx.w1 JOIN cont ON bg.w2 = cont.w2 CROSS JOIN types " +
+        "WHERE bg.cnt >= 3 ORDER BY bg.w1, bg.w2")),
     Q("q149_token_pmi", q149 _, Some(
       // cxy MATERIALIZED: it feeds both margins, the total, and the
       // scoring join — plain-CTE inlining would re-run the bigram

@@ -491,6 +491,39 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q337 Kneser-Ney: matches an independent recomputation; discount mass sums to 1") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val bigrams = docs.flatMap { t =>
+      val ts = t.split(" ")
+      if (ts.length >= 2) ts.sliding(2).map(a => (a(0), a(1))) else Iterator.empty
+    }
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = cnt.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nAfter = cnt.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nBefore = cnt.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = cnt.size.toLong
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val rows = SparkEntry.queries("q337_kneser_ney_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w1, w2, c, p) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(c == cnt((w1, w2)) && c >= 3)
+      val exp = r6(math.max(c - 0.75, 0.0) / c1(w1) +
+        (0.75 * nAfter(w1) / c1(w1)) * (nBefore(w2).toDouble / nTypes))
+      assert(math.abs(p - exp) < 1e-9, s"($w1, $w2): $p vs $exp")
+    }
+    // the KN normalization: for any context w1, summing P over the FULL
+    // vocabulary gives Σ_seen (c−D)/c1 + λ(w1)·Σ P_cont = 1 exactly
+    // (Σ P_cont = 1 by construction)
+    rows.map(_.getString(0)).distinct.take(5).foreach { w1 =>
+      val seen = cnt.collect { case ((a, _), c) if a == w1 =>
+        math.max(c - 0.75, 0.0) / c1(w1) }.sum
+      val lam = 0.75 * nAfter(w1) / c1(w1)
+      assert(math.abs(seen + lam - 1.0) < 1e-9, s"context '$w1' mass ${seen + lam}")
+    }
+  }
+
   test("q334 audio dedup: exactly the three dithered clones pair with their sources") {
     val rows = SparkEntry.queries("q334_audio_dup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
