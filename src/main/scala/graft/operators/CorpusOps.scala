@@ -198,6 +198,51 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** q338: rejection-sample the corpus to a TARGET length profile —
+    * q109 balances classes to the minimum; this reshapes a continuous
+    * marginal (document length) to an arbitrary target mix, the
+    * "match the pretraining length distribution" curation step. Docs
+    * bucket by n_chars/40; the target weight w_b = max(16 − b, 1)
+    * (linear decay — long docs downweighted) is the profile the kept
+    * corpus should follow. Per-bucket accept threshold out of 10000:
+    *   R = min_b ⌊n_b·10000 / w_b⌋   (the binding bucket keeps ~all)
+    *   t_b = ⌊R·w_b / n_b⌋           (kept_b ≈ n_b·t_b/10000 ∝ w_b)
+    * — classical rejection sampling with the proposal = the empirical
+    * distribution, scaled so acceptance maxes out at 1. The accept
+    * decision is q109's deterministic md5-bucket filter with INTEGER
+    * thresholds — no doubles near the keep boundary, reproducible
+    * across runs, engines and partitionings. Output per bucket:
+    * target weight, population, threshold, kept count.
+    *
+    * Scale: bucket counts are a tiny agg → broadcast; R is a 1-row
+    * min over buckets; the verdict is a narrow per-row expression +
+    * broadcast join — the corpus never shuffles, the same plan shape
+    * at 100 TB. */
+  private def q338(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("n_chars div 40").as("bucket"))
+      .withColumn("w", greatest(lit(16L) - col("bucket"), lit(1L)))
+    val counts = docs.groupBy("bucket", "w").agg(count(lit(1)).as("n_docs"))
+    val rMin = counts.agg(min(expr("(n_docs * 10000) div w")).as("r"))
+    val rates = counts.crossJoin(broadcast(rMin))
+      .select(col("bucket"), col("w"), col("n_docs"),
+        expr("(r * w) div n_docs").as("thresh"))
+    val kept = docs
+      .withColumn("h", md5(concat(lit("shape:"), col("doc_id").cast("string"))))
+      .withColumn("u", expr(
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 + " +
+          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 + " +
+          "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % 10000"))
+      .join(broadcast(rates.select("bucket", "thresh")), "bucket")
+      .filter(col("u") < col("thresh"))
+      .groupBy("bucket").agg(count(lit(1)).as("kept"))
+    rates.join(kept, Seq("bucket"), "left")
+      .select(col("bucket"), col("w"), col("n_docs"), col("thresh"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+      .orderBy("bucket")
+  }
+
   private val bucketCte =
     "d AS (SELECT doc_id, text, " +
       hexBucketSql(100, "md5(CAST(doc_id AS VARCHAR))") + " AS bucket FROM documents)"
@@ -785,6 +830,24 @@ object CorpusOps {
         "CAST(SUM(tok) AS BIGINT) AS tokens_total, " +
         Tables.r6sql(s"CAST(SUM(tok) AS DOUBLE) / $PackLen") + " AS fill_ratio " +
         "FROM c GROUP BY bucket, bin ORDER BY bucket, bin")),
+    // same integer thresholds (R, t_b) and the same md5 'shape:' filter
+    Q("q338_length_reshape", q338 _, Some(
+      "WITH d AS (SELECT doc_id, n_chars // 40 AS bucket, " +
+        "GREATEST(16 - n_chars // 40, 1) AS w FROM documents), " +
+        "counts AS (SELECT bucket, w, COUNT(*) AS n_docs FROM d GROUP BY 1, 2), " +
+        "rates AS (SELECT bucket, w, n_docs, " +
+        "((SELECT MIN((n_docs * 10000) // w) FROM counts) * w) // n_docs AS thresh FROM counts), " +
+        "u AS (SELECT d.bucket, " +
+        "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 + " +
+        "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(h, 4, 1)) - 1)) % 10000 AS u " +
+        "FROM (SELECT doc_id, bucket, md5('shape:' || CAST(doc_id AS VARCHAR)) AS h FROM d) d), " +
+        "k AS (SELECT u.bucket, COUNT(*) AS kept FROM u JOIN rates ON u.bucket = rates.bucket " +
+        "WHERE u.u < rates.thresh GROUP BY 1) " +
+        "SELECT rates.bucket, rates.w, rates.n_docs, rates.thresh, " +
+        "COALESCE(k.kept, 0) AS kept FROM rates LEFT JOIN k ON rates.bucket = k.bucket " +
+        "ORDER BY rates.bucket")),
     Q("q109_corpus_rebalance", q109 _, Some(
       "WITH counts AS (SELECT lang, COUNT(*) AS lang_n FROM documents GROUP BY lang), " +
         "rates AS (SELECT lang, lang_n, " +

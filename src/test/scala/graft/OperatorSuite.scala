@@ -524,6 +524,27 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q338 length reshape: thresholds scale with w/n and the binding bucket keeps ~all") {
+    val rows = SparkEntry.queries("q338_length_reshape")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val r = rows.map { case (_, w, n, _, _) => n * 10000 / w }.min
+    rows.foreach { case (b, w, n, thresh, kept) =>
+      assert(w == math.max(16 - b, 1), s"bucket $b: weight $w")
+      assert(thresh == r * w / n, s"bucket $b: threshold $thresh != ${r * w / n}")
+      assert(thresh >= 0 && thresh <= 10000 && kept <= n)
+    }
+    // the binding bucket's threshold sits at ~10000 (floor slack only)
+    assert(rows.map(_._4).max >= 9990, s"max threshold ${rows.map(_._4).max}")
+    // kept counts actually follow the target: the kept/w ratio varies far
+    // less than the raw n/w ratio it replaced (profile reshaped, not noise)
+    val keptRatio = rows.map { case (_, w, _, _, k) => k.toDouble / w }
+    val nRatio = rows.map { case (_, w, n, _, _) => n.toDouble / w }
+    def spread(xs: Seq[Double]) = xs.max / math.max(xs.min, 1e-9)
+    assert(spread(keptRatio) < spread(nRatio),
+      s"reshape did not tighten the profile: kept ${spread(keptRatio)} vs raw ${spread(nRatio)}")
+  }
+
   test("q334 audio dedup: exactly the three dithered clones pair with their sources") {
     val rows = SparkEntry.queries("q334_audio_dup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
