@@ -237,7 +237,8 @@ object CorpusOps {
       .join(broadcast(rates.select("bucket", "thresh")), "bucket")
       .filter(col("u") < col("thresh"))
       .groupBy("bucket").agg(count(lit(1)).as("kept"))
-    rates.join(kept, Seq("bucket"), "left")
+    // both report frames are bucket-count-sized — broadcast the probe
+    rates.join(broadcast(kept), Seq("bucket"), "left")
       .select(col("bucket"), col("w"), col("n_docs"), col("thresh"),
         coalesce(col("kept"), lit(0L)).as("kept"))
       .orderBy("bucket")

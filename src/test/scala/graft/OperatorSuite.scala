@@ -36,6 +36,8 @@ class OperatorSuite extends AnyFunSuite {
       "q142_equidepth_bins",     // global BoundedQuantiles fold: histogram
                                  // window ≤ 4096 rows + 7-cut 1-row result
       "q149_token_pmi",          // total-bigram-count 1-row aggregate
+      "q337_kneser_ney_lm",      // bigram-type-total 1-row aggregate
+      "q338_length_reshape",     // rejection-scaling 1-row MIN over buckets
       "q151_anon_lattice",       // best-height 1-row aggregate over 18 node rows
       "q154_benford_audit",      // global total over the 9 digit rows
       "q156_mutual_info",        // global total over the ≤25 cell rows
