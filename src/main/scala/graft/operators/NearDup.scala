@@ -764,24 +764,36 @@ object NearDup {
     * window keyed (vec_id, sub) with 16 rows per key. No corpus-sized
     * shuffle anywhere: the 100 TB encode job is scan → broadcast join →
     * per-key argmin → sink. */
-  private def q333(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables(spark, sfDir, "embeddings")
-    def subVecs(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("embedding"))
-      .select(col("vec_id"), col("s").cast("long").as("s"),
-        expr("transform(slice(embedding, s * 8 + 1, 8), x -> cast(x as double))").as("sv"))
-    val cents = subVecs(emb.filter(col("vec_id") < 16))
+  /** The (vec_id, s, sv) subvector frame behind q333/q339: 8 contiguous
+    * 8-dim subvectors, elements cast to double (exact). */
+  private def pqSubVecs(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("s"), col("embedding"))
+    .select(col("vec_id"), col("s").cast("long").as("s"),
+      expr("transform(slice(embedding, s * 8 + 1, 8), x -> cast(x as double))").as("sv"))
+
+  /** The q333 codebook: subvectors of the 16 lowest-id embeddings —
+    * (code, s, cv), 128 tiny rows, always broadcast. */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    pqSubVecs(emb.filter(col("vec_id") < 16))
       .select(col("vec_id").as("code"), col("s"), col("sv").as("cv"))
+
+  /** Per-(vector, subspace) nearest-centroid assignment — (vec_id, s,
+    * code, d2). Shared by q333 (the encode) and q339 (the search). */
+  private def pqAssign(emb: DataFrame): DataFrame = {
     val wMin = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
-    subVecs(emb).join(broadcast(cents), "s")
+    pqSubVecs(emb).join(broadcast(pqCodebook(emb)), "s")
       .select(col("vec_id"), col("s"), col("code"),
         zipFold(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)).as("d2"))
       .withColumn("rn", row_number().over(wMin))
       .filter(col("rn") === 1)
+      .select("vec_id", "s", "code", "d2")
+  }
+
+  private def q333(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssign(Tables(spark, sfDir, "embeddings"))
       .select(col("vec_id"), col("s").as("sub"), col("code"),
         Tables.r6(col("d2")).as("err"))
       .orderBy("vec_id", "sub")
-  }
 
   /** q124: random-hyperplane LSH ANN (Charikar, STOC 2002) — the
     * signature-based scale path for cosine search that needs NO trained
@@ -1494,18 +1506,29 @@ object NearDup {
     * projection + a 16-row-per-key argmin, and the self-join is an
     * equi-join on the bucket id. Giant cells degrade gracefully to the
     * q124 band discipline inside the cell. */
+  /** Full-vector nearest-seed cells (the q336/q339 coarse quantizer):
+    * rank the 16 lowest-id embeddings of `corpus` by L2 distance from
+    * each row of `subjects`, keep the `nCells` nearest — (vec_id,
+    * bucket, cell_rank). nCells = 1 is the index assignment; nCells > 1
+    * is the multi-cell PROBE side (q63's nprobe idea). */
+  private def coarseCells(corpus: DataFrame, subjects: DataFrame, nCells: Int): DataFrame = {
+    val cents = corpus.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+    val wMin = Window.partitionBy("vec_id").orderBy(col("d2"), col("code"))
+    subjects.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("code"),
+        zipFold(col("embedding"), col("cv"), (x, y) =>
+          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))).as("d2"))
+      .withColumn("rn", row_number().over(wMin)).filter(col("rn") <= nCells)
+      .select(col("vec_id"), col("code").as("bucket"), col("rn").as("cell_rank"))
+  }
+
   private def q336(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("code"), col("embedding").as("cv"))
-    val wMin = Window.partitionBy("vec_id").orderBy(col("d2"), col("code"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("code"),
-        zipFold(col("embedding"), col("cv"), (x, y) =>
-          (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))).as("d2"))
-      .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("code").as("bucket"), col("embedding"),
+    val assigned = emb
+      .join(coarseCells(emb, emb, 1).select("vec_id", "bucket"), "vec_id")
+      .select(col("vec_id"), col("bucket"), col("embedding"),
         sqrt(dotCol("embedding", "embedding")).as("nrm"))
       .localCheckpoint(true) // assigned once; both self-join sides read it
     val l = assigned.select(col("vec_id").as("id_a"), col("bucket"),
@@ -1520,6 +1543,54 @@ object NearDup {
         coalesce(col("rep0"), col("vec_id")).as("rep"),
         col("rep0").isNull.as("keep"))
       .orderBy("vec_id")
+  }
+
+  /** q339: IVF-PQ search with asymmetric distance computation (ADC) —
+    * the composition that is the actual point of q63 + q333 (Jégou et
+    * al., TPAMI 2011 §IV): candidates come from the coarse cells
+    * (IVF: probes scan their nprobe=2 nearest of the 16 cells), and the
+    * distance to each candidate is computed WITHOUT touching its raw
+    * vector — the probe precomputes a (subspace × centroid) distance
+    * table (8×16 entries per probe) and a candidate's score is the sum
+    * of the 8 table entries its PQ codes select. That is why PQ
+    * compresses: search memory = codes + per-probe table, never the
+    * corpus floats. Output: top-3 candidates per probe by ADC.
+    *
+    * Determinism: each table entry is a bit-identical double (in-order
+    * 8-term fold), r6-quantized then DECIMAL-summed (§2.9 R1 — a
+    * groupBy sum of raw doubles would be partition-order-sensitive);
+    * ranking ties break on candidate id.
+    *
+    * Scale: the corpus appears ONLY as (vec_id, bucket) + 8 code rows —
+    * the persisted index shape; probe tables are 128 tiny rows,
+    * broadcast; the candidate join is an equi-join on the cell id and
+    * the ADC fold is 8 rows per (probe, candidate). Nothing corpus-sized
+    * shuffles, and raw candidate vectors are never read at query time. */
+  private def q339(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val corpusCells = coarseCells(emb, emb, 1).select("vec_id", "bucket")
+    val probeCells = coarseCells(emb, emb.filter(col("vec_id") < 10), 2)
+      .select(col("vec_id").as("id_p"), col("bucket"))
+    val codes = pqAssign(emb).select(col("vec_id").as("id_c"), col("s"), col("code"))
+    val table = pqSubVecs(emb.filter(col("vec_id") < 10))
+      .join(broadcast(pqCodebook(emb)), "s")
+      .select(col("vec_id").as("id_p"), col("s"), col("code"),
+        Tables.r6(zipFold(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)))
+          .cast(DecimalType(18, 6)).as("pd"))
+    val wTop = Window.partitionBy("id_p").orderBy(col("adc"), col("id_c"))
+    probeCells
+      .join(corpusCells.select(col("vec_id").as("id_c"), col("bucket")), "bucket")
+      .filter(col("id_p") =!= col("id_c"))
+      .select("id_p", "id_c")
+      .join(codes, "id_c")
+      .join(broadcast(table), Seq("id_p", "s", "code"))
+      .groupBy("id_p", "id_c")
+      .agg(sum(col("pd")).cast("double").as("adc"))
+      .withColumn("rn", row_number().over(wTop).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("id_p"), col("id_c"), Tables.r6(col("adc")).as("adc"), col("rn"))
+      .orderBy("id_p", "rn")
   }
 
   /** Shared DuckDB CTE prefix `bits → sig → banded`: regenerates the
@@ -1840,6 +1911,41 @@ object NearDup {
         " >= 0.3 GROUP BY y.vec_id) " +
         "SELECT a.vec_id, a.bucket, COALESCE(p.rep0, a.vec_id) AS rep, " +
         "p.rep0 IS NULL AS keep FROM a LEFT JOIN p ON a.vec_id = p.idb ORDER BY a.vec_id"
+    }),
+    // the q333 codes + q336 cells CTEs composed; per-entry r6 → DECIMAL
+    // sum (§2.9 R1), rank ties on candidate id
+    Q("q339_ann_ivf_pq", q339 _, Some {
+      val subL2 = "list_sum(list_transform(range(1, 9), i -> " +
+        "(sv.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * " +
+        "(sv.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
+      val fullL2 = "list_sum(list_transform(range(1, 65), i -> " +
+        "(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) * " +
+        "(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cv[CAST(i AS INT)] AS DOUBLE))))"
+      "WITH sv AS (SELECT vec_id, s, list_transform(range(1, 9), d -> " +
+        "CAST(embedding[CAST(s * 8 + d AS INT)] AS DOUBLE)) AS v " +
+        "FROM embeddings CROSS JOIN range(0, 8) rs(s)), " +
+        "cent AS (SELECT vec_id AS code, s, v AS cv FROM sv WHERE vec_id < 16), " +
+        s"d AS (SELECT sv.vec_id, sv.s, c.code, $subL2 AS d2 FROM sv JOIN cent c ON sv.s = c.s), " +
+        "codes AS (SELECT vec_id AS id_c, s, code FROM (SELECT vec_id, s, code, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d) WHERE rn = 1), " +
+        "fcent AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
+        s"fd AS (SELECT e.vec_id, c.code, $fullL2 AS d2 FROM embeddings e CROSS JOIN fcent c), " +
+        "fr AS (SELECT vec_id, code AS bucket, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY d2, code) AS rn FROM fd), " +
+        "cells AS (SELECT vec_id, bucket FROM fr WHERE rn = 1), " +
+        "pcells AS (SELECT vec_id AS id_p, bucket FROM fr WHERE vec_id < 10 AND rn <= 2), " +
+        "tbl AS (SELECT sv.vec_id AS id_p, sv.s, c.code, " +
+        s"CAST(${Tables.r6sql(subL2)} AS DECIMAL(18,6)) AS pd " +
+        "FROM sv JOIN cent c ON sv.s = c.s WHERE sv.vec_id < 10), " +
+        "cand AS (SELECT p.id_p, c.vec_id AS id_c FROM pcells p " +
+        "JOIN cells c ON p.bucket = c.bucket WHERE c.vec_id <> p.id_p), " +
+        "adc AS (SELECT cand.id_p, cand.id_c, CAST(SUM(t.pd) AS DOUBLE) AS adc " +
+        "FROM cand JOIN codes ON cand.id_c = codes.id_c " +
+        "JOIN tbl t ON t.id_p = cand.id_p AND t.s = codes.s AND t.code = codes.code " +
+        "GROUP BY 1, 2) " +
+        "SELECT id_p, id_c, " + Tables.r6sql("adc") + " AS adc, rn FROM (" +
+        "SELECT id_p, id_c, adc, ROW_NUMBER() OVER (PARTITION BY id_p ORDER BY adc, id_c) AS rn " +
+        "FROM adc) WHERE rn <= 3 ORDER BY id_p, rn"
     }),
     Q("q124_ann_hyperplane", q124 _, Some(annTop3OracleSql)),
   ) ++ legacyEntries

@@ -547,6 +547,36 @@ class OperatorSuite extends AnyFunSuite {
       s"reshape did not tighten the profile: kept ${spread(keptRatio)} vs raw ${spread(nRatio)}")
   }
 
+  test("q339 IVF-PQ: ADC scores equal an independent codes-and-table recomputation") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sub(v: Array[Double], s: Int) = v.slice(s * 8, s * 8 + 8)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val seeds = (0L until 16L).map(emb)
+    // PQ code of (vector, subspace): nearest seed subvector, id tie-break
+    def code(v: Array[Double], s: Int): Int =
+      (0 until 16).minBy(j => (d2(sub(v, s), sub(seeds(j), s)), j))
+    val rows = SparkEntry.queries("q339_ann_ivf_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq, s"probe $p ranks")
+      assert(rs.length <= 3)
+    }
+    rows.foreach { case (p, c, adc, _) =>
+      // ADC = Σ_s r6(|| probe_sub − centroid(code of CANDIDATE) ||²),
+      // decimal-summed — recompute from raw vectors and the same codes
+      val expected = (0 until 8).map { s =>
+        BigDecimal(r6(d2(sub(emb(p), s), sub(seeds(code(emb(c), s)), s))))
+          .setScale(6, BigDecimal.RoundingMode.DOWN)
+      }.sum.toDouble
+      assert(math.abs(adc - expected) < 1e-9, s"($p, $c): $adc vs $expected")
+    }
+  }
+
   test("q334 audio dedup: exactly the three dithered clones pair with their sources") {
     val rows = SparkEntry.queries("q334_audio_dup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
