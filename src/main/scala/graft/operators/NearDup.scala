@@ -1545,6 +1545,52 @@ object NearDup {
       .orderBy("vec_id")
   }
 
+  /** q340: one Lloyd refinement sweep of the PQ codebook — the training
+    * step q333's scaladoc promised: re-estimate every per-subspace
+    * centroid as the exact mean of its assigned subvectors and report
+    * per (subspace, code) cell the member count and the sum of squared
+    * distances BEFORE (to the seed centroid) and AFTER (to the refined
+    * one). Lloyd's guarantee — the mean minimizes within-cell SSE — is
+    * the operator's testable invariant: sse_after ≤ sse_before in every
+    * cell (OperatorSuite asserts it, plus the global strict decrease).
+    *
+    * Determinism: means are exact DECIMAL(18,9) sums ÷ counts → r6
+    * (q63's centroid discipline); every per-member distance is a
+    * bit-identical in-order fold, r6-quantized then DECIMAL-summed
+    * (§2.9 R1) so cell SSEs are partition-order-free.
+    *
+    * Scale: one grouped mean over (subspace, code, dim) — 8·16·8 = 1024
+    * output cells regardless of corpus size — and two candidate-bounded
+    * folds; the corpus contributes one narrow pass each. Iterating to
+    * convergence is this operator in a driver loop; the dataflow per
+    * sweep is unchanged. */
+  private def q340(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val members = pqAssign(emb).join(pqSubVecs(emb), Seq("vec_id", "s"))
+      .localCheckpoint(true) // feeds the mean + both SSE folds
+    val cent2 = members
+      .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .select(col("s"), col("code"), col("dim"), col("v").cast(DecimalType(18, 9)).as("v"))
+      .groupBy("s", "code", "dim")
+      .agg(Tables.r6(sum(col("v")).cast("double") / count(lit(1))).as("c"))
+      .groupBy("s", "code")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)").as("cv2"))
+    val after = members.join(cent2, Seq("s", "code"))
+      .select(col("s"), col("code"),
+        Tables.r6(zipFold(col("sv"), col("cv2"), (x, y) => (x - y) * (x - y)))
+          .cast(DecimalType(18, 6)).as("a"))
+      .groupBy("s", "code").agg(sum("a").as("sse_after"))
+    members
+      .select(col("s"), col("code"), Tables.r6(col("d2")).cast(DecimalType(18, 6)).as("b"))
+      .groupBy("s", "code")
+      .agg(count(lit(1)).as("n"), sum("b").as("sse_before"))
+      .join(after, Seq("s", "code"))
+      .select(col("s"), col("code"), col("n"),
+        col("sse_before").cast("double").as("sse_before"),
+        col("sse_after").cast("double").as("sse_after"))
+      .orderBy("s", "code")
+  }
+
   /** q339: IVF-PQ search with asymmetric distance computation (ADC) —
     * the composition that is the actual point of q63 + q333 (Jégou et
     * al., TPAMI 2011 §IV): candidates come from the coarse cells
@@ -1946,6 +1992,39 @@ object NearDup {
         "SELECT id_p, id_c, " + Tables.r6sql("adc") + " AS adc, rn FROM (" +
         "SELECT id_p, id_c, adc, ROW_NUMBER() OVER (PARTITION BY id_p ORDER BY adc, id_c) AS rn " +
         "FROM adc) WHERE rn <= 3 ORDER BY id_p, rn"
+    }),
+    // q333's assignment re-fed through exact DECIMAL means; both SSE
+    // folds r6-per-term then DECIMAL-summed
+    Q("q340_pq_lloyd_step", q340 _, Some {
+      val subL2 = "list_sum(list_transform(range(1, 9), i -> " +
+        "(sv.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * " +
+        "(sv.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
+      val memL2new = "list_sum(list_transform(range(1, 9), i -> " +
+        "(m.v[CAST(i AS INT)] - c2.cv2[CAST(i AS INT)]) * " +
+        "(m.v[CAST(i AS INT)] - c2.cv2[CAST(i AS INT)])))"
+      "WITH sv AS (SELECT vec_id, s, list_transform(range(1, 9), d -> " +
+        "CAST(embedding[CAST(s * 8 + d AS INT)] AS DOUBLE)) AS v " +
+        "FROM embeddings CROSS JOIN range(0, 8) rs(s)), " +
+        "cent AS (SELECT vec_id AS code, s, v AS cv FROM sv WHERE vec_id < 16), " +
+        s"d AS (SELECT sv.vec_id, sv.s, c.code, $subL2 AS d2 FROM sv JOIN cent c ON sv.s = c.s), " +
+        "asg AS (SELECT vec_id, s, code, d2 FROM (SELECT vec_id, s, code, d2, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d) WHERE rn = 1), " +
+        "mem AS (SELECT a.vec_id, a.s, a.code, a.d2, sv.v FROM asg a " +
+        "JOIN sv ON a.vec_id = sv.vec_id AND a.s = sv.s), " +
+        "dims AS (SELECT s, code, dim, CAST(v[CAST(dim AS INT)] AS DECIMAL(18,9)) AS val " +
+        "FROM mem CROSS JOIN range(1, 9) rd(dim)), " +
+        "cent2 AS (SELECT s, code, list(c ORDER BY dim) AS cv2 FROM (" +
+        "SELECT s, code, dim, " + Tables.r6sql("CAST(SUM(val) AS DOUBLE) / COUNT(*)") + " AS c " +
+        "FROM dims GROUP BY 1, 2, 3) GROUP BY 1, 2), " +
+        "aft AS (SELECT m.s, m.code, SUM(CAST(" + Tables.r6sql(memL2new) +
+        " AS DECIMAL(18,6))) AS sse_after FROM mem m " +
+        "JOIN cent2 c2 ON m.s = c2.s AND m.code = c2.code GROUP BY 1, 2), " +
+        "bef AS (SELECT s, code, COUNT(*) AS n, SUM(CAST(" + Tables.r6sql("d2") +
+        " AS DECIMAL(18,6))) AS sse_before FROM mem GROUP BY 1, 2) " +
+        "SELECT bef.s, bef.code, bef.n, CAST(bef.sse_before AS DOUBLE) AS sse_before, " +
+        "CAST(aft.sse_after AS DOUBLE) AS sse_after " +
+        "FROM bef JOIN aft ON bef.s = aft.s AND bef.code = aft.code " +
+        "ORDER BY bef.s, bef.code"
     }),
     Q("q124_ann_hyperplane", q124 _, Some(annTop3OracleSql)),
   ) ++ legacyEntries

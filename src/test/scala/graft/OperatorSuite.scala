@@ -577,6 +577,23 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q340 Lloyd step: within-cell SSE never increases and strictly decreases globally") {
+    val rows = SparkEntry.queries("q340_pq_lloyd_step")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // each vector contributes one membership per subspace
+    val nVec = SparkEntry.queries("q333_ann_pq")(spark, sf)
+      .select("vec_id").distinct().count()
+    assert(rows.map(_._3).sum == nVec * 8, "cell memberships don't cover the corpus")
+    rows.foreach { case (s, code, n, before, after) =>
+      assert(s >= 0 && s < 8 && code >= 0 && code < 16 && n >= 1)
+      // the mean minimizes within-cell SSE; 1e-4 absorbs the r6 noise
+      assert(after <= before + 1e-4, s"cell ($s, $code): SSE rose $before -> $after")
+    }
+    assert(rows.map(_._5).sum < rows.map(_._4).sum,
+      "a Lloyd sweep must strictly decrease total distortion on a non-degenerate corpus")
+  }
+
   test("q334 audio dedup: exactly the three dithered clones pair with their sources") {
     val rows = SparkEntry.queries("q334_audio_dup")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
