@@ -1325,6 +1325,31 @@ object StatsOps {
           "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))") + " AS r " +
         "FROM m ORDER BY lag"
     }),
+    Q("q341_stats_spearman", q341 _, Some {
+      def rmap(c: String) =
+        s"${c}r AS (SELECT v AS $c, CAST(c AS DOUBLE) - CAST(n AS DOUBLE) + " +
+          s"(CAST(n AS DOUBLE) + 1.0) / 2.0 AS r$c FROM " +
+          s"(SELECT v, n, SUM(n) OVER (ORDER BY v) AS c FROM " +
+          s"(SELECT $c AS v, COUNT(*) AS n FROM base GROUP BY 1)))"
+      "WITH base AS (SELECT n_chars AS x, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y " +
+        "FROM documents), " +
+        rmap("x") + ", " + rmap("y") + ", " +
+        "a AS (SELECT COUNT(*) AS nn, " +
+        "SUM(CAST(rx AS DECIMAL(28,1))) AS sx, " +
+        "SUM(CAST(ry AS DECIMAL(28,1))) AS sy, " +
+        "SUM(CAST(rx * rx AS DECIMAL(28,2))) AS sxx, " +
+        "SUM(CAST(ry * ry AS DECIMAL(28,2))) AS syy, " +
+        "SUM(CAST(rx * ry AS DECIMAL(28,2))) AS sxy " +
+        "FROM base JOIN xr USING (x) JOIN yr USING (y)) " +
+        "SELECT CAST(nn AS BIGINT) AS n, " +
+        Tables.r6sql("(CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(sqrt(CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+          "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+          "sqrt(CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+          "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))") + " AS rho FROM a"
+    }),
   )
 
   /** q210: pairwise Pearson correlation MATRIX over the four lineitem
@@ -1775,5 +1800,60 @@ object StatsOps {
         Tables.r6(lit(0.25) * (col("s1") - col("s2"))).as("trend"),
         Tables.r6((lit(2.0) * col("s1") - col("s2")) +
           lit(0.25) * (col("s1") - col("s2"))).as("forecast_next"))
+  }
+
+  /** q341: Spearman rank correlation between two per-document signals
+    * (n_chars vs distinct-token count) — the monotone-association member
+    * the correlation family lacked: q210's Pearson r reads LINEAR
+    * association and a single whale document drags it; Spearman is
+    * Pearson on the RANKS, so any monotone relation scores the same and
+    * outliers carry no leverage — the association audit a curation team
+    * runs between heuristic quality signals before trusting one as a
+    * proxy for another (Spearman 1904; the rank-transform identity is
+    * Kendall & Gibbons, Rank Correlation Methods ch. 2).
+    *
+    * No per-row ranking exists anywhere: tie-averaged ranks come from
+    * the value DOMAIN (the t tied rows at value v share rank
+    * cum(v) − t + (t+1)/2 — q266's recipe), joined back to the corpus by
+    * value, and ρ is Pearson over the ranked pairs from ONE grand moment
+    * aggregate (q210's recipe).
+    *
+    * Determinism: avgranks are multiples of 0.5 (exact in double to 2⁵²
+    * rows); rank products are summed as exact DECIMAL so partition merge
+    * order can't move them; the one-row ρ is fixed-shape IEEE double,
+    * r6-quantized.
+    *
+    * Scale: the corpus collapses to (x, y) once (checkpointed; feeds two
+    * domain aggs + the rank join); each rank map is value-domain-bounded
+    * with the two-phase DistributedCumSum (no single-partition window);
+    * the rank join is an equi-join against domain-bounded frames (AQE
+    * broadcasts them when small); the final aggregate is map-side
+    * combined to ONE row. */
+  private def q341(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("n_chars").as("x"),
+        expr("size(array_distinct(split(text, ' ')))").cast("bigint").as("y"))
+      .localCheckpoint(true) // 2 ints/row; x-domain, y-domain + join read it
+    def rankMap(c: String): DataFrame = {
+      val perVal = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+      graft.plans.DistributedCumSum.cumulative(perVal, "v", Seq("n"))
+        .select(col("v").as(c),
+          (col("cum_n").cast("double") - col("n").cast("double") +
+            (col("n").cast("double") + lit(1.0)) / lit(2.0)).as(s"r$c"))
+    }
+    val ranked = base.join(rankMap("x"), "x").join(rankMap("y"), "y")
+    val a = ranked.agg(
+      count(lit(1)).as("nn"),
+      sum(col("rx").cast("decimal(28,1)")).as("sx"),
+      sum(col("ry").cast("decimal(28,1)")).as("sy"),
+      sum((col("rx") * col("rx")).cast("decimal(28,2)")).as("sxx"),
+      sum((col("ry") * col("ry")).cast("decimal(28,2)")).as("syy"),
+      sum((col("rx") * col("ry")).cast("decimal(28,2)")).as("sxy"))
+    val n = col("nn").cast("double")
+    def d(c: String) = col(c).cast("double")
+    a.select(col("nn").as("n"),
+      Tables.r6((n * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(n * d("sxx") - d("sx") * d("sx")) *
+          sqrt(n * d("syy") - d("sy") * d("sy")))).as("rho"))
   }
 }

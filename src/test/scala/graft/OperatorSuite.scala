@@ -38,6 +38,10 @@ class OperatorSuite extends AnyFunSuite {
       "q149_token_pmi",          // total-bigram-count 1-row aggregate
       "q337_kneser_ney_lm",      // bigram-type-total 1-row aggregate
       "q338_length_reshape",     // rejection-scaling 1-row MIN over buckets
+      "q341_stats_spearman",     // the ONE six-moment rank aggregate —
+                                 // 1-row by design, map-side combined
+                                 // (rank maps themselves are
+                                 // DistributedCumSum, no global window)
       "q151_anon_lattice",       // best-height 1-row aggregate over 18 node rows
       "q154_benford_audit",      // global total over the 9 digit rows
       "q156_mutual_info",        // global total over the ≤25 cell rows
@@ -2526,6 +2530,38 @@ class OperatorSuite extends AnyFunSuite {
       s"true mean $trueMean outside replicate range [${means.min}, ${means.max}]")
     // and they actually VARY (a constant column means the hash draw broke)
     assert(means.distinct.length > 16)
+  }
+
+  test("q341 Spearman: matches an in-memory tie-averaged rank recomputation") {
+    val row = SparkEntry.queries("q341_stats_spearman")(spark, sf).head()
+    val docs = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.expr(
+          "cast(size(array_distinct(split(text, ' '))) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def avgRanks(vs: Array[Long]): Map[Long, Double] = {
+      // t tied values at v share rank cum(v) − t + (t+1)/2
+      val counts = vs.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      counts.map { case (v, t) =>
+        cum += t; v -> (cum - t + (t + 1) / 2.0)
+      }.toMap
+    }
+    val rx = avgRanks(docs.map(_._1)); val ry = avgRanks(docs.map(_._2))
+    val pairs = docs.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val rho = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(row.getAs[Long]("n") == pairs.length)
+    assert(math.abs(row.getAs[Double]("rho") - rho) < 1e-5,
+      s"query rho ${row.getAs[Double]("rho")} vs recomputed $rho")
+    // ranks correlate positively by construction (longer docs, more
+    // distinct tokens) but ties keep it off the degenerate 1.0
+    assert(rho > 0.5 && rho < 1.0)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
