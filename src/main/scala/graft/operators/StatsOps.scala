@@ -1350,6 +1350,39 @@ object StatsOps {
           "sqrt(CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - " +
           "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))") + " AS rho FROM a"
     }),
+    Q("q342_stats_fdr_bh", q342 _, Some {
+      val n1 = "CAST(n AS DOUBLE)"; val n2 = "CAST(nt - n AS DOUBLE)"
+      val s1 = "CAST(s AS DOUBLE)"; val s2 = "CAST(st - s AS DOUBLE)"
+      val ss1 = "CAST(ss AS DOUBLE)"; val ss2 = "CAST(sst - ss AS DOUBLE)"
+      val v1 = s"(($ss1 - $s1 * $s1 / $n1) / ($n1 - 1.0))"
+      val v2 = s"(($ss2 - $s2 * $s2 / $n2) / ($n2 - 1.0))"
+      val z = s"(($s1 / $n1 - $s2 / $n2) / sqrt($v1 / $n1 + $v2 / $n2))"
+      val az = s"ABS($z)"
+      val t = s"(1.0 / (1.0 + 0.2316419 * $az))"
+      val horner = s"($t * (0.319381530 + $t * (-0.356563782 + $t * " +
+        s"(1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+      val lnp = s"(ln(2.0) - $az * $az / 2.0 - " +
+        s"0.5 * ln(6.283185307179586) + ln($horner))"
+      "WITH per AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, " +
+        "COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(19,4))) AS s, " +
+        "SUM(CAST(c_acctbal AS DECIMAL(19,4)) * " +
+        "CAST(c_acctbal AS DECIMAL(19,4))) AS ss FROM customer GROUP BY 1), " +
+        "tot AS (SELECT SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst, " +
+        "COUNT(*) AS m FROM per), " +
+        "sc AS (SELECT nationkey, CAST(n AS BIGINT) AS n, m, " +
+        Tables.r6sql(s"$s1 / $n1") + " AS mean_bal, " +
+        Tables.r6sql(z) + " AS z, " + Tables.r6sql(lnp) + " AS ln_p " +
+        "FROM per CROSS JOIN tot), " +
+        "ranked AS (SELECT *, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY ln_p, nationkey) AS BIGINT) AS p_rank FROM sc), " +
+        "crit AS (SELECT *, " +
+        Tables.r6sql("ln(CAST(p_rank AS DOUBLE) * 0.05 / m)") +
+        " AS ln_crit FROM ranked), " +
+        "k AS (SELECT COALESCE(MAX(CASE WHEN ln_p <= ln_crit " +
+        "THEN p_rank END), 0) AS kstar FROM crit) " +
+        "SELECT nationkey, n, mean_bal, z, ln_p, p_rank, ln_crit, " +
+        "p_rank <= kstar AS rejected FROM crit CROSS JOIN k ORDER BY p_rank"
+    }),
   )
 
   /** q210: pairwise Pearson correlation MATRIX over the four lineitem
@@ -1855,5 +1888,71 @@ object StatsOps {
       Tables.r6((n * d("sxy") - d("sx") * d("sy")) /
         (sqrt(n * d("sxx") - d("sx") * d("sx")) *
           sqrt(n * d("syy") - d("sy") * d("sy")))).as("rho"))
+  }
+
+  /** q342: Benjamini–Hochberg FDR correction over a family of tests —
+    * the multiple-testing discipline the A/B family (q136 fixed-horizon,
+    * q219 sequential) lacked: run one test per segment and α=0.05 alone
+    * yields ~1 false discovery per 20 segments; BH (Benjamini &
+    * Hochberg, JRSS-B 1995) step-up controls the EXPECTED FALSE
+    * DISCOVERY RATE across the whole family. Family here: per nation, a
+    * Welch z-test of the account-balance mean vs all other nations
+    * (complement statistics fall out of broadcast totals — no second
+    * corpus pass). p-values live entirely in LOG space via the
+    * Abramowitz–Stegun 26.2.17 tail bound (|ε| < 7.5e-8): ln p =
+    * ln 2 − z²/2 − ln√(2π) + ln(Horner(t)), t = 1/(1+0.2316419|z|) —
+    * ln is the one transcendental with verified cross-engine parity
+    * (q116/q127), so no exp/erf ever runs; the BH compare is
+    * r6(ln p(k)) ≤ r6(ln(k·α/m)), monotone-equivalent to p(k) ≤ k·α/m.
+    *
+    * Scale: ONE map-side-combined groupBy(nation) with exact-DECIMAL
+    * moments (q210's R1 recipe) collapses the corpus to ≤25 rows; totals
+    * are a broadcast 1-row fold; the rank window and step-up max run on
+    * the bounded family frame (q23 exception). */
+  private def q342(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(19, 4))
+    val per = Tables(spark, sfDir, "customer")
+      .select(col("c_nationkey").cast("bigint").as("nationkey"),
+        dec(col("c_acctbal")).as("b"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("s"),
+        sum(col("b") * col("b")).as("ss"))
+      .localCheckpoint(true) // ≤25 rows; totals fold + scoring read it
+    val tot = per.agg(sum("n").as("nt"), sum("s").as("st"),
+      sum("ss").as("sst"), count(lit(1)).as("m"))
+    val n1 = col("n").cast("double")
+    val n2 = (col("nt") - col("n")).cast("double")
+    val s1 = col("s").cast("double")
+    val s2 = (col("st") - col("s")).cast("double")
+    val ss1 = col("ss").cast("double")
+    val ss2 = (col("sst") - col("ss")).cast("double")
+    val v1 = (ss1 - s1 * s1 / n1) / (n1 - lit(1.0))
+    val v2 = (ss2 - s2 * s2 / n2) / (n2 - lit(1.0))
+    val z = (s1 / n1 - s2 / n2) / sqrt(v1 / n1 + v2 / n2)
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val horner = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val lnP = log(lit(2.0)) - az * az / lit(2.0) -
+      lit(0.5) * log(lit(6.283185307179586)) + log(horner)
+    val scoredT = per.crossJoin(broadcast(tot))
+      .select(col("nationkey"), col("n"), col("m"),
+        Tables.r6(s1 / n1).as("mean_bal"), Tables.r6(z).as("z"),
+        Tables.r6(lnP).as("ln_p"))
+      .withColumn("p_rank",
+        row_number().over(Window.orderBy(col("ln_p"), col("nationkey")))
+          .cast("bigint"))
+      .withColumn("ln_crit", Tables.r6(
+        log(col("p_rank").cast("double") * lit(0.05) / col("m"))))
+      .localCheckpoint(true) // family-bounded; step-up fold + emission
+    val kstar = scoredT.agg(coalesce(
+      max(when(col("ln_p") <= col("ln_crit"), col("p_rank"))), lit(0))
+      .as("kstar"))
+    scoredT.crossJoin(broadcast(kstar))
+      .select(col("nationkey"), col("n"), col("mean_bal"), col("z"),
+        col("ln_p"), col("p_rank"), col("ln_crit"),
+        (col("p_rank") <= col("kstar")).as("rejected"))
+      .orderBy("p_rank")
   }
 }

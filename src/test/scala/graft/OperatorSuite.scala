@@ -38,6 +38,9 @@ class OperatorSuite extends AnyFunSuite {
       "q149_token_pmi",          // total-bigram-count 1-row aggregate
       "q337_kneser_ney_lm",      // bigram-type-total 1-row aggregate
       "q338_length_reshape",     // rejection-scaling 1-row MIN over buckets
+      "q342_stats_fdr_bh",       // totals + step-up-k 1-row folds and the
+                                 // rank window over the ≤25-row family
+                                 // frame (q23 exception)
       "q341_stats_spearman",     // the ONE six-moment rank aggregate —
                                  // 1-row by design, map-side combined
                                  // (rank maps themselves are
@@ -2562,6 +2565,49 @@ class OperatorSuite extends AnyFunSuite {
     // ranks correlate positively by construction (longer docs, more
     // distinct tokens) but ties keep it off the degenerate 1.0
     assert(rho > 0.5 && rho < 1.0)
+  }
+
+  test("q342 BH-FDR: ln_p matches a Welch+A&S recomputation; step-up rule holds") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q342_stats_fdr_bh")(spark, sf).collect()
+    val bals = Tables(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nt = bals.values.map(_.length).sum
+    val st = bals.values.flatten.sum
+    val sst = bals.values.flatten.map(b => b * b).sum
+    def lnP(k: Long): Double = {
+      val g = bals(k)
+      val (n1, s1, ss1) = (g.length.toDouble, g.sum, g.map(b => b * b).sum)
+      val (n2, s2, ss2) = (nt - n1, (st - s1).toDouble, (sst - ss1).toDouble)
+      val v1 = (ss1.toDouble - s1.toDouble * s1.toDouble / n1) / (n1 - 1)
+      val v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+      val z = (s1.toDouble / n1 - s2 / n2) / math.sqrt(v1 / n1 + v2 / n2)
+      val az = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val h = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      math.log(2.0) - az * az / 2.0 - 0.5 * math.log(2 * math.Pi) + math.log(h)
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ln_p") - lnP(r.getLong(0))) < 1e-5,
+        s"nation ${r.getLong(0)} ln_p off")
+    }
+    // p_rank orders ln_p ascending; step-up: rejected iff rank <= k*,
+    // k* = max rank with ln_p <= ln(rank * alpha / m)
+    val byRank = rows.sortBy(_.getAs[Long]("p_rank"))
+    assert(byRank.map(_.getAs[Double]("ln_p")).sliding(2)
+      .forall(w => w.length < 2 || w(0) <= w(1)))
+    val m = rows.length
+    val kstar = byRank.filter(r => r.getAs[Double]("ln_p") <=
+        math.floor(math.log(r.getAs[Long]("p_rank") * 0.05 / m) * 1e6 + 0.5) / 1e6)
+      .map(_.getAs[Long]("p_rank")).sorted.lastOption.getOrElse(0L)
+    byRank.foreach { r =>
+      assert(r.getAs[Boolean]("rejected") == (r.getAs[Long]("p_rank") <= kstar))
+    }
+    // and the A&S tail is a real probability: ln_p <= ln(1) = 0
+    rows.foreach(r => assert(r.getAs[Double]("ln_p") <= 1e-9))
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
