@@ -135,6 +135,51 @@ object EvalOps {
           col("npos").cast("double") / col("n")).as("gap"))
       .orderBy("decile")
 
+  /** q343: isotonic (PAV) calibration over the score deciles — the
+    * calibration MAP the family lacked: q197 only MEASURES per-decile
+    * miscalibration and q220 wraps intervals around a regressor; q343
+    * produces the monotone score→probability mapping itself (what
+    * Zadrozny & Elkan KDD'02 fit before trusting classifier scores as
+    * probabilities). Pool-adjacent-violators is textbook-sequential, so
+    * we compute the IDENTICAL fit via the minimax identity (Barlow et
+    * al. 1972 §1.2): iso(i) = max_{k≤i} min_{j≥i} mean(k..j) — every
+    * block mean from cumulative sums, pure relational algebra, no loop.
+    *
+    * Determinism: block means are exact-int64 ratios r6-quantized; the
+    * max/min lattice over them is order-free.
+    *
+    * Scale: the corpus collapses in ONE groupBy to the 10-decile frame;
+    * the cumulative window, the ≤55-span self-join and the ≤550-row
+    * minimax grouping all run on constant-bounded frames (q23
+    * exception) — B³ work for B = 10 deciles regardless of corpus
+    * size. */
+  private def q343(spark: SparkSession, sfDir: String): DataFrame = {
+    val w10 = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = scored(spark, sfDir)
+      .groupBy(least(expr("bin DIV 100"), lit(9L)).as("d"))
+      .agg(count(lit(1)).as("w"), sum("pos").as("s"))
+      .withColumn("cw", sum("w").over(w10))
+      .withColumn("cs", sum("s").over(w10))
+      .localCheckpoint(true) // ≤10 rows; spans, anchors + emission read it
+    val k = cum.select(col("d").as("kd"), col("w").as("kw"),
+      col("s").as("ks"), col("cw").as("kcw"), col("cs").as("kcs"))
+    val j = cum.select(col("d").as("jd"), col("cw").as("jcw"), col("cs").as("jcs"))
+    val spans = k.join(j, col("kd") <= col("jd"))
+      .select(col("kd"), col("jd"),
+        Tables.r6((col("jcs") - col("kcs") + col("ks")).cast("double") /
+          (col("jcw") - col("kcw") + col("kw"))).as("m"))
+    val fit = cum.select(col("d").as("i"))
+      .join(spans, col("kd") <= col("i") && col("i") <= col("jd"))
+      .groupBy("i", "kd").agg(min("m").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_rate"))
+    cum.join(fit, col("d") === col("i"))
+      .select(col("d").as("decile"), col("w").as("n"),
+        Tables.r6(col("s").cast("double") / col("w")).as("raw_rate"),
+        col("iso_rate"))
+      .orderBy("decile")
+  }
+
   /** q198: thresholded confusion matrices — precision/recall/F1 at three
     * operating points (bin ≥ 300/500/700). The threshold sweep rides the
     * SAME single bin-frame pass: thresholds explode against the bounded
@@ -374,6 +419,21 @@ object EvalOps {
         "SELECT bin, npos, nneg, prec, recall, " +
         Tables.r6sql("CAST(ap_dec AS DOUBLE)") + " AS avg_precision " +
         "FROM d CROSS JOIN a ORDER BY bin")),
+    Q("q343_eval_isotonic", q343 _, Some(
+      s"WITH sc AS ($scoredSql), " +
+        "bins AS (SELECT LEAST(bin // 100, 9) AS d, COUNT(*) AS w, " +
+        "CAST(SUM(pos) AS BIGINT) AS s FROM sc GROUP BY 1), " +
+        "cum AS (SELECT d, w, s, SUM(w) OVER (ORDER BY d) AS cw, " +
+        "SUM(s) OVER (ORDER BY d) AS cs FROM bins), " +
+        "spans AS (SELECT a.d AS kd, b.d AS jd, " +
+        Tables.r6sql("CAST(b.cs - a.cs + a.s AS DOUBLE) / (b.cw - a.cw + a.w)") +
+        " AS m FROM cum a JOIN cum b ON a.d <= b.d), " +
+        "fitk AS (SELECT i.d AS i, sp.kd, MIN(sp.m) AS mn FROM cum i " +
+        "JOIN spans sp ON sp.kd <= i.d AND i.d <= sp.jd GROUP BY 1, 2), " +
+        "fit AS (SELECT i, MAX(mn) AS iso_rate FROM fitk GROUP BY 1) " +
+        "SELECT c.d AS decile, CAST(c.w AS BIGINT) AS n, " +
+        Tables.r6sql("CAST(c.s AS DOUBLE) / c.w") + " AS raw_rate, iso_rate " +
+        "FROM cum c JOIN fit f ON c.d = f.i ORDER BY decile")),
     Q("q197_eval_calibration", q197 _, Some(
       s"WITH s AS ($scoredSql) " +
         "SELECT LEAST(bin // 100, 9) AS decile, " +

@@ -38,6 +38,9 @@ class OperatorSuite extends AnyFunSuite {
       "q149_token_pmi",          // total-bigram-count 1-row aggregate
       "q337_kneser_ney_lm",      // bigram-type-total 1-row aggregate
       "q338_length_reshape",     // rejection-scaling 1-row MIN over buckets
+      "q343_eval_isotonic",      // cumulative window + minimax self-joins
+                                 // over the CONSTANT 10-decile frame
+                                 // (q23 exception)
       "q342_stats_fdr_bh",       // totals + step-up-k 1-row folds and the
                                  // rank window over the ≤25-row family
                                  // frame (q23 exception)
@@ -2608,6 +2611,41 @@ class OperatorSuite extends AnyFunSuite {
     }
     // and the A&S tail is a real probability: ln_p <= ln(1) = 0
     rows.foreach(r => assert(r.getAs[Double]("ln_p") <= 1e-9))
+  }
+
+  test("q343 isotonic: minimax fit equals sequential pool-adjacent-violators") {
+    val rows = SparkEntry.queries("q343_eval_isotonic")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    // classic sequential PAV over the same (n, raw_rate) decile blocks
+    case class Block(w: Double, sum: Double) { def mean: Double = sum / w }
+    var stack = List.empty[Block]
+    rows.foreach { r =>
+      var b = Block(r.getAs[Long]("n").toDouble,
+        r.getAs[Double]("raw_rate") * r.getAs[Long]("n"))
+      while (stack.nonEmpty && stack.head.mean >= b.mean) {
+        b = Block(stack.head.w + b.w, stack.head.sum + b.sum)
+        stack = stack.tail
+      }
+      stack = b :: stack
+    }
+    val pav = stack.reverse.flatMap(b => Seq.fill(math.round(b.w).toInt)(b.mean))
+    // expand per-decile (blocks carry doc counts; re-walk by decile)
+    var expected = List.empty[Double]
+    var rem = stack.reverse
+    var acc = 0.0
+    rows.foreach { r =>
+      expected :+= rem.head.mean
+      acc += r.getAs[Long]("n")
+      if (acc >= rem.head.w - 1e-9) { rem = rem.tail; acc = 0.0 }
+    }
+    rows.zip(expected).foreach { case (r, e) =>
+      assert(math.abs(r.getAs[Double]("iso_rate") - e) < 2e-6,
+        s"decile ${r.getLong(0)}: minimax ${r.getAs[Double]("iso_rate")} vs PAV $e")
+    }
+    // and the fit is monotone non-decreasing
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(pav.length.toLong == rows.map(_.getAs[Long]("n")).sum)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
