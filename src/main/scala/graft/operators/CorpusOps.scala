@@ -244,6 +244,54 @@ object CorpusOps {
       .orderBy("bucket")
   }
 
+  /** q344: cross-source quantile normalization of document length — the
+    * score-calibration step that makes ONE global threshold meaningful
+    * across heterogeneous sources (the genomics-lineage method of
+    * Bolstad et al., Bioinformatics 2003, applied to corpus curation):
+    * a length/quality cut tuned on one source silently keeps a
+    * different fraction of every other source unless each source's
+    * distribution is first mapped onto a common reference. Each doc's
+    * within-source quantile cell g (of G = 20) maps to the REFERENCE
+    * value at g = the cross-source mean of the per-source empirical
+    * quantiles q(s,g) = min{v : cum_s(v)·G ≥ g·n_s} (type-1, integer
+    * math — no doubles near any boundary). Ties share their max rank,
+    * so the map is deterministic and engine-independent.
+    *
+    * Scale: the corpus collapses ONCE to the per-(source, value) domain
+    * frame; cumulative counts are the two-phase per-group prefix sum
+    * (no single-partition window); the quantile table is (domain × G)
+    * bounded and the reference is G = 20 broadcast rows; docs re-attach
+    * via one equi-join against the domain-bounded cum frame (AQE
+    * broadcasts it) — the corpus never shuffles except the final
+    * range-partitioned ORDER BY emission. */
+  private def q344(spark: SparkSession, sfDir: String): DataFrame = {
+    val G = 20L
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val perVal = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val cum = graft.plans.DistributedCumSum
+      .cumulativeGrouped(perVal, Seq("source"), Seq(col("v")), Seq("n"))
+      .localCheckpoint(true) // domain-bounded; totals, quantiles + doc join
+    val totals = cum.groupBy("source").agg(max("cum_n").as("ns"))
+    val grid = spark.range(1, G + 1).select(col("id").as("g"))
+    val srcQ = cum.join(broadcast(totals), "source")
+      .crossJoin(broadcast(grid))
+      .filter(col("cum_n") * lit(G) >= col("g") * col("ns"))
+      .groupBy("source", "g").agg(min("v").as("qv"))
+    val ref = srcQ.groupBy("g")
+      .agg(Tables.meanD(sum("qv"), count(lit(1))).as("ref_len"))
+    docs
+      .join(cum.select(col("source"), col("v").as("n_chars"), col("cum_n")),
+        Seq("source", "n_chars"))
+      .join(broadcast(totals), "source")
+      .withColumn("g", expr(s"(cum_n * $G + ns - 1) div ns"))
+      .join(broadcast(ref), "g")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("g"),
+        col("ref_len"))
+      .orderBy("doc_id")
+  }
+
   private val bucketCte =
     "d AS (SELECT doc_id, text, " +
       hexBucketSql(100, "md5(CAST(doc_id AS VARCHAR))") + " AS bucket FROM documents)"
@@ -849,6 +897,24 @@ object CorpusOps {
         "SELECT rates.bucket, rates.w, rates.n_docs, rates.thresh, " +
         "COALESCE(k.kept, 0) AS kept FROM rates LEFT JOIN k ON rates.bucket = k.bucket " +
         "ORDER BY rates.bucket")),
+    Q("q344_quantile_normalize", q344 _, Some(
+      "WITH perval AS (SELECT source, n_chars AS v, COUNT(*) AS n " +
+        "FROM documents GROUP BY 1, 2), " +
+        "cum AS (SELECT source, v, n, CAST(SUM(n) OVER " +
+        "(PARTITION BY source ORDER BY v) AS BIGINT) AS cum_n FROM perval), " +
+        "tot AS (SELECT source, MAX(cum_n) AS ns FROM cum GROUP BY 1), " +
+        "grid AS (SELECT range AS g FROM range(1, 21)), " +
+        "srcq AS (SELECT c.source, grid.g AS g, MIN(v) AS qv " +
+        "FROM cum c JOIN tot t USING (source) CROSS JOIN grid " +
+        "WHERE c.cum_n * 20 >= grid.g * t.ns GROUP BY 1, 2), " +
+        "ref AS (SELECT g, " + Tables.meanDSql("SUM(qv)", "COUNT(*)") +
+        " AS ref_len FROM srcq GROUP BY 1), " +
+        "dd AS (SELECT doc_id, d.source AS source, d.n_chars AS n_chars, " +
+        "CAST((cum_n * 20 + ns - 1) // ns AS BIGINT) AS g " +
+        "FROM documents d JOIN cum c ON d.source = c.source AND d.n_chars = c.v " +
+        "JOIN tot t ON d.source = t.source) " +
+        "SELECT doc_id, source, n_chars, g, ref_len " +
+        "FROM dd JOIN ref USING (g) ORDER BY doc_id")),
     Q("q109_corpus_rebalance", q109 _, Some(
       "WITH counts AS (SELECT lang, COUNT(*) AS lang_n FROM documents GROUP BY lang), " +
         "rates AS (SELECT lang, lang_n, " +

@@ -2648,6 +2648,42 @@ class OperatorSuite extends AnyFunSuite {
     assert(pav.length.toLong == rows.map(_.getAs[Long]("n")).sum)
   }
 
+  test("q344 quantile normalization matches an in-memory type-1 quantile recomputation") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q344_quantile_normalize")(spark, sf).collect()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == docs.length)
+    val bySource = docs.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    // q(s,g) = min v with cum(v)*20 >= g*n  ==  sorted(ceil(g*n/20) - 1)
+    def srcQ(s: String, g: Long): Long = {
+      val vs = bySource(s); val n = vs.length.toLong
+      vs(((g * n + 19) / 20 - 1).toInt)
+    }
+    val ref = (1L to 20L).map(g => g -> {
+      val qs = bySource.keys.toSeq.map(s => srcQ(s, g))
+      math.floor(qs.sum.toDouble / qs.length * 1e6 + 0.5) / 1e6
+    }).toMap
+    rows.foreach { r =>
+      val (s, v) = (r.getString(1), r.getLong(2))
+      val vs = bySource(s); val n = vs.length.toLong
+      val cum = vs.count(_ <= v).toLong // max rank of the tie group
+      val g = (cum * 20 + n - 1) / n
+      assert(r.getLong(3) == g, s"doc ${r.getLong(0)}: cell ${r.getLong(3)} vs $g")
+      assert(r.getAs[Double]("ref_len") == ref(g),
+        s"doc ${r.getLong(0)}: ref ${r.getAs[Double]("ref_len")} vs ${ref(g)}")
+    }
+    // the map is monotone within every source
+    rows.groupBy(_.getString(1)).values.foreach { srcRows =>
+      val byLen = srcRows.sortBy(_.getLong(2))
+      assert(byLen.map(_.getLong(3)).sliding(2)
+        .forall(w => w.length < 2 || w(0) <= w(1)))
+      assert(byLen.map(_.getAs[Double]("ref_len")).sliding(2)
+        .forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
