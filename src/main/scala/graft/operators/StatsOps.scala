@@ -1383,6 +1383,28 @@ object StatsOps {
         "SELECT nationkey, n, mean_bal, z, ln_p, p_rank, ln_crit, " +
         "p_rank <= kstar AS rejected FROM crit CROSS JOIN k ORDER BY p_rank"
     }),
+    Q("q345_stats_kendall_tau", q345 _, Some {
+      val n0d = "(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0) / 2.0)"
+      def prod = "CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0))"
+      "WITH cells AS (SELECT n_chars // 40 AS x, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) // 16 AS BIGINT) AS y, " +
+        "COUNT(*) AS n FROM documents GROUP BY 1, 2), " +
+        "cd AS (SELECT " +
+        s"SUM(CASE WHEN a.y < b.y THEN $prod ELSE CAST(0 AS DECIMAL(19,0)) END) AS c, " +
+        s"SUM(CASE WHEN a.y > b.y THEN $prod ELSE CAST(0 AS DECIMAL(19,0)) END) AS d " +
+        "FROM cells a JOIN cells b ON a.x < b.x), " +
+        "txf AS (SELECT SUM(CAST((t * (t - 1)) // 2 AS DECIMAL(19,0))) AS tx " +
+        "FROM (SELECT x, SUM(n) AS t FROM cells GROUP BY 1)), " +
+        "tyf AS (SELECT SUM(CAST((t * (t - 1)) // 2 AS DECIMAL(19,0))) AS ty " +
+        "FROM (SELECT y, SUM(n) AS t FROM cells GROUP BY 1)), " +
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells) " +
+        "SELECT nn AS n, (nn * (nn - 1)) // 2 AS n_pairs, " +
+        "CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant, " +
+        "CAST(tx AS BIGINT) AS ties_x, CAST(ty AS BIGINT) AS ties_y, " +
+        Tables.r6sql("(CAST(c AS DOUBLE) - CAST(d AS DOUBLE)) / " +
+          s"sqrt(($n0d - CAST(tx AS DOUBLE)) * ($n0d - CAST(ty AS DOUBLE)))") +
+        " AS tau_b FROM cd CROSS JOIN txf CROSS JOIN tyf CROSS JOIN tot"
+    }),
   )
 
   /** q210: pairwise Pearson correlation MATRIX over the four lineitem
@@ -1954,5 +1976,57 @@ object StatsOps {
         col("ln_p"), col("p_rank"), col("ln_crit"),
         (col("p_rank") <= col("kstar")).as("rejected"))
       .orderBy("p_rank")
+  }
+
+  /** q345: Kendall τ-b between two binned per-document signals (length
+    * bucket vs distinct-token bucket) — the third member of the
+    * correlation kit: q210's Pearson needs linearity, q341's Spearman
+    * sums squared rank gaps (one far-displaced rank dominates), τ reads
+    * PURE pair ordering — the probability a random doc pair agrees in
+    * order under both signals — with the τ-b tie correction (Kendall
+    * 1945) that heavy bucket ties make mandatory. Naive τ is an O(n²)
+    * pair walk; on BINNED signals the whole statistic lives in the
+    * contingency frame: concordant/discordant = cell-pair products
+    * (xa<xb, ya≶yb), tie terms from the marginals, τ-b =
+    * (C−D)/√((n₀−Tx)(n₀−Ty)).
+    *
+    * Determinism: everything integer/DECIMAL-exact until the ONE final
+    * double ratio (r6'd); cell-pair products go through DECIMAL(19,0)
+    * multiplies (int64-safe at any corpus size).
+    *
+    * Scale: ONE map-side-combined groupBy collapses the corpus to the
+    * bucket-grid contingency frame (bounded by construction: the bin
+    * widths fix the domain); the cell self-join and marginal folds run
+    * on grid² rows regardless of corpus size. */
+  private def q345(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val cells = Tables(spark, sfDir, "documents")
+      .select(expr("n_chars div 40").as("x"),
+        expr("size(array_distinct(split(text, ' '))) div 16").cast("bigint").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // grid-bounded; pair join + 3 marginal folds
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"), col("n").as("na"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("n").as("nb"))
+    val cd = a.join(b, col("xa") < col("xb"))
+      .agg(
+        sum(when(col("ya") < col("yb"), dec(col("na")) * dec(col("nb")))
+          .otherwise(dec(lit(0)))).as("c"),
+        sum(when(col("ya") > col("yb"), dec(col("na")) * dec(col("nb")))
+          .otherwise(dec(lit(0)))).as("d"))
+    def tieFold(k: String) = cells.groupBy(k).agg(sum("n").as("t"))
+      .agg(sum(dec(expr("(t * (t - 1)) div 2"))).as(s"t$k"))
+    val tot = cells.agg(sum("n").as("nn"))
+    val r = cd.crossJoin(tieFold("x")).crossJoin(tieFold("y")).crossJoin(tot)
+    val (cD, dD) = (col("c").cast("double"), col("d").cast("double"))
+    // n0 in double for the ratio (exact to 2^52 pairs); the emitted
+    // n_pairs column is int64 (its ~4e9-row ceiling is the emission
+    // type only, not the statistic's)
+    val n0 = col("nn").cast("double") * (col("nn").cast("double") - lit(1.0)) / lit(2.0)
+    r.select(col("nn").as("n"), expr("(nn * (nn - 1)) div 2").as("n_pairs"),
+      col("c").cast("bigint").as("concordant"),
+      col("d").cast("bigint").as("discordant"),
+      col("tx").cast("bigint").as("ties_x"), col("ty").cast("bigint").as("ties_y"),
+      Tables.r6((cD - dD) / sqrt((n0 - col("tx").cast("double")) *
+        (n0 - col("ty").cast("double")))).as("tau_b"))
   }
 }

@@ -41,6 +41,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q345_stats_kendall_tau",  // C/D, tie and total 1-row folds over the
+                                 // bucket-grid contingency frame
       "q342_stats_fdr_bh",       // totals + step-up-k 1-row folds and the
                                  // rank window over the ≤25-row family
                                  // frame (q23 exception)
@@ -2682,6 +2684,36 @@ class OperatorSuite extends AnyFunSuite {
       assert(byLen.map(_.getAs[Double]("ref_len")).sliding(2)
         .forall(w => w.length < 2 || w(0) <= w(1)))
     }
+  }
+
+  test("q345 Kendall tau-b equals a naive O(n^2) pair walk on the binned signals") {
+    import org.apache.spark.sql.functions.col
+    val row = SparkEntry.queries("q345_stats_kendall_tau")(spark, sf).head()
+    val pts = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.expr("n_chars div 40"),
+        org.apache.spark.sql.functions.expr(
+          "cast(size(array_distinct(split(text, ' '))) div 16 as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var (c, d, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- pts.indices; k <- (i + 1) until pts.length) {
+      val ((xa, ya), (xb, yb)) = (pts(i), pts(k))
+      if (xa == xb) tx += 1
+      if (ya == yb) ty += 1
+      if (xa != xb && ya != yb) {
+        if ((xa < xb) == (ya < yb)) c += 1 else d += 1
+      }
+    }
+    val n = pts.length.toLong
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    assert(row.getAs[Long]("concordant") == c, s"C ${row.getAs[Long]("concordant")} vs $c")
+    assert(row.getAs[Long]("discordant") == d, s"D ${row.getAs[Long]("discordant")} vs $d")
+    assert(row.getAs[Long]("ties_x") == tx)
+    assert(row.getAs[Long]("ties_y") == ty)
+    val n0 = n.toDouble * (n - 1) / 2.0
+    val tau = (c - d).toDouble / math.sqrt((n0 - tx) * (n0 - ty))
+    assert(math.abs(row.getAs[Double]("tau_b") - tau) < 1e-6)
+    assert(tau > 0.0) // length and distinct-token buckets agree in order
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
