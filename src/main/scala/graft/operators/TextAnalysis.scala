@@ -264,6 +264,55 @@ object TextAnalysis {
     * the exploded bigram stream — no second corpus pass; aggregates
     * and the final join are bigram-VOCABULARY-bounded; the type total
     * is a 1-row broadcast. */
+  /** q346: Good–Turing count-of-counts re-estimation (Good, Biometrika
+    * 1953) over BIGRAM types — the frequency-smoothing member between
+    * q129's raw MLE and q337's Kneser–Ney, and the ingredient Katz
+    * backoff (Katz 1987) discounts with: for each observed bigram count
+    * r, the GT re-estimate r* = (r+1)·N_{r+1}/N_r (N_r = how many TYPES
+    * occur exactly r times) shifts probability mass from seen events to
+    * the unseen, and N_1/N IS the missing mass — the probability the
+    * next bigram is brand-new (the OOV-budget number a tokenizer team
+    * reads next to q281's Heaps fit). Bigrams, not unigrams, because GT
+    * lives where the count-of-counts zone r ≤ 10 is populated — the
+    * sparse joint space (unigram types here all occur ≥ 26×, textbook
+    * GT's "only smooth what is rare" boundary). A missing N_{r+1}
+    * leaves r* NULL — textbook GT's own gap behavior.
+    *
+    * Determinism: counts are exact integers end-to-end; the two double
+    * ratios are r6-quantized at emission.
+    *
+    * Scale: the bigram explode collapses in ONE vocabulary-bounded
+    * groupBy (checkpointed — the count-of-counts fold and the totals
+    * fold both read it, no second corpus pass); the count-of-counts
+    * frame is ≤11 rows by the r-filter; totals are a broadcast 1-row
+    * fold. */
+  private def q346(spark: SparkSession, sfDir: String): DataFrame = {
+    val typeCounts = Tables(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> " +
+          "concat(ts[i], ' ', ts[i + 1]))")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("r"))
+      .localCheckpoint(true) // vocabulary-bounded; cc + totals read it
+    val cc = typeCounts.filter(col("r") <= 11)
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(true) // ≤11 rows; self-join + n1 fold read it
+    val tot = typeCounts.agg(sum("r").as("n_tokens"))
+    val n1 = cc.agg(sum(when(col("r") === 1, col("n_r"))).as("n1"))
+    val nxt = cc.select((col("r") - lit(1L)).as("r"), col("n_r").as("n_next"))
+    val rStar = (col("r").cast("double") + lit(1.0)) *
+      col("n_next").cast("double") / col("n_r").cast("double")
+    cc.filter(col("r") <= 10)
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select(col("r"), col("n_r"),
+        Tables.r6(rStar).as("r_star"),
+        Tables.r6(rStar / col("n_tokens")).as("p_gt"),
+        Tables.r6(col("n1").cast("double") / col("n_tokens")).as("p0_missing"))
+      .orderBy("r")
+  }
+
   private def q337(spark: SparkSession, sfDir: String): DataFrame = {
     val bg = Tables(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("ts"))
@@ -1319,6 +1368,24 @@ object TextAnalysis {
         " SELECT doc_id, n_bigrams, avg_nll FROM per ORDER BY doc_id")),
     // the same three counts from one grouped bigram CTE; int/int '/' is
     // float division in both engines, final prob r6
+    Q("q346_good_turing", q346 _, Some {
+      val rstar = "(CAST(a.r AS DOUBLE) + 1.0) * CAST(b.n_r AS DOUBLE) / " +
+        "CAST(a.n_r AS DOUBLE)"
+      "WITH tc AS (SELECT tok, COUNT(*) AS r FROM " +
+        "(SELECT unnest(list_transform(range(1, len(ts)), i -> " +
+        "ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)])) AS tok FROM " +
+        "(SELECT string_split(text, ' ') AS ts FROM documents) " +
+        "WHERE len(ts) >= 2) GROUP BY 1), " +
+        "cc AS (SELECT r, COUNT(*) AS n_r FROM tc WHERE r <= 11 GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens FROM tc), " +
+        "n1f AS (SELECT SUM(CASE WHEN r = 1 THEN n_r END) AS n1 FROM cc) " +
+        "SELECT a.r AS r, CAST(a.n_r AS BIGINT) AS n_r, " +
+        Tables.r6sql(rstar) + " AS r_star, " +
+        Tables.r6sql(s"$rstar / n_tokens") + " AS p_gt, " +
+        Tables.r6sql("CAST(n1 AS DOUBLE) / n_tokens") + " AS p0_missing " +
+        "FROM cc a LEFT JOIN cc b ON b.r = a.r + 1 " +
+        "CROSS JOIN tot CROSS JOIN n1f WHERE a.r <= 10 ORDER BY r"
+    }),
     Q("q337_kneser_ney_lm", q337 _, Some(
       "WITH bg AS (SELECT bgp['w1'] AS w1, bgp['w2'] AS w2, COUNT(*) AS cnt FROM (" +
         "SELECT unnest(list_transform(range(1, len(ts)), i -> " +

@@ -41,6 +41,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q346_good_turing",        // token-total + N1 1-row folds over the
+                                 // vocabulary-bounded count frames
       "q345_stats_kendall_tau",  // C/D, tie and total 1-row folds over the
                                  // bucket-grid contingency frame
       "q342_stats_fdr_bh",       // totals + step-up-k 1-row folds and the
@@ -2714,6 +2716,38 @@ class OperatorSuite extends AnyFunSuite {
     val tau = (c - d).toDouble / math.sqrt((n0 - tx) * (n0 - ty))
     assert(math.abs(row.getAs[Double]("tau_b") - tau) < 1e-6)
     assert(tau > 0.0) // length and distinct-token buckets agree in order
+  }
+
+  test("q346 Good-Turing: r* and missing mass match an in-memory bigram count-of-counts") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q346_good_turing")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val bigrams = Tables(spark, sf, "documents").select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(ts => ts.sliding(2).map(p => p(0) + " " + p(1)))
+    val typeCounts = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nr = typeCounts.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTokens = bigrams.length.toLong
+    assert(rows.nonEmpty, "count-of-counts zone r<=10 must be populated")
+    rows.foreach { row =>
+      val r = row.getLong(0)
+      assert(row.getAs[Long]("n_r") == nr(r))
+      nr.get(r + 1) match {
+        case Some(nNext) =>
+          val rs = (r + 1.0) * nNext / nr(r)
+          assert(math.abs(row.getAs[Double]("r_star") - rs) < 1e-6)
+          assert(math.abs(row.getAs[Double]("p_gt") - rs / nTokens) < 1e-6)
+        case None =>
+          assert(row.isNullAt(row.fieldIndex("r_star")))
+          assert(row.isNullAt(row.fieldIndex("p_gt")))
+      }
+      assert(math.abs(row.getAs[Double]("p0_missing") -
+        nr.getOrElse(1L, 0L).toDouble / nTokens) < 1e-6)
+    }
+    // GT discounts singletons: r* < r at r = 1 on a sparse joint space
+    rows.find(_.getLong(0) == 1L)
+      .foreach(r1 => assert(r1.getAs[Double]("r_star") < 1.0))
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
