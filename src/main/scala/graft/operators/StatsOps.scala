@@ -1405,6 +1405,28 @@ object StatsOps {
           s"sqrt(($n0d - CAST(tx AS DOUBLE)) * ($n0d - CAST(ty AS DOUBLE)))") +
         " AS tau_b FROM cd CROSS JOIN txf CROSS JOIN tyf CROSS JOIN tot"
     }),
+    Q("q347_ts_mann_kendall", q347 _, Some {
+      val varS = "(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)"
+      val z = s"(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt($varS) " +
+        s"WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt($varS) " +
+        "ELSE 0.0 END)"
+      val zr = Tables.r6sql(z)
+      "WITH daily AS (SELECT event_type AS k, epoch_us(ts) // 86400000000 AS t, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT a.k, CAST(SUM(CASE WHEN b.v > a.v THEN 1 " +
+        "WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat " +
+        "FROM daily a JOIN daily b ON a.k = b.k AND a.t < b.t GROUP BY 1), " +
+        "ties AS (SELECT k, CAST(SUM(tn * (tn - 1) * (2 * tn + 5)) AS BIGINT) " +
+        "AS tie_term FROM (SELECT k, v, COUNT(*) AS tn FROM daily GROUP BY 1, 2) " +
+        "GROUP BY 1), " +
+        "nd AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1) " +
+        "SELECT k AS event_type, n AS n_days, s_stat, " +
+        Tables.r6sql(varS) + " AS var_s, " + zr + " AS z, " +
+        s"CASE WHEN $zr > 1.959964 THEN 'increasing' " +
+        s"WHEN $zr < -1.959964 THEN 'decreasing' ELSE 'none' END AS trend " +
+        "FROM s JOIN ties USING (k) JOIN nd USING (k) ORDER BY event_type"
+    }),
   )
 
   /** q210: pairwise Pearson correlation MATRIX over the four lineitem
@@ -1731,6 +1753,57 @@ object StatsOps {
     * day−day = 0 (ANSI DIVIDE_BY_ZERO) despite the d2>day join predicate.
     * Truncating the lineage to a fresh LogicalRDD removes the shared
     * attributes the dedup rule can confuse. */
+  /** q347: Mann–Kendall trend test per event type — the significance
+    * companion q267's Theil–Sen slope ships without (Mann 1945; Kendall
+    * 1975; the two are THE standard pairing in monitoring/environmental
+    * statistics: Theil–Sen says how steep, Mann–Kendall says whether the
+    * monotone trend is real): S = Σ_{i<j} sgn(v_j − v_i) over the daily
+    * series, tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18, continuity-corrected z = (S∓1)/√Var — no
+    * distributional assumption on the values, which is the point: daily
+    * aggregates are heavy-tailed and a parametric slope test lies.
+    *
+    * Determinism: sgn compares exact DECIMAL daily sums; S and both
+    * variance terms are exact int64; the one double expression is
+    * r6-quantized, and the 1.96 verdict threshold compares against the
+    * r6'd z (no boundary ambiguity).
+    *
+    * Scale: q267's exact cost shape — the pair join runs on the
+    * CALENDAR-bounded daily frame (≤ types×days rows, never raw
+    * events); tie and count folds are keyed aggs on the same
+    * checkpointed frame. */
+  private def q347(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type").as("k"), expr("ts_us DIV 86400000000").as("t"))
+      .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
+      .localCheckpoint(true) // calendar-bounded; pair join + 2 folds read it
+    val s = daily
+      .join(daily.select(col("k").as("k2"), col("t").as("t2"), col("v").as("v2")),
+        col("k") === col("k2") && col("t") < col("t2"))
+      .groupBy("k")
+      .agg(sum(when(col("v2") > col("v"), 1L)
+        .when(col("v2") < col("v"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy("k", "v").agg(count(lit(1)).as("tn"))
+      .groupBy("k")
+      .agg(sum(expr("tn * (tn - 1) * (2 * tn + 5)")).as("tie_term"))
+    val nd = daily.groupBy("k").agg(count(lit(1)).as("n"))
+    val varS = (expr("n * (n - 1) * (2 * n + 5)") - col("tie_term"))
+      .cast("double") / lit(18.0)
+    val z = when(col("s_stat") > 0,
+        (col("s_stat").cast("double") - lit(1.0)) / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat").cast("double") + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    s.join(ties, Seq("k")).join(nd, Seq("k"))
+      .select(col("k").as("event_type"), col("n").as("n_days"),
+        col("s_stat"), Tables.r6(varS).as("var_s"), Tables.r6(z).as("z"))
+      .withColumn("trend",
+        when(col("z") > lit(1.959964), lit("increasing"))
+          .when(col("z") < lit(-1.959964), lit("decreasing"))
+          .otherwise(lit("none")))
+      .orderBy("event_type")
+  }
+
   private def q267(spark: SparkSession, sfDir: String): DataFrame =
     theilSenOf(Tables.events(spark, sfDir), col("event_type"),
       expr("ts_us DIV 86400000000"), col("value"))

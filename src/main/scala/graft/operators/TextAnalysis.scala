@@ -313,6 +313,45 @@ object TextAnalysis {
       .orderBy("r")
   }
 
+  /** q348: word2vec negative-sampling distribution (Mikolov et al.
+    * NeurIPS 2013 §2.2) — the unigram^(3/4) table every SGNS/contrastive
+    * embedding run draws its negatives from: raw frequency oversamples
+    * stopwords, uniform undersamples them, and the 3/4 power is the
+    * empirical sweet spot the original implementation hard-codes. Per
+    * token: count, weight c^0.75, normalized draw probability, and the
+    * cumulative INTEGER threshold out of 2^16 an inverse-CDF sampler
+    * bisects (the word2vec unigram-table trick, table form).
+    *
+    * Determinism: c^0.75 never calls pow (libm pow is not contractually
+    * identical cross-engine) — it is sqrt(c·sqrt(c)), two
+    * correctly-rounded IEEE sqrts and one multiply, bit-identical on
+    * both engines; weights are r6-pinned then DECIMAL-summed; thresholds
+    * are pure int64 (cum·2¹⁶ div total over 1e6-scaled integers — no
+    * doubles near any sampler boundary; at extreme vocab×count scales
+    * drop the 1e6 scaling to 1e3 before int64 headroom matters).
+    *
+    * Scale: ONE vocabulary-bounded groupBy collapses the corpus; the
+    * cumulative pass is the two-phase DistributedCumSum over the vocab
+    * frame; the total is a broadcast 1-row fold. */
+  private def q348(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("w", Tables.r6(
+        sqrt(col("c").cast("double") * sqrt(col("c").cast("double")))))
+      .withColumn("wdec", col("w").cast("decimal(18,6)"))
+    val cum = graft.plans.DistributedCumSum.cumulative(counts, "tok", Seq("wdec"))
+      .withColumn("cum_i", expr("CAST(cum_wdec * 1000000 AS BIGINT)"))
+      .localCheckpoint(true) // vocabulary-bounded; total fold + emission
+    val tot = cum.agg(max("cum_i").as("tot_i"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c"), col("w"),
+        Tables.r6(col("wdec").cast("double") / (col("tot_i") / lit(1000000.0)))
+          .as("p_neg"),
+        expr("(cum_i * 65536) div tot_i").as("cum_threshold"))
+      .orderBy("tok")
+  }
+
   private def q337(spark: SparkSession, sfDir: String): DataFrame = {
     val bg = Tables(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("ts"))
@@ -1385,6 +1424,24 @@ object TextAnalysis {
         Tables.r6sql("CAST(n1 AS DOUBLE) / n_tokens") + " AS p0_missing " +
         "FROM cc a LEFT JOIN cc b ON b.r = a.r + 1 " +
         "CROSS JOIN tot CROSS JOIN n1f WHERE a.r <= 10 ORDER BY r"
+    }),
+    Q("q348_negative_sampling", q348 _, Some {
+      val w = "sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE)))"
+      "WITH counts AS (SELECT tok, COUNT(*) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY 1), " +
+        "wt AS (SELECT tok, CAST(c AS BIGINT) AS c, " +
+        Tables.r6sql(w) + " AS w FROM counts), " +
+        "cum AS (SELECT tok, c, w, " +
+        "SUM(CAST(w AS DECIMAL(18,6))) OVER (ORDER BY tok) AS cumw FROM wt), " +
+        "ci AS (SELECT tok, c, w, " +
+        "CAST(CAST(cumw AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS cum_i FROM cum), " +
+        "tot AS (SELECT MAX(cum_i) AS tot_i FROM ci) " +
+        "SELECT tok, c, w, " +
+        Tables.r6sql("CAST(CAST(w AS DECIMAL(18,6)) AS DOUBLE) / " +
+          "(tot_i / 1000000.0)") + " AS p_neg, " +
+        "(cum_i * 65536) // tot_i AS cum_threshold " +
+        "FROM ci CROSS JOIN tot ORDER BY tok"
     }),
     Q("q337_kneser_ney_lm", q337 _, Some(
       "WITH bg AS (SELECT bgp['w1'] AS w1, bgp['w2'] AS w2, COUNT(*) AS cnt FROM (" +

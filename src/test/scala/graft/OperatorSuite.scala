@@ -41,6 +41,9 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q348_negative_sampling",  // total-weight 1-row max-fold over the
+                                 // vocabulary-bounded cumulative frame
+                                 // (cumsum itself is DistributedCumSum)
       "q346_good_turing",        // token-total + N1 1-row folds over the
                                  // vocabulary-bounded count frames
       "q345_stats_kendall_tau",  // C/D, tie and total 1-row folds over the
@@ -2748,6 +2751,74 @@ class OperatorSuite extends AnyFunSuite {
     // GT discounts singletons: r* < r at r = 1 on a sparse joint space
     rows.find(_.getLong(0) == 1L)
       .foreach(r1 => assert(r1.getAs[Double]("r_star") < 1.0))
+  }
+
+  test("q347 Mann-Kendall matches a naive in-memory S/variance recomputation") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q347_ts_mann_kendall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_us DIV 86400000000").as("t"))
+      .agg(org.apache.spark.sql.functions.sum(
+        col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(x => BigDecimal(x._3))).toMap
+    rows.foreach { r =>
+      val vs = daily(r.getString(0))
+      var s = 0L
+      for (i <- vs.indices; j <- (i + 1) until vs.length)
+        s += vs(j).compare(vs(i)).sign
+      val n = vs.length.toLong
+      val tieTerm = vs.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tieTerm).toDouble / 18.0
+      val z =
+        if (s > 0) (s - 1.0) / math.sqrt(varS)
+        else if (s < 0) (s + 1.0) / math.sqrt(varS)
+        else 0.0
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("s_stat") == s, s"${r.getString(0)}: S off")
+      assert(math.abs(r.getAs[Double]("var_s") - varS) < 1e-5)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+      val expected = if (z > 1.959964) "increasing"
+        else if (z < -1.959964) "decreasing" else "none"
+      assert(r.getAs[String]("trend") == expected)
+    }
+  }
+
+  test("q348 negative sampling: weights are c^0.75, thresholds partition 2^16 by mass") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q348_negative_sampling")(spark, sf).collect()
+      .sortBy(_.getString(0))
+    val counts = Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val c = counts(r.getString(0))
+      assert(r.getAs[Long]("c") == c)
+      val w = math.floor(math.sqrt(c * math.sqrt(c.toDouble)) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("w") == w, s"${r.getString(0)}: weight off")
+    }
+    // thresholds: strictly increasing in token order, last = 2^16, and
+    // each bucket width tracks the token's probability within rounding
+    val thr = rows.map(_.getAs[Long]("cum_threshold"))
+    assert(thr.last == 65536L)
+    assert(thr.sliding(2).forall(w => w.length < 2 || w(0) < w(1)))
+    val totalW = rows.map(_.getAs[Double]("w")).sum
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val width = thr(i) - (if (i == 0) 0L else thr(i - 1))
+      val expect = r.getAs[Double]("w") / totalW * 65536.0
+      assert(math.abs(width - expect) <= 2.0,
+        s"${r.getString(0)}: bucket width $width vs $expect")
+    }
+    // probabilities are a distribution
+    val pSum = rows.map(_.getAs[Double]("p_neg")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
