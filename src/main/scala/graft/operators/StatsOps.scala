@@ -1405,6 +1405,26 @@ object StatsOps {
           s"sqrt(($n0d - CAST(tx AS DOUBLE)) * ($n0d - CAST(ty AS DOUBLE)))") +
         " AS tau_b FROM cd CROSS JOIN txf CROSS JOIN tyf CROSS JOIN tot"
     }),
+    Q("q349_stats_cvm", q349 _, Some {
+      val e1 = "CAST(cum_n1 AS DOUBLE) / t1"
+      val e2 = "CAST(cum_n2 AS DOUBLE) / t2"
+      "WITH perval AS (SELECT c_acctbal AS v, " +
+        "CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END) AS BIGINT) AS n2 " +
+        "FROM customer GROUP BY 1), " +
+        "cum AS (SELECT v, n1, n2, CAST(SUM(n1) OVER (ORDER BY v) AS BIGINT) AS cum_n1, " +
+        "CAST(SUM(n2) OVER (ORDER BY v) AS BIGINT) AS cum_n2 FROM perval), " +
+        "tot AS (SELECT MAX(cum_n1) AS t1, MAX(cum_n2) AS t2 FROM cum), " +
+        "a AS (SELECT SUM(CAST(" +
+        Tables.r6sql(s"CAST(n1 + n2 AS DOUBLE) * ($e1 - $e2) * ($e1 - $e2)") +
+        " AS DECIMAL(18,6))) AS s, MAX(t1) AS n1, MAX(t2) AS n2 " +
+        "FROM cum CROSS JOIN tot) " +
+        "SELECT n1, n2, " +
+        Tables.r6sql("CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / " +
+          "((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * " +
+          "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * CAST(s AS DOUBLE)") +
+        " AS cvm_t FROM a"
+    }),
     Q("q347_ts_mann_kendall", q347 _, Some {
       val varS = "(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)"
       val z = s"(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt($varS) " +
@@ -1704,6 +1724,40 @@ object StatsOps {
       Tables.r6(n1 * n2 / lit(2.0)).as("mu_u"),
       Tables.r6(sigma).as("sigma_u"),
       Tables.r6((u1 - n1 * n2 / lit(2.0)) / sigma).as("z"))
+  }
+
+  /** q349: two-sample Cramér–von Mises over the SAME two samples as
+    * q263/q266 — the INTEGRAL member of the distribution-test family
+    * (Anderson, Ann. Math. Stat. 1962): KS reads only the single
+    * largest ECDF gap, so a distribution that differs by many small
+    * displacements (shifted mass in both tails, say) slips under it;
+    * CvM accumulates the SQUARED gap over every pooled observation —
+    * T = (n₁n₂/N²) · Σ_v w_v (E₁(v)−E₂(v))², w_v = pooled multiplicity
+    * at v (the standard tie-weighted computational form). q263 answers
+    * "where is the worst gap", q349 "how much do they differ overall".
+    *
+    * Determinism: ECDFs divide exact cumulative BIGINTs; each value's
+    * contribution is r6-quantized then DECIMAL-summed (§2.9 R1 — the
+    * value domain is unbounded, so the Σ must be merge-order-free).
+    *
+    * Scale: the SAME shared ecdfCounts machinery as q263/q266 — one
+    * corpus-collapsing groupBy(value) + the two-phase DistributedCumSum;
+    * the statistic is ONE map-side-combined fold to a single row. */
+  private def q349(spark: SparkSession, sfDir: String): DataFrame = {
+    val cum = ecdfCounts(spark, sfDir)
+      .localCheckpoint(true) // value-domain-bounded; totals + fold read it
+    val tot = cum.agg(max("cum_n1").as("t1"), max("cum_n2").as("t2"))
+    val e1 = col("cum_n1").cast("double") / col("t1")
+    val e2 = col("cum_n2").cast("double") / col("t2")
+    val term = Tables.r6((col("n1") + col("n2")).cast("double") *
+      (e1 - e2) * (e1 - e2))
+    val a = cum.crossJoin(broadcast(tot))
+      .agg(sum(term.cast("decimal(18,6)")).as("s"),
+        max("t1").as("n1"), max("t2").as("n2"))
+    val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
+    a.select(col("n1"), col("n2"),
+      Tables.r6(n1 * n2 / ((n1 + n2) * (n1 + n2)) *
+        col("s").cast("double")).as("cvm_t"))
   }
 
   /** q265: Brown's double-exponential smoothing (the Holt-style linear

@@ -41,6 +41,9 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q349_stats_cvm",          // totals + statistic 1-row folds over the
+                                 // shared value-domain-bounded ECDF frame
+                                 // (q263/q266's justification)
       "q348_negative_sampling",  // total-weight 1-row max-fold over the
                                  // vocabulary-bounded cumulative frame
                                  // (cumsum itself is DistributedCumSum)
@@ -2819,6 +2822,32 @@ class OperatorSuite extends AnyFunSuite {
     // probabilities are a distribution
     val pSum = rows.map(_.getAs[Double]("p_neg")).sum
     assert(math.abs(pSum - 1.0) < 1e-4)
+  }
+
+  test("q349 Cramer-von Mises matches an in-memory tie-weighted ECDF recomputation") {
+    import org.apache.spark.sql.functions.col
+    val row = SparkEntry.queries("q349_stats_cvm")(spark, sf).head()
+    val cust = Tables(spark, sf, "customer")
+      .select(col("c_acctbal"), col("c_mktsegment")).collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "BUILDING"))
+    val n1 = cust.count(_._2).toLong
+    val n2 = cust.length - n1
+    val values = cust.map(_._1).distinct.sorted
+    var (c1, c2) = (0L, 0L)
+    var s = 0.0
+    values.foreach { v =>
+      val g1 = cust.count(p => p._1 == v && p._2).toLong
+      val g2 = cust.count(p => p._1 == v && !p._2).toLong
+      c1 += g1; c2 += g2
+      val gap = c1.toDouble / n1 - c2.toDouble / n2
+      s += math.floor((g1 + g2) * gap * gap * 1e6 + 0.5) / 1e6
+    }
+    val t = n1.toDouble * n2 / ((n1.toDouble + n2) * (n1.toDouble + n2)) * s
+    assert(row.getAs[Long]("n1") == n1)
+    assert(row.getAs[Long]("n2") == n2)
+    assert(math.abs(row.getAs[Double]("cvm_t") - t) < 1e-5,
+      s"cvm ${row.getAs[Double]("cvm_t")} vs $t")
+    assert(t >= 0.0)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
