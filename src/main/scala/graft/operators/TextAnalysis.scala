@@ -352,6 +352,43 @@ object TextAnalysis {
       .orderBy("tok")
   }
 
+  /** q350: per-document unigram entropy — the frequency-WEIGHTED
+    * degeneracy signal the quality family lacked: q65's distinct-token
+    * ratio treats "one token at 90% plus a long tail" the same as a
+    * flat distribution with equal type counts, and q82 only sees
+    * adjacent repetition; Shannon entropy H = ln n − (Σ_t c_t ln c_t)/n
+    * (nats, the count-form identity — one pass, no per-type
+    * probabilities materialized) is what template/boilerplate/spam
+    * detectors threshold on. Also emitted: the evenness ratio
+    * H/ln(types) ∈ [0,1] (Pielou 1966; NULL for single-type docs), the
+    * length-independent form a cross-corpus threshold needs.
+    *
+    * Determinism: c·ln c terms are r6-quantized then DECIMAL-summed
+    * (§2.9 R1 — per-doc partials still merge across partitions); the
+    * final expressions are fixed-shape IEEE doubles, r6'd.
+    *
+    * Scale: ONE map-side-combined (doc, token) count then ONE doc-keyed
+    * aggregation — the q60/q77 token-stream shape; no joins, nothing
+    * unbounded per key (a doc's type set is doc-sized). */
+  private def q350(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val perDoc = tf.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(Tables.r6(col("c").cast("double") * log(col("c").cast("double")))
+        .cast("decimal(18,6)")).as("sclnc"))
+    val h = log(col("n_tokens").cast("double")) -
+      col("sclnc").cast("double") / col("n_tokens")
+    perDoc.select(col("doc_id"), col("n_tokens"), col("n_types"),
+        Tables.r6(h).as("entropy"),
+        when(col("n_types") > 1,
+          Tables.r6(Tables.r6(h) / Tables.r6(log(col("n_types").cast("double")))))
+          .as("entropy_norm"))
+      .orderBy("doc_id")
+  }
+
   private def q337(spark: SparkSession, sfDir: String): DataFrame = {
     val bg = Tables(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("ts"))
@@ -1442,6 +1479,23 @@ object TextAnalysis {
           "(tot_i / 1000000.0)") + " AS p_neg, " +
         "(cum_i * 65536) // tot_i AS cum_threshold " +
         "FROM ci CROSS JOIN tot ORDER BY tok"
+    }),
+    Q("q350_text_entropy", q350 _, Some {
+      val h = "(ln(CAST(n_tokens AS DOUBLE)) - CAST(sclnc AS DOUBLE) / n_tokens)"
+      "WITH tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "perdoc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_types, " +
+        "SUM(CAST(" +
+        Tables.r6sql("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))") +
+        " AS DECIMAL(18,6))) AS sclnc FROM tf GROUP BY 1) " +
+        "SELECT doc_id, n_tokens, n_types, " +
+        Tables.r6sql(h) + " AS entropy, " +
+        "CASE WHEN n_types > 1 THEN " +
+        Tables.r6sql(Tables.r6sql(h) + " / " +
+          Tables.r6sql("ln(CAST(n_types AS DOUBLE))")) +
+        " END AS entropy_norm FROM perdoc ORDER BY doc_id"
     }),
     Q("q337_kneser_ney_lm", q337 _, Some(
       "WITH bg AS (SELECT bgp['w1'] AS w1, bgp['w2'] AS w2, COUNT(*) AS cnt FROM (" +

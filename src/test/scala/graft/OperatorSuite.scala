@@ -2850,6 +2850,33 @@ class OperatorSuite extends AnyFunSuite {
     assert(t >= 0.0)
   }
 
+  test("q350 token entropy matches an in-memory Shannon recomputation; evenness in [0,1]") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q350_text_entropy")(spark, sf).collect()
+    val texts = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1)
+      val counts = toks.groupBy(identity).values.map(_.length.toLong).toSeq
+      val n = toks.length.toDouble
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("n_types") == counts.length.toLong)
+      val sclnc = counts.map(c =>
+        math.floor(c * math.log(c.toDouble) * 1e6 + 0.5) / 1e6).sum
+      val h = math.log(n) - sclnc / n
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-5,
+        s"doc ${r.getLong(0)}: H ${r.getAs[Double]("entropy")} vs $h")
+      // identity cross-check: H equals -sum p ln p within fp tolerance
+      val hDirect = -counts.map(c => c / n * math.log(c / n)).sum
+      assert(math.abs(h - hDirect) < 1e-4)
+      if (counts.length > 1) {
+        val norm = r.getAs[Double]("entropy_norm")
+        assert(norm >= -1e-9 && norm <= 1.0 + 1e-9)
+      } else assert(r.isNullAt(r.fieldIndex("entropy_norm")))
+    }
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
