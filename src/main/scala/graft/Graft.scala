@@ -952,6 +952,20 @@ object Graft {
     operators.StatsOps.mannWhitneyFromCounts(
       operators.StatsOps.ecdfCountsOf(df, value, inGroup1))
 
+  /** Two-sample Cramér–von Mises (q349) on the same sampling contract
+    * as [[ksTest]]: 1-row (n1, n2, cvm_t) with the tie-weighted integral
+    * statistic T = (n₁n₂/N²)·Σ_v w_v(E₁−E₂)² — the "how much do they
+    * differ overall" companion to KS's single worst gap. */
+  def cvmTest(df: DataFrame, value: Column, inGroup1: Column): DataFrame =
+    operators.StatsOps.cvmFromCounts(
+      operators.StatsOps.ecdfCountsOf(df, value, inGroup1))
+
+  /** Spearman rank correlation (q341): 1-row (n, rho) between two
+    * orderable columns, tie-averaged ranks from the value domains — no
+    * per-row ranking or global sort at any size. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame =
+    operators.StatsOps.spearmanOf(df, x, y)
+
   /** Brown double-exponential (Holt-style) one-step forecast (q265):
     * buckets `value` by (`key`, `time`), then level/trend/forecast from
     * two cascaded 12-tap truncated EWMAs. Output (k, t, v, s1, s2,

@@ -1743,8 +1743,13 @@ object StatsOps {
     * Scale: the SAME shared ecdfCounts machinery as q263/q266 — one
     * corpus-collapsing groupBy(value) + the two-phase DistributedCumSum;
     * the statistic is ONE map-side-combined fold to a single row. */
-  private def q349(spark: SparkSession, sfDir: String): DataFrame = {
-    val cum = ecdfCounts(spark, sfDir)
+  private def q349(spark: SparkSession, sfDir: String): DataFrame =
+    cvmFromCounts(ecdfCounts(spark, sfDir))
+
+  /** CvM scoring over an [[ecdfCountsOf]] frame — shared by q349 and the
+    * [[graft.Graft.cvmTest]] facade. */
+  private[graft] def cvmFromCounts(counts: DataFrame): DataFrame = {
+    val cum = counts
       .localCheckpoint(true) // value-domain-bounded; totals + fold read it
     val tot = cum.agg(max("cum_n1").as("t1"), max("cum_n2").as("t2"))
     val e1 = col("cum_n1").cast("double") / col("t1")
@@ -2011,11 +2016,18 @@ object StatsOps {
     * the rank join is an equi-join against domain-bounded frames (AQE
     * broadcasts them when small); the final aggregate is map-side
     * combined to ONE row. */
-  private def q341(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables(spark, sfDir, "documents")
-      .select(col("n_chars").as("x"),
-        expr("size(array_distinct(split(text, ' ')))").cast("bigint").as("y"))
-      .localCheckpoint(true) // 2 ints/row; x-domain, y-domain + join read it
+  private def q341(spark: SparkSession, sfDir: String): DataFrame =
+    spearmanOf(Tables(spark, sfDir, "documents"), col("n_chars"),
+      expr("size(array_distinct(split(text, ' ')))").cast("bigint"))
+
+  /** Generic form behind q341 and [[graft.Graft.spearman]]: ρ between
+    * `x` and `y` (both must be orderable; ranks are tie-averaged).
+    * Output 1 row (n, rho). */
+  private[graft] def spearmanOf(df: DataFrame, xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = df
+      .select(xCol.as("x"), yCol.as("y"))
+      .localCheckpoint(true) // 2 values/row; x-domain, y-domain + join read it
     def rankMap(c: String): DataFrame = {
       val perVal = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
       graft.plans.DistributedCumSum.cumulative(perVal, "v", Seq("n"))

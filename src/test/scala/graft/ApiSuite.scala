@@ -789,6 +789,32 @@ class ApiSuite extends AnyFunSuite {
     assert(r.getDouble(7) == -1.154701)
   }
 
+  test("cvmTest: hand-checked tie-weighted integral statistic") {
+    import spark.implicits._
+    // sample1 = {1}, sample2 = {2}: at v=1 gap 1 (w=1), at v=2 gap 0
+    // → S = 1, T = (1·1/2²)·1 = 0.25
+    val df = Seq((1.0, true), (2.0, false)).toDF("v", "g")
+    val r = Graft.cvmTest(df, col("v"), col("g")).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 0.25)
+    // identical samples → T = 0
+    val same = Seq((1.0, true), (1.0, false), (2.0, true), (2.0, false))
+      .toDF("v", "g")
+    assert(Graft.cvmTest(same, col("v"), col("g")).collect().head.getDouble(2) == 0.0)
+  }
+
+  test("spearman: monotone -> 1, anti-monotone -> -1, ties rank-averaged") {
+    import spark.implicits._
+    val up = Seq((1L, 10L), (2L, 40L), (3L, 90L), (4L, 160L)).toDF("x", "y")
+    assert(Graft.spearman(up, col("x"), col("y")).collect().head.getDouble(1) == 1.0)
+    val down = Seq((1L, 160L), (2L, 90L), (3L, 40L), (4L, 10L)).toDF("x", "y")
+    assert(Graft.spearman(down, col("x"), col("y")).collect().head.getDouble(1) == -1.0)
+    // tied x AND tied y at the same rows: rank vectors identical → 1
+    val tied = Seq((1L, 3L), (1L, 3L), (2L, 7L)).toDF("x", "y")
+    val r = Graft.spearman(tied, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.0)
+  }
+
   test("holtForecast: flat start, positive trend on an increasing series") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0))
