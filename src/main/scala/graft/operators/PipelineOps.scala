@@ -332,6 +332,74 @@ object PipelineOps {
                 lit(1.0) / nullif(col("n_b"), lit(0L)))), lit(0.0))).as("z_stat"))
   }
 
+  /** q351: experiment health audit — sample-ratio mismatch + covariate
+    * balance, the two guardrails every experimentation platform runs
+    * BEFORE reading q136's outcome test (Kohavi et al., Trustworthy
+    * Online Controlled Experiments ch. 21: an SRM or an imbalanced
+    * pre-exposure covariate invalidates the test no matter how
+    * significant the outcome looks). Row 1: SRM χ² = (n_a−n_b)²/N for
+    * the designed 50/50 split, flagged at the α=0.05, 1-df critical
+    * value 3.841459. Rows 2–4: per pre-exposure covariate (event count,
+    * total value, distinct event types), the standardized mean
+    * difference |m_a−m_b|/√((v_a+v_b)/2), flagged at the standard 0.1
+    * balance threshold (Austin 2009).
+    *
+    * Determinism: per-user covariates are exact DECIMAL(19,4); all
+    * moments are DECIMAL sums (q210's R1 recipe); the SMD/χ² doubles
+    * are fixed-shape IEEE, r6'd, and both flag compares run against the
+    * r6'd statistic.
+    *
+    * Scale: ONE user-keyed collapse of events, then ONE grand 14-term
+    * moment aggregate (map-side combined, 1 row) — the 4 report rows
+    * unpivot from that row; nothing downstream touches the corpus. */
+  private def q351(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,4)")
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(d19(count(lit(1))).as("ev"),
+        d19(sum(dec(col("value")))).as("vl"),
+        d19(countDistinct(col("event_type"))).as("ty"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    def m(c: String, arm: Int) = Seq(
+      sum(when(col("arm") === arm, col(c))).as(s"s_${c}_$arm"),
+      sum(when(col("arm") === arm, col(c) * col(c))).as(s"ss_${c}_$arm"))
+    val g = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_0"),
+      (sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_1") +:
+        Seq("ev", "vl", "ty").flatMap(c => m(c, 0) ++ m(c, 1))): _*)
+      .localCheckpoint(true) // 1 row; the 4 report selects read it
+    val d = (c: Column) => c.cast("double")
+    val (n0, n1) = (d(col("n_0")), d(col("n_1")))
+    val srm = g.select(lit("srm").as("check_name"),
+      col("n_0").as("n_a"), col("n_1").as("n_b"),
+      Tables.r6(n0 / (n0 + n1)).as("mean_a"),
+      Tables.r6(n1 / (n0 + n1)).as("mean_b"),
+      Tables.r6((n0 - n1) * (n0 - n1) / (n0 + n1)).as("stat"))
+      .withColumn("flagged", col("stat") > lit(3.841459))
+    def smdRow(c: String) = {
+      val (s0, ss0) = (d(col(s"s_${c}_0")), d(col(s"ss_${c}_0")))
+      val (s1, ss1) = (d(col(s"s_${c}_1")), d(col(s"ss_${c}_1")))
+      // every denominator NULLIF-guarded (q136's ANSI discipline): an
+      // arm of ≤1 user or a CONSTANT covariate (this corpus is dense —
+      // every user holds all event types, so the ty variance IS 0)
+      // yields NULL stat/flag, not a divide-by-zero
+      val v0 = (ss0 - s0 * s0 / nullif(n0, lit(0.0))) /
+        nullif(n0 - lit(1.0), lit(0.0))
+      val v1 = (ss1 - s1 * s1 / nullif(n1, lit(0.0))) /
+        nullif(n1 - lit(1.0), lit(0.0))
+      g.select(lit(s"balance_$c").as("check_name"),
+        col("n_0").as("n_a"), col("n_1").as("n_b"),
+        Tables.r6(s0 / nullif(n0, lit(0.0))).as("mean_a"),
+        Tables.r6(s1 / nullif(n1, lit(0.0))).as("mean_b"),
+        Tables.r6(abs(s0 / nullif(n0, lit(0.0)) - s1 / nullif(n1, lit(0.0))) /
+          nullif(sqrt((v0 + v1) / lit(2.0)), lit(0.0))).as("stat"))
+        .withColumn("flagged", col("stat") > lit(0.1))
+    }
+    srm.unionByName(smdRow("ev")).unionByName(smdRow("vl"))
+      .unionByName(smdRow("ty"))
+      .orderBy("check_name")
+  }
+
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
     * user, the marketing-analytics segmentation staple. Deliberately NOT
     * `ntile(5)` over all users (a global single-partition sort — the
@@ -876,6 +944,47 @@ object PipelineOps {
         "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 100 AS bucket FROM (" +
         "SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)) " +
         "WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END ORDER BY doc_id")),
+    Q("q351_ab_health", q351 _, Some {
+      val (n0, n1) = ("CAST(n_0 AS DOUBLE)", "CAST(n_1 AS DOUBLE)")
+      val srmStat = Tables.r6sql(s"($n0 - $n1) * ($n0 - $n1) / ($n0 + $n1)")
+      def smd(c: String): String = {
+        val (s0, ss0) = (s"CAST(s_${c}_0 AS DOUBLE)", s"CAST(ss_${c}_0 AS DOUBLE)")
+        val (s1, ss1) = (s"CAST(s_${c}_1 AS DOUBLE)", s"CAST(ss_${c}_1 AS DOUBLE)")
+        val v0 = s"(($ss0 - $s0 * $s0 / NULLIF($n0, 0.0)) / NULLIF($n0 - 1.0, 0.0))"
+        val v1 = s"(($ss1 - $s1 * $s1 / NULLIF($n1, 0.0)) / NULLIF($n1 - 1.0, 0.0))"
+        Tables.r6sql(s"ABS($s0 / NULLIF($n0, 0.0) - $s1 / NULLIF($n1, 0.0)) / " +
+          s"NULLIF(sqrt(($v0 + $v1) / 2.0), 0.0)")
+      }
+      def smdRow(c: String): String =
+        s"SELECT 'balance_$c' AS check_name, n_0 AS n_a, n_1 AS n_b, " +
+          Tables.r6sql(s"CAST(s_${c}_0 AS DOUBLE) / NULLIF($n0, 0.0)") + " AS mean_a, " +
+          Tables.r6sql(s"CAST(s_${c}_1 AS DOUBLE) / NULLIF($n1, 0.0)") + " AS mean_b, " +
+          s"${smd(c)} AS stat, ${smd(c)} > 0.1 AS flagged FROM g"
+      def arm(c: String, a: Int, sq: Boolean): String = {
+        val e = if (sq) s"$c * $c" else c
+        s"SUM(CASE WHEN arm = $a THEN $e END)"
+      }
+      "WITH u AS (SELECT user_id, CAST(COUNT(*) AS DECIMAL(19,4)) AS ev, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS vl, " +
+        "CAST(COUNT(DISTINCT event_type) AS DECIMAL(19,4)) AS ty, " +
+        "CAST(user_id % 2 AS INT) AS arm FROM events GROUP BY 1), " +
+        "g AS (SELECT " +
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0, " +
+        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1, " +
+        Seq("ev", "vl", "ty").flatMap(c => Seq(
+          s"${arm(c, 0, sq = false)} AS s_${c}_0",
+          s"${arm(c, 0, sq = true)} AS ss_${c}_0",
+          s"${arm(c, 1, sq = false)} AS s_${c}_1",
+          s"${arm(c, 1, sq = true)} AS ss_${c}_1")).mkString(", ") +
+        " FROM u) " +
+        "SELECT * FROM (" +
+        "SELECT 'srm' AS check_name, n_0 AS n_a, n_1 AS n_b, " +
+        Tables.r6sql(s"$n0 / ($n0 + $n1)") + " AS mean_a, " +
+        Tables.r6sql(s"$n1 / ($n0 + $n1)") + " AS mean_b, " +
+        s"$srmStat AS stat, $srmStat > 3.841459 AS flagged FROM g " +
+        "UNION ALL " + Seq("ev", "vl", "ty").map(smdRow).mkString(" UNION ALL ") +
+        ") ORDER BY check_name"
+    }),
     Q("q136_ab_test", q136 _, Some {
       val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
       "WITH t AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ptotal " +

@@ -41,6 +41,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q351_ab_health",          // the ONE 14-term moment grand aggregate —
+                                 // 1-row by design, map-side combined
       "q349_stats_cvm",          // totals + statistic 1-row folds over the
                                  // shared value-domain-bounded ECDF frame
                                  // (q263/q266's justification)
@@ -2875,6 +2877,43 @@ class OperatorSuite extends AnyFunSuite {
         assert(norm >= -1e-9 && norm <= 1.0 + 1e-9)
       } else assert(r.isNullAt(r.fieldIndex("entropy_norm")))
     }
+  }
+
+  test("q351 experiment health: SRM chi2 and covariate SMDs match a naive recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q351_ab_health")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 4)
+    val perUser = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("ev"),
+        org.apache.spark.sql.functions.sum(col("value").cast("decimal(18,4)"))
+          .cast("double").as("vl"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1).toDouble, r.getDouble(2)))
+    val (a, b) = perUser.partition(_._1 == 0L)
+    val (n0, n1) = (a.length.toDouble, b.length.toDouble)
+    val srm = rows("srm")
+    assert(srm.getAs[Long]("n_a") == a.length && srm.getAs[Long]("n_b") == b.length)
+    assert(math.abs(srm.getAs[Double]("stat") -
+      (n0 - n1) * (n0 - n1) / (n0 + n1)) < 1e-6)
+    def smd(x0: Array[Double], x1: Array[Double]): Double = {
+      def mv(x: Array[Double]) = {
+        val m = x.sum / x.length
+        (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+      }
+      val ((m0, v0), (m1, v1)) = (mv(x0), mv(x1))
+      math.abs(m0 - m1) / math.sqrt((v0 + v1) / 2)
+    }
+    assert(math.abs(rows("balance_ev").getAs[Double]("stat") -
+      smd(a.map(_._2), b.map(_._2))) < 1e-4)
+    assert(math.abs(rows("balance_vl").getAs[Double]("stat") -
+      smd(a.map(_._3), b.map(_._3))) < 1e-4)
+    // the distinct-type covariate is constant on this dense corpus:
+    // zero variance in both arms -> NULL stat and flag, never a crash
+    val ty = rows("balance_ty")
+    assert(ty.isNullAt(ty.fieldIndex("stat")) && ty.isNullAt(ty.fieldIndex("flagged")))
+    assert(ty.getAs[Double]("mean_a") == ty.getAs[Double]("mean_b"))
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
