@@ -400,6 +400,74 @@ object PipelineOps {
       .orderBy("check_name")
   }
 
+  /** q352: CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013) — the experimentation-platform workhorse q136/q351 complete:
+    * the outcome metric Y (post-period per-user value) is adjusted by
+    * the PRE-period covariate X via Y_cv = Y − θ(X − E[X]), θ =
+    * cov(X,Y)/var(X) — same expectation, strictly smaller variance
+    * (reduction = ρ²), so the same experiment detects smaller effects.
+    * Pre/post split at the calendar midpoint (derived from the data's
+    * own day bounds — deterministic, engine-independent integer math);
+    * θ is fit on POOLED arms (the standard, assignment-independent
+    * form). Output: per-arm sizes, θ, raw vs CUPED arm difference,
+    * var(Y) vs var(Y_cv), and the variance-reduction ratio — everything
+    * a metrics reviewer needs to see the win.
+    *
+    * Determinism: all moments are exact-DECIMAL sums (q210 R1); the
+    * adjusted variance needs NO second pass — var(Y_cv) = var(Y) −
+    * cov²/var(X) algebraically; every derived double is fixed-shape
+    * IEEE, NULLIF-guarded (constant X), r6'd.
+    *
+    * Scale: events collapse ONCE to the (user, day) frame
+    * (checkpointed — day-bounds fold + the X/Y split both read it,
+    * users×days ≪ events); the split threshold is a broadcast 1-row
+    * fold; X/Y are one user-keyed agg; the statistics are ONE grand
+    * 12-term moment aggregate (map-side combined, 1 row). */
+  private def q352(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,4)")
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+        dec(col("value")).as("v"))
+      .groupBy("user_id", "day").agg(sum(col("v")).as("dv"))
+      .localCheckpoint(true) // users×days-bounded; bounds fold + split read it
+    val split = ud.agg(expr("(min(day) + max(day) + 1) div 2").as("split_day"))
+    val xy = ud.crossJoin(broadcast(split))
+      .groupBy("user_id")
+      .agg(d19(sum(when(col("day") < col("split_day"), col("dv"))
+          .otherwise(lit(0)))).as("x"),
+        d19(sum(when(col("day") >= col("split_day"), col("dv"))
+          .otherwise(lit(0)))).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    def m(arm: Int) = Seq(
+      sum(when(col("arm") === arm, 1L).otherwise(0L)).as(s"n_$arm"),
+      sum(when(col("arm") === arm, col("x"))).as(s"sx_$arm"),
+      sum(when(col("arm") === arm, col("y"))).as(s"sy_$arm"),
+      sum(when(col("arm") === arm, col("x") * col("x"))).as(s"sxx_$arm"),
+      sum(when(col("arm") === arm, col("x") * col("y"))).as(s"sxy_$arm"),
+      sum(when(col("arm") === arm, col("y") * col("y"))).as(s"syy_$arm"))
+    val g = xy.agg(m(0).head, (m(0).tail ++ m(1)): _*)
+    val d = (c: Column) => c.cast("double")
+    val n = d(col("n_0")) + d(col("n_1"))
+    def pooled(p: String) = (d(col(s"${p}_0")) + d(col(s"${p}_1"))) / n
+    val (mx, my) = (pooled("sx"), pooled("sy"))
+    val varx = pooled("sxx") - mx * mx
+    val vary = pooled("syy") - my * my
+    val covxy = pooled("sxy") - mx * my
+    val theta = covxy / nullif(varx, lit(0.0))
+    val diffRaw = d(col("sy_1")) / nullif(d(col("n_1")), lit(0.0)) -
+      d(col("sy_0")) / nullif(d(col("n_0")), lit(0.0))
+    val diffX = d(col("sx_1")) / nullif(d(col("n_1")), lit(0.0)) -
+      d(col("sx_0")) / nullif(d(col("n_0")), lit(0.0))
+    g.select(col("n_0").as("n_a"), col("n_1").as("n_b"),
+      Tables.r6(theta).as("theta"),
+      Tables.r6(diffRaw).as("diff_raw"),
+      Tables.r6(diffRaw - theta * diffX).as("diff_cuped"),
+      Tables.r6(vary).as("var_y"),
+      Tables.r6(vary - covxy * covxy / nullif(varx, lit(0.0))).as("var_cuped"),
+      Tables.r6(covxy * covxy / nullif(varx * vary, lit(0.0)))
+        .as("var_reduction"))
+  }
+
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
     * user, the marketing-analytics segmentation staple. Deliberately NOT
     * `ntile(5)` over all users (a global single-partition sort — the
@@ -984,6 +1052,43 @@ object PipelineOps {
         s"$srmStat AS stat, $srmStat > 3.841459 AS flagged FROM g " +
         "UNION ALL " + Seq("ev", "vl", "ty").map(smdRow).mkString(" UNION ALL ") +
         ") ORDER BY check_name"
+    }),
+    Q("q352_ab_cuped", q352 _, Some {
+      val n = "(CAST(n_0 AS DOUBLE) + CAST(n_1 AS DOUBLE))"
+      def pooled(p: String) =
+        s"((CAST(${p}_0 AS DOUBLE) + CAST(${p}_1 AS DOUBLE)) / $n)"
+      val (mx, my) = (pooled("sx"), pooled("sy"))
+      val varx = s"(${pooled("sxx")} - $mx * $mx)"
+      val vary = s"(${pooled("syy")} - $my * $my)"
+      val covxy = s"(${pooled("sxy")} - $mx * $my)"
+      val theta = s"($covxy / NULLIF($varx, 0.0))"
+      val diffRaw = "(CAST(sy_1 AS DOUBLE) / NULLIF(CAST(n_1 AS DOUBLE), 0.0) - " +
+        "CAST(sy_0 AS DOUBLE) / NULLIF(CAST(n_0 AS DOUBLE), 0.0))"
+      val diffX = "(CAST(sx_1 AS DOUBLE) / NULLIF(CAST(n_1 AS DOUBLE), 0.0) - " +
+        "CAST(sx_0 AS DOUBLE) / NULLIF(CAST(n_0 AS DOUBLE), 0.0))"
+      def arm(a: Int, e: String, alias: String) =
+        s"SUM(CASE WHEN arm = $a THEN $e END) AS ${alias}_$a"
+      def armSet(a: Int) = Seq(
+        s"CAST(SUM(CASE WHEN arm = $a THEN 1 ELSE 0 END) AS BIGINT) AS n_$a",
+        arm(a, "x", "sx"), arm(a, "y", "sy"), arm(a, "x * x", "sxx"),
+        arm(a, "x * y", "sxy"), arm(a, "y * y", "syy")).mkString(", ")
+      "WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+        "SUM(CAST(value AS DECIMAL(18,4))) AS dv FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS split_day FROM ud), " +
+        "xy AS (SELECT user_id, CAST(user_id % 2 AS INT) AS arm, " +
+        "CAST(SUM(CASE WHEN day < split_day THEN dv ELSE 0 END) AS DECIMAL(19,4)) AS x, " +
+        "CAST(SUM(CASE WHEN day >= split_day THEN dv ELSE 0 END) AS DECIMAL(19,4)) AS y " +
+        "FROM ud CROSS JOIN sp GROUP BY 1, 2), " +
+        s"g AS (SELECT ${armSet(0)}, ${armSet(1)} FROM xy) " +
+        "SELECT n_0 AS n_a, n_1 AS n_b, " +
+        Tables.r6sql(theta) + " AS theta, " +
+        Tables.r6sql(diffRaw) + " AS diff_raw, " +
+        Tables.r6sql(s"$diffRaw - $theta * $diffX") + " AS diff_cuped, " +
+        Tables.r6sql(vary) + " AS var_y, " +
+        Tables.r6sql(s"$vary - $covxy * $covxy / NULLIF($varx, 0.0)") +
+        " AS var_cuped, " +
+        Tables.r6sql(s"$covxy * $covxy / NULLIF($varx * $vary, 0.0)") +
+        " AS var_reduction FROM g"
     }),
     Q("q136_ab_test", q136 _, Some {
       val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"

@@ -41,6 +41,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q352_ab_cuped",           // day-bounds 1-row fold + the ONE 12-term
+                                 // moment grand aggregate (map-side combined)
       "q351_ab_health",          // the ONE 14-term moment grand aggregate —
                                  // 1-row by design, map-side combined
       "q349_stats_cvm",          // totals + statistic 1-row folds over the
@@ -2914,6 +2916,41 @@ class OperatorSuite extends AnyFunSuite {
     val ty = rows("balance_ty")
     assert(ty.isNullAt(ty.fieldIndex("stat")) && ty.isNullAt(ty.fieldIndex("flagged")))
     assert(ty.getAs[Double]("mean_a") == ty.getAs[Double]("mean_b"))
+  }
+
+  test("q352 CUPED: theta, adjusted diff and variance identities match a recompute") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q352_ab_cuped")(spark, sf).head()
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), org.apache.spark.sql.functions.expr(
+        "ts_us div 86400000000").as("day"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), BigDecimal(x.getDecimal(2))))
+    val split = (ud.map(_._2).min + ud.map(_._2).max + 1) / 2
+    val xy = ud.groupBy(_._1).map { case (u, rows) =>
+      (u % 2,
+        rows.filter(_._2 < split).map(_._3).sum.toDouble,
+        rows.filter(_._2 >= split).map(_._3).sum.toDouble)
+    }.toArray
+    val n = xy.length.toDouble
+    val (mx, my) = (xy.map(_._2).sum / n, xy.map(_._3).sum / n)
+    val varx = xy.map(p => p._2 * p._2).sum / n - mx * mx
+    val vary = xy.map(p => p._3 * p._3).sum / n - my * my
+    val cov = xy.map(p => p._2 * p._3).sum / n - mx * my
+    val theta = cov / varx
+    val (a, b) = xy.partition(_._1 == 0L)
+    val diffRaw = b.map(_._3).sum / b.length - a.map(_._3).sum / a.length
+    val diffX = b.map(_._2).sum / b.length - a.map(_._2).sum / a.length
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-4)
+    assert(math.abs(r.getAs[Double]("diff_raw") - diffRaw) < 1e-3)
+    assert(math.abs(r.getAs[Double]("diff_cuped") - (diffRaw - theta * diffX)) < 1e-3)
+    assert(math.abs(r.getAs[Double]("var_cuped") -
+      (vary - cov * cov / varx)) < math.abs(vary) * 1e-6 + 1e-3)
+    // CUPED never increases variance, and the reduction equals rho^2
+    assert(r.getAs[Double]("var_cuped") <= r.getAs[Double]("var_y") + 1e-9)
+    assert(math.abs(r.getAs[Double]("var_reduction") -
+      cov * cov / (varx * vary)) < 1e-4)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
