@@ -468,6 +468,69 @@ object PipelineOps {
         .as("var_reduction"))
   }
 
+  /** q353: delta-method CI for a RATIO metric (clicks per view) — the
+    * correction every experimentation platform applies before trusting
+    * a ratio (Deng, Knoblich & Lu, KDD 2018): R = ΣC/ΣV is a ratio of
+    * SUMS over users, so per-event rows are NOT i.i.d. — the naive
+    * binomial/row-level variance is wrong whenever users differ in
+    * exposure (they always do); the delta method propagates the
+    * per-USER (c, v) covariance: Var(R) ≈ (s_cc − 2R·s_cv + R²·s_vv) /
+    * (n·v̄²). Per arm: n, ΣC, ΣV, R, the delta-method SE, the 95% CI —
+    * and the two-arm difference z carried on both rows (q196's
+    * carry-along convention).
+    *
+    * Determinism: per-user counts are exact integers; moments are
+    * exact-DECIMAL sums; every derived double is fixed-shape IEEE,
+    * NULLIF-guarded, r6'd.
+    *
+    * Scale: ONE user-keyed count collapse, ONE grand 12-term moment
+    * aggregate (map-side combined, 1 row), and the 2 report rows
+    * unpivot from it — nothing downstream touches the corpus. */
+  private def q353(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,4)")
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(d19(sum(when(col("event_type") === "click", 1L).otherwise(0L))).as("c"),
+        d19(sum(when(col("event_type") === "view", 1L).otherwise(0L))).as("v"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    def m(arm: Int) = Seq(
+      sum(when(col("arm") === arm, 1L).otherwise(0L)).as(s"n_$arm"),
+      sum(when(col("arm") === arm, col("c"))).as(s"sc_$arm"),
+      sum(when(col("arm") === arm, col("v"))).as(s"sv_$arm"),
+      sum(when(col("arm") === arm, col("c") * col("c"))).as(s"scc_$arm"),
+      sum(when(col("arm") === arm, col("c") * col("v"))).as(s"scv_$arm"),
+      sum(when(col("arm") === arm, col("v") * col("v"))).as(s"svv_$arm"))
+    val g = users.agg(m(0).head, (m(0).tail ++ m(1)): _*)
+      .localCheckpoint(true) // 1 row; both arm rows + the diff read it
+    val d = (c: Column) => c.cast("double")
+    def stats(a: Int): (Column, Column, Column, Column) = {
+      val n = d(col(s"n_$a"))
+      val (sc, sv) = (d(col(s"sc_$a")), d(col(s"sv_$a")))
+      val (scc, scv, svv) =
+        (d(col(s"scc_$a")), d(col(s"scv_$a")), d(col(s"svv_$a")))
+      val r = sc / nullif(sv, lit(0.0))
+      val vbar = sv / n
+      val sccS = (scc - sc * sc / n) / nullif(n - lit(1.0), lit(0.0))
+      val scvS = (scv - sc * sv / n) / nullif(n - lit(1.0), lit(0.0))
+      val svvS = (svv - sv * sv / n) / nullif(n - lit(1.0), lit(0.0))
+      val varR = (sccS - lit(2.0) * r * scvS + r * r * svvS) /
+        nullif(n * vbar * vbar, lit(0.0))
+      (n, r, sqrt(varR), varR)
+    }
+    val (_, r0, se0, v0) = stats(0)
+    val (_, r1, se1, v1) = stats(1)
+    val diffZ = Tables.r6((r1 - r0) / nullif(sqrt(v0 + v1), lit(0.0)))
+    def row(a: Int, r: Column, se: Column) =
+      g.select(lit(a).as("arm"), col(s"n_$a").as("n_users"),
+        col(s"sc_$a").cast("bigint").as("clicks"),
+        col(s"sv_$a").cast("bigint").as("views"),
+        Tables.r6(r).as("ratio"), Tables.r6(se).as("se"),
+        Tables.r6(r - lit(1.959964) * se).as("ci_lo"),
+        Tables.r6(r + lit(1.959964) * se).as("ci_hi"),
+        diffZ.as("diff_z"))
+    row(0, r0, se0).unionByName(row(1, r1, se1)).orderBy("arm")
+  }
+
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
     * user, the marketing-analytics segmentation staple. Deliberately NOT
     * `ntile(5)` over all users (a global single-partition sort — the
@@ -1089,6 +1152,46 @@ object PipelineOps {
         " AS var_cuped, " +
         Tables.r6sql(s"$covxy * $covxy / NULLIF($varx * $vary, 0.0)") +
         " AS var_reduction FROM g"
+    }),
+    Q("q353_ab_ratio_delta", q353 _, Some {
+      def stats(a: Int): (String, String, String) = {
+        val n = s"CAST(n_$a AS DOUBLE)"
+        val (sc, sv) = (s"CAST(sc_$a AS DOUBLE)", s"CAST(sv_$a AS DOUBLE)")
+        val (scc, scv, svv) = (s"CAST(scc_$a AS DOUBLE)",
+          s"CAST(scv_$a AS DOUBLE)", s"CAST(svv_$a AS DOUBLE)")
+        val r = s"($sc / NULLIF($sv, 0.0))"
+        val vbar = s"($sv / $n)"
+        val sccS = s"(($scc - $sc * $sc / $n) / NULLIF($n - 1.0, 0.0))"
+        val scvS = s"(($scv - $sc * $sv / $n) / NULLIF($n - 1.0, 0.0))"
+        val svvS = s"(($svv - $sv * $sv / $n) / NULLIF($n - 1.0, 0.0))"
+        val varR = s"(($sccS - 2.0 * $r * $scvS + $r * $r * $svvS) / " +
+          s"NULLIF($n * $vbar * $vbar, 0.0))"
+        (r, s"sqrt($varR)", varR)
+      }
+      val (r0, se0, v0) = stats(0)
+      val (r1, se1, v1) = stats(1)
+      val diffZ = Tables.r6sql(s"($r1 - $r0) / NULLIF(sqrt($v0 + $v1), 0.0)")
+      def arm(a: Int, e: String, alias: String) =
+        s"SUM(CASE WHEN arm = $a THEN $e END) AS ${alias}_$a"
+      def armSet(a: Int) = Seq(
+        s"CAST(SUM(CASE WHEN arm = $a THEN 1 ELSE 0 END) AS BIGINT) AS n_$a",
+        arm(a, "c", "sc"), arm(a, "v", "sv"), arm(a, "c * c", "scc"),
+        arm(a, "c * v", "scv"), arm(a, "v * v", "svv")).mkString(", ")
+      def row(a: Int, r: String, se: String) =
+        s"SELECT $a AS arm, n_$a AS n_users, " +
+          s"CAST(sc_$a AS BIGINT) AS clicks, CAST(sv_$a AS BIGINT) AS views, " +
+          Tables.r6sql(r) + " AS ratio, " + Tables.r6sql(se) + " AS se, " +
+          Tables.r6sql(s"$r - 1.959964 * $se") + " AS ci_lo, " +
+          Tables.r6sql(s"$r + 1.959964 * $se") + " AS ci_hi, " +
+          s"$diffZ AS diff_z FROM g"
+      "WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS arm, " +
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+        "AS DECIMAL(19,4)) AS c, " +
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "AS DECIMAL(19,4)) AS v FROM events GROUP BY 1, 2), " +
+        s"g AS (SELECT ${armSet(0)}, ${armSet(1)} FROM u) " +
+        s"SELECT * FROM (${row(0, r0, se0)} UNION ALL ${row(1, r1, se1)}) " +
+        "ORDER BY arm"
     }),
     Q("q136_ab_test", q136 _, Some {
       val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"

@@ -41,6 +41,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q353_ab_ratio_delta",     // the ONE 12-term moment grand aggregate
+                                 // (map-side combined); 2 rows unpivot
       "q352_ab_cuped",           // day-bounds 1-row fold + the ONE 12-term
                                  // moment grand aggregate (map-side combined)
       "q351_ab_health",          // the ONE 14-term moment grand aggregate —
@@ -2951,6 +2953,42 @@ class OperatorSuite extends AnyFunSuite {
     assert(r.getAs[Double]("var_cuped") <= r.getAs[Double]("var_y") + 1e-9)
     assert(math.abs(r.getAs[Double]("var_reduction") -
       cov * cov / (varx * vary)) < 1e-4)
+  }
+
+  test("q353 ratio delta-method: per-arm SE and diff z match a per-user recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q353_ab_ratio_delta")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 2)
+    val perUser = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+      .collect().map(r => (r.getLong(0) % 2, r.getLong(1).toDouble, r.getLong(2).toDouble))
+    def armStats(a: Long): (Double, Double) = {
+      val g = perUser.filter(_._1 == a)
+      val n = g.length.toDouble
+      val (sc, sv) = (g.map(_._2).sum, g.map(_._3).sum)
+      val r = sc / sv
+      val (mc, mv) = (sc / n, sv / n)
+      val scc = g.map(p => (p._2 - mc) * (p._2 - mc)).sum / (n - 1)
+      val scv = g.map(p => (p._2 - mc) * (p._3 - mv)).sum / (n - 1)
+      val svv = g.map(p => (p._3 - mv) * (p._3 - mv)).sum / (n - 1)
+      (r, (scc - 2 * r * scv + r * r * svv) / (n * mv * mv))
+    }
+    val (r0, v0) = armStats(0); val (r1, v1) = armStats(1)
+    val expected = Seq((r0, v0), (r1, v1))
+    rows.zip(expected).foreach { case (row, (r, v)) =>
+      assert(math.abs(row.getAs[Double]("ratio") - r) < 1e-5)
+      assert(math.abs(row.getAs[Double]("se") - math.sqrt(v)) < 1e-5)
+      assert(row.getAs[Double]("ci_lo") < r && r < row.getAs[Double]("ci_hi"))
+      assert(math.abs(row.getAs[Double]("diff_z") -
+        (r1 - r0) / math.sqrt(v0 + v1)) < 1e-4)
+    }
+    assert(rows(0).getAs[Long]("clicks") ==
+      perUser.filter(_._1 == 0).map(_._2).sum.toLong)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
