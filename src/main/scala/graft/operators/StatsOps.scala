@@ -1425,6 +1425,32 @@ object StatsOps {
           "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * CAST(s AS DOUBLE)") +
         " AS cvm_t FROM a"
     }),
+    Q("q355_stats_jackknife", q355 _, Some {
+      val h = "md5(CAST(o_orderkey AS VARCHAR))"
+      val bucket = s"CAST(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) " +
+        s"* 16 + strpos('0123456789abcdef', substr($h, 2, 1)) - 1) % 32 AS BIGINT)"
+      "WITH b AS (SELECT " + bucket + " AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_b, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s_b FROM orders GROUP BY 1), " +
+        "tot AS (SELECT SUM(n_b) AS nn, SUM(s_b) AS ss, COUNT(*) AS bb FROM b), " +
+        "loo AS (SELECT bucket, n_b, " +
+        Tables.r6sql("(CAST(ss AS DOUBLE) - CAST(s_b AS DOUBLE)) / " +
+          "(CAST(nn AS DOUBLE) - CAST(n_b AS DOUBLE))") + " AS theta_loo " +
+        "FROM b CROSS JOIN tot), " +
+        "tb AS (SELECT " +
+        Tables.meanDSql("SUM(CAST(theta_loo AS DECIMAL(18,6)))", "COUNT(*)") +
+        " AS theta_bar FROM loo), " +
+        "jk AS (SELECT SUM(CAST(" +
+        Tables.r6sql("(theta_loo - theta_bar) * (theta_loo - theta_bar)") +
+        " AS DECIMAL(18,6))) AS ssq FROM loo CROSS JOIN tb), " +
+        "sm AS (SELECT " +
+        Tables.r6sql("CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)") +
+        " AS mean_total, " +
+        Tables.r6sql("sqrt((CAST(bb AS DOUBLE) - 1.0) / CAST(bb AS DOUBLE) * " +
+          "CAST(ssq AS DOUBLE))") + " AS jk_se FROM jk CROSS JOIN tot) " +
+        "SELECT bucket, n_b, theta_loo, mean_total, jk_se " +
+        "FROM loo CROSS JOIN sm ORDER BY bucket"
+    }),
     Q("q347_ts_mann_kendall", q347 _, Some {
       val varS = "(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)"
       val z = s"(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt($varS) " +
@@ -1763,6 +1789,59 @@ object StatsOps {
     a.select(col("n1"), col("n2"),
       Tables.r6(n1 * n2 / ((n1 + n2) * (n1 + n2)) *
         col("s").cast("double")).as("cvm_t"))
+  }
+
+  /** q355: delete-a-group jackknife SE of the mean order total (Miller,
+    * Biometrika 1974; the bucket form is experimentation-platform
+    * standard for metrics where per-row variance formulas don't exist)
+    * — the DETERMINISTIC resampling counterpart of q237's Poisson
+    * bootstrap: no RNG anywhere, so two runs / two engines produce the
+    * identical error bar. Rows bucket by md5(orderkey) mod 32;
+    * leave-one-bucket-out estimates θ̂₍₋b₎ = (S−s_b)/(N−n_b) come from
+    * the bucket aggregates alone (never a second corpus pass), and
+    * SE² = (B−1)/B · Σ_b (θ̂₍₋b₎ − θ̄)². Output: one row per bucket
+    * (n, leave-out estimate) with the global mean and jackknife SE
+    * carried on every row (q196's convention).
+    *
+    * Determinism: bucket sums are exact DECIMAL; every leave-out
+    * estimate is one fixed-shape double division, r6'd; the 32-term
+    * variance fold sums r6'd squares as DECIMAL.
+    *
+    * Scale: ONE map-side-combined 32-group aggregate collapses the
+    * corpus; totals and the SE are folds over the 32-row frame. */
+  private def q355(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = Tables(spark, sfDir, "orders")
+      .groupBy(expr("((instr('0123456789abcdef', substring(md5(" +
+        "CAST(o_orderkey AS STRING)), 1, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', substring(md5(" +
+        "CAST(o_orderkey AS STRING)), 2, 1)) - 1) % 32").cast("bigint")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum(Tables.dec(col("o_totalprice"))).as("s_b"))
+      .localCheckpoint(true) // 32 rows; totals + loo + fold read it
+    val tot = buckets.agg(sum("n_b").as("nn"), sum("s_b").as("ss"),
+      count(lit(1)).as("bb"))
+    val d = (c: Column) => c.cast("double")
+    val loo = buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_b"), col("nn"), col("ss"), col("bb"),
+        Tables.r6((d(col("ss")) - d(col("s_b"))) /
+          (d(col("nn")) - d(col("n_b")))).as("theta_loo"))
+      .localCheckpoint(true) // 32 rows; mean fold + emission read it
+    val thetaBar = loo.agg(
+      Tables.meanD(sum(col("theta_loo").cast("decimal(18,6)")), count(lit(1)))
+        .as("theta_bar"))
+    val jk = loo.crossJoin(broadcast(thetaBar))
+      .agg(sum(Tables.r6((col("theta_loo") - col("theta_bar")) *
+        (col("theta_loo") - col("theta_bar"))).cast("decimal(18,6)")).as("ssq"),
+        max("theta_bar").as("theta_bar"), max("bb").as("bb"),
+        max("nn").as("n"), max("ss").as("s"))
+    val se = sqrt((d(col("bb")) - lit(1.0)) / d(col("bb")) *
+      d(col("ssq")))
+    val summary = jk.select(
+      Tables.r6(d(col("s")) / d(col("n"))).as("mean_total"),
+      Tables.r6(se).as("jk_se"))
+    loo.select(col("bucket"), col("n_b"), col("theta_loo"))
+      .crossJoin(broadcast(summary))
+      .orderBy("bucket")
   }
 
   /** q265: Brown's double-exponential smoothing (the Holt-style linear

@@ -389,6 +389,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q354: retrieval chunking — fixed-size overlapping token windows
+    * (W = 32, stride S = 24, i.e. 8-token overlap), the ingestion step
+    * every RAG/retrieval pipeline runs between cleaning (q335) and
+    * embedding (q51/q63): retrieval quality is bounded by chunk
+    * granularity, and the overlap keeps answers that straddle a
+    * boundary findable. Chunk count = max(1, ⌈(n−W)/S⌉+1) — the last
+    * chunk is allowed short, a document shorter than W is ONE chunk.
+    * Emitted per chunk: position, token count, and the md5 of the
+    * re-joined text (content identity proven cross-engine without
+    * hauling chunk text through the compare).
+    *
+    * Scale: a narrow per-row explode bounded by n/S rows per doc — no
+    * shuffle, no UDF, full codegen; a 100 TB chunking job is scan →
+    * this projection → sink, the same plan at any size. */
+  private def q354(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), expr("size(ts)").cast("bigint").as("n_doc_tokens"),
+        col("ts"),
+        explode(expr("sequence(0, CASE WHEN size(ts) <= 32 THEN 0 " +
+          "ELSE (size(ts) - 32 + 23) DIV 24 END)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        (col("chunk_idx") * lit(24)).cast("bigint").as("start_tok"),
+        expr("least(32, size(ts) - chunk_idx * 24)").cast("bigint")
+          .as("n_tokens"),
+        expr("md5(array_join(slice(ts, chunk_idx * 24 + 1, " +
+          "least(32, size(ts) - chunk_idx * 24)), ' '))").as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   private def q337(spark: SparkSession, sfDir: String): DataFrame = {
     val bg = Tables(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("ts"))
@@ -1497,6 +1526,17 @@ object TextAnalysis {
           Tables.r6sql("ln(CAST(n_types AS DOUBLE))")) +
         " END AS entropy_norm FROM perdoc ORDER BY doc_id"
     }),
+    Q("q354_rag_chunking", q354 _, Some(
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "c AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_doc_tokens, ts, " +
+        "unnest(range(0, 1 + (CASE WHEN len(ts) <= 32 THEN 0 " +
+        "ELSE (len(ts) - 32 + 23) // 24 END))) AS chunk_idx FROM d) " +
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+        "CAST(chunk_idx * 24 AS BIGINT) AS start_tok, " +
+        "CAST(LEAST(32, len(ts) - chunk_idx * 24) AS BIGINT) AS n_tokens, " +
+        "md5(array_to_string(list_slice(ts, chunk_idx * 24 + 1, " +
+        "chunk_idx * 24 + LEAST(32, len(ts) - chunk_idx * 24)), ' ')) AS chunk_md5 " +
+        "FROM c ORDER BY doc_id, chunk_idx")),
     Q("q337_kneser_ney_lm", q337 _, Some(
       "WITH bg AS (SELECT bgp['w1'] AS w1, bgp['w2'] AS w2, COUNT(*) AS cnt FROM (" +
         "SELECT unnest(list_transform(range(1, len(ts)), i -> " +

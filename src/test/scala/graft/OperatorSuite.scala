@@ -41,6 +41,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q355_stats_jackknife",    // totals / theta-bar / SE 1-row folds over
+                                 // the CONSTANT 32-bucket frame
       "q353_ab_ratio_delta",     // the ONE 12-term moment grand aggregate
                                  // (map-side combined); 2 rows unpivot
       "q352_ab_cuped",           // day-bounds 1-row fold + the ONE 12-term
@@ -2989,6 +2991,76 @@ class OperatorSuite extends AnyFunSuite {
     }
     assert(rows(0).getAs[Long]("clicks") ==
       perUser.filter(_._1 == 0).map(_._2).sum.toLong)
+  }
+
+  test("q354 chunking: count law, coverage, 8-token overlap, content hashes") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q354_rag_chunking")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val texts = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val n = ts.length
+      val expectChunks = if (n <= 32) 1 else (n - 32 + 23) / 24 + 1
+      val chunks = rows(id)
+      assert(chunks.length == expectChunks, s"doc $id: ${chunks.length} vs $expectChunks")
+      chunks.foreach { c =>
+        val start = c.getAs[Long]("start_tok").toInt
+        val len = c.getAs[Long]("n_tokens").toInt
+        assert(len == math.min(32, n - start))
+        assert(c.getAs[String]("chunk_md5") ==
+          md5hex(ts.slice(start, start + len).mkString(" ")))
+      }
+      // the last chunk reaches the end of the document
+      val last = chunks.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tokens") == n.toLong)
+      // consecutive full chunks overlap by exactly 32 - 24 = 8 tokens
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_tok") - a.getAs[Long]("start_tok") == 24L)
+        case _ =>
+      }
+    }
+  }
+
+  test("q355 jackknife: leave-one-out estimates and SE match an in-memory recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q355_stats_jackknife")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hexIdx = "0123456789abcdef"
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)"))
+      .collect().map { r =>
+        val h = md5hex(r.getLong(0).toString)
+        val b = (hexIdx.indexOf(h(0)) * 16 + hexIdx.indexOf(h(1))) % 32
+        (b.toLong, BigDecimal(r.getDecimal(1)))
+      }
+    val byBucket = orders.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.length == byBucket.size)
+    val (nTot, sTot) = (orders.length.toLong, orders.map(_._2).sum)
+    val loos = rows.map { r =>
+      val vals = byBucket(r.getLong(0))
+      assert(r.getAs[Long]("n_b") == vals.length.toLong)
+      val expect = (sTot - vals.sum).toDouble / (nTot - vals.length)
+      assert(math.abs(r.getAs[Double]("theta_loo") - expect) < 1e-4)
+      r.getAs[Double]("theta_loo")
+    }
+    val bar = loos.sum / loos.length
+    val se = math.sqrt((loos.length - 1.0) / loos.length *
+      loos.map(t => (t - bar) * (t - bar)).sum)
+    assert(math.abs(rows.head.getAs[Double]("jk_se") - se) < 1e-3)
+    assert(math.abs(rows.head.getAs[Double]("mean_total") -
+      sTot.toDouble / nTot) < 1e-4)
+    // the jackknife SE of a mean tracks sd/sqrt(n) within an order of magnitude
+    assert(se > 0.0)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
