@@ -531,6 +531,91 @@ object PipelineOps {
     row(0, r0, se0).unionByName(row(1, r1, se1)).orderBy("arm")
   }
 
+  /** q356: post-stratified treatment effect (Miratrix, Sekhon & Yu,
+    * JRSS-B 2013) — the CATEGORICAL variance-reduction member next to
+    * q352's covariate CUPED: strata = the user's PRE-period activity
+    * band (pre-period event count div 16 capped at 3 — light/medium/
+    * heavy users, a pre-treatment attribute by the same calendar
+    * midpoint split as q352); adjusted diff = Σ_s w_s(ȳ₁ₛ − ȳ₀ₛ) with
+    * pooled stratum shares w_s = n_s/N, Var = Σ_s w_s²(v₁ₛ/n₁ₛ +
+    * v₀ₛ/n₀ₛ) — corrects any activity-mix imbalance between arms that
+    * the raw difference silently absorbs (exactly the imbalance q351
+    * FLAGS, SMD 0.18 on event count: q351 detects it, q356 removes it).
+    * Output: one row per stratum (sizes, arm means, weight) with the
+    * naive diff, adjusted diff and its SE carried on every row — the
+    * per-stratum rows ARE the audit trail (a stratum missing an arm
+    * contributes NULL and visibly drops from the Σ on both engines).
+    *
+    * Determinism: moments are exact-DECIMAL; per-stratum contributions
+    * are r6-quantized then DECIMAL-summed (§2.9 R1); every division is
+    * NULLIF-guarded fixed-shape IEEE, r6'd.
+    *
+    * Scale: events collapse ONCE to the (user, day) frame (q352's
+    * shape; the split fold + user agg read it), then ONE
+    * (stratum × arm)-bounded moment aggregate; the estimator folds
+    * over the bounded stratum frame. */
+  private def q356(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,4)")
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+        dec(col("value")).as("v"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("dv"))
+      .localCheckpoint(true) // users×days-bounded; split fold + agg read it
+    val split = ud.agg(expr("(min(day) + max(day) + 1) div 2").as("split_day"))
+    val users = ud.crossJoin(broadcast(split))
+      .groupBy("user_id")
+      .agg(expr("least(sum(CASE WHEN day < split_day THEN c ELSE 0 END) " +
+          "div 16, 3)").as("stratum"),
+        d19(sum(when(col("day") >= col("split_day"), col("dv"))
+          .otherwise(lit(0)))).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val cells = users.groupBy("stratum", "arm")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(col("y") * col("y")).as("ss"))
+    val d = (c: Column) => c.cast("double")
+    def side(a: Int, c: String) = s"${c}_$a"
+    val wide = cells.groupBy("stratum").agg(
+      sum(when(col("arm") === 0, col("n"))).as("n_0"),
+      sum(when(col("arm") === 0, col("s"))).as("s_0"),
+      sum(when(col("arm") === 0, col("ss"))).as("ss_0"),
+      sum(when(col("arm") === 1, col("n"))).as("n_1"),
+      sum(when(col("arm") === 1, col("s"))).as("s_1"),
+      sum(when(col("arm") === 1, col("ss"))).as("ss_1"))
+      .localCheckpoint(true) // strata-bounded; totals + folds + emission
+    val tot = wide.agg(sum(coalesce(col("n_0"), lit(0L)) +
+      coalesce(col("n_1"), lit(0L))).as("nn"))
+    def mean(a: Int) = d(col(side(a, "s"))) / nullif(d(col(side(a, "n"))), lit(0.0))
+    def svar(a: Int) = (d(col(side(a, "ss"))) -
+      d(col(side(a, "s"))) * d(col(side(a, "s"))) /
+        nullif(d(col(side(a, "n"))), lit(0.0))) /
+      nullif(d(col(side(a, "n"))) - lit(1.0), lit(0.0))
+    val w = (d(col("n_0")) + d(col("n_1"))) / d(col("nn"))
+    val scored = wide.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_0").as("n_a"), col("n_1").as("n_b"),
+        Tables.r6(mean(0)).as("mean_a"), Tables.r6(mean(1)).as("mean_b"),
+        Tables.r6(w).as("w"),
+        Tables.r6(w * (mean(1) - mean(0))).cast("decimal(18,6)").as("contrib"),
+        Tables.r6(w * w * (svar(1) / nullif(d(col("n_1")), lit(0.0)) +
+          svar(0) / nullif(d(col("n_0")), lit(0.0))))
+          .cast("decimal(18,6)").as("vterm"),
+        col("s_0"), col("s_1"), col("nn"))
+      .localCheckpoint(true) // strata-bounded; summary fold + emission
+    val summary = scored.agg(
+      sum("contrib").as("adj"), sum("vterm").as("vsum"),
+      sum("s_0").as("st_0"), sum("s_1").as("st_1"),
+      sum(col("n_a")).as("na_t"), sum(col("n_b")).as("nb_t"))
+      .select(
+        Tables.r6(col("adj").cast("double")).as("diff_adjusted"),
+        Tables.r6(sqrt(col("vsum").cast("double"))).as("se_adjusted"),
+        Tables.r6(d(col("st_1")) / nullif(d(col("nb_t")), lit(0.0)) -
+          d(col("st_0")) / nullif(d(col("na_t")), lit(0.0))).as("diff_raw"))
+    scored.select(col("stratum"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("w"))
+      .crossJoin(broadcast(summary))
+      .orderBy("stratum")
+  }
+
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
     * user, the marketing-analytics segmentation staple. Deliberately NOT
     * `ntile(5)` over all users (a global single-partition sort — the
@@ -1192,6 +1277,52 @@ object PipelineOps {
         s"g AS (SELECT ${armSet(0)}, ${armSet(1)} FROM u) " +
         s"SELECT * FROM (${row(0, r0, se0)} UNION ALL ${row(1, r1, se1)}) " +
         "ORDER BY arm"
+    }),
+    Q("q356_ab_poststrat", q356 _, Some {
+      def nd(a: Int) = s"CAST(n_$a AS DOUBLE)"
+      def mean(a: Int) = s"(CAST(s_$a AS DOUBLE) / NULLIF(${nd(a)}, 0.0))"
+      def svar(a: Int) = s"((CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * " +
+        s"CAST(s_$a AS DOUBLE) / NULLIF(${nd(a)}, 0.0)) / " +
+        s"NULLIF(${nd(a)} - 1.0, 0.0))"
+      val w = s"((${nd(0)} + ${nd(1)}) / CAST(nn AS DOUBLE))"
+      def armCol(a: Int, e: String, alias: String) =
+        s"CAST(SUM(CASE WHEN arm = $a THEN $e END) AS " +
+          (if (e == "n") "BIGINT" else "DECIMAL(38,8)") + s") AS ${alias}_$a"
+      "WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS c, " +
+        "SUM(CAST(value AS DECIMAL(18,4))) AS dv FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS split_day FROM ud), " +
+        "users AS (SELECT user_id, CAST(user_id % 2 AS INT) AS arm, " +
+        "CAST(LEAST(SUM(CASE WHEN day < split_day THEN c ELSE 0 END) // 16, 3) " +
+        "AS BIGINT) AS stratum, " +
+        "CAST(SUM(CASE WHEN day >= split_day THEN dv ELSE 0 END) " +
+        "AS DECIMAL(19,4)) AS y FROM ud CROSS JOIN sp GROUP BY 1, 2), " +
+        "cells AS (SELECT stratum, arm, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(y) AS s, SUM(y * y) AS ss FROM users GROUP BY 1, 2), " +
+        "wide AS (SELECT stratum, " +
+        Seq(0, 1).flatMap(a => Seq(armCol(a, "n", "n"), armCol(a, "s", "s"),
+          armCol(a, "ss", "ss"))).mkString(", ") +
+        " FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(COALESCE(n_0, 0) + COALESCE(n_1, 0)) AS BIGINT) " +
+        "AS nn FROM wide), " +
+        "scored AS (SELECT stratum, n_0 AS n_a, n_1 AS n_b, " +
+        Tables.r6sql(mean(0)) + " AS mean_a, " +
+        Tables.r6sql(mean(1)) + " AS mean_b, " +
+        Tables.r6sql(w) + " AS w, " +
+        s"CAST(${Tables.r6sql(s"$w * (${mean(1)} - ${mean(0)})")} " +
+        "AS DECIMAL(18,6)) AS contrib, " +
+        s"CAST(${Tables.r6sql(s"$w * $w * (${svar(1)} / NULLIF(${nd(1)}, 0.0) + " +
+          s"${svar(0)} / NULLIF(${nd(0)}, 0.0))")} AS DECIMAL(18,6)) AS vterm, " +
+        "s_0, s_1, n_0, n_1 FROM wide CROSS JOIN tot), " +
+        "sm AS (SELECT " +
+        Tables.r6sql("CAST(SUM(contrib) AS DOUBLE)") + " AS diff_adjusted, " +
+        Tables.r6sql("sqrt(CAST(SUM(vterm) AS DOUBLE))") + " AS se_adjusted, " +
+        Tables.r6sql("CAST(SUM(s_1) AS DOUBLE) / " +
+          "NULLIF(CAST(SUM(n_1) AS DOUBLE), 0.0) - CAST(SUM(s_0) AS DOUBLE) / " +
+          "NULLIF(CAST(SUM(n_0) AS DOUBLE), 0.0)") + " AS diff_raw FROM scored) " +
+        "SELECT stratum, n_a, n_b, mean_a, mean_b, w, " +
+        "diff_adjusted, se_adjusted, diff_raw " +
+        "FROM scored CROSS JOIN sm ORDER BY stratum"
     }),
     Q("q136_ab_test", q136 _, Some {
       val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"

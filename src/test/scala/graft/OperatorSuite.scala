@@ -41,6 +41,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q356_ab_poststrat",       // split-day 1-row fold + estimator folds
+                                 // over the ≤4-stratum frame
       "q355_stats_jackknife",    // totals / theta-bar / SE 1-row folds over
                                  // the CONSTANT 32-bucket frame
       "q353_ab_ratio_delta",     // the ONE 12-term moment grand aggregate
@@ -3061,6 +3063,50 @@ class OperatorSuite extends AnyFunSuite {
       sTot.toDouble / nTot) < 1e-4)
     // the jackknife SE of a mean tracks sd/sqrt(n) within an order of magnitude
     assert(se > 0.0)
+  }
+
+  test("q356 post-stratification: weighted diff, SE and weights match a recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q356_ab_poststrat")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), org.apache.spark.sql.functions.expr(
+        "ts_us div 86400000000").as("day"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), BigDecimal(x.getDecimal(2))))
+    val split = (ud.map(_._2).min + ud.map(_._2).max + 1) / 2
+    val users = ud.groupBy(_._1).map { case (u, es) =>
+      val pre = es.count(_._2 < split).toLong
+      (math.min(pre / 16, 3L), u % 2,
+        es.filter(_._2 >= split).map(_._3).sum.toDouble)
+    }.toArray
+    val n = users.length.toDouble
+    // weights sum to 1 and stratum populations match
+    assert(math.abs(rows.map(_.getAs[Double]("w")).sum - 1.0) < 1e-4)
+    var (adj, vsum) = (0.0, 0.0)
+    rows.foreach { r =>
+      val s = r.getLong(0)
+      val g0 = users.filter(u => u._1 == s && u._2 == 0L).map(_._3)
+      val g1 = users.filter(u => u._1 == s && u._2 == 1L).map(_._3)
+      assert(r.getAs[Long]("n_a") == g0.length && r.getAs[Long]("n_b") == g1.length)
+      val w = (g0.length + g1.length) / n
+      def mv(x: Array[Double]) = {
+        val m = x.sum / x.length
+        (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+      }
+      val ((m0, v0), (m1, v1)) = (mv(g0), mv(g1))
+      assert(math.abs(r.getAs[Double]("mean_a") - m0) < 1e-3)
+      assert(math.abs(r.getAs[Double]("mean_b") - m1) < 1e-3)
+      adj += w * (m1 - m0)
+      vsum += w * w * (v1 / g1.length + v0 / g0.length)
+    }
+    assert(math.abs(rows.head.getAs[Double]("diff_adjusted") - adj) < 1e-2)
+    assert(math.abs(rows.head.getAs[Double]("se_adjusted") - math.sqrt(vsum)) < 1e-2)
+    // raw diff equals the unstratified means difference
+    val (a, b) = users.partition(_._2 == 0L)
+    assert(math.abs(rows.head.getAs[Double]("diff_raw") -
+      (b.map(_._3).sum / b.length - a.map(_._3).sum / a.length)) < 1e-3)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
