@@ -960,6 +960,14 @@ object Graft {
     operators.StatsOps.cvmFromCounts(
       operators.StatsOps.ecdfCountsOf(df, value, inGroup1))
 
+  /** Two-sample Anderson–Darling A²akN (q357) on the same sampling
+    * contract as [[ksTest]]: 1-row (n1, n2, ad_a2), tail-weighted and
+    * tie-corrected (Scholz–Stephens midrank form). Identical samples
+    * score exactly 0. */
+  def adTest(df: DataFrame, value: Column, inGroup1: Column): DataFrame =
+    operators.StatsOps.adFromCounts(
+      operators.StatsOps.ecdfCountsOf(df, value, inGroup1))
+
   /** Spearman rank correlation (q341): 1-row (n, rho) between two
     * orderable columns, tie-averaged ranks from the value domains — no
     * per-row ranking or global sort at any size. */

@@ -1425,6 +1425,35 @@ object StatsOps {
           "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * CAST(s AS DOUBLE)") +
         " AS cvm_t FROM a"
     }),
+    Q("q357_stats_anderson_darling", q357 _, Some {
+      val l = "CAST(n1 + n2 AS DOUBLE)"
+      val bigN = "CAST(t1 + t2 AS DOUBLE)"
+      val b = s"(CAST(cum_n1 + cum_n2 AS DOUBLE) - $l / 2.0)"
+      val den = s"($b * ($bigN - $b) - $bigN * $l / 4.0)"
+      def inner(i: Int) = {
+        val m = s"(CAST(cum_n$i AS DOUBLE) - CAST(n$i AS DOUBLE) / 2.0)"
+        val num = s"($bigN * $m - CAST(t$i AS DOUBLE) * $b)"
+        Tables.r6sql(s"$l * $num * $num / NULLIF($den, 0.0)")
+      }
+      "WITH perval AS (SELECT c_acctbal AS v, " +
+        "CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END) AS BIGINT) AS n2 " +
+        "FROM customer GROUP BY 1), " +
+        "cum AS (SELECT v, n1, n2, CAST(SUM(n1) OVER (ORDER BY v) AS BIGINT) AS cum_n1, " +
+        "CAST(SUM(n2) OVER (ORDER BY v) AS BIGINT) AS cum_n2 FROM perval), " +
+        "tot AS (SELECT MAX(cum_n1) AS t1, MAX(cum_n2) AS t2 FROM cum), " +
+        "a AS (SELECT " +
+        s"SUM(CAST(${inner(1)} AS DECIMAL(38,6))) AS s1, " +
+        s"SUM(CAST(${inner(2)} AS DECIMAL(38,6))) AS s2, " +
+        "MAX(t1) AS n1, MAX(t2) AS n2 FROM cum CROSS JOIN tot) " +
+        "SELECT n1, n2, " +
+        Tables.r6sql("(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0) / " +
+          "((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * " +
+          "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * " +
+          "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) + " +
+          "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))") +
+        " AS ad_a2 FROM a"
+    }),
     Q("q355_stats_jackknife", q355 _, Some {
       val h = "md5(CAST(o_orderkey AS VARCHAR))"
       val bucket = s"CAST(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) " +
@@ -1842,6 +1871,58 @@ object StatsOps {
     loo.select(col("bucket"), col("n_b"), col("theta_loo"))
       .crossJoin(broadcast(summary))
       .orderBy("bucket")
+  }
+
+  /** q357: two-sample Anderson–Darling (Scholz & Stephens, JASA 1987 —
+    * the tie-corrected "midrank" A²akN their eq. 7 defines and every
+    * statistics library implements) — the TAIL-WEIGHTED member closing
+    * the distribution-test family: q263's KS reads the single worst
+    * gap, q349's CvM integrates squared gaps uniformly, AD divides each
+    * gap by B(N−B) so the same displacement counts MORE in the tails —
+    * the test that catches "same middle, different extremes", which is
+    * exactly how heavy-tailed metrics differ. Midrank forms: at pooled
+    * value v with multiplicity l, B = cum_pooled − l/2 and
+    * M_i = cum_i − f_i/2; A² = (N−1)/N² · Σ_i (1/n_i) Σ_v
+    * l(N·M_i − n_i·B)²/(B(N−B) − N·l/4).
+    *
+    * Determinism: cumulative counts are exact BIGINTs and the midrank
+    * halves are exact in double; each value's contribution is
+    * r6-quantized then DECIMAL-summed (§2.9 R1 — unbounded value
+    * domain); ApiSuite anchors the algebra (identical samples → 0
+    * exactly; disjoint {1} vs {2} → 1 exactly).
+    *
+    * Scale: the SAME shared ecdfCounts machinery as q263/q266/q349 —
+    * one corpus-collapsing groupBy(value) + two-phase DistributedCumSum,
+    * then ONE map-side-combined fold to a single row. */
+  private def q357(spark: SparkSession, sfDir: String): DataFrame =
+    adFromCounts(ecdfCounts(spark, sfDir))
+
+  /** A²akN scoring over an [[ecdfCountsOf]] frame — shared by q357 and
+    * the [[graft.Graft.adTest]] facade. */
+  private[graft] def adFromCounts(counts: DataFrame): DataFrame = {
+    val cum = counts
+      .localCheckpoint(true) // value-domain-bounded; totals + fold read it
+    val tot = cum.agg(max("cum_n1").as("t1"), max("cum_n2").as("t2"))
+    val l = (col("n1") + col("n2")).cast("double")
+    val bigN = (col("t1") + col("t2")).cast("double")
+    val b = (col("cum_n1") + col("cum_n2")).cast("double") - l / lit(2.0)
+    val den = b * (bigN - b) - bigN * l / lit(4.0)
+    def inner(i: Int) = {
+      val m = col(s"cum_n$i").cast("double") -
+        col(s"n$i").cast("double") / lit(2.0)
+      val num = bigN * m - col(s"t$i").cast("double") * b
+      Tables.r6(l * num * num / nullif(den, lit(0.0)))
+    }
+    val a = cum.crossJoin(broadcast(tot))
+      .agg(sum(inner(1).cast("decimal(38,6)")).as("s1"),
+        sum(inner(2).cast("decimal(38,6)")).as("s2"),
+        max("t1").as("n1"), max("t2").as("n2"))
+    val (n1, n2) = (col("n1").cast("double"), col("n2").cast("double"))
+    val nn = n1 + n2
+    a.select(col("n1"), col("n2"),
+      Tables.r6((nn - lit(1.0)) / (nn * nn) *
+        (col("s1").cast("double") / n1 + col("s2").cast("double") / n2))
+        .as("ad_a2"))
   }
 
   /** q265: Brown's double-exponential smoothing (the Holt-style linear

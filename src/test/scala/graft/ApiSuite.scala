@@ -815,6 +815,18 @@ class ApiSuite extends AnyFunSuite {
     assert(r.getLong(0) == 3L && r.getDouble(1) == 1.0)
   }
 
+  test("adTest: identical samples score exactly 0; disjoint {1},{2} scores exactly 1") {
+    import spark.implicits._
+    val same = Seq((1.0, true), (1.0, false), (2.0, true), (2.0, false),
+      (3.0, true), (3.0, false)).toDF("v", "g")
+    val r0 = Graft.adTest(same, col("v"), col("g")).collect().head
+    assert(r0.getLong(0) == 3L && r0.getLong(1) == 3L)
+    assert(r0.getDouble(2) == 0.0)
+    // hand-derived: two singleton disjoint samples give A^2 = 1
+    val disj = Seq((1.0, true), (2.0, false)).toDF("v", "g")
+    assert(Graft.adTest(disj, col("v"), col("g")).collect().head.getDouble(2) == 1.0)
+  }
+
   test("holtForecast: flat start, positive trend on an increasing series") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0))

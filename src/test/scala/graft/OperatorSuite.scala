@@ -51,6 +51,7 @@ class OperatorSuite extends AnyFunSuite {
                                  // moment grand aggregate (map-side combined)
       "q351_ab_health",          // the ONE 14-term moment grand aggregate —
                                  // 1-row by design, map-side combined
+      "q357_stats_anderson_darling", // same shared-ECDF 1-row folds
       "q349_stats_cvm",          // totals + statistic 1-row folds over the
                                  // shared value-domain-bounded ECDF frame
                                  // (q263/q266's justification)
