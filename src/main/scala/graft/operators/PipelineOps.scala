@@ -616,6 +616,49 @@ object PipelineOps {
       .orderBy("stratum")
   }
 
+  /** q358: minimum-detectable-effect planning table — the question every
+    * experiment review asks BEFORE launch ("how long must this run?"),
+    * answered from the metric's own moments: for per-arm size n, the
+    * two-sided α=0.05 / 80%-power MDE of a mean-value metric is
+    * (z_{α/2} + z_{β})·√(2σ̂²/n) (Kohavi et al. ch. 17; z constants
+    * 1.959964 and 0.841621 as shared literals — no Φ inversion ever
+    * runs). One row per scale-up factor k ∈ {1,2,4,8,16} of the current
+    * population: per-arm n, the SE of the arm difference, absolute MDE
+    * and MDE as a fraction of the current mean — the table that says
+    * "at today's traffic you can see 12%; to see 3% run 16× longer".
+    *
+    * Determinism: σ̂² and the mean come from exact-DECIMAL moments; the
+    * grid is constant; every derived double is fixed-shape IEEE, r6'd.
+    *
+    * Scale: ONE user-keyed collapse + ONE grand 3-term moment
+    * aggregate; the 5 report rows explode from a constant literal
+    * array — nothing downstream touches the corpus. */
+  private def q358(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,4)")
+    val g = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(d19(sum(dec(col("value")))).as("y"))
+      .agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(col("y") * col("y")).as("ss"))
+    val d = (c: Column) => c.cast("double")
+    val n = d(col("n"))
+    val mean = d(col("s")) / n
+    val variance = (d(col("ss")) - d(col("s")) * d(col("s")) / n) /
+      nullif(n - lit(1.0), lit(0.0))
+    val nArm = expr("(n * k) div 2")
+    g.select(col("n"), mean.as("m"), variance.as("v"),
+        explode(array((Seq(1L, 2L, 4L, 8L, 16L)).map(lit): _*)).as("k"))
+      .select(col("k"), nArm.as("n_per_arm"),
+        Tables.r6(sqrt(lit(2.0) * col("v") / d(nArm))).as("se_diff"),
+        Tables.r6(mdeOf(col("v"), d(nArm))).as("mde_abs"),
+        Tables.r6(mdeOf(col("v"), d(nArm)) / col("m")).as("mde_rel"))
+      .orderBy("k")
+  }
+
+  /** (z_{0.025} + z_{0.2})·√(2σ²/n) — shared by q358's two emission
+    * columns so the text of the expression cannot drift. */
+  private def mdeOf(variance: Column, nArm: Column): Column =
+    lit(2.801585) * sqrt(lit(2.0) * variance / nArm)
+
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
     * user, the marketing-analytics segmentation staple. Deliberately NOT
     * `ntile(5)` over all users (a global single-partition sort — the
@@ -1323,6 +1366,25 @@ object PipelineOps {
         "SELECT stratum, n_a, n_b, mean_a, mean_b, w, " +
         "diff_adjusted, se_adjusted, diff_raw " +
         "FROM scored CROSS JOIN sm ORDER BY stratum"
+    }),
+    Q("q358_ab_power_mde", q358 _, Some {
+      val n = "CAST(n AS DOUBLE)"
+      val mean = s"(CAST(s AS DOUBLE) / $n)"
+      val variance = s"((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * " +
+        s"CAST(s AS DOUBLE) / $n) / NULLIF($n - 1.0, 0.0))"
+      val nArm = "CAST((n * k) // 2 AS DOUBLE)"
+      val mde = s"(2.801585 * sqrt(2.0 * $variance / $nArm))"
+      "WITH u AS (SELECT user_id, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS y " +
+        "FROM events GROUP BY 1), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS s, " +
+        "SUM(y * y) AS ss FROM u), " +
+        "grid AS (SELECT unnest([1, 2, 4, 8, 16]) AS k) " +
+        "SELECT CAST(k AS BIGINT) AS k, CAST((n * k) // 2 AS BIGINT) AS n_per_arm, " +
+        Tables.r6sql(s"sqrt(2.0 * $variance / $nArm)") + " AS se_diff, " +
+        Tables.r6sql(mde) + " AS mde_abs, " +
+        Tables.r6sql(s"$mde / $mean") + " AS mde_rel " +
+        "FROM g CROSS JOIN grid ORDER BY k"
     }),
     Q("q136_ab_test", q136 _, Some {
       val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"

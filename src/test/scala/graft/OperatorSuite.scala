@@ -41,6 +41,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q358_ab_power_mde",       // the ONE 3-term moment grand aggregate;
+                                 // 5 rows explode from a constant grid
       "q356_ab_poststrat",       // split-day 1-row fold + estimator folds
                                  // over the ≤4-stratum frame
       "q355_stats_jackknife",    // totals / theta-bar / SE 1-row folds over
@@ -3108,6 +3110,39 @@ class OperatorSuite extends AnyFunSuite {
     val (a, b) = users.partition(_._2 == 0L)
     assert(math.abs(rows.head.getAs[Double]("diff_raw") -
       (b.map(_._3).sum / b.length - a.map(_._3).sum / a.length)) < 1e-3)
+  }
+
+  test("q358 MDE table: values match the closed form and scale as 1/sqrt(k)") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q358_ab_power_mde")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    val ys = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        col("value").cast("decimal(18,4)")).cast("double").as("y"))
+      .collect().map(_.getDouble(1))
+    val n = ys.length.toDouble
+    val mean = ys.sum / n
+    val variance = ys.map(y => (y - mean) * (y - mean)).sum / (n - 1)
+    rows.foreach { r =>
+      val nArm = (ys.length * r.getLong(0)) / 2
+      assert(r.getAs[Long]("n_per_arm") == nArm)
+      val mde = 2.801585 * math.sqrt(2.0 * variance / nArm)
+      assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-2,
+        s"k=${r.getLong(0)}: ${r.getAs[Double]("mde_abs")} vs $mde")
+      assert(math.abs(r.getAs[Double]("mde_rel") - mde / mean) < 1e-4)
+    }
+    // more traffic, smaller MDE — and 1/sqrt(n_arm) scaling holds exactly
+    // in terms of the EMITTED per-arm sizes (integer div makes k-ratios
+    // inexact when the population is odd)
+    val mdes = rows.map(r => (r.getAs[Long]("n_per_arm"), r.getAs[Double]("mde_abs")))
+    assert(mdes.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) > w(1)))
+    mdes.sliding(2).foreach {
+      case Array((na, ma), (nb, mb)) =>
+        assert(math.abs(mb / ma - math.sqrt(na.toDouble / nb)) < 1e-4)
+      case _ =>
+    }
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
