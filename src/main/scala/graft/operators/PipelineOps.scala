@@ -659,6 +659,44 @@ object PipelineOps {
   private def mdeOf(variance: Column, nArm: Column): Column =
     lit(2.801585) * sqrt(lit(2.0) * variance / nArm)
 
+  /** q359: quantile treatment effect — per-arm exact P25/P50/P75/P90 of
+    * the per-user value metric and their differences, the DISTRIBUTIONAL
+    * read q136's mean test misses entirely (a treatment can move the
+    * tail while the mean stands still, or lift the median while whales
+    * mask it — the QTE row per quantile says WHERE in the distribution
+    * the effect lives; Athey & Imbens, the experimentation-analytics
+    * standard beyond averages).
+    *
+    * Determinism: per-user totals are exact DECIMAL cast once to
+    * double; quantiles ride BoundedQuantiles (R7 — bit-equal to
+    * quantile_cont, the q220 precedent); every emitted value r6'd.
+    *
+    * Scale: one user-keyed collapse, then ONE grouped BoundedQuantiles
+    * pass (two bounded scans, no global sort); the 4 report rows stack
+    * from the 2-arm wide frame. */
+  private def q359(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum(dec(col("value"))).cast("double").as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val names = Seq("p25", "p50", "p75", "p90")
+    val qs = graft.plans.BoundedQuantiles.groupQuantiles(
+      users, Seq("arm"), col("y"), Seq(0.25, 0.5, 0.75, 0.9), names,
+      pin = false)
+      .localCheckpoint(true) // 2 rows; both sides of the wide join read it
+    val a = qs.filter(col("arm") === 0)
+      .select(names.map(n => col(n).as(s"a_$n")): _*)
+    val b = qs.filter(col("arm") === 1)
+      .select(names.map(n => col(n).as(s"b_$n")): _*)
+    a.crossJoin(b)
+      .select(expr("stack(4, " + names.map(n =>
+        s"'$n', a_$n, b_$n").mkString(", ") + ") AS (quantile, va, vb)"))
+      .select(col("quantile"), Tables.r6(col("va")).as("value_a"),
+        Tables.r6(col("vb")).as("value_b"),
+        Tables.r6(col("vb") - col("va")).as("qte"))
+      .orderBy("quantile")
+  }
+
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
     * user, the marketing-analytics segmentation staple. Deliberately NOT
     * `ntile(5)` over all users (a global single-partition sort — the
@@ -1385,6 +1423,27 @@ object PipelineOps {
         Tables.r6sql(mde) + " AS mde_abs, " +
         Tables.r6sql(s"$mde / $mean") + " AS mde_rel " +
         "FROM g CROSS JOIN grid ORDER BY k"
+    }),
+    Q("q359_ab_quantile_effect", q359 _, Some {
+      val names = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9)
+      def row(n: String) =
+        s"SELECT '$n' AS quantile, " +
+          Tables.r6sql(s"a_$n") + " AS value_a, " +
+          Tables.r6sql(s"b_$n") + " AS value_b, " +
+          Tables.r6sql(s"b_$n - a_$n") + " AS qte FROM w"
+      "WITH u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS arm, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y " +
+        "FROM events GROUP BY 1, 2), " +
+        "q AS (SELECT arm, " +
+        names.map { case (n, p) => s"quantile_cont(y, $p) AS $n" }
+          .mkString(", ") + " FROM u GROUP BY 1), " +
+        "w AS (SELECT " +
+        names.map { case (n, _) => s"a.$n AS a_$n, b.$n AS b_$n" }
+          .mkString(", ") +
+        " FROM q a JOIN q b ON a.arm = 0 AND b.arm = 1) " +
+        "SELECT * FROM (" +
+        names.map { case (n, _) => row(n) }.mkString(" UNION ALL ") +
+        ") ORDER BY quantile"
     }),
     Q("q136_ab_test", q136 _, Some {
       val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"

@@ -3145,6 +3145,37 @@ class OperatorSuite extends AnyFunSuite {
     }
   }
 
+  test("q359 QTE: per-arm quantiles match a type-7 interpolated recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q359_ab_quantile_effect")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("p25", "p50", "p75", "p90"))
+    val users = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        col("value").cast("decimal(18,4)")).cast("double").as("y"))
+      .collect().map(r => (r.getLong(0) % 2, r.getDouble(1)))
+    def qcont(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val lo = h.toInt
+      if (lo + 1 >= s.length) s(lo)
+      else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    val (a, b) = users.partition(_._1 == 0L)
+    Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9).foreach {
+      case (n, p) =>
+        val r = rows(n)
+        val (ea, eb) = (qcont(a.map(_._2), p), qcont(b.map(_._2), p))
+        assert(math.abs(r.getAs[Double]("value_a") - ea) < 1e-4, s"$n arm a")
+        assert(math.abs(r.getAs[Double]("value_b") - eb) < 1e-4, s"$n arm b")
+        assert(math.abs(r.getAs[Double]("qte") - (eb - ea)) < 1e-3)
+    }
+    // quantiles are monotone within each arm
+    val va = Seq("p25", "p50", "p75", "p90").map(n => rows(n).getAs[Double]("value_a"))
+    assert(va.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
