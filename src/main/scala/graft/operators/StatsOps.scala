@@ -1454,6 +1454,26 @@ object StatsOps {
           "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))") +
         " AS ad_a2 FROM a"
     }),
+    Q("q360_stats_gini", q360 _, Some {
+      val term = Tables.r6sql("CAST(cnt AS DOUBLE) / CAST(nn AS DOUBLE) * " +
+        "(2.0 * CAST(cum_sv AS DOUBLE) / CAST(ss AS DOUBLE) - " +
+        "CAST(sv AS DOUBLE) / CAST(ss AS DOUBLE))")
+      "WITH pc AS (SELECT o_custkey, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS y FROM orders GROUP BY 1), " +
+        "perval AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        "CAST(SUM(y) AS DECIMAL(28,4)) AS sv FROM pc GROUP BY 1), " +
+        "cum AS (SELECT v, cnt, sv, " +
+        "CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum_cnt, " +
+        "CAST(SUM(sv) OVER (ORDER BY v) AS DECIMAL(28,4)) AS cum_sv FROM perval), " +
+        "tot AS (SELECT MAX(cum_cnt) AS nn, MAX(cum_sv) AS ss FROM cum), " +
+        "a AS (SELECT " +
+        s"SUM(CAST($term AS DECIMAL(18,6))) AS s, " +
+        "MAX(nn) AS n_customers, MAX(ss) AS total_value " +
+        "FROM cum CROSS JOIN tot) " +
+        "SELECT n_customers, " +
+        Tables.r6sql("CAST(total_value AS DOUBLE)") + " AS total_value, " +
+        Tables.r6sql("1.0 - CAST(s AS DOUBLE)") + " AS gini FROM a"
+    }),
     Q("q355_stats_jackknife", q355 _, Some {
       val h = "md5(CAST(o_orderkey AS VARCHAR))"
       val bucket = s"CAST(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) " +
@@ -1923,6 +1943,45 @@ object StatsOps {
       Tables.r6((nn - lit(1.0)) / (nn * nn) *
         (col("s1").cast("double") / n1 + col("s2").cast("double") / n2))
         .as("ad_a2"))
+  }
+
+  /** q360: exact Gini coefficient of customer revenue concentration —
+    * the scalar inequality measure q246's Pareto heads only samples
+    * (top-k shares answer "how much do the top 100 hold?"; Gini answers
+    * "how unequal is the WHOLE distribution", the number tracked across
+    * snapshots to see concentration drift): trapezoidal Lorenz form
+    * over the per-customer total, G = 1 − Σ_v (cnt_v/N)·(2·L(v) − l_v)
+    * with L the cumulative value share and l_v the tier's own share —
+    * evaluated per DISTINCT value, which makes the trapezoid sum exact
+    * (ties collapse into one tier, no per-row ranking anywhere).
+    *
+    * Determinism: counts and value sums are exact BIGINT/DECIMAL from
+    * the domain collapse; per-tier terms are r6-quantized then
+    * DECIMAL-summed (§2.9 R1 — unbounded value domain).
+    *
+    * Scale: customers collapse to per-customer totals (one keyed agg),
+    * then to the value DOMAIN (one groupBy); cumulative counts/sums ride
+    * the two-phase DistributedCumSum; the Gini is ONE map-side-combined
+    * fold to a single row. */
+  private def q360(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables(spark, sfDir, "orders")
+      .groupBy("o_custkey").agg(sum(Tables.dec(col("o_totalprice"))).as("y"))
+    val perVal = perCust.groupBy(col("y").as("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("y")).cast("decimal(28,4)").as("sv"))
+    val cum = graft.plans.DistributedCumSum
+      .cumulative(perVal, "v", Seq("cnt", "sv"))
+      .localCheckpoint(true) // value-domain-bounded; totals + fold read it
+    val tot = cum.agg(max("cum_cnt").as("nn"), max("cum_sv").as("ss"))
+    val d = (c: Column) => c.cast("double")
+    val term = Tables.r6(d(col("cnt")) / d(col("nn")) *
+      (lit(2.0) * d(col("cum_sv")) / d(col("ss")) - d(col("sv")) / d(col("ss"))))
+    val a = cum.crossJoin(broadcast(tot))
+      .agg(sum(term.cast("decimal(18,6)")).as("s"),
+        max("nn").as("n_customers"), max("ss").as("total_value"))
+    a.select(col("n_customers"),
+      Tables.r6(d(col("total_value"))).as("total_value"),
+      Tables.r6(lit(1.0) - d(col("s"))).as("gini"))
   }
 
   /** q265: Brown's double-exponential smoothing (the Holt-style linear

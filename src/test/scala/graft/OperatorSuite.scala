@@ -53,6 +53,8 @@ class OperatorSuite extends AnyFunSuite {
                                  // moment grand aggregate (map-side combined)
       "q351_ab_health",          // the ONE 14-term moment grand aggregate —
                                  // 1-row by design, map-side combined
+      "q360_stats_gini",         // totals + Gini 1-row folds over the
+                                 // value-domain-bounded Lorenz frame
       "q357_stats_anderson_darling", // same shared-ECDF 1-row folds
       "q349_stats_cvm",          // totals + statistic 1-row folds over the
                                  // shared value-domain-bounded ECDF frame
@@ -3174,6 +3176,25 @@ class OperatorSuite extends AnyFunSuite {
     // quantiles are monotone within each arm
     val va = Seq("p25", "p50", "p75", "p90").map(n => rows(n).getAs[Double]("value_a"))
     assert(va.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
+  test("q360 Gini: Lorenz-trapezoid result equals the mean-absolute-difference form") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q360_stats_gini")(spark, sf).head()
+    val ys = Tables(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        col("o_totalprice").cast("decimal(18,4)")).cast("double").as("y"))
+      .collect().map(_.getDouble(1))
+    assert(r.getAs[Long]("n_customers") == ys.length.toLong)
+    // the independent definition: G = sum |yi - yj| / (2 n^2 mu)
+    val n = ys.length
+    var mad = 0.0
+    for (i <- 0 until n; j <- 0 until n) mad += math.abs(ys(i) - ys(j))
+    val gini = mad / (2.0 * n * n * (ys.sum / n))
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-4,
+      s"gini ${r.getAs[Double]("gini")} vs MAD-form $gini")
+    assert(gini > 0.0 && gini < 1.0)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
