@@ -562,6 +562,19 @@ object TrainingOps {
     * array<float|double>) with a uniform dimension ≤ the 64 the plan
     * unrolls against; returns (dim, loading, eigenvalue). */
   private[graft] def pcaTopComponentOf(emb: DataFrame, dims: Int = 64): DataFrame = {
+    val (_, v, nrm) = pcaParts(emb, dims)
+    val nvec = emb.agg(count(lit(1)).cast("double").as("n"))
+    v.crossJoin(broadcast(nrm)).crossJoin(broadcast(nvec))
+      .select(col("d").cast("bigint").as("dim"), col("v").as("loading"),
+        Tables.r6(col("nrm") / col("n")).as("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  /** The shared power-iteration core: returns (centered frame, final
+    * unit direction v, final pre-normalization norm) — consumed by q293
+    * (loadings/eigenvalue) and q361 (all-but-the-top removal). */
+  private[graft] def pcaParts(emb: DataFrame,
+      dims: Int = 64): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     require(dims > 0, "pcaTopComponent: dims must be positive")
     val spark = emb.sparkSession
@@ -594,16 +607,56 @@ object TrainingOps {
         .select(col("d"), Tables.r6(col("u") / col("nrm")).as("v"))
         .localCheckpoint(true) // 64 rows; truncates per-step lineage
     }
-    val nvec = emb.agg(count(lit(1)).cast("double").as("n"))
-    v.crossJoin(broadcast(nrm)).crossJoin(broadcast(nvec))
-      .select(col("d").cast("bigint").as("dim"), col("v").as("loading"),
-        Tables.r6(col("nrm") / col("n")).as("eigenvalue"))
-      .orderBy("dim")
+    (cent, v, nrm)
   }
 
-  /** The q293 oracle: the identical power-iteration unroll as generated
-    * DuckDB CTEs. */
-  private def q293Sql: String = {
+  /** q361: all-but-the-top anisotropy correction (Mu & Viswanath, ICLR
+    * 2018) — the standard embedding post-process q293's diagnostic
+    * points at: learned embedding spaces are anisotropic (one dominant
+    * direction eats every cosine), and removing the mean + the top
+    * principal component measurably improves similarity tasks. Per
+    * vector: the projection p onto q293's top PC, the centered norm,
+    * and the corrected norm — which needs NO materialized corrected
+    * vectors, since ‖c − p·v‖² = ‖c‖² − p² algebraically (v is unit).
+    * Carried on every row: the anisotropy share Σp²/Σ‖c‖² — the
+    * fraction of total variance the one direction holds (the number
+    * that says whether the correction matters for THIS space).
+    *
+    * Determinism: q293's iteration discipline end-to-end (r6→DECIMAL
+    * sums); the corrected norm guards the r6 residue with
+    * greatest(·, 0) before sqrt so no NaN can cross an engine.
+    *
+    * Scale: the centered frame and v come from the shared pcaParts
+    * (power iteration = broadcast joins vs 64-row frames); this adds
+    * ONE vec-keyed aggregate and a 1-row share fold — no new corpus
+    * shuffle shape. */
+  private def q361(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (cent, v, _) = pcaParts(Tables(spark, sfDir, "embeddings"))
+    val per = cent.join(broadcast(v), "d")
+      .groupBy("vec_id")
+      .agg(sum(Tables.r6(col("cd") * col("v")).cast(DecimalType(18, 6)))
+          .cast("double").as("p"),
+        sum(Tables.r6(col("cd") * col("cd")).cast(DecimalType(18, 6)))
+          .cast("double").as("n2"))
+      .localCheckpoint(true) // vectors-sized but narrow; share fold + emission
+    val share = per.agg((
+        sum(Tables.r6(col("p") * col("p")).cast(DecimalType(18, 6)))
+          .cast("double") /
+        sum(col("n2").cast(DecimalType(18, 6))).cast("double")).as("raw"))
+      .select(Tables.r6(col("raw")).as("top_pc_share"))
+    per.crossJoin(broadcast(share))
+      .select(col("vec_id"), Tables.r6(col("p")).as("proj"),
+        Tables.r6(sqrt(col("n2"))).as("norm_centered"),
+        Tables.r6(sqrt(greatest(col("n2") - col("p") * col("p"), lit(0.0))))
+          .as("norm_abt"),
+        col("top_pc_share"))
+      .orderBy("vec_id")
+  }
+
+  /** The shared power-iteration CTE chain (pe/mu/cent/v0/y_i/u_i/nrm_i/
+    * v_i up to v{PcaIters}) — composed by the q293 AND q361 oracles. */
+  private def pcaCtesSql: String = {
     val iters = (1 to PcaIters).map { i =>
       val vp = s"v${i - 1}"
       s"y$i AS (SELECT vec_id, CAST(SUM(CAST(" + Tables.r6sql("cd * v") +
@@ -618,19 +671,42 @@ object TrainingOps {
         s" AS v FROM u$i CROSS JOIN nrm$i)"
     }.mkString(", ")
     val meanSql = Tables.meanDSql("SUM(CAST(xd AS DECIMAL(18,9)))", "COUNT(*)")
-    "WITH pe AS (SELECT vec_id, unnest(range(1, 65)) AS d, " +
+    "pe AS (SELECT vec_id, unnest(range(1, 65)) AS d, " +
       "CAST(unnest(embedding) AS DOUBLE) AS xd FROM embeddings), " +
       s"mu AS (SELECT d, $meanSql AS mu FROM pe GROUP BY d), " +
       "cent AS MATERIALIZED (SELECT vec_id, d, xd - mu AS cd " +
       "FROM pe JOIN mu USING (d)), " +
       "v0 AS (SELECT d, CAST(CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS v " +
       "FROM (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS d)), " +
-      iters + ", " +
+      iters
+  }
+
+  /** The q293 oracle: the identical power-iteration unroll as generated
+    * DuckDB CTEs. */
+  private def q293Sql: String =
+    s"WITH $pcaCtesSql, " +
       "nvec AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings) " +
       s"SELECT d AS dim, v AS loading, " +
       Tables.r6sql("nrm / n") + " AS eigenvalue " +
       s"FROM v$PcaIters CROSS JOIN nrm$PcaIters CROSS JOIN nvec ORDER BY dim"
-  }
+
+  /** The q361 oracle: shared PCA CTEs + the per-vector projection/norm
+    * folds and the anisotropy-share fold. */
+  private def q361Sql: String =
+    s"WITH $pcaCtesSql, " +
+      "per AS (SELECT vec_id, CAST(SUM(CAST(" + Tables.r6sql("cd * v") +
+      s" AS DECIMAL(18,6))) AS DOUBLE) AS p, CAST(SUM(CAST(" +
+      Tables.r6sql("cd * cd") +
+      s" AS DECIMAL(18,6))) AS DOUBLE) AS n2 FROM cent JOIN v$PcaIters " +
+      "USING (d) GROUP BY 1), " +
+      "sh AS (SELECT " + Tables.r6sql("CAST(SUM(CAST(" +
+      Tables.r6sql("p * p") + " AS DECIMAL(18,6))) AS DOUBLE) / " +
+      "CAST(SUM(CAST(n2 AS DECIMAL(18,6))) AS DOUBLE)") +
+      " AS top_pc_share FROM per) " +
+      "SELECT vec_id, " + Tables.r6sql("p") + " AS proj, " +
+      Tables.r6sql("sqrt(n2)") + " AS norm_centered, " +
+      Tables.r6sql("sqrt(GREATEST(n2 - p * p, 0.0))") + " AS norm_abt, " +
+      "top_pc_share FROM per CROSS JOIN sh ORDER BY vec_id"
 
   /** q290 hyperparameters. 64 hashed feature buckets keep every weight /
     * gradient frame constant-size (64 rows) at any corpus scale; 3
@@ -1378,6 +1454,7 @@ object TrainingOps {
     Q("q316_feature_hashing", q316 _, Some(q316Sql)),
     Q("q290_quality_classifier", q290 _, Some(q290Sql)),
     Q("q293_embedding_pca", q293 _, Some(q293Sql)),
+    Q("q361_embedding_abtt", q361 _, Some(q361Sql)),
     Q("q297_learning_curve", q297 _, Some(q297Sql)),
     Q("q307_embedding_outliers", q307 _, Some {
       val meanSql = Tables.meanDSql("SUM(CAST(vd AS DECIMAL(18,9)))", "COUNT(*)")

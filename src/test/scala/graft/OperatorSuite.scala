@@ -186,6 +186,8 @@ class OperatorSuite extends AnyFunSuite {
                                  // only the final ≤|pcts|-row report sorts
       "q298_simhash_bit_balance", // ndocs 1-row fold over the simhash frame
       "q293_embedding_pca",      // per-step norm + n_vecs 1-row folds
+      "q361_embedding_abtt",     // same per-step folds + the 1-row
+                                 // anisotropy-share fold
                                  // over the 64-row update frames
       "q295_perplexity_sweep",   // corpus-mean-NLL 1-row fold (one
                                  // partial row per partition)
@@ -3195,6 +3197,31 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-4,
       s"gini ${r.getAs[Double]("gini")} vs MAD-form $gini")
     assert(gini > 0.0 && gini < 1.0)
+  }
+
+  test("q361 all-but-the-top: Pythagorean norms, share in (0,1), consistent with q293") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q361_embedding_abtt")(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val (p, nc, nabt) = (r.getAs[Double]("proj"),
+        r.getAs[Double]("norm_centered"), r.getAs[Double]("norm_abt"))
+      // removal never grows a vector, and the Pythagorean identity holds
+      assert(nabt <= nc + 1e-9)
+      assert(math.abs(nabt * nabt + p * p - nc * nc) < 1e-3,
+        s"vec ${r.get(0)}: ||c'||^2 + p^2 != ||c||^2")
+      assert(math.abs(p) <= nc + 1e-9) // |projection| bounded by the norm
+    }
+    val share = rows.head.getAs[Double]("top_pc_share")
+    assert(share > 0.0 && share < 1.0)
+    // share equals sum p^2 / sum ||c||^2 over the emitted rows
+    val num = rows.map(r => math.pow(r.getAs[Double]("proj"), 2)).sum
+    val den = rows.map(r => math.pow(r.getAs[Double]("norm_centered"), 2)).sum
+    assert(math.abs(share - num / den) < 1e-3)
+    // and it is consistent with q293's eigenvalue: share ~= lambda * n / total
+    val pca = SparkEntry.queries("q293_embedding_pca")(spark, sf).collect()
+    val lambda = pca.head.getAs[Double]("eigenvalue")
+    assert(math.abs(share - lambda * rows.length / den) < 0.02)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
