@@ -294,6 +294,50 @@ object Anonymize {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** q362: differentially-private histogram via the GAUSSIAN mechanism
+    * (Dwork & Roth 2014 §A; the (ε,δ) workhorse of every deployed DP
+    * system) — the member that completes the DP family: q116 is Laplace
+    * (pure ε), q192 exponential-mechanism selection, q254 local
+    * randomized response; Gaussian is what composition-heavy releases
+    * use because its privacy loss composes tightly (zCDP). σ is the
+    * classical calibration Δ₂·√(2·ln(1.25/δ))/ε with Δ₂ = 1 (one user
+    * moves one histogram cell by 1), ε = 1, δ = 1e-6 ⇒ σ ≈ 5.31. The
+    * noise draw is the Irwin–Hall 12-uniform sum (Σ₁²U − 6 — the
+    * classical deterministic Gaussian approximation: exact mean 0,
+    * variance 1, no Box–Muller cos/sin whose cross-engine rounding is
+    * uncontracted), each uniform a 16-bit md5 digest slice keyed by
+    * (cell, i) — md5, NOT the q127 linear grid, because twelve grid
+    * uniforms at consecutive i form an arithmetic progression mod m
+    * whose sum is low-discrepancy (measured max|z| ≈ 1.2 — grossly
+    * under-dispersed "Gaussians" that would overstate the privacy of a
+    * release); fixed-seed DP, the audit/testing mode; swap for a CSPRNG
+    * per release in production. true_n rides along as the audit column
+    * (q254's convention).
+    *
+    * Scale: one QI-bounded count shuffle + a narrow scalar transform —
+    * the privacy layer adds zero distributed work (q116's shape). */
+  private def q362(spark: SparkSession, sfDir: String): DataFrame = {
+    val grouped = Tables(spark, sfDir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("true_n"))
+    def u(i: Int) = {
+      val h = s"md5(concat('gauss:', cast(c_nationkey as string), ':', " +
+        s"c_mktsegment, ':', '$i'))"
+      val hex = (1 to 4).map { p =>
+        val w = math.pow(16, 4 - p).toInt
+        s"(instr('0123456789abcdef', substring($h, $p, 1)) - 1) * $w"
+      }.mkString(" + ")
+      expr(hex).cast("double") / lit(65536.0)
+    }
+    val z = (1 to 12).map(u).reduce(_ + _) - lit(6.0)
+    val sigma = sqrt(lit(2.0) * log(lit(1250000.0)))
+    grouped
+      .select(col("c_nationkey"), col("c_mktsegment"), col("true_n"),
+        Tables.r6(sigma).as("sigma"),
+        Tables.r6(col("true_n").cast("double") + sigma * z).as("noisy_n"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   /** q140: the end-to-end anonymization ETL — the reference project's
     * whole purpose as ONE publishable-table query: direct identifiers
     * pseudonymized (salted sha2), QIs generalized (nation → region,
@@ -569,6 +613,24 @@ object Anonymize {
         Tables.meanDSql("CAST(n_rows - suppressed_rows AS DECIMAL(18,4))", "NULLIF(kept_cells, 0)") +
         " AS avg_kept_cell, " +
         "dm_kept + n_rows * suppressed_rows AS discernibility FROM m")),
+    Q("q362_anon_dp_gaussian", q362 _, Some {
+      val us = (1 to 12).map { i =>
+        val h = s"md5(CONCAT('gauss:', CAST(c_nationkey AS VARCHAR), ':', " +
+          s"c_mktsegment, ':', '$i'))"
+        val hex = (1 to 4).map { p =>
+          val w = math.pow(16, 4 - p).toInt
+          s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * $w"
+        }.mkString(" + ")
+        s"(CAST($hex AS DOUBLE) / 65536.0)"
+      }.mkString(" + ")
+      val sigma = "sqrt(2.0 * LN(1250000.0))"
+      "SELECT c_nationkey, c_mktsegment, true_n, " +
+        Tables.r6sql(sigma) + " AS sigma, " +
+        Tables.r6sql(s"CAST(true_n AS DOUBLE) + $sigma * (($us) - 6.0)") +
+        " AS noisy_n FROM (" +
+        "SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS true_n " +
+        "FROM customer GROUP BY 1, 2) ORDER BY c_nationkey, c_mktsegment"
+    }),
     Q("q116_anon_dp_noise", q116 _, Some(
       "SELECT c_nationkey, c_mktsegment, " +
         Tables.r6sql("CAST(true_n AS DOUBLE) + " +

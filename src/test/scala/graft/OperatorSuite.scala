@@ -3224,6 +3224,35 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(share - lambda * rows.length / den) < 0.02)
   }
 
+  test("q362 Gaussian DP: sigma calibration, md5 Irwin-Hall noise, healthy dispersion") {
+    val rows = SparkEntry.queries("q362_anon_dp_gaussian")(spark, sf).collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hexIdx = "0123456789abcdef"
+    val sigma = math.sqrt(2.0 * math.log(1250000.0))
+    val zs = rows.map { r =>
+      val (nk, seg, tn) = (r.get(0).toString, r.getString(1), r.getAs[Long]("true_n"))
+      assert(math.abs(r.getAs[Double]("sigma") - sigma) < 1e-5)
+      val z = (1 to 12).map { i =>
+        val h = md5hex(s"gauss:$nk:$seg:$i")
+        (hexIdx.indexOf(h(0)) * 4096 + hexIdx.indexOf(h(1)) * 256 +
+          hexIdx.indexOf(h(2)) * 16 + hexIdx.indexOf(h(3))).toDouble / 65536.0
+      }.sum - 6.0
+      assert(math.abs(r.getAs[Double]("noisy_n") - (tn + sigma * z)) < 1e-4,
+        s"cell ($nk,$seg)")
+      z
+    }
+    // Irwin-Hall draws behave like standard normals: mean near 0, unit-ish
+    // variance, and they actually VARY across cells (the q127-grid AP bug
+    // this operator's scaladoc documents showed max|z| 1.2)
+    val m = zs.sum / zs.length
+    val v = zs.map(z => (z - m) * (z - m)).sum / (zs.length - 1)
+    assert(math.abs(m) < 0.5, s"mean z $m")
+    assert(v > 0.5 && v < 2.0, s"var z $v")
+    assert(zs.map(math.abs).max > 1.5, "noise suspiciously concentrated")
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==
