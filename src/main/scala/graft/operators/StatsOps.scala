@@ -1474,6 +1474,22 @@ object StatsOps {
         Tables.r6sql("CAST(total_value AS DOUBLE)") + " AS total_value, " +
         Tables.r6sql("1.0 - CAST(s AS DOUBLE)") + " AS gini FROM a"
     }),
+    Q("q363_stats_hill_tail", q363 _, Some {
+      def one(k: Int) =
+        s"SELECT CAST($k AS BIGINT) AS k, " +
+          Tables.r6sql("xk") + " AS x_threshold, " +
+          Tables.r6sql(s"$k.0 / CAST(slog AS DOUBLE)") + " AS alpha FROM " +
+          s"(SELECT SUM(CAST(${Tables.r6sql("ln(x / xk)")} AS DECIMAL(18,6))) " +
+          "AS slog, MAX(xk) AS xk FROM (SELECT r.x AS x, t.xk AS xk " +
+          s"FROM ranked r CROSS JOIN (SELECT x AS xk FROM ranked " +
+          s"WHERE rk = ${k + 1}) t WHERE r.rk <= $k))"
+      "WITH heads AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x " +
+        "FROM orders ORDER BY x DESC, o_orderkey LIMIT 101), " +
+        "ranked AS (SELECT x, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY x DESC, o_orderkey) AS BIGINT) AS rk FROM heads) " +
+        "SELECT * FROM (" + Seq(25, 50, 100).map(one).mkString(" UNION ALL ") +
+        ") ORDER BY k"
+    }),
     Q("q355_stats_jackknife", q355 _, Some {
       val h = "md5(CAST(o_orderkey AS VARCHAR))"
       val bucket = s"CAST(((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) " +
@@ -1982,6 +1998,44 @@ object StatsOps {
     a.select(col("n_customers"),
       Tables.r6(d(col("total_value"))).as("total_value"),
       Tables.r6(lit(1.0) - d(col("s"))).as("gini"))
+  }
+
+  /** q363: Hill tail-index estimator (Hill, Ann. Stat. 1975) over order
+    * totals — the heavy-tail diagnostic that says whether MEAN-based
+    * metrics can be trusted at all: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    * k largest observations; α ≤ 2 means infinite variance (q237's
+    * bootstrap CI and q136's z-test silently break), α ≤ 1 means even
+    * the mean diverges. Reported for k ∈ {25, 50, 100} — the standard
+    * Hill-plot read: a stable α̂ across k is trustworthy, a drifting one
+    * says the tail is not yet Pareto.
+    *
+    * Determinism: the top-(k+1) sets are exact (value, orderkey)-ordered
+    * heads; ln ratios are r6-quantized then DECIMAL-summed (§2.9 R1);
+    * ties on the threshold resolve by the orderkey tiebreak identically
+    * on both engines.
+    *
+    * Scale: each head is TakeOrderedAndProject (no global sort — the
+    * per-partition top-k merge); everything after runs on ≤101 rows. */
+  private def q363(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("x"))
+    val heads = vals.orderBy(col("x").desc, col("o_orderkey")).limit(101)
+      .localCheckpoint(true) // 101 rows; all three k-slices read it
+    val ranked = heads
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("x").desc, col("o_orderkey"))).cast("bigint"))
+      .localCheckpoint(true) // ≤101 rows (q179's constant-head exception)
+    val ks = Seq(25, 50, 100).map { k =>
+      val thresh = ranked.filter(col("rk") === (k + 1))
+        .select(col("x").as("xk"))
+      ranked.filter(col("rk") <= k).crossJoin(broadcast(thresh))
+        .agg(sum(Tables.r6(log(col("x") / col("xk"))).cast("decimal(18,6)"))
+          .as("slog"), max("xk").as("xk"))
+        .select(lit(k.toLong).as("k"),
+          Tables.r6(col("xk")).as("x_threshold"),
+          Tables.r6(lit(k.toDouble) / col("slog").cast("double")).as("alpha"))
+    }
+    ks.reduce(_.unionByName(_)).orderBy("k")
   }
 
   /** q265: Brown's double-exponential smoothing (the Holt-style linear

@@ -53,6 +53,9 @@ class OperatorSuite extends AnyFunSuite {
                                  // moment grand aggregate (map-side combined)
       "q351_ab_health",          // the ONE 14-term moment grand aggregate —
                                  // 1-row by design, map-side combined
+      "q363_stats_hill_tail",    // three 1-row folds + rank window over
+                                 // the CONSTANT 101-row TakeOrdered head
+                                 // (q179/q246 exception)
       "q360_stats_gini",         // totals + Gini 1-row folds over the
                                  // value-domain-bounded Lorenz frame
       "q357_stats_anderson_darling", // same shared-ECDF 1-row folds
@@ -3251,6 +3254,27 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(m) < 0.5, s"mean z $m")
     assert(v > 0.5 && v < 2.0, s"var z $v")
     assert(zs.map(math.abs).max > 1.5, "noise suspiciously concentrated")
+  }
+
+  test("q363 Hill estimator matches an in-memory top-k recompute at each k") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q363_stats_hill_tail")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(25L, 50L, 100L))
+    val xs = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+      .collect().map(r => (r.getDouble(1), r.getLong(0)))
+      .sortBy(p => (-p._1, p._2)).map(_._1)
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      val xk = xs(k) // the (k+1)-th largest
+      assert(math.abs(r.getAs[Double]("x_threshold") - xk) < 1e-4)
+      val slog = xs.take(k)
+        .map(x => math.floor(math.log(x / xk) * 1e6 + 0.5) / 1e6).sum
+      assert(math.abs(r.getAs[Double]("alpha") - k / slog) < 1e-3,
+        s"k=$k: ${r.getAs[Double]("alpha")} vs ${k / slog}")
+      assert(r.getAs[Double]("alpha") > 0.0)
+    }
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
