@@ -799,6 +799,55 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** q364: token-budget allocation under the repetition ceiling — the
+    * data-constrained-scaling planner (Muennighoff et al., NeurIPS 2023:
+    * past ~4 epochs, repeating data stops buying loss) that turns
+    * q289's temperature weights into an executable plan: for a training
+    * budget T = 4× the corpus, each source gets alloc_s = q_s·T, reads
+    * as epochs_s = alloc_s/tokens_s, and caps at 4 epochs; the capped
+    * surplus is reported as freed budget (what a second allocation
+    * round redistributes). Per source: tokens, weight, allocation,
+    * epochs, the cap verdict, effective tokens — plus the freed total
+    * carried on every row (q196's convention). The table a pretraining
+    * lead reads to turn "mixture weights" into "how many times do we
+    * actually loop each source".
+    *
+    * Determinism: q289's exact weight recipe (pow + r6, r6-pinned
+    * DECIMAL normalizer); every derived double fixed-shape, r6'd;
+    * surplus terms r6→DECIMAL-summed.
+    *
+    * Scale: ONE corpus collapse to ≤#sources rows; every fold after is
+    * source-bounded. */
+  private def q364(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("bigint")).as("tokens"))
+      .localCheckpoint(true) // ≤ #sources rows; totals + final join
+    val tot = perSrc.agg(sum("tokens").as("tt"))
+    val withP = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"), col("tt"),
+        Tables.r6(col("tokens").cast("double") / col("tt")).as("p"))
+      .withColumn("pa", Tables.r6(pow(col("p"), lit(MixAlpha))))
+    val norm = withP.agg(sum(col("pa").cast(DecimalType(18, 6))).as("z"))
+    val planned = withP.crossJoin(broadcast(norm))
+      .withColumn("q", Tables.r6(col("pa") / col("z").cast("double")))
+      .withColumn("alloc", Tables.r6(col("q") * lit(4.0) *
+        col("tt").cast("double")))
+      .withColumn("epochs", Tables.r6(col("alloc") / col("tokens")))
+      .withColumn("capped", col("epochs") > lit(4.0))
+      .withColumn("eff", Tables.r6(least(col("epochs"), lit(4.0)) *
+        col("tokens").cast("double")))
+      .localCheckpoint(true) // ≤ #sources rows; freed fold + emission
+    val freed = planned.agg(Tables.r6(
+      sum(Tables.r6(greatest(col("alloc") - col("eff"), lit(0.0)))
+        .cast(DecimalType(18, 6))).cast("double")).as("freed_budget"))
+    planned.crossJoin(broadcast(freed))
+      .select(col("source"), col("tokens"), col("q"), col("alloc"),
+        col("epochs"), col("capped"), col("eff").as("effective_tokens"),
+        col("freed_budget"))
+      .orderBy("source")
+  }
+
   val entries: Seq[Q] = Seq(
     Q("q190_text_novelty", q190 _, Some(
       "WITH s AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents " +
@@ -1058,5 +1107,31 @@ object CorpusOps {
         Tables.r6sql("pa / CAST(z AS DOUBLE)") + " AS q, " +
         Tables.r6sql(s"${Tables.r6sql("pa / CAST(z AS DOUBLE)")} / p") + " AS upsample " +
         "FROM wpa CROSS JOIN norm ORDER BY source")),
+    Q("q364_mixture_budget", q364 _, Some {
+      val qw = Tables.r6sql("pa / CAST(z AS DOUBLE)")
+      "WITH s AS (SELECT source, " +
+        "CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS tokens " +
+        "FROM documents GROUP BY source), " +
+        "tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM s), " +
+        "wp AS (SELECT source, tokens, tt, " +
+        Tables.r6sql("CAST(tokens AS DOUBLE) / tt") + " AS p " +
+        "FROM s CROSS JOIN tot), " +
+        s"wpa AS (SELECT *, ${Tables.r6sql(s"POWER(p, $MixAlpha)")} AS pa FROM wp), " +
+        "norm AS (SELECT SUM(CAST(pa AS DECIMAL(18,6))) AS z FROM wpa), " +
+        s"pl1 AS (SELECT source, tokens, tt, $qw AS q FROM wpa CROSS JOIN norm), " +
+        "pl2 AS (SELECT *, " +
+        Tables.r6sql("q * 4.0 * CAST(tt AS DOUBLE)") + " AS alloc FROM pl1), " +
+        "pl3 AS (SELECT *, " + Tables.r6sql("alloc / tokens") +
+        " AS epochs FROM pl2), " +
+        "pl AS (SELECT *, epochs > 4.0 AS capped, " +
+        Tables.r6sql("LEAST(epochs, 4.0) * CAST(tokens AS DOUBLE)") +
+        " AS eff FROM pl3), " +
+        "fr AS (SELECT " + Tables.r6sql("CAST(SUM(CAST(" +
+        Tables.r6sql("GREATEST(alloc - eff, 0.0)") +
+        " AS DECIMAL(18,6))) AS DOUBLE)") + " AS freed_budget FROM pl) " +
+        "SELECT source, tokens, q, alloc, epochs, capped, " +
+        "eff AS effective_tokens, freed_budget " +
+        "FROM pl CROSS JOIN fr ORDER BY source"
+    }),
   )
 }

@@ -38,6 +38,8 @@ class OperatorSuite extends AnyFunSuite {
       "q149_token_pmi",          // total-bigram-count 1-row aggregate
       "q337_kneser_ney_lm",      // bigram-type-total 1-row aggregate
       "q338_length_reshape",     // rejection-scaling 1-row MIN over buckets
+      "q364_mixture_budget",     // token-total / normalizer / freed 1-row
+                                 // folds over the ≤#sources frame
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
@@ -3275,6 +3277,41 @@ class OperatorSuite extends AnyFunSuite {
         s"k=$k: ${r.getAs[Double]("alpha")} vs ${k / slog}")
       assert(r.getAs[Double]("alpha") > 0.0)
     }
+  }
+
+  test("q364 budget allocation: weights, epochs, caps and freed total recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q364_mixture_budget")(spark, sf).collect()
+    val tokens = Tables(spark, sf, "documents")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.split(col("text"), " "))
+        .cast("bigint")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == tokens.size)
+    val tt = tokens.values.sum.toDouble
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val pa = tokens.view.mapValues(t => r6(math.pow(r6(t / tt), 0.3))).toMap
+    val z = pa.values.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    var freed = 0.0
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val q = r6(pa(s) / z)
+      assert(r.getAs[Double]("q") == q, s"$s weight")
+      val alloc = r6(q * 4.0 * tt)
+      assert(math.abs(r.getAs[Double]("alloc") - alloc) < 1e-6)
+      val epochs = r6(alloc / tokens(s))
+      assert(math.abs(r.getAs[Double]("epochs") - epochs) < 1e-6)
+      assert(r.getAs[Boolean]("capped") == (epochs > 4.0))
+      val eff = r6(math.min(epochs, 4.0) * tokens(s))
+      assert(math.abs(r.getAs[Double]("effective_tokens") - eff) < 1e-6)
+      freed += r6(math.max(alloc - eff, 0.0))
+    }
+    assert(math.abs(rows.head.getAs[Double]("freed_budget") - freed) < 1e-3)
+    // the allocation spends the whole budget (before capping)
+    assert(math.abs(rows.map(_.getAs[Double]("alloc")).sum - 4.0 * tt) < 1.0)
+    // a capped source exists iff some source is freed budget
+    assert(rows.exists(_.getAs[Boolean]("capped")) == (freed > 0.0))
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
