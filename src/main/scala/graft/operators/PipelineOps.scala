@@ -697,6 +697,68 @@ object PipelineOps {
       .orderBy("quantile")
   }
 
+  /** q365: cluster-randomized experiment analysis — the wrong-unit-of-
+    * analysis trap made visible (Kish 1965 design effect; Donner & Klar;
+    * every geo/market-level test hits this): when assignment is at the
+    * CLUSTER level (here: nation parity) but the metric is per user,
+    * user-level variance treats correlated users as independent and the
+    * naive SE is too small by the design effect. Emitted side by side:
+    * the naive user-level diff/SE/z, the cluster-level analysis
+    * (clusters as observations: arm mean of cluster means, SE from
+    * between-cluster variance), and deff = (se_cluster/se_naive)² —
+    * the factor by which the naive test overstates certainty.
+    *
+    * Determinism: per-cluster moments are exact DECIMAL; cluster means
+    * are r6-pinned before their own DECIMAL moment sums (§2.9 R1);
+    * every derived double is fixed-shape, NULLIF-guarded, r6'd.
+    *
+    * Scale: ONE groupBy(cluster) collapses the corpus (cluster count ≪
+    * rows); both analyses are folds over the ≤25-row cluster frame. */
+  private def q365(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = Tables(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey").cast("bigint").as("ck"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).as("s"),
+        sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("ss"))
+      .withColumn("arm", (col("ck") % 2).cast("int"))
+      .withColumn("m", Tables.r6(col("s").cast("double") / col("n")))
+      .localCheckpoint(true) // ≤25 rows; the one grand fold reads it
+    def aSum(a: Int, e: Column) = sum(when(col("arm") === a, e))
+    val g = clusters.agg(
+      aSum(0, col("n")).as("n_0"), aSum(1, col("n")).as("n_1"),
+      aSum(0, lit(1L)).as("k_0"), aSum(1, lit(1L)).as("k_1"),
+      aSum(0, col("s")).as("s_0"), aSum(1, col("s")).as("s_1"),
+      aSum(0, col("ss")).as("ss_0"), aSum(1, col("ss")).as("ss_1"),
+      aSum(0, col("m").cast("decimal(18,6)")).as("sm_0"),
+      aSum(1, col("m").cast("decimal(18,6)")).as("sm_1"),
+      aSum(0, Tables.r6(col("m") * col("m")).cast("decimal(18,6)")).as("smm_0"),
+      aSum(1, Tables.r6(col("m") * col("m")).cast("decimal(18,6)")).as("smm_1"))
+    val d = (c: Column) => c.cast("double")
+    def userVar(a: Int) = (d(col(s"ss_$a")) - d(col(s"s_$a")) * d(col(s"s_$a")) /
+      nullif(d(col(s"n_$a")), lit(0.0))) /
+      nullif(d(col(s"n_$a")) - lit(1.0), lit(0.0))
+    def meanVar(a: Int) = (d(col(s"smm_$a")) - d(col(s"sm_$a")) * d(col(s"sm_$a")) /
+      nullif(d(col(s"k_$a")), lit(0.0))) /
+      nullif(d(col(s"k_$a")) - lit(1.0), lit(0.0))
+    val diffNaive = d(col("s_1")) / nullif(d(col("n_1")), lit(0.0)) -
+      d(col("s_0")) / nullif(d(col("n_0")), lit(0.0))
+    val diffCluster = d(col("sm_1")) / nullif(d(col("k_1")), lit(0.0)) -
+      d(col("sm_0")) / nullif(d(col("k_0")), lit(0.0))
+    val seNaive = sqrt(userVar(0) / nullif(d(col("n_0")), lit(0.0)) +
+      userVar(1) / nullif(d(col("n_1")), lit(0.0)))
+    val seCluster = sqrt(meanVar(0) / nullif(d(col("k_0")), lit(0.0)) +
+      meanVar(1) / nullif(d(col("k_1")), lit(0.0)))
+    g.select(col("n_0").as("n_users_a"), col("n_1").as("n_users_b"),
+      col("k_0").as("n_clusters_a"), col("k_1").as("n_clusters_b"),
+      Tables.r6(diffNaive).as("diff_naive"),
+      Tables.r6(seNaive).as("se_naive"),
+      Tables.r6(diffNaive / nullif(seNaive, lit(0.0))).as("z_naive"),
+      Tables.r6(diffCluster).as("diff_cluster"),
+      Tables.r6(seCluster).as("se_cluster"),
+      Tables.r6(diffCluster / nullif(seCluster, lit(0.0))).as("z_cluster"),
+      Tables.r6(seCluster * seCluster /
+        nullif(seNaive * seNaive, lit(0.0))).as("deff"))
+  }
+
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
     * user, the marketing-analytics segmentation staple. Deliberately NOT
     * `ntile(5)` over all users (a global single-partition sort — the
@@ -1444,6 +1506,51 @@ object PipelineOps {
         "SELECT * FROM (" +
         names.map { case (n, _) => row(n) }.mkString(" UNION ALL ") +
         ") ORDER BY quantile"
+    }),
+    Q("q365_ab_cluster_robust", q365 _, Some {
+      def nd(p: String) = s"CAST($p AS DOUBLE)"
+      def userVar(a: Int) = s"((${nd(s"ss_$a")} - ${nd(s"s_$a")} * ${nd(s"s_$a")} / " +
+        s"NULLIF(${nd(s"n_$a")}, 0.0)) / NULLIF(${nd(s"n_$a")} - 1.0, 0.0))"
+      def meanVar(a: Int) = s"((${nd(s"smm_$a")} - ${nd(s"sm_$a")} * ${nd(s"sm_$a")} / " +
+        s"NULLIF(${nd(s"k_$a")}, 0.0)) / NULLIF(${nd(s"k_$a")} - 1.0, 0.0))"
+      val diffNaive = s"(${nd("s_1")} / NULLIF(${nd("n_1")}, 0.0) - " +
+        s"${nd("s_0")} / NULLIF(${nd("n_0")}, 0.0))"
+      val diffCluster = s"(${nd("sm_1")} / NULLIF(${nd("k_1")}, 0.0) - " +
+        s"${nd("sm_0")} / NULLIF(${nd("k_0")}, 0.0))"
+      val seNaive = s"sqrt(${userVar(0)} / NULLIF(${nd("n_0")}, 0.0) + " +
+        s"${userVar(1)} / NULLIF(${nd("n_1")}, 0.0))"
+      val seCluster = s"sqrt(${meanVar(0)} / NULLIF(${nd("k_0")}, 0.0) + " +
+        s"${meanVar(1)} / NULLIF(${nd("k_1")}, 0.0))"
+      def aSum(a: Int, e: String, alias: String) =
+        s"SUM(CASE WHEN arm = $a THEN $e END) AS ${alias}_$a"
+      "WITH cl AS (SELECT CAST(c_nationkey AS BIGINT) AS ck, " +
+        "CAST(c_nationkey % 2 AS INT) AS arm, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s, " +
+        "SUM(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) AS ss " +
+        "FROM customer GROUP BY 1, 2), " +
+        "cm AS (SELECT *, " +
+        Tables.r6sql("CAST(s AS DOUBLE) / n") + " AS m FROM cl), " +
+        "g AS (SELECT " + Seq(
+          aSum(0, "n", "n"), aSum(1, "n", "n"),
+          aSum(0, "1", "k"), aSum(1, "1", "k"),
+          aSum(0, "s", "s"), aSum(1, "s", "s"),
+          aSum(0, "ss", "ss"), aSum(1, "ss", "ss"),
+          aSum(0, "CAST(m AS DECIMAL(18,6))", "sm"),
+          aSum(1, "CAST(m AS DECIMAL(18,6))", "sm"),
+          aSum(0, s"CAST(${Tables.r6sql("m * m")} AS DECIMAL(18,6))", "smm"),
+          aSum(1, s"CAST(${Tables.r6sql("m * m")} AS DECIMAL(18,6))", "smm"))
+          .mkString(", ") + " FROM cm) " +
+        "SELECT CAST(n_0 AS BIGINT) AS n_users_a, CAST(n_1 AS BIGINT) AS n_users_b, " +
+        "CAST(k_0 AS BIGINT) AS n_clusters_a, CAST(k_1 AS BIGINT) AS n_clusters_b, " +
+        Tables.r6sql(diffNaive) + " AS diff_naive, " +
+        Tables.r6sql(seNaive) + " AS se_naive, " +
+        Tables.r6sql(s"$diffNaive / NULLIF($seNaive, 0.0)") + " AS z_naive, " +
+        Tables.r6sql(diffCluster) + " AS diff_cluster, " +
+        Tables.r6sql(seCluster) + " AS se_cluster, " +
+        Tables.r6sql(s"$diffCluster / NULLIF($seCluster, 0.0)") + " AS z_cluster, " +
+        Tables.r6sql(s"$seCluster * $seCluster / " +
+          s"NULLIF($seNaive * $seNaive, 0.0)") + " AS deff FROM g"
     }),
     Q("q136_ab_test", q136 _, Some {
       val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"

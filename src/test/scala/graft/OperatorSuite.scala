@@ -43,6 +43,8 @@ class OperatorSuite extends AnyFunSuite {
       "q343_eval_isotonic",      // cumulative window + minimax self-joins
                                  // over the CONSTANT 10-decile frame
                                  // (q23 exception)
+      "q365_ab_cluster_robust",  // the ONE grand fold over the ≤25-row
+                                 // cluster frame
       "q358_ab_power_mde",       // the ONE 3-term moment grand aggregate;
                                  // 5 rows explode from a constant grid
       "q356_ab_poststrat",       // split-day 1-row fold + estimator folds
@@ -3312,6 +3314,38 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(rows.map(_.getAs[Double]("alloc")).sum - 4.0 * tt) < 1.0)
     // a capped source exists iff some source is freed budget
     assert(rows.exists(_.getAs[Boolean]("capped")) == (freed > 0.0))
+  }
+
+  test("q365 cluster-robust: both analyses match in-memory recomputes; deff consistent") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q365_ab_cluster_robust")(spark, sf).head()
+    val cust = Tables(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_acctbal"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val byCluster = cust.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def mv(x: Seq[Double]) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    // naive user-level analysis
+    val (u0, u1) = cust.partition(_._1 % 2 == 0)
+    val ((m0, v0), (m1, v1)) = (mv(u0.map(_._2).toSeq), mv(u1.map(_._2).toSeq))
+    val seN = math.sqrt(v0 / u0.length + v1 / u1.length)
+    assert(r.getAs[Long]("n_users_a") == u0.length)
+    assert(math.abs(r.getAs[Double]("diff_naive") - (m1 - m0)) < 0.05)
+    assert(math.abs(r.getAs[Double]("se_naive") - seN) < 0.05)
+    // cluster-level analysis over r6-pinned cluster means
+    val means = byCluster.view.mapValues(x =>
+      math.floor(x.sum / x.length * 1e6 + 0.5) / 1e6).toMap
+    val (c0, c1) = means.toSeq.partition(_._1 % 2 == 0)
+    val ((cm0, cv0), (cm1, cv1)) = (mv(c0.map(_._2)), mv(c1.map(_._2)))
+    val seC = math.sqrt(cv0 / c0.length + cv1 / c1.length)
+    assert(r.getAs[Long]("n_clusters_a") == c0.length)
+    assert(math.abs(r.getAs[Double]("diff_cluster") - (cm1 - cm0)) < 0.05)
+    assert(math.abs(r.getAs[Double]("se_cluster") - seC) < 0.05)
+    assert(math.abs(r.getAs[Double]("z_cluster") - (cm1 - cm0) / seC) < 1e-3)
+    assert(math.abs(r.getAs[Double]("deff") - seC * seC / (seN * seN)) < 1e-3)
+    assert(r.getAs[Double]("deff") > 0.0)
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
