@@ -759,6 +759,50 @@ object PipelineOps {
         nullif(seNaive * seNaive, lit(0.0))).as("deff"))
   }
 
+  /** q366: one-way intraclass correlation, ICC(1) — the clustering-
+    * strength statistic BEHIND q365's design effect (deff ≈ 1 +
+    * (m̄−1)·ICC; Shrout & Fleiss 1979; Donner 1986): how much of the
+    * metric's variance lives BETWEEN clusters rather than within — the
+    * number that decides whether cluster randomization is affordable
+    * (high ICC = clusters move together = few effective observations)
+    * and what q351's SMD thresholds mean for grouped users. One-way
+    * ANOVA form with the unequal-size correction m₀ = (N − Σn²/N)/(k−1):
+    * MSB = SSB/(k−1), MSW = SSW/(N−k), ICC = (MSB − MSW)/(MSB +
+    * (m₀−1)·MSW). Also emitted: the implied design effect 1 + (m₀−1)·ICC
+    * — directly comparable to q365's measured deff.
+    *
+    * Determinism: SSB/SSW assemble from exact-DECIMAL cluster moments;
+    * per-cluster terms are r6-quantized then DECIMAL-summed (§2.9 R1);
+    * finals are fixed-shape NULLIF-guarded doubles, r6'd.
+    *
+    * Scale: ONE groupBy(cluster) collapses the corpus; everything after
+    * is folds over the ≤#clusters frame. */
+  private def q366(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = Tables(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey").cast("bigint").as("ck"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("c_acctbal"))).as("s"),
+        sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).as("ss"))
+    val d = (c: Column) => c.cast("double")
+    val g = clusters.agg(
+      count(lit(1)).as("k"), sum("n").as("nn"),
+      sum(expr("n * n")).as("n2"),
+      sum(col("s")).as("st"),
+      sum(Tables.r6(d(col("s")) * d(col("s")) / d(col("n")))
+        .cast("decimal(18,6)")).as("sb"),
+      sum(Tables.r6(d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")))
+        .cast("decimal(18,6)")).as("ssw"))
+    val (k, nn) = (d(col("k")), d(col("nn")))
+    val ssb = d(col("sb")) - d(col("st")) * d(col("st")) / nn
+    val msb = ssb / nullif(k - lit(1.0), lit(0.0))
+    val msw = d(col("ssw")) / nullif(nn - k, lit(0.0))
+    val m0 = (nn - d(col("n2")) / nn) / nullif(k - lit(1.0), lit(0.0))
+    val icc = (msb - msw) / nullif(msb + (m0 - lit(1.0)) * msw, lit(0.0))
+    g.select(col("k").as("n_clusters"), col("nn").as("n_rows"),
+      Tables.r6(m0).as("m0"), Tables.r6(msb).as("ms_between"),
+      Tables.r6(msw).as("ms_within"), Tables.r6(icc).as("icc"),
+      Tables.r6(lit(1.0) + (m0 - lit(1.0)) * icc).as("deff_implied"))
+  }
+
   /** q137: RFM scoring — recency/frequency/monetary quintile grades per
     * user, the marketing-analytics segmentation staple. Deliberately NOT
     * `ntile(5)` over all users (a global single-partition sort — the
@@ -1551,6 +1595,33 @@ object PipelineOps {
         Tables.r6sql(s"$diffCluster / NULLIF($seCluster, 0.0)") + " AS z_cluster, " +
         Tables.r6sql(s"$seCluster * $seCluster / " +
           s"NULLIF($seNaive * $seNaive, 0.0)") + " AS deff FROM g"
+    }),
+    Q("q366_ab_icc", q366 _, Some {
+      val (k, nn) = ("CAST(k AS DOUBLE)", "CAST(nn AS DOUBLE)")
+      val ssb = s"(CAST(sb AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / $nn)"
+      val msb = s"($ssb / NULLIF($k - 1.0, 0.0))"
+      val msw = s"(CAST(ssw AS DOUBLE) / NULLIF($nn - $k, 0.0))"
+      val m0 = s"(($nn - CAST(n2 AS DOUBLE) / $nn) / NULLIF($k - 1.0, 0.0))"
+      val icc = s"(($msb - $msw) / NULLIF($msb + ($m0 - 1.0) * $msw, 0.0))"
+      "WITH cl AS (SELECT CAST(c_nationkey AS BIGINT) AS ck, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s, " +
+        "SUM(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) AS ss " +
+        "FROM customer GROUP BY 1), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, " +
+        "CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(n * n) AS BIGINT) AS n2, " +
+        "SUM(s) AS st, " +
+        "SUM(CAST(" +
+        Tables.r6sql("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)") +
+        " AS DECIMAL(18,6))) AS sb, " +
+        "SUM(CAST(" +
+        Tables.r6sql("CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * " +
+          "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)") +
+        " AS DECIMAL(18,6))) AS ssw FROM cl) " +
+        "SELECT k AS n_clusters, nn AS n_rows, " +
+        Tables.r6sql(m0) + " AS m0, " + Tables.r6sql(msb) + " AS ms_between, " +
+        Tables.r6sql(msw) + " AS ms_within, " + Tables.r6sql(icc) + " AS icc, " +
+        Tables.r6sql(s"1.0 + ($m0 - 1.0) * $icc") + " AS deff_implied FROM g"
     }),
     Q("q136_ab_test", q136 _, Some {
       val pp = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"

@@ -45,6 +45,7 @@ class OperatorSuite extends AnyFunSuite {
                                  // (q23 exception)
       "q365_ab_cluster_robust",  // the ONE grand fold over the ≤25-row
                                  // cluster frame
+      "q366_ab_icc",             // same ≤25-row cluster-frame grand fold
       "q358_ab_power_mde",       // the ONE 3-term moment grand aggregate;
                                  // 5 rows explode from a constant grid
       "q356_ab_poststrat",       // split-day 1-row fold + estimator folds
@@ -3346,6 +3347,38 @@ class OperatorSuite extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("z_cluster") - (cm1 - cm0) / seC) < 1e-3)
     assert(math.abs(r.getAs[Double]("deff") - seC * seC / (seN * seN)) < 1e-3)
     assert(r.getAs[Double]("deff") > 0.0)
+  }
+
+  test("q366 ICC: ANOVA recompute; implied deff consistent with q365's measured deff") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("q366_ab_icc")(spark, sf).head()
+    val cust = Tables(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_acctbal"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val groups = cust.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val (k, n) = (groups.size.toDouble, cust.length.toDouble)
+    val grand = cust.map(_._2).sum / n
+    val ssb = groups.values.map { g =>
+      val m = g.sum / g.length; g.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { g =>
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val msb = ssb / (k - 1); val msw = ssw / (n - k)
+    val m0 = (n - groups.values.map(g => g.length.toDouble * g.length).sum / n) / (k - 1)
+    val icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    assert(r.getAs[Long]("n_clusters") == groups.size)
+    assert(math.abs(r.getAs[Double]("m0") - m0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("ms_between") - msb) < math.abs(msb) * 1e-4)
+    assert(math.abs(r.getAs[Double]("ms_within") - msw) < math.abs(msw) * 1e-4)
+    assert(math.abs(r.getAs[Double]("icc") - icc) < 1e-4)
+    assert(math.abs(r.getAs[Double]("deff_implied") - (1 + (m0 - 1) * icc)) < 1e-3)
+    // cross-operator consistency: the Kish identity ties q366's implied
+    // deff to q365's MEASURED one (equal-ish cluster sizes, 2 arms)
+    val measured = SparkEntry.queries("q365_ab_cluster_robust")(spark, sf)
+      .head().getAs[Double]("deff")
+    assert(math.abs(r.getAs[Double]("deff_implied") - measured) < 0.35,
+      s"implied ${r.getAs[Double]("deff_implied")} vs measured $measured")
   }
 
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
