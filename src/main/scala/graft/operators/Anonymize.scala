@@ -310,9 +310,22 @@ object Anonymize {
     * uniforms at consecutive i form an arithmetic progression mod m
     * whose sum is low-discrepancy (measured max|z| ≈ 1.2 — grossly
     * under-dispersed "Gaussians" that would overstate the privacy of a
-    * release); fixed-seed DP, the audit/testing mode; swap for a CSPRNG
-    * per release in production. true_n rides along as the audit column
-    * (q254's convention).
+    * release).
+    *
+    * AUDIT MODE — NOT a privacy guarantee as emitted: the noise is a
+    * deterministic md5 function of the PUBLISHED cell key, so any
+    * consumer can recompute z and invert noisy_n exactly; the release
+    * carries zero (ε,δ) protection by construction. That is the point
+    * of this mode (cross-engine verifiable calibration of the
+    * mechanism), and the schema says so on every row: an explicit
+    * `mode = 'audit-deterministic'` column rides the output so no
+    * downstream consumer can mistake it for a calibrated release, and
+    * true_n rides along as the audit column (q254's convention). A
+    * production release MUST (a) swap the md5 uniforms for a CSPRNG
+    * draw (java.security.SecureRandom per partition, seed never
+    * derived from data), (b) DROP true_n and mode, and (c) keep σ
+    * exactly as computed here — the calibration is the part audit mode
+    * verifies.
     *
     * Scale: one QI-bounded count shuffle + a narrow scalar transform —
     * the privacy layer adds zero distributed work (q116's shape). */
@@ -334,7 +347,8 @@ object Anonymize {
     grouped
       .select(col("c_nationkey"), col("c_mktsegment"), col("true_n"),
         Tables.r6(sigma).as("sigma"),
-        Tables.r6(col("true_n").cast("double") + sigma * z).as("noisy_n"))
+        Tables.r6(col("true_n").cast("double") + sigma * z).as("noisy_n"),
+        lit("audit-deterministic").as("mode"))
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
@@ -627,7 +641,7 @@ object Anonymize {
       "SELECT c_nationkey, c_mktsegment, true_n, " +
         Tables.r6sql(sigma) + " AS sigma, " +
         Tables.r6sql(s"CAST(true_n AS DOUBLE) + $sigma * (($us) - 6.0)") +
-        " AS noisy_n FROM (" +
+        " AS noisy_n, 'audit-deterministic' AS mode FROM (" +
         "SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS true_n " +
         "FROM customer GROUP BY 1, 2) ORDER BY c_nationkey, c_mktsegment"
     }),

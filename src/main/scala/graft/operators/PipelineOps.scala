@@ -709,8 +709,11 @@ object PipelineOps {
     * the factor by which the naive test overstates certainty.
     *
     * Determinism: per-cluster moments are exact DECIMAL; cluster means
-    * are r6-pinned before their own DECIMAL moment sums (§2.9 R1);
-    * every derived double is fixed-shape, NULLIF-guarded, r6'd.
+    * are r6-pinned before their own DECIMAL moment sums (§2.9 R1 —
+    * the squared-mean terms carry DECIMAL(38,6), the q357
+    * Anderson–Darling headroom precedent, since a cluster mean squared
+    * clears DECIMAL(18,6)'s 1e12 cap at large scale factors); every
+    * derived double is fixed-shape, NULLIF-guarded, r6'd.
     *
     * Scale: ONE groupBy(cluster) collapses the corpus (cluster count ≪
     * rows); both analyses are folds over the ≤25-row cluster frame. */
@@ -730,8 +733,8 @@ object PipelineOps {
       aSum(0, col("ss")).as("ss_0"), aSum(1, col("ss")).as("ss_1"),
       aSum(0, col("m").cast("decimal(18,6)")).as("sm_0"),
       aSum(1, col("m").cast("decimal(18,6)")).as("sm_1"),
-      aSum(0, Tables.r6(col("m") * col("m")).cast("decimal(18,6)")).as("smm_0"),
-      aSum(1, Tables.r6(col("m") * col("m")).cast("decimal(18,6)")).as("smm_1"))
+      aSum(0, Tables.r6(col("m") * col("m")).cast("decimal(38,6)")).as("smm_0"),
+      aSum(1, Tables.r6(col("m") * col("m")).cast("decimal(38,6)")).as("smm_1"))
     val d = (c: Column) => c.cast("double")
     def userVar(a: Int) = (d(col(s"ss_$a")) - d(col(s"s_$a")) * d(col(s"s_$a")) /
       nullif(d(col(s"n_$a")), lit(0.0))) /
@@ -772,8 +775,10 @@ object PipelineOps {
     * — directly comparable to q365's measured deff.
     *
     * Determinism: SSB/SSW assemble from exact-DECIMAL cluster moments;
-    * per-cluster terms are r6-quantized then DECIMAL-summed (§2.9 R1);
-    * finals are fixed-shape NULLIF-guarded doubles, r6'd.
+    * per-cluster terms are r6-quantized then DECIMAL(38,6)-summed
+    * (§2.9 R1, q357-headroom form — s²/n for a nation's balance sum
+    * exceeds DECIMAL(18,6)'s 1e12 cap well before 100 TB); finals are
+    * fixed-shape NULLIF-guarded doubles, r6'd.
     *
     * Scale: ONE groupBy(cluster) collapses the corpus; everything after
     * is folds over the ≤#clusters frame. */
@@ -788,9 +793,9 @@ object PipelineOps {
       sum(expr("n * n")).as("n2"),
       sum(col("s")).as("st"),
       sum(Tables.r6(d(col("s")) * d(col("s")) / d(col("n")))
-        .cast("decimal(18,6)")).as("sb"),
+        .cast("decimal(38,6)")).as("sb"),
       sum(Tables.r6(d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")))
-        .cast("decimal(18,6)")).as("ssw"))
+        .cast("decimal(38,6)")).as("ssw"))
     val (k, nn) = (d(col("k")), d(col("nn")))
     val ssb = d(col("sb")) - d(col("st")) * d(col("st")) / nn
     val msb = ssb / nullif(k - lit(1.0), lit(0.0))
@@ -1582,8 +1587,8 @@ object PipelineOps {
           aSum(0, "ss", "ss"), aSum(1, "ss", "ss"),
           aSum(0, "CAST(m AS DECIMAL(18,6))", "sm"),
           aSum(1, "CAST(m AS DECIMAL(18,6))", "sm"),
-          aSum(0, s"CAST(${Tables.r6sql("m * m")} AS DECIMAL(18,6))", "smm"),
-          aSum(1, s"CAST(${Tables.r6sql("m * m")} AS DECIMAL(18,6))", "smm"))
+          aSum(0, s"CAST(${Tables.r6sql("m * m")} AS DECIMAL(38,6))", "smm"),
+          aSum(1, s"CAST(${Tables.r6sql("m * m")} AS DECIMAL(38,6))", "smm"))
           .mkString(", ") + " FROM cm) " +
         "SELECT CAST(n_0 AS BIGINT) AS n_users_a, CAST(n_1 AS BIGINT) AS n_users_b, " +
         "CAST(k_0 AS BIGINT) AS n_clusters_a, CAST(k_1 AS BIGINT) AS n_clusters_b, " +
@@ -1613,11 +1618,11 @@ object PipelineOps {
         "SUM(s) AS st, " +
         "SUM(CAST(" +
         Tables.r6sql("CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)") +
-        " AS DECIMAL(18,6))) AS sb, " +
+        " AS DECIMAL(38,6))) AS sb, " +
         "SUM(CAST(" +
         Tables.r6sql("CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * " +
           "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)") +
-        " AS DECIMAL(18,6))) AS ssw FROM cl) " +
+        " AS DECIMAL(38,6))) AS ssw FROM cl) " +
         "SELECT k AS n_clusters, nn AS n_rows, " +
         Tables.r6sql(m0) + " AS m0, " + Tables.r6sql(msb) + " AS ms_between, " +
         Tables.r6sql(msw) + " AS ms_within, " + Tables.r6sql(icc) + " AS icc, " +

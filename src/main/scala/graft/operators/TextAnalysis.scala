@@ -326,9 +326,15 @@ object TextAnalysis {
     * identical cross-engine) — it is sqrt(c·sqrt(c)), two
     * correctly-rounded IEEE sqrts and one multiply, bit-identical on
     * both engines; weights are r6-pinned then DECIMAL-summed; thresholds
-    * are pure int64 (cum·2¹⁶ div total over 1e6-scaled integers — no
-    * doubles near any sampler boundary; at extreme vocab×count scales
-    * drop the 1e6 scaling to 1e3 before int64 headroom matters).
+    * are exact integer arithmetic (cum·2¹⁶ div total over 1e6-scaled
+    * integers — no doubles near any sampler boundary). The cum·2¹⁶
+    * product is widened to DECIMAL(38,0) BEFORE the integral divide
+    * (int128 HUGEINT on the oracle side): a pure-int64 product would
+    * wrap once total 3/4-power mass exceeds 2⁶³/2¹⁶ ≈ 1.4e14 (a ~10M-type
+    * vocabulary at corpus scale), throwing under ANSI or silently
+    * emitting non-monotone sampler thresholds; the widened product has
+    * ~10²³× headroom and the quotient is ≤ 65536 so the final BIGINT
+    * cast can never overflow.
     *
     * Scale: ONE vocabulary-bounded groupBy collapses the corpus; the
     * cumulative pass is the two-phase DistributedCumSum over the vocab
@@ -348,7 +354,8 @@ object TextAnalysis {
       .select(col("tok"), col("c"), col("w"),
         Tables.r6(col("wdec").cast("double") / (col("tot_i") / lit(1000000.0)))
           .as("p_neg"),
-        expr("(cum_i * 65536) div tot_i").as("cum_threshold"))
+        expr("(CAST(cum_i AS DECIMAL(38,0)) * 65536) div tot_i")
+          .as("cum_threshold"))
       .orderBy("tok")
   }
 
@@ -1506,7 +1513,8 @@ object TextAnalysis {
         "SELECT tok, c, w, " +
         Tables.r6sql("CAST(CAST(w AS DECIMAL(18,6)) AS DOUBLE) / " +
           "(tot_i / 1000000.0)") + " AS p_neg, " +
-        "(cum_i * 65536) // tot_i AS cum_threshold " +
+        "CAST((CAST(cum_i AS HUGEINT) * 65536) // tot_i AS BIGINT) " +
+        "AS cum_threshold " +
         "FROM ci CROSS JOIN tot ORDER BY tok"
     }),
     Q("q350_text_entropy", q350 _, Some {

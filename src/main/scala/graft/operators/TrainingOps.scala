@@ -639,7 +639,14 @@ object TrainingOps {
           .cast("double").as("p"),
         sum(Tables.r6(col("cd") * col("cd")).cast(DecimalType(18, 6)))
           .cast("double").as("n2"))
-      .localCheckpoint(true) // vectors-sized but narrow; share fold + emission
+      // vectors-sized (the largest frame in this plan): persist with
+      // RECOMPUTABLE lineage rather than localCheckpoint — an eager
+      // localCheckpoint is not recomputable after executor loss, so the
+      // one corpus-scale frame here must keep its lineage (the bounded
+      // 64-row/≤25-row checkpoints elsewhere are cheap to lose; this one
+      // is not). MEMORY_AND_DISK spills instead of evicting, and the
+      // harness unpersists non-owned RDDs after each query.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val share = per.agg((
         sum(Tables.r6(col("p") * col("p")).cast(DecimalType(18, 6)))
           .cast("double") /
