@@ -214,6 +214,35 @@ object Bench {
         if (retestErr.nonEmpty) retestFailed += name
       }
     }
+    // ---- automated regression tripwire (VERDICT r14 item 7) ----
+    // Rounds 6–11 adjudicated per-query regressions BY HAND against the
+    // previous runs' dicts; this automates exactly that check: a query
+    // whose (retest-min) median exceeds 3× its trailing-3-run median in
+    // bench_history.jsonl — same sf_dir only — is flagged in the summary
+    // JSON. Empty on a clean run. A 0.3 s absolute floor keeps the 3×
+    // ratio from flagging 0.05→0.2 s jitter on sub-tenth-second queries,
+    // and failed queries are excluded (their "timing" is time-to-throw).
+    // Read BEFORE this run is appended, so the window is the prior runs.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")
+    val regressionFlags: Seq[String] = try {
+      import scala.jdk.CollectionConverters._
+      val same = Files.readAllLines(Paths.get(histPath)).asScala
+        .filter(_.contains(s""""sf_dir":"$sfDir"""")).toSeq.takeRight(3)
+      val qre = """"(q[^"]+)":([0-9.]+)""".r
+      val hist = same.map { ln =>
+        val at = ln.indexOf(""""queries":{""")
+        if (at < 0) Map.empty[String, Double]
+        else qre.findAllMatchIn(ln.substring(at + 11, ln.indexOf('}', at)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      if (hist.size < 3) Nil
+      else results.collect { case (name, cur)
+        if !failedQueries.contains(name) && {
+          val h = hist.flatMap(_.get(name))
+          h.size == 3 && cur > 3 * h.sorted.apply(1) && cur > 0.3
+        } => name }.toSeq
+    } catch { case _: Throwable => Nil }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -272,10 +301,12 @@ object Bench {
     val retestAuditCapped =
       s""""retested_n":${retested.size},"retested":${namesJson(retested, 5)},""" +
       s""""retest_failed":${retestFailed.size},"retest_failed_queries":${namesJson(retestFailed, 5)}"""
-    def telemetry(retestAudit: String) = s""""load":${r3(loadAvg)},"cpus":$hostCpus,""" +
-      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$retestAudit,$failedField"""
+    def telemetry(retestAudit: String, flagCap: Int) = s""""load":${r3(loadAvg)},"cpus":$hostCpus,""" +
+      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$retestAudit,$failedField,""" +
+      s""""regression_flags_n":${regressionFlags.size},""" +
+      s""""regression_flags":${namesJson(regressionFlags, flagCap)}"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,${telemetry(retestAuditFull)},"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,${telemetry(retestAuditFull, Int.MaxValue)},"queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
@@ -296,7 +327,7 @@ object Bench {
     // lines above + the full copy in bench_result.json). build.sbt routes
     // forked stdout raw (StdoutOutput) and suppresses sbt's [success]
     // epilogue so this line reaches the driver unprefixed and last.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,${telemetry(retestAuditCapped)},"sf":$sfNum,"sf_dir":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,${telemetry(retestAuditCapped, 5)},"sf":$sfNum,"sf_dir":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -1026,6 +1026,19 @@ object Graft {
   def pcaTopComponent(emb: DataFrame, dims: Int = 64): DataFrame =
     operators.TrainingOps.pcaTopComponentOf(emb, dims)
 
+  /** Lloyd-to-convergence PQ codebook training (the q340 sweep in a
+    * driver loop): 8 subspaces × 16 centroids seeded from the 16
+    * lowest-id embeddings, iterated until the relative global-SSE
+    * improvement falls under `tol` or `maxSweeps` sweeps. `emb` needs
+    * (vec_id, embedding: array<float|double> of 64 dims). Returns the
+    * trained codebook (s, code, cv: array<double>) and the per-sweep
+    * global SSE — non-increasing by Lloyd's guarantee (each per-sweep
+    * dataflow is exactly q340's: broadcast codebook, bounded argmin,
+    * DECIMAL-exact means). */
+  def pqTrain(emb: DataFrame, maxSweeps: Int = 25,
+      tol: Double = 1e-6): (DataFrame, Seq[Double]) =
+    operators.NearDup.pqTrain(emb, maxSweeps, tol)
+
   /** Winnowing fingerprint dedup (q292, MOSS lineage): token-4-gram
     * hashes, per-4-window minima as selected fingerprints, doc pairs
     * via the df-capped fingerprint inverted index. `docs` needs

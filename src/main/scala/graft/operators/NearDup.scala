@@ -789,6 +789,86 @@ object NearDup {
       .select("vec_id", "s", "code", "d2")
   }
 
+  /** Lloyd-to-convergence PQ codebook training (VERDICT r14 item 3) —
+    * the driver-loop facade q340's scaladoc promised: q340 is ONE sweep
+    * by design (the oracle-checkable unit); this iterates that exact
+    * per-sweep dataflow until the relative SSE improvement falls under
+    * `tol` or `maxSweeps` is hit. Each sweep: (E) assign every
+    * subvector to its nearest centroid (broadcast codebook, the q333
+    * argmin with the code-id tie-break), fold the global SSE
+    * (r6→DECIMAL(38,6), §2.9 R1); (M) re-estimate each centroid as the
+    * exact DECIMAL(18,9)-mean of its members (q340's cent2 discipline);
+    * empty cells keep their previous centroid (the standard Lloyd
+    * convention — a vanished code must not shrink the codebook).
+    *
+    * Seeding is id-robust (the q106 lesson): the 16 LOWEST ids by
+    * orderBy+limit — never filter(vec_id < 16), which silently returns
+    * an empty frame when ids don't start near 0.
+    *
+    * Scale (the q106/q120 per-iteration-barrier lesson): the corpus
+    * subvector frame persists ONCE with recomputable lineage
+    * (MEMORY_AND_DISK — corpus-scale frames never localCheckpoint, the
+    * q361 rule); each sweep's 128-row codebook localCheckpoints so the
+    * final plan never nests sweeps into one analysis/codegen-dominated
+    * tree; the per-sweep SSE is a 1-row driver fold — the only collect.
+    * Per sweep the dataflow is identical to q340: one broadcast join +
+    * one bounded argmin window + one (s, code, dim)-bounded mean.
+    *
+    * Returns (final codebook (s, code, cv), per-sweep global SSE) —
+    * SSE measured against the codebook the sweep ASSIGNED to, so the
+    * sequence is non-increasing by Lloyd's guarantee. */
+  private[graft] def pqTrain(emb0: DataFrame, maxSweeps: Int = 25,
+      tol: Double = 1e-6): (DataFrame, Seq[Double]) = {
+    require(maxSweeps >= 1, "pqTrain: maxSweeps must be >= 1")
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val sub = pqSubVecs(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = emb.orderBy("vec_id").limit(16)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+    var cb = pqSubVecs(seeds.select(col("code").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("code"), col("s"), col("sv").as("cv"))
+      .localCheckpoint(true) // 128 rows; per-sweep barrier (q106 lesson)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sweep = 0
+    var converged = false
+    while (sweep < maxSweeps && !converged) {
+      val wMin = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
+      val asg = sub.join(broadcast(cb), "s")
+        .select(col("vec_id"), col("s"), col("code"),
+          zipFold(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)).as("d2"))
+        .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+        .select("vec_id", "s", "code", "d2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sse = asg
+        .agg(sum(Tables.r6(col("d2")).cast(DecimalType(38, 6)))
+          .cast("double").as("sse"))
+        .head.getDouble(0)
+      converged = hist.nonEmpty &&
+        hist.last - sse <= tol * math.max(hist.last, 1.0)
+      hist += sse
+      if (!converged && sweep < maxSweeps - 1) {
+        val upd = asg.join(sub, Seq("vec_id", "s"))
+          .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+          .select(col("s"), col("code"), col("dim"),
+            col("v").cast(DecimalType(18, 9)).as("v"))
+          .groupBy("s", "code", "dim")
+          .agg(Tables.r6(sum(col("v")).cast("double") / count(lit(1))).as("c"))
+          .groupBy("s", "code")
+          .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)")
+            .as("cv_new"))
+        cb = cb.join(upd, Seq("s", "code"), "left")
+          .select(col("s"), col("code"),
+            coalesce(col("cv_new"), col("cv")).as("cv"))
+          .localCheckpoint(true) // 128 rows; eager — reads asg before the unpersist
+      }
+      asg.unpersist(blocking = false)
+      sweep += 1
+    }
+    sub.unpersist(blocking = false)
+    (cb.select("s", "code", "cv"), hist.toSeq)
+  }
+
   private def q333(spark: SparkSession, sfDir: String): DataFrame =
     pqAssign(Tables(spark, sfDir, "embeddings"))
       .select(col("vec_id"), col("s").as("sub"), col("code"),

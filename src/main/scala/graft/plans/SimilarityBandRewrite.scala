@@ -66,15 +66,35 @@ import org.apache.spark.sql.types._
   * choosing the scale path; the optimizer swaps it in exactly where the
   * measured crossover says brute force loses. PlanRuleSuite asserts
   * fire-on-large, no-fire-at-fixture-scale, subset-with-identical-values
-  * semantics, pair dedup, and idempotence.
+  * semantics, pair dedup, idempotence, and (narrow path) that no payload
+  * column rides the band exchange.
   *
-  * Known trade-off: the band equi-join shuffles each side ×NBands
-  * INCLUDING its payload columns (a logical rule sees no primary key, so
-  * it cannot split into a narrow candidate join + a re-attach join the
-  * way the hand-written q124/q314 plans do). That is still O(n·NBands)
-  * rows moved versus the nested loop's O(n²) pair evaluations — the
-  * rewrite wins asymptotically; an author who wants the narrow-join
-  * refinement writes the q124/q314 operators directly.
+  * Two rewrite shapes (VERDICT r14 item 1 — the narrow refinement):
+  *
+  *  - NARROW (preferred), when EACH side's output is exactly one scalar
+  *    attribute + the vector — the "usable row identity" case, which is
+  *    precisely the (id, embedding) projection every similarity query in
+  *    the suite feeds the join. This is the hand-written q124/q314 plan:
+  *    each side contributes only (id, signature) to the ×NBands explode,
+  *    the band equi-join emits candidate ID PAIRS, an id-level Aggregate
+  *    dedups them (two row pairs sharing an id pair must yield one
+  *    candidate), and the payloads re-attach by ONE equi-join per side.
+  *    Payload bytes move ×1 instead of ×NBands; the band exchange
+  *    carries ~24-byte rows regardless of vector width. Multiplicity is
+  *    exact even under duplicate ids: the candidate set is deduped at
+  *    the id level, so re-attachment emits each qualifying row pair
+  *    exactly once — the same semantics as the hand-written index
+  *    operators, which also join back by id. (Like them, a NULL id
+  *    cannot survive the inner re-attach equi-join, so NULL-id rows
+  *    contribute no candidates — still a subset of the brute pairs.)
+  *
+  *  - WIDE (fallback), when a side carries extra payload columns: the
+  *    band equi-join moves each side ×NBands INCLUDING payloads (a
+  *    logical rule cannot conjure a row identity that isn't there, and a
+  *    nondeterministic synthetic id breaks under recomputation). Still
+  *    O(n·NBands) rows moved versus the nested loop's O(n²) pair
+  *    evaluations; an author who wants the narrow join on a wide frame
+  *    projects to (id, vector) first — or writes q124/q314 directly.
   */
 object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -157,18 +177,25 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => false // either side's stats unknown → fail closed
       })
 
-  /** Append the canonical signature + exploded band key to one side:
-    * Project(side.output :+ sig) → Generate(explode(bk array)).
-    * bk packs (band, key) into one long (b·256 + k; k < 16 ≪ 256, so
-    * bands can never collide across b) — a single equi-join key. */
-  private def sideWithBands(side: LogicalPlan, emb: Attribute): (LogicalPlan, Attribute, Attribute) = {
-    val sigE = (0 until Hyperplanes.NPlanes).map { p =>
+  /** The canonical 32-bit hyperplane signature of one side's embedding
+    * attribute — bit-identical to the q124/q314 index builders. */
+  private def signatureExpr(emb: Attribute): Expression =
+    (0 until Hyperplanes.NPlanes).map { p =>
       val plane = Literal.create(Hyperplanes.planeArray(p), ArrayType(FloatType, containsNull = false))
       If(GreaterThanOrEqual(FloatDot(emb, plane), Literal(0.0)),
         Literal(1L << p), Literal(0L))
     }.reduce[Expression](Add(_, _))
-    val sigAlias = Alias(sigE, "graft_sig")()
-    val proj = Project(side.output :+ sigAlias, side)
+
+  /** Append the canonical signature + exploded band key to one side:
+    * Project(keep ++ sig) → Generate(explode(bk array)).
+    * bk packs (band, key) into one long (b·256 + k; k < 16 ≪ 256, so
+    * bands can never collide across b) — a single equi-join key.
+    * `keep` is the side's full output on the wide path, or just the
+    * fresh-aliased row id on the narrow path. */
+  private def sideWithBands(side: LogicalPlan, emb: Attribute,
+      keep: Seq[NamedExpression]): (LogicalPlan, Attribute, Attribute) = {
+    val sigAlias = Alias(signatureExpr(emb), "graft_sig")()
+    val proj = Project(keep :+ sigAlias, side)
     val sig = sigAlias.toAttribute
     val bkElems: Seq[Expression] = (0 until Hyperplanes.NBands).map { b =>
       Add(Literal(b.toLong * 256L), bandKey(sig, b))
@@ -181,25 +208,86 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def bandKey(sig: Expression, b: Int): Expression =
     BitwiseAnd(ShiftRight(sig, Literal(4 * b)), Literal(15L))
 
-  private def rewrite(j: Join, lEmb: Attribute, rEmb: Attribute): LogicalPlan = {
-    val (gl, sigL, bkL) = sideWithBands(j.left, lEmb)
-    val (gr, sigR, bkR) = sideWithBands(j.right, rEmb)
-    // keep each colliding pair exactly once: only the FIRST band where
-    // the two signatures agree survives — for every earlier band b' the
-    // keys must differ ((b ≤ b') OR k_l(b') ≠ k_r(b')), with b = bk>>8
+  /** Keep each colliding pair exactly once: only the FIRST band where
+    * the two signatures agree survives — for every earlier band b' the
+    * keys must differ ((b ≤ b') OR k_l(b') ≠ k_r(b')), with b = bk>>8. */
+  private def firstMatchConjunct(bkL: Attribute, sigL: Attribute,
+      sigR: Attribute): Expression = {
     val bandOf = ShiftRight(bkL, Literal(8))
-    val firstMatch = (0 until Hyperplanes.NBands - 1).map { bp =>
+    (0 until Hyperplanes.NBands - 1).map { bp =>
       Or(LessThanOrEqual(bandOf, Literal(bp.toLong)),
         Not(EqualTo(bandKey(sigL, bp), bandKey(sigR, bp))))
     }.reduce[Expression](And(_, _))
-    val cond = (Seq[Expression](EqualTo(bkL, bkR), firstMatch) ++ j.condition)
-      .reduce[Expression](And(_, _))
+  }
+
+  private def scalarType(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  /** The narrow row identity of one side, when it has one: the single
+    * scalar attribute next to the embedding in an exactly-two-column
+    * output — the (id, vector) projection the house similarity queries
+    * feed the join. Anything wider → None → the wide rewrite. */
+  private def idOf(side: LogicalPlan, emb: Attribute): Option[Attribute] =
+    side.output match {
+      case Seq(a, b) =>
+        Seq(a, b).filterNot(_.semanticEquals(emb)) match {
+          case Seq(id) if scalarType(id.dataType) &&
+            Seq(a, b).exists(_.semanticEquals(emb)) => Some(id)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def fireLog(j: Join, shape: String): Unit =
     logWarning(s"SimilarityBandRewrite: all-pairs similarity join over an " +
       s"estimated ${estLabel(j.left)}x${estLabel(j.right)} pair space exceeds " +
-      s"$PairsKey=$pairsThreshold — substituting the banded sign-LSH " +
+      s"$PairsKey=$pairsThreshold — substituting the $shape banded sign-LSH " +
       s"candidate join (set $EnabledKey=false for exact brute force)")
+
+  /** WIDE rewrite: payloads ride the ×NBands band exchange (no usable
+    * row identity to split on). */
+  private def rewriteWide(j: Join, lEmb: Attribute, rEmb: Attribute): LogicalPlan = {
+    val (gl, sigL, bkL) = sideWithBands(j.left, lEmb, j.left.output)
+    val (gr, sigR, bkR) = sideWithBands(j.right, rEmb, j.right.output)
+    val cond = (Seq[Expression](EqualTo(bkL, bkR),
+      firstMatchConjunct(bkL, sigL, sigR)) ++ j.condition)
+      .reduce[Expression](And(_, _))
+    fireLog(j, "wide")
     Project(j.output, Join(gl, gr, Inner, Some(cond), JoinHint.NONE))
   }
+
+  /** NARROW rewrite (the hand-written q124/q314 plan): band-join only
+    * (id, sig, bk), dedup candidate id pairs, re-attach each side's row
+    * by ONE id equi-join, then apply the original theta condition. The
+    * narrow branches project fresh-aliased ids so their outputs are
+    * disjoint from the re-attach branches that share the same subtree. */
+  private def rewriteNarrow(j: Join, lEmb: Attribute, rEmb: Attribute,
+      lId: Attribute, rId: Attribute): LogicalPlan = {
+    val cidLAlias = Alias(lId, "graft_cidl")()
+    val cidRAlias = Alias(rId, "graft_cidr")()
+    val (gl, sigL, bkL) = sideWithBands(j.left, lEmb, Seq(cidLAlias))
+    val (gr, sigR, bkR) = sideWithBands(j.right, rEmb, Seq(cidRAlias))
+    val (cidL, cidR) = (cidLAlias.toAttribute, cidRAlias.toAttribute)
+    val bandCond = And(EqualTo(bkL, bkR), firstMatchConjunct(bkL, sigL, sigR))
+    val bandJoin = Join(gl, gr, Inner, Some(bandCond), JoinHint.NONE)
+    // id-level dedup: an Aggregate, not Distinct — ReplaceDistinctWith-
+    // Aggregate has already run by the time either install path fires
+    val cand = Aggregate(Seq(cidL, cidR), Seq(cidL, cidR),
+      Project(Seq(cidL, cidR), bandJoin))
+    val reL = Join(cand, j.left, Inner, Some(EqualTo(cidL, lId)), JoinHint.NONE)
+    val reR = Join(reL, j.right, Inner, Some(EqualTo(cidR, rId)), JoinHint.NONE)
+    val themed = j.condition.map(Filter(_, reR)).getOrElse(reR)
+    fireLog(j, "narrow")
+    Project(j.output, themed)
+  }
+
+  private def rewrite(j: Join, lEmb: Attribute, rEmb: Attribute): LogicalPlan =
+    (idOf(j.left, lEmb), idOf(j.right, rEmb)) match {
+      case (Some(lId), Some(rId)) => rewriteNarrow(j, lEmb, rEmb, lId, rId)
+      case _ => rewriteWide(j, lEmb, rEmb)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan

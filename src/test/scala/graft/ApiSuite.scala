@@ -1069,6 +1069,32 @@ class ApiSuite extends AnyFunSuite {
     assert(r.head.getAs[Double]("eigenvalue") > 50.0) // var(±10) = 100, ‖u‖/n ≥ λ-ish
   }
 
+  test("pqTrain: >= 2 sweeps, monotone non-increasing global SSE, convergence stop, q340 cross-check") {
+    // VERDICT r14 item 3: the Lloyd-to-convergence driver loop over
+    // q340's per-sweep dataflow.
+    val emb = Tables(spark, TestSpark.sfDir, "embeddings")
+    val (cb, hist) = Graft.pqTrain(emb, maxSweeps = 25, tol = 1e-3)
+    // ran at least 2 sweeps and STOPPED on tolerance, not the cap
+    assert(hist.size >= 2, s"only ${hist.size} sweep(s)")
+    assert(hist.size < 25, s"hit maxSweeps without converging: $hist")
+    // Lloyd's guarantee: global SSE never increases sweep over sweep
+    hist.zip(hist.tail).foreach { case (a, b) =>
+      assert(b <= a + 1e-6, s"SSE increased: $hist")
+    }
+    // and the loop did real work: the first step strictly improves
+    assert(hist(1) < hist(0), s"no strict first-step decrease: $hist")
+    // codebook stays complete: 8 subspaces x 16 codes, 8-dim centroids
+    val rows = cb.collect()
+    assert(rows.length == 128, s"codebook has ${rows.length} cells")
+    assert(rows.forall(_.getAs[Seq[Double]]("cv").length == 8))
+    // cross-operator identity: sweep-0 SSE == q340's global sse_before
+    // (same seed codebook, same assignment, same r6->DECIMAL fold)
+    val q340Before = SparkEntry.queries("q340_pq_lloyd_step")(spark, TestSpark.sfDir)
+      .collect().map(_.getAs[Double]("sse_before")).sum
+    assert(math.abs(hist.head - q340Before) < 1e-4,
+      s"sweep-0 SSE ${hist.head} != q340 sse_before total $q340Before")
+  }
+
   test("winnowingPairs: a doc and its copy share every fingerprint; unrelated pair absent") {
     import spark.implicits._
     val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"

