@@ -46,6 +46,16 @@ object Graft {
 
   // ---- anonymization frame functions (q41, q42 shape) ---------------------
 
+  /** PRODUCTION (ε,δ)-DP histogram release (the q362 audit mode's
+    * production contract): per-executor CSPRNG Gaussian noise at
+    * σ = √(2·ln(1.25/δ))/ε, true counts and mode markers dropped —
+    * only (groupCols, epsilon, delta, sigma, noisy_n) leave the
+    * engine. One release; composition accounting is the caller's
+    * ledger. */
+  def dpGaussianRelease(df: DataFrame, groupCols: Seq[String],
+      eps: Double = 1.0, delta: Double = 1e-6): DataFrame =
+    operators.Anonymize.dpGaussianReleaseOf(df, groupCols, eps, delta)
+
   /** k-anonymity audit (q41): QI-group sizes with a violation flag.
     * Global groupBy — the correct distributed formulation of a global
     * guarantee; shuffle bounded by QI cardinality. */

@@ -352,6 +352,51 @@ object Anonymize {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** Per-JVM CSPRNG for [[dpGaussianReleaseOf]] — an `object` field so
+    * executors each build their own (nothing serialized, no shared seed
+    * to leak); SecureRandom.nextGaussian() is thread-safe. */
+  private lazy val secureRng = new java.security.SecureRandom()
+  private[graft] def secureGaussian(): Double = secureRng.nextGaussian()
+
+  /** The PRODUCTION counterpart of q362's audit mode (ADVICE r14): a
+    * (ε,δ)-DP histogram release over `groupCols` with REAL Gaussian
+    * noise from a per-executor CSPRNG (java.security.SecureRandom —
+    * never seeded from data), σ = Δ₂·√(2·ln(1.25/δ))/ε with Δ₂ = 1
+    * (one user moves one cell by 1). Exactly what q362's scaladoc
+    * contract demands of a production path: the CSPRNG replaces the
+    * md5 uniforms, true_n and mode are DROPPED — only (groupCols,
+    * epsilon, delta, sigma, noisy_n) leave the engine — and σ is the
+    * identical calibration the audit mode cross-engine-verifies.
+    *
+    * Non-goals, on purpose: this emits ONE release; (ε,δ) composition
+    * accounting across releases is the caller's ledger. noisy_n is the
+    * raw real-valued release (standard for counting queries; round or
+    * clamp post-hoc if the consumer needs integers — both are
+    * post-processing and cost no privacy).
+    *
+    * The noise draw is a nondeterministic scalar UDF — the ONE place a
+    * UDF beats an expression, because secure randomness is impure by
+    * definition and a codegen'd deterministic expression is exactly
+    * what a DP release must not use. Cost is nil: the UDF runs on the
+    * QI-bounded aggregate, not the corpus.
+    *
+    * Scale: one QI-bounded count shuffle + a narrow scalar transform
+    * (q116/q362's shape) — the privacy layer adds zero distributed
+    * work at any corpus size. */
+  private[graft] def dpGaussianReleaseOf(df: DataFrame, groupCols: Seq[String],
+      eps: Double, delta: Double): DataFrame = {
+    require(eps > 0 && delta > 0 && delta < 1,
+      "dpGaussianRelease: need eps > 0 and 0 < delta < 1")
+    val sigma = math.sqrt(2.0 * math.log(1.25 / delta)) / eps
+    val z = udf(() => secureGaussian()).asNondeterministic()
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("graft_true_n"))
+      .select(groupCols.map(col) ++ Seq(
+        lit(eps).as("epsilon"), lit(delta).as("delta"),
+        lit(sigma).as("sigma"),
+        (col("graft_true_n").cast("double") + lit(sigma) * z()).as("noisy_n")): _*)
+  }
+
   /** q140: the end-to-end anonymization ETL — the reference project's
     * whole purpose as ONE publishable-table query: direct identifiers
     * pseudonymized (salted sha2), QIs generalized (nation → region,
