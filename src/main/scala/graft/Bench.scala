@@ -232,8 +232,23 @@ object Bench {
       val hist = same.map { ln =>
         val at = ln.indexOf(""""queries":{""")
         if (at < 0) Map.empty[String, Double]
-        else qre.findAllMatchIn(ln.substring(at + 11, ln.indexOf('}', at)))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else {
+          // a historical run's dict includes FAILED queries' time-to-throw
+          // (by design, loud-failure contract) — those are not plan
+          // timings, and leaving them in would flag a just-fixed query as
+          // a regression on its first healthy run. History lines carry
+          // the FULL failed list (the file-copy rendering).
+          val failedHist: Set[String] = {
+            val fa = ln.indexOf(""""failed_queries":[""")
+            if (fa < 0) Set.empty
+            else """"(q[^"]+)"""".r
+              .findAllMatchIn(ln.substring(fa + 18, ln.indexOf(']', fa)))
+              .map(_.group(1)).toSet
+          }
+          qre.findAllMatchIn(ln.substring(at + 11, ln.indexOf('}', at)))
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot { case (n, _) => failedHist(n) }.toMap
+        }
       }
       if (hist.size < 3) Nil
       else results.collect { case (name, cur)

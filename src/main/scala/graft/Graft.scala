@@ -50,10 +50,13 @@ object Graft {
     * production contract): per-executor CSPRNG Gaussian noise at
     * σ = √(2·ln(1.25/δ))/ε, true counts and mode markers dropped —
     * only (groupCols, epsilon, delta, sigma, noisy_n) leave the
-    * engine. One release; composition accounting is the caller's
-    * ledger. */
+    * engine, and the release is materialized so exactly ONE noise draw
+    * exists however many actions follow. Requires ε ∈ (0,1): the
+    * classical calibration's theorem precondition (Dwork & Roth
+    * Thm A.1) — not a style choice. One release; composition
+    * accounting is the caller's ledger. */
   def dpGaussianRelease(df: DataFrame, groupCols: Seq[String],
-      eps: Double = 1.0, delta: Double = 1e-6): DataFrame =
+      eps: Double = 0.5, delta: Double = 1e-6): DataFrame =
     operators.Anonymize.dpGaussianReleaseOf(df, groupCols, eps, delta)
 
   /** k-anonymity audit (q41): QI-group sizes with a violation flag.

@@ -385,8 +385,15 @@ object Anonymize {
     * work at any corpus size. */
   private[graft] def dpGaussianReleaseOf(df: DataFrame, groupCols: Seq[String],
       eps: Double, delta: Double): DataFrame = {
-    require(eps > 0 && delta > 0 && delta < 1,
-      "dpGaussianRelease: need eps > 0 and 0 < delta < 1")
+    // eps < 1 is a THEOREM precondition, not hygiene: the classical
+    // sigma = Delta·sqrt(2·ln(1.25/delta))/eps calibration (Dwork & Roth
+    // Thm A.1) is only proven for eps in (0,1) — at eps >= 1 it
+    // under-noises and the advertised (eps,delta) guarantee is false.
+    // Callers needing eps >= 1 must use the analytic Gaussian mechanism
+    // (Balle & Wang, ICML 2018), which is out of this facade's scope.
+    require(eps > 0 && eps < 1 && delta > 0 && delta < 1,
+      "dpGaussianRelease: classical Gaussian calibration requires 0 < eps < 1 " +
+        "and 0 < delta < 1 (use the analytic Gaussian mechanism for eps >= 1)")
     val sigma = math.sqrt(2.0 * math.log(1.25 / delta)) / eps
     val z = udf(() => secureGaussian()).asNondeterministic()
     df.groupBy(groupCols.map(col): _*)
@@ -395,6 +402,15 @@ object Anonymize {
         lit(eps).as("epsilon"), lit(delta).as("delta"),
         lit(sigma).as("sigma"),
         (col("graft_true_n").cast("double") + lit(sigma) * z()).as("noisy_n")): _*)
+      // ONE draw per facade call, enforced: without a barrier every
+      // action on the returned frame re-runs the nondeterministic UDF —
+      // show() then write() would publish two DIFFERENT releases whose
+      // average leaks beyond (eps,delta) (k draws shrink effective noise
+      // by sqrt(k)). The QI-bounded frame is exactly the bounded-frame
+      // checkpoint case; losing it on executor failure is SAFER than
+      // re-drawing, which is the one place non-recomputable state is
+      // the correct choice.
+      .localCheckpoint(true)
   }
 
   /** q140: the end-to-end anonymization ETL — the reference project's

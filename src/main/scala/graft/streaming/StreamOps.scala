@@ -215,17 +215,25 @@ class TrailingWindowProcessor(windowUs: Long)
       tv: TimerValues): Iterator[TrailStat] = {
     val evictBelow = tv.getCurrentWatermarkInMs() * 1000L - windowUs
     val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-    val all = (buf.get().toSeq ++ incoming.map(e =>
+    // emission reads the PRE-eviction union: the engine admits rows by
+    // the PREVIOUS batch's watermark while this batch's eviction uses
+    // the CURRENT one, so an admitted row between the two could
+    // otherwise be emitted against an already-shrunk buffer — down to
+    // n_10min = 0, an output the batch frame can never produce (a
+    // trailing window always contains its own row). Such late-admitted
+    // rows get best-effort stats over everything still held; on-time
+    // rows are unaffected (their window is entirely >= evictBelow).
+    val union = (buf.get().toSeq ++ incoming.map(e =>
       TrailEntry(e.ts.getTime * 1000L, e.value)))
-      .filter(_.ts_us >= evictBelow)
       .sortBy(_.ts_us) // fixed fold order: deterministic double sums
+    val kept = union.filter(_.ts_us >= evictBelow)
     buf.clear()
-    if (all.nonEmpty) buf.appendList(all.toArray)
+    if (kept.nonEmpty) buf.appendList(kept.toArray)
     incoming.iterator.map { e =>
       val ts = e.ts.getTime * 1000L
-      val inWin = all.filter(x => x.ts_us >= ts - windowUs && x.ts_us <= ts)
+      val inWin = union.filter(x => x.ts_us >= ts - windowUs && x.ts_us <= ts)
       TrailStat(key, e.event_id, ts, inWin.size.toLong,
-        inWin.map(_.value).sum, all.size.toLong)
+        inWin.map(_.value).sum, kept.size.toLong)
     }
   }
 }

@@ -300,6 +300,32 @@ class PlanRuleSuite extends AnyFunSuite {
         .exists(_.dataType.isInstanceOf[ArrayType])),
         "wide fallback unexpectedly went narrow — payload would be lost")
       assert(wq.collect().nonEmpty)
+
+      // 4. NULL ids: the documented narrow-path contract — NULL-id rows
+      //    cannot survive the inner re-attach equi-join (exactly like the
+      //    hand-written q124/q314 index operators, which also join back
+      //    by id); the result stays a subset with identical values and
+      //    non-NULL pairs are unaffected
+      val nid = (0L until 300L).map(i =>
+          (if (i % 50 == 0) None else Some(i), simVec(i)))
+        .toDF("vid", "emb")
+      val na = nid.select(col("vid").as("id_a"), col("emb").as("ea"))
+      val nb = nid.select(col("vid").as("id_b"), col("emb").as("eb"))
+      val nq = na.join(nb, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      assert(nq.queryExecution.optimizedPlan.toString.contains("graft_bk"))
+      val nGot = nq.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      assert(nGot.nonEmpty && nGot.forall { case ((a, b), _) => a % 50 != 0 && b % 50 != 0 },
+        "a NULL-id row leaked through the narrow re-attach join")
+      // values still identical to brute force for surviving pairs
+      spark.conf.set(pairsKey, Long.MaxValue.toString)
+      val nExact = na.join(nb, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      spark.conf.set(pairsKey, "1000")
+      nGot.foreach { case (pair, dot) =>
+        assert(nExact.get(pair).contains(dot), s"pair $pair diverged")
+      }
     } finally spark.conf.unset(pairsKey)
   }
 

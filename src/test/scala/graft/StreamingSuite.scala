@@ -899,6 +899,13 @@ class StreamingSuite extends AnyFunSuite {
         s"expected 5 buffered after eviction (0,3 gone), got ${nBuf(16L)}")
       // and within batch 1 (watermark still 0) nothing was evicted
       assert(nBuf(14L) == 5L, s"batch-1 buffer must hold all 5: ${nBuf(14L)}")
+      // invariant no batch RANGE frame can violate, guarded against the
+      // admission/eviction watermark gap (emission reads the
+      // PRE-eviction union): every event counts at least itself
+      spark.table("trail103").collect().foreach { r =>
+        assert(r.getAs[Long]("n_10min") >= 1L,
+          s"event ${r.getAs[Long]("event_id")}: trailing window lost its own row")
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
