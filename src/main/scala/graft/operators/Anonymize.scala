@@ -320,8 +320,11 @@ object Anonymize {
     * mechanism), and the schema says so on every row: an explicit
     * `mode = 'audit-deterministic'` column rides the output so no
     * downstream consumer can mistake it for a calibrated release, and
-    * true_n rides along as the audit column (q254's convention). A
-    * production release MUST (a) swap the md5 uniforms for a CSPRNG
+    * true_n rides along as the audit column (q254's convention). The
+    * production path EXISTS: [[graft.Graft.dpGaussianRelease]] /
+    * [[dpGaussianReleaseOf]] — CSPRNG noise, no true_n/mode, same σ
+    * calibration, ε ∈ (0,1) enforced. A production release MUST
+    * (a) swap the md5 uniforms for a CSPRNG
     * draw (java.security.SecureRandom per partition, seed never
     * derived from data), (b) DROP true_n and mode, and (c) keep σ
     * exactly as computed here — the calibration is the part audit mode

@@ -1642,7 +1642,8 @@ object NearDup {
     * Scale: one grouped mean over (subspace, code, dim) — 8·16·8 = 1024
     * output cells regardless of corpus size — and two candidate-bounded
     * folds; the corpus contributes one narrow pass each. Iterating to
-    * convergence is this operator in a driver loop; the dataflow per
+    * convergence is this operator in a driver loop — [[pqTrain]] /
+    * [[graft.Graft.pqTrain]] IS that loop (r15); the dataflow per
     * sweep is unchanged. */
   private def q340(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables(spark, sfDir, "embeddings")
