@@ -238,6 +238,56 @@ class TrailingWindowProcessor(windowUs: Long)
   }
 }
 
+/** One exploded window contribution for [[SlidingDistinctProcessor]]
+  * (the q108 contribute-then-count discipline: an event at bucket b is
+  * a contributor to windows [b, b+W-1]; no window ever rescans). */
+case class Contribution(ts: java.sql.Timestamp, user_id: Long, wb: Long)
+
+/** Finalized sliding-distinct window for
+  * [[StreamOps.slidingDistinctStream]]. */
+case class ActiveWindow(wb: Long, active: Long)
+
+/** q108's sliding-distinct counting on the incremental engine (the
+  * second half of VERDICT r14 item 4's "RANGE-frame / sliding-distinct
+  * analogs"): distinct active users over the trailing W buckets per
+  * window bucket, emitted ON CLOSE. Keyed by window bucket; one
+  * MapState[user, unit] per OPEN window holds its distinct set (the
+  * q108 contribute-then-count shape — each event feeds its W windows,
+  * no window rescans history); ONE event-time timer per window fires
+  * when the watermark passes the window's last on-time instant (every
+  * contributor to wb has bkt ≤ wb, so ts < (wb+1)·bucket), emits the
+  * FINAL count once, and clears the state — append-mode finalization,
+  * the same emit-on-close contract as a watermarked windowed agg, but
+  * with the distinct set as explicit state.
+  *
+  * Scale: state = one (user) map entry per active (window, user) pair,
+  * bounded by window span × active users, evicted wholesale at close;
+  * the ×W contribution fan-out is narrow rows (the batch q108 pays the
+  * same explode). */
+class SlidingDistinctProcessor(bucketMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Contribution, ActiveWindow] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+  @transient private var seen: org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getMapState[Long, Boolean]("seen",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Contribution],
+      tv: TimerValues): Iterator[ActiveWindow] = {
+    rows.foreach(c => seen.updateValue(c.user_id, true))
+    if (!getHandle.listTimers().hasNext)
+      getHandle.registerTimer((key + 1) * bucketMs)
+    Iterator.empty
+  }
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[ActiveWindow] = {
+    val n = seen.keys().size.toLong
+    seen.clear()
+    Iterator.single(ActiveWindow(key, n))
+  }
+}
+
 /** Idle-user alert for [[StreamOps.idleAlerts]]. */
 case class IdleAlert(user_id: Long, last_seen_ms: Long, idle_at_ms: Long)
 
@@ -500,6 +550,27 @@ object StreamOps {
     * [[IdleAlertProcessor]]): emits one alert per user once the
     * watermark proves no event arrived for `idleMinutes` after their
     * last one. RocksDB provider required (transformWithState API). */
+  /** Streaming sliding-distinct active-user counts (q108's analog,
+    * VERDICT r14 item 4): distinct users over the trailing
+    * `windowBuckets` buckets of `bucketMinutes` each, one FINAL row per
+    * window bucket emitted when the watermark closes it. See
+    * [[SlidingDistinctProcessor]]. */
+  def slidingDistinctStream(events: Dataset[Event], bucketMinutes: Int = 10,
+      windowBuckets: Int = 6): Dataset[ActiveWindow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val bucketUs = bucketMinutes * 60000000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), col("user_id"),
+        explode(expr(s"sequence(unix_micros(ts) DIV $bucketUs, " +
+          s"unix_micros(ts) DIV $bucketUs + ${windowBuckets - 1})")).as("wb"))
+      .as[Contribution]
+      .groupByKey(_.wb)
+      .transformWithState(new SlidingDistinctProcessor(bucketMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming trailing RANGE-frame stats (q103's analog, VERDICT r14
     * item 4): per user, per event — count and value sum over the
     * trailing `windowMinutes` event-time window, RocksDB ListState

@@ -326,6 +326,28 @@ class PlanRuleSuite extends AnyFunSuite {
       nGot.foreach { case (pair, dot) =>
         assert(nExact.get(pair).contains(dot), s"pair $pair diverged")
       }
+
+      // 5. cross-path consistency: with unique ids, the narrow plan
+      //    (id-level dedup + re-attach) and the wide plan (first-match
+      //    row dedup, forced by an extra payload column) must emit
+      //    EXACTLY the same (id_a, id_b, dot) set — the two rewrites are
+      //    one candidate semantics, differently shuffled
+      val wideA = (0L until 300L).map(i => (i, simVec(i), "pay"))
+        .toDF("vid", "emb", "pay")
+        .select(col("vid").as("id_a"), col("emb").as("ea"), col("pay"))
+      val wideB = (0L until 300L).map(i => (i, simVec(i), "pay"))
+        .toDF("vid", "emb", "pay2")
+        .select(col("vid").as("id_b"), col("emb").as("eb"), col("pay2"))
+      val widePairs = wideA.join(wideB, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      assert(widePairs.queryExecution.optimizedPlan.toString.contains("graft_bk"))
+      val wideSet = widePairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val narrowSet = bruteShape(300).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(narrowSet == wideSet,
+        s"narrow and wide rewrites diverged: narrow-only=${(narrowSet -- wideSet).take(3)} " +
+          s"wide-only=${(wideSet -- narrowSet).take(3)}")
     } finally spark.conf.unset(pairsKey)
   }
 
