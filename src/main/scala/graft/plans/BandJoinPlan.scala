@@ -125,20 +125,29 @@ case class BandJoinExec(
       facts.flatMap { f =>
         val fKey = f.getLong(0)
         val fT = f.getLong(1)
+        // SATURATING band bounds: the facade only requires delta >= 0,
+        // and an epoch-µs timestamp plus a huge delta (Long.MaxValue as
+        // "unbounded") would wrap fT + d negative — silently admitting
+        // nothing — while fT - d on negative timestamps wraps positive
+        // and evicts genuine matches (r15 review). Clamp to the Long
+        // endpoints: exact for every sane input, correct ("the whole
+        // axis") for the unbounded idiom.
+        val hiBound = if (fT > Long.MaxValue - d) Long.MaxValue else fT + d
+        val loBound = if (fT < Long.MinValue + d) Long.MinValue else fT - d
         // evict window rows that can no longer match this or any later fact
         while (buf.nonEmpty && {
-          val h = buf.head; h._1 < fKey || (h._1 == fKey && h._2 < fT - d)
+          val h = buf.head; h._1 < fKey || (h._1 == fKey && h._2 < loBound)
         }) buf.removeHead()
         // discard right rows permanently below the band...
         while (rs.hasNext && {
           val h = rs.head
           val hk = h.getLong(0)
-          hk < fKey || (hk == fKey && h.getLong(1) < fT - d)
+          hk < fKey || (hk == fKey && h.getLong(1) < loBound)
         }) rs.next()
         // ...and admit those inside it (copied: Spark reuses row objects)
         while (rs.hasNext && {
           val h = rs.head
-          h.getLong(0) == fKey && h.getLong(1) <= fT + d
+          h.getLong(0) == fKey && h.getLong(1) <= hiBound
         }) {
           val r = rs.next()
           buf.append((r.getLong(0), r.getLong(1),

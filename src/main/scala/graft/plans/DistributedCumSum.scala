@@ -24,10 +24,14 @@ object DistributedCumSum {
 
   /** Append `cum_<c>` = running sum of each `c` in `sumCols` over
     * ascending `key` order (rows with equal keys are summed together —
-    * callers needing strict per-row prefixes must pre-aggregate to one
-    * row per key, which is also what bounds the frame). Column names must
-    * not collide with the emitted `cum_` names or the reserved `graft_`
-    * prefix. */
+    * the in-partition window uses a RANGE frame, so every tied row sees
+    * the full tied-group total, exactly like the documented
+    * `sum(c).over(Window.orderBy(key))` equivalent; a ROWS frame here
+    * would hand tied rows nondeterministic partial prefixes — r15
+    * review. Callers needing strict per-row prefixes pre-aggregate to
+    * one row per key, which is also what bounds the frame). Column
+    * names must not collide with the emitted `cum_` names or the
+    * reserved `graft_` prefix. */
   def cumulative(df: DataFrame, key: String, sumCols: Seq[String]): DataFrame = {
     require(sumCols.nonEmpty, "cumulative: need at least one sum column")
     require(!df.columns.exists(_.startsWith("graft_")) &&
@@ -44,7 +48,7 @@ object DistributedCumSum {
       .withColumn("graft_pid", spark_partition_id())
       .localCheckpoint(true)
     val w = Window.partitionBy("graft_pid")
-      .orderBy(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(key).rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val withRun = sumCols.foldLeft(local) { (d, c) =>
       d.withColumn(s"graft_run_$c", sum(col(c)).over(w))
     }
@@ -106,19 +110,30 @@ object DistributedCumSum {
     val totals = local.groupBy(("graft_pid" +: groupCols).map(col): _*)
       .agg(sum(sumCols.head).as(s"graft_t_${sumCols.head}"),
         sumCols.tail.map(c => sum(c).as(s"graft_t_$c")): _*)
+    // group matching is NULL-SAFE (<=>) in BOTH joins: the window form
+    // this object replaces treats NULL as its own group, but a
+    // null-rejecting equi-join would (a) zero the cross-partition
+    // offsets of a NULL group that spans partitions and (b) DROP every
+    // NULL-group row at the final inner join (r15 review).
     val offsets = totals
       .join(broadcast(totals.select(
         (col("graft_pid").as("graft_pid2") +:
           (groupCols.map(g => col(g).as(s"graft_g2_$g")) ++
             sumCols.map(c => col(s"graft_t_$c").as(s"graft_t2_$c")))): _*)),
-        groupCols.map(g => col(g) === col(s"graft_g2_$g"))
+        groupCols.map(g => col(g) <=> col(s"graft_g2_$g"))
           .reduce(_ && _) && col("graft_pid2") < col("graft_pid"), "left")
       .groupBy(("graft_pid" +: groupCols).map(col): _*)
       .agg(coalesce(sum(s"graft_t2_${sumCols.head}"), lit(0))
           .as(s"graft_off_${sumCols.head}"),
         sumCols.tail.map(c =>
           coalesce(sum(s"graft_t2_$c"), lit(0)).as(s"graft_off_$c")): _*)
-    withRun.join(broadcast(offsets), "graft_pid" +: groupCols)
+    val offKeyed = offsets.select(
+      (col("graft_pid").as("graft_pidO") +:
+        (groupCols.map(g => col(g).as(s"graft_gO_$g")) ++
+          sumCols.map(c => col(s"graft_off_$c")))): _*)
+    withRun.join(broadcast(offKeyed),
+        col("graft_pid") === col("graft_pidO") &&
+          groupCols.map(g => col(g) <=> col(s"graft_gO_$g")).reduce(_ && _))
       .select((df.columns.map(col) ++ sumCols.map(c =>
         (col(s"graft_off_$c") + col(s"graft_run_$c")).as(s"cum_$c"))): _*)
   }

@@ -55,11 +55,27 @@ object FrameMemo {
   def shared(spark: SparkSession, tag: String, sfDir: String)
       (build: => DataFrame): DataFrame = synchronized {
     val sc = spark.sparkContext
+    // evict entries of DEAD applications: a JVM that restarts its
+    // SparkContext (test harnesses, long-lived drivers) would otherwise
+    // retain the old sessions' DataFrames — and their whole plan trees /
+    // session state — for the JVM lifetime (r15 review). Their blocks
+    // died with the old context; dropping the references is all that's
+    // left to do.
+    cache.keys.filter(_._1 != sc.applicationId).toSeq.foreach(cache.remove)
     val key = (sc.applicationId, tag, sfDir)
     cache.get(key) match {
       case Some(e) if e.pinnedIds.forall(sc.getPersistentRDDs.contains) =>
         e.df
       case _ =>
+        // Ownership = the getPersistentRDDs DIFF around the build. This
+        // attributes correctly because builds are single-flight (this
+        // lock) and the hosts' sweep/persist activity happens BETWEEN
+        // queries, never concurrently with a build; a host that persists
+        // foreign frames from another thread DURING a build would see
+        // them captured into pinnedIds (over-pinning: they survive
+        // sweeps and are force-released by clear()). There is no RDD-id
+        // attribution API to do better; the contract is documented here
+        // because the failure mode is silent.
         val before = sc.getPersistentRDDs.keySet.toSet
         val df = build.localCheckpoint(eager = true)
         val pinned = sc.getPersistentRDDs.keySet.toSet -- before

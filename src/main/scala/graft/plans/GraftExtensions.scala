@@ -49,6 +49,18 @@ object GraftRules {
     * them twice (ADVICE r13). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.synchronized {
+      // a session configured with spark.sql.extensions=GraftExtensions
+      // already runs these rules in the injected custom-rule batch;
+      // appending them to extraOptimizations too would execute every
+      // rule in TWO batches on every optimization pass (r15 review —
+      // the same double-run waste the synchronization above was added
+      // to prevent, via the other install path). Programmatic
+      // withExtensions callers aren't detectable this way; for them the
+      // double run is idempotent-by-design and costs only pattern
+      // matching.
+      val viaExtensions = spark.conf.getOption("spark.sql.extensions")
+        .exists(_.contains("graft.plans.GraftExtensions"))
+      if (viaExtensions) return
       val cur = spark.experimental.extraOptimizations
       val want = Seq(LevenshteinPrefilter, SimilarityBandRewrite)
         .filterNot(cur.contains)

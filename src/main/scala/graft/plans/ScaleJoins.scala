@@ -38,8 +38,22 @@ object ScaleJoins {
     require(saltBuckets > 0)
     require(!left.columns.contains("graft_salt") && !right.columns.contains("graft_salt"),
       "graft_salt is reserved by saltedJoin")
+    // hash() rejects MapType (anywhere in the type tree) since Spark 3 —
+    // salting must skip unhashable columns rather than throw where the
+    // plain join would have worked (r15 review). A frame with NO
+    // hashable column degenerates to salt 0: still correct, just
+    // unspread (and such a frame has no join key to be skewed on).
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltSrc = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     val salted = left.withColumn("graft_salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      if (saltSrc.nonEmpty) pmod(hash(saltSrc.toIndexedSeq: _*), lit(saltBuckets))
+      else lit(0))
     val replicated = right.withColumn("graft_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted

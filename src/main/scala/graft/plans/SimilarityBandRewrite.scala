@@ -125,10 +125,25 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * high). Unknown stats → None → the rule never fires; a
     * candidate-pruning rewrite must fail CLOSED. */
   private def estRows(p: LogicalPlan): Option[BigInt] = {
-    val s = p.stats
-    s.rowCount.orElse {
-      if (s.sizeInBytes <= 0 || s.sizeInBytes >= conf.defaultSizeInBytes) None
-      else Some((s.sizeInBytes / EstRowBytes).max(1))
+    // the plan-level sentinel compare alone is BYPASSABLE: a narrowing
+    // Project multiplies sizeInBytes by outputWidth/childWidth, which
+    // scales the Long.MaxValue "I know nothing" sentinel BELOW
+    // defaultSizeInBytes and turns it into a colossal bogus row estimate
+    // (r15 review). So additionally require every LEAF to carry real
+    // statistics — one sentinel-statted leaf (LogicalRDD, ExternalRDD,
+    // streaming relation) poisons anything derived from it, and the
+    // rule must fail closed.
+    val unknownLeaf = p.collectLeaves().exists { l =>
+      val ls = l.stats
+      ls.rowCount.isEmpty && ls.sizeInBytes >= conf.defaultSizeInBytes
+    }
+    if (unknownLeaf) None
+    else {
+      val s = p.stats
+      s.rowCount.orElse {
+        if (s.sizeInBytes <= 0 || s.sizeInBytes >= conf.defaultSizeInBytes) None
+        else Some((s.sizeInBytes / EstRowBytes).max(1))
+      }
     }
   }
 

@@ -208,6 +208,29 @@ class PlanRuleSuite extends AnyFunSuite {
         "rule fired on a stats-less LogicalRDD plan — candidate pruning must fail closed")
       assert(q.count() == 50L * 49 / 2, "exact all-pairs result was pruned")
 
+      // 1b. r15 review: a NARROWING Project over the stats-less RDD
+      // scales the sizeInBytes sentinel BELOW defaultSizeInBytes (the
+      // visitor multiplies by the width ratio), so the plan-level
+      // compare alone would produce a bogus huge row estimate and fire.
+      // The leaf-level check must still fail closed.
+      val wideSchema = StructType(Seq(
+        StructField("vid", LongType, nullable = false),
+        StructField("emb", ArrayType(FloatType, containsNull = false)),
+        StructField("pad1", StringType), StructField("pad2", StringType),
+        StructField("pad3", StringType), StructField("pad4", StringType)))
+      val wideRdd = spark.sparkContext.parallelize(
+        (0L until 50L).map(i => Row(i, simVec(i).toSeq,
+          "x" * 40, "y" * 40, "z" * 40, "w" * 40)), 4)
+      val wideDf = spark.createDataFrame(wideRdd, wideSchema)
+      val na2 = wideDf.select(col("vid").as("id_a"), col("emb").as("ea"))
+      val nb2 = wideDf.select(col("vid").as("id_b"), col("emb").as("eb"))
+      val q2 = na2.join(nb2, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "rule fired through a narrowing Project over a stats-less leaf — " +
+          "the width-scaled sentinel bypassed the fail-closed guard")
+      assert(q2.count() == 50L * 49 / 2)
+
       // 2. per-pair vector math that is NOT the similarity kernel:
       //    zip_with / struct over the same large-enough local frames
       import spark.implicits._
@@ -471,5 +494,16 @@ class PlanRuleSuite extends AnyFunSuite {
         Seq((1L, 10L, "hit"), (1L, 11L, "miss")).toDF("key", "t", "v"), 0L)
       .collect().map(_.getString(4)).toSeq
     assert(d0 == Seq("hit"))
+    // 4. r15 review: delta = Long.MaxValue (the "unbounded" idiom) must
+    //    saturate, not wrap — every same-key pair matches, across sign
+    val unb = Graft.bandJoinNative(
+        Seq((1L, 10L, 1L), (1L, -10L, 2L)).toDF("key", "t", "left_id"),
+        Seq((1L, Long.MinValue / 2, "lo"), (1L, 0L, "mid"),
+          (1L, Long.MaxValue / 2, "hi")).toDF("key", "t", "v"),
+        Long.MaxValue)
+      .collect().map(r => (r.getLong(2), r.getString(4))).toSet
+    assert(unb == Set((1L, "lo"), (1L, "mid"), (1L, "hi"),
+        (2L, "lo"), (2L, "mid"), (2L, "hi")),
+      s"unbounded delta wrapped: ${unb.toSeq.sorted}")
   }
 }

@@ -28,6 +28,13 @@ class ScaleJoinsSuite extends AnyFunSuite {
       .select("k", "payload", "name").collect().toSet
     assert(salted == plain)
     assert(plain.nonEmpty)
+
+    // r15 review: a MAP-typed payload must not break the salt (hash()
+    // rejects MapType since Spark 3) — salting skips unhashable columns
+    val leftM = left.withColumn("props", map(lit("a"), col("payload")))
+    val saltedM = ScaleJoins.saltedJoin(leftM, right, col("k"), col("rk"), 8)
+      .select("k", "payload", "name").collect().toSet
+    assert(saltedM == plain, "map-typed payload changed the salted join result")
   }
 
   private def countShuffles(plan: SparkPlan): Int = {
