@@ -17,18 +17,27 @@ import org.apache.spark.sql.expressions.Aggregator
   * switch to the two-pass groupBy formulation (see q44's oracle SQL, which
   * is exactly that shape).
   */
-object EntropyLog2 extends Aggregator[String, Map[String, Long], Double] {
-  def zero: Map[String, Long] = Map.empty
+object EntropyLog2 extends Aggregator[String,
+    scala.collection.mutable.HashMap[String, Long], Double] {
+  import scala.collection.mutable.HashMap
+
+  // mutable buffer: one hash update per row instead of an immutable
+  // Map.updated HAMT rebuild per row (r15 review; MisraGries rationale)
+  def zero: HashMap[String, Long] = HashMap.empty
 
   // NULL inputs are skipped, matching DuckDB's entropy() (which ignores
   // NULLs) — a null category would silently diverge from the oracle.
-  def reduce(b: Map[String, Long], v: String): Map[String, Long] =
-    if (v == null) b else b.updated(v, b.getOrElse(v, 0L) + 1L)
+  def reduce(b: HashMap[String, Long], v: String): HashMap[String, Long] = {
+    if (v != null) b.update(v, b.getOrElse(v, 0L) + 1L)
+    b
+  }
 
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    b.foldLeft(a) { case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n) }
+  def merge(a: HashMap[String, Long], b: HashMap[String, Long]): HashMap[String, Long] = {
+    b.foreach { case (k, n) => a.update(k, a.getOrElse(k, 0L) + n) }
+    a
+  }
 
-  def finish(b: Map[String, Long]): Double = {
+  def finish(b: HashMap[String, Long]): Double = {
     val total = b.values.sum.toDouble
     if (total == 0) 0.0
     else {
@@ -41,6 +50,7 @@ object EntropyLog2 extends Aggregator[String, Map[String, Long], Double] {
     }
   }
 
-  def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+  def bufferEncoder: Encoder[HashMap[String, Long]] =
+    Encoders.kryo[HashMap[String, Long]]
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

@@ -32,11 +32,20 @@ import org.apache.spark.unsafe.types.UTF8String
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
-      TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // match on the TYPE, not object equality with the default-collation
+    // singleton: under Spark 4 collation support a `string collate ...`
+    // column is a StringType with a nonzero collationId, and `==
+    // StringType` would reject it even though the byte-level kernel
+    // works on any collation's UTF8String (r15 review).
+    val ok = Seq(left, right).forall(_.dataType match {
+      case _: StringType => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_jaro_winkler expects two string args, got ${left.dataType} / ${right.dataType}")
+  }
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaro_winkler"
@@ -106,18 +115,11 @@ object JaroWinkler {
     jaro + prefix * WinklerScale * (1.0 - jaro)
   }
 
-  /** Arity-checked builder (graft_dot convention). */
-  val builder: Seq[Expression] => Expression = { children =>
-    if (children.length != 2)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "`graft_jaro_winkler`",
-          "expectedNum" -> "2 (graft_jaro_winkler(string, string))",
-          "actualNum" -> children.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    JaroWinkler(children.head, children(1))
-  }
+  /** Arity-checked builder (the shared [[VectorExpressions.arityChecked]]). */
+  val builder: Seq[Expression] => Expression =
+    VectorExpressions.arityChecked(
+      "graft_jaro_winkler", "graft_jaro_winkler(string, string)", 2)(
+      c => JaroWinkler(c.head, c(1)))
 
   /** Session-scoped registration (idempotent) for code that can't assume
     * GraftExtensions is installed. */

@@ -26,29 +26,48 @@ import org.apache.spark.sql.expressions.Aggregator
   * step is O(k) but only fires when a full summary meets a novel item
   * (long-tail text: rarely), amortized O(1) per row.
   */
-class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-  def zero: Map[String, Long] = Map.empty
+class MisraGries(k: Int) extends Aggregator[String,
+    scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
+  import scala.collection.mutable.HashMap
 
-  def reduce(b: Map[String, Long], v: String): Map[String, Long] = {
-    if (v == null) b
-    else b.get(v) match {
-      case Some(n) => b.updated(v, n + 1L)
-      case None if b.size < k => b.updated(v, 1L)
+  // The buffer is a MUTABLE HashMap (r15 review): reduce runs once per
+  // exploded token over the whole corpus, and the previous immutable
+  // Map.updated rebuilt O(log k) HAMT spine nodes plus a boxed Long on
+  // EVERY row — pure allocation on the hot path the q123 scaladoc
+  // itself calls the dominant cost at scale. Aggregator buffers are
+  // private to their partial (Spark's typed-agg contract: mutate and
+  // return), and the buffer stays kryo-encoded opaque state, so the
+  // determinism argument is unchanged.
+  def zero: HashMap[String, Long] = HashMap.empty
+
+  def reduce(b: HashMap[String, Long], v: String): HashMap[String, Long] = {
+    if (v != null) b.get(v) match {
+      case Some(n) => b.update(v, n + 1L)
+      case None if b.size < k => b.update(v, 1L)
       case None => // decrement-all: the arriving item cancels one of each
-        b.flatMap { case (key, n) => if (n > 1L) Some(key -> (n - 1L)) else None }
+        // snapshot the keys — removal during iteration is undefined, and
+        // this branch is the rare one (amortized O(1) per row, class doc)
+        b.keysIterator.toArray.foreach { key =>
+          val n = b(key)
+          if (n > 1L) b.update(key, n - 1L) else b.remove(key)
+        }
     }
+    b
   }
 
   /** Exact map sum — commutative and associative, so Spark's partial
     * merge order can't change the result (see class doc). */
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    b.foldLeft(a) { case (acc, (key, n)) => acc.updated(key, acc.getOrElse(key, 0L) + n) }
+  def merge(a: HashMap[String, Long], b: HashMap[String, Long]): HashMap[String, Long] = {
+    b.foreach { case (key, n) => a.update(key, a.getOrElse(key, 0L) + n) }
+    a
+  }
 
-  def finish(b: Map[String, Long]): Map[String, Long] = b
+  def finish(b: HashMap[String, Long]): Map[String, Long] = b.toMap
 
   // buffer is opaque engine state → kryo; output must be a real SQL
   // map<string,bigint> so the query can explode it → ExpressionEncoder
-  def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+  def bufferEncoder: Encoder[HashMap[String, Long]] =
+    Encoders.kryo[HashMap[String, Long]]
   def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

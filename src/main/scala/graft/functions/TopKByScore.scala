@@ -19,15 +19,29 @@ import org.apache.spark.sql.expressions.Aggregator
   * kept set (merging two top-k lists and truncating yields the global
   * top-k of the union regardless of merge tree; the classic mergeable-
   * summary argument). Ties in score resolve by id on every path,
-  * satisfying §2.9 R5.
+  * satisfying §2.9 R5. Totality includes NaN (r15 review: the naive
+  * `>`/`==` form was NOT total under NaN — merge results depended on
+  * Spark's nondeterministic partial-merge order and the sorted-buffer
+  * invariant broke): NaN ranks GREATEST, matching Spark's and DuckDB's
+  * sort semantics for the window idiom this replaces, and ±0.0 compare
+  * equal (IEEE ==, the oracle's ORDER BY), falling through to the id
+  * tiebreak.
+  *
+  * Inputs are NON-NULL by contract (the facade filters; a primitive
+  * (Double, Long) encoder would throw on NULL, not skip).
   */
 class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, s"TopKByScore: k must be positive, got $k")
 
-  /** (score desc, id asc) — strict total order. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (score desc, id asc) — strict TOTAL order for every double. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val cmp = java.lang.Double.compare(norm(a._1), norm(b._1))
+    cmp > 0 || (cmp == 0 && a._2 < b._2)
+  }
+  /** Collapse -0.0 onto 0.0 so Double.compare (which separates them)
+    * agrees with IEEE == and both engines' ORDER BY on signed zeros. */
+  private def norm(s: Double): Double = if (s == 0.0) 0.0 else s
 
   def zero: List[(Double, Long)] = Nil
 

@@ -14,6 +14,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * (bit-identical results), but code-generated over primitive float[]
   * with no per-element boxing or interpreted lambda dispatch.
   *
+  * Edge-input contract (r15 review — deliberate, and DIFFERENT from the
+  * zip_with formulation there): (a) mismatched lengths fold over the
+  * SHORTER array (zip_with would null-pad and return NULL) — required
+  * because [[graft.plans.SimilarityBandRewrite]] dots embeddings
+  * against its fixed 64-dim plane literals, and a sub-64-dim corpus
+  * whose own equal-length dots are valid must not start crashing when
+  * the optimizer substitutes the banded plan; (b) a NULL ELEMENT reads
+  * as 0.0f (ArrayData primitive accessors), where zip_with would
+  * propagate NULL. The bit-identical-equivalence claim above therefore
+  * holds for equal-length arrays with non-null elements — which is
+  * every house consumer (fixture schema: fixed 64-dim,
+  * containsNull=false) and what the oracle compares.
+  *
   * This is the §4.3-style "custom Expression beats UDF" hot path: the
   * O(n²) similarity kernels (q51/q62) evaluate it millions of times per
   * task; the generated loop keeps the whole pipeline inside
@@ -67,19 +80,28 @@ case class FloatDot(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  /** Arity-checked builder — a wrong-arity call must fail analysis with a
-    * message naming the expected signature, not an IndexOutOfBounds. */
-  val builder: Seq[Expression] => Expression = { children =>
-    if (children.length != 2)
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-        messageParameters = Map(
-          "functionName" -> "`graft_dot`",
-          "expectedNum" -> "2 (graft_dot(array<float>, array<float>))",
-          "actualNum" -> children.length.toString,
-          "docroot" -> "https://spark.apache.org/docs/latest"))
-    FloatDot(children.head, children(1))
+  /** Shared arity-checked builder factory — a wrong-arity call must fail
+    * analysis with a message naming the expected signature, not an
+    * IndexOutOfBounds. One implementation for every registered engine
+    * function (r15 review: graft_dot and graft_jaro_winkler carried
+    * copy-pasted 11-line twins of this block). */
+  private[functions] def arityChecked(name: String, sig: String, expected: Int)(
+      ctor: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    children =>
+      if (children.length != expected)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> s"$expected ($sig)",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      ctor(children)
   }
+
+  val builder: Seq[Expression] => Expression =
+    arityChecked("graft_dot", "graft_dot(array<float>, array<float>)", 2)(
+      c => FloatDot(c.head, c(1)))
 
   /** Register `graft_dot` in the session's function registry (idempotent)
     * so query code can simply `expr("graft_dot(a, b)")`. */

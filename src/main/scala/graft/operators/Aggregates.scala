@@ -434,7 +434,13 @@ object Aggregates {
     require(groupCols.nonEmpty, "topKPerGroup: need at least one group column")
     val topk = udaf(new graft.functions.TopKByScore(k))
     val gs = groupCols.map(col)
-    df.groupBy(gs: _*)
+    // NULL score/id rows are SKIPPED, not crashed on (r15 review): the
+    // aggregator's primitive (Double, Long) encoder throws on NULL, so
+    // filter here — matching the sibling aggregators' skip-null
+    // convention AND the ROW_NUMBER oracle idiom, where a NULL id can't
+    // hold a rank and a NULL score would rank arbitrarily.
+    df.filter(score.isNotNull && id.isNotNull)
+      .groupBy(gs: _*)
       .agg(topk(score.cast("double"), id.cast("bigint")).as("graft_top"))
       .select(gs :+ posexplode(col("graft_top")): _*)
       .select(gs ++ Seq((col("pos") + 1).cast("bigint").as("rn"),

@@ -936,7 +936,7 @@ object NearDup {
     * the production hashing, not a copy. */
   private[graft] def hyperplaneSigFrame(emb: DataFrame): DataFrame = {
     val planes: Seq[Column] = (0 until NPlanes).map { p =>
-      typedLit(Array.tabulate(64)(j0 => planeSign(p, j0 + 1).toFloat))
+      typedLit(graft.functions.Hyperplanes.planeArray(p))
     }
     val sigCol = (0 until NPlanes).map { p =>
       when(expr("graft_dot(embedding, p" + p + ")") >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -1148,7 +1148,7 @@ object NearDup {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 10)
     val planes: Seq[Column] = (0 until JlDims).map { p =>
-      typedLit(Array.tabulate(64)(j0 => planeSign(p, j0 + 1).toFloat))
+      typedLit(graft.functions.Hyperplanes.planeArray(p))
     }
     val proj = planes.zipWithIndex.foldLeft(emb.select(col("vec_id"), col("embedding"))) {
       case (df, (pl, p)) => df.withColumn(s"p$p", pl)

@@ -163,9 +163,9 @@ class TrendProcessor(k: Int)
     val mg = new graft.functions.MisraGries(k)
     val cur = if (st.exists()) st.get() else MgState(0L, Array.empty, Array.empty)
     var n = cur.n
-    var summary = cur.words.zip(cur.counts).toMap
+    val summary = scala.collection.mutable.HashMap(cur.words.zip(cur.counts): _*)
     rows.foreach { case (_, v) =>
-      if (v != null) { summary = mg.reduce(summary, v); n += 1L }
+      if (v != null) { mg.reduce(summary, v); n += 1L }
     }
     val sorted = summary.toSeq.sortBy { case (w, c) => (-c, w) }
     st.update(MgState(n, sorted.map(_._1).toArray, sorted.map(_._2).toArray))

@@ -15,10 +15,10 @@ class FunctionsSuite extends AnyFunSuite {
 
   test("EntropyLog2.finish matches -Σ p·log2 p (DuckDB entropy parity case)") {
     // {1,1,2,3}: p = (2/4, 1/4, 1/4) → H = 1.5 (verified = DuckDB entropy())
-    val buf = Map("1" -> 2L, "2" -> 1L, "3" -> 1L)
+    val buf = scala.collection.mutable.HashMap("1" -> 2L, "2" -> 1L, "3" -> 1L)
     assert(math.abs(EntropyLog2.finish(buf) - 1.5) < 1e-12)
-    assert(EntropyLog2.finish(Map.empty) == 0.0)
-    assert(EntropyLog2.finish(Map("x" -> 5L)) == 0.0)
+    assert(EntropyLog2.finish(scala.collection.mutable.HashMap.empty) == 0.0)
+    assert(EntropyLog2.finish(scala.collection.mutable.HashMap("x" -> 5L)) == 0.0)
   }
 
   test("EntropyLog2 merge order does not change the result") {
