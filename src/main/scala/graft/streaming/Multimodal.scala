@@ -86,7 +86,13 @@ object Multimodal {
     * from the byte length — preserves the exact execution shape (schema,
     * nullability, per-partition batching) without media libs. */
   def decodeFake(payload: Array[Byte]): (Int, Int) =
-    (1 + payload.length % 64, 1 + (payload.length * 7) % 64)
+    // long arithmetic: length*7 wraps Int negative past ~306 MB — a
+    // payload size squarely in scope for video blobs — and a negative
+    // Scala % then emitted nonpositive heights that drove resize scales
+    // negative (r15 review). The oracle's SQL mirror is BIGINT math, so
+    // this also aligns the two engines at large payloads.
+    (1 + (payload.length.toLong % 64L).toInt,
+      1 + (payload.length.toLong * 7L % 64L).toInt)
 
   /** Decode + featurize, partition-batched. `useRealDecoder = true`
     * parses real PNG/BMP/WAV headers ([[decodeReal]]); `false` keeps the
@@ -175,7 +181,13 @@ object Multimodal {
           (0 until frameCount by every).iterator
             .map { i =>
               val from = i * chunk
-              val until = math.min(payload.length, from + chunk)
+              // the LAST frame absorbs the floor-division remainder so
+              // the sampled frames jointly cover every payload byte —
+              // chunk = len/frameCount floors, and up to frameCount-1
+              // tail bytes previously appeared in no frame (r15 review)
+              val until =
+                if (i == frameCount - 1) payload.length
+                else math.min(payload.length, from + chunk)
               Row(id, i, if (from >= payload.length) Array.emptyByteArray
                 else java.util.Arrays.copyOfRange(payload, from, until))
             }

@@ -15,6 +15,18 @@ case class Event(
     event_type: String,
     value: Double)
 
+/** Event-time µs extraction done RIGHT (r15 review): Timestamp.getTime
+  * returns MILLISECONDS, so the old `getTime * 1000` zeroed the sub-ms
+  * component of µs-precision event times — a trailing window could then
+  * include an event the batch `unix_micros` frame excludes (two events
+  * 600000000+500 µs apart truncate to exactly the window span). The
+  * microsecond remainder lives in getNanos (which also re-contains the
+  * ms part getTime already carries — hence the mod). */
+object EventMicros {
+  def of(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+}
+
 /** Session state for [[StreamOps.sessionize]]. */
 case class SessionInfo(sessionId: Long, lastTs: Long)
 case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
@@ -69,7 +81,7 @@ class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
   override def handleInputRows(key: Long, rows: Iterator[Event],
       tv: TimerValues): Iterator[SpendUpdate] = {
     var cur = if (st.exists()) st.get() else SpendState(0.0, 0L)
-    val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+    val out = rows.toSeq.sortBy(e => (EventMicros.of(e.ts), e.event_id)).map { e =>
       cur = SpendState(cur.total + e.value, cur.n + 1)
       SpendUpdate(key, e.event_id, cur.total, cur.n)
     }
@@ -168,9 +180,10 @@ class TrendProcessor(k: Int)
       if (v != null) { mg.reduce(summary, v); n += 1L }
     }
     val sorted = summary.toSeq.sortBy { case (w, c) => (-c, w) }
-    st.update(MgState(n, sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-    Iterator.single(TrendSnapshot(key, n,
-      sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+    val words = sorted.map(_._1).toArray
+    val counts = sorted.map(_._2).toArray
+    st.update(MgState(n, words, counts))
+    Iterator.single(TrendSnapshot(key, n, words, counts))
   }
 }
 
@@ -214,7 +227,7 @@ class TrailingWindowProcessor(windowUs: Long)
   override def handleInputRows(key: Long, rows: Iterator[Event],
       tv: TimerValues): Iterator[TrailStat] = {
     val evictBelow = tv.getCurrentWatermarkInMs() * 1000L - windowUs
-    val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val incoming = rows.toSeq.sortBy(e => (EventMicros.of(e.ts), e.event_id))
     // emission reads the PRE-eviction union: the engine admits rows by
     // the PREVIOUS batch's watermark while this batch's eviction uses
     // the CURRENT one, so an admitted row between the two could
@@ -224,17 +237,31 @@ class TrailingWindowProcessor(windowUs: Long)
     // rows get best-effort stats over everything still held; on-time
     // rows are unaffected (their window is entirely >= evictBelow).
     val union = (buf.get().toSeq ++ incoming.map(e =>
-      TrailEntry(e.ts.getTime * 1000L, e.value)))
+      TrailEntry(EventMicros.of(e.ts), e.value)))
       .sortBy(_.ts_us) // fixed fold order: deterministic double sums
-    val kept = union.filter(_.ts_us >= evictBelow)
+      .toArray
+    val kept = union.count(_.ts_us >= evictBelow) // suffix length (sorted)
     buf.clear()
-    if (kept.nonEmpty) buf.appendList(kept.toArray)
-    incoming.iterator.map { e =>
-      val ts = e.ts.getTime * 1000L
-      val inWin = union.filter(x => x.ts_us >= ts - windowUs && x.ts_us <= ts)
-      TrailStat(key, e.event_id, ts, inWin.size.toLong,
-        inWin.map(_.value).sum, kept.size.toLong)
+    if (kept > 0) buf.appendList(union.takeRight(kept))
+    // window bounds via two MONOTONE pointers over the sorted union
+    // (incoming is ts-sorted, so both bounds only ever advance): a
+    // backfill batch costs O(S + B + Σ window) instead of the previous
+    // O(B·(S+B)) full-union filter per row (r15 review). Each window's
+    // sum is still a fresh ascending-order fold over its slice — the
+    // same additions in the same order as the filter form, so
+    // determinism and the suite's parity are byte-identical.
+    var lo = 0
+    var hi = 0
+    val out = incoming.map { e =>
+      val ts = EventMicros.of(e.ts)
+      while (hi < union.length && union(hi).ts_us <= ts) hi += 1
+      while (lo < union.length && union(lo).ts_us < ts - windowUs) lo += 1
+      var s = 0.0
+      var i = lo
+      while (i < hi) { s += union(i).value; i += 1 }
+      TrailStat(key, e.event_id, ts, (hi - lo).toLong, s, kept.toLong)
     }
+    out.iterator
   }
 }
 
@@ -491,9 +518,9 @@ object StreamOps {
           // events inside one micro-batch arrive unordered: sort by event
           // time (µs) with event_id tiebreak before assigning sessions
           val out = it.toSeq
-            .sortBy(e => (e.ts.getTime * 1000, e.event_id))
+            .sortBy(e => (EventMicros.of(e.ts), e.event_id))
             .map { e =>
-              val tUs = e.ts.getTime * 1000
+              val tUs = EventMicros.of(e.ts)
               val sid =
                 if (cur.lastTs == Long.MinValue || tUs - cur.lastTs > gapUs) cur.sessionId + 1
                 else cur.sessionId
@@ -546,10 +573,6 @@ object StreamOps {
       .transformWithState(new TrendProcessor(k), TimeMode.None(), OutputMode.Append())
   }
 
-  /** Idle-user detection via event-time timers (see
-    * [[IdleAlertProcessor]]): emits one alert per user once the
-    * watermark proves no event arrived for `idleMinutes` after their
-    * last one. RocksDB provider required (transformWithState API). */
   /** Streaming sliding-distinct active-user counts (q108's analog,
     * VERDICT r14 item 4): distinct users over the trailing
     * `windowBuckets` buckets of `bucketMinutes` each, one FINAL row per
@@ -587,6 +610,10 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Idle-user detection via event-time timers (see
+    * [[IdleAlertProcessor]]): emits one alert per user once the
+    * watermark proves no event arrived for `idleMinutes` after their
+    * last one. RocksDB provider required (transformWithState API). */
   def idleAlerts(events: Dataset[Event], idleMinutes: Int = 30): Dataset[IdleAlert] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
@@ -614,7 +641,7 @@ object StreamOps {
         (user: Long, it: Iterator[Event], state: GroupState[LocfCarry]) =>
           var cur = state.getOption.getOrElse(LocfCarry(0.0, has = false))
           val out = it.toSeq
-            .sortBy(e => (e.ts.getTime * 1000, e.event_id))
+            .sortBy(e => (EventMicros.of(e.ts), e.event_id))
             .map { e =>
               if (e.event_type != "view") cur = LocfCarry(e.value, has = true)
               LocfFill(user, e.event_id, if (cur.has) Some(cur.lastV) else None)
@@ -641,7 +668,7 @@ object StreamOps {
         (user: Long, it: Iterator[Event], state: GroupState[TransCarry]) =>
           var cur = state.getOption.getOrElse(TransCarry("", has = false))
           val out = it.toSeq
-            .sortBy(e => (e.ts.getTime * 1000, e.event_id))
+            .sortBy(e => (EventMicros.of(e.ts), e.event_id))
             .flatMap { e =>
               val t = if (cur.has) Some(Transition(user, cur.lastType, e.event_type))
                 else None
@@ -682,13 +709,13 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[ClickWindow]) =>
           var buf = state.getOption.map(_.clicksUs).getOrElse(Nil)
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (EventMicros.of(e.ts), e.event_id))
           val out = Seq.newBuilder[LinearCredit]
           var i = 0
           while (i < sorted.length) {
-            val tUs = sorted(i).ts.getTime * 1000
+            val tUs = EventMicros.of(sorted(i).ts)
             var j = i
-            while (j < sorted.length && sorted(j).ts.getTime * 1000 == tUs) j += 1
+            while (j < sorted.length && EventMicros.of(sorted(j).ts) == tUs) j += 1
             val run = sorted.slice(i, j)
             // clicks of this instant enter the buffer BEFORE the instant's
             // purchases are credited (closed upper frame end)
@@ -723,23 +750,46 @@ object StreamOps {
     * with a transactional table format (Delta/Iceberg) replacing the
     * pointer file; the merge plan and ledger logic are unchanged. The
     * crash window between data write and ledger append only ever causes
-    * a re-merge of the same rows — upsert is idempotent by content.
-    * Pointer and ledger flips are ATOMIC (temp file + rename), so a
-    * crash mid-write can't leave a truncated pointer that poisons every
-    * later read; versions older than the previous one are vacuumed
-    * after each successful flip. */
+    * a re-merge of the same rows — upsert is idempotent by content,
+    * PROVIDED `versionCol` totally orders a key's rows within a batch
+    * (ties pick an arbitrary winner and a replay may pick a different
+    * one — the r15 review's same-key-same-version caveat; the default
+    * event_id is unique in the house schema). Pointer and ledger flips
+    * are ATOMIC (temp file + rename), so a crash mid-write can't leave
+    * a truncated pointer that poisons every later read.
+    *
+    * `queryKey` scopes the ledger (r15 review, the Delta txnAppId
+    * lesson): foreachBatch batch ids RESTART FROM 0 when a query runs
+    * with a fresh checkpointLocation, and a bare-batchId ledger would
+    * then silently no-op every merge of the restarted stream. Pass the
+    * StreamingQuery's stable `id` (it changes exactly when the
+    * checkpoint does); the default single-key namespace preserves the
+    * old behavior for tests that never reset checkpoints.
+    *
+    * Vacuum retains `retainVersions` versions BEHIND the current one
+    * and deletes the single version falling off that horizon (O(1) per
+    * merge). A reader that resolved `_latest` more than retainVersions
+    * merges ago can hit FileNotFoundException on its lazy scan — size
+    * the horizon to reader latency; 2 is safe for the
+    * resolve-then-collect pattern readTable supports. */
   def mergeBatch(batch: DataFrame, tableDir: String, keyCol: String,
-      batchId: Long, versionCol: String = "event_id"): Unit = {
+      batchId: Long, versionCol: String = "event_id",
+      queryKey: String = "q", retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 1, "mergeBatch: retainVersions must be >= 1")
     val spark = batch.sparkSession
     val dir = new java.io.File(tableDir)
     dir.mkdirs()
     val ledger = new java.io.File(dir, "_ledger")
-    val applied: Set[Long] =
+    // ledger entries are "queryKey/batchId"; bare legacy lines parse as
+    // the default namespace so pre-r15 tables keep their idempotence
+    val applied: Set[String] =
       if (ledger.exists)
         java.nio.file.Files.readAllLines(ledger.toPath).asScala
-          .filter(_.nonEmpty).map(_.toLong).toSet
+          .filter(_.nonEmpty)
+          .map(l => if (l.contains('/')) l else s"q/$l").toSet
       else Set.empty
-    if (applied(batchId)) return // redelivered batch: already merged
+    val entry = s"$queryKey/$batchId"
+    if (applied(entry)) return // redelivered batch: already merged
     val latest = new java.io.File(dir, "_latest")
     val curVersion: Long =
       if (latest.exists) java.nio.file.Files.readString(latest.toPath).trim.toLong else -1L
@@ -765,14 +815,14 @@ object StreamOps {
     // toLong parse would fail permanently in readTable
     atomicWrite(latest.toPath, (curVersion + 1).toString)
     atomicWrite(ledger.toPath,
-      (applied + batchId).toSeq.sorted.mkString("", "\n", "\n"))
-    // vacuum: after the flip, v_{curVersion-1} is the single version
-    // newly out of reach of any pointer state (earlier ones were
-    // deleted by earlier batches — O(1) per merge, not an O(N) sweep;
-    // a crash between flip and vacuum leaves at most one straggler
-    // directory, which no pointer state can name and no reader touches)
-    if (curVersion > 0) {
-      val old = new java.io.File(dir, s"v_${curVersion - 1}")
+      (applied + entry).toSeq.sorted.mkString("", "\n", "\n"))
+    // vacuum: after the flip (new current = curVersion+1), the single
+    // version falling off the retention horizon is deleted — O(1) per
+    // merge, not an O(N) sweep; a crash between flip and vacuum leaves
+    // at most one straggler directory. Retention exists because readers
+    // resolve _latest EAGERLY but scan LAZILY (see the method doc).
+    if (curVersion + 1 - retainVersions - 1 >= 0) {
+      val old = new java.io.File(dir, s"v_${curVersion + 1 - retainVersions - 1}")
       if (old.exists) {
         Option(old.listFiles()).foreach(_.foreach(_.delete()))
         old.delete()
