@@ -132,14 +132,9 @@ object Bench {
         // drop session state a query may have left behind (localCheckpoint
         // RDDs, temp-view caches) BEFORE the next timing starts — blocking,
         // so freed blocks can't linger into the next query's GC pressure
-        locally {
-          // sweep AROUND FrameMemo-owned frames (pay-once family builds;
-          // contract at graft.plans.FrameMemo): unpersisting a memoized
-          // localCheckpoint would force a rebuild on every query
-          val owned = graft.plans.FrameMemo.ownedIds(spark)
-          spark.sparkContext.getPersistentRDDs.values
-            .filterNot(r => owned(r.id)).foreach(_.unpersist(blocking = true))
-        }
+        // sweep AROUND FrameMemo-owned frames (contract + impl:
+        // graft.plans.FrameMemo.sweepOthers)
+        graft.plans.FrameMemo.sweepOthers(spark)
         val errField = err.map(m => s""","err":"$m"""").getOrElse("")
         if (reps > 1 || err.isDefined)
           println(s"""{"query":"$name","rep":$rep,"sec":${r3(dt)}$errField}""")
@@ -176,7 +171,13 @@ object Bench {
     // from a streamed retest line the driver's tail capture may drop.
     val retestFailed = scala.collection.mutable.LinkedHashSet[String]()
     if (retestSec > 0) {
+      // failed queries are excluded: their "median" is time-to-throw, a
+      // retest slot would re-run a known-broken query (possibly
+      // displacing a genuinely slow healthy one), and a transient
+      // failure could overwrite the record with a healthy-looking
+      // timing while the query still sits in failed_queries (r15 review)
       val slow = results.filter(_._2 > retestSec).keys.toSeq
+        .filterNot(failedQueries.contains)
         .sortBy(n => -results(n)).take(20)
       slow.foreach { name =>
         System.gc()
@@ -193,14 +194,9 @@ object Bench {
                 .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(160))
           }
           val dt = (System.nanoTime() - t0) / 1e9
-          locally {
-          // sweep AROUND FrameMemo-owned frames (pay-once family builds;
-          // contract at graft.plans.FrameMemo): unpersisting a memoized
-          // localCheckpoint would force a rebuild on every query
-          val owned = graft.plans.FrameMemo.ownedIds(spark)
-          spark.sparkContext.getPersistentRDDs.values
-            .filterNot(r => owned(r.id)).foreach(_.unpersist(blocking = true))
-        }
+          // sweep AROUND FrameMemo-owned frames (contract + impl:
+        // graft.plans.FrameMemo.sweepOthers)
+        graft.plans.FrameMemo.sweepOthers(spark)
           dt
         }.sorted
         val med2 =
@@ -282,11 +278,19 @@ object Bench {
     // of an unexplained timing shift. Metadata-only — no data read.
     val runEpoch = System.currentTimeMillis() / 1000L
     val dataDigest = {
+      // hardened like duMb (r15 review): an EMPTY directory (interrupted
+      // regeneration) made .max throw on an empty seq and an IO error
+      // made listFiles() null — either would crash main AFTER every
+      // query was timed, losing the summary line, bench_result.json and
+      // the history append. A digest must never cost the run.
       def sig(f: java.io.File): String =
-        if (f.isDirectory) {
-          val kids = f.listFiles().sortBy(_.getName)
-          s"${kids.map(_.length).sum}:${kids.map(_.lastModified).max}"
-        } else s"${f.length}:${f.lastModified}"
+        try {
+          if (f.isDirectory) {
+            val kids = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+            if (kids.isEmpty) "EMPTY"
+            else s"${kids.map(_.length).sum}:${kids.map(_.lastModified).max}"
+          } else s"${f.length}:${f.lastModified}"
+        } catch { case _: Throwable => "UNREADABLE" }
       val parts = Tables.names.sorted
         .map { n => val f = new java.io.File(s"$sfDir/$n.parquet")
           s"$n:${if (f.exists) sig(f) else "ABSENT"}" }
@@ -300,9 +304,15 @@ object Bench {
     // name list is capped at 5 so the contractual final line stays inside
     // the driver's ~4 KB stdout-tail window even under mass breakage;
     // the full set is visible in the per-rep "err" lines above.
-    val failedField =
+    // two renderings (r15 review): the FILE/history copy carries the
+    // FULL failed list — the regression tripwire excludes historical
+    // failed queries by parsing exactly that list, and a 5-name cap
+    // would let the 6th+ failed query's time-to-throw pollute the
+    // trailing-median baseline; the stdout line stays capped for the
+    // driver's ~4 KB tail window.
+    def failedField(cap: Int) =
       s""""failed":${failedQueries.size},"failed_queries":${
-        failedQueries.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+        failedQueries.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // two renderings of the retest audit fields (ADVICE r12 items 2+3):
     // the FILE copy carries the full name lists; the contractual final
     // STDOUT line caps each list at 5 (failed_queries' precedent) plus a
@@ -317,7 +327,7 @@ object Bench {
       s""""retested_n":${retested.size},"retested":${namesJson(retested, 5)},""" +
       s""""retest_failed":${retestFailed.size},"retest_failed_queries":${namesJson(retestFailed, 5)}"""
     def telemetry(retestAudit: String, flagCap: Int) = s""""load":${r3(loadAvg)},"cpus":$hostCpus,""" +
-      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$retestAudit,$failedField,""" +
+      s""""run_epoch":$runEpoch,"data_digest":"$dataDigest",$retestAudit,${failedField(flagCap)},""" +
       s""""regression_flags_n":${regressionFlags.size},""" +
       s""""regression_flags":${namesJson(regressionFlags, flagCap)}"""
     val full =

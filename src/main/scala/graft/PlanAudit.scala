@@ -45,7 +45,11 @@ object PlanAudit {
         s"WholeStageCodegen spans=$codegenSpans" -> (codegenSpans > 0),
         "TakeOrderedAndProject" -> executed.contains("TakeOrderedAndProject"))
       println("markers: " + markers.map { case (k, v) => s"$k=$v" }.mkString(" "))
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // sweep AROUND FrameMemo-owned frames like every other host — the
+      // unfiltered sweep evicted the memo between audited queries, so the
+      // dedup family's printed plans were measured against a cold memo
+      // (r15 review; contract at graft.plans.FrameMemo)
+      graft.plans.FrameMemo.sweepOthers(spark)
     }
     spark.stop()
   }

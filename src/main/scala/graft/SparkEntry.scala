@@ -41,8 +41,16 @@ object SparkEntry {
     operators.Joins.q05(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicate name across operator modules would be SILENTLY
+    // collapsed by the map (last wins) — the earlier query vanishes
+    // from Bench, Verify AND the oracle with zero signal, shrinking
+    // the suite invisibly (r15 review). Loud-failure it instead.
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty,
+      s"SparkEntry: duplicate query names across modules: ${dups.mkString(", ")}")
     ListMap(all.map(q => q.name -> q.fn): _*)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

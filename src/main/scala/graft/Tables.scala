@@ -168,8 +168,24 @@ object Tables {
     * no drift). Metadata-only — reads parquet footers, never data. */
   def verifySchemas(spark: SparkSession, sfDir: String): Seq[String] =
     names.flatMap { name =>
-      val actual = apply(spark, sfDir, name).schema
-        .map(f => f.name -> f.dataType.simpleString)
+      // a MISSING/unreadable table is the loudest drift class of all —
+      // it must become a tripwire MESSAGE, not an AnalysisException that
+      // kills the whole Bench/Verify run before a single query executes
+      // (r15 review: without the tripwire only the queries touching the
+      // table would have failed; with an unguarded tripwire, none ran)
+      val actualOrErr =
+        try Right(apply(spark, sfDir, name).schema
+          .map(f => f.name -> f.dataType.simpleString))
+        catch { case e: Throwable =>
+          Left(s"$name: TABLE MISSING/UNREADABLE (${e.getClass.getSimpleName})") }
+      actualOrErr match {
+        case Left(msg) => Seq(msg)
+        case Right(actual) => checkColumns(name, actual)
+      }
+    }
+
+  private def checkColumns(name: String,
+      actual: Seq[(String, String)]): Seq[String] = {
       val expected = expectedSchemas(name)
       val actualM = actual.toMap
       val missing = expected.collect { case (n, _) if !actualM.contains(n) =>

@@ -25,14 +25,9 @@ object TimeQ {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        locally {
-          // sweep AROUND FrameMemo-owned frames (pay-once family builds;
-          // contract at graft.plans.FrameMemo): unpersisting a memoized
-          // localCheckpoint would force a rebuild on every query
-          val owned = graft.plans.FrameMemo.ownedIds(spark)
-          spark.sparkContext.getPersistentRDDs.values
-            .filterNot(r => owned(r.id)).foreach(_.unpersist(blocking = true))
-        }
+        // sweep AROUND FrameMemo-owned frames (contract + impl:
+        // graft.plans.FrameMemo.sweepOthers)
+        graft.plans.FrameMemo.sweepOthers(spark)
         dt
       }
       println(f"TIMEQ $name: ${times.map(t => f"$t%.3f").mkString(" ")}")

@@ -28,14 +28,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release any state the query materialized (localCheckpoint RDDs)
-      locally {
-          // sweep AROUND FrameMemo-owned frames (pay-once family builds;
-          // contract at graft.plans.FrameMemo): unpersisting a memoized
-          // localCheckpoint would force a rebuild on every query
-          val owned = graft.plans.FrameMemo.ownedIds(spark)
-          spark.sparkContext.getPersistentRDDs.values
-            .filterNot(r => owned(r.id)).foreach(_.unpersist(blocking = true))
-        }
+      // — sweeping AROUND FrameMemo-owned frames (contract + impl:
+      // graft.plans.FrameMemo.sweepOthers)
+      graft.plans.FrameMemo.sweepOthers(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -47,6 +47,19 @@ object FrameMemo {
       .flatten.toSet
   }
 
+  /** THE between-queries sweep, contract rule 1 made self-enforcing
+    * (r15 review): unpersist every persistent RDD EXCEPT memo-owned
+    * ones. Bench/Verify/TimeQ/PlanAudit all call this one helper —
+    * the previous five copy-pasted blocks had already drifted once
+    * (PlanAudit swept unfiltered, evicting the memo between every
+    * audited query). Blocking, so freed blocks can't linger into the
+    * next query's GC pressure. */
+  def sweepOthers(spark: SparkSession): Unit = {
+    val owned = ownedIds(spark)
+    spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => owned(r.id)).foreach(_.unpersist(blocking = true))
+  }
+
   /** The memoized frame for (tag, sfDir), building (and eagerly
     * localCheckpoint-ing) on first use or after a sweep. `build` must be
     * deterministic for the key and must NOT checkpoint its result itself
