@@ -39,11 +39,18 @@ object EvalOps {
       "len(string_split(text, ' ')) AS bin, " +
       "CAST(lang = 'en' AS BIGINT) AS pos FROM documents"
 
-  /** Shared per-bin frame: npos/nneg counts per score bin. */
-  private def binned(spark: SparkSession, sfDir: String): DataFrame =
-    scored(spark, sfDir).groupBy("bin")
+  /** Shared per-bin aggregation: npos/nneg counts per score bin of ANY
+    * (bin, pos) frame — ONE implementation for the q196/q197/q198 path
+    * and prCurveOf (r15 review: the facade carried an inline twin that
+    * could drift from the verified query's bin contract). */
+  private def binnedOf(scoredDf: DataFrame): DataFrame =
+    scoredDf.groupBy("bin")
       .agg(sum(col("pos")).as("npos"),
         (count(lit(1)) - sum(col("pos"))).as("nneg"))
+
+  /** Shared per-bin frame over the house scored(documents) input. */
+  private def binned(spark: SparkSession, sfDir: String): DataFrame =
+    binnedOf(scored(spark, sfDir))
 
   private val binnedSql: String =
     s"SELECT bin, CAST(SUM(pos) AS BIGINT) AS npos, " +
@@ -94,9 +101,7 @@ object EvalOps {
     * query. `scoredDf` needs (bin, pos); output is unordered (q255 adds
     * its oracle ORDER BY). */
   private[graft] def prCurveOf(scoredDf: DataFrame): DataFrame = {
-    val b = scoredDf.groupBy("bin")
-      .agg(sum(col("pos")).as("npos"),
-        (count(lit(1)) - sum(col("pos"))).as("nneg"))
+    val b = binnedOf(scoredDf)
       .localCheckpoint(true)
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

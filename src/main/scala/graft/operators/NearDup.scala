@@ -1979,7 +1979,7 @@ object NearDup {
     // same blob bytes (q95's cross-engine decode pattern)
     Q("q326_image_phash_dedup", q326 _, Some(
       "WITH bl AS (SELECT regexp_extract(filename, '[^/]+$') AS img, hex(content) AS hx " +
-        "FROM read_blob('/root/repo/target/graft_image_fixture/*.bmp')), " +
+        s"FROM read_blob('${graft.operators.Scans.fixtureRoot}/graft_image_fixture_${graft.operators.Scans.FixtureGen}/*.bmp')), " +
         "sums AS (SELECT img, bi, list_sum(list_transform(range(0, 12), i -> " +
         "CAST(('0x' || substr(hx, CAST((54 + (15 - ((bi // 8) * 2 + (i // 3) // 2)) * 48 + " +
         "((bi % 8) * 2 + (i // 3) % 2) * 3 + i % 3) * 2 + 1 AS INT), 2)) AS BIGINT))) AS s " +
@@ -2002,7 +2002,7 @@ object NearDup {
       val raw = "(CAST(('0x' || substr(hx, CAST((44 + (bi * 12 + i) * 2) * 2 + 1 AS INT), 2)) AS BIGINT) + " +
         "256 * CAST(('0x' || substr(hx, CAST((44 + (bi * 12 + i) * 2) * 2 + 3 AS INT), 2)) AS BIGINT))"
       "WITH bw AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, hex(content) AS hx " +
-        "FROM read_blob('/root/repo/target/graft_audio_dup_fixture/*.wav')), " +
+        s"FROM read_blob('${graft.operators.Scans.fixtureRoot}/graft_audio_dup_fixture_${graft.operators.Scans.FixtureGen}/*.wav')), " +
         "sums AS (SELECT fname, bi, list_sum(list_transform(range(0, 12), i -> " +
         s"abs(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END))) AS s " +
         "FROM bw CROSS JOIN range(0, 64) rb(bi)), " +

@@ -25,10 +25,55 @@ object Scans {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  /** Distinct tmp dir per (table, sfDir) so concurrent runs at different
-    * scale factors never collide. */
-  private def tmp(kind: String, sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${math.abs(sfDir.hashCode)}"
+  /** Distinct tmp dir per (table, sfDir, JVM): the sfDir hash keeps
+    * concurrent runs at different scale factors apart, and the PID keeps
+    * concurrent JVMs at the SAME scale factor apart (r15 review: the
+    * driver runs Verify and Bench as separate JVMs — two
+    * SaveMode.Overwrite writers racing on one dir can delete each
+    * other's committed part files mid-read, and q114's _SUCCESS-guarded
+    * layout could go permanently stale across testdata regenerations).
+    * Within one JVM the path is stable, so q114's bootstrap still
+    * amortizes across bench reps — its actual purpose. Dirs register
+    * for recursive deletion at JVM exit (the r12 ANN-index-dir
+    * precedent), so reruns never read a previous process's leftovers. */
+  private val tmpDirs = scala.collection.mutable.Set.empty[String]
+  private lazy val tmpHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.foreach { d => deleteRec(new java.io.File(d)) }))
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+  private def tmp(kind: String, sfDir: String): String = {
+    tmpHookInstalled
+    val p = s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
+      s"${math.abs(sfDir.hashCode)}_p${ProcessHandle.current().pid()}"
+    synchronized { tmpDirs += p }
+    p
+  }
+
+  /** Repo-relative fixture root (r15 review: '/root/repo/target' was
+    * hardcoded in five builders AND their oracle SQL — any checkout at
+    * another path broke). Absolute so the oracle SQL stays stable for
+    * the whole run; computed from the working directory, which is the
+    * repo root under every launcher (sbt runMain, driver, tests). */
+  private[operators] val fixtureRoot: String =
+    new java.io.File("target").getAbsolutePath
+
+  /** Fixture GENERATION tag, part of every fixture dir name: the
+    * existence-only writeFixture guard is content-blind, so an edited
+    * generator would silently keep reading old bytes on any machine
+    * with a previous dir (r15 review). BUMP THIS with any change to a
+    * fixture builder — the new name forces a clean rebuild everywhere,
+    * and stale dirs are dead weight, not inputs. */
+  private[operators] val FixtureGen = "g1"
+
+  /** Shared little-endian byte helpers for the fixture builders (r15
+    * review: five copy-pasted definitions). */
+  private def le(i: Int): Array[Byte] =
+    Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
+  private def le16(i: Int): Array[Byte] =
+    Array[Byte](i.toByte, (i >> 8).toByte)
 
   /** q195: malformed-row ingestion policy — the data-quality gate every
     * real CSV feed needs: the file mixes valid `nation` rows with
@@ -232,11 +277,9 @@ object Scans {
     * the binaryFile source, DuckDB via read_blob — which is why the path
     * must be absolute and sfDir-independent (oracle SQL is static). */
   private[operators] def binaryFixture(): String = {
-    val dir = new java.io.File("/root/repo/target/graft_binary_fixture")
+    val dir = new java.io.File(s"$fixtureRoot/graft_binary_fixture_$FixtureGen")
     dir.mkdirs()
     def be(i: Int) = Array[Byte]((i >> 24).toByte, (i >> 16).toByte, (i >> 8).toByte, i.toByte)
-    def le(i: Int) = be(i).reverse
-    def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
     def png(w: Int, h: Int, pad: Int) =
       Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
         be(13) ++ "IHDR".getBytes("US-ASCII") ++ be(w) ++ be(h) ++ Array.fill[Byte](pad)(0)
@@ -269,10 +312,8 @@ object Scans {
     * offset 54, BGR, rows bottom-up, stride 48 = 16·3 (already 4-byte
     * aligned, so no row padding — the hex math needs no pad handling). */
   private[operators] def imageFixture(): String = {
-    val dir = new java.io.File("/root/repo/target/graft_image_fixture")
+    val dir = new java.io.File(s"$fixtureRoot/graft_image_fixture_$FixtureGen")
     dir.mkdirs()
-    def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
-    def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
     val w = 16; val h = 16
     // multiplicative image × (x, y) mix (q332's generator lesson: a
     // linear index × constant hash leaves "unrelated" fixtures
@@ -311,10 +352,8 @@ object Scans {
     * canonical 44-byte RIFF/fmt/data header, little-endian int16 samples
     * at offset 44 (both engines re-derive them from the same bytes). */
   private[operators] def audioFixture(): String = {
-    val dir = new java.io.File("/root/repo/target/graft_audio_fixture")
+    val dir = new java.io.File(s"$fixtureRoot/graft_audio_fixture_$FixtureGen")
     dir.mkdirs()
-    def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
-    def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
     val n = 800
     def wav(f: Int): Array[Byte] = {
       val header =
@@ -346,10 +385,8 @@ object Scans {
     * samples, data at byte offset 44. Own dir (q328's oracle globs the
     * other fixture's dir and is row-count-sensitive to new files). */
   private[operators] def audioDupFixture(): String = {
-    val dir = new java.io.File("/root/repo/target/graft_audio_dup_fixture")
+    val dir = new java.io.File(s"$fixtureRoot/graft_audio_dup_fixture_$FixtureGen")
     dir.mkdirs()
-    def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
-    def le16(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte)
     val n = 800
     def sample(b: Int, i: Int): Int =
       (((b * 101L + 7L) * (i * 2654435761L + 12345L) % 1000003L) % 30001L - 15000L).toInt
@@ -409,9 +446,8 @@ object Scans {
     * bits). The fixed-size-frame container is the raw-video layout
     * (YUV/RGB elementary streams) a demuxer feeds. */
   private[operators] def videoFixture(): String = {
-    val dir = new java.io.File("/root/repo/target/graft_video_fixture")
+    val dir = new java.io.File(s"$fixtureRoot/graft_video_fixture_$FixtureGen")
     dir.mkdirs()
-    def le(i: Int) = Array[Byte](i.toByte, (i >> 8).toByte, (i >> 16).toByte, (i >> 24).toByte)
     val frames = 16
     // multiplicative (v, s) × (x, y) mix with an intermediate prime mod:
     // a purely linear index × constant hash makes two videos differ by a
@@ -553,7 +589,7 @@ object Scans {
     * from the same fixture bytes with the same integer math. */
   private val videoHashCtes: String =
     "WITH bv AS (SELECT regexp_extract(filename, '[^/]+$') AS video, hex(content) AS hx " +
-      "FROM read_blob('/root/repo/target/graft_video_fixture/*.bin')), " +
+      s"FROM read_blob('$fixtureRoot/graft_video_fixture_$FixtureGen/*.bin')), " +
       "fr AS (SELECT video, hx, t FROM bv CROSS JOIN range(0, 16, 4) rt(t)), " +
       "sums AS (SELECT video, t, bi, list_sum(list_transform(range(0, 4), d -> " +
       "CAST(('0x' || substr(hx, CAST((4 + t * 256 + ((bi // 8) * 2 + d // 2) * 16 + " +
@@ -780,7 +816,7 @@ object Scans {
     Q("q95_scan_binary_decode", q95 _, Some(
       "WITH b AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, " +
         "octet_length(content) AS n_bytes, hex(content) AS hx " +
-        "FROM read_blob('/root/repo/target/graft_binary_fixture/*.bin')) " +
+        s"FROM read_blob('$fixtureRoot/graft_binary_fixture_$FixtureGen/*.bin')) " +
         "SELECT fname, n_bytes, " +
         "CASE WHEN fname LIKE 'png%' THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) " +
         "WHEN fname LIKE 'bmp%' THEN CAST(('0x' || substr(hx, 43, 2) || substr(hx, 41, 2) || " +
@@ -797,7 +833,7 @@ object Scans {
       val raw = "(CAST(('0x' || substr(hx, CAST((44 + i * 2) * 2 + 1 AS INT), 2)) AS BIGINT) + " +
         "256 * CAST(('0x' || substr(hx, CAST((44 + i * 2) * 2 + 3 AS INT), 2)) AS BIGINT))"
       "WITH bw AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, hex(content) AS hx " +
-        "FROM read_blob('/root/repo/target/graft_audio_fixture/*.wav')), " +
+        s"FROM read_blob('$fixtureRoot/graft_audio_fixture_$FixtureGen/*.wav')), " +
         s"samp AS (SELECT fname, list_transform(range(0, 800), i -> " +
         s"CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS samples FROM bw), " +
         "ws AS (SELECT fname, w, list_slice(samples, CAST(w * 100 + 1 AS INT), " +
@@ -845,7 +881,7 @@ object Scans {
     // rows, never an array column (the harness compare row-sorts)
     Q("q330_image_resize", q330 _, Some(
       "WITH bl AS (SELECT regexp_extract(filename, '[^/]+$') AS img, hex(content) AS hx " +
-        "FROM read_blob('/root/repo/target/graft_image_fixture/*.bmp')) " +
+        s"FROM read_blob('$fixtureRoot/graft_image_fixture_$FixtureGen/*.bmp')) " +
         "SELECT img, CAST(16 AS BIGINT) AS in_w, CAST(16 AS BIGINT) AS in_h, " +
         "CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h, bi, " +
         "CAST(list_sum(list_transform(range(0, 12), i -> " +
