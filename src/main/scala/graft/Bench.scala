@@ -61,6 +61,47 @@ object Bench {
       s""""scratch_mb":$scratch,"heap_mb":$heapMb,"load":${"%.2f".formatLocal(java.util.Locale.ROOT, load)}"""
   }
 
+  /** The regression tripwire, extracted pure so BenchGateSuite can drive
+    * it with fabricated history (VERDICT r15 item 5). A query is flagged
+    * iff it has a timing in each of the trailing 3 same-sf_dir history
+    * runs (failed-in-that-run timings excluded — they are time-to-throw,
+    * not plan cost), its current reading exceeds 3× the trailing median,
+    * and it exceeds a 0.3 s absolute floor (sub-tenth-second jitter is
+    * not a regression). History is read BEFORE the current run appends. */
+  private[graft] def computeRegressionFlags(histLines: Seq[String],
+      sfDir: String, results: Map[String, Double],
+      failed: Set[String]): Seq[String] = {
+    val same = histLines.filter(_.contains(s""""sf_dir":"$sfDir"""")).takeRight(3)
+    val qre = """"(q[^"]+)":([0-9.]+)""".r
+    val hist = same.map { ln =>
+      val at = ln.indexOf(""""queries":{""")
+      if (at < 0) Map.empty[String, Double]
+      else {
+        // a historical run's dict includes FAILED queries' time-to-throw
+        // (by design, loud-failure contract) — those are not plan
+        // timings, and leaving them in would flag a just-fixed query as
+        // a regression on its first healthy run. History lines carry
+        // the FULL failed list (the file-copy rendering).
+        val failedHist: Set[String] = {
+          val fa = ln.indexOf(""""failed_queries":[""")
+          if (fa < 0) Set.empty
+          else """"(q[^"]+)"""".r
+            .findAllMatchIn(ln.substring(fa + 18, ln.indexOf(']', fa)))
+            .map(_.group(1)).toSet
+        }
+        qre.findAllMatchIn(ln.substring(at + 11, ln.indexOf('}', at)))
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filterNot { case (n, _) => failedHist(n) }.toMap
+      }
+    }
+    if (hist.size < 3) Nil
+    else results.collect { case (name, cur)
+      if !failed.contains(name) && {
+        val h = hist.flatMap(_.get(name))
+        h.size == 3 && cur > 3 * h.sorted.apply(1) && cur > 0.3
+      } => name }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the contract (BASELINE.md measures and the spec both say
@@ -220,39 +261,35 @@ object Bench {
     // and failed queries are excluded (their "timing" is time-to-throw).
     // Read BEFORE this run is appended, so the window is the prior runs.
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")
-    val regressionFlags: Seq[String] = try {
+    def histLines: Seq[String] = try {
       import scala.jdk.CollectionConverters._
-      val same = Files.readAllLines(Paths.get(histPath)).asScala
-        .filter(_.contains(s""""sf_dir":"$sfDir"""")).toSeq.takeRight(3)
-      val qre = """"(q[^"]+)":([0-9.]+)""".r
-      val hist = same.map { ln =>
-        val at = ln.indexOf(""""queries":{""")
-        if (at < 0) Map.empty[String, Double]
-        else {
-          // a historical run's dict includes FAILED queries' time-to-throw
-          // (by design, loud-failure contract) — those are not plan
-          // timings, and leaving them in would flag a just-fixed query as
-          // a regression on its first healthy run. History lines carry
-          // the FULL failed list (the file-copy rendering).
-          val failedHist: Set[String] = {
-            val fa = ln.indexOf(""""failed_queries":[""")
-            if (fa < 0) Set.empty
-            else """"(q[^"]+)"""".r
-              .findAllMatchIn(ln.substring(fa + 18, ln.indexOf(']', fa)))
-              .map(_.group(1)).toSet
-          }
-          qre.findAllMatchIn(ln.substring(at + 11, ln.indexOf('}', at)))
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filterNot { case (n, _) => failedHist(n) }.toMap
-        }
-      }
-      if (hist.size < 3) Nil
-      else results.collect { case (name, cur)
-        if !failedQueries.contains(name) && {
-          val h = hist.flatMap(_.get(name))
-          h.size == 3 && cur > 3 * h.sorted.apply(1) && cur > 0.3
-        } => name }.toSeq
+      Files.readAllLines(Paths.get(histPath)).asScala.toSeq
     } catch { case _: Throwable => Nil }
+    def flagsNow(): Seq[String] =
+      computeRegressionFlags(histLines, sfDir, results.toMap, failedQueries.toSet)
+    // flagged-query steady-state re-measure (VERDICT r15 item 5): a flag
+    // raised from a median that happens to sit UNDER the 1.5 s retest
+    // threshold never got a second window, so a transient spike during
+    // its 3-rep slot stuck as a "regression" (r15's q315: 0.17→0.81 in
+    // one driver run, steady-state unchanged across three trees). Each
+    // preliminarily-flagged query gets its own end-of-suite 3-rep window
+    // under the same min(median, retest) protocol; only flags that
+    // SURVIVE the re-measure are reported.
+    val prelimFlags = flagsNow()
+    prelimFlags.foreach { name =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try selected(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.plans.FrameMemo.sweepOthers(spark)
+        dt
+      }.sorted
+      val med2 = times(times.length / 2)
+      println(s"""{"query":"$name","flag_retest_sec":${r3(med2)},"main_sec":${r3(results(name))}}""")
+      if (med2 < results(name)) { results(name) = med2; retested += name }
+    }
+    val regressionFlags: Seq[String] = flagsNow()
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -354,5 +391,19 @@ object Bench {
     // epilogue so this line reaches the driver unprefixed and last.
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,${telemetry(retestAuditCapped, 5)},"sf":$sfNum,"sf_dir":"$sfDir"}""")
     System.out.flush()
+    // strict mode (VERDICT r15 item 5): under SPARK_GRAFT_STRICT=1 —
+    // builder/quiet closing-gate runs — surviving regression flags are a
+    // GATE, not an advisory field: the r15 flag on q315 was correct and
+    // actionable and still shipped unexamined. Exit AFTER every artifact
+    // (bench_result.json, history append, summary line) is written, so a
+    // gating run loses no data; flags here already survived their own
+    // steady-state re-measure window. Driver runs leave the env unset
+    // and stay non-fatal.
+    if (sys.env.get("SPARK_GRAFT_STRICT").exists(s => s == "1" || s == "true")
+        && regressionFlags.nonEmpty) {
+      System.err.println(s"[bench] STRICT: regression flags survived the " +
+        s"re-measure pass: ${regressionFlags.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -204,7 +204,12 @@ object Graft {
   /** Bounded-state top-k per group (q239): k best (score, id) rows per
     * group under (score desc, id asc) — O(k) mergeable state instead of
     * the rank window's full per-group sort. `id` must be unique (it is
-    * the total-order tiebreak). Output: groupCols + (rn, id, score). */
+    * the total-order tiebreak). Output: groupCols + (rn, id, score).
+    * Rows with a NULL score or id are SKIPPED (a NULL score is "no
+    * score", not "worst score") — a group with fewer than k scored rows
+    * returns fewer than k rows, where the rank-window idiom would pad
+    * with NULL-score rows ranked last; coalesce a sentinel first if you
+    * need that padding. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       score: Column, id: Column, k: Int): DataFrame =
     operators.Aggregates.topKPerGroupOf(df, groupCols, score, id, k)
@@ -451,7 +456,7 @@ object Graft {
   def bipartiteJaccard(edges: DataFrame, a: String, b: String,
       maxDegree: Int = 50, topK: Int = 20): DataFrame = {
     val e = edges.select(col(a).as("graft_s"), col(b).as("graft_p")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val deg = e.groupBy("graft_s").agg(count(lit(1)).as("graft_d"))
     val cold = e.groupBy("graft_p").agg(count(lit(1)).as("graft_pd"))
       .filter(col("graft_pd") <= maxDegree).select("graft_p")
@@ -568,7 +573,7 @@ object Graft {
     import org.apache.spark.sql.types.DecimalType
     val per = df.groupBy(key.as("graft_k"), time.as("graft_t"))
       .agg(Tables.dec(sum(Tables.dec(value))).as("graft_v"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val tot = per.groupBy(col("graft_k").as("graft_k2"))
       .agg(Tables.dec(sum("graft_v")).as("graft_sv"), count(lit(1)).as("graft_n"))
     val wOrd = Window.partitionBy("graft_k").orderBy("graft_t")
@@ -610,7 +615,7 @@ object Graft {
   def kmAnonymityAudit(df: DataFrame, user: Column, item: Column,
       k: Int = 5): DataFrame = {
     val ut = df.select(user.as("graft_u"), item.as("graft_i")).distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val singles = ut.groupBy(col("graft_i").cast("string").as("itemset"))
       .agg(count(lit(1)).as("support")).withColumn("m", lit(1L))
     val pairs = ut.toDF("graft_u", "graft_a")

@@ -436,9 +436,16 @@ object Aggregates {
     val gs = groupCols.map(col)
     // NULL score/id rows are SKIPPED, not crashed on (r15 review): the
     // aggregator's primitive (Double, Long) encoder throws on NULL, so
-    // filter here — matching the sibling aggregators' skip-null
-    // convention AND the ROW_NUMBER oracle idiom, where a NULL id can't
-    // hold a rank and a NULL score would rank arbitrarily.
+    // filter here, matching the sibling aggregators' skip-null
+    // convention. KNOWN DIVERGENCE from the raw ROW_NUMBER window idiom
+    // (ADVICE r15): ORDER BY score DESC ranks NULL scores LAST (both
+    // engines), so a group with fewer than k non-null scores returns
+    // k rows under the window form but only the non-null ones here —
+    // skip-NULL is the right semantic for a bounded-state primitive (a
+    // NULL score is "no score", not "worst score"), and the q239 oracle
+    // equivalence holds because o_totalprice/o_orderkey are non-null in
+    // the house schema. Callers needing rank-NULLs-last must coalesce a
+    // sentinel before calling.
     df.filter(score.isNotNull && id.isNotNull)
       .groupBy(gs: _*)
       .agg(topk(score.cast("double"), id.cast("bigint")).as("graft_top"))

@@ -69,7 +69,7 @@ object ClusterOps {
     * Returns one row per vector: (vec_id, cl, d2) with the final cluster
     * and r6 squared distance to its centroid. */
   private[graft] def kmeansAssign(emb0: DataFrame, k: Int, iters: Int): DataFrame = {
-    val emb = emb0.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val emb = emb0.select(col("vec_id"), col("embedding")).transform(graft.plans.CorpusPin.pin)
     // init = the k lowest vec_ids, labelled 0..k−1 by that order — NOT
     // filter(vec_id < k), which silently returns an empty frame when ids
     // don't start near 0 (the facade promises ANY (vec_id, embedding)

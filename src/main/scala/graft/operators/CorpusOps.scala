@@ -369,12 +369,12 @@ object CorpusOps {
     val wDup = Window.partitionBy("h").orderBy("doc_id")
     val flagged = docs.withColumn("h", md5(col("text")))
       .withColumn("drop_exact", row_number().over(wDup) > 1)
-      .localCheckpoint(true) // feeds the simhash build AND the final agg
+      .transform(graft.plans.CorpusPin.pin) // feeds the simhash build AND the final agg
     val keepers = flagged.filter(!col("drop_exact"))
     val banded = NearDup.simhashOf(keepers.select("doc_id", "text"))
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("k", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
-      .localCheckpoint(true) // both sides of the band self-join
+      .transform(graft.plans.CorpusPin.pin) // both sides of the band self-join
     val nearDropped = banded
       .select(col("doc_id").as("ia"), col("simhash").as("sa"), col("b"), col("k"))
       .join(banded.select(col("doc_id").as("ib"), col("simhash").as("sb"), col("b"), col("k")),
@@ -605,7 +605,7 @@ object CorpusOps {
   private[graft] def noveltyOf(docs: DataFrame): DataFrame = {
     val g = fiveGrams(docs.select("doc_id", "text"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-      .localCheckpoint(true) // feeds the first-occurrence index AND the scoring side
+      .transform(graft.plans.CorpusPin.pin) // feeds the first-occurrence index AND the scoring side
     val first = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
     g.join(first, "gh")
       .groupBy("doc_id")

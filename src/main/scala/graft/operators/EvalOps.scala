@@ -236,7 +236,7 @@ object EvalOps {
           .when(col("bucket") < 75, "cal").otherwise("test"))
       .select(col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"),
         col("split"))
-      .localCheckpoint(true) // model, calibration, and test all read it
+      .transform(graft.plans.CorpusPin.pin) // model, calibration, and test all read it
     val model = cust.filter(col("split") === "train")
       .groupBy("segment")
       .agg(Tables.meanD(sum(Tables.dec(col("bal"))), count(lit(1))).as("mu"),
@@ -244,7 +244,7 @@ object EvalOps {
     val cal = cust.filter(col("split") === "cal")
       .join(broadcast(model.select("segment", "mu")), "segment")
       .select(col("segment"), abs(col("bal") - col("mu")).as("r"), lit(0).as("g"))
-      .localCheckpoint(true) // BoundedQuantiles scans its input internally
+      .transform(graft.plans.CorpusPin.pin) // BoundedQuantiles scans its input internally
     val qhat = graft.plans.BoundedQuantiles.groupQuantiles(
       cal, Seq("g"), col("r"), Seq(0.9), Seq("qhat"), pin = false)
       .select("qhat")

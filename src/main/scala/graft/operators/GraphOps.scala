@@ -42,16 +42,16 @@ object GraphOps {
     * no global dangling-mass redistribution step. */
   private[graft] def pageRank(edges0: DataFrame, damping: Double, teleport: Double,
       iters: Int): DataFrame = {
-    val edges = edges0.localCheckpoint(true)
+    val edges = edges0.transform(graft.plans.CorpusPin.pin)
     // out-strength per source, transition weight per edge (r6 double)
     val trans = edges
       .join(edges.groupBy("src").agg(sum(col("w")).as("wout")), "src")
       .select(col("src"), col("dst"),
         Tables.r6(col("w").cast("double") / col("wout")).as("p"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     // node count rides along as a broadcast 1-row aggregate (q80 pattern:
     // no driver-side .count() action inside query construction)
     val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
@@ -143,7 +143,7 @@ object GraphOps {
     .select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
     .distinct()
-    .localCheckpoint(true)
+    .transform(graft.plans.CorpusPin.pin)
 
   /** Undirected degree per node of an [[undirectedOf]] frame. */
   private def degreesOf(und: DataFrame): DataFrame = und
@@ -162,7 +162,7 @@ object GraphOps {
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(when(firstIsLower, col("a")).otherwise(col("b")).as("u"),
         when(firstIsLower, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true) // three join consumers below
+      .transform(graft.plans.CorpusPin.pin) // three join consumers below
     val tri = orient
       .join(orient.toDF("u2", "v2"), col("v") === col("u2"))
       .join(orient.toDF("u3", "v3"), col("u3") === col("u") && col("v3") === col("v2"))
@@ -217,10 +217,10 @@ object GraphOps {
     * is an exact DECIMAL sum, one double division at each emission. */
   private[graft] def hits(edges0: DataFrame, iters: Int): DataFrame = {
     val e = edges0.filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct().localCheckpoint(true)
+      .select("src", "dst").distinct().transform(graft.plans.CorpusPin.pin)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     def normalized(raw: DataFrame, key: String, outCol: String): DataFrame = {
       // raw: (key, s DECIMAL) — nodes absent contribute 0 and, matching
@@ -287,7 +287,7 @@ object GraphOps {
   private def q170(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Tables(spark, sfDir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true) // feeds degrees, the cap filter, and both join sides
+      .transform(graft.plans.CorpusPin.pin) // feeds degrees, the cap filter, and both join sides
     val deg = edges.groupBy("s").agg(count(lit(1)).as("d"))
     val cold = edges.groupBy("p").agg(count(lit(1)).as("pd"))
       .filter(col("pd") <= MaxPartDegree).select("p")
@@ -329,14 +329,14 @@ object GraphOps {
     * (deduped here), `seeds` a frame of s-side keys named `seed`. */
   private[graft] def khopReachOf(edges0: DataFrame, seeds: DataFrame): DataFrame = {
     val edges = edges0.select(col("c"), col("s")).distinct()
-      .localCheckpoint(true) // one edge build feeds all three hop joins
+      .transform(graft.plans.CorpusPin.pin) // one edge build feeds all three hop joins
     val h1 = seeds.join(edges, col("seed") === col("s"))
       .select("seed", "c").distinct()
-      .localCheckpoint(true) // frontier read by hop 2 AND the hop-3 subtraction
+      .transform(graft.plans.CorpusPin.pin) // frontier read by hop 2 AND the hop-3 subtraction
     val h2 = h1.join(edges, "c")
       .filter(col("s") =!= col("seed"))
       .select("seed", "s").distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val h3 = h2.join(edges.toDF("c2", "s"), "s")
       .select(col("seed"), col("c2").as("c")).distinct()
       .join(h1, Seq("seed", "c"), "left_anti")
@@ -370,7 +370,7 @@ object GraphOps {
     * semantics). */
   private[graft] def shortestPathsOf(edges0: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
-    val edges = edges0.filter(col("src") =!= col("dst")).localCheckpoint(true)
+    val edges = edges0.filter(col("src") =!= col("dst")).transform(graft.plans.CorpusPin.pin)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     var dist = nodes

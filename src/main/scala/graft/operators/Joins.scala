@@ -283,7 +283,7 @@ object Joins {
       keyCounts(Tables(spark, sfDir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
         .unionByName(keyCounts(Tables(spark, sfDir, "orders"), "o_custkey", "orders.o_custkey"))
         .unionByName(keyCounts(Tables(spark, sfDir, "events"), "user_id", "events.user_id"))
-        .localCheckpoint(true)
+        .transform(graft.plans.CorpusPin.pin)
     val summary = counts.groupBy("key_col").agg(
       sum(col("c")).as("n_rows"),
       count(lit(1)).as("n_keys"),
@@ -323,7 +323,7 @@ object Joins {
     val prod = ca.join(cb, "k")
       .select(col("k"), col("cnt_a"), col("cnt_b"),
         (col("cnt_a") * col("cnt_b")).as("pair_rows"))
-      .localCheckpoint(true) // key-bounded; est fold + top-10 share it
+      .transform(graft.plans.CorpusPin.pin) // key-bounded; est fold + top-10 share it
     val na = Tables(spark, sfDir, "orders").agg(count(lit(1)).as("na"))
     val nb = Tables(spark, sfDir, "events").agg(count(lit(1)).as("nb"))
     val est = prod.agg(sum("pair_rows").as("est_rows"))
@@ -499,7 +499,7 @@ object Joins {
     val pts = Tables(spark, sfDir, "customer")
       .select(col("c_custkey").as("id"),
         hx("px:").cast("bigint").as("x"), hx("py:").cast("bigint").as("y"))
-      .localCheckpoint(true) // index side + probe side read it
+      .transform(graft.plans.CorpusPin.pin) // index side + probe side read it
     val indexed = pts.select(col("id").as("id_b"), col("x").as("xb"),
       col("y").as("yb"), expr("x DIV 10").as("cx"), expr("y DIV 10").as("cy"))
     val probes = pts.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
@@ -536,7 +536,7 @@ object Joins {
   private def q234(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables(spark, sfDir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
-      .localCheckpoint(true) // key projection (mask build) + exact join side
+      .transform(graft.plans.CorpusPin.pin) // key projection (mask build) + exact join side
     val pruned = graft.plans.ScaleJoins.bloomPrefilter(
       Tables(spark, sfDir, "orders"), col("o_custkey"), cust.select("c_custkey"))
     pruned.join(cust, col("o_custkey") === col("c_custkey"))

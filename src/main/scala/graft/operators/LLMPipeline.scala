@@ -117,7 +117,7 @@ object LLMPipeline {
     val bands = sigs.select(col("doc_id"), expr(
       "stack(4, 0, concat_ws('|', s0, s1), 1, concat_ws('|', s2, s3), " +
         "2, concat_ws('|', s4, s5), 3, concat_ws('|', s6, s7)) AS (b, band)"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val l = bands.select(col("doc_id").as("id_a"), col("b"), col("band"))
     val r = bands.select(col("doc_id").as("id_b"), col("b"), col("band"))
     l.join(r, Seq("b", "band")).filter(col("id_a") < col("id_b"))

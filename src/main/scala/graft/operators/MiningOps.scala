@@ -30,13 +30,13 @@ object MiningOps {
     * Scale: baskets are one distinct projection; the pair self-join is
     * keyed on the ORDER (fan-out ≤ C(basket,2), basket ≤ 13 here — at
     * 100 TB a basket-size cap is the q61 df-cap analogue); item supports
-    * come from the SAME basket frame (checkpointed once) and join the
+    * come from the SAME basket frame (pinned once — CorpusPin) and join the
     * ≥min-support pairs — vocabulary-bounded, never the corpus. */
   private def q212(spark: SparkSession, sfDir: String): DataFrame = {
     val baskets = Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint(true) // pair join (both sides), item supports, N
+      .transform(graft.plans.CorpusPin.pin) // pair join (both sides), item supports, N
     val nBaskets = baskets.select("o").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemSupp = baskets.groupBy("p").agg(count(lit(1)).as("s"))

@@ -167,7 +167,7 @@ object NearDup {
     val banded = simhashDF(spark, sfDir)
       .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("k", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val l = banded.select(col("doc_id").as("ia"), col("simhash").as("sa"), col("b"), col("k"))
     val r = banded.select(col("doc_id").as("ib"), col("simhash").as("sb"), col("b"), col("k"))
     l.join(r, Seq("b", "k"))
@@ -637,7 +637,7 @@ object NearDup {
       .select(col("vec_id"), col("embedding"),
         expr(s"cast(sig & $mask as int)").as("cell"),
         sqrt(dotCol("embedding", "embedding")).as("nrm"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
   }
 
   /** The admissible (ca_id, cb_id) cell-pair frame for threshold `tau` —
@@ -949,7 +949,7 @@ object NearDup {
   private def q124(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val sigs = hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
-      .localCheckpoint(true) // signatures computed once, read by both join sides
+      .transform(graft.plans.CorpusPin.pin) // signatures computed once, read by both join sides
     val banded = sigs.select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(NBands - 1))).as("b"))
       .select(col("vec_id"), col("b"),
@@ -995,7 +995,7 @@ object NearDup {
   private def q291(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     val sigs = hyperplaneSigFrame(Tables(spark, sfDir, "embeddings"))
-      .localCheckpoint(true) // read by probes, corpus, and both band sides
+      .transform(graft.plans.CorpusPin.pin) // read by probes, corpus, and both band sides
     val banded = sigs.select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(NBands - 1))).as("b"))
       .select(col("vec_id"), col("b"),
@@ -1488,7 +1488,7 @@ object NearDup {
     * id), and the hex math runs where the bytes already sit (binaryFile
     * splits files across tasks; payload bytes never shuffle). */
   private def q326(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Scans.imageFixture()
+    val dir = Scans.imageFixture
     val blockSum =
       "aggregate(sequence(0, 11), 0L, (acc, i) -> acc + " +
         "cast(conv(substr(hx, (54 + (15 - ((bi div 8) * 2 + (i div 3) div 2)) * 48 + " +
@@ -1502,7 +1502,7 @@ object NearDup {
       .withColumn("sums", expr(s"transform(sequence(0, 63), bi -> $blockSum)"))
       .withColumn("total", expr("aggregate(sums, 0L, (acc, x) -> acc + x)"))
       .select(col("img"), expr(word(1)).as("lo"), expr(word(33)).as("hi"))
-      .localCheckpoint(true) // hashed once; both band-join sides read it
+      .transform(graft.plans.CorpusPin.pin) // hashed once; both band-join sides read it
     val banded = hashed.select(col("img"), col("lo"), col("hi"),
         explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("k", expr(
@@ -1537,7 +1537,7 @@ object NearDup {
     * discipline) — at 10⁹ recordings the index is 8 (band, byte, id)
     * rows per file, the q314 persisted-index shape. */
   private def q334(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Scans.audioDupFixture()
+    val dir = Scans.audioDupFixture
     val raw = "(cast(conv(substr(hx, (44 + (bi * 12 + i) * 2) * 2 + 1, 2), 16, 10) as bigint) + " +
       "256 * cast(conv(substr(hx, (44 + (bi * 12 + i) * 2) * 2 + 3, 2), 16, 10) as bigint))"
     val blockSum =
@@ -1551,7 +1551,7 @@ object NearDup {
       .withColumn("sums", expr(s"transform(sequence(0, 63), bi -> $blockSum)"))
       .withColumn("total", expr("aggregate(sums, 0L, (acc, x) -> acc + x)"))
       .select(col("fname"), expr(word(1)).as("lo"), expr(word(33)).as("hi"))
-      .localCheckpoint(true) // hashed once; both band-join sides read it
+      .transform(graft.plans.CorpusPin.pin) // hashed once; both band-join sides read it
     val banded = hashed.select(col("fname"), col("lo"), col("hi"),
         explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("k", expr(
@@ -1610,7 +1610,7 @@ object NearDup {
       .join(coarseCells(emb, emb, 1).select("vec_id", "bucket"), "vec_id")
       .select(col("vec_id"), col("bucket"), col("embedding"),
         sqrt(dotCol("embedding", "embedding")).as("nrm"))
-      .localCheckpoint(true) // assigned once; both self-join sides read it
+      .transform(graft.plans.CorpusPin.pin) // assigned once; both self-join sides read it
     val l = assigned.select(col("vec_id").as("id_a"), col("bucket"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val r = assigned.select(col("vec_id").as("id_b"), col("bucket"),
@@ -1648,7 +1648,7 @@ object NearDup {
   private def q340(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables(spark, sfDir, "embeddings")
     val members = pqAssign(emb).join(pqSubVecs(emb), Seq("vec_id", "s"))
-      .localCheckpoint(true) // feeds the mean + both SSE folds
+      .transform(graft.plans.CorpusPin.pin) // feeds the mean + both SSE folds
     val cent2 = members
       .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
       .select(col("s"), col("code"), col("dim"), col("v").cast(DecimalType(18, 9)).as("v"))
@@ -1760,7 +1760,7 @@ object NearDup {
     val sigs = hyperplaneSigFrame(emb)
       .withColumn("h", md5(concat(lit("sdc:"), col("vec_id").cast("string"))))
       .withColumn("b100", CorpusOps.hexBucket(100))
-      .localCheckpoint(true) // read by both band-join sides + the probe list
+      .transform(graft.plans.CorpusPin.pin) // read by both band-join sides + the probe list
     val banded = sigs.select(col("vec_id"), col("b100"), col("sig"),
         explode(sequence(lit(0), lit(NBands - 1))).as("b"))
       .select(col("vec_id"), col("b100"), col("b"),
@@ -1806,7 +1806,7 @@ object NearDup {
       .join(sizes.toDF("ib", "nb"), "ib")
       .select(col("ib"),
         Tables.r6(col("inter") / (col("na") + col("nb") - col("inter"))).as("j"))
-      .localCheckpoint(true) // candidate-bounded; swept 5× by the grid
+      .transform(graft.plans.CorpusPin.pin) // candidate-bounded; swept 5× by the grid
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     val grid = spark.range(5, 10).select((col("id") * 10).as("thr"))
     val perThr = grid.join(jac, col("j") >= col("thr") / lit(100.0))
@@ -1979,7 +1979,7 @@ object NearDup {
     // same blob bytes (q95's cross-engine decode pattern)
     Q("q326_image_phash_dedup", q326 _, Some(
       "WITH bl AS (SELECT regexp_extract(filename, '[^/]+$') AS img, hex(content) AS hx " +
-        s"FROM read_blob('${graft.operators.Scans.fixtureRoot}/graft_image_fixture_${graft.operators.Scans.FixtureGen}/*.bmp')), " +
+        s"FROM read_blob('${graft.operators.Scans.imageFixture}/*.bmp')), " +
         "sums AS (SELECT img, bi, list_sum(list_transform(range(0, 12), i -> " +
         "CAST(('0x' || substr(hx, CAST((54 + (15 - ((bi // 8) * 2 + (i // 3) // 2)) * 48 + " +
         "((bi % 8) * 2 + (i // 3) % 2) * 3 + i % 3) * 2 + 1 AS INT), 2)) AS BIGINT))) AS s " +
@@ -2002,7 +2002,7 @@ object NearDup {
       val raw = "(CAST(('0x' || substr(hx, CAST((44 + (bi * 12 + i) * 2) * 2 + 1 AS INT), 2)) AS BIGINT) + " +
         "256 * CAST(('0x' || substr(hx, CAST((44 + (bi * 12 + i) * 2) * 2 + 3 AS INT), 2)) AS BIGINT))"
       "WITH bw AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, hex(content) AS hx " +
-        s"FROM read_blob('${graft.operators.Scans.fixtureRoot}/graft_audio_dup_fixture_${graft.operators.Scans.FixtureGen}/*.wav')), " +
+        s"FROM read_blob('${graft.operators.Scans.audioDupFixture}/*.wav')), " +
         "sums AS (SELECT fname, bi, list_sum(list_transform(range(0, 12), i -> " +
         s"abs(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END))) AS s " +
         "FROM bw CROSS JOIN range(0, 64) rb(bi)), " +

@@ -288,7 +288,7 @@ object PipelineOps {
     val totals = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(dec(col("value"))).cast("double").as("ptotal"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     // bounded-state exact median (the builtin percentile would buffer
     // every distinct per-user total in ONE global aggregation buffer);
     // bit-identical values, so the quantile_cont oracle is untouched.
@@ -429,7 +429,7 @@ object PipelineOps {
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
         dec(col("value")).as("v"))
       .groupBy("user_id", "day").agg(sum(col("v")).as("dv"))
-      .localCheckpoint(true) // users×days-bounded; bounds fold + split read it
+      .transform(graft.plans.CorpusPin.pin) // users×days-bounded; bounds fold + split read it
     val split = ud.agg(expr("(min(day) + max(day) + 1) div 2").as("split_day"))
     val xy = ud.crossJoin(broadcast(split))
       .groupBy("user_id")
@@ -561,7 +561,7 @@ object PipelineOps {
         dec(col("value")).as("v"))
       .groupBy("user_id", "day")
       .agg(count(lit(1)).as("c"), sum(col("v")).as("dv"))
-      .localCheckpoint(true) // users×days-bounded; split fold + agg read it
+      .transform(graft.plans.CorpusPin.pin) // users×days-bounded; split fold + agg read it
     val split = ud.agg(expr("(min(day) + max(day) + 1) div 2").as("split_day"))
     val users = ud.crossJoin(broadcast(split))
       .groupBy("user_id")
@@ -830,7 +830,7 @@ object PipelineOps {
       .agg(max(col("ts_us")).as("last_us"),
         count(lit(1)).as("freq"),
         Tables.r6(sum(dec(col("value"))).cast("double")).as("monetary"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     // ONE grouped bounded-selection fold over the three unpivoted
     // dimensions (the dimension tag is the group key — 3 groups × 4
     // cuts; one invocation, not three, keeps the pass count flat), then

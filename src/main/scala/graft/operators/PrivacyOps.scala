@@ -240,7 +240,7 @@ object PrivacyOps {
   private def q188(spark: SparkSession, sfDir: String): DataFrame = {
     val ut = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type")).distinct()
-      .localCheckpoint(true) // read by singles AND both pair-join sides
+      .transform(graft.plans.CorpusPin.pin) // read by singles AND both pair-join sides
     val singles = ut.groupBy(col("event_type").as("itemset"))
       .agg(count(lit(1)).as("support")).withColumn("m", lit(1L))
     val pairs = ut.toDF("user_id", "t1").join(ut.toDF("user_id", "t2"), "user_id")
@@ -367,7 +367,7 @@ object PrivacyOps {
         when(col("coin") < truthPct, col("graft_v"))
           .otherwise(element_at(array(categories.map(lit): _*),
             col("lie").cast("int") + 1)))
-      .localCheckpoint(true) // corpus-sized frame; two k-row consumers
+      .transform(graft.plans.CorpusPin.pin) // corpus-sized frame; two k-row consumers
     val spark = df.sparkSession
     import spark.implicits._
     val domain = categories.zip(qs).toDF("segment", "graft_q")
@@ -421,7 +421,7 @@ object PrivacyOps {
   private[graft] def kmSuppressOf(baskets: DataFrame, kDivisor: Int): DataFrame = {
     require(kDivisor >= 1, s"kmSuppress: kDivisor $kDivisor must be >= 1")
     val ob = baskets.select(col("o"), col("b")).distinct()
-      .localCheckpoint(true) // read by k, singles, both pair sides
+      .transform(graft.plans.CorpusPin.pin) // read by k, singles, both pair sides
     val kF = ob.agg(countDistinct(col("o")).as("no"))
       .select(greatest(lit(1L), expr(s"no DIV $kDivisor")).as("k"))
     val singles = ob.groupBy("b").agg(count(lit(1)).as("support"))

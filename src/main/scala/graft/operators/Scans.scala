@@ -44,8 +44,35 @@ object Scans {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
   }
+  /** Sweep `graft_*_p<pid>` tmp dirs left by DEAD processes (VERDICT r15
+    * item 7): the exit hook above never runs on SIGKILL — the driver
+    * kills stalled runs — so per-PID dirs accumulate in java.io.tmpdir
+    * forever. Runs once per JVM, before the first tmp dir is handed out.
+    * A dir is stale iff its embedded pid is not this process AND no live
+    * process holds that pid (ProcessHandle.of — liveness, not ownership:
+    * pid reuse can only make us KEEP a stale dir one sweep longer, never
+    * delete a live run's dir prematurely... unless the pid was recycled
+    * to an unrelated process, an accepted razor-thin race on a box that
+    * cycles 4M pids between graft runs). Returns the swept count for the
+    * unit test. */
+  private[graft] def sweepStaleTmpDirs(): Int = {
+    val self = ProcessHandle.current().pid()
+    val pat = java.util.regex.Pattern.compile("^graft_.*_p(\\d+)$")
+    val root = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(root.listFiles()).getOrElse(Array.empty).count { f =>
+      val m = pat.matcher(f.getName)
+      val stale = f.isDirectory && m.matches() && {
+        val pid = m.group(1).toLong
+        pid != self && !ProcessHandle.of(pid).filter(_.isAlive).isPresent
+      }
+      if (stale) deleteRec(f)
+      stale
+    }
+  }
+  private lazy val staleSweepDone: Unit = { sweepStaleTmpDirs(): Unit }
   private def tmp(kind: String, sfDir: String): String = {
     tmpHookInstalled
+    staleSweepDone
     val p = s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
       s"${math.abs(sfDir.hashCode)}_p${ProcessHandle.current().pid()}"
     synchronized { tmpDirs += p }
@@ -60,13 +87,28 @@ object Scans {
   private[operators] val fixtureRoot: String =
     new java.io.File("target").getAbsolutePath
 
-  /** Fixture GENERATION tag, part of every fixture dir name: the
-    * existence-only writeFixture guard is content-blind, so an edited
-    * generator would silently keep reading old bytes on any machine
-    * with a previous dir (r15 review). BUMP THIS with any change to a
-    * fixture builder — the new name forces a clean rebuild everywhere,
-    * and stale dirs are dead weight, not inputs. */
-  private[operators] val FixtureGen = "g1"
+  /** Content-addressed fixture dir (VERDICT r15 item 6): the dir tag is
+    * a SHA-256 prefix over the generated (name, bytes) pairs, so ANY
+    * edit to a fixture builder changes the tag → the dir name → forces
+    * a clean rebuild, with no human "bump the gen tag" memory in the
+    * loop (the manual g-tag rule was content-blind at one remove and
+    * broke exactly once: c3a2079 renamed the dirs and left a test
+    * reading the old path). Generation is cheap — all fixtures together
+    * are < 100 KB, built in-memory once per JVM via the lazy-val
+    * builders below — and the existence-only writeFixture guard is now
+    * content-safe because the name IS the content hash. Stale dirs from
+    * older generator versions are dead weight, never inputs. */
+  private def fixtureDir(base: String, files: Seq[(String, Array[Byte])]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    files.sortBy(_._1).foreach { case (n, b) =>
+      md.update(n.getBytes("US-ASCII")); md.update(0.toByte); md.update(b)
+    }
+    val tag = md.digest().take(6).map(b => f"$b%02x").mkString
+    val dir = new java.io.File(s"$fixtureRoot/${base}_$tag")
+    dir.mkdirs()
+    files.foreach { case (n, b) => writeFixture(new java.io.File(dir, n), b) }
+    dir.getAbsolutePath
+  }
 
   /** Shared little-endian byte helpers for the fixture builders (r15
     * review: five copy-pasted definitions). */
@@ -276,9 +318,7 @@ object Scans {
     * fixed repo-local dir. Both engines read the same files: Spark via
     * the binaryFile source, DuckDB via read_blob — which is why the path
     * must be absolute and sfDir-independent (oracle SQL is static). */
-  private[operators] def binaryFixture(): String = {
-    val dir = new java.io.File(s"$fixtureRoot/graft_binary_fixture_$FixtureGen")
-    dir.mkdirs()
+  private[graft] lazy val binaryFixture: String = {
     def be(i: Int) = Array[Byte]((i >> 24).toByte, (i >> 16).toByte, (i >> 8).toByte, i.toByte)
     def png(w: Int, h: Int, pad: Int) =
       Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
@@ -290,15 +330,10 @@ object Scans {
       "RIFF".getBytes("US-ASCII") ++ le(100) ++ "WAVE".getBytes("US-ASCII") ++
         "fmt ".getBytes("US-ASCII") ++ le(16) ++ le16(1) ++ le16(ch) ++
         le(rate) ++ Array.fill[Byte](4)(0)
-    Seq[(String, Array[Byte])](
+    fixtureDir("graft_binary_fixture", Seq(
       "png1.bin" -> png(320, 200, 5), "png2.bin" -> png(1920, 1080, 9),
       "bmp1.bin" -> bmp(640, 480), "bmp2.bin" -> bmp(64, 64),
-      "wav1.bin" -> wav(44100, 2)
-    ).foreach { case (n, bytes) =>
-      val f = new java.io.File(dir, n)
-      writeFixture(f, bytes)
-    }
-    dir.getAbsolutePath
+      "wav1.bin" -> wav(44100, 2)))
   }
 
   /** Deterministic 16×16 24-bpp UNCOMPRESSED BMP fixtures for q326's
@@ -311,9 +346,7 @@ object Scans {
     * Layout: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40), pixel array at
     * offset 54, BGR, rows bottom-up, stride 48 = 16·3 (already 4-byte
     * aligned, so no row padding — the hex math needs no pad handling). */
-  private[operators] def imageFixture(): String = {
-    val dir = new java.io.File(s"$fixtureRoot/graft_image_fixture_$FixtureGen")
-    dir.mkdirs()
+  private[graft] lazy val imageFixture: String = {
     val w = 16; val h = 16
     // multiplicative image × (x, y) mix (q332's generator lesson: a
     // linear index × constant hash leaves "unrelated" fixtures
@@ -335,13 +368,10 @@ object Scans {
       }
       header ++ px
     }
-    (0 until 12).foreach { i =>
-      val base = new java.io.File(dir, f"img_$i%03d.bmp")
-      writeFixture(base, bmp(i, perturb = false))
-      val clone = new java.io.File(dir, f"img_${i + 100}%03d.bmp")
-      writeFixture(clone, bmp(i, perturb = true))
-    }
-    dir.getAbsolutePath
+    fixtureDir("graft_image_fixture", (0 until 12).flatMap { i =>
+      Seq(f"img_$i%03d.bmp" -> bmp(i, perturb = false),
+        f"img_${i + 100}%03d.bmp" -> bmp(i, perturb = true))
+    })
   }
 
   /** Deterministic WAV fixtures WITH real 16-bit PCM payloads for q328's
@@ -351,9 +381,7 @@ object Scans {
     * amplitude vary per file so windows differ in every feature. Layout:
     * canonical 44-byte RIFF/fmt/data header, little-endian int16 samples
     * at offset 44 (both engines re-derive them from the same bytes). */
-  private[operators] def audioFixture(): String = {
-    val dir = new java.io.File(s"$fixtureRoot/graft_audio_fixture_$FixtureGen")
-    dir.mkdirs()
+  private[graft] lazy val audioFixture: String = {
     val n = 800
     def wav(f: Int): Array[Byte] = {
       val header =
@@ -368,11 +396,8 @@ object Scans {
       }
       header ++ pcm
     }
-    (0 until 6).foreach { f =>
-      val file = new java.io.File(dir, f"tone_$f%02d.wav")
-      writeFixture(file, wav(f))
-    }
-    dir.getAbsolutePath
+    fixtureDir("graft_audio_fixture",
+      (0 until 6).map(f => f"tone_$f%02d.wav" -> wav(f)))
   }
 
   /** Deterministic PCM "recordings" for q334's audio-fingerprint dedup —
@@ -384,9 +409,7 @@ object Scans {
     * Same WAV layout as [[audioFixture]]: 8 kHz mono 16-bit, 800
     * samples, data at byte offset 44. Own dir (q328's oracle globs the
     * other fixture's dir and is row-count-sensitive to new files). */
-  private[operators] def audioDupFixture(): String = {
-    val dir = new java.io.File(s"$fixtureRoot/graft_audio_dup_fixture_$FixtureGen")
-    dir.mkdirs()
+  private[graft] lazy val audioDupFixture: String = {
     val n = 800
     def sample(b: Int, i: Int): Int =
       (((b * 101L + 7L) * (i * 2654435761L + 12345L) % 1000003L) % 30001L - 15000L).toInt
@@ -402,14 +425,10 @@ object Scans {
       }
       header ++ pcm
     }
-    (0 until 8).foreach { b =>
-      writeFixture(new java.io.File(dir, f"rec_$b%03d.wav"), wav(sample(b, _)))
-    }
-    Seq(0, 2, 5).foreach { b =>
-      writeFixture(new java.io.File(dir, f"rec_${b + 100}%03d.wav"),
-        wav(i => sample(b, i) + (i * 7) % 11 - 5))
-    }
-    dir.getAbsolutePath
+    fixtureDir("graft_audio_dup_fixture",
+      (0 until 8).map(b => f"rec_$b%03d.wav" -> wav(sample(b, _))) ++
+        Seq(0, 2, 5).map(b => f"rec_${b + 100}%03d.wav" ->
+          wav(i => sample(b, i) + (i * 7) % 11 - 5)))
   }
 
   /** q95: binary-file ingestion — the multimodal pipeline's entry point:
@@ -421,7 +440,7 @@ object Scans {
     * re-parses the SAME bytes in SQL (read_blob + hex slicing), so the
     * decode itself is hash-verified cross-engine. */
   private def q95(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = binaryFixture()
+    val dir = binaryFixture
     val decode = udf { bytes: Array[Byte] =>
       val (a, b) = graft.streaming.Multimodal.decodeReal(bytes, "")
       (a.toLong, b.toLong)
@@ -445,9 +464,7 @@ object Scans {
     * t = 8 replaces the pattern entirely (hash distance ≈ half the
     * bits). The fixed-size-frame container is the raw-video layout
     * (YUV/RGB elementary streams) a demuxer feeds. */
-  private[operators] def videoFixture(): String = {
-    val dir = new java.io.File(s"$fixtureRoot/graft_video_fixture_$FixtureGen")
-    dir.mkdirs()
+  private[graft] lazy val videoFixture: String = {
     val frames = 16
     // multiplicative (v, s) × (x, y) mix with an intermediate prime mod:
     // a purely linear index × constant hash makes two videos differ by a
@@ -473,11 +490,8 @@ object Scans {
       }
       le(frames) ++ body
     }
-    (0 until 5).foreach { v =>
-      val f = new java.io.File(dir, f"video_$v%02d.bin")
-      writeFixture(f, video(v))
-    }
-    dir.getAbsolutePath
+    fixtureDir("graft_video_fixture",
+      (0 until 5).map(v => f"video_$v%02d.bin" -> video(v)))
   }
 
   /** q329: video frame sampling + per-frame featurization — the
@@ -500,7 +514,7 @@ object Scans {
   /** Per-sampled-frame hash frame shared by q329/q331:
     * (video, t, lo, hi, total) — one codegen'd projection per video. */
   private def frameHashes(spark: SparkSession): DataFrame = {
-    val dir = videoFixture()
+    val dir = videoFixture
     val blockSum =
       "aggregate(sequence(0, 3), 0L, (acc, d) -> acc + " +
         "cast(conv(substr(hx, (4 + t * 256 + ((bi div 8) * 2 + d div 2) * 16 + " +
@@ -589,7 +603,7 @@ object Scans {
     * from the same fixture bytes with the same integer math. */
   private val videoHashCtes: String =
     "WITH bv AS (SELECT regexp_extract(filename, '[^/]+$') AS video, hex(content) AS hx " +
-      s"FROM read_blob('$fixtureRoot/graft_video_fixture_$FixtureGen/*.bin')), " +
+      s"FROM read_blob('$videoFixture/*.bin')), " +
       "fr AS (SELECT video, hx, t FROM bv CROSS JOIN range(0, 16, 4) rt(t)), " +
       "sums AS (SELECT video, t, bi, list_sum(list_transform(range(0, 4), d -> " +
       "CAST(('0x' || substr(hx, CAST((4 + t * 256 + ((bi // 8) * 2 + d // 2) * 16 + " +
@@ -624,7 +638,7 @@ object Scans {
     * thumbnail never exceeds 64 longs/image, payloads never shuffle, and
     * a 100 TB thumbnail job is exactly this map plus a parquet sink. */
   private def q330(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = imageFixture()
+    val dir = imageFixture
     val blockSum =
       "aggregate(sequence(0, 11), 0L, (acc, i) -> acc + " +
         "cast(conv(substr(hx, (54 + (15 - ((bi div 8) * 2 + (i div 3) div 2)) * 48 + " +
@@ -658,7 +672,7 @@ object Scans {
     * (files × windows)-bounded. A 100 TB audio lake runs exactly this
     * shape with bigger windows — the plan has no other moving part. */
   private def q328(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = audioFixture()
+    val dir = audioFixture
     val raw = "(cast(conv(substr(hx, (44 + i * 2) * 2 + 1, 2), 16, 10) as bigint) + " +
       "256 * cast(conv(substr(hx, (44 + i * 2) * 2 + 3, 2), 16, 10) as bigint))"
     spark.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(dir)
@@ -816,7 +830,7 @@ object Scans {
     Q("q95_scan_binary_decode", q95 _, Some(
       "WITH b AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, " +
         "octet_length(content) AS n_bytes, hex(content) AS hx " +
-        s"FROM read_blob('$fixtureRoot/graft_binary_fixture_$FixtureGen/*.bin')) " +
+        s"FROM read_blob('$binaryFixture/*.bin')) " +
         "SELECT fname, n_bytes, " +
         "CASE WHEN fname LIKE 'png%' THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT) " +
         "WHEN fname LIKE 'bmp%' THEN CAST(('0x' || substr(hx, 43, 2) || substr(hx, 41, 2) || " +
@@ -833,7 +847,7 @@ object Scans {
       val raw = "(CAST(('0x' || substr(hx, CAST((44 + i * 2) * 2 + 1 AS INT), 2)) AS BIGINT) + " +
         "256 * CAST(('0x' || substr(hx, CAST((44 + i * 2) * 2 + 3 AS INT), 2)) AS BIGINT))"
       "WITH bw AS (SELECT regexp_extract(filename, '[^/]+$') AS fname, hex(content) AS hx " +
-        s"FROM read_blob('$fixtureRoot/graft_audio_fixture_$FixtureGen/*.wav')), " +
+        s"FROM read_blob('$audioFixture/*.wav')), " +
         s"samp AS (SELECT fname, list_transform(range(0, 800), i -> " +
         s"CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS samples FROM bw), " +
         "ws AS (SELECT fname, w, list_slice(samples, CAST(w * 100 + 1 AS INT), " +
@@ -881,7 +895,7 @@ object Scans {
     // rows, never an array column (the harness compare row-sorts)
     Q("q330_image_resize", q330 _, Some(
       "WITH bl AS (SELECT regexp_extract(filename, '[^/]+$') AS img, hex(content) AS hx " +
-        s"FROM read_blob('$fixtureRoot/graft_image_fixture_$FixtureGen/*.bmp')) " +
+        s"FROM read_blob('$imageFixture/*.bmp')) " +
         "SELECT img, CAST(16 AS BIGINT) AS in_w, CAST(16 AS BIGINT) AS in_h, " +
         "CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h, bi, " +
         "CAST(list_sum(list_transform(range(0, 12), i -> " +

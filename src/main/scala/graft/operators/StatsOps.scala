@@ -319,7 +319,8 @@ object StatsOps {
     val (seg, glob) = acctbalMemo.computeIfAbsent((spark, sfDir), { _ =>
       val base = Tables(spark, sfDir, "customer")
         .select(col("c_mktsegment"), col("c_acctbal"))
-        .localCheckpoint(true) // the ONE corpus read both selections share
+        .transform(graft.plans.CorpusPin.pin) // the ONE corpus read both
+                                              // selections share
       val segDf = graft.plans.BoundedQuantiles.groupQuantiles(base,
         Seq("c_mktsegment"), col("c_acctbal"), Seq(0.25, 0.75), Seq("q1r", "q3r"),
         pin = false)
@@ -591,13 +592,13 @@ object StatsOps {
     * (18,4) default would round the cut values at the 4dp boundary,
     * where half-rounding is NOT cross-engine contractual).
     *
-    * Scale: checkpoint once (BQ scans the input 3×, the clip join
+    * Scale: pin once (CorpusPin; BQ scans the input 3×, the clip join
     * once); the cuts frame is nation-bounded and broadcasts; the final
     * agg is one keyed fold. */
   private def q242(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables(spark, sfDir, "customer")
       .select(col("c_nationkey"), col("c_acctbal"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val cuts = graft.plans.BoundedQuantiles.groupQuantiles(
       base, Seq("c_nationkey"), col("c_acctbal"),
       Seq(0.1, 0.9), Seq("p10c", "p90c"))
@@ -714,7 +715,7 @@ object StatsOps {
     val perCust = Tables(spark, sfDir, "orders")
       .groupBy("o_custkey")
       .agg(sum(Tables.dec(col("o_totalprice"))).as("rev"))
-      .localCheckpoint(true) // customer-bounded; head + grand total read it
+      .transform(graft.plans.CorpusPin.pin) // customer-bounded; head + grand total read it
     val total = perCust.agg(sum(col("rev")).as("t"))
     val head = perCust.orderBy(col("rev").desc, col("o_custkey")).limit(ParetoHead)
     val byRev = Window.orderBy(col("rev").desc, col("o_custkey"))
@@ -740,11 +741,11 @@ object StatsOps {
     * Quantiles via BoundedQuantiles grouped by day (§2.9 R7 — the
     * builtin percentile's unbounded buffer is banned; PlanShapeSuite's
     * no-percentile probe covers this query). The day-keyed input is
-    * checkpointed once (BQ scans it 3×); output is calendar-bounded. */
+    * pinned once (CorpusPin; BQ scans it 3×); output is calendar-bounded. */
   private def q247(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.events(spark, sfDir)
       .select(expr("ts_us DIV 86400000000").as("day"), col("value"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     graft.plans.BoundedQuantiles.groupQuantiles(
         base, Seq("day"), col("value"),
         Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"))
@@ -778,7 +779,7 @@ object StatsOps {
     import org.apache.spark.sql.types.DecimalType
     val x = Tables(spark, sfDir, "documents")
       .select(col("n_chars").cast("double").as("x"))
-      .localCheckpoint(true) // one narrow projection; every EM step reads it
+      .transform(graft.plans.CorpusPin.pin) // one narrow projection; every EM step reads it
     var st = x.agg(min("x").as("mn"), max("x").as("mx"))
       .select(lit(0.5).as("w1"),
         Tables.r6(col("mn") + (col("mx") - col("mn")) / 4.0).as("mu1"),
@@ -1598,20 +1599,20 @@ object StatsOps {
     * both through BoundedQuantiles (R7 — bounded histogram state, never
     * the builtin percentile buffer).
     *
-    * Scale: the customer projection is checkpointed once (BoundedQuantiles
+    * Scale: the customer projection is pinned once (CorpusPin; BoundedQuantiles
     * scans its input internally; residuals re-derive from the same
     * frame); each quantile pass is histogram-bounded; the final flag
     * count is one keyed aggregation. */
   private def q215(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables(spark, sfDir, "customer")
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val med = graft.plans.BoundedQuantiles.groupQuantiles(
       cust, Seq("c_nationkey"), col("c_acctbal"), Seq(0.5), Seq("med"), pin = false)
     val resid = cust.join(broadcast(med), "c_nationkey")
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("med"),
         abs(col("c_acctbal") - col("med")).as("r"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val mad = graft.plans.BoundedQuantiles.groupQuantiles(
       resid, Seq("c_nationkey"), col("r"), Seq(0.5), Seq("mad"), pin = false)
     val cut = lit(3.0) * lit(1.4826) * col("mad")
@@ -2283,7 +2284,7 @@ object StatsOps {
     * order can't move them; the one-row ρ is fixed-shape IEEE double,
     * r6-quantized.
     *
-    * Scale: the corpus collapses to (x, y) once (checkpointed; feeds two
+    * Scale: the corpus collapses to (x, y) once (pinned — CorpusPin; feeds two
     * domain aggs + the rank join); each rank map is value-domain-bounded
     * with the two-phase DistributedCumSum (no single-partition window);
     * the rank join is an equi-join against domain-bounded frames (AQE
@@ -2300,7 +2301,8 @@ object StatsOps {
       yCol: Column): DataFrame = {
     val base = df
       .select(xCol.as("x"), yCol.as("y"))
-      .localCheckpoint(true) // 2 values/row; x-domain, y-domain + join read it
+      .transform(graft.plans.CorpusPin.pin) // corpus rows at 2 values/row;
+                                            // x-domain, y-domain + join read it
     def rankMap(c: String): DataFrame = {
       val perVal = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
       graft.plans.DistributedCumSum.cumulative(perVal, "v", Seq("n"))

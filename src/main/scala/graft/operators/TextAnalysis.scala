@@ -86,7 +86,7 @@ object TextAnalysis {
     }.get.otherwise(lit("und"))
     val pc = scored.select(col("doc_id"), pred.as("pred"))
       .groupBy("doc_id", "pred").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // totals, lang count, and majority share it
+      .transform(graft.plans.CorpusPin.pin) // totals, lang count, and majority share it
     val tot = pc.groupBy("doc_id").agg(sum("c").as("n_chunks"),
       sum(when(col("pred") =!= "und", 1L).otherwise(0L)).as("n_langs"))
     val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("pred"))
@@ -294,7 +294,7 @@ object TextAnalysis {
         "transform(sequence(0, size(ts) - 2), i -> " +
           "concat(ts[i], ' ', ts[i + 1]))")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("r"))
-      .localCheckpoint(true) // vocabulary-bounded; cc + totals read it
+      .transform(graft.plans.CorpusPin.pin) // vocabulary-bounded; cc + totals read it
     val cc = typeCounts.filter(col("r") <= 11)
       .groupBy("r").agg(count(lit(1)).as("n_r"))
       .localCheckpoint(true) // ≤11 rows; self-join + n1 fold read it
@@ -348,7 +348,7 @@ object TextAnalysis {
       .withColumn("wdec", col("w").cast("decimal(18,6)"))
     val cum = graft.plans.DistributedCumSum.cumulative(counts, "tok", Seq("wdec"))
       .withColumn("cum_i", expr("CAST(cum_wdec * 1000000 AS BIGINT)"))
-      .localCheckpoint(true) // vocabulary-bounded; total fold + emission
+      .transform(graft.plans.CorpusPin.pin) // vocabulary-bounded; total fold + emission
     val tot = cum.agg(max("cum_i").as("tot_i"))
     cum.crossJoin(broadcast(tot))
       .select(col("tok"), col("c"), col("w"),
@@ -433,7 +433,7 @@ object TextAnalysis {
         "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds all three KN aggregates + the join
+      .transform(graft.plans.CorpusPin.pin) // feeds all three KN aggregates + the join
     // bg rows are distinct (w1, w2) types, so COUNT(*) per side IS N1+
     val ctx = bg.groupBy("w1").agg(sum("cnt").as("c1"), count(lit(1)).as("n_after"))
     val cont = bg.groupBy("w2").agg(count(lit(1)).as("n_before"))
@@ -475,7 +475,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
       .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint(true)
+      .transform(graft.plans.CorpusPin.pin)
     val cxy = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cxy"))
     // head counts derived FROM the bigram counts — no second corpus pass
     val cx = cxy.groupBy("lang", "w1").agg(sum("cxy").as("cx"))
@@ -529,7 +529,7 @@ object TextAnalysis {
         "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds the margin aggs AND the scoring join
+      .transform(graft.plans.CorpusPin.pin) // feeds the margin aggs AND the scoring join
     val c1 = cxy.groupBy("w1").agg(sum("cnt").as("c1"))
     val c2 = cxy.groupBy("w2").agg(sum("cnt").as("c2"))
     val nb = cxy.agg(sum("cnt").as("nb"))
@@ -714,7 +714,7 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy("t").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // vocabulary-bounded; feeds the total AND the head
+      .transform(graft.plans.CorpusPin.pin) // vocabulary-bounded; feeds the total AND the head
     val tot = cnt.agg(sum(col("c")).as("n_tok"))
     val byFreq = Window.orderBy(col("c").desc, col("t"))
     cnt.orderBy(col("c").desc, col("t")).limit(ks.max.toInt)
@@ -778,14 +778,14 @@ object TextAnalysis {
     val toks = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).cast("bigint").as("dl"))
-      .localCheckpoint(true) // feeds the corpus stats AND the tf frame
+      .transform(graft.plans.CorpusPin.pin) // feeds the corpus stats AND the tf frame
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       Tables.meanD(sum(col("dl")), count(lit(1))).as("avgdl"))
     val tf = toks
       .select(col("doc_id"), col("dl"),
         explode(expr(s"filter(ts, t -> t IN ($qTerms))")).as("term"))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // hit-sized; the df agg AND the scoring read it
+      .transform(graft.plans.CorpusPin.pin) // hit-sized; the df agg AND the scoring read it
     // tf is one row per (doc, term) already — a plain count IS the
     // document frequency; countDistinct here would plan a second
     // dedup exchange for nothing (PlanShapeSuite pins the 3-exchange
@@ -1084,7 +1084,7 @@ object TextAnalysis {
     import org.apache.spark.sql.types.DecimalType
     require(offsets.nonEmpty, "perplexitySweep: offsets must be non-empty")
     val per = perDocNll(docs)
-      .localCheckpoint(true) // scored once; read by the mean + the sweep
+      .transform(graft.plans.CorpusPin.pin) // scored once; read by the mean + the sweep
     val mn = per.agg(Tables.meanD(
       sum(col("avg_nll").cast(DecimalType(18, 6))), count(lit(1))).as("mn"))
     val kept = col("avg_nll") <= Tables.r6(col("mn") + col("o"))
@@ -1129,7 +1129,7 @@ object TextAnalysis {
       .filter(length(col("text")) >= 3)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bucket", CorpusOps.hexBucket(100))
-      .localCheckpoint(true) // read by the train explode, test explode,
+      .transform(graft.plans.CorpusPin.pin) // read by the train explode, test explode,
                              // and the final report join
     def tri(df: DataFrame) = df.select(col("doc_id"), col("lang"),
       explode(expr(
@@ -1189,7 +1189,7 @@ object TextAnalysis {
           expr("size(array_distinct(transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))))").cast("double") /
           (size(col("ts")) - 1)).as("rep"))
     val sig = qual.join(perDocNll(docs).select(col("doc_id"), col("avg_nll").as("nll")), "doc_id")
-      .localCheckpoint(true) // three signals in one frame; stats + rank read it
+      .transform(graft.plans.CorpusPin.pin) // three signals in one frame; stats + rank read it
     val dec = (c: Column) => Tables.r6(c).cast(DecimalType(18, 6))
     val stats = sig.agg(
       count(lit(1)).as("n"),
@@ -1264,7 +1264,7 @@ object TextAnalysis {
       .select("f")
     val kept = fps.join(broadcast(hot), Seq("f"), "left_anti")
       .select("doc_id", "f")
-      .localCheckpoint(true) // selected-fingerprint grain; read by sizes
+      .transform(graft.plans.CorpusPin.pin) // selected-fingerprint grain; read by sizes
                              // + both inverted-index join sides
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     kept.toDF("ia", "f").join(kept.toDF("ib", "f"), "f")

@@ -652,7 +652,7 @@ object TimeSeries {
       .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
     val funnel = c.join(v, Seq("user_id"), "left")
       .join(p, Seq("user_id"), "left")
-      .localCheckpoint(true) // users-sized; three step projections read it
+      .transform(graft.plans.CorpusPin.pin) // users-sized; three step projections read it
     val gaps = Seq(
       ("click->view", col("t_view") - col("t_click")),
       ("view->purchase", col("t_purchase") - col("t_view")),
@@ -695,7 +695,7 @@ object TimeSeries {
     import org.apache.spark.sql.types.DecimalType
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts_us"))
-      .localCheckpoint(true) // three cohort aggs ride one read
+      .transform(graft.plans.CorpusPin.pin) // three cohort aggs ride one read
     val ck = ev.filter(col("event_type") === "click")
       .groupBy("user_id").agg(min("ts_us").as("t_click"))
     val pu = ev.filter(col("event_type") === "purchase")
@@ -836,7 +836,7 @@ object TimeSeries {
     val pairs = Tables.events(spark, sfDir)
       .select(expr("ts_us DIV 86400000000").as("day"), col("user_id"))
       .distinct()
-      .localCheckpoint(true) // bounded active-pairs frame; both uses below
+      .transform(graft.plans.CorpusPin.pin) // bounded active-pairs frame; both uses below
     val realDays = pairs.select("day").distinct()
     val daily = pairs.groupBy("day").agg(count(lit(1)).as("n_users_1d"))
     pairs

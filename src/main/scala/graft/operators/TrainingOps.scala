@@ -35,7 +35,7 @@ object TrainingOps {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
     val sigs = NearDup.hyperplaneSigFrame(emb)
-      .localCheckpoint(true) // computed once, read by both band-join sides
+      .transform(graft.plans.CorpusPin.pin) // computed once, read by both band-join sides
     val banded = sigs.select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(NearDup.NBands - 1))).as("b"))
       .select(col("vec_id"), col("b"),
@@ -130,7 +130,7 @@ object TrainingOps {
     graft.functions.VectorExpressions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
     val sigs = NearDup.hyperplaneSigFrame(emb)
-      .localCheckpoint(true) // read by both band-join sides
+      .transform(graft.plans.CorpusPin.pin) // read by both band-join sides
     val banded = sigs.select(col("vec_id"), col("sig"),
         explode(sequence(lit(0), lit(NearDup.NBands - 1))).as("b"))
       .select(col("vec_id"), col("b"),
@@ -236,7 +236,7 @@ object TrainingOps {
     * frame — the corpus is touched once, by the vocab build. */
   private def q167(spark: SparkSession, sfDir: String): DataFrame = {
     val vocab = vocabOf(spark, sfDir)
-      .localCheckpoint(true) // read by the pair counts AND the apply join
+      .transform(graft.plans.CorpusPin.pin) // read by the pair counts AND the apply join
     val pairs = vocab
       .select(col("lang"), col("freq"),
         explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
@@ -342,7 +342,7 @@ object TrainingOps {
         typeCount("click"), typeCount("view"), typeCount("purchase"),
         typeCount("error"), typeCount("signup"),
         dec(sum(dec(col("value")))).as("v_dec"))
-      .localCheckpoint(true) // base + two lag frames + range window
+      .transform(graft.plans.CorpusPin.pin) // base + two lag frames + range window
     val wr = Window.partitionBy("user_id").orderBy("day").rangeBetween(-7, -1)
     def lagFrame(k: Int, name: String): DataFrame =
       daily.select(col("user_id"), (col("day") + k).as("day"),
@@ -587,7 +587,7 @@ object TrainingOps {
         .as("mu"))
     val cent = pe.join(broadcast(mu), "d")
       .select(col("vec_id"), col("d"), (col("xd") - col("mu")).as("cd"))
-      .localCheckpoint(true) // centered once; 2 consumers per iteration
+      .transform(graft.plans.CorpusPin.pin) // centered once; 2 consumers per iteration
     var v: DataFrame = spark.range(1, dims + 1L)
       .select(col("id").as("d"), when(col("id") === 1, 1.0).otherwise(0.0).as("v"))
     var nrm: DataFrame = null
@@ -639,14 +639,9 @@ object TrainingOps {
           .cast("double").as("p"),
         sum(Tables.r6(col("cd") * col("cd")).cast(DecimalType(18, 6)))
           .cast("double").as("n2"))
-      // vectors-sized (the largest frame in this plan): persist with
-      // RECOMPUTABLE lineage rather than localCheckpoint — an eager
-      // localCheckpoint is not recomputable after executor loss, so the
-      // one corpus-scale frame here must keep its lineage (the bounded
-      // 64-row/≤25-row checkpoints elsewhere are cheap to lose; this one
-      // is not). MEMORY_AND_DISK spills instead of evicting, and the
-      // harness unpersists non-owned RDDs after each query.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // vectors-sized (the largest frame in this plan): the r14→r15 fix
+      // that became the house rule — see graft.plans.CorpusPin.
+      .transform(graft.plans.CorpusPin.pin)
     val share = per.agg((
         sum(Tables.r6(col("p") * col("p")).cast(DecimalType(18, 6)))
           .cast("double") /
@@ -769,7 +764,7 @@ object TrainingOps {
   private[graft] def textClassifierOf(docs: DataFrame, label: Column): DataFrame =
     classifierFromFeatures(docs,
       lrFeatures(docs, label)
-        .localCheckpoint(true)) // one corpus pass; 3 margin + 3 grad + 1
+        .transform(graft.plans.CorpusPin.pin)) // one corpus pass; 3 margin + 3 grad + 1
                                 // accuracy consumers read the bounded frame
 
   private def classifierFromFeatures(docs: DataFrame, x: DataFrame): DataFrame = {
@@ -881,7 +876,7 @@ object TrainingOps {
         col("db"))
       .withColumn("train", col("db") < col("pct"))
       .drop("db")
-      .localCheckpoint(true) // one corpus pass; every GD step reads it
+      .transform(graft.plans.CorpusPin.pin) // one corpus pass; every GD step reads it
     val xtr = xall.filter(col("train"))
     // per-fraction training-doc counts — one bounded frame, broadcast
     val ndF = xtr.groupBy("pct")
@@ -1050,7 +1045,7 @@ object TrainingOps {
     import NearDup.dotCol
     val emb = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true) // read once per round
+      .transform(graft.plans.CorpusPin.pin) // read once per round
     val first = emb.orderBy("vec_id").limit(1)
       .select(col("vec_id"), col("embedding"), lit(0L).as("k"), lit(0.0).as("dist_to_set"))
     var chosen = first.localCheckpoint(true)
@@ -1095,7 +1090,7 @@ object TrainingOps {
       .withColumn("h", md5(col("doc_id").cast("string")))
       .select(col("doc_id"), col("lang"), col("text"),
         CorpusOps.hexBucket(100).cast("bigint").as("db"))
-      .localCheckpoint(true) // read by train counts, test counts, report
+      .transform(graft.plans.CorpusPin.pin) // read by train counts, test counts, report
     def buckets(df: DataFrame) = df
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
       .withColumn("h", md5(col("t")))

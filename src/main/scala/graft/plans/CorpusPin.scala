@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The CORPUS-SCALE multi-consumer pin (VERDICT r15 item 3, generalizing
+  * the r14→r15 q361 fix): persist with RECOMPUTABLE lineage instead of
+  * `localCheckpoint(true)`.
+  *
+  * Why the distinction matters at 1000 executors: an eager
+  * localCheckpoint truncates lineage — its blocks live only on the
+  * executors that computed them, and losing ANY of them (executor OOM,
+  * preemption, hardware — routine over hours at fleet scale) makes the
+  * frame unrecoverable and fails the job. That loss profile is
+  * acceptable for BOUNDED frames (≤ domain/constant rows — centroids,
+  * weights, cut points), whose re-run costs one small job, and it is
+  * the deliberate CHOICE for DP noise frames (re-drawing noise on
+  * recompute leaks privacy budget — Anonymize's documented exception);
+  * it is wrong for frames whose size scales with the input (documents,
+  * embeddings, events, users, n-gram/vocab types, candidate pairs),
+  * where the pin IS the expensive artifact. `persist(MEMORY_AND_DISK)`
+  * keeps the lineage: a lost block recomputes its partition instead of
+  * killing the run, and MEMORY_AND_DISK spills rather than evicting.
+  *
+  * LAZY by design, like the q361 template: the first consumer's job
+  * populates the cache (a broadcast-subquery consumer runs first and
+  * blocks the main job, so the pay-once property holds); per-executor
+  * block locks serialize same-partition computes, and the residual
+  * cross-executor duplicate compute two CONCURRENT first-consumer
+  * stages can do on a cluster is bounded, transient, and
+  * correctness-free — the price of recomputability.
+  *
+  * NOT for frames updated inside driver loops (labels/frontiers/weight
+  * chains): those need lineage TRUNCATION per iteration or the plan
+  * tree grows without bound — bounded loop state keeps
+  * `localCheckpoint`, corpus-scale loop state (connected-components
+  * labels) documents reliable `checkpoint()` to durable storage as its
+  * cluster path.
+  *
+  * Hosts sweep non-memo persistent RDDs between queries
+  * (FrameMemo.sweepOthers); a swept pin lazily re-materializes on next
+  * use — with lineage, that is a rebuild, never a failure. */
+object CorpusPin {
+  // Pinned handles per application, so hosts can RELEASE between queries.
+  // Dataset.persist registers the plan fragment in the session-global
+  // CacheManager — without an explicit unpersist the entry outlives the
+  // query and Catalyst substitutes it into every later query containing
+  // the same subtree (cross-query plan contamination: bench timings
+  // borrow earlier queries' caches, plan-shape audits see InMemoryScan
+  // where they expect the real scan). The RDD-level sweep the hosts
+  // already run frees BLOCKS but not the CacheManager entry, hence this
+  // registry. Strong refs are fine: they live one query, released at the
+  // host's next sweep.
+  private val pinned =
+    scala.collection.mutable.ListBuffer.empty[(String, DataFrame)]
+
+  /** Chainable: `frame.transform(CorpusPin.pin)`. */
+  def pin(df: DataFrame): DataFrame = synchronized {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    // a pin during a FrameMemo build belongs to the MEMO (its pinnedIds
+    // diff captures the cache RDD; sweeps spare memo-owned ids) — do not
+    // register it for releaseAll, which would unpersist a memo-pinned
+    // RDD and invalidate the entry on every sweep
+    if (!FrameMemo.inBuild)
+      pinned += ((df.sparkSession.sparkContext.applicationId, df))
+    df
+  }
+
+  /** Drop every pin of this application: CacheManager entry + blocks.
+    * Called by [[FrameMemo.sweepOthers]], the one between-queries sweep. */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    val app = spark.sparkContext.applicationId
+    pinned.filter(_._1 == app).foreach { case (_, df) =>
+      try df.unpersist(blocking = true) catch { case _: Throwable => () }
+    }
+    // released entries go; entries of OTHER applications drop their
+    // references too — one live context per JVM (the FrameMemo dead-app
+    // eviction precedent), so those blocks died with their context.
+    pinned.clear()
+  }
+}

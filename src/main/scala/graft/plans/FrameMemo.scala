@@ -55,6 +55,11 @@ object FrameMemo {
     * audited query). Blocking, so freed blocks can't linger into the
     * next query's GC pressure. */
   def sweepOthers(spark: SparkSession): Unit = {
+    // CorpusPin frames first: Dataset.unpersist removes the CacheManager
+    // ENTRY (plan-fragment substitution) as well as the blocks — the
+    // RDD-level sweep below can't see CacheManager and would leave later
+    // queries silently reading earlier queries' caches (r16).
+    CorpusPin.releaseAll(spark)
     val owned = ownedIds(spark)
     spark.sparkContext.getPersistentRDDs.values
       .filterNot(r => owned(r.id)).foreach(_.unpersist(blocking = true))
@@ -65,6 +70,13 @@ object FrameMemo {
     * deterministic for the key and must NOT checkpoint its result itself
     * (the memo does); internal checkpoints of helper frames are fine —
     * their ids are pinned with the entry. */
+  /** True while a memo build is executing (single-flight under this
+    * object's lock). [[CorpusPin.pin]] consults it: a pin INSIDE a build
+    * becomes memo-owned via the pinnedIds diff below — registering it
+    * for the host sweep's releaseAll would unpersist a memo-pinned RDD
+    * and silently invalidate the entry on every sweep (r16). */
+  @volatile private[plans] var inBuild: Boolean = false
+
   def shared(spark: SparkSession, tag: String, sfDir: String)
       (build: => DataFrame): DataFrame = synchronized {
     val sc = spark.sparkContext
@@ -90,7 +102,8 @@ object FrameMemo {
         // attribution API to do better; the contract is documented here
         // because the failure mode is silent.
         val before = sc.getPersistentRDDs.keySet.toSet
-        val df = build.localCheckpoint(eager = true)
+        val df = try { inBuild = true; build.localCheckpoint(eager = true) }
+          finally inBuild = false
         val pinned = sc.getPersistentRDDs.keySet.toSet -- before
         cache.update(key, Entry(df, pinned))
         df

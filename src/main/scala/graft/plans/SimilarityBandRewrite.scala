@@ -277,7 +277,16 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * (id, sig, bk), dedup candidate id pairs, re-attach each side's row
     * by ONE id equi-join, then apply the original theta condition. The
     * narrow branches project fresh-aliased ids so their outputs are
-    * disjoint from the re-attach branches that share the same subtree. */
+    * disjoint from the re-attach branches that share the same subtree.
+    *
+    * Shape cost vs wide (ADVICE r15): each side's subtree is embedded
+    * TWICE — once under the band branch, once as the re-attach side —
+    * so an unpersisted input is scanned twice; the trade is that
+    * payloads cross the ×NBands exchange exactly once as (id, sig, bk)
+    * instead of full rows, which wins whenever the payload is wider
+    * than the signature (measured 1.6× even single-node, SCALING.md).
+    * Because the two embeddings must produce THE SAME ROWS, the caller
+    * guards this path on both sides being deterministic. */
   private def rewriteNarrow(j: Join, lEmb: Attribute, rEmb: Attribute,
       lId: Attribute, rId: Attribute): LogicalPlan = {
     val cidLAlias = Alias(lId, "graft_cidl")()
@@ -300,7 +309,15 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, lEmb: Attribute, rEmb: Attribute): LogicalPlan =
     (idOf(j.left, lEmb), idOf(j.right, rEmb)) match {
-      case (Some(lId), Some(rId)) => rewriteNarrow(j, lEmb, rEmb, lId, rId)
+      // determinism guard (ADVICE r15): the narrow plan embeds each
+      // side's subtree twice (band branch + re-attach) and joins the two
+      // copies by id — a NONDETERMINISTIC side (Sample, rand-derived
+      // column) can produce candidate ids in one copy that don't exist
+      // in the other, silently dropping or fabricating pairs. The wide
+      // rewrite embeds each side once, so it stays safe for those.
+      case (Some(lId), Some(rId))
+          if j.left.deterministic && j.right.deterministic =>
+        rewriteNarrow(j, lEmb, rEmb, lId, rId)
       case _ => rewriteWide(j, lEmb, rEmb)
     }
 

@@ -68,6 +68,29 @@ class FrameMemoSuite extends AnyFunSuite {
       "clear() must unpersist every owned RDD")
   }
 
+  test("a CorpusPin inside a memo build is memo-owned: sweepOthers never invalidates it") {
+    import spark.implicits._
+    // r16 regression guard: pairsFromSigs pins its band frame INSIDE the
+    // minhash_pairs memo build. If that pin registered for releaseAll,
+    // every host sweep would unpersist a memo-pinned RDD and silently
+    // force a rebuild per query — the memo's whole point lost.
+    var builds = 0
+    def build = {
+      builds += 1
+      Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+        .transform(plans.CorpusPin.pin)
+        .select(col("k"), upper(col("v")).as("v"))
+    }
+    plans.FrameMemo.clear(spark)
+    plans.FrameMemo.shared(spark, "memo_test_pin", "sfX")(build).collect()
+    plans.FrameMemo.sweepOthers(spark) // the real host sweep, twice
+    plans.FrameMemo.sweepOthers(spark)
+    plans.FrameMemo.shared(spark, "memo_test_pin", "sfX")(build).collect()
+    assert(builds == 1,
+      "the host sweep must not invalidate a memo entry whose build pinned")
+    plans.FrameMemo.clear(spark)
+  }
+
   test("multi-probe candidates are a SUPERSET of exact-bucket candidates (q124 family)") {
     // the multiProbe ring includes XOR 0 (the exact key), so every
     // exact-bucket collision must survive the retune — losing one would

@@ -404,8 +404,10 @@ class OperatorSuite extends AnyFunSuite {
       assert(b.replace("img_1", "img_0") == a, s"false positive pair ($a, $b)")
       assert(ham <= 6)
     }
-    // the fixtures are REAL BMPs: the house header decoder parses them
-    val f = new java.io.File("/root/repo/target/graft_image_fixture/img_000.bmp")
+    // the fixtures are REAL BMPs: the house header decoder parses them.
+    // Path DERIVED from the content-addressed builder (r15 lesson: a
+    // hardcoded copy of the dir name went stale when the dir renamed).
+    val f = new java.io.File(graft.operators.Scans.imageFixture, "img_000.bmp")
     val bytes = java.nio.file.Files.readAllBytes(f.toPath)
     assert(graft.streaming.Multimodal.decodeReal(bytes, "") == ((16, 16)))
   }

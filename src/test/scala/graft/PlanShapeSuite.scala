@@ -13,6 +13,17 @@ class PlanShapeSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sfDir
 
+  /** AQE-aware plan walk that does NOT descend into InMemoryRelation
+    * build plans — exactly the "what do downstream operators read" view:
+    * a parquet scan under a CorpusPin/cache boundary is the pay-once
+    * build (executed at most once), not a downstream rescan. */
+  private object Walk
+      extends org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      collect(p) { case n => n }
+  }
+
   test("q48 plan has no single-partition exchange; tokens match global dense_rank") {
     val df = SparkEntry.queries("q48_anon_tokenize")(spark, sf)
     val got = df.collect()
@@ -111,6 +122,10 @@ class PlanShapeSuite extends AnyFunSuite {
     // columns and the predicate reaches the parquet reader — at 100 TB
     // this is the difference between scanning 3 columns of the hot set
     // and scanning the whole table
+    // clean cache first: an earlier query's CorpusPin over the same
+    // events projection would otherwise substitute an InMemoryScan here
+    // and hide the very FileScan this test inspects
+    graft.plans.FrameMemo.sweepOthers(spark)
     val q = Tables.events(spark, sf)
       .select("user_id", "event_type", "ts_us")
       .filter(col("event_type") === "click")
@@ -343,15 +358,26 @@ class PlanShapeSuite extends AnyFunSuite {
     // cohort events, distinct doc-grams); everything downstream must read
     // ONLY that RDD — a parquet scan in the final plan would be a second
     // 100 TB pass (q151's probe, applied to the round-10 family)
+    // since r16 these collapse frames are CorpusPin-persisted (lineage
+    // kept), so the boundary is an InMemoryTableScan instead of a
+    // checkpointed LogicalRDD — the property is the same: downstream
+    // operators read ONLY the boundary. Walk does not descend into the
+    // cache's build plan, so any FileSourceScan it finds is a real
+    // downstream rescan.
     for (q <- Seq("q186_ts_autocorrelation", "q188_anon_km_audit",
         "q189_survival_km", "q190_text_novelty")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("Scan parquet"),
-        s"$q rescans the corpus after its checkpoint boundary:\n$plan")
-      assert(plan.contains("Scan ExistingRDD"),
-        s"$q: expected the checkpointed frame in the plan:\n$plan")
+      val nodes = Walk.nodes(df.queryExecution.executedPlan)
+      assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+        s"$q rescans the corpus after its pin boundary:\n" +
+          df.queryExecution.executedPlan)
+      assert(nodes.exists(n =>
+          n.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec] ||
+          n.nodeName.contains("ExistingRDD")),
+        s"$q: expected the pinned frame boundary in the plan:\n" +
+          df.queryExecution.executedPlan)
     }
   }
 
@@ -375,10 +401,15 @@ class PlanShapeSuite extends AnyFunSuite {
     // projection, not the 100 TB side.)
     val d187 = SparkEntry.queries("q187_graph_khop")(spark, sf)
     d187.collect()
-    val p187 = d187.queryExecution.executedPlan.toString
-    assert(!p187.contains("lineitem") && !p187.contains("orders"),
-      s"q187 rescans the fact side past the edge checkpoint:\n$p187")
-    assert(p187.contains("supplier"), s"q187's seed scan went missing:\n$p187")
+    // the edge list is pinned once (CorpusPin since r16): fact scans may
+    // appear only INSIDE the pin's build plan (pay-once), never as a
+    // downstream input — Walk sees only downstream scans
+    val scans187 = Walk.nodes(d187.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.toString }
+    assert(scans187.forall(s => !s.contains("lineitem") && !s.contains("orders")),
+      s"q187 rescans the fact side past the edge pin:\n${scans187.mkString("\n")}")
+    assert(scans187.exists(_.contains("supplier")),
+      s"q187's seed scan went missing:\n${scans187.mkString("\n")}")
   }
 
   test("q183: pruning and pushdown survive a mergeSchema read (VERDICT r9)") {
@@ -533,9 +564,16 @@ class PlanShapeSuite extends AnyFunSuite {
     // count and the per-doc score sum
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"q232 stats/df must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
+    // downstream-only view (Walk): the pinned toks/tf cache-build plans
+    // render inline in the plan STRING and carry their own exchanges —
+    // those run once at the pin boundary, not per downstream consumer
+    val nodes = Walk.nodes(qe.executedPlan)
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
       s"q232 must not shuffle-join the corpus:\n$plan")
-    val nKeyExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val nKeyExchanges = nodes.count {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _ => false }
     assert(nKeyExchanges <= 3,
       s"q232: expected tf + df + score exchanges at most, got $nKeyExchanges:\n$plan")
   }

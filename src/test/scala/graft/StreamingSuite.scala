@@ -453,19 +453,54 @@ class StreamingSuite extends AnyFunSuite {
       .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("event_id"), r.getAs[Double]("value")))
       .toMap
     assert(got == Map(1L -> (10L, 1.0), 2L -> (13L, 5.0), 3L -> (14L, 3.0)), got.toString)
-    // replaying an already-applied batch id must not advance the version
+    // replaying an already-applied batch id IN THE SINK'S NAMESPACE must
+    // not advance the version (the sink scopes its ledger by checkpoint —
+    // out-of-band merges join it via checkpointQueryKey)
+    val qk = StreamOps.checkpointQueryKey(ckpt)
     val before = java.nio.file.Files.readString(new java.io.File(table, "_latest").toPath).trim
     StreamOps.mergeBatch(
-      Seq((2L, 99L, 42.0)).toDF("user_id", "event_id", "value"), table, "user_id", 1L)
+      Seq((2L, 99L, 42.0)).toDF("user_id", "event_id", "value"), table, "user_id", 1L,
+      queryKey = qk)
     val after = java.nio.file.Files.readString(new java.io.File(table, "_latest").toPath).trim
     assert(before == after, "replayed batch id must be a no-op")
     assert(StreamOps.readTable(spark, table).filter(col("user_id") === 2L)
       .head().getAs[Double]("value") == 5.0)
     // a NEW batch id with the same rows does apply (at-least-once upstream)
     StreamOps.mergeBatch(
-      Seq((2L, 99L, 42.0)).toDF("user_id", "event_id", "value"), table, "user_id", 2L)
+      Seq((2L, 99L, 42.0)).toDF("user_id", "event_id", "value"), table, "user_id", 2L,
+      queryKey = qk)
     assert(StreamOps.readTable(spark, table).filter(col("user_id") === 2L)
       .head().getAs[Double]("value") == 42.0)
+  }
+
+  test("upsert sink restarted with a FRESH checkpoint still merges (ADVICE r15)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // foreachBatch ids restart at 0 under a new checkpointLocation; with a
+    // ledger not scoped by checkpoint, every merge of the restarted stream
+    // would silently no-op against the existing tableDir
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_restart").toFile
+    val table = new java.io.File(base, "table").getAbsolutePath
+    val s1 = MemoryStream[Event]
+    val q1 = StreamOps.upsertSink(
+      s1.toDF().select(col("user_id"), col("event_id"), col("value")),
+      table, "user_id", new java.io.File(base, "ckpt1").getAbsolutePath)
+    try {
+      s1.addData(Seq(Event(10, ts(1), 1, "click", 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // "operator reconfigured" restart: fresh checkpoint, batch ids from 0
+    val s2 = MemoryStream[Event]
+    val q2 = StreamOps.upsertSink(
+      s2.toDF().select(col("user_id"), col("event_id"), col("value")),
+      table, "user_id", new java.io.File(base, "ckpt2").getAbsolutePath)
+    try {
+      s2.addData(Seq(Event(20, ts(2), 1, "click", 7.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val v2 = StreamOps.readTable(spark, table).filter(col("user_id") === 1L)
+      .head().getAs[Double]("value")
+    assert(v2 == 7.0, s"restarted stream's batch 0 was no-op'd (value $v2)")
   }
 
   test("session_window groups match the q58 batch semantics on same rows") {
