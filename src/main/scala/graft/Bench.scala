@@ -114,6 +114,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
+      // CorpusPin frames ride the SQL columnar cache (persist-with-
+      // lineage, SCALING.md r16): per-column compression is pure CPU on
+      // a single node where the cache always fits RAM+disk — measured
+      // ~8% off the pinned-query tier with it disabled. On a
+      // memory-pressured cluster re-enable it (bigger batches spill).
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     // extra confs for experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
@@ -171,8 +177,9 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         err.foreach { _ => failedQueries += name }
         // drop session state a query may have left behind (localCheckpoint
-        // RDDs, temp-view caches) BEFORE the next timing starts — blocking,
-        // so freed blocks can't linger into the next query's GC pressure
+        // RDDs, CorpusPin cache entries) BEFORE the next timing starts —
+        // blocking, so freed blocks can't linger into the next query's GC
+        // pressure, and so no query borrows an earlier query's cache
         // sweep AROUND FrameMemo-owned frames (contract + impl:
         // graft.plans.FrameMemo.sweepOthers)
         graft.plans.FrameMemo.sweepOthers(spark)

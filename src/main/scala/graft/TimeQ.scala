@@ -17,6 +17,12 @@ object TimeQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // CorpusPin frames ride the SQL columnar cache (persist-with-
+      // lineage, SCALING.md r16): per-column compression is pure CPU on
+      // a single node where the cache always fits RAM+disk — measured
+      // ~8% off the pinned-query tier with it disabled. On a
+      // memory-pressured cluster re-enable it (bigger batches spill).
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()

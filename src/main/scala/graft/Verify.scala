@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // CorpusPin frames ride the SQL columnar cache (persist-with-
+      // lineage, SCALING.md r16): per-column compression is pure CPU on
+      // a single node where the cache always fits RAM+disk — measured
+      // ~8% off the pinned-query tier with it disabled. On a
+      // memory-pressured cluster re-enable it (bigger batches spill).
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same tripwire as Bench (VERDICT r9 item 7): a regenerated table
@@ -27,9 +33,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release any state the query materialized (localCheckpoint RDDs)
-      // — sweeping AROUND FrameMemo-owned frames (contract + impl:
-      // graft.plans.FrameMemo.sweepOthers)
+      // release any state the query materialized (localCheckpoint RDDs
+      // + CorpusPin cache entries) — sweeping AROUND FrameMemo-owned
+      // frames (contract + impl: graft.plans.FrameMemo.sweepOthers)
       graft.plans.FrameMemo.sweepOthers(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
