@@ -387,7 +387,10 @@ object GraphOps {
           when(col("d").isNull, col("cand"))
             .when(col("cand").isNull, col("d"))
             .otherwise(least(col("d"), col("cand"))).as("d"))
-        .localCheckpoint(true) // node-sized; keeps the iterated lineage flat
+        .localCheckpoint(true) // node-sized LOOP STATE: lineage MUST
+        // truncate per iteration or the plan grows without bound; the
+        // cluster path for corpus-scale loop state is reliable
+        // checkpoint() to durable storage (CorpusPin scaladoc)
     }
     dist
   }
