@@ -120,6 +120,10 @@ object Bench {
       // ~8% off the pinned-query tier with it disabled. On a
       // memory-pressured cluster re-enable it (bigger batches spill).
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // CorpusPin frames live one query and feed 2-4 row-based consumers:
+      // store raw UnsafeRow images (localCheckpoint's cost profile, WITH
+      // lineage) instead of columnar batches — RowCacheSerializer scaladoc
+      .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
     // extra confs for experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

@@ -23,6 +23,10 @@ object TimeQ {
       // ~8% off the pinned-query tier with it disabled. On a
       // memory-pressured cluster re-enable it (bigger batches spill).
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // CorpusPin frames live one query and feed 2-4 row-based consumers:
+      // store raw UnsafeRow images (localCheckpoint's cost profile, WITH
+      // lineage) instead of columnar batches — RowCacheSerializer scaladoc
+      .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -18,6 +18,10 @@ object Verify {
       // ~8% off the pinned-query tier with it disabled. On a
       // memory-pressured cluster re-enable it (bigger batches spill).
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // CorpusPin frames live one query and feed 2-4 row-based consumers:
+      // store raw UnsafeRow images (localCheckpoint's cost profile, WITH
+      // lineage) instead of columnar batches — RowCacheSerializer scaladoc
+      .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same tripwire as Bench (VERDICT r9 item 7): a regenerated table

@@ -12,6 +12,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror the hosts' CorpusPin cache path (RowCacheSerializer
+      // scaladoc) so the suites exercise the production serializer
+      .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.warehouse.dir",
         new java.io.File(sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath)
       .getOrCreate()
