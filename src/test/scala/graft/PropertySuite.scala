@@ -714,6 +714,78 @@ class PropertySuite extends AnyFunSuite {
     }, cases = 6)
   }
 
+  test("spearman equals in-memory tie-averaged midrank Pearson") {
+    import spark.implicits._
+    // SMALL value domains force heavy ties — the tie-averaged midrank
+    // (cum_n − n + (n+1)/2) is the contract under test
+    val gen = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 4L))))
+    check(Prop.forAll(gen) { xs =>
+      val distinctOk = xs.map(_._1).distinct.size >= 2 && xs.map(_._2).distinct.size >= 2
+      !distinctOk || {
+        val row = Graft.spearman(xs.toDF("x", "y"), col("x"), col("y"))
+          .collect().head
+        // midranks per column
+        def ranks(vs: Seq[Long]): Map[Long, Double] = {
+          val byV = vs.groupBy(identity).view.mapValues(_.size).toMap
+          val sorted = byV.keys.toSeq.sorted
+          val cum = sorted.scanLeft(0L)((acc, v) => acc + byV(v)).tail
+          sorted.zip(cum).map { case (v, c) =>
+            v -> (c.toDouble - byV(v).toDouble + (byV(v).toDouble + 1.0) / 2.0)
+          }.toMap
+        }
+        val (rx, ry) = (ranks(xs.map(_._1)), ranks(xs.map(_._2)))
+        // mirror the operator's exact-DECIMAL sums (ranks are multiples of
+        // .5, their squares of .25 — scales 1 and 2 are exact)
+        def dsum(vals: Seq[Double], scale: Int): Double =
+          vals.map(v => BigDecimal(v).setScale(scale,
+            BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        val n = xs.size.toDouble
+        val sx = dsum(xs.map(p => rx(p._1)), 1)
+        val sy = dsum(xs.map(p => ry(p._2)), 1)
+        val sxx = dsum(xs.map(p => rx(p._1) * rx(p._1)), 2)
+        val syy = dsum(xs.map(p => ry(p._2) * ry(p._2)), 2)
+        val sxy = dsum(xs.map(p => rx(p._1) * ry(p._2)), 2)
+        val denom = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        denom == 0.0 ||
+          (row.getAs[Long]("n") == xs.size.toLong &&
+            row.getAs[Double]("rho") == r6d((n * sxy - sx * sy) / denom))
+      }
+    }, cases = 8)
+  }
+
+  test("crossCorr equals in-memory lagged Pearson over DECIMAL(19,4) sums") {
+    import spark.implicits._
+    val maxLag = 3
+    val gen = Gen.choose(6, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(-9999, 9999), Gen.choose(-9999, 9999))))
+    check(Prop.forAll(gen) { raw =>
+      val series = raw.zipWithIndex.map { case ((xi, yi), t) =>
+        (t.toLong, xi / 100.0, yi / 100.0) }
+      val got = Graft.crossCorr(series.toDF("t", "x", "y"),
+          col("t"), col("x"), col("y"), maxLag)
+        .collect().map(r => r.getAs[Long]("lag") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("r")))).toMap
+      val bd = (v: Double) => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      (0 to maxLag).forall { lag =>
+        val pairs = series.flatMap { case (t, x, _) =>
+          series.collectFirst { case (t2, _, y) if t2 == t + lag => (bd(x), bd(y)) } }
+        if (pairs.isEmpty) !got.contains(lag.toLong)
+        else {
+          val n = pairs.size.toDouble
+          val sx = pairs.map(_._1).sum.toDouble; val sy = pairs.map(_._2).sum.toDouble
+          val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+          val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+          val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+          val r = (n * sxy - sx * sy) /
+            (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+          r.isNaN || r.isInfinite ||
+            got(lag.toLong) == ((pairs.size.toLong, r6d(r)))
+        }
+      }
+    }, cases = 6)
+  }
+
   test("theilSen equals the in-memory median-of-slopes estimator") {
     import spark.implicits._
     // one row per integral t with 2-dp values (decimal bucketing exact),
