@@ -786,6 +786,29 @@ class PropertySuite extends AnyFunSuite {
     }, cases = 6)
   }
 
+  test("mixtureWeights equals the in-memory sqrt-temperature closed form") {
+    import spark.implicits._
+    val gen = Gen.choose(10, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 4).map(s => s"src$s")))
+    check(Prop.forAll(gen) { srcs =>
+      val df = srcs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+      val got = Graft.mixtureWeights(df, "source").collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+      val counts = srcs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // mirror the operator: sqrt(n) quantized to DECIMAL(18,4) HALF_UP,
+      // summed exactly; the UNROUNDED double weight feeds three outputs
+      def q4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val nTotal = counts.values.sum.toDouble
+      val sqSum = counts.values.map(n => q4(math.sqrt(n.toDouble))).sum.toDouble
+      counts.forall { case (s, n) =>
+        val w = q4(math.sqrt(n.toDouble)).toDouble / sqSum
+        got(s) == ((n, r6d(n.toDouble / nTotal), r6d(w),
+          r6d((w * nTotal) / n.toDouble), r6d(w * 1000.0)))
+      }
+    }, cases = 8)
+  }
+
   test("theilSen equals the in-memory median-of-slopes estimator") {
     import spark.implicits._
     // one row per integral t with 2-dp values (decimal bucketing exact),

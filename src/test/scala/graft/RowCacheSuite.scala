@@ -36,6 +36,27 @@ class RowCacheSuite extends AnyFunSuite {
     } finally graft.plans.FrameMemo.sweepOthers(spark)
   }
 
+  test("a pinned handle SURVIVES hostile block loss — the recomputability contract") {
+    // the r16 conversion's entire point: an eager localCheckpoint is
+    // unrecoverable once its blocks are gone (executor loss at fleet
+    // scale, or a host sweep), while a CorpusPin keeps lineage. Simulate
+    // the loss with the real host sweep and re-read the SAME handle.
+    val pinned = base.transform(graft.plans.CorpusPin.pin)
+    val before = pinned.count()
+    graft.plans.FrameMemo.sweepOthers(spark) // blocks + cache entry gone
+    val after = pinned.count() // must REBUILD from lineage, not throw
+    assert(after == before, s"recompute after block loss returned $after, want $before")
+    // contrast: the checkpointed form of the same frame is NOT
+    // recomputable — its truncated-lineage re-read throws once swept
+    val ckpt = base.localCheckpoint(true)
+    assert(ckpt.count() == before)
+    graft.plans.FrameMemo.sweepOthers(spark)
+    val died = try { ckpt.count(); false } catch { case _: Throwable => true }
+    assert(died, "a swept localCheckpoint should be unrecoverable — if this " +
+      "starts passing, Spark changed semantics and the pin rationale needs a re-read")
+    graft.plans.FrameMemo.sweepOthers(spark)
+  }
+
   test("pruned reads and self-joins through the row cache match uncached") {
     val pinned = base.transform(graft.plans.CorpusPin.pin)
     try {
