@@ -809,6 +809,28 @@ class PropertySuite extends AnyFunSuite {
     }, cases = 8)
   }
 
+  test("vocabCoverage equals the in-memory top-k type coverage curve") {
+    import spark.implicits._
+    val word = Gen.choose(0, 9).map(i => s"w$i")
+    val gen = Gen.choose(4, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 8).flatMap(m => Gen.listOfN(m, word))))
+    val ks = Seq(1L, 3L, 7L)
+    check(Prop.forAll(gen) { docsWords =>
+      val docs = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Graft.vocabCoverage(docs, ks).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val counts = docsWords.flatten.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }
+      val nTok = counts.map(_._2).sum.toDouble
+      val cum = counts.scanLeft(0L)((acc, p) => acc + p._2).tail
+      ks.forall { k =>
+        if (k > counts.size) !got.contains(k)
+        else got(k) == ((cum(k.toInt - 1), r6d(cum(k.toInt - 1) / nTok)))
+      }
+    }, cases = 8)
+  }
+
   test("theilSen equals the in-memory median-of-slopes estimator") {
     import spark.implicits._
     // one row per integral t with 2-dp values (decimal bucketing exact),
