@@ -1146,7 +1146,15 @@ object NearDup {
     * hazard. */
   private def q302(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
+    // limit(10) DECLARES the probe bound in-plan (GlobalLimit carries a
+    // rowCount stat; the Filter alone carries none in size-only stats
+    // mode, so the probe frame estimated as the whole corpus and
+    // SimilarityBandRewrite rewrote this INTENTIONAL 10x10 audit cross
+    // join into banded candidates at sf0.1 — caught r16 by the cross-SF
+    // oracle gate, fixed with the rule's small-side floor; this is the
+    // belt to that suspender). Data-wise a no-op: ids are dense from 0.
     val emb = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 10)
+      .limit(10)
     val planes: Seq[Column] = (0 until JlDims).map { p =>
       typedLit(graft.functions.Hyperplanes.planeArray(p))
     }

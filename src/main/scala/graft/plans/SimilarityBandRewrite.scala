@@ -116,6 +116,15 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def pairsThreshold: BigInt =
     BigInt(conf.getConfString(PairsKey, DefaultPairs.toString).toLong)
 
+  /** Below this estimated row count a side is "provably small": the
+    * join is linear, not quadratic, and must not be rewritten (the
+    * eligible() scaladoc narrates the q302 incident). 4096 ≫ any house
+    * probe set (≤10) yet far below the smallest corpus the ×8-band
+    * exchange pays for. */
+  val SmallSideFloorKey = "spark.graft.similarity.smallSideFloor"
+  private def smallSideFloor: BigInt =
+    BigInt(conf.getConfString(SmallSideFloorKey, "4096").toLong)
+
   /** Row estimate, or None when the plan carries no REAL statistics.
     * LogicalRDD / ExternalRDD / streaming relations report
     * sizeInBytes = spark.sql.defaultSizeInBytes (Long.MaxValue by
@@ -188,7 +197,19 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
     (j.joinType == Inner || j.joinType == Cross) &&
       !hasEquiKey(j) && !broadcastHinted(j) &&
       ((estRows(j.left), estRows(j.right)) match {
-        case (Some(l), Some(r)) => l * r > pairsThreshold
+        // SMALL-SIDE FLOOR (r16, found by the cross-SF oracle gate): a
+        // join with a provably small side is LINEAR in the big side —
+        // a probe-bounded brute-force scan (q291's ground truth, q302's
+        // 10x10 JL audit, bruteTopK) — not the n² blow-up this rule
+        // exists to prevent, and substituting banded candidates there
+        // CORRUPTS the exact result the caller asked for (q302 at sf0.1
+        // returned the 9 band-colliding pairs instead of all 45; the
+        // probe frames' Filter carries no selectivity in size-only
+        // stats, so the 10-row side estimated as the whole corpus and
+        // only the SF decided whether the threshold tripped). Probe
+        // frames declare their bound in-plan via limit() → rowCount.
+        case (Some(l), Some(r)) =>
+          l.min(r) > smallSideFloor && l * r > pairsThreshold
         case _ => false // either side's stats unknown → fail closed
       })
 

@@ -77,6 +77,7 @@ class PlanRuleSuite extends AnyFunSuite {
 
       // 2. threshold lowered: the SAME shape now plans the banded equi-join
       spark.conf.set(pairsKey, "1000")
+      spark.conf.set(graft.plans.SimilarityBandRewrite.SmallSideFloorKey, "1")
       val lshQ = bruteShape(300)
       val opt = lshQ.queryExecution.optimizedPlan.toString
       assert(opt.contains("graft_bk"), s"rule did not fire:\n$opt")
@@ -115,6 +116,7 @@ class PlanRuleSuite extends AnyFunSuite {
     } finally {
       spark.conf.unset(pairsKey)
       spark.conf.unset(enabledKey)
+      spark.conf.unset(graft.plans.SimilarityBandRewrite.SmallSideFloorKey)
     }
   }
 
@@ -123,6 +125,7 @@ class PlanRuleSuite extends AnyFunSuite {
     val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
     try {
       spark.conf.set(pairsKey, "1000")
+      spark.conf.set(graft.plans.SimilarityBandRewrite.SmallSideFloorKey, "1")
       import spark.implicits._
       graft.functions.VectorExpressions.register(spark)
       val emb = (0L until 200L).map(i => (i, simVec(i))).toDF("vid", "emb")
@@ -148,7 +151,10 @@ class PlanRuleSuite extends AnyFunSuite {
       val pairs = condShape.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       assert(pairs.distinct.length == pairs.length)
-    } finally spark.conf.unset(pairsKey)
+    } finally {
+      spark.conf.unset(pairsKey)
+      spark.conf.unset(graft.plans.SimilarityBandRewrite.SmallSideFloorKey)
+    }
   }
 
   test("SimilarityBandRewrite: banded candidates carry the canonical q124 signature (recall sanity)") {
@@ -159,6 +165,7 @@ class PlanRuleSuite extends AnyFunSuite {
     val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
     try {
       spark.conf.set(pairsKey, "1000")
+      spark.conf.set(graft.plans.SimilarityBandRewrite.SmallSideFloorKey, "1")
       import spark.implicits._
       graft.functions.VectorExpressions.register(spark)
       // 100 base vectors + a clone of each (ids 1000+i) — clones are
@@ -176,7 +183,10 @@ class PlanRuleSuite extends AnyFunSuite {
         assert(pairs.contains((i, 1000L + i)),
           s"exact-duplicate pair ($i, ${1000L + i}) lost by the banded join")
       }
-    } finally spark.conf.unset(pairsKey)
+    } finally {
+      spark.conf.unset(pairsKey)
+      spark.conf.unset(graft.plans.SimilarityBandRewrite.SmallSideFloorKey)
+    }
   }
 
   test("SimilarityBandRewrite: fails closed on unknown stats and on non-dot float-array co-occurrence") {
@@ -193,6 +203,7 @@ class PlanRuleSuite extends AnyFunSuite {
     val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
     try {
       spark.conf.set(pairsKey, "1000")
+      spark.conf.set(graft.plans.SimilarityBandRewrite.SmallSideFloorKey, "1")
       // 1. RDD-backed frame: no real stats → no fire, results exact
       val schema = StructType(Seq(
         StructField("vid", LongType, nullable = false),
@@ -250,7 +261,10 @@ class PlanRuleSuite extends AnyFunSuite {
         .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
       assert(ctl.queryExecution.optimizedPlan.toString.contains("graft_bk"),
         "positive control: kernel shape no longer fires")
-    } finally spark.conf.unset(pairsKey)
+    } finally {
+      spark.conf.unset(pairsKey)
+      spark.conf.unset(graft.plans.SimilarityBandRewrite.SmallSideFloorKey)
+    }
   }
 
   test("SimilarityBandRewrite narrow path: payloads do NOT ride the band exchange; wide fallback still fires") {
@@ -265,6 +279,7 @@ class PlanRuleSuite extends AnyFunSuite {
     val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
     try {
       spark.conf.set(pairsKey, "1000")
+      spark.conf.set(graft.plans.SimilarityBandRewrite.SmallSideFloorKey, "1")
       import spark.implicits._
       graft.functions.VectorExpressions.register(spark)
 
@@ -346,6 +361,7 @@ class PlanRuleSuite extends AnyFunSuite {
         .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       spark.conf.set(pairsKey, "1000")
+      spark.conf.set(graft.plans.SimilarityBandRewrite.SmallSideFloorKey, "1")
       nGot.foreach { case (pair, dot) =>
         assert(nExact.get(pair).contains(dot), s"pair $pair diverged")
       }
@@ -371,7 +387,72 @@ class PlanRuleSuite extends AnyFunSuite {
       assert(narrowSet == wideSet,
         s"narrow and wide rewrites diverged: narrow-only=${(narrowSet -- wideSet).take(3)} " +
           s"wide-only=${(wideSet -- narrowSet).take(3)}")
-    } finally spark.conf.unset(pairsKey)
+    } finally {
+      spark.conf.unset(pairsKey)
+      spark.conf.unset(graft.plans.SimilarityBandRewrite.SmallSideFloorKey)
+    }
+  }
+
+  test("SimilarityBandRewrite small-side floor: probe-bounded audits never rewrite (q302 incident)") {
+    // r16, found by the cross-SF oracle gate: q302's INTENTIONAL 10x10
+    // JL-distortion cross join was rewritten into banded candidates at
+    // sf0.1 only — the probe Filter carries no selectivity in size-only
+    // stats, so the tiny side estimated as the whole corpus. Two layers
+    // now prevent it, each tested on the exact brute shape:
+    graft.plans.GraftRules.install(spark)
+    val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
+    try {
+      spark.conf.set(pairsKey, "1000")
+      // 1. the floor alone: the pair count (300x300 = 90000) is far over
+      //    the lowered threshold, but each side is under the 4096 default
+      //    floor — a provably-small-side join is linear, never rewritten
+      val q = bruteShape(300)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "rule fired under the small-side floor")
+      assert(q.count() == 300L * 299 / 2, "exact all-pairs result was pruned")
+      // 2. the in-plan bound declaration: a limit() on the probe side
+      //    carries a rowCount stat, so even with the floor disabled the
+      //    estimate is the REAL 10 rows and 10x300 stays under threshold
+      spark.conf.set(graft.plans.SimilarityBandRewrite.SmallSideFloorKey, "1")
+      spark.conf.set(pairsKey, "5000")
+      import spark.implicits._
+      // PARQUET-backed like the real q302 — a local relation would be
+      // constant-folded through the filter (ConvertToLocalRelation) and
+      // carry exact 10-row stats either way, masking the incident shape
+      val dir = java.nio.file.Files.createTempDirectory("graft_floor_probe").toFile
+      (0L until 3000L).map(i => (i, simVec(i))).toDF("vid", "emb")
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val emb = spark.read.parquet(dir.getAbsolutePath)
+      def audit(declared: Boolean) = {
+        val base = emb.filter(col("vid") < 10)
+        val probes = (if (declared) base.limit(10) else base)
+          .select(col("vid").as("id_a"), col("emb").as("ea"))
+        val corpus = emb.select(col("vid").as("id_b"), col("emb").as("eb"))
+        probes.join(corpus, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      }
+      // control — the incident shape: the bare Filter keeps the scan's
+      // size stats (no selectivity in size-only mode), so BOTH sides
+      // estimate as the whole 3000-vector corpus → over the threshold →
+      // fires and prunes the audit
+      assert(audit(declared = false).queryExecution.optimizedPlan.toString
+          .contains("graft_bk"),
+        "control: the undeclared probe filter should over-estimate and fire")
+      // the limit declares rowCount=10 → REAL 10 x corpus-est < 5000 → exact
+      val q2 = audit(declared = true)
+      assert(!q2.queryExecution.optimizedPlan.toString.contains("graft_bk"),
+        "rule fired on a limit-declared probe side")
+      assert(q2.count() == (0 until 10).map(i => 2999 - i).sum.toLong,
+        "probe-bounded audit lost pairs")
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+        f.delete(): Unit
+      }
+      rec(dir)
+    } finally {
+      spark.conf.unset(pairsKey)
+      spark.conf.unset(graft.plans.SimilarityBandRewrite.SmallSideFloorKey)
+    }
   }
 
   test("native as-of join: plans AsOfJoinExec and matches the declarative reference") {
