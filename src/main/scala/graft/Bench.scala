@@ -288,17 +288,25 @@ object Bench {
     // SURVIVE the re-measure are reported.
     val prelimFlags = flagsNow()
     prelimFlags.foreach { name =>
+      // mirror the main loop's loud-failure contract (ADVICE r16): a rep
+      // that throws here must NOT contribute a time-to-throw "timing" —
+      // letting it through would let a fast failure replace the genuine
+      // main-run number, silently clear the flag, and poison the
+      // bench_history trailing-median baseline for future rounds.
+      var retestThrew = false
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try selected(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => retestThrew = true }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.plans.FrameMemo.sweepOthers(spark)
         dt
       }.sorted
       val med2 = times(times.length / 2)
-      println(s"""{"query":"$name","flag_retest_sec":${r3(med2)},"main_sec":${r3(results(name))}}""")
-      if (med2 < results(name)) { results(name) = med2; retested += name }
+      println(s"""{"query":"$name","flag_retest_sec":${r3(med2)},"main_sec":${r3(results(name))},"retest_failed":$retestThrew}""")
+      if (!retestThrew && med2 < results(name)) {
+        results(name) = med2; retested += name
+      }
     }
     val regressionFlags: Seq[String] = flagsNow()
 

@@ -19,8 +19,32 @@ import org.apache.spark.sql.functions._
   * internally and `require` the input doesn't already carry them;
   * [[denseTokens]] emits a `token` column, so the ranked key must not
   * be named `token`.
+  *
+  * CACHE LIFECYCLE: a few frame functions pin a shared intermediate
+  * (`CorpusPin.pin` — recomputable `persist(MEMORY_AND_DISK)`) so their
+  * multiple internal consumers pay the build once. The pin registers a
+  * session-global CacheManager entry that outlives the call; call
+  * [[release]] when you are done consuming the results (per query, or
+  * per batch of queries) to drop those entries and blocks. Forgetting
+  * is bounded, not fatal: the registry caps itself (oldest pin evicted
+  * beyond 32 per application, safe because pins keep lineage), so a
+  * consumer that never releases trades some cache hygiene for
+  * correctness-free recomputes, never unbounded growth.
   */
 object Graft {
+
+  /** Release every cache this library pinned in `spark`'s session:
+    * CacheManager entries + storage blocks of facade pins, plus the
+    * pay-once family memo (see the CACHE LIFECYCLE note above). Only
+    * GRAFT-owned state — frames the caller persisted themselves are
+    * untouched (unlike the in-repo hosts' between-queries sweep, which
+    * clears the whole session). Safe to call at any time — pinned
+    * frames keep recomputable lineage, so a frame still being consumed
+    * recomputes instead of failing. Idempotent. */
+  def release(spark: SparkSession): Unit = {
+    graft.plans.CorpusPin.releaseAll(spark)
+    graft.plans.FrameMemo.clear(spark)
+  }
 
   // ---- anonymization column functions (q36–q39) ---------------------------
 

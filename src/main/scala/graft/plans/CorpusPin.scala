@@ -54,6 +54,21 @@ object CorpusPin {
   private val pinned =
     scala.collection.mutable.ListBuffer.empty[(String, DataFrame)]
 
+  /** Registry cap per application (ADVICE r16): the in-repo hosts
+    * (Bench/Verify/TimeQ/tests) release pins between queries via
+    * [[FrameMemo.sweepOthers]], but a LIBRARY consumer calling the
+    * public facade (Graft.bipartiteJaccard, spendShare,
+    * kmAnonymityAudit, …) has no such loop — without a bound, every
+    * facade call would accumulate a cached frame plus a session-global
+    * CacheManager entry for the life of the session. Beyond the cap the
+    * OLDEST pin is unpersisted (entry + blocks). This is always safe
+    * for correctness: pins keep recomputable lineage by construction
+    * (the whole point of this object), so an early release degrades a
+    * straggling consumer to recompute, never to failure. Hosts and
+    * well-behaved consumers (see [[graft.Graft.release]]) never reach
+    * the cap. */
+  private val MaxPinned = 32
+
   /** Chainable: `frame.transform(CorpusPin.pin)`. */
   def pin(df: DataFrame): DataFrame = synchronized {
     df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -61,8 +76,18 @@ object CorpusPin {
     // diff captures the cache RDD; sweeps spare memo-owned ids) — do not
     // register it for releaseAll, which would unpersist a memo-pinned
     // RDD and invalidate the entry on every sweep
-    if (!FrameMemo.inBuild)
-      pinned += ((df.sparkSession.sparkContext.applicationId, df))
+    if (!FrameMemo.inBuild) {
+      val app = df.sparkSession.sparkContext.applicationId
+      pinned += ((app, df))
+      var mine = pinned.filter(_._1 == app)
+      while (mine.length > MaxPinned) {
+        val victim = mine.head
+        try victim._2.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        pinned -= victim
+        mine = mine.tail
+      }
+    }
     df
   }
 

@@ -70,12 +70,25 @@ object FrameMemo {
     * deterministic for the key and must NOT checkpoint its result itself
     * (the memo does); internal checkpoints of helper frames are fine —
     * their ids are pinned with the entry. */
-  /** True while a memo build is executing (single-flight under this
-    * object's lock). [[CorpusPin.pin]] consults it: a pin INSIDE a build
-    * becomes memo-owned via the pinnedIds diff below — registering it
-    * for the host sweep's releaseAll would unpersist a memo-pinned RDD
-    * and silently invalidate the entry on every sweep (r16). */
-  @volatile private[plans] var inBuild: Boolean = false
+  /** True while a memo build is executing ON THE CURRENT THREAD.
+    * [[CorpusPin.pin]] consults it: a pin INSIDE a build becomes
+    * memo-owned via the pinnedIds diff below — registering it for the
+    * host sweep's releaseAll would unpersist a memo-pinned RDD and
+    * silently invalidate the entry on every sweep (r16).
+    *
+    * A per-thread DEPTH, not a boolean (ADVICE r16): `synchronized` is
+    * reentrant, so a build whose `build` thunk itself calls [[shared]]
+    * is legal — a boolean flag would be reset to false by the INNER
+    * build's finally while the outer build is still running, and every
+    * pin after that point would register for releaseAll, recreating the
+    * exact sweep-invalidates-memo bug the flag exists to prevent. And
+    * per-THREAD, so a concurrent [[CorpusPin.pin]] from another session
+    * thread during a build is classified by ITS OWN thread's state, not
+    * misattributed to the memo (where it would leak: never registered,
+    * only force-released by clear()). */
+  private val buildDepth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+  private[plans] def inBuild: Boolean = buildDepth.get() > 0
 
   def shared(spark: SparkSession, tag: String, sfDir: String)
       (build: => DataFrame): DataFrame = synchronized {
@@ -102,8 +115,11 @@ object FrameMemo {
         // attribution API to do better; the contract is documented here
         // because the failure mode is silent.
         val before = sc.getPersistentRDDs.keySet.toSet
-        val df = try { inBuild = true; build.localCheckpoint(eager = true) }
-          finally inBuild = false
+        val df =
+          try {
+            buildDepth.set(buildDepth.get() + 1)
+            build.localCheckpoint(eager = true)
+          } finally buildDepth.set(buildDepth.get() - 1)
         val pinned = sc.getPersistentRDDs.keySet.toSet -- before
         cache.update(key, Entry(df, pinned))
         df

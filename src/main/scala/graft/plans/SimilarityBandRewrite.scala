@@ -328,16 +328,37 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Project(j.output, themed)
   }
 
+  /** Safe for the narrow rewrite's DOUBLE EMBEDDING? Requires more than
+    * `QueryPlan.deterministic` (ADVICE r16): that flag only inspects
+    * EXPRESSIONS, so plan nodes whose row SET depends on partition
+    * layout / arrival order pass it — `Sample` keeps rows by seeded
+    * per-partition position (two copies evaluated after different
+    * upstream shuffles can keep different rows), and a round-robin
+    * repartition (`Repartition`, or `RepartitionByExpression` with no
+    * keys) assigns rows to partitions by arrival order, making any
+    * seeded/positional consumer downstream order-dependent. Those sides
+    * must take the wide rewrite, which embeds each subtree exactly
+    * once. Key-based `RepartitionByExpression` is fine: deterministic
+    * expressions give every row a deterministic partition, and nothing
+    * here consumes within-partition order. */
+  private def stableForDualEmbed(p: LogicalPlan): Boolean =
+    p.deterministic && p.collectFirst {
+      case s: Sample => s
+      case r: Repartition => r
+      case r: RepartitionByExpression if r.partitionExpressions.isEmpty => r
+    }.isEmpty
+
   private def rewrite(j: Join, lEmb: Attribute, rEmb: Attribute): LogicalPlan =
     (idOf(j.left, lEmb), idOf(j.right, rEmb)) match {
-      // determinism guard (ADVICE r15): the narrow plan embeds each
-      // side's subtree twice (band branch + re-attach) and joins the two
-      // copies by id — a NONDETERMINISTIC side (Sample, rand-derived
-      // column) can produce candidate ids in one copy that don't exist
-      // in the other, silently dropping or fabricating pairs. The wide
-      // rewrite embeds each side once, so it stays safe for those.
+      // determinism guard (ADVICE r15, hardened r17): the narrow plan
+      // embeds each side's subtree twice (band branch + re-attach) and
+      // joins the two copies by id — a side whose row set is not stable
+      // across re-evaluation (rand-derived column, Sample, round-robin
+      // repartition) can produce candidate ids in one copy that don't
+      // exist in the other, silently dropping or fabricating pairs. The
+      // wide rewrite embeds each side once, so it stays safe for those.
       case (Some(lId), Some(rId))
-          if j.left.deterministic && j.right.deterministic =>
+          if stableForDualEmbed(j.left) && stableForDualEmbed(j.right) =>
         rewriteNarrow(j, lEmb, rEmb, lId, rId)
       case _ => rewriteWide(j, lEmb, rEmb)
     }

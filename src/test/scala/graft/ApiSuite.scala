@@ -1152,6 +1152,33 @@ class ApiSuite extends AnyFunSuite {
     assert(m("zh").getAs[Long]("ws_tokens") == 2L)
   }
 
+  test("facade pins are bounded and Graft.release drops only graft-owned caches (ADVICE r16)") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // a library consumer who never calls a host sweep must not accumulate
+    // caches without bound: beyond the registry cap the OLDEST pin is
+    // evicted (safe — pins keep lineage). Graft.release() is the
+    // documented explicit path, and it must not touch the consumer's
+    // OWN cached frames.
+    plans.FrameMemo.clear(spark)
+    plans.CorpusPin.releaseAll(spark)
+    val userCached = Seq((1L, "mine")).toDF("u", "tag").cache()
+    userCached.count()
+    val frames = (0 until 40).map { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v").transform(plans.CorpusPin.pin)
+    }
+    assert(frames.take(8).forall(_.storageLevel == StorageLevel.NONE),
+      "pins beyond the cap must evict the oldest entries")
+    assert(frames.drop(8).forall(_.storageLevel.useDisk),
+      "the newest pins inside the cap must stay persisted")
+    Graft.release(spark)
+    assert(frames.forall(_.storageLevel == StorageLevel.NONE),
+      "release() must drop every remaining graft pin")
+    assert(userCached.storageLevel.useMemory,
+      "release() must NOT unpersist consumer-owned caches")
+    userCached.unpersist(blocking = true)
+  }
+
   test("perplexitySweep: retention is monotone in the threshold and hits 100%") {
     import spark.implicits._
     // repetitive docs score low NLL, a unique-vocab doc scores high

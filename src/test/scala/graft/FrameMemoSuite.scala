@@ -91,6 +91,64 @@ class FrameMemoSuite extends AnyFunSuite {
     plans.FrameMemo.clear(spark)
   }
 
+  test("reentrant memo builds keep pin classification (depth counter, ADVICE r16)") {
+    import spark.implicits._
+    // the old single boolean inBuild was reset by the INNER build's
+    // finally while the OUTER build was still running — a pin issued
+    // after the inner build returned registered for releaseAll, so each
+    // host sweep unpersisted a memo-pinned RDD and invalidated the outer
+    // entry on every query. The per-thread depth keeps the flag true for
+    // the whole outer build.
+    var outerBuilds = 0
+    def outer = {
+      outerBuilds += 1
+      val inner = plans.FrameMemo.shared(spark, "memo_test_inner", "sfX")(
+        Seq((1L, "i")).toDF("k", "vi"))
+      Seq((1L, "o"), (2L, "o2")).toDF("k", "vo")
+        .transform(plans.CorpusPin.pin) // AFTER the inner build returned
+        .join(inner, Seq("k"), "left_outer")
+    }
+    plans.FrameMemo.clear(spark)
+    plans.FrameMemo.shared(spark, "memo_test_outer", "sfX")(outer).collect()
+    plans.FrameMemo.sweepOthers(spark) // the real host sweep, twice
+    plans.FrameMemo.sweepOthers(spark)
+    val again = plans.FrameMemo.shared(spark, "memo_test_outer", "sfX")(outer)
+    assert(again.count() == 2)
+    assert(outerBuilds == 1,
+      "a pin after a nested inner build must stay memo-owned — the sweep invalidated the outer entry")
+    plans.FrameMemo.clear(spark)
+  }
+
+  test("a pin from ANOTHER THREAD during a memo build is host-owned, not memo-owned") {
+    import spark.implicits._
+    // per-THREAD depth (ADVICE r16): a concurrent session thread pinning
+    // while some memo build runs must be classified by ITS OWN state —
+    // the old global boolean marked it memo-owned, so it was never
+    // registered and leaked past every releaseAll.
+    plans.FrameMemo.clear(spark)
+    plans.CorpusPin.releaseAll(spark)
+    val buildStarted = new java.util.concurrent.CountDownLatch(1)
+    val pinDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var other: org.apache.spark.sql.DataFrame = null
+    val t = new Thread(() => {
+      buildStarted.await()
+      other = Seq((9L, "t")).toDF("k", "v").transform(plans.CorpusPin.pin)
+      pinDone.countDown()
+    })
+    t.start()
+    plans.FrameMemo.shared(spark, "memo_test_xthread", "sfX") {
+      buildStarted.countDown()
+      assert(pinDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      Seq(1L).toDF("k")
+    }.collect()
+    t.join()
+    assert(other.storageLevel.useDisk, "the cross-thread pin should be persisted")
+    plans.CorpusPin.releaseAll(spark)
+    assert(other.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "a cross-thread pin during a build must be releasable (host-owned), not leak as memo-owned")
+    plans.FrameMemo.clear(spark)
+  }
+
   test("multi-probe candidates are a SUPERSET of exact-bucket candidates (q124 family)") {
     // the multiProbe ring includes XOR 0 (the exact key), so every
     // exact-bucket collision must survive the retune — losing one would

@@ -393,6 +393,63 @@ class PlanRuleSuite extends AnyFunSuite {
     }
   }
 
+  test("SimilarityBandRewrite: order-sensitive sides (Sample, round-robin repartition) route to wide") {
+    // ADVICE r16: QueryPlan.deterministic only inspects EXPRESSIONS, so a
+    // Sample node (seeded per-partition positional keep) and a round-robin
+    // repartition (rows assigned to partitions by arrival order) pass as
+    // "deterministic" while their row sets can differ between the narrow
+    // rewrite's two subtree embeddings after different upstream shuffles.
+    // Such sides must take the WIDE rewrite (single embedding) — detected
+    // here by the vector payload riding the band join, the same idiom as
+    // the payload-column test above.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.types.ArrayType
+    graft.plans.GraftRules.install(spark)
+    val pairsKey = graft.plans.SimilarityBandRewrite.PairsKey
+    try {
+      spark.conf.set(pairsKey, "1000")
+      spark.conf.set(graft.plans.SimilarityBandRewrite.SmallSideFloorKey, "1")
+      import spark.implicits._
+      graft.functions.VectorExpressions.register(spark)
+      val emb = (0L until 300L).map(i => (i, simVec(i))).toDF("vid", "emb")
+      def checkWide(aSide: org.apache.spark.sql.DataFrame, what: String): Unit = {
+        val b = emb.select(col("vid").as("id_b"), col("emb").as("eb"))
+        val q = aSide.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            expr("round(graft_dot(ea, eb), 6)").as("dot"))
+        val opt = q.queryExecution.optimizedPlan
+        assert(opt.toString.contains("graft_bk"), s"$what: rule did not fire:\n$opt")
+        val band = opt.collect {
+          case j: LJoin if j.condition.exists(_.references.exists(_.name == "graft_bk")) => j
+        }
+        assert(band.exists(bj => (bj.left.output ++ bj.right.output)
+          .exists(_.dataType.isInstanceOf[ArrayType])),
+          s"$what took the narrow (double-embed) path — row set is not stable across re-evaluation:\n$opt")
+      }
+      checkWide(emb.sample(withReplacement = false, 0.8, seed = 7)
+        .select(col("vid").as("id_a"), col("emb").as("ea")), "Sample side")
+      checkWide(emb.repartition(4)
+        .select(col("vid").as("id_a"), col("emb").as("ea")), "round-robin repartition side")
+      // control: a KEY-based repartition is row-set stable — narrow is fine
+      val keyed = emb.repartition(4, col("vid"))
+        .select(col("vid").as("id_a"), col("emb").as("ea"))
+      val bq = keyed.join(emb.select(col("vid").as("id_b"), col("emb").as("eb")),
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), expr("round(graft_dot(ea, eb), 6)").as("dot"))
+      val bopt = bq.queryExecution.optimizedPlan
+      assert(bopt.toString.contains("graft_bk"))
+      val bband = bopt.collect {
+        case j: LJoin if j.condition.exists(_.references.exists(_.name == "graft_bk")) => j
+      }
+      assert(bband.nonEmpty && bband.forall(bj => !(bj.left.output ++ bj.right.output)
+        .exists(_.dataType.isInstanceOf[ArrayType])),
+        s"key-based repartition should still take the narrow path:\n$bopt")
+    } finally {
+      spark.conf.unset(pairsKey)
+      spark.conf.unset(graft.plans.SimilarityBandRewrite.SmallSideFloorKey)
+    }
+  }
+
   test("SimilarityBandRewrite small-side floor: probe-bounded audits never rewrite (q302 incident)") {
     // r16, found by the cross-SF oracle gate: q302's INTENTIONAL 10x10
     // JL-distortion cross join was rewritten into banded candidates at
