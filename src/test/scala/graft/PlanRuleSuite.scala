@@ -44,6 +44,46 @@ class PlanRuleSuite extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("LevenshteinPrefilter rule-on/rule-off differential on adversarial inputs (r17 audit)") {
+    // guarantee-class check (SCALING.md rule audit): the injected length
+    // bound must be result-identical on the shapes where the implication
+    // could plausibly break — NULL operands (three-valued logic: both
+    // levenshtein and the length bound go NULL → filter drops the row
+    // either way), empty strings, threshold 0, negative thresholds
+    // (both predicates unsatisfiable), and a NON-literal threshold where
+    // the rule must simply not fire.
+    import spark.implicits._
+    val adversarial = Seq(
+      (Option("abc"), Option("abd"), 1), (None, Option("x"), 3),
+      (Option("x"), None, 3), (None: Option[String], None: Option[String], 2),
+      (Option(""), Option(""), 0), (Option(""), Option("abc"), 2),
+      (Option("same"), Option("same"), 0), (Option("ab"), Option("ba"), -1)
+    ).toDF("a", "b", "k").localCheckpoint(true)
+    val prev = spark.experimental.extraOptimizations
+    def results(q: org.apache.spark.sql.DataFrame): Set[String] =
+      q.collect().map(r => s"${r.get(0)}|${r.get(1)}|${r.get(2)}").toSet
+    // rule OFF (and not installed via Tables/GraftRules on this frame path)
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ eq graft.plans.LevenshteinPrefilter)
+    val offFixed = results(adversarial.filter(expr("levenshtein(a, b) <= 1")))
+    val offVar = results(adversarial.filter(expr("levenshtein(a, b) <= k")))
+    val offNeg = results(adversarial.filter(expr("levenshtein(a, b) <= -1")))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.LevenshteinPrefilter
+    try {
+      val onFixedQ = adversarial.filter(expr("levenshtein(a, b) <= 1"))
+      assert(onFixedQ.queryExecution.optimizedPlan.toString.toLowerCase.contains("abs("),
+        "rule did not fire on the literal-threshold shape")
+      assert(results(onFixedQ) == offFixed, "literal-threshold results diverged")
+      val onVarQ = adversarial.filter(expr("levenshtein(a, b) <= k"))
+      assert(!onVarQ.queryExecution.optimizedPlan.toString.toLowerCase.contains("abs("),
+        "rule fired on a NON-literal threshold — out of its declared scope")
+      assert(results(onVarQ) == offVar, "non-literal-threshold results diverged")
+      assert(results(adversarial.filter(expr("levenshtein(a, b) <= -1"))) == offNeg
+        && offNeg.isEmpty, "negative threshold must keep zero rows on both paths")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   // ---- SimilarityBandRewrite (VERDICT r12 item 1) ----
 
   private def simVec(i: Long): Array[Float] =
@@ -597,6 +637,32 @@ class PlanRuleSuite extends AnyFunSuite {
     val m = Graft.asofJoinNative(f2, versions).collect()
       .map(r => r.getLong(2) -> Option(r.getString(3))).toMap
     assert(m == Map(1L -> None, 2L -> Some("seven@10"), 3L -> Some("seven@10")))
+  }
+
+  test("native as-of join: tied (key,t) versions follow the documented contract (r17 audit)") {
+    import spark.implicits._
+    // the one documented ASSUMPTION of the native exec (facade doc:
+    // "Versions tied on (key, t) resolve to the LAST in sort order; pass
+    // a deduplicated version frame for determinism") — exercise it
+    // directly so the contract is load-bearing, not just prose: with
+    // ties present the result must still be ONE of the tied values and
+    // identical for every fact that reads the same tie; after the
+    // recommended dedup the result is exactly the brute-force answer.
+    val facts = Seq((1L, 10L, 100L), (1L, 11L, 101L), (2L, 10L, 200L))
+      .toDF("key", "t", "fact_id")
+    val tied = Seq((1L, 10L, "a"), (1L, 10L, "b"), (1L, 10L, "c"),
+      (2L, 5L, "z")).toDF("key", "t", "v")
+    val got = Graft.asofJoinNative(facts, tied).collect()
+      .map(r => r.getLong(2) -> r.getString(3)).toMap
+    assert(Set("a", "b", "c")(got(100L)), s"tie resolved outside the tied set: $got")
+    assert(got(100L) == got(101L),
+      "two facts reading the same tie must see the same version within a run")
+    assert(got(200L) == "z")
+    val deduped = tied.groupBy("key", "t").agg(max("v").as("v"))
+    val gotD = Graft.asofJoinNative(facts, deduped).collect()
+      .map(r => r.getLong(2) -> r.getString(3)).toMap
+    assert(gotD == Map(100L -> "c", 101L -> "c", 200L -> "z"),
+      s"deduplicated versions must give the exact brute-force answer: $gotD")
   }
 
   test("native band join: plans BandJoinExec; no exchange/sort on pre-shaped inputs") {
