@@ -862,4 +862,111 @@ class PropertySuite extends AnyFunSuite {
         row.getAs[Double]("intercept") == r6d(ic)
     }, cases = 8)
   }
+
+  test("intervalUnion equals the in-memory sweep-line merge on random intervals") {
+    import spark.implicits._
+    // random closed intervals with deliberate overlaps, touching ends
+    // (s == prev max e -> SAME block per the closed-interval contract)
+    // and zero-length intervals; tie = input index breaks equal starts
+    val gen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 30L), Gen.choose(0L, 8L))))
+    check(Prop.forAll(gen) { rows =>
+      val iv = rows.zipWithIndex.map { case ((k, s, len), i) => (k, s, s + len, i.toLong) }
+      val got = Graft.intervalUnion(iv.toDF("key", "s", "e", "tie"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val expect = iv.groupBy(_._1).map { case (k, g) =>
+        val sorted = g.sortBy(t => (t._2, t._4))
+        var blocks = List.empty[(Long, Long)]
+        var maxE = Long.MinValue; var started = false
+        var bs = 0L; var be = 0L
+        sorted.foreach { case (_, s, e, _) =>
+          if (!started || s > maxE) {
+            if (started) blocks ::= ((bs, be))
+            bs = s; be = e; started = true
+          } else be = math.max(be, e)
+          maxE = math.max(maxE, e)
+        }
+        if (started) blocks ::= ((bs, be))
+        k -> ((blocks.size.toLong, blocks.map(b => b._2 - b._1).sum))
+      }
+      got == expect
+    }, cases = 10)
+  }
+
+  test("cdcCompact equals the in-memory changelog replay on random op streams") {
+    import spark.implicits._
+    // replay oracle: per key the highest-seq op decides survival; seq is
+    // globally unique by construction (the documented argmax contract)
+    val gen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 5L), Gen.oneOf("U", "D"), Gen.choose(0, 99))))
+    check(Prop.forAll(gen) { ops =>
+      val log = ops.zipWithIndex.map { case ((k, op, v), i) => (k, i.toLong, op, s"v$v") }
+      val got = Graft.cdcCompact(log.toDF("key", "seq", "op", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val expect = log.groupBy(_._1).flatMap { case (k, g) =>
+        val last = g.maxBy(_._2)
+        if (last._3 == "D") None else Some((k, g.size.toLong, last._2, last._4))
+      }.toSet
+      got == expect
+    }, cases = 10)
+  }
+
+  test("nearestMatch equals the in-memory nearest scan including both tie rules") {
+    import spark.implicits._
+    // small key/time domains force same-t candidate ties (prev side takes
+    // the max id, next side the min id - the window order), equidistant
+    // prev/next ties (prev wins), and out-of-tolerance probes (NULL)
+    val gen = for {
+      np <- Gen.choose(1, 20); nc <- Gen.choose(0, 20)
+      tol <- Gen.choose(0L, 6L)
+      ps <- Gen.listOfN(np, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 25L)))
+      cs <- Gen.listOfN(nc, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 25L)))
+    } yield (ps, cs, tol)
+    check(Prop.forAll(gen) { case (ps, cs, tol) =>
+      val probes = ps.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val cands = cs.zipWithIndex.map { case ((k, t), i) => (k, t, (100 + i).toLong) }
+      val got = Graft.nearestMatch(probes.toDF("key", "t", "id"),
+          cands.toDF("key", "t", "id"), tol)
+        .collect().map(r => r.getLong(1) -> ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+      val expect = probes.map { case (k, t, id) =>
+        val kc = cands.filter(_._1 == k)
+        val prevOpt = kc.filter(_._2 <= t) match {
+          case Nil => None; case xs => Some(xs.maxBy(c => (c._2, c._3))) }
+        val nextOpt = kc.filter(_._2 > t) match {
+          case Nil => None; case xs => Some(xs.minBy(c => (c._2, c._3))) }
+        val dPrev = prevOpt.map(c => t - c._2)
+        val dNext = nextOpt.map(c => c._2 - t)
+        val inPrev = dPrev.exists(_ <= tol)
+        val inNext = dNext.exists(_ <= tol)
+        val takePrev = inPrev && (!inNext || dPrev.get <= dNext.get)
+        val m = if (takePrev) Some(prevOpt.get._3)
+                else if (inNext) Some(nextOpt.get._3) else None
+        val gap = if (takePrev) Some(-dPrev.get) else if (inNext) dNext else None
+        id -> ((m, gap))
+      }.toMap
+      got == expect
+    }, cases = 10)
+  }
+
+  test("weightedMedian equals the in-memory weighted sweep on random frames") {
+    import spark.implicits._
+    // first v where cumulative weight reaches half the total, ties by the
+    // caller's tie column - duplicate v values and single-row keys included
+    val gen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(-10L, 10L), Gen.choose(1L, 5L))))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v, w), i) => (k, v, w, i.toLong) }
+      val got = Graft.weightedMedian(df.toDF("key", "v", "w", "tie"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val expect = df.groupBy(_._1).map { case (k, g) =>
+        val sorted = g.sortBy(t => (t._2, t._4))
+        val tot = g.map(_._3).sum
+        var cum = 0L
+        val med = sorted.find { r => cum += r._3; 2L * cum >= tot }.get
+        k -> ((g.size.toLong, tot, med._2))
+      }
+      got == expect
+    }, cases = 10)
+  }
 }
