@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,7 +22,12 @@ object Verify {
       // store raw UnsafeRow images (localCheckpoint's cost profile, WITH
       // lineage) instead of columnar batches — RowCacheSerializer scaladoc
       .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
-      .getOrCreate()
+    // extra confs for experiments, same contract as Bench:
+    // SPARK_GRAFT_CONF="k=v;k2=v2" (e.g. the durable pin tier's
+    // spark.graft.pin.durableDir for a tier-on oracle run)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same tripwire as Bench (VERDICT r9 item 7): a regenerated table
     // names itself in the correctness run's own stderr

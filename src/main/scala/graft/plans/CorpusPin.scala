@@ -69,8 +69,57 @@ object CorpusPin {
     * the cap. */
   private val MaxPinned = 32
 
+  /** Conf key for the DURABLE pin tier (VERDICT r16 item 4): set to a
+    * writable directory (HDFS/object-store path on a cluster, a local
+    * dir single-node) and [[pin]] upgrades from lazy
+    * `persist(MEMORY_AND_DISK)` to an eager RELIABLE `checkpoint()`
+    * into that directory. What that buys, and what it costs:
+    *
+    *  - consumers see ONE-LEAF plans (a `LogicalRDD` over the
+    *    checkpoint files) instead of an InMemoryRelation that carries
+    *    the full build lineage — on multi-consumer frames (q261's 4
+    *    passes) the driver stops re-planning the kept lineage per
+    *    consumer, the measured ~15-25% pin residual;
+    *  - the artifact survives EXECUTOR loss outright (files, not
+    *    blocks) — the documented cluster path for corpus-scale loop
+    *    state (q76's labels), generalized to every pin site;
+    *  - the price is an eager write+read of the frame and a driver
+    *    barrier per pin — wrong for one-consumer pins and for
+    *    latency-bound single-node runs, hence DEFAULT OFF. The dir's
+    *    lifecycle belongs to the host (Bench uses a per-run tmp dir;
+    *    a cluster deployment points at a job-scoped prefix and reaps
+    *    it with the job).
+    *
+    * Unset (the default) = the recomputable-lineage persist tier. */
+  val DurableDirKey = "spark.graft.pin.durableDir"
+
+  private def durableDir(df: DataFrame): Option[String] =
+    df.sparkSession.conf.getOption(DurableDirKey).map(_.trim).filter(_.nonEmpty)
+
   /** Chainable: `frame.transform(CorpusPin.pin)`. */
   def pin(df: DataFrame): DataFrame = synchronized {
+    durableDir(df) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
+        // reliable + eager: files under dir, one-leaf consumer plans.
+        // No registry entry survives — there is no CacheManager state to
+        // release, and the files are the host's to reap (doc above).
+        //
+        // TRANSIENT cache around the write: a reliable checkpoint runs
+        // TWO jobs — the eager count, then the checkpoint-write job —
+        // and without a cache the second recomputes the whole frame
+        // (RDD.checkpoint's documented behavior). Persisting first
+        // makes the count job materialize blocks the write job then
+        // reads, so the frame computes ONCE; the blocks are dropped as
+        // soon as the files exist. Measured: q261/q204/q177 at sf0.1
+        // lose the recompute entirely (SCALING.md r17 table).
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        try return df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
+      case None => ()
+    }
     df.persist(StorageLevel.MEMORY_AND_DISK)
     // a pin during a FrameMemo build belongs to the MEMO (its pinnedIds
     // diff captures the cache RDD; sweeps spare memo-owned ids) — do not

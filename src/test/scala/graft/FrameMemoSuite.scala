@@ -149,6 +149,41 @@ class FrameMemoSuite extends AnyFunSuite {
     plans.FrameMemo.clear(spark)
   }
 
+  test("durable pin tier: conf-gated reliable checkpoint, same rows, one-leaf plan") {
+    import spark.implicits._
+    // VERDICT r16 item 4: with spark.graft.pin.durableDir set, pin()
+    // upgrades to an eager reliable checkpoint — consumers read a flat
+    // LogicalRDD leaf (no lineage replanning, survives executor loss);
+    // unset, the recomputable persist tier is untouched.
+    val dir = java.nio.file.Files.createTempDirectory("graft_durable_test")
+    spark.conf.set(plans.CorpusPin.DurableDirKey, dir.toString)
+    try {
+      val pinned = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+        .transform(plans.CorpusPin.pin)
+      assert(pinned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(pinned.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+        s"durable pin must be a one-leaf LogicalRDD scan:\n${pinned.queryExecution.optimizedPlan}")
+      assert(pinned.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "durable pins must not register a CacheManager entry")
+      // checkpoint files actually landed in the configured dir
+      def fileCount(d: java.io.File): Int =
+        Option(d.listFiles).getOrElse(Array.empty)
+          .map(f => if (f.isDirectory) fileCount(f) else 1).sum
+      assert(fileCount(dir.toFile) > 0, "no checkpoint files written to the durable dir")
+      // joins of the pinned frame to itself read the files, not the lineage
+      val self = pinned.join(pinned.toDF("k", "v2"), "k")
+      assert(self.count() == 3L)
+    } finally {
+      spark.conf.unset(plans.CorpusPin.DurableDirKey)
+      import scala.sys.process._
+      Seq("rm", "-rf", dir.toString).!
+    }
+    // conf unset again: the default tier persists with lineage
+    val lazyPin = Seq((9L, "z")).toDF("k", "v").transform(plans.CorpusPin.pin)
+    assert(lazyPin.storageLevel.useDisk, "default tier must persist MEMORY_AND_DISK")
+    plans.CorpusPin.releaseAll(spark)
+  }
+
   test("multi-probe candidates are a SUPERSET of exact-bucket candidates (q124 family)") {
     // the multiProbe ring includes XOR 0 (the exact key), so every
     // exact-bucket collision must survive the retune — losing one would
