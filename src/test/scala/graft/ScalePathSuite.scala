@@ -194,4 +194,20 @@ class ScalePathSuite extends AnyFunSuite {
       assert(tNative * 2 < tTheta,
         f"sweep ($tNative%.2f s) not ≥2× faster than theta ($tTheta%.2f s) on the hot key")
   }
+
+  test("banded dedup CANDIDATE COUNT grows linearly with corpus size at fixed dup density (r17)") {
+    // the 100 TB claim behind every banded path (q50/q61/q76/q269 feeders):
+    // LSH band buckets are CONTENT-determined, so at a constant planted
+    // near-dup rate the candidate pair count scales with the corpus, not
+    // its square. A quadratic path would grow ~16x here; linear is ~4x.
+    // Counts, not wall-clock - exact and load-independent.
+    val c1 = Graft.minhashPairs(ScaleGrowth.docs(spark, 2000)).count()
+    plans.CorpusPin.releaseAll(spark); plans.FrameMemo.clear(spark)
+    val c4 = Graft.minhashPairs(ScaleGrowth.docs(spark, 8000)).count()
+    plans.CorpusPin.releaseAll(spark); plans.FrameMemo.clear(spark)
+    assert(c1 > 0, "no candidates at the base scale - generator broken")
+    assert(c4 >= 2 * c1 && c4 <= 8 * c1,
+      s"banded candidate growth not ~linear at 4x corpus: $c1 -> $c4")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
 }
