@@ -969,4 +969,89 @@ class PropertySuite extends AnyFunSuite {
       got == expect
     }, cases = 10)
   }
+
+  test("kCore converged equals the in-memory peel fixpoint on random bipartite graphs") {
+    import spark.implicits._
+    val gen = for {
+      ne <- Gen.choose(1, 40); k <- Gen.choose(1L, 3L)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6)))
+    } yield (es.map { case (a, b) => (s"s$a", s"p$b") }.distinct, k)
+    check(Prop.forAll(gen) { case (es, k) =>
+      // in-memory peel to the fixpoint
+      var cur = es.toSet
+      var stable = false
+      while (!stable) {
+        val ds = cur.groupBy(_._1).view.mapValues(_.size).toMap
+        val dp = cur.groupBy(_._2).view.mapValues(_.size).toMap
+        val next = cur.filter { case (a, b) => ds(a) >= k && dp(b) >= k }
+        stable = next == cur; cur = next
+      }
+      val expect = (cur.groupBy(_._1).map { case (n, g) => ("s", n, g.size.toLong) } ++
+        cur.groupBy(_._2).map { case (n, g) => ("p", n, g.size.toLong) }).toSet
+      // the documented protocol: raise rounds until two consecutive agree
+      def run(r: Int) = Graft.kCore(es.toDF("s", "p"), k, r).collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+      val a = run(8); val b = run(12)
+      a == b && a == expect
+    }, cases = 8)
+  }
+
+  test("clusteringCoef equals in-memory triangle counting on random digraphs") {
+    import spark.implicits._
+    val gen = Gen.choose(1, 50).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 8L))))
+    check(Prop.forAll(gen) { es =>
+      // direction, loops, duplicates ignored -> undirected simple graph
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = (und.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expect = adj.map { case (n, nb) =>
+        val d = nb.size.toLong
+        val tri = nb.toSeq.combinations(2)
+          .count { case Seq(x, y) => adj(x).contains(y) }.toLong
+        val cc = if (d >= 2) Some(r6d(2.0 * tri / (d * (d - 1.0)))) else None
+        n -> ((d, tri, cc))
+      }
+      val got = Graft.clusteringCoef(es.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      got == expect
+    }, cases = 8)
+  }
+
+  test("shortestPaths equals in-memory bounded Bellman-Ford on random digraphs") {
+    import spark.implicits._
+    // integer costs: exact under the engine's per-relaxation r6 rounding
+    val gen = for {
+      ne <- Gen.choose(1, 40); rounds <- Gen.choose(1, 4)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L), Gen.choose(0L, 9L)))
+      seeds <- Gen.nonEmptyListOf(Gen.choose(0L, 7L)).map(_.distinct)
+    } yield (es, seeds, rounds)
+    check(Prop.forAll(gen) { case (es, seeds, rounds) =>
+      val edges = es.map { case (s, d, c) => (s, d, c.toDouble) }
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      // synchronous relaxation, self-loops dropped like the engine
+      val relEdges = edges.filter(e => e._1 != e._2)
+      var dist: Map[Long, Option[Double]] =
+        nodes.map(n => n -> (if (seeds.contains(n)) Some(0.0) else None)).toMap
+      (1 to rounds).foreach { _ =>
+        val cands = relEdges.flatMap { case (s, d, c) =>
+          dist(s).map(x => d -> r6d(x + c)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        dist = dist.map { case (n, old) =>
+          n -> ((old, cands.get(n)) match {
+            case (None, c) => c
+            case (o, None) => o
+            case (Some(o), Some(c)) => Some(math.min(o, c))
+          })
+        }
+      }
+      val got = Graft.shortestPaths(edges.toDF("src", "dst", "cost"),
+          seeds.toDF("node"), rounds).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      got == dist
+    }, cases = 8)
+  }
 }
