@@ -1030,9 +1030,11 @@ class PropertySuite extends AnyFunSuite {
     } yield (es, seeds, rounds)
     check(Prop.forAll(gen) { case (es, seeds, rounds) =>
       val edges = es.map { case (s, d, c) => (s, d, c.toDouble) }
-      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
-      // synchronous relaxation, self-loops dropped like the engine
+      // the engine drops self-loops BEFORE computing the node set, so a
+      // node whose only edges are self-loops is absent from the output
+      // even as a seed — mirror that exactly
       val relEdges = edges.filter(e => e._1 != e._2)
+      val nodes = (relEdges.map(_._1) ++ relEdges.map(_._2)).distinct
       var dist: Map[Long, Option[Double]] =
         nodes.map(n => n -> (if (seeds.contains(n)) Some(0.0) else None)).toMap
       (1 to rounds).foreach { _ =>
