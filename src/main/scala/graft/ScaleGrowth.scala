@@ -103,14 +103,18 @@ object ScaleGrowth {
     // optional args: [families-csv-substring-filter] [shufflePartitions]
     val famFilter = args.headOption.filter(_.nonEmpty)
     val shufflePartitions = args.lift(1).map(_.toInt).getOrElse(32)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
-      .getOrCreate()
+    // extra confs for experiments, the Bench/Verify contract:
+    // SPARK_GRAFT_CONF="k=v;k2=v2" (e.g. AQE initialPartitionNum A/Bs)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorExpressions.register(spark)
     val r3 = (v: Double) => math.round(v * 1000) / 1000.0
