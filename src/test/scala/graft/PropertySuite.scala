@@ -1056,4 +1056,86 @@ class PropertySuite extends AnyFunSuite {
       got == dist
     }, cases = 8)
   }
+
+  test("pageRank equals the in-memory power iteration with mirrored r6/DECIMAL steps") {
+    import spark.implicits._
+    def dec9(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(9, java.math.RoundingMode.HALF_UP))
+    val gen = for {
+      ne <- Gen.choose(1, 30); it <- Gen.choose(1, 3)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 6L), Gen.choose(1L, 5L)))
+    } yield (es.groupBy(e => (e._1, e._2)).map { case ((s0, d), g) =>
+      (s0, d, g.map(_._3).sum) }.toList, it)
+    check(Prop.forAll(gen) { case (es, iters) =>
+      val wout = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val trans = es.map { case (s0, d, w) => (s0, d, r6d(w.toDouble / wout(s0))) }
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+      val nD = nodes.size.toDouble
+      var rank: Map[Long, Double] = nodes.map(_ -> r6d(1.0 / nD)).toMap
+      (1 to iters).foreach { _ =>
+        val inMass = trans.map { case (s0, d, pw) => d -> dec9(r6d(rank(s0) * pw)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        rank = rank.map { case (node, _) =>
+          node -> r6d(0.15 / nD + 0.85 * inMass.getOrElse(node, BigDecimal(0)).toDouble)
+        }
+      }
+      val got = Graft.pageRank(es.toDF("src", "dst", "w"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got == rank
+    }, cases = 8)
+  }
+
+  test("hits equals the in-memory mutual-reinforcement loop with mirrored arithmetic") {
+    import spark.implicits._
+    def dec9(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(9, java.math.RoundingMode.HALF_UP))
+    val gen = for {
+      ne <- Gen.choose(2, 30); it <- Gen.choose(1, 3)
+      es <- Gen.listOfN(ne, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 6L)))
+    } yield (es, it)
+    check(Prop.forAll(gen) { case (esRaw, iters) =>
+      val es = esRaw.filter(e => e._1 != e._2).distinct
+      if (es.isEmpty) true else {
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+        val nD = nodes.size.toDouble
+        var hub: Map[Long, Double] = nodes.map(_ -> r6d(1.0 / nD)).toMap
+        var auth: Map[Long, Double] = hub
+        def normalized(raw: Map[Long, BigDecimal]): Map[Long, Double] = {
+          val tot = raw.values.sum.toDouble
+          nodes.map(n => n -> r6d(raw.getOrElse(n, BigDecimal(0)).toDouble / tot)).toMap
+        }
+        (1 to iters).foreach { _ =>
+          val aRaw = es.map { case (s0, d) => d -> dec9(hub(s0)) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          auth = normalized(aRaw)
+          val hRaw = es.map { case (s0, d) => s0 -> dec9(auth(d)) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          hub = normalized(hRaw)
+        }
+        val got = Graft.hits(es.toDF("src", "dst"), iters).collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        got == nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+      }
+    }, cases = 8)
+  }
+
+  test("locfBackfill equals the in-memory forward fill on random sparse series") {
+    import spark.implicits._
+    val gen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 15L), Gen.option(Gen.choose(-5, 5)))))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, t, i.toLong, v.map(_.toDouble)) }
+      val got = Graft.locfBackfill(df.toDF("k", "t", "tb", "v"),
+          col("k"), col("t"), col("tb"), col("v"))
+        .collect().map(r => r.getLong(2) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      val expect = df.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        var carry: Option[Double] = None
+        sorted.map { r => carry = r._4.orElse(carry); r._3 -> carry }
+      }.toMap
+      got == expect
+    }, cases = 8)
+  }
 }
