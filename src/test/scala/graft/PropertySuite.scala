@@ -1138,4 +1138,70 @@ class PropertySuite extends AnyFunSuite {
       got == expect
     }, cases = 8)
   }
+
+  test("mannWhitney equals the in-memory tie-corrected rank-sum with mirrored arithmetic") {
+    import spark.implicits._
+    def dec1(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(1, java.math.RoundingMode.HALF_UP))
+    // both groups nonempty and >= 2 distinct values, so sigma > 0 and z
+    // is finite (the facade's documented sampling contract)
+    val gen = for {
+      g1 <- Gen.nonEmptyListOf(Gen.choose(0L, 8L))
+      g2 <- Gen.nonEmptyListOf(Gen.choose(0L, 8L))
+      if (g1 ++ g2).distinct.size >= 2
+    } yield (g1, g2)
+    check(Prop.forAll(gen) { case (g1, g2) =>
+      val rows = g1.map(v => (v, true)) ++ g2.map(v => (v, false))
+      val perVal = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, g) =>
+        (v, g.count(_._2).toLong, g.count(!_._2).toLong) }
+      var c1 = 0L; var c2 = 0L
+      var r1d = BigDecimal(0); var ties = 0L
+      perVal.foreach { case (_, n1, n2) =>
+        c1 += n1; c2 += n2
+        val t = n1 + n2
+        val avgrank = (c1 + c2).toDouble - t.toDouble + (t.toDouble + 1.0) / 2.0
+        r1d += dec1(n1.toDouble * avgrank)
+        ties += t * t * t - t
+      }
+      val (n1, n2) = (g1.size.toDouble, g2.size.toDouble)
+      val nt = n1 + n2
+      val r1 = r1d.toDouble
+      val u1 = r1 - n1 * (n1 + 1.0) / 2.0
+      val sigma = math.sqrt(n1 * n2 / 12.0 * ((nt + 1.0) - ties.toDouble / (nt * (nt - 1.0))))
+      val expect = (g1.size.toLong, g2.size.toLong, r6d(r1), r6d(u1),
+        r6d(n1 * n2 - u1), r6d(n1 * n2 / 2.0), r6d(sigma),
+        r6d((u1 - n1 * n2 / 2.0) / sigma))
+      val r = Graft.mannWhitney(rows.toDF("v", "g1"), col("v"), col("g1")).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)) == expect
+    }, cases = 8)
+  }
+
+  test("ksTest equals the in-memory ECDF max-gap scan including the top-N ordering") {
+    import spark.implicits._
+    val gen = for {
+      g1 <- Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+      g2 <- Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+      topN <- Gen.choose(1, 5)
+    } yield (g1, g2, topN)
+    check(Prop.forAll(gen) { case (g1, g2, topN) =>
+      val rows = g1.map(v => (v, true)) ++ g2.map(v => (v, false))
+      val perVal = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, g) =>
+        (v, g.count(_._2).toLong, g.count(!_._2).toLong) }
+      val (t1, t2) = (g1.size.toDouble, g2.size.toDouble)
+      var c1 = 0L; var c2 = 0L
+      val scored = perVal.map { case (v, n1, n2) =>
+        c1 += n1; c2 += n2
+        val e1 = c1.toDouble / t1; val e2 = c2.toDouble / t2
+        (v, c1, c2, r6d(e1), r6d(e2), r6d(math.abs(e1 - e2)))
+      }
+      val expect = scored.sortBy(r => (-r._6, r._1)).take(topN)
+        .map { case (v, cc1, cc2, e1, e2, gap) =>
+          (v, cc1, cc2, g1.size.toLong, g2.size.toLong, e1, e2, gap) }
+      val got = Graft.ksTest(rows.toDF("v", "g1"), col("v"), col("g1"), topN)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+      got == expect
+    }, cases = 8)
+  }
 }
