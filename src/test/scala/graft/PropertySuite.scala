@@ -1204,4 +1204,68 @@ class PropertySuite extends AnyFunSuite {
       got == expect
     }, cases = 8)
   }
+
+  test("cvmTest equals the in-memory tie-weighted integral with mirrored DECIMAL folds") {
+    import spark.implicits._
+    def dec6(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP))
+    val gen = for {
+      g1 <- Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+      g2 <- Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+    } yield (g1, g2)
+    check(Prop.forAll(gen) { case (g1, g2) =>
+      val rows = g1.map(v => (v, true)) ++ g2.map(v => (v, false))
+      val perVal = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, g) =>
+        (v, g.count(_._2).toLong, g.count(!_._2).toLong) }
+      val (t1, t2) = (g1.size.toDouble, g2.size.toDouble)
+      var c1 = 0L; var c2 = 0L
+      var sAcc = BigDecimal(0)
+      perVal.foreach { case (_, n1, n2) =>
+        c1 += n1; c2 += n2
+        val e1 = c1.toDouble / t1; val e2 = c2.toDouble / t2
+        sAcc += dec6(r6d((n1 + n2).toDouble * (e1 - e2) * (e1 - e2)))
+      }
+      val expect = r6d(t1 * t2 / ((t1 + t2) * (t1 + t2)) * sAcc.toDouble)
+      val r = Graft.cvmTest(rows.toDF("v", "g1"), col("v"), col("g1")).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2)) ==
+        ((g1.size.toLong, g2.size.toLong, expect))
+    }, cases = 8)
+  }
+
+  test("adTest equals the in-memory tie-adjusted A2 with mirrored DECIMAL folds") {
+    import spark.implicits._
+    def dec6(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP))
+    val gen = for {
+      g1 <- Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+      g2 <- Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+      if (g1 ++ g2).distinct.size >= 2
+    } yield (g1, g2)
+    check(Prop.forAll(gen) { case (g1, g2) =>
+      val rows = g1.map(v => (v, true)) ++ g2.map(v => (v, false))
+      val perVal = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, g) =>
+        (v, g.count(_._2).toLong, g.count(!_._2).toLong) }
+      val (t1, t2) = (g1.size.toLong, g2.size.toLong)
+      val bigN = (t1 + t2).toDouble
+      var c1 = 0L; var c2 = 0L
+      var s1Acc = BigDecimal(0); var s2Acc = BigDecimal(0)
+      perVal.foreach { case (_, n1, n2) =>
+        c1 += n1; c2 += n2
+        val l = (n1 + n2).toDouble
+        val b = (c1 + c2).toDouble - l / 2.0
+        val den = b * (bigN - b) - bigN * l / 4.0
+        if (den != 0.0) { // the engine's nullif: zero-den terms drop
+          val m1 = c1.toDouble - n1.toDouble / 2.0
+          val m2 = c2.toDouble - n2.toDouble / 2.0
+          s1Acc += dec6(r6d(l * math.pow(bigN * m1 - t1.toDouble * b, 2) / den))
+          s2Acc += dec6(r6d(l * math.pow(bigN * m2 - t2.toDouble * b, 2) / den))
+        }
+      }
+      val nn = bigN
+      val expect = r6d((nn - 1.0) / (nn * nn) *
+        (s1Acc.toDouble / t1.toDouble + s2Acc.toDouble / t2.toDouble))
+      val r = Graft.adTest(rows.toDF("v", "g1"), col("v"), col("g1")).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2)) == ((t1, t2, expect))
+    }, cases = 8)
+  }
 }
