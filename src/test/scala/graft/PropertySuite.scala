@@ -1268,4 +1268,72 @@ class PropertySuite extends AnyFunSuite {
       (r.getLong(0), r.getLong(1), r.getDouble(2)) == ((t1, t2, expect))
     }, cases = 8)
   }
+
+  test("lastTouchAttribution equals the in-memory carry scan including self-touch rows") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 40); lb <- Gen.choose(0L, 8L)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 20L),
+        Gen.oneOf("touch", "conv", "both", "other")))
+    } yield (rows, lb)
+    check(Prop.forAll(gen) { case (rows, lookback) =>
+      val df = rows.zipWithIndex.map { case ((k, t, ty), i) => (k, t, i.toLong, ty) }
+      val got = Graft.lastTouchAttribution(df.toDF("k", "t", "id", "ty"),
+          col("k"), col("t"), col("id"),
+          col("ty") === "touch" || col("ty") === "both",
+          col("ty") === "conv" || col("ty") === "both", lookback)
+        .collect().map(r => r.getLong(2) ->
+          ((Option(r.get(4)).map(_.asInstanceOf[Long]),
+            Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+      val expect = df.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        var tid: Option[Long] = None; var tts: Option[Long] = None
+        sorted.flatMap { case (_, t, id, ty) =>
+          // the window frame includes the current row: a row that is both
+          // touch and conversion attributes to itself with gap 0
+          if (ty == "touch" || ty == "both") { tid = Some(id); tts = Some(t) }
+          if (ty == "conv" || ty == "both") {
+            val in = tts.exists(x => t - x <= lookback)
+            Some(id -> ((if (in) tid else None, if (in) tts.map(t - _) else None)))
+          } else None
+        }
+      }.toMap
+      got == expect
+    }, cases = 8)
+  }
+
+  test("holtForecast equals the in-memory double-EWMA with the engine's fold order") {
+    import spark.implicits._
+    val W = Seq(1.0, 0.8, 0.64, 0.512, 0.4096, 0.32768, 0.262144, 0.2097152,
+      0.16777216, 0.134217728, 0.1073741824, 0.08589934592)
+    def smoothAt(v: IndexedSeq[Double], i: Int): Double = {
+      var num = 0.0; var den = 0.0
+      W.zipWithIndex.foreach { case (wt, k) =>
+        if (i - k >= 0) { num += v(i - k) * wt; den += wt } else { num += 0.0; den += 0.0 }
+      }
+      num / den
+    }
+    val gen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 1L), Gen.choose(0L, 9L), Gen.choose(-20, 20))))
+    check(Prop.forAll(gen) { rows =>
+      val got = Graft.holtForecast(rows.toDF("k", "t", "x"),
+          col("k"), col("t"), col("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6), r.getDouble(7)))).toMap
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val series = g.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (t, rs) => (t, rs.map(_._3.toLong).sum.toDouble) }
+        val vd = series.map(_._2).toIndexedSeq // integer sums: DECIMAL(18,4) exact
+        val s1 = vd.indices.map(i => r6d(smoothAt(vd, i)))
+        val s2 = s1.indices.map(i => r6d(smoothAt(s1, i)))
+        series.indices.map { i =>
+          (k, series(i)._1) -> ((r6d(vd(i)), s1(i), s2(i),
+            r6d(2.0 * s1(i) - s2(i)), r6d(0.25 * (s1(i) - s2(i))),
+            r6d((2.0 * s1(i) - s2(i)) + 0.25 * (s1(i) - s2(i)))))
+        }
+      }.toMap
+      got == expect
+    }, cases = 8)
+  }
 }
