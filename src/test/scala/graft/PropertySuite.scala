@@ -1336,4 +1336,58 @@ class PropertySuite extends AnyFunSuite {
       got == expect
     }, cases = 8)
   }
+
+  test("iqrOutliers equals the in-memory Tukey fences with the builtin percentile interpolation") {
+    import spark.implicits._
+    def pct(xs: Seq[Double], p: Double): Double = {
+      // Spark Percentile.getPercentile (the BoundedQuantiles contract)
+      val s = xs.sorted
+      val pos = (s.length - 1) * p
+      val lower = math.floor(pos); val higher = math.ceil(pos)
+      if (lower == higher) s(pos.toInt)
+      else (higher - pos) * s(lower.toInt) + (pos - lower) * s(higher.toInt)
+    }
+    val gen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 2L), Gen.choose(-50, 50))))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.map { case (g, v) => (s"g$g", v.toDouble) }
+      val got = Graft.iqrOutliers(df.toDF("g", "v"), "g", col("v"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+      val expect = df.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2)
+        val q1 = r6d(pct(vs, 0.25)); val q3 = r6d(pct(vs, 0.75))
+        val lo = q1 - 1.5 * (q3 - q1); val hi = q3 + 1.5 * (q3 - q1)
+        val out = vs.count(v => v < lo || v > hi).toLong
+        g -> ((vs.size.toLong, q1, q3, r6d(q3 - q1), out,
+          r6d(out.toDouble / vs.size)))
+      }
+      got == expect
+    }, cases = 8)
+  }
+
+  test("transitionSupport equals the in-memory consecutive-pair counts for any minSupport") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 40); ms <- Gen.choose(1L, 3L)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 12L),
+        Gen.oneOf("a", "b", "c")))
+    } yield (rows, ms)
+    check(Prop.forAll(gen) { case (rows, minSupport) =>
+      val df = rows.zipWithIndex.map { case ((k, t, st), i) => (k, t, i.toLong, st) }
+      val got = Graft.transitionSupport(df.toDF("k", "t", "tb", "st"),
+          col("k"), col("t"), col("tb"), col("st"), minSupport)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val trans = df.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val sorted = g.sortBy(r => (r._2, r._3)).map(_._4)
+        sorted.zip(sorted.drop(1)).map { case (a, b) => (k, a, b) }
+      }
+      val expect = trans.groupBy(t => (t._2, t._3)).collect {
+        case (ab, g) if g.map(_._1).distinct.size >= minSupport =>
+          ab -> ((g.map(_._1).distinct.size.toLong, g.size.toLong))
+      }.toMap
+      got == expect
+    }, cases = 8)
+  }
 }
