@@ -1390,4 +1390,56 @@ class PropertySuite extends AnyFunSuite {
       got == expect
     }, cases = 8)
   }
+
+  test("cusumChangepoint equals the in-memory peak-deviation argmax with tie rules") {
+    import spark.implicits._
+    val gen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 10L), Gen.choose(-20, 20))))
+    check(Prop.forAll(gen) { rows =>
+      val got = Graft.cusumChangepoint(rows.toDF("k", "t", "x"),
+          col("k"), col("t"), col("x"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4)))).toMap
+      val expect = rows.groupBy(_._1).map { case (k, g) =>
+        val series = g.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (t, rs) => (t, rs.map(_._3.toLong).sum) } // DECIMAL-exact
+        val n = series.size
+        val sv = series.map(_._2).sum.toDouble
+        var run = 0L
+        val scored = series.zipWithIndex.map { case ((t, v), i) =>
+          run += v
+          (t, run.toDouble - (i + 1).toDouble * (sv / n))
+        }
+        val (t, cu) = scored.minBy { case (tt, c) => (-math.abs(c), tt) }
+        k -> ((t, n.toLong, r6d(cu), if (cu >= 0) "up" else "down"))
+      }
+      got == expect
+    }, cases = 8)
+  }
+
+  test("rocCurve equals the in-memory exact-numerator AUC on random binned scores") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 1L)))
+      if rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L)
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val got = Graft.rocCurve(rows.toDF("bin", "pos")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+      val bins = rows.groupBy(_._1).toSeq.sortBy(-_._1).map { case (b, g) =>
+        (b, g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong) }
+      val p = bins.map(_._2).sum.toDouble; val nn = bins.map(_._3).sum.toDouble
+      var a2 = 0L; var cp = 0L
+      bins.foreach { case (_, np, ng) => a2 += ng * (2 * cp + np); cp += np }
+      val auc = r6d(a2.toDouble / (2.0 * p * nn))
+      var c1 = 0L; var c2 = 0L
+      val expect = bins.map { case (b, np, ng) =>
+        c1 += np; c2 += ng
+        b -> ((np, ng, r6d(c1.toDouble / p), r6d(c2.toDouble / nn), auc))
+      }.toMap
+      got == expect
+    }, cases = 8)
+  }
 }
