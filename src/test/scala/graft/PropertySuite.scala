@@ -1442,4 +1442,159 @@ class PropertySuite extends AnyFunSuite {
       got == expect
     }, cases = 8)
   }
+
+  private def fiveGramsOf(text: String): Set[String] = {
+    val ts = text.split(" ")
+    if (ts.length < 5) Set.empty
+    else (0 to ts.length - 5).map(i => ts.slice(i, i + 5).mkString(" ")).toSet
+  }
+  private def genDoc: Gen[String] = for {
+    n <- Gen.choose(3, 9)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+  } yield ws.mkString(" ")
+
+  test("prCurve equals the in-memory precision/recall sweep with the DECIMAL AP fold") {
+    import spark.implicits._
+    def dec6(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP))
+    val gen = Gen.choose(2, 50).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 1L))))
+      .suchThat(_.exists(_._2 == 1L))
+    check(Prop.forAll(gen) { rows =>
+      val bins = rows.groupBy(_._1).toSeq.sortBy(-_._1).map { case (b, g) =>
+        (b, g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong) }
+      val pTot = bins.map(_._2).sum.toDouble
+      var cp = 0L; var cn = 0L
+      var apAcc = BigDecimal(0)
+      val rowsOut = bins.map { case (b, np, ng) =>
+        cp += np; cn += ng
+        val prec = r6d(cp.toDouble / (cp + cn)); val rec = r6d(cp.toDouble / pTot)
+        apAcc += dec6(r6d(np * prec / pTot))
+        (b, np, ng, prec, rec)
+      }
+      val ap = r6d(apAcc.toDouble)
+      val expect = rowsOut.map { case (b, np, ng, prec, rec) =>
+        b -> ((np, ng, prec, rec, ap)) }.toMap
+      val got = Graft.prCurve(rows.toDF("bin", "pos")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+      got == expect
+    }, cases = 8)
+  }
+
+  test("decontaminate equals the in-memory 5-gram overlap scan") {
+    import spark.implicits._
+    val gen = for {
+      nt <- Gen.choose(1, 12); ne <- Gen.choose(1, 6)
+      tr <- Gen.listOfN(nt, genDoc); ev <- Gen.listOfN(ne, genDoc)
+    } yield (tr, ev)
+    check(Prop.forAll(gen) { case (tr, ev) =>
+      val train = tr.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val evalD = ev.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+      val evalIdx = evalD.flatMap(d => fiveGramsOf(d._2)).toSet
+      val expect = train.map { case (id, t) =>
+        val ov = fiveGramsOf(t).count(evalIdx.contains).toLong
+        id -> ((ov, ov > 0))
+      }.toMap
+      val got = Graft.decontaminate(train.toDF("doc_id", "text"),
+          evalD.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      got == expect
+    }, cases = 8)
+  }
+
+  test("splitLeakage equals the in-memory containment audit per non-train split") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 20)
+      docs <- Gen.listOfN(n, Gen.zip(genDoc, Gen.oneOf("train", "val", "test")))
+    } yield docs
+    check(Prop.forAll(gen) { docs =>
+      val d = docs.zipWithIndex.map { case ((t, sp), i) => (i.toLong, t, sp) }
+      val trainIdx = d.filter(_._3 == "train").flatMap(x => fiveGramsOf(x._2)).toSet
+      // docs with < 5 tokens have no grams and drop out of the audit
+      val expect = d.filter(x => x._3 != "train" && fiveGramsOf(x._2).nonEmpty)
+        .groupBy(_._3).map { case (sp, g) =>
+          val per = g.map { x =>
+            val gr = fiveGramsOf(x._2)
+            (gr.size.toLong, gr.count(trainIdx.contains).toLong)
+          }
+          val leaky = per.count(_._2 > 0).toLong
+          sp -> ((g.size.toLong, leaky,
+            r6d(leaky.toDouble / g.size),
+            r6d(per.map(_._2).sum.toDouble / per.map(_._1).sum.toDouble)))
+        }
+      val got = Graft.splitLeakage(d.toDF("doc_id", "text", "split"),
+          "split", "train").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))).toMap
+      got == expect
+    }, cases = 8)
+  }
+
+  test("pointInTimeJoin equals the in-memory TTL carry scan including same-t version ties") {
+    import spark.implicits._
+    val gen = for {
+      nf <- Gen.choose(0, 30); nv <- Gen.choose(0, 20); ttl <- Gen.choose(0L, 8L)
+      fs <- Gen.listOfN(nf, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 25L)))
+      vs <- Gen.listOfN(nv, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 25L)))
+    } yield (fs, vs, ttl)
+    check(Prop.forAll(gen) { case (fs, vs, ttl) =>
+      val facts = fs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val vers = vs.zipWithIndex.map { case ((k, t), i) => (k, t, (100 + i).toLong, s"v$i") }
+      val got = Graft.pointInTimeJoin(
+          facts.toDF("key", "t", "fact_id"),
+          vers.toDF("key", "t", "version_id", "v"), ttl)
+        .collect().map(r => r.getLong(1) -> Option(r.getString(3))).toMap
+      val expect = facts.map { case (k, t, id) =>
+        // versions sort before facts at the same t (kind 0 < 1); among
+        // same-(key,t) versions the highest version_id wins (window order)
+        val cands = vers.filter(v => v._1 == k &&
+          (v._2 < t || v._2 == t))
+        val latest = if (cands.isEmpty) None
+          else Some(cands.maxBy(v => (v._2, v._3)))
+        id -> latest.flatMap { c => if (t - c._2 <= ttl) Some(c._4) else None }
+      }.toMap
+      got == expect
+    }, cases = 8)
+  }
+
+  test("conversionPairs equals the brute in-window click-purchase join") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 40); wnd <- Gen.choose(1L, 10L)
+      ev <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 3L),
+        Gen.oneOf("click", "purchase", "view"), Gen.choose(0L, 30L)))
+    } yield (ev, wnd)
+    check(Prop.forAll(gen) { case (ev, wnd) =>
+      val rows = ev.zipWithIndex.map { case ((u, ty, ts), i) => (i.toLong, u, ty, ts) }
+      val got = Graft.conversionPairs(
+          rows.toDF("event_id", "user_id", "event_type", "ts_us"), wnd)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val clicks = rows.filter(_._3 == "click"); val purch = rows.filter(_._3 == "purchase")
+      val expect = (for {
+        c <- clicks; pp <- purch
+        if c._2 == pp._2 && c._4 >= pp._4 - wnd && c._4 < pp._4
+      } yield (c._2, c._1, pp._1, pp._4 - c._4)).toSet
+      got == expect
+    }, cases = 8)
+  }
+
+  test("zValue is an exact Morton interleave: injective and bit-recoverable") {
+    import spark.implicits._
+    val bits = 5
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 31L), Gen.choose(0L, 31L)))
+      .map(_.distinct)
+    check(Prop.forAll(gen) { pts =>
+      val got = pts.toDF("x", "y")
+        .select(col("x"), col("y"), Graft.zValue(col("x"), col("y"), bits).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      got.forall { case ((x, y), z) =>
+        // de-interleave: even bit positions are x's, odd are y's
+        val rx = (0 until bits).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        val ry = (0 until bits).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        rx == x && ry == y && z < (1L << (2 * bits))
+      } && got.values.toSeq.distinct.size == pts.size // injective
+    })
+  }
 }
