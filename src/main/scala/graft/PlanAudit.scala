@@ -18,11 +18,20 @@ object PlanAudit {
         "q12_agg_hash", "q20_win_topk_per_group", "q25_sort_limit_topk",
         "q42_anon_suppress_k", "q50_dedup_minhash", "q61_dedup_ngram_jaccard",
         "q62_dedup_embedding", "q63_ann_ivf", "q83_dedup_simhash_pairs")
+    // SPARK_GRAFT_PLAN_DIR: also write each query's formatted plan to
+    // <dir>/<name>.txt (r17 optimization evidence — plans/r17/*_before/after).
+    // SPARK_GRAFT_CPUS matches the bench session so plan shapes (shuffle
+    // partition counts, AQE decisions) are the ones the bench actually runs.
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    planDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
@@ -34,6 +43,10 @@ object PlanAudit {
       qe.toRdd.count()
       val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
       println(plan)
+      planDir.foreach { d =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d, s"$name.txt"), plan + "\n")
+      }
       val executed = qe.executedPlan.toString
       // codegen'd operators render with a "*(n)" prefix in plan strings;
       // distinct n = number of WholeStageCodegen spans

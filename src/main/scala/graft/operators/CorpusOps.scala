@@ -709,8 +709,15 @@ object CorpusOps {
       .withColumn("fb", hexBucket(DsirBuckets))
     val tgtCnt = toks(docs.filter(col("split_b") >= 90))
       .groupBy("fb").agg(count(lit(1)).as("ct"))
-    val rawToks = toks(docs.filter(col("split_b") < 90))
-    val rawCnt = rawToks.groupBy("fb").agg(count(lit(1)).as("cr"))
+    // r17 optimization (guide §1.2 step 1 — don't compute things twice):
+    // the raw pool's token explode + per-token md5 ran TWICE (feature
+    // counts and per-doc scoring). Collapse to the (doc_id, fb) grain
+    // once, pin it (doc×256-bounded, far below the token stream), and
+    // derive BOTH consumers from it: cr = Σ_doc cf exactly.
+    val rawDocFb = toks(docs.filter(col("split_b") < 90))
+      .groupBy("doc_id", "fb").agg(count(lit(1)).as("cf"))
+      .transform(graft.plans.CorpusPin.pin)
+    val rawCnt = rawDocFb.groupBy("fb").agg(sum("cf").as("cr"))
     val totT = tgtCnt.agg(sum("ct").as("tt"))
     val totR = rawCnt.agg(sum("cr").as("tr"))
     val ratio = tgtCnt.join(rawCnt, Seq("fb"), "full_outer")
@@ -720,7 +727,7 @@ object CorpusOps {
         log((col("ct") + lit(1.0)) / (col("tt") + lit(DsirBuckets.toDouble))) -
           log((col("cr") + lit(1.0)) / (col("tr") + lit(DsirBuckets.toDouble))))
         .cast(DecimalType(18, 6)).as("lr"))
-    val perDoc = rawToks.groupBy("doc_id", "fb").agg(count(lit(1)).as("cf"))
+    val perDoc = rawDocFb
       .join(broadcast(ratio), "fb")
       .groupBy("doc_id")
       .agg(sum("cf").as("n_tok"), sum(col("cf") * col("lr")).as("lw_dec"))

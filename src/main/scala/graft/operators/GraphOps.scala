@@ -55,7 +55,19 @@ object GraphOps {
     // node count rides along as a broadcast 1-row aggregate (q80 pattern:
     // no driver-side .count() action inside query construction)
     val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    var ranks = nodes.crossJoin(broadcast(n))
+    // r17 optimization (guide §1.2 step 1 — fewer barriers): the constant
+    // (node, n_nodes) frame is materialized ONCE; each iteration's new
+    // rank frame then joins contrib against THIS frame instead of the
+    // previous iteration's rank frame, so the iterated state is
+    // referenced exactly once per step (inside the broadcast) and the
+    // per-iteration eager localCheckpoint barrier (3 blocking driver
+    // round-trips on a ≤|nodes| frame) disappears — the whole loop runs
+    // as one job. Arithmetic unchanged: rank_{i+1} never read rank_i's
+    // value, only its node list, which equals `nodes` by construction.
+    val nodesN = nodes.crossJoin(broadcast(n))
+      .select(col("node"), col("n_nodes"))
+      .localCheckpoint(true) // node-sized, read 1×/iteration
+    var ranks = nodesN
       .select(col("node"), col("n_nodes"),
         Tables.r6(lit(1.0) / col("n_nodes")).as("rank"))
     for (_ <- 1 to iters) {
@@ -64,14 +76,13 @@ object GraphOps {
         .select(col("dst"),
           Tables.r6(col("rank") * col("p")).cast(DecimalType(18, 9)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_mass"))
-      ranks = ranks
+      ranks = nodesN
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("n_nodes"),
           Tables.r6(
             lit(teleport) / col("n_nodes") +
               lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0))
           ).as("rank"))
-        .localCheckpoint(true) // tiny frame; keeps each iteration's plan flat (q106 pattern)
     }
     ranks.select("node", "rank")
   }
@@ -222,12 +233,26 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct()
       .transform(graft.plans.CorpusPin.pin)
     val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    // r17 optimization (guide §1.2 step 1 — fewer barriers, single-
+    // reference loop state): the old shape eagerly localCheckpoint'd
+    // BOTH half-steps of every iteration (6 blocking driver round-trips
+    // on ≤|nodes| frames) because `normalized` referenced its input
+    // twice (the L1-total agg + the value join), which would have made
+    // lazy plans grow 2^halfsteps subtrees. The total now rides a global
+    // window over the SAME raw frame (one reference; exact DECIMAL sum,
+    // identical value), each state frame is consumed exactly once per
+    // half-step (inside the next broadcast), and the whole 3-iteration
+    // recursion runs as ONE job with no intermediate barriers.
     def normalized(raw: DataFrame, key: String, outCol: String): DataFrame = {
       // raw: (key, s DECIMAL) — nodes absent contribute 0 and, matching
       // the total (summed over raw only), don't change the L1 mass
-      val tot = raw.agg(sum(col("s")).as("tot"))
-      nodes.join(raw.select(col(key).as("node"), col("s")), Seq("node"), "left")
-        .crossJoin(broadcast(tot))
+      val withTot = raw.withColumn("tot",
+        sum(col("s")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      nodes.join(withTot.select(col(key).as("node"), col("s"), col("tot")),
+          Seq("node"), "left")
+        .withColumn("tot", max(col("tot")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
         .select(col("node"),
           Tables.r6(coalesce(col("s").cast("double"), lit(0.0)) /
             col("tot").cast("double")).as(outCol))
@@ -239,11 +264,11 @@ object GraphOps {
       val aRaw = broadcast(hub).join(e, col("node") === col("src"))
         .select(col("dst"), col("hub").cast(DecimalType(18, 9)).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      auth = normalized(aRaw, "dst", "auth").localCheckpoint(true)
+      auth = normalized(aRaw, "dst", "auth")
       val hRaw = broadcast(auth).join(e, col("node") === col("dst"))
         .select(col("src"), col("auth").cast(DecimalType(18, 9)).as("c"))
         .groupBy("src").agg(sum(col("c")).as("s"))
-      hub = normalized(hRaw, "src", "hub").localCheckpoint(true)
+      hub = normalized(hRaw, "src", "hub")
     }
     hub.join(auth, "node")
   }
@@ -285,16 +310,30 @@ object GraphOps {
     * count ALL parts; pair fan-out is then ≤ cap²/2 per part. Top-20 via
     * sort+limit (TakeOrderedAndProject — no global sort materializes). */
   private def q170(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables(spark, sfDir, "lineitem")
-      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
-      .transform(graft.plans.CorpusPin.pin) // feeds degrees, the cap filter, and both join sides
-    val deg = edges.groupBy("s").agg(count(lit(1)).as("d"))
-    val cold = edges.groupBy("p").agg(count(lit(1)).as("pd"))
-      .filter(col("pd") <= MaxPartDegree).select("p")
-    val capped = edges.join(cold, "p")
-    val pairs = capped.select(col("p"), col("s").as("sa"))
-      .join(capped.select(col("p"), col("s").as("sb")), "p")
-      .filter(col("sa") < col("sb"))
+    // r17 optimization (guide §2.3 "aggregate before you shuffle", §2.4):
+    // group each part's DISTINCT suppliers into one sorted array — ONE
+    // map-side-combined exchange — instead of pinning the distinct (s, p)
+    // frame and paying an exchange per consumer (degree agg, cap agg, cap
+    // join, both wedge-join sides ≈ 6 corpus-scale exchanges). The df cap
+    // becomes an in-row size() filter, the wedge join an in-row pair
+    // expansion of the sorted set (sa < sb by construction), degrees an
+    // explode + keyed count. Result-identical: same distinct (s, p)
+    // universe, same capped pair multiset. The per-part array is exactly
+    // MaxPartDegree-bounded for pair generation; uncapped parts' arrays
+    // are degree-sized — the same bound the previous distinct frame's
+    // hottest key had.
+    val parts = Tables(spark, sfDir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .groupBy("p").agg(sort_array(collect_set(col("s"))).as("ss"))
+      .transform(graft.plans.CorpusPin.pin) // degrees, cap filter, pair explode
+    val deg = parts.select(explode(col("ss")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("d"))
+    val pairs = parts.filter(size(col("ss")) <= MaxPartDegree)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), " +
+          "y -> struct(x AS sa, y AS sb))))")).as("pr"))
+      .select(col("pr.sa").as("sa"), col("pr.sb").as("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("shared"))
     pairs
       .join(deg.select(col("s").as("sa"), col("d").as("da")), "sa")

@@ -169,9 +169,20 @@ object LLMPipeline {
 
   /** The (doc_id, comp) component labels shared by q76 (cluster listing)
     * and q93 (dedup resolution). */
+  /** The converged (doc_id, comp) labels over the memo'd minhash candidate
+    * graph — FrameMemo'd under their own tag (r17, guide §1.2 step 1):
+    * FOUR queries (q76, q93, q327, q300) consume this identical frame, and
+    * each was re-running the multi-round CC loop (one blocking count + one
+    * localCheckpoint per round) on the already-memo'd pair frame. The
+    * labels are deterministic for the key (unique fixpoint — see
+    * [[ccLabels]]), which is exactly the memo contract; same pay-once
+    * family-share rationale as `minhash_pairs` itself. */
+  private[operators] def sharedCcLabels(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.FrameMemo.shared(spark, "minhash_cc_labels", sfDir)(
+      ccLabels(minhashPairs(spark, sfDir))._1)
+
   private def components(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashPairs(spark, sfDir) // memo-pinned; CC loop re-reads it
-    val labels = ccLabels(pairs)._1
+    val labels = sharedCcLabels(spark, sfDir)
     // attach singleton components (docs in no candidate pair): comp =
     // their own id. The converged label set is one row per candidate
     // vertex — tiny next to the corpus — so it broadcasts.
@@ -567,8 +578,8 @@ object LLMPipeline {
   private def q300(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables(spark, sfDir, "documents")
-    val cand = minhashPairs(spark, sfDir) // memo-pinned; CC loop + edge scoring read it
-    val labels = ccLabels(cand)._1
+    val cand = minhashPairs(spark, sfDir) // memo-pinned; edge scoring reads it
+    val labels = sharedCcLabels(spark, sfDir) // memo'd converged labels (see sharedCcLabels)
     val (inter, sizes) = NearDup.sharedPairFrames(spark, sfDir, minInter = 1)
     val iv = coalesce(col("inter"), lit(0L))
     val jac = cand

@@ -33,16 +33,25 @@ object MiningOps {
     * come from the SAME basket frame (pinned once — CorpusPin) and join the
     * ≥min-support pairs — vocabulary-bounded, never the corpus. */
   private def q212(spark: SparkSession, sfDir: String): DataFrame = {
+    // r17 optimization (guide §2.3/§2.4, the q261 recipe): collapse each
+    // basket to its sorted distinct item ARRAY first — one map-side-
+    // combined exchange — then N/item-supports/pair-supports all derive
+    // by in-partition explodes instead of a distinct + self-join-on-o
+    // (which paid 4 corpus-scale exchanges: the distinct, both self-join
+    // sides, and re-shuffled pair fan-out). Pair generation from the
+    // sorted array preserves pa < pb exactly; counts are identical.
     val baskets = Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .transform(graft.plans.CorpusPin.pin) // pair join (both sides), item supports, N
-    val nBaskets = baskets.select("o").distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val itemSupp = baskets.groupBy("p").agg(count(lit(1)).as("s"))
-    val pairs = baskets.select(col("o"), col("p").as("pa"))
-      .join(baskets.select(col("o"), col("p").as("pb")), "o")
-      .filter(col("pa") < col("pb"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .transform(graft.plans.CorpusPin.pin) // pair explode, item supports, N
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemSupp = baskets.select(explode(col("ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("s"))
+    val pairs = baskets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)
     pairs

@@ -420,22 +420,37 @@ object PrivacyOps {
     * random baskets in PropertySuite. */
   private[graft] def kmSuppressOf(baskets: DataFrame, kDivisor: Int): DataFrame = {
     require(kDivisor >= 1, s"kmSuppress: kDivisor $kDivisor must be >= 1")
-    val ob = baskets.select(col("o"), col("b")).distinct()
-      .transform(graft.plans.CorpusPin.pin) // read by k, singles, both pair sides
-    val kF = ob.agg(countDistinct(col("o")).as("no"))
+    // r17 optimization (guide §2.3 "aggregate before you shuffle", §2.4):
+    // the previous shape pinned the DISTINCT (o, b) frame and paid one
+    // exchange per consumer — countDistinct(o), the singles agg, and BOTH
+    // sides of a pairSupports self-join on o (4 corpus-scale exchanges).
+    // Collapsing each transaction to its sorted distinct item set FIRST
+    // (one exchange, map-side combined) makes every consumer an
+    // in-partition explode: k = one count of the grouped frame, singles =
+    // explode + tiny keyed agg, pair supports = in-row pair expansion of
+    // the sorted set (b1 < b2 by construction — identical to the old
+    // self-join filter). Result-identical: support counts are per-item /
+    // per-unordered-pair transaction counts either way. At 100 TB the
+    // basket grouping is exactly the q212 basket-bounded shape (itemsets
+    // per transaction are domain-bounded; |set| ≤ |items|).
+    val obSets = baskets.select(col("o"), col("b")).groupBy("o")
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+      .transform(graft.plans.CorpusPin.pin) // read by k, singles, pair explode
+    val kF = obSets.agg(count(lit(1)).as("no"))
       .select(greatest(lit(1L), expr(s"no DIV $kDivisor")).as("k"))
-    val singles = ob.groupBy("b").agg(count(lit(1)).as("support"))
+    val singles = obSets.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("support"))
       .localCheckpoint(true) // |brands| rows
-    // name-based selects, NOT positional toDF: a using-column join (ob2's
-    // anti join) reorders columns, which positional renames would mislabel
     def pairSupports(df: DataFrame): DataFrame =
-      df.select(col("o"), col("b").as("b1"))
-        .join(df.select(col("o"), col("b").as("b2")), "o")
-        .filter(col("b1") < col("b2"))
+      df.select(explode(expr(
+          "flatten(transform(bs, (x, i) -> " +
+            "transform(slice(bs, i + 2, size(bs)), " +
+            "y -> struct(x AS b1, y AS b2))))")).as("pr"))
+        .select(col("pr.b1").as("b1"), col("pr.b2").as("b2"))
         .groupBy("b1", "b2").agg(count(lit(1)).as("psup"))
     val riskySingles = singles.crossJoin(broadcast(kF))
       .filter(col("support") < col("k")).select(col("b"))
-    val pairs = pairSupports(ob).localCheckpoint(true) // ≤ |brands|² rows
+    val pairs = pairSupports(obSets).localCheckpoint(true) // ≤ |brands|² rows
     val riskyPairs = pairs.crossJoin(broadcast(kF))
       .filter(col("psup") < col("k")).localCheckpoint(true)
     val pairVictims = riskyPairs

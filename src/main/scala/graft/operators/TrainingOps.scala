@@ -585,8 +585,13 @@ object TrainingOps {
     val mu = pe.groupBy("d")
       .agg(Tables.meanD(sum(col("xd").cast(DecimalType(18, 9))), count(lit(1)))
         .as("mu"))
+    // r17: pinned co-partitioned by vec_id (guide §2.4) — each iteration's
+    // per-vector matvec groupBy(vec_id) AND the cent⋈y join then reuse
+    // this one exchange instead of re-shuffling the centered frame twice
+    // per iteration (partition count = spark.sql.shuffle.partitions).
     val cent = pe.join(broadcast(mu), "d")
       .select(col("vec_id"), col("d"), (col("xd") - col("mu")).as("cd"))
+      .repartition(col("vec_id"))
       .transform(graft.plans.CorpusPin.pin) // centered once; 2 consumers per iteration
     var v: DataFrame = spark.range(1, dims + 1L)
       .select(col("id").as("d"), when(col("id") === 1, 1.0).otherwise(0.0).as("v"))
@@ -876,6 +881,11 @@ object TrainingOps {
         col("db"))
       .withColumn("train", col("db") < col("pct"))
       .drop("db")
+      // r17: co-partitioned by (pct, doc_id) (guide §2.4) — every GD
+      // step's margin groupBy(pct, doc_id, y) and the gradient's
+      // xtr⋈err join on (pct, doc_id) reuse this one exchange instead
+      // of two corpus-scale shuffles per step
+      .repartition(col("pct"), col("doc_id"))
       .transform(graft.plans.CorpusPin.pin) // one corpus pass; every GD step reads it
     val xtr = xall.filter(col("train"))
     // per-fraction training-doc counts — one bounded frame, broadcast

@@ -416,8 +416,13 @@ class PlanShapeSuite extends AnyFunSuite {
     import org.apache.spark.sql.execution.FormattedMode
     // run q183 once so both schema generations exist on disk…
     SparkEntry.queries("q183_scan_schema_merge")(spark, sf).collect()
+    // mirror operators.Scans.tmp(): since the per-process suffix landed
+    // there, the path carries the writing JVM's pid — the query above ran
+    // in THIS jvm, so ProcessHandle.current().pid() is the right suffix
+    // (r17: the old pid-less path only passed while a stale pre-suffix
+    // fixture dir survived on disk)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_evo_nation_" +
-      math.abs(sf.hashCode)
+      s"${math.abs(sf.hashCode)}_p${ProcessHandle.current().pid()}"
     // …then prove the evolved directory still scans like a first-class
     // table: the key filter reaches the reader and the untouched evolved
     // column stays out of ReadSchema
