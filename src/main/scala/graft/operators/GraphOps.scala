@@ -102,18 +102,24 @@ object GraphOps {
     * table joins broadcast dims and aggregates to a nation²-bounded
     * (src, dst, w) frame — the genuinely heavy distributed part of both
     * graph queries. */
-  private[graft] def nationEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
-    val ord = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
-    val cust = Tables(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
-    val supp = Tables(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
-    li
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
-  }
+  private[graft] def nationEdges(spark: SparkSession, sfDir: String): DataFrame =
+    // r17: FrameMemo'd (guide §1.2 step 1, the minhash_pairs pay-once
+    // precedent): FIVE graph queries (q120, q147, q203, q204, q191) build
+    // this identical nation²-bounded frame, and each was re-running the
+    // 4-table fact join + aggregate per query. Deterministic for the key
+    // (exact integer counts over an equi-join), ≤|nations|² rows.
+    graft.plans.FrameMemo.shared(spark, "nation_edges", sfDir) {
+      val li = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+      li
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+    }
 
   /** q147: triangle participation counts on the undirected trade graph —
     * per nation, how many closed three-way trading cliques it sits in
