@@ -505,11 +505,24 @@ object GraphOps {
     * stay flat. Never a cross join, never a collect. */
   private[graft] def kCore(edges0: DataFrame, k: Long, rounds: Int): DataFrame = {
     var e = edges0.select("s", "p").distinct().localCheckpoint(true)
+    // r17 optimization (guide §2.4): alternate the per-round join order.
+    // Each round's output inherits the partitioning of its LAST equi-join
+    // key (and localCheckpoint preserves it), so joining on that key
+    // FIRST next round makes one of the two edge-frame exchanges
+    // disappear — the degree agg on that key also reuses the layout.
+    // Pure plan change: keep-filters are key-symmetric (simultaneous
+    // removal), so join order cannot change the surviving edge set.
+    var lastKey: Option[String] = None
     for (_ <- 1 to rounds) {
       val ds = e.groupBy("s").agg(count(lit(1)).as("d")).filter(col("d") >= k)
       val dp = e.groupBy("p").agg(count(lit(1)).as("d")).filter(col("d") >= k)
-      e = e.join(ds.select("s"), "s").join(dp.select("p"), "p")
-        .select("s", "p").localCheckpoint(true)
+      val joined =
+        if (lastKey.contains("p"))
+          e.join(dp.select("p"), "p").join(ds.select("s"), "s")
+        else
+          e.join(ds.select("s"), "s").join(dp.select("p"), "p")
+      lastKey = Some(if (lastKey.contains("p")) "s" else "p")
+      e = joined.select("s", "p").localCheckpoint(true)
     }
     e.groupBy("s").agg(count(lit(1)).as("deg"))
       .select(lit("s").as("side"), col("s").as("node"), col("deg"))

@@ -2105,11 +2105,20 @@ object StatsOps {
     * CALENDAR-bounded daily frame (≤ types×days rows, never raw
     * events); tie and count folds are keyed aggs on the same
     * checkpointed frame. */
+  /** The (event_type, day, exact-DECIMAL value sum) daily series —
+    * FrameMemo'd (r17, guide §1.2 step 1): q267 (Theil–Sen) and q347
+    * (Mann–Kendall) both collapse the events corpus to this IDENTICAL
+    * calendar-bounded frame and each paid the corpus aggregation + an
+    * eager checkpoint per query. Deterministic for the key (exact
+    * DECIMAL sums). */
+  private def sharedDailyByType(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.FrameMemo.shared(spark, "events_daily_by_type", sfDir)(
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type").as("k"), expr("ts_us DIV 86400000000").as("t"))
+        .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v")))
+
   private def q347(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
-      .groupBy(col("event_type").as("k"), expr("ts_us DIV 86400000000").as("t"))
-      .agg(Tables.dec(sum(Tables.dec(col("value")))).as("v"))
-      .localCheckpoint(true) // calendar-bounded; pair join + 2 folds read it
+    val daily = sharedDailyByType(spark, sfDir) // memo'd; pair join + 2 folds read it
     val s = daily
       .join(daily.select(col("k").as("k2"), col("t").as("t2"), col("v").as("v2")),
         col("k") === col("k2") && col("t") < col("t2"))
@@ -2138,8 +2147,8 @@ object StatsOps {
   }
 
   private def q267(spark: SparkSession, sfDir: String): DataFrame =
-    theilSenOf(Tables.events(spark, sfDir), col("event_type"),
-      expr("ts_us DIV 86400000000"), col("value"))
+    // r17: rides the memo'd daily series shared with q347 (sharedDailyByType)
+    theilSenFromDaily(sharedDailyByType(spark, sfDir))
       .withColumnRenamed("k", "event_type").withColumnRenamed("n", "n_days")
       .orderBy("event_type")
 
@@ -2149,10 +2158,13 @@ object StatsOps {
     * intercept); callers rename/order. `time` must be integral (it enters
     * the slope denominator and the intercept product as exact values). */
   private[graft] def theilSenOf(df: DataFrame, key: Column, time: Column,
-      value: Column): DataFrame = {
-    val daily = df.groupBy(key.as("k"), time.as("t"))
-      .agg(Tables.dec(sum(Tables.dec(value))).as("v"))
-      .localCheckpoint(true) // time-bounded; pair sides + residuals share it
+      value: Column): DataFrame =
+    theilSenFromDaily(
+      df.groupBy(key.as("k"), time.as("t"))
+        .agg(Tables.dec(sum(Tables.dec(value))).as("v"))
+        .localCheckpoint(true)) // time-bounded; pair sides + residuals share it
+
+  private def theilSenFromDaily(daily: DataFrame): DataFrame = {
     val slopes = daily
       .join(daily.select(col("k").as("k2"), col("t").as("t2"),
         col("v").as("v2")),
