@@ -605,6 +605,11 @@ object CorpusOps {
   private[graft] def noveltyOf(docs: DataFrame): DataFrame = {
     val g = fiveGrams(docs.select("doc_id", "text"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      // r17: co-partitioned by gh (guide §2.4) — both consumers (the
+      // first-occurrence groupBy(gh) and the scoring join on gh) reuse
+      // this one exchange instead of re-shuffling the gram stream twice;
+      // gh is a 64-bit hash, so the layout is skew-free by construction
+      .repartition(col("gh"))
       .transform(graft.plans.CorpusPin.pin) // feeds the first-occurrence index AND the scoring side
     val first = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
     g.join(first, "gh")

@@ -123,13 +123,21 @@ object PipelineOps {
     * 1 − distinct/total word bigrams per doc. One explode + one groupBy,
     * shuffle bounded by doc count. */
   private def q82(spark: SparkSession, sfDir: String): DataFrame = {
+    // r17 optimization (guide §2.4 "remove shuffles outright"): both
+    // per-doc statistics are in-row array facts — n_bigrams = size−1,
+    // n_distinct = size(array_distinct(bigrams)) (the form q313's rep
+    // signal already uses) — so the bigram explode + doc-keyed
+    // countDistinct exchange (the whole bigram stream) is replaced by a
+    // pure narrow map stage. Values identical: count(exploded) ≡
+    // size(ts)−1, countDistinct(bg) ≡ size(array_distinct(...)).
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))")).as("bg"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("bg")).as("n_distinct"))
+      .select(col("doc_id"),
+        (size(col("ts")) - 1).cast("bigint").as("n_bigrams"),
+        size(expr(
+          "array_distinct(transform(sequence(0, size(ts) - 2), " +
+            "i -> concat_ws(' ', ts[i], ts[i+1])))")).cast("bigint").as("n_distinct"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         Tables.r6(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
           .as("rep_ratio"))

@@ -640,18 +640,31 @@ object TimeSeries {
     * once for the three step projections; the quantile passes run over
     * the bounded (step, gap) frame. */
   private def q177(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    // r17 optimization (guide §2.3 "aggregate before you shuffle"): the
+    // old shape built t_click/t_view/t_purchase as THREE user-keyed aggs
+    // chained through two joins (each stage its own exchange + join).
+    // One user-keyed aggregation now collects each user's view/purchase
+    // events (the q146/q248 canonical per-user collect — bounded by
+    // events/user) plus the first click, and the two conditional minima
+    // derive in-row: t_view = min view ts > t_click, t_purchase = min
+    // purchase ts > t_view — exactly the old join-filter-min semantics
+    // (users without a click drop, as the old inner base did).
+    val per = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts_us"))
-    val c = ev.filter(col("event_type") === "click")
-      .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
-    val v = ev.filter(col("event_type") === "view")
-      .join(c, "user_id").filter(col("ts_us") > col("t_click"))
-      .groupBy("user_id").agg(min(col("ts_us")).as("t_view"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(v, "user_id").filter(col("ts_us") > col("t_view"))
-      .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
-    val funnel = c.join(v, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+        collect_list(when(col("event_type") =!= "click",
+          struct(col("ts_us"), col("event_type")))).as("evs"))
+      .filter(col("t_click").isNotNull)
+    val funnel = per
+      .withColumn("t_view", expr(
+        "array_min(transform(filter(evs, " +
+          "e -> e.event_type = 'view' AND e.ts_us > t_click), e -> e.ts_us))"))
+      .withColumn("t_purchase", expr(
+        "array_min(transform(filter(evs, " +
+          "e -> e.event_type = 'purchase' AND e.ts_us > t_view), e -> e.ts_us))"))
+      .select("user_id", "t_click", "t_view", "t_purchase")
       .transform(graft.plans.CorpusPin.pin) // users-sized; three step projections read it
     val gaps = Seq(
       ("click->view", col("t_view") - col("t_click")),

@@ -219,8 +219,14 @@ class OperatorSuite extends AnyFunSuite {
                                  // ≤|priority-domain| (≤5-row) frame
       "q317_fairness_parity",    // max-rate 1-row fold over the
                                  // ≤|sources| (≤20-row) frame
-      "q324_table_manifest")     // five per-table 1-row manifest folds
+      "q324_table_manifest",     // five per-table 1-row manifest folds
                                  // (count + two commutative checksums)
+      "q204_graph_hits")         // r17: the HITS L1-normalization total
+                                 // rides a global window over the
+                                 // ≤|nodes| per-half-step contribution
+                                 // frame (single-reference loop state —
+                                 // see GraphOps.hits), node-bounded at
+                                 // any scale like q293's per-step folds
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, sf).queryExecution
