@@ -33,19 +33,27 @@ import org.apache.spark.sql.functions._
   * scan-count-for-bounded-memory trade is exactly what a 100 TB
   * deployment wants, since a re-scan is cheap and an OOM is not.
   *
-  * Barrier budget (r8, VERDICT r7 item 2): the r7 layout eagerly
-  * checkpointed `stats`, `hist`, and the result — three blocking driver
-  * round-trips per call, ≈13 s of fixed overhead across the family's 8
-  * consumers at sf0.1. Now only TWO frames pin: `located` (whose one job
-  * computes stats→hist→cum→targets; the stats shuffle inside it is
-  * deduped by ReuseExchange between the bin expression's broadcast and
-  * the rank targets) and the final result. Pass 2 reads `located` twice
-  * from the pinned RDD instead of replanning the cum-window dag, and its
-  * two back-to-back aggregations are fused into one conditional
-  * aggregate. Fully-lazy variants (persist instead of checkpoint) were
-  * measured WORSE — plan-tree duplication makes concurrent cold-cache
-  * stages recompute the corpus scan — so the eager boundary stays, just
-  * at the cheapest cut point.
+  * Barrier budget (r8, VERDICT r7 item 2; reworked r18): the r7 layout
+  * eagerly checkpointed `stats`, `hist`, and the result — three blocking
+  * driver round-trips per call, ≈13 s of fixed overhead across the
+  * family's 8 consumers at sf0.1. r8 cut that to one eager `located`
+  * checkpoint feeding THREE separate broadcast builds (group stats,
+  * target-bin list, rank targets) — 6-7 driver jobs per call. r18 cuts
+  * pass 2 to ONE broadcast of `located` itself (guide §1.2-1/§2.4):
+  * `located` carries (mn, mx) so every probe row can recompute its bin
+  * in-row against its group's ≤2|ps| rank-target rows and keep only
+  * target-bin matches — the three broadcast joins collapse into one,
+  * and the selection aggregation+window share one exchange (repartition
+  * by (group, pi, side), both downstream distributions satisfied). With
+  * a single consumer the checkpoint goes LAZY (localCheckpoint(false)
+  * — still a LogicalRDD leaf, so the self-join-dedup guard below
+  * holds): the locate work materializes inside the one broadcast build
+  * instead of its own blocking job. 3-4 driver jobs per call, same 3
+  * input scans, bit-identical output. (The r8 measurement that
+  * fully-lazy PERSIST variants lose — plan-tree duplication recomputing
+  * the corpus scan across concurrent cold-cache stages — doesn't apply:
+  * a lazy local checkpoint still truncates the plan to one shared RDD,
+  * and the single broadcast is the only consumer that can race.)
   *
   * Exactness: the final interpolation replicates Spark's
   * `Percentile.getPercentile` IEEE-op-for-IEEE-op — position =
@@ -84,15 +92,23 @@ object BoundedQuantiles {
     val parts = build(df, groupCols, value, ps, buckets)
     val gc = parts.g.map(col)
 
-    // pass 2: exact selection among the target bins' distinct values.
-    // `located` and `targetBins` read the ONE pinned locate result; the
-    // only corpus-sized work here is the re-scan joined to the broadcast
-    // bin list. Ties group by value BEFORE the window so the in-bin sort
-    // state is distinct-values-per-bin, not rows-per-bin (money columns
-    // are tie-heavy).
-    val wv = Window.partitionBy((gc :+ col("graft_b")): _*).orderBy("graft_v")
-    val vcum = parts.bucketed.join(broadcast(parts.targetBins), parts.g :+ "graft_b")
-      .groupBy((gc :+ col("graft_b") :+ col("graft_v")): _*)
+    // pass 2 (r18 single-broadcast form): every probe row joins its
+    // group's ≤2|ps| rank-target rows (the ONE broadcast — `located`
+    // carries mn/mx), recomputes its bin with the identical expression
+    // the locate pass used, and survives only when it lands in that
+    // target's bin. Ties then group by value BEFORE the window so the
+    // in-bin sort state is distinct-values-per-target, not rows-per-bin
+    // (money columns are tie-heavy); the explicit repartition by
+    // (group, pi, side) serves BOTH the value-count aggregation (its
+    // keys are a superset) and the cumulative window — one exchange.
+    val selRows = parts.base.join(broadcast(parts.located), parts.g)
+      .filter(binCol(buckets) === col("graft_b"))
+    val wv = Window.partitionBy(
+      (gc :+ col("graft_pi") :+ col("graft_side")): _*).orderBy("graft_v")
+    val vcum = selRows
+      .repartition((gc :+ col("graft_pi") :+ col("graft_side")): _*)
+      .groupBy((gc :+ col("graft_pi") :+ col("graft_side")
+        :+ col("graft_pos") :+ col("graft_k") :+ col("graft_v")): _*)
       .agg(count(lit(1)).as("graft_vc"))
       .withColumn("graft_vend", sum("graft_vc").over(wv))
       .withColumn("graft_vstart", col("graft_vend") - col("graft_vc"))
@@ -103,7 +119,7 @@ object BoundedQuantiles {
     // projection below. max() over the when()-gated slots is exact: every
     // matching row carries the same pos, and vlo/vhi are single-valued
     // per (group, pi, side) by construction.
-    val sel = vcum.join(broadcast(parts.located), parts.g :+ "graft_b")
+    val sel = vcum
       .filter(col("graft_k") > col("graft_vstart") && col("graft_k") <= col("graft_vend"))
     def slot(i: Int, side: Int): Column =
       max(when(col("graft_pi") === i && col("graft_side") === side, col("graft_v")))
@@ -156,19 +172,36 @@ object BoundedQuantiles {
     val maxBins = parts.hist.groupBy(parts.g.map(col): _*)
       .agg(count(lit(1)).as("graft_nb"))
       .agg(max("graft_nb")).collect()(0).getLong(0)
-    val pass2Rows =
-      parts.bucketed.join(broadcast(parts.targetBins), parts.g :+ "graft_b").count()
+    // pass-2 input bound: probe rows landing in a target's bin (each
+    // target's bin holds ≤ a 1/buckets-ish fraction of its group)
+    val pass2Rows = parts.base.join(broadcast(parts.located), parts.g)
+      .filter(binCol(buckets) === col("graft_b")).count()
     (maxBins, pass2Rows)
   }
 
-  /** The shared locate pass: bin-assigned rows, histogram, and the pinned
-    * (group, bin, rank) targets for every requested percentile. */
+  /** The shared locate pass: the null-filtered probe frame, the
+    * histogram (test instrumentation), and the lazily-pinned rank
+    * targets — (group, mn, mx, bin, pi, pos, side, k), ≤ groups×|ps|×2
+    * rows — pass 2's one broadcast. */
   private final case class Parts(
       g: Seq[String],
-      bucketed: DataFrame,
+      base: DataFrame,
       hist: DataFrame,
-      located: DataFrame,
-      targetBins: DataFrame)
+      located: DataFrame)
+
+  /** Equi-width bin of `graft_v` over [graft_mn, graft_mx] — monotone in
+    * v (so bin-cumulative counts compose with in-bin ranks into global
+    * order statistics); clamped against FP edge effects at the range
+    * ends, degenerate range ⇒ bin 0. A pure expression over whatever
+    * frame carries those three columns: the locate pass evaluates it
+    * against the stats broadcast, pass 2 against the located broadcast —
+    * same doubles in, same bin out. */
+  private def binCol(buckets: Int): Column =
+    when(col("graft_mx") === col("graft_mn"), lit(0L))
+      .otherwise(least(greatest(floor(
+        (col("graft_v") - col("graft_mn")) /
+          ((col("graft_mx") - col("graft_mn")) / lit(buckets.toDouble))),
+        lit(0L)), lit((buckets - 1).toLong)))
 
   private def build(
       df: DataFrame,
@@ -190,22 +223,15 @@ object BoundedQuantiles {
 
     // per-group stats (tiny). NOT individually checkpointed (r8): both of
     // its consumers — the bin expression's broadcast and the rank-target
-    // explode — live inside the ONE locate job below, where ReuseExchange
+    // explode — live inside the ONE locate plan below, where ReuseExchange
     // dedupes the stats shuffle, so the map-side corpus scan runs once.
     // Pass 2 never touches this plan again: the range stats ride along as
     // columns on the pinned `located` frame.
     val stats = base.groupBy(gc: _*)
       .agg(count(lit(1)).as("graft_n"),
         min("graft_v").as("graft_mn"), max("graft_v").as("graft_mx"))
-    // equi-width bin, monotone in v (so bin-cumulative counts compose
-    // with in-bin ranks into global order statistics); clamped against
-    // FP edge effects at the range ends, degenerate range ⇒ bin 0
-    def binExpr: Column = when(col("graft_mx") === col("graft_mn"), lit(0L))
-      .otherwise(least(greatest(floor(
-        (col("graft_v") - col("graft_mn")) /
-          ((col("graft_mx") - col("graft_mn")) / lit(buckets.toDouble))),
-        lit(0L)), lit((buckets - 1).toLong)))
-    val hist = base.join(broadcast(stats), g).withColumn("graft_b", binExpr)
+    val hist = base.join(broadcast(stats), g)
+      .withColumn("graft_b", binCol(buckets))
       .groupBy((gc :+ col("graft_b")): _*)
       .agg(count(lit(1)).as("graft_bc"))
     val wb = Window.partitionBy(gc: _*).orderBy("graft_b")
@@ -232,18 +258,20 @@ object BoundedQuantiles {
         :+ col("graft_t.graft_rank").as("graft_rank")): _*)
 
     // locate the bin holding each rank; residual rank inside the bin.
-    // THE one eager checkpoint of the locate pass: groups×|ps|×2 rows,
-    // carrying (mn, mx) so pass 2 can rebuild the bin expression without
-    // replanning (or re-running) anything upstream.
+    // groups×|ps|×2 rows, carrying (mn, mx) so pass 2 can rebuild the
+    // bin expression without replanning (or re-running) anything
+    // upstream. LAZY local checkpoint (r18): the plan is truncated to a
+    // LogicalRDD leaf immediately — the self-join attribute-dedup guard
+    // pass 2 relies on — but the locate work itself materializes inside
+    // its single consumer, the pass-2 broadcast build, instead of a
+    // separate blocking driver job.
     val located = ranks.join(cum, g)
       .filter(col("graft_rank") > col("graft_cstart") &&
         col("graft_rank") <= col("graft_cend"))
       .withColumn("graft_k", col("graft_rank") - col("graft_cstart"))
-      .localCheckpoint(true)
-    val gstats = located.select((gc ++ statCols): _*).dropDuplicates(g)
-    val bucketed = base.join(broadcast(gstats), g).withColumn("graft_b", binExpr)
-      .drop("graft_mn", "graft_mx")
-    val targetBins = located.select((gc :+ col("graft_b")): _*).distinct()
-    Parts(g, bucketed, hist, located.drop("graft_mn", "graft_mx"), targetBins)
+      .select((gc ++ statCols :+ col("graft_b") :+ col("graft_pi")
+        :+ col("graft_pos") :+ col("graft_side") :+ col("graft_k")): _*)
+      .localCheckpoint(false)
+    Parts(g, base, hist, located)
   }
 }
