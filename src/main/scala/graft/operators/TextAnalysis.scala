@@ -1281,12 +1281,22 @@ object TextAnalysis {
         "array_distinct(transform(sequence(3, size(hs) - 1), e -> " +
           "least(hs[e], hs[e-1], hs[e-2], hs[e-3])))")).as("f"))
     val ndocs = docs.agg(count(lit(1)).cast("double").as("nd"))
-    val hot = fps.groupBy("f").agg(count(lit(1)).as("df"))
+    // r18 (guide §2.4): the fingerprint stream used to be computed TWICE
+    // — once for the hot-list aggregate and once as the anti-join probe —
+    // paying the per-gram md5 hashing twice. One explicit repartition by
+    // f + a count window computes each fingerprint's df in the SAME pass
+    // that carries the rows, and the df-cap filter replaces the
+    // broadcast anti-join row-for-row (kept = df <= threshold, exactly
+    // the rows the hot-list anti-join kept). The pin then stores the
+    // f-partitioned, f-sorted layout, so BOTH inverted-index self-join
+    // sides ride it exchange-free. The window buffers one fingerprint's
+    // postings at a time (spillable, narrow rows) — the price of halving
+    // the corpus-wide gram hashing, which dominates at any scale.
+    val kept = fps.repartition(col("f"))
+      .withColumn("graft_df", count(lit(1)).over(Window.partitionBy("f")))
       .crossJoin(broadcast(ndocs))
-      .filter(col("df") > greatest(col("nd") * lit(NearDup.MaxShingleDf),
-        lit(NearDup.MinHotDf)))
-      .select("f")
-    val kept = fps.join(broadcast(hot), Seq("f"), "left_anti")
+      .filter(!(col("graft_df") > greatest(col("nd") * lit(NearDup.MaxShingleDf),
+        lit(NearDup.MinHotDf))))
       .select("doc_id", "f")
       .transform(graft.plans.CorpusPin.pin) // selected-fingerprint grain; read by sizes
                              // + both inverted-index join sides
