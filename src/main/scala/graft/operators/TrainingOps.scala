@@ -562,19 +562,20 @@ object TrainingOps {
     * array<float|double>) with a uniform dimension ≤ the 64 the plan
     * unrolls against; returns (dim, loading, eigenvalue). */
   private[graft] def pcaTopComponentOf(emb: DataFrame, dims: Int = 64): DataFrame = {
-    val (_, v, nrm) = pcaParts(emb, dims)
+    val (_, vn) = pcaParts(emb, dims)
     val nvec = emb.agg(count(lit(1)).cast("double").as("n"))
-    v.crossJoin(broadcast(nrm)).crossJoin(broadcast(nvec))
+    vn.crossJoin(broadcast(nvec))
       .select(col("d").cast("bigint").as("dim"), col("v").as("loading"),
         Tables.r6(col("nrm") / col("n")).as("eigenvalue"))
       .orderBy("dim")
   }
 
   /** The shared power-iteration core: returns (centered frame, final
-    * unit direction v, final pre-normalization norm) — consumed by q293
+    * direction frame (d, v, nrm) — unit loading per dim plus the final
+    * pre-normalization norm carried on every row) — consumed by q293
     * (loadings/eigenvalue) and q361 (all-but-the-top removal). */
   private[graft] def pcaParts(emb: DataFrame,
-      dims: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+      dims: Int = 64): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     require(dims > 0, "pcaTopComponent: dims must be positive")
     val spark = emb.sparkSession
@@ -593,26 +594,34 @@ object TrainingOps {
       .select(col("vec_id"), col("d"), (col("xd") - col("mu")).as("cd"))
       .repartition(col("vec_id"))
       .transform(graft.plans.CorpusPin.pin) // centered once; 2 consumers per iteration
-    var v: DataFrame = spark.range(1, dims + 1L)
+    // r18 (guide §1.2-1): every loop frame is referenced EXACTLY ONCE by
+    // the next step — the norm is a whole-frame window over the 64-row
+    // direction frame (bounded single partition by construction) instead
+    // of a separate aggregate crossJoined back — so the r17 layout's two
+    // eager 64-row localCheckpoints per iteration (6 blocking driver
+    // jobs across PcaIters=3) disappear: the whole power iteration is
+    // one lazy plan whose only materialized state is the pinned centered
+    // frame, and each v_i executes exactly once inside the next
+    // iteration's broadcast build. Window DECIMAL sums are exact and
+    // order-free, so nrm (and every downstream double) is bit-identical
+    // to the old aggregate form.
+    var vn: DataFrame = spark.range(1, dims + 1L)
       .select(col("id").as("d"), when(col("id") === 1, 1.0).otherwise(0.0).as("v"))
-    var nrm: DataFrame = null
     for (_ <- 1 to PcaIters) {
-      val y = cent.join(broadcast(v), "d")
+      val y = cent.join(broadcast(vn.select("d", "v")), "d")
         .groupBy("vec_id")
         .agg(sum(Tables.r6(col("cd") * col("v")).cast(DecimalType(18, 6))).as("ydec"))
         .select(col("vec_id"), col("ydec").cast("double").as("y"))
-      val u = cent.join(y, "vec_id")
+      vn = cent.join(y, "vec_id")
         .groupBy("d")
         .agg(sum(Tables.r6(col("cd") * col("y")).cast(DecimalType(18, 6)))
           .cast("double").as("u"))
-        .localCheckpoint(true) // 64 rows; read by the norm fold + v update
-      nrm = u.agg(sqrt(sum(Tables.r6(col("u") * col("u"))
-        .cast(DecimalType(18, 6))).cast("double")).as("nrm"))
-      v = u.crossJoin(broadcast(nrm))
-        .select(col("d"), Tables.r6(col("u") / col("nrm")).as("v"))
-        .localCheckpoint(true) // 64 rows; truncates per-step lineage
+        .withColumn("nrm", sqrt(sum(Tables.r6(col("u") * col("u"))
+          .cast(DecimalType(18, 6))).over(Window.partitionBy())
+          .cast("double")))
+        .select(col("d"), Tables.r6(col("u") / col("nrm")).as("v"), col("nrm"))
     }
-    (cent, v, nrm)
+    (cent, vn)
   }
 
   /** q361: all-but-the-top anisotropy correction (Mu & Viswanath, ICLR
@@ -637,8 +646,8 @@ object TrainingOps {
     * shuffle shape. */
   private def q361(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val (cent, v, _) = pcaParts(Tables(spark, sfDir, "embeddings"))
-    val per = cent.join(broadcast(v), "d")
+    val (cent, vn) = pcaParts(Tables(spark, sfDir, "embeddings"))
+    val per = cent.join(broadcast(vn.select("d", "v")), "d")
       .groupBy("vec_id")
       .agg(sum(Tables.r6(col("cd") * col("v")).cast(DecimalType(18, 6)))
           .cast("double").as("p"),
