@@ -1196,11 +1196,14 @@ object NearDup {
   /** The q240/q309 blocking keys for one name column: a tagged
     * first-token key and a tagged last-token key per name (multi-pass
     * blocking as ONE key explode — candidates are the equi-join on
-    * `blk`, unioned across passes by construction). */
+    * `blk`, unioned across passes by construction). Every input column
+    * rides along (r18): q240 used to re-join the exploded keys back to
+    * the id frame just to re-attach `nid` — a name-domain-sized join
+    * the pass-through makes unnecessary. */
   private def erBlockKeys(d: DataFrame, n: String): DataFrame =
-    d.select(col(n), explode(array(
+    d.withColumn("blk", explode(array(
       concat(lit("f:"), split(col(n), " ").getItem(0)),
-      concat(lit("l:"), element_at(split(col(n), " "), -1)))).as("blk"))
+      concat(lit("l:"), element_at(split(col(n), " "), -1)))))
 
   /** Same keys as a DuckDB CTE body over relation `src(col)`. */
   private def erBlockKeysSql(src: String, c: String): String =
@@ -1399,9 +1402,9 @@ object NearDup {
     val nameIds = parts.groupBy("p_name").agg(min("p_partkey").as("nid"))
       .localCheckpoint(true) // value-domain-sized; edges + re-attach read it
     // first+last-token two-pass blocking, same keys as the q309 audit
-    // that justifies them (recall 0.67 → 1.0 on this name domain)
+    // that justifies them (recall 0.67 → 1.0 on this name domain); nid
+    // rides the explode (erBlockKeys pass-through, r18) — no re-join
     val b = erBlockKeys(nameIds, "p_name")
-      .join(nameIds, "p_name")
     val edges = b.select(col("nid").as("id_a"), col("p_name").as("na"), col("blk"))
       .join(b.select(col("nid").as("id_b"), col("p_name").as("nb"), col("blk")), "blk")
       .filter(col("id_a") < col("id_b"))
