@@ -789,6 +789,26 @@ object NearDup {
       .select("vec_id", "s", "code", "d2")
   }
 
+  /** The same assignment with the subvector carried through the argmin
+    * window — (vec_id, s, code, d2, sv). `sv` is identical across a
+    * key's 16 candidate rows, so carrying it changes nothing about the
+    * argmin; it lets q340/pqTrain skip their old corpus re-join with
+    * pqSubVecs on (vec_id, s) (r18, guide §2.4 — one exchange + join
+    * removed per consumer). A groupBy min(struct(d2, code, sv)) form
+    * was A/B'd and REVERTED: min over a struct buffer plans
+    * SortAggregate (no mutable hash buffer), and its map-side sort of
+    * the 16× candidate frame measured worse than the window exchange
+    * (q340 1.37→1.66, q339 1.31→1.71 paired). */
+  private def pqAssignSv(emb: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
+    pqSubVecs(emb).join(broadcast(pqCodebook(emb)), "s")
+      .select(col("vec_id"), col("s"), col("code"), col("sv"),
+        zipFold(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)).as("d2"))
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select("vec_id", "s", "code", "d2", "sv")
+  }
+
   /** Lloyd-to-convergence PQ codebook training (VERDICT r14 item 3) —
     * the driver-loop facade q340's scaladoc promised: q340 is ONE sweep
     * by design (the oracle-checkable unit); this iterates that exact
@@ -833,12 +853,15 @@ object NearDup {
     var sweep = 0
     var converged = false
     while (sweep < maxSweeps && !converged) {
+      // assignment argmin carrying sv through the window (the
+      // pqAssignSv shape, r18) so the M-step below needs no re-join
+      // with `sub` — one corpus join removed per sweep
       val wMin = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("code"))
       val asg = sub.join(broadcast(cb), "s")
-        .select(col("vec_id"), col("s"), col("code"),
+        .select(col("vec_id"), col("s"), col("code"), col("sv"),
           zipFold(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)).as("d2"))
         .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
-        .select("vec_id", "s", "code", "d2")
+        .select("vec_id", "s", "code", "d2", "sv")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sse = asg
         .agg(sum(Tables.r6(col("d2")).cast(DecimalType(38, 6)))
@@ -848,7 +871,7 @@ object NearDup {
         hist.last - sse <= tol * math.max(hist.last, 1.0)
       hist += sse
       if (!converged && sweep < maxSweeps - 1) {
-        val upd = asg.join(sub, Seq("vec_id", "s"))
+        val upd = asg
           .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
           .select(col("s"), col("code"), col("dim"),
             col("v").cast(DecimalType(18, 9)).as("v"))
@@ -1605,12 +1628,15 @@ object NearDup {
   private def coarseCells(corpus: DataFrame, subjects: DataFrame, nCells: Int): DataFrame = {
     val cents = corpus.filter(col("vec_id") < 16)
       .select(col("vec_id").as("code"), col("embedding").as("cv"))
-    val wMin = Window.partitionBy("vec_id").orderBy(col("d2"), col("code"))
-    subjects.crossJoin(broadcast(cents))
+    val scored = subjects.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("code"),
         zipFold(col("embedding"), col("cv"), (x, y) =>
           (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))).as("d2"))
-      .withColumn("rn", row_number().over(wMin)).filter(col("rn") <= nCells)
+    // (an nCells==1 groupBy min(struct(d2, code)) variant was A/B'd and
+    // REVERTED r18: struct-buffer min plans SortAggregate, whose
+    // map-side sort measured worse than this window — q336 1.07→1.44)
+    val wMin = Window.partitionBy("vec_id").orderBy(col("d2"), col("code"))
+    scored.withColumn("rn", row_number().over(wMin)).filter(col("rn") <= nCells)
       .select(col("vec_id"), col("code").as("bucket"), col("rn").as("cell_rank"))
   }
 
@@ -1658,7 +1684,9 @@ object NearDup {
     * sweep is unchanged. */
   private def q340(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables(spark, sfDir, "embeddings")
-    val members = pqAssign(emb).join(pqSubVecs(emb), Seq("vec_id", "s"))
+    // sv rides the assignment argmin (pqAssignSv, r18) — the old
+    // pqAssign ⋈ pqSubVecs corpus re-join on (vec_id, s) is gone
+    val members = pqAssignSv(emb)
       .transform(graft.plans.CorpusPin.pin) // feeds the mean + both SSE folds
     val cent2 = members
       .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
