@@ -124,6 +124,18 @@ object Bench {
       // store raw UnsafeRow images (localCheckpoint's cost profile, WITH
       // lineage) instead of columnar batches — RowCacheSerializer scaladoc
       .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
+      // Single-node shuffles go to tmpfs: LZ4 on shuffle/spill/broadcast
+      // blocks is pure CPU with no I/O to amortize (r18 full-bench A/B:
+      // geomean −4%, 182 of 366 queries faster, shuffle-heavy tier −0.3
+      // to −0.5 s each). Parameterised because the trade flips on a
+      // cluster — there compression pays for NETWORK, so production runs
+      // set SPARK_GRAFT_SHUFFLE_COMPRESS=true (the Spark default).
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.broadcast.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
     // extra confs for experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

@@ -32,6 +32,15 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
+      // shuffle/spill/broadcast compression off on single-node tmpfs
+      // (pure CPU, no I/O to amortize) — Bench.scala comment has the
+      // full-bench A/B; cluster runs set SPARK_GRAFT_SHUFFLE_COMPRESS=true
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.broadcast.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

@@ -110,6 +110,15 @@ object ScaleGrowth {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
+      // shuffle/spill/broadcast compression off on single-node tmpfs
+      // (pure CPU, no I/O to amortize) — Bench.scala comment has the
+      // full-bench A/B; cluster runs set SPARK_GRAFT_SHUFFLE_COMPRESS=true
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.broadcast.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
     // extra confs for experiments, the Bench/Verify contract:
     // SPARK_GRAFT_CONF="k=v;k2=v2" (e.g. AQE initialPartitionNum A/Bs)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))

@@ -22,6 +22,15 @@ object Verify {
       // store raw UnsafeRow images (localCheckpoint's cost profile, WITH
       // lineage) instead of columnar batches — RowCacheSerializer scaladoc
       .config("spark.sql.cache.serializer", "graft.plans.RowCacheSerializer")
+      // shuffle/spill/broadcast compression off on single-node tmpfs
+      // (pure CPU, no I/O to amortize) — Bench.scala comment has the
+      // full-bench A/B; cluster runs set SPARK_GRAFT_SHUFFLE_COMPRESS=true
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.broadcast.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
     // extra confs for experiments, same contract as Bench:
     // SPARK_GRAFT_CONF="k=v;k2=v2" (e.g. the durable pin tier's
     // spark.graft.pin.durableDir for a tier-on oracle run)
