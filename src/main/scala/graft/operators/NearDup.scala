@@ -1695,7 +1695,10 @@ object NearDup {
       .agg(Tables.r6(sum(col("v")).cast("double") / count(lit(1))).as("c"))
       .groupBy("s", "code")
       .agg(expr("transform(sort_array(collect_list(struct(dim, c))), x -> x.c)").as("cv2"))
-    val after = members.join(cent2, Seq("s", "code"))
+    // cent2/after are 8×16=128-row aggregates: broadcast-declared (r18)
+    // — the planner was sort-merge-joining them against the corpus-sized
+    // members frame (two SMJ + exchanges in the before-plan)
+    val after = members.join(broadcast(cent2), Seq("s", "code"))
       .select(col("s"), col("code"),
         Tables.r6(zipFold(col("sv"), col("cv2"), (x, y) => (x - y) * (x - y)))
           .cast(DecimalType(18, 6)).as("a"))
@@ -1704,7 +1707,7 @@ object NearDup {
       .select(col("s"), col("code"), Tables.r6(col("d2")).cast(DecimalType(18, 6)).as("b"))
       .groupBy("s", "code")
       .agg(count(lit(1)).as("n"), sum("b").as("sse_before"))
-      .join(after, Seq("s", "code"))
+      .join(broadcast(after), Seq("s", "code"))
       .select(col("s"), col("code"), col("n"),
         col("sse_before").cast("double").as("sse_before"),
         col("sse_after").cast("double").as("sse_after"))
