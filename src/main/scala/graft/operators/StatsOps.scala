@@ -2183,7 +2183,10 @@ object StatsOps {
       resid, Seq("k"), col("r"), Seq(0.5), Seq("intercept"),
       pin = false)
     val nd = daily.groupBy("k").agg(count(lit(1)).as("n"))
-    med.join(ic, Seq("k")).join(nd, Seq("k"))
+    // ic/nd are ≤|types|-row aggregates, broadcast-declared (r18): the
+    // pinned med is a LogicalRDD leaf with DEFAULT size stats, so the
+    // planner was sort-merge-joining these bounded frames against it
+    med.join(broadcast(ic), Seq("k")).join(broadcast(nd), Seq("k"))
       .select(col("k"), col("n"),
         expr("n * (n - 1) DIV 2").as("n_pairs"),
         Tables.r6(col("slope_med")).as("slope"),
